@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local differential check mimicking the driver's DuckDB oracle compare.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (Spark result) and runs the
+matching SQL from oracle_sql.json in DuckDB over the same sfDir tables,
+then compares: schema (column names sorted), row count, and values
+(rows sorted by all columns; exact match required — design queries so
+floats are rounded on both sides).
+
+Dev-only tooling (driver-side python), not part of the Spark library.
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        # exact compare, but unify -0.0/0.0 and NaN repr
+        if v != v:
+            return "NaN"
+        if v == 0.0:
+            return 0.0
+        return v
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            oracle = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: spark result missing/unreadable: {e}")
+            n_fail += 1
+            continue
+        ocols, gcols = sorted(oracle.columns), sorted(got.columns)
+        if ocols != gcols:
+            print(f"FAIL {name}: schema mismatch spark={gcols} oracle={ocols}")
+            n_fail += 1
+            continue
+        o = oracle[ocols]
+        g = got[gcols]
+        if len(o) != len(g):
+            print(f"FAIL {name}: rowcount spark={len(g)} oracle={len(o)}")
+            n_fail += 1
+            continue
+        orows = sorted([tuple(norm(v) for v in r) for r in o.itertuples(index=False)],
+                       key=repr)
+        grows = sorted([tuple(norm(v) for v in r) for r in g.itertuples(index=False)],
+                       key=repr)
+        if orows == grows:
+            print(f"PASS {name} ({len(g)} rows)")
+            n_pass += 1
+        else:
+            bad = [(a, b) for a, b in zip(grows, orows) if a != b][:3]
+            print(f"FAIL {name}: value mismatch; first diffs (spark vs oracle):")
+            for a, b in bad:
+                print(f"  spark : {a}")
+                print(f"  oracle: {b}")
+            n_fail += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
