@@ -11,7 +11,9 @@ object SparkEntry {
 
   /** All registered queries, in registration order. */
   def registry: Seq[Q] =
-    operators.Relational.all
+    operators.Relational.all ++ operators.Joins.all ++
+      operators.Aggregates.all ++ operators.Windows.all ++
+      operators.SortsSets.all ++ operators.ScalarTours.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

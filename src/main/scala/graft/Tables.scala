@@ -20,7 +20,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = t(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+    * by default. Read nanos as raw Long (legacy flag) and truncate to µs —
+    * the same truncation DuckDB applies when casting TIMESTAMP_NS, so both
+    * engines see identical µs values (FIXTURES.md parity note). Integer
+    * `div` (not `/`) because ns-epoch ≈ 1.7e18 exceeds double precision. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = t(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+    else raw
+  }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Aggregation matrix (SURVEY.md §2.2 "Aggregations"): groupby-agg
+  * families of the deployed dask library on Spark's partial/final
+  * HashAggregate (map-side combine comes free — same split-apply-combine
+  * dask runs, but codegen'd).
+  */
+object Aggregates {
+
+  /** Multi-agg with spread statistics per group (dask
+    * `groupby(k).agg({'x':[...]})`). */
+  val qStats: Q = Q(
+    "q10_agg_stats",
+    """SELECT c_nationkey,
+      |  count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal,
+      |  round(min(c_acctbal), 2) AS min_bal, round(max(c_acctbal), 2) AS max_bal,
+      |  round(stddev_samp(c_acctbal), 4) AS sd_bal,
+      |  round(var_samp(c_acctbal), 4) AS var_bal
+      |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+  ) { (s, d) =>
+    Tables.customer(s, d).groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("c_acctbal")), 4).as("avg_bal"),
+        round(min(col("c_acctbal")), 2).as("min_bal"),
+        round(max(col("c_acctbal")), 2).as("max_bal"),
+        round(stddev_samp(col("c_acctbal")), 4).as("sd_bal"),
+        round(var_samp(col("c_acctbal")), 4).as("var_bal"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** Exact distinct count per group (dask `groupby(k).x.nunique()`):
+    * count(distinct user_id) by event_type — BASELINE.md anchor shape. */
+  val qCountDistinct: Q = Q(
+    "q11_count_distinct",
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  /** HyperLogLog distinct (dask `nunique_approx()`): engine-specific sketch
+    * → no SQL oracle; ScalaTest bounds it against the exact count. */
+  val qApproxDistinct: Q = Q.noOracle("q12_approx_count_distinct") { (s, d) =>
+    Tables.events(s, d).groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
+      .orderBy(col("event_type"))
+  }
+
+  /** value_counts (dask `df.x.value_counts()`): group-count sorted desc. */
+  val qValueCounts: Q = Q(
+    "q13_value_counts",
+    """SELECT event_type, count(*) AS cnt
+      |FROM events GROUP BY event_type ORDER BY cnt DESC, event_type""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("event_type"))
+  }
+
+  /** Pivot (dask `pivot_table`): mktsegment × orderstatus revenue matrix.
+    * Explicit value list keeps the plan single-pass (no distinct-scan) and
+    * the output schema static — the 100 TB-safe form. */
+  val qPivot: Q = Q(
+    "q14_pivot",
+    """SELECT c_mktsegment,
+      |  round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0), 2) AS "F",
+      |  round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 0), 2) AS "O",
+      |  round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 0), 2) AS "P"
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(coalesce(sum(col("o_totalprice")), lit(0)), 2))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Rollup (beyond the dask API — SURVEY §2.2 flags grouping sets as the
+    * free Spark upgrade): region → nation hierarchy totals. */
+  val qRollup: Q = Q(
+    "q15_rollup",
+    """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+      |       count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |              JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY region, nation""".stripMargin
+  ) { (s, d) =>
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n"), col("total_bal"))
+      .orderBy(col("region"), col("nation"))
+  }
+
+  /** Cube over two independent dimensions. */
+  val qCube: Q = Q(
+    "q16_cube",
+    """SELECT coalesce(event_type, 'ALL') AS etype,
+      |       coalesce(CAST(year(ts) AS VARCHAR), 'ALL') AS yr,
+      |       count(*) AS n
+      |FROM events GROUP BY CUBE(event_type, year(ts))
+      |ORDER BY etype, yr""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .withColumn("yr0", year(col("ts")))
+      .cube(col("event_type"), col("yr0"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("etype"),
+        coalesce(col("yr0").cast("string"), lit("ALL")).as("yr"),
+        col("n"))
+      .orderBy(col("etype"), col("yr"))
+  }
+
+  /** Exact percentiles (dask `quantile`/`describe` analog; Spark
+    * `percentile` ≡ DuckDB `quantile_cont` linear interpolation). */
+  val qQuantiles: Q = Q(
+    "q17_quantiles",
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+      |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25"),
+        round(percentile(col("l_extendedprice"), lit(0.50)), 4).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75"),
+        round(percentile(col("l_extendedprice"), lit(0.99)), 4).as("p99"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Correlation / covariance (dask `df.corr()/cov()`). */
+  val qCorr: Q = Q(
+    "q18_corr_cov",
+    """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      |       round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+      |       round(corr(l_discount, l_tax), 6) AS corr_disc_tax
+      |FROM lineitem""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d).agg(
+      round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+      round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qty_price"),
+      round(corr(col("l_discount"), col("l_tax")), 6).as("corr_disc_tax"))
+  }
+
+  /** argmin/argmax (dask `idxmax` analog): per nation, the customer with
+    * the max/min account balance. Spark side: max_by/min_by with a struct
+    * tie-breaker (sf0.1 has duplicate balances per nation); oracle side:
+    * row_number with matching tie-break order (DuckDB arg-funcs don't take
+    * composite orderings) — different plan, same deterministic result. */
+  val qMinMaxBy: Q = Q(
+    "q19_min_max_by",
+    """SELECT c_nationkey,
+      |  max(CASE WHEN rhi = 1 THEN c_custkey END) AS richest,
+      |  max(CASE WHEN rlo = 1 THEN c_custkey END) AS poorest
+      |FROM (SELECT c_nationkey, c_custkey,
+      |        row_number() OVER (PARTITION BY c_nationkey
+      |          ORDER BY c_acctbal DESC, c_custkey DESC) AS rhi,
+      |        row_number() OVER (PARTITION BY c_nationkey
+      |          ORDER BY c_acctbal ASC, c_custkey ASC) AS rlo
+      |      FROM customer) t
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+  ) { (s, d) =>
+    Tables.customer(s, d).groupBy(col("c_nationkey"))
+      .agg(
+        max_by(col("c_custkey"), struct(col("c_acctbal"), col("c_custkey"))).as("richest"),
+        min_by(col("c_custkey"), struct(col("c_acctbal"), col("c_custkey"))).as("poorest"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** Ungrouped full-column reductions (dask `df.x.sum()` etc.). */
+  val qGlobalAgg: Q = Q(
+    "q20_global_reduce",
+    """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+      |       round(avg(o_totalprice), 4) AS mean,
+      |       round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi,
+      |       count(DISTINCT o_custkey) AS n_customers
+      |FROM orders""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d).agg(
+      count(lit(1)).as("n"),
+      round(sum(col("o_totalprice")), 2).as("total"),
+      round(avg(col("o_totalprice")), 4).as("mean"),
+      round(min(col("o_totalprice")), 2).as("lo"),
+      round(max(col("o_totalprice")), 2).as("hi"),
+      countDistinct(col("o_custkey")).as("n_customers"))
+  }
+
+  val all: Seq[Q] = Seq(qStats, qCountDistinct, qApproxDistinct, qValueCounts,
+    qPivot, qRollup, qCube, qQuantiles, qCorr, qMinMaxBy, qGlobalAgg)
+}

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Join matrix (SURVEY.md §2.2 "Joins"): every `dd.merge` regime the
+  * deployed dask library supports, re-expressed as Spark joins.
+  *
+  * Scale posture: dimension tables (region 5 / nation 25 / supplier ≤1k)
+  * are explicitly `broadcast()` so the plan is a map-side join with no
+  * shuffle of the fact table; big-big joins (orders⋈lineitem) shuffle on
+  * the join key and rely on AQE for skew handling at 100 TB.
+  */
+object Joins {
+
+  /** Shuffle join: customer⋈orders⋈lineitem revenue top-10 (TPC-H Q3 shape).
+    * Reference capability: dask `dd.merge` large-large → shuffle hash join
+    * (SURVEY §2.2; deployed lib per dask_ssh_docker/__init__.py:307). */
+  val q3ShippingPriority: Q = Q(
+    "q3_join3_revenue_top10",
+    """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       o_orderdate, o_orderpriority
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |             JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15'
+      |  AND l_shipdate > TIMESTAMP '1996-03-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+  ) { (s, d) =>
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1996-03-15").cast("timestamp"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Broadcast dimension chain: customer→nation→region rollup of account
+    * balances. Dask regime: merge with small side → map-side join. */
+  val qBroadcastDims: Q = Q(
+    "q4_broadcast_dim_join",
+    """SELECT r_name, n_name, count(*) AS n_customers,
+      |       round(sum(c_acctbal), 2) AS total_acctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |              JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+  ) { (s, d) =>
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("total_acctbal"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Left outer join with null-producing right side: orders with/without
+    * any high-quantity lineitem. */
+  val qLeftOuter: Q = Q(
+    "q5_left_outer_join",
+    """SELECT o_orderstatus,
+      |       count(*) AS n_orders,
+      |       count(l_orderkey) AS n_with_bigqty,
+      |       CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_without
+      |FROM orders LEFT JOIN (
+      |  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity >= 49
+      |) big ON o_orderkey = l_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  ) { (s, d) =>
+    val big = Tables.lineitem(s, d).filter(col("l_quantity") >= 49)
+      .select(col("l_orderkey")).distinct()
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        count(col("l_orderkey")).as("n_with_bigqty"),
+        sum(when(col("l_orderkey").isNull, 1).otherwise(0)).as("n_without"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Full outer join over two aggregates keyed differently populated:
+    * per-nation customer count ⋈ per-nation supplier count. */
+  val qFullOuter: Q = Q(
+    "q6_full_outer_join",
+    """SELECT coalesce(c.k, s.k) AS nationkey,
+      |       coalesce(c.n_cust, 0) AS n_cust, coalesce(s.n_supp, 0) AS n_supp
+      |FROM (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1) c
+      |FULL JOIN (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1) s
+      |ON c.k = s.k
+      |ORDER BY nationkey""".stripMargin
+  ) { (s, d) =>
+    val c = Tables.customer(s, d).groupBy(col("c_nationkey").as("ck"))
+      .agg(count(lit(1)).as("n_cust"))
+    val su = Tables.supplier(s, d).groupBy(col("s_nationkey").as("sk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(su, col("ck") === col("sk"), "full")
+      .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Existence joins: left_semi / left_anti are first-class in Spark
+    * (dask idiom: isin-on-keys / indicator filter). Customers that placed
+    * at least one urgent order but never a low-priority one. */
+  val qSemiAnti: Q = Q(
+    "q7_semi_anti_join",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+      |ORDER BY c_custkey""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val low = o.filter(col("o_orderpriority") === "5-LOW")
+      .select(col("o_custkey"))
+    Tables.customer(s, d)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(low, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Cross join + theta filter (dask `how='cross'` / key=constant regime):
+    * region × nation pairs where the nation is NOT in the region. */
+  val qCrossTheta: Q = Q(
+    "q8_cross_theta_join",
+    """SELECT r_name, count(*) AS n_foreign_nations
+      |FROM region CROSS JOIN nation
+      |WHERE r_regionkey <> n_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+  ) { (s, d) =>
+    Tables.region(s, d).crossJoin(Tables.nation(s, d))
+      .filter(col("r_regionkey") =!= col("n_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_foreign_nations"))
+      .orderBy(col("r_name"))
+  }
+
+  /** Self-join on a fact table: pairs of lineitems of the same order shipped
+    * the same day (band/equi self-join; dask merge on self). */
+  val qSelfJoin: Q = Q(
+    "q9_self_join_sameday",
+    """SELECT a.l_orderkey, count(*) AS n_sameday_pairs
+      |FROM lineitem a JOIN lineitem b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_shipdate = b.l_shipdate
+      | AND a.l_linenumber < b.l_linenumber
+      |GROUP BY a.l_orderkey
+      |ORDER BY n_sameday_pairs DESC, a.l_orderkey""".stripMargin
+  ) { (s, d) =>
+    val l = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_shipdate")
+    val a = l.alias("a")
+    val b = l.alias("b")
+    a.join(b,
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_shipdate") === col("b.l_shipdate") &&
+        col("a.l_linenumber") < col("b.l_linenumber"))
+      .groupBy(col("a.l_orderkey"))
+      .agg(count(lit(1)).as("n_sameday_pairs"))
+      .orderBy(desc("n_sameday_pairs"), col("a.l_orderkey"))
+  }
+
+  val all: Seq[Q] = Seq(q3ShippingPriority, qBroadcastDims, qLeftOuter,
+    qFullOuter, qSemiAnti, qCrossTheta, qSelfJoin)
+}

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Scalar function library tour (SURVEY.md §2.2 "Scalar function
+  * library"): the pandas accessor families dask inherits (.str, .dt,
+  * math, conditional, cast) mapped to codegen'd Spark built-ins —
+  * never UDFs, so whole-stage codegen keeps the hot path fused.
+  *
+  * Cross-engine gotchas handled here (documented for the oracle SQL):
+  * DuckDB `log` is log10 (Spark's is ln) → oracle uses `ln`; DuckDB
+  * float→int CAST rounds while Spark truncates → casts go through
+  * floor/round explicitly; DuckDB regexp_replace needs the 'g' flag to
+  * match Spark's replace-all.
+  */
+object ScalarTours {
+
+  /** String family: length/upper/lower/substr/concat_ws/trim/lpad/
+    * reverse/regexp_replace/contains/startswith. */
+  val qStrings: Q = Q(
+    "q35_string_functions",
+    """SELECT c_custkey,
+      |  length(c_name) AS name_len,
+      |  upper(c_mktsegment) AS seg_upper,
+      |  lower(substr(c_name, 1, 8)) AS name_head,
+      |  concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS tag,
+      |  lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS nation_pad,
+      |  reverse(c_mktsegment) AS seg_rev,
+      |  regexp_replace(c_name, '[aeiou]', '_', 'g') AS name_devowel,
+      |  regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+      |  contains(c_name, 'er') AS has_er,
+      |  c_name LIKE 'C%' AS starts_c
+      |FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey""".stripMargin
+  ) { (s, d) =>
+    Tables.customer(s, d).filter(col("c_custkey") <= 100)
+      .select(col("c_custkey"),
+        length(col("c_name")).cast("long").as("name_len"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        lower(substring(col("c_name"), 1, 8)).as("name_head"),
+        concat_ws("-", col("c_mktsegment"), col("c_custkey").cast("string")).as("tag"),
+        lpad(col("c_nationkey").cast("string"), 4, "0").as("nation_pad"),
+        reverse(col("c_mktsegment")).as("seg_rev"),
+        regexp_replace(col("c_name"), "[aeiou]", "_").as("name_devowel"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("name_digits"),
+        col("c_name").contains("er").as("has_er"),
+        col("c_name").startsWith("C").as("starts_c"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Date/time family: year/month/day/quarter/hour/minute/dayofweek/
+    * date_trunc/date arithmetic/epoch. Spark dayofweek is 1=Sunday; DuckDB
+    * dayofweek is 0=Sunday — aligned by subtracting 1 on the Spark side. */
+  val qDates: Q = Q(
+    "q36_datetime_functions",
+    """SELECT event_id,
+      |  year(ts) AS y, month(ts) AS mo, day(ts) AS dd,
+      |  quarter(ts) AS q, hour(ts) AS h, minute(ts) AS mi,
+      |  dayofweek(ts) AS dow,
+      |  date_trunc('hour', ts) AS ts_hour,
+      |  CAST(ts AS DATE) + 30 AS plus30d,
+      |  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+      |  date_diff('day', TIMESTAMP '2024-01-01', ts) AS days_since
+      |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d).filter(col("event_id") < 200)
+      .select(col("event_id"),
+        year(col("ts")).cast("long").as("y"), month(col("ts")).cast("long").as("mo"),
+        dayofmonth(col("ts")).cast("long").as("dd"),
+        quarter(col("ts")).cast("long").as("q"), hour(col("ts")).cast("long").as("h"),
+        minute(col("ts")).cast("long").as("mi"),
+        (dayofweek(col("ts")) - 1).cast("long").as("dow"),
+        date_trunc("hour", col("ts")).as("ts_hour"),
+        date_add(col("ts").cast("date"), 30).as("plus30d"),
+        col("ts").cast("long").as("epoch_s"),
+        datediff(col("ts").cast("date"),
+          lit("2024-01-01").cast("date")).cast("long").as("days_since"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Math family: abs/round/floor/ceil/sqrt/pow/ln/exp/sign/mod.
+    * floor/ceil cast to BIGINT on both sides (Spark returns LONG, DuckDB
+    * DOUBLE). */
+  val qMath: Q = Q(
+    "q37_math_functions",
+    """SELECT l_orderkey, l_linenumber,
+      |  abs(l_discount - 0.05) AS abs_ctr,
+      |  round(l_extendedprice / 100, 1) AS price_h,
+      |  CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+      |  CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+      |  round(sqrt(l_quantity), 6) AS qty_sqrt,
+      |  round(pow(l_quantity, 2), 1) AS qty_sq,
+      |  round(ln(l_extendedprice), 6) AS price_ln,
+      |  round(exp(l_discount), 6) AS disc_exp,
+      |  sign(l_discount - 0.05) AS disc_sign,
+      |  CAST(l_quantity AS BIGINT) % 7 AS qty_mod7
+      |FROM lineitem WHERE l_orderkey < 300 ORDER BY l_orderkey, l_linenumber""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d).filter(col("l_orderkey") < 300)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("abs_ctr"),
+        round(col("l_extendedprice") / 100, 1).as("price_h"),
+        floor(col("l_extendedprice") / 1000).as("price_k_floor"),
+        ceil(col("l_extendedprice") / 1000).as("price_k_ceil"),
+        round(sqrt(col("l_quantity")), 6).as("qty_sqrt"),
+        round(pow(col("l_quantity"), 2), 1).as("qty_sq"),
+        round(log(col("l_extendedprice")), 6).as("price_ln"),
+        round(exp(col("l_discount")), 6).as("disc_exp"),
+        signum(col("l_discount") - 0.05).as("disc_sign"),
+        (col("l_quantity").cast("long") % 7).as("qty_mod7"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Conditional family: CASE/when, coalesce+nullif, greatest/least,
+    * clip-to-range (dask `np.where`/`mask`/`fillna`/`clip`). */
+  val qConditional: Q = Q(
+    "q38_conditional_functions",
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice >= 300000 THEN 'big'
+      |       WHEN o_totalprice >= 100000 THEN 'mid' ELSE 'small' END AS bucket,
+      |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+      |  greatest(o_totalprice, 50000.0) AS at_least_50k,
+      |  least(greatest(o_totalprice, 100000.0), 400000.0) AS clipped,
+      |  CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS is_hot
+      |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d).filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"),
+        when(col("o_totalprice") >= 300000, "big")
+          .when(col("o_totalprice") >= 100000, "mid")
+          .otherwise("small").as("bucket"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN"))
+          .as("status_or_open"),
+        greatest(col("o_totalprice"), lit(50000.0)).as("at_least_50k"),
+        least(greatest(col("o_totalprice"), lit(100000.0)), lit(400000.0))
+          .as("clipped"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+          .otherwise(0).as("is_hot"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Predicate tour: between / isin / isNull / not (dask boolean-mask
+    * filters and the `query` DSL — Spark's SQL parser is the analog). */
+  val qPredicates: Q = Q(
+    "q39_filter_predicates",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+      |FROM lineitem
+      |WHERE l_quantity BETWEEN 10 AND 12
+      |  AND l_returnflag IN ('A', 'R')
+      |  AND l_shipdate IS NOT NULL
+      |  AND NOT (l_discount > 0.05)
+      |  AND l_orderkey < 5000
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity").between(10, 12) &&
+        col("l_returnflag").isin("A", "R") &&
+        col("l_shipdate").isNotNull &&
+        !(col("l_discount") > 0.05) &&
+        col("l_orderkey") < 5000)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Cast tour: explicit type conversions with truncation semantics
+    * pinned (Spark cast double→int truncates; DuckDB rounds → oracle
+    * trunc()s first). */
+  val qCasts: Q = Q(
+    "q40_cast_tour",
+    """SELECT o_orderkey,
+      |  CAST(trunc(o_totalprice) AS BIGINT) AS price_int,
+      |  CAST(o_totalprice AS VARCHAR) AS price_str,
+      |  CAST(o_orderkey AS DOUBLE) AS key_dbl,
+      |  CAST(o_orderdate AS DATE) AS ordate,
+      |  CAST(CAST(o_orderkey % 2 AS BOOLEAN) AS INTEGER) AS odd_flag
+      |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d).filter(col("o_orderkey") < 1000)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("long").as("price_int"),
+        col("o_totalprice").cast("string").as("price_str"),
+        col("o_orderkey").cast("double").as("key_dbl"),
+        col("o_orderdate").cast("date").as("ordate"),
+        (col("o_orderkey") % 2).cast("boolean").cast("int").as("odd_flag"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val all: Seq[Q] = Seq(qStrings, qDates, qMath, qConditional, qPredicates,
+    qCasts)
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Sorts / limits / top-k and set operations (SURVEY.md §2.2).
+  *
+  * Top-k goes through Catalyst's `TakeOrderedAndProject` (per-partition
+  * top-k + merge — the same distributed algorithm dask `nlargest` runs,
+  * no global sort materialized). Set ops are first-class in Spark where
+  * dask needs merge idioms.
+  */
+object SortsSets {
+
+  /** Global sort + limit (dask `nlargest`): top-15 orders by price. */
+  val qTopK: Q = Q(
+    "q27_topk_orders",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(15)
+  }
+
+  /** Multi-key global sort with mixed directions (dask `sort_values`),
+    * restricted to a selective slice so the full ordering is exercised. */
+  val qMultiSort: Q = Q(
+    "q28_multikey_sort",
+    """SELECT o_orderpriority, o_orderdate, o_orderkey, o_totalprice
+      |FROM orders
+      |WHERE o_totalprice > 450000
+      |ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_totalprice") > 450000)
+      .select("o_orderpriority", "o_orderdate", "o_orderkey", "o_totalprice")
+      .orderBy(col("o_orderpriority"), desc("o_totalprice"), col("o_orderkey"))
+  }
+
+  /** Union-all with schema alignment (dask `dd.concat`): urgent orders ∪
+    * high-value orders, tagged by source branch. */
+  val qUnionAll: Q = Q(
+    "q29_union_all",
+    """SELECT src, count(*) AS n, round(sum(o_totalprice), 2) AS total FROM (
+      |  SELECT 'urgent' AS src, o_orderkey, o_totalprice FROM orders
+      |  WHERE o_orderpriority = '1-URGENT'
+      |  UNION ALL
+      |  SELECT 'bigval' AS src, o_orderkey, o_totalprice FROM orders
+      |  WHERE o_totalprice > 400000
+      |) u GROUP BY src ORDER BY src""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(lit("urgent").as("src"), col("o_orderkey"), col("o_totalprice"))
+    val bigval = o.filter(col("o_totalprice") > 400000)
+      .select(lit("bigval").as("src"), col("o_orderkey"), col("o_totalprice"))
+    urgent.unionByName(bigval)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("src"))
+  }
+
+  /** INTERSECT (dask semi-merge idiom): nations having both customers and
+    * suppliers. */
+  val qIntersect: Q = Q(
+    "q30_intersect",
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT
+      |SELECT s_nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+  ) { (s, d) =>
+    Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .orderBy(col("nationkey"))
+  }
+
+  /** EXCEPT (dask anti-merge idiom): customers that ordered, minus
+    * customers with 2+ orders → customers with exactly one order. */
+  val qExcept: Q = Q(
+    "q31_except",
+    """SELECT o_custkey AS custkey FROM orders
+      |EXCEPT
+      |SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count(*) >= 2
+      |ORDER BY custkey""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.orders(s, d)
+    o.select(col("o_custkey").as("custkey"))
+      .except(o.groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2).select(col("o_custkey").as("custkey")))
+      .orderBy(col("custkey"))
+  }
+
+  /** DISTINCT projection (dask `drop_duplicates(subset)` on a projection —
+    * the deterministic form; keep-first is done with min_by/row_number,
+    * see q33). */
+  val qDistinct: Q = Q(
+    "q32_distinct_projection",
+    """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+  ) { (s, d) =>
+    Tables.customer(s, d).select("c_nationkey", "c_mktsegment")
+      .dropDuplicates()
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+  }
+
+  /** Deterministic keep-first dedup (dask `drop_duplicates(keep='first')`
+    * over a sorted frame): first order per (custkey, orderpriority). */
+  val qKeepFirst: Q = Q(
+    "q33_dedup_keep_first",
+    """SELECT o_custkey, o_orderpriority, o_orderkey AS first_orderkey
+      |FROM (SELECT o_custkey, o_orderpriority, o_orderkey,
+      |        row_number() OVER (PARTITION BY o_custkey, o_orderpriority
+      |          ORDER BY o_orderdate, o_orderkey) AS rn
+      |      FROM orders WHERE o_custkey <= 200) t
+      |WHERE rn = 1
+      |ORDER BY o_custkey, o_orderpriority""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_custkey") <= 200)
+      .groupBy(col("o_custkey"), col("o_orderpriority"))
+      .agg(min_by(col("o_orderkey"),
+        struct(col("o_orderdate"), col("o_orderkey"))).as("first_orderkey"))
+      .orderBy(col("o_custkey"), col("o_orderpriority"))
+  }
+
+  /** Bernoulli sample (dask `df.sample(frac=)`): seeded and deterministic
+    * within Spark but not reproducible in another engine → no SQL oracle;
+    * ScalaTest bounds the fraction. */
+  val qSample: Q = Q.noOracle("q34_sample") { (s, d) =>
+    Tables.lineitem(s, d).sample(withReplacement = false, 0.01, seed = 42)
+      .agg(count(lit(1)).as("n_sampled"))
+  }
+
+  val all: Seq[Q] = Seq(qTopK, qMultiSort, qUnionAll, qIntersect, qExcept,
+    qDistinct, qKeepFirst, qSample)
+}

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Window / ordered-frame surface (SURVEY.md §2.2 "Window"): dask
+  * rolling / cumsum / shift / rank → Spark window functions.
+  *
+  * Every ORDER BY inside a window carries a unique tie-break key so the
+  * result is deterministic (oracle parity note, FIXTURES.md). Partition
+  * keys (custkey, user_id) are the natural distribution keys at 100 TB —
+  * one shuffle, then per-partition sorted evaluation.
+  */
+object Windows {
+
+  /** Top-3 orders per customer by totalprice (pandas groupby.head-after-
+    * sort / rank idiom). */
+  val qTopkPerGroup: Q = Q(
+    "q21_window_topk_per_customer",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** rank / dense_rank / ntile over a global ordering. */
+  val qRanks: Q = Q(
+    "q22_window_ranks",
+    """SELECT s_suppkey, s_acctbal,
+      |       rank() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS rnk,
+      |       dense_rank() OVER (ORDER BY round(s_acctbal / 1000, 0)) AS drnk,
+      |       ntile(4) OVER (ORDER BY s_acctbal DESC, s_suppkey) AS quartile
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+  ) { (s, d) =>
+    Tables.supplier(s, d)
+      .withColumn("rnk",
+        rank().over(Window.orderBy(desc("s_acctbal"), col("s_suppkey"))).cast("long"))
+      .withColumn("drnk", dense_rank().over(
+        Window.orderBy(round(col("s_acctbal") / 1000, 0))).cast("long"))
+      .withColumn("quartile",
+        ntile(4).over(Window.orderBy(desc("s_acctbal"), col("s_suppkey"))).cast("long"))
+      .select("s_suppkey", "s_acctbal", "rnk", "drnk", "quartile")
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Cumulative sum per customer over order date (dask `cumsum`). Summation
+    * order is pinned by the frame, so values match the oracle exactly. */
+  val qCumsum: Q = Q(
+    "q23_window_cumsum",
+    """SELECT o_custkey, o_orderkey,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |     ORDER BY o_orderdate, o_orderkey
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+      |FROM orders
+      |WHERE o_custkey <= 100
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") <= 100)
+      .withColumn("running_total", round(sum(col("o_totalprice")).over(w), 2))
+      .select("o_custkey", "o_orderkey", "running_total")
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** lag / lead / diff (dask `shift` / `diff`): inter-event gap per user in
+    * microseconds (integer — exact parity, no float noise). */
+  val qLagLead: Q = Q(
+    "q24_window_lag_diff",
+    """SELECT user_id, event_id,
+      |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+      |  lead(event_id) OVER w AS next_event
+      |FROM events
+      |WHERE user_id <= 20
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .filter(col("user_id") <= 20)
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("next_event", lead(col("event_id"), 1).over(w))
+      .select("user_id", "event_id", "gap_us", "next_event")
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Time-range rolling frame (dask `rolling('1h', on=ts)` via
+    * map_overlap): 1-hour trailing mean per user. RANGE frame over epoch
+    * seconds — identical inclusive-boundary semantics both engines. */
+  val qRollingTime: Q = Q(
+    "q25_window_rolling_1h",
+    """SELECT user_id, event_id,
+      |  round(avg(value) OVER (PARTITION BY user_id
+      |    ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS avg_1h,
+      |  count(*) OVER (PARTITION BY user_id
+      |    ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_1h
+      |FROM events WHERE user_id <= 20
+      |ORDER BY user_id, event_id""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").cast("long"))
+      .rangeBetween(-3600, Window.currentRow)
+    Tables.events(s, d)
+      .filter(col("user_id") <= 20)
+      .withColumn("avg_1h", round(avg(col("value")).over(w), 4))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .select("user_id", "event_id", "avg_1h", "n_1h")
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Row-count sliding frame (dask `rolling(n)`): trailing-5 moving sum. */
+  val qRollingRows: Q = Q(
+    "q26_window_rolling_5rows",
+    """SELECT o_custkey, o_orderkey,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 2) AS sum5,
+      |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS avg5
+      |FROM orders WHERE o_custkey <= 100
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-4, Window.currentRow)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") <= 100)
+      .withColumn("sum5", round(sum(col("o_totalprice")).over(w), 2))
+      .withColumn("avg5", round(avg(col("o_totalprice")).over(w), 4))
+      .select("o_custkey", "o_orderkey", "sum5", "avg5")
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val all: Seq[Q] = Seq(qTopkPerGroup, qRanks, qCumsum, qLagLead,
+    qRollingTime, qRollingRows)
+}
