@@ -13,7 +13,8 @@ object SparkEntry {
   def registry: Seq[Q] =
     operators.Relational.all ++ operators.Joins.all ++
       operators.Aggregates.all ++ operators.Windows.all ++
-      operators.SortsSets.all ++ operators.ScalarTours.all
+      operators.SortsSets.all ++ operators.ScalarTours.all ++
+      operators.Events.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{Q, Tables}
+
+/** Events-table surface (SURVEY.md §2.2 "Streaming" batch twins + map/json
+  * family): JSON props extraction, tumbling/sliding time windows,
+  * sessionization, and the as-of join.
+  *
+  * Each windowed query here is the batch twin of a Structured Streaming
+  * query (graft.streaming keeps the readStream versions; ScalaTest proves
+  * they agree) because the DuckDB oracle can only check batch SQL.
+  */
+object Events {
+
+  /** JSON column → typed struct (dask/pandas `json_normalize` analog,
+    * `events.props` fixture): parse once with an explicit schema (no
+    * schema-inference scan — the 100 TB-safe form), then aggregate. */
+  val qJsonStruct: Q = Q(
+    "q41_json_struct",
+    """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) // 10 AS k_bucket,
+      |       count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events
+      |GROUP BY k_bucket ORDER BY k_bucket""".stripMargin
+  ) { (s, d) =>
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    Tables.events(s, d)
+      .withColumn("p", from_json(col("props"), schema))
+      .groupBy((col("p.k") / 10).cast("int").as("k_bucket"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("k_bucket"))
+  }
+
+  /** JSON as dynamic map (`MapType` alternative — SURVEY §1.3): element_at
+    * access without a declared struct. */
+  val qJsonMap: Q = Q(
+    "q42_json_map",
+    """SELECT event_type, count(*) AS n_highk
+      |FROM events
+      |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .withColumn("m", from_json(col("props"), MapType(StringType, IntegerType)))
+      .filter(element_at(col("m"), "k") > 50)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_highk"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Tumbling 1h window aggregation (Spark `window(ts, "1 hour")`;
+    * streaming twin in graft.streaming). BASELINE.md anchor shape. */
+  val qTumbling: Q = Q(
+    "q43_tumbling_1h",
+    """SELECT date_trunc('hour', ts) AS bucket, event_type,
+      |       count(*) AS n, round(sum(value), 2) AS total,
+      |       round(avg(value), 4) AS mean
+      |FROM events GROUP BY bucket, event_type
+      |ORDER BY bucket, event_type""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"),
+        round(avg(col("value")), 4).as("mean"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("n"),
+        col("total"), col("mean"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
+  /** Sliding 1h window every 15min: each event lands in 4 overlapping
+    * windows (dask has no analog; Spark `window(ts, len, slide)`). Oracle
+    * reconstructs membership by cross-joining the 4 slide offsets. */
+  val qSliding: Q = Q(
+    "q44_sliding_1h_15m",
+    """SELECT to_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - o.k * 900)
+      |         AT TIME ZONE 'UTC' AS wstart,
+      |       count(*) AS n, round(sum(value), 2) AS total
+      |FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) o
+      |GROUP BY wstart ORDER BY wstart""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("w.start").as("wstart"), col("n"), col("total"))
+      .orderBy(col("wstart"))
+  }
+
+  /** Sessionization via gap islands (dask idiom: lag + cumsum flags; the
+    * streaming twin uses session_window / flatMapGroupsWithState). A new
+    * session starts after a >30min silence; one output row per session. */
+  val qSessionize: Q = Q(
+    "q45_sessionization",
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |         > 1800000000 THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |       min(ts) AS session_start, max(ts) AS session_end,
+      |       count(*) AS n_events, round(sum(value), 2) AS session_value
+      |FROM sessions GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+  ) { (s, d) =>
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val runningFlags = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("new_session",
+        when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
+          > 1800000000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(runningFlags))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** As-of join (dask `merge_asof` — SURVEY §7.3 hard part): for every
+    * purchase, the latest click by the same user at or before it.
+    *
+    * Spark-first algorithm: tag + union both sides, one shuffle on
+    * user_id, then `last(click_ts, ignoreNulls)` over the time ordering —
+    * O(n log n) with no range-join row explosion, the plan that survives
+    * 100 TB. Oracle: DuckDB's native ASOF LEFT JOIN. */
+  val qAsOfJoin: Q = Q(
+    "q46_asof_join",
+    """SELECT p.event_id, p.user_id, p.ts,
+      |       c.ts AS last_click_ts,
+      |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("kind"),
+        lit(null).cast("long").as("event_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("kind"),
+        col("event_id"), lit(null).cast("timestamp").as("click_ts"))
+    // clicks sort before purchases at equal ts (kind 0 < 1) → ties match,
+    // mirroring ASOF's `>=` bound.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("last_click_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("last_click_ts"))).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** As-of join with tolerance (dask `merge_asof(tolerance=...)`): same,
+    * but the click must be within 1 hour. */
+  val qAsOfTolerance: Q = Q(
+    "q47_asof_tolerance",
+    """SELECT event_id, user_id, ts,
+      |       CASE WHEN epoch_us(ts) - epoch_us(last_click_ts) <= 3600000000
+      |            THEN last_click_ts END AS last_click_1h
+      |FROM (
+      |  SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts
+      |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |    ON p.user_id = c.user_id AND p.ts >= c.ts) t
+      |ORDER BY event_id""".stripMargin
+  ) { (s, d) =>
+    qAsOfJoin.fn(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("gap_us") <= 3600000000L, col("last_click_ts"))
+          .as("last_click_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Array/higher-order-function tour (dask `dask.array` bridge — SURVEY
+    * §1.2: fixed-length vector columns + HOFs; scalars out for parity). */
+  val qArrayHof: Q = Q(
+    "q48_array_hof",
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(list_sum(list_transform(range(1, qty + 1), x -> x * 2)) AS BIGINT) AS double_sum,
+      |  len(list_filter(range(1, qty + 1), x -> x % 2 = 0)) AS n_even,
+      |  list_contains(range(1, qty + 1), 7) AS has7,
+      |  CAST(list_sum(range(1, qty + 1)[1:3]) AS BIGINT) AS first3_sum
+      |FROM (SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty
+      |      FROM lineitem WHERE l_orderkey < 200)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d).filter(col("l_orderkey") < 200)
+      .withColumn("arr", sequence(lit(1L), col("l_quantity").cast("long")))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        aggregate(transform(col("arr"), x => x * 2), lit(0L), (a, x) => a + x)
+          .as("double_sum"),
+        size(filter(col("arr"), x => x % 2 === 0)).cast("long").as("n_even"),
+        array_contains(col("arr"), 7L).as("has7"),
+        aggregate(slice(col("arr"), 1, 3), lit(0L), (a, x) => a + x)
+          .as("first3_sum"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val all: Seq[Q] = Seq(qJsonStruct, qJsonMap, qTumbling, qSliding,
+    qSessionize, qAsOfJoin, qAsOfTolerance, qArrayHof)
+}
