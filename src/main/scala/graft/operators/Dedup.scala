@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Probabilistic near-dup detection (SURVEY.md §2.3): MinHash + LSH
+  * banding and SimHash. Engine-specific hashing (xxhash64) → no SQL
+  * oracle; ScalaTest checks recall against the exact Jaccard pairs of
+  * t54 (Text.qNgramJaccard).
+  *
+  * Scale story: these are the sub-O(n²) paths. MinHash signatures are one
+  * groupBy over exploded shingles; LSH band-bucketing means only docs
+  * sharing a band bucket are ever paired — at 100 TB the shuffle is
+  * per-band-bucket, never all-pairs. SimHash candidates come from 16-bit
+  * chunk equality (pigeonhole: hamming<=3 guarantees a shared chunk).
+  */
+object Dedup {
+
+  val NumHashes = 16
+  val NumBands = 4
+  val RowsPerBand: Int = NumHashes / NumBands
+
+  /** MinHash signature columns h0..h15: min over the doc's shingles of 16
+    * independent hash functions (xxhash64 seeded by component index). */
+  private def signatures(shx: org.apache.spark.sql.DataFrame) =
+    shx.groupBy(col("doc_id")).agg(
+      min(xxhash64(lit(0), col("s"))).as("h0"),
+      (1 until NumHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i")): _*)
+
+  /** MinHash + LSH near-dup candidate pairs with estimated Jaccard
+    * (fraction of agreeing signature components) >= 0.5. */
+  val qMinHashLsh: Q = Q.noOracle("t58_minhash_lsh_pairs") { (s, d) =>
+    val sigs = signatures(Text.shingled(Tables.documents(s, d)))
+      .withColumn("sig", array((0 until NumHashes).map(i => col(s"h$i")): _*))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until NumBands).map { b =>
+        xxhash64((b * RowsPerBand until (b + 1) * RowsPerBand)
+          .map(i => col(s"h$i")): _*)
+      }: _*)).as(Seq("band", "bh")))
+    val a = banded.select(col("doc_id").as("da"), col("sig").as("siga"),
+      col("band"), col("bh"))
+    val b = banded.select(col("doc_id").as("db"), col("sig").as("sigb"),
+      col("band"), col("bh"))
+    a.join(b, Seq("band", "bh")).filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        (aggregate(zip_with(col("siga"), col("sigb"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (acc, x) => acc + x)
+          / NumHashes.toDouble).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** SimHash: 64-bit locality-sensitive fingerprint folded from token
+    * hashes — implemented as a custom typed Aggregator (the SURVEY §2.2
+    * `dd.Aggregation` analog: per-partition partial buffers merged
+    * exactly like dask's chunk/agg/finalize). */
+  object SimHashAgg extends Aggregator[Long, Array[Int], Long] {
+    override def zero: Array[Int] = new Array[Int](64)
+    override def reduce(b: Array[Int], h: Long): Array[Int] = {
+      var i = 0
+      while (i < 64) { b(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1); i += 1 }
+      b
+    }
+    override def merge(x: Array[Int], y: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < 64) { x(i) += y(i); i += 1 }
+      x
+    }
+    override def finish(b: Array[Int]): Long = {
+      var v = 0L; var i = 0
+      while (i < 64) { if (b(i) > 0) v |= (1L << i); i += 1 }
+      v
+    }
+    override def bufferEncoder: Encoder[Array[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** simhash as a Column aggregate over 64-bit token hashes. */
+  def simhash(tokenHash: Column): Column =
+    udaf(SimHashAgg, Encoders.scalaLong)(tokenHash)
+
+  /** Per-doc 64-bit SimHash fingerprints. */
+  val qSimHash: Q = Q.noOracle("t59_simhash") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(simhash(xxhash64(col("tok"))).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SimHash near-dup pairs: candidates share one of four 16-bit chunks
+    * (finds every pair with hamming<=3; recall decays above), kept when
+    * hamming <= 8. */
+  val qSimHashPairs: Q = Q.noOracle("t60_simhash_pairs") { (s, d) =>
+    val sims = qSimHash.fn(s, d)
+    val chunked = sims.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("simhash"), 16 * c).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk", "cv")))
+    val a = chunked.select(col("doc_id").as("da"), col("simhash").as("sa"),
+      col("chunk"), col("cv"))
+    val b = chunked.select(col("doc_id").as("db"), col("simhash").as("sb"),
+      col("chunk"), col("cv"))
+    a.join(b, Seq("chunk", "cv")).filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+      .orderBy(col("da"), col("db"))
+  }
+
+  val all: Seq[Q] = Seq(qMinHashLsh, qSimHash, qSimHashPairs)
+}

@@ -1,0 +1,261 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Text-analysis / LLM-pipeline operators over `documents` (SURVEY.md
+  * §2.3): tokenization, per-language stats, quality scoring, exact dedup,
+  * n-gram-Jaccard near-dup detection, TF-IDF, language-ID heuristic.
+  *
+  * All built from codegen'd built-ins (split/explode/HOFs) — no UDFs.
+  * Near-dup thresholds compare in integer arithmetic (2*i >= na+nb-i)
+  * so the cut is bit-identical across engines.
+  */
+object Text {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** tokens array column for `documents.text` (single-space separated). */
+  private def tokens: Column = split(col("text"), " ")
+
+  /** Distinct 3-gram word shingles per doc (empty when < 3 tokens). */
+  def shingled(docs: DataFrame): DataFrame = {
+    docs
+      .withColumn("t", tokens)
+      .withColumn("shingles",
+        when(size(col("t")) >= 3,
+          array_distinct(transform(sequence(lit(1), size(col("t")) - 2),
+            i => concat_ws(" ", element_at(col("t"), i),
+              element_at(col("t"), i + 1), element_at(col("t"), i + 2)))))
+          .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+  }
+
+  /** Token explode + count (dask `.str.split` + explode + value_counts):
+    * top-25 tokens corpus-wide. BASELINE.md anchor shape. */
+  val qTokenCounts: Q = Q(
+    "t49_token_counts",
+    """SELECT tok, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |GROUP BY tok ORDER BY n DESC, tok LIMIT 25""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(tokens).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("tok"))
+      .limit(25)
+  }
+
+  /** Per-language document statistics. */
+  val qLangStats: Q = Q(
+    "t50_lang_stats",
+    """SELECT lang, count(*) AS n_docs,
+      |  round(avg(n_chars), 4) AS avg_chars,
+      |  round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+      |  count(DISTINCT source) AS n_sources
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        round(avg(size(tokens)), 4).as("avg_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+  }
+
+  /** Exact dedup accounting (dask `drop_duplicates` on text): per
+    * language, docs vs distinct texts (sf0.1 has constructed exact dups). */
+  val qExactDedup: Q = Q(
+    "t51_exact_dedup_stats",
+    """SELECT lang, count(*) AS n_docs,
+      |       count(DISTINCT text) AS n_distinct,
+      |       count(*) - count(DISTINCT text) AS n_dup_docs
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct"),
+        (count(lit(1)) - countDistinct(col("text"))).as("n_dup_docs"))
+      .orderBy(col("lang"))
+  }
+
+  /** Keep-first exact dedup: one row per distinct text (min doc_id wins),
+    * then re-aggregate survivors by source — the deterministic
+    * `drop_duplicates(keep='first')`. */
+  val qDedupKeepFirst: Q = Q(
+    "t52_dedup_keep_first",
+    """SELECT source, count(*) AS n_kept FROM documents
+      |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+      |GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val kept = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    docs.join(kept, Seq("doc_id"), "left_semi")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  /** Quality scoring (length / token stats / stopword ratio / digit
+    * density — the features of a training-data quality filter). */
+  val qQuality: Q = Q(
+    "t53_quality_score",
+    s"""SELECT doc_id, n_tokens,
+       |  round(stop_ratio, 6) AS stop_ratio,
+       |  round(avg_tok_len, 6) AS avg_tok_len,
+       |  n_digit_runs,
+       |  round(least(1.0, n_tokens / 100.0) * (1 - stop_ratio), 6) AS quality
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    len(list_filter(string_split(text, ' '),
+       |        x -> list_contains(['the','a','of','and','to','in'], x)))
+       |      * 1.0 / len(string_split(text, ' ')) AS stop_ratio,
+       |    (length(text) - len(string_split(text, ' ')) + 1)
+       |      * 1.0 / len(string_split(text, ' ')) AS avg_tok_len,
+       |    CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs
+       |  FROM documents) t
+       |WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val stopArr = array(stopwords.map(lit): _*)
+    Tables.documents(s, d)
+      .withColumn("t", tokens)
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("stop_ratio",
+        size(filter(col("t"), x => array_contains(stopArr, x))) * lit(1.0)
+          / col("n_tokens"))
+      .withColumn("avg_tok_len",
+        (length(col("text")) - col("n_tokens") + 1) * lit(1.0) / col("n_tokens"))
+      .withColumn("n_digit_runs", regexp_count(col("text"), lit("[0-9]+")).cast("long"))
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("stop_ratio"), 6).as("stop_ratio"),
+        round(col("avg_tok_len"), 6).as("avg_tok_len"),
+        col("n_digit_runs"),
+        round(least(lit(1.0), col("n_tokens") / 100.0) * (lit(1) - col("stop_ratio")), 6)
+          .as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Near-dup pairs by exact 3-gram-shingle Jaccard >= 0.5 (the exact
+    * oracle that graft.operators.Dedup's MinHash-LSH approximates; dask
+    * has no such op — SURVEY §2.3 north-star). Shingle sets intersect via
+    * self-equi-join on the shingle (shuffle on shingle — no O(n²) doc
+    * pairs materialized; only colliding pairs reach the aggregation). */
+  val qNgramJaccard: Q = Q(
+    "t54_ngram_jaccard_pairs",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct(CASE WHEN len(t) >= 3
+      |           THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+      |           ELSE [] END) AS shset
+      |       FROM toks),
+      |shx AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      |          FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY da, db)
+      |SELECT da, db, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+      |FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      |WHERE 2 * i >= sa.n + sb.n - i
+      |ORDER BY da, db""".stripMargin
+  ) { (s, d) =>
+    val shx = shingled(Tables.documents(s, d))
+    val sizes = shx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = shx.select(col("doc_id").as("da"), col("s"))
+    val b = shx.select(col("doc_id").as("db"), col("s"))
+    val inter = a.join(b, a("s") === b("s") && col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .filter(lit(2) * col("i") >= col("na") + col("nb") - col("i"))
+      .select(col("da"), col("db"),
+        round(col("i") * lit(1.0) / (col("na") + col("nb") - col("i")), 6)
+          .as("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** TF-IDF: top-scoring term per document (tf * ln(N/df)), deterministic
+    * tie-break by term. */
+  val qTfIdf: Q = Q(
+    "t55_tfidf_top_term",
+    """WITH tf AS (SELECT doc_id, tok, count(*) AS tf
+      |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |                  FROM documents)
+      |            GROUP BY doc_id, tok),
+      |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, tok, tf.tf * ln(n.n_docs * 1.0 / df.df) AS score
+      |  FROM tf JOIN df USING (tok) CROSS JOIN n)
+      |SELECT doc_id, tok AS top_term, round(score, 6) AS score
+      |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY score DESC, tok) AS rn FROM scored) t
+      |WHERE rn = 1 AND doc_id < 200
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val tf = docs.select(col("doc_id"), explode(tokens).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs")) // stays in the plan
+    val scored = tf.join(df, Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * log(col("n_docs") * lit(1.0) / col("df")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(desc("score"), col("tok"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("doc_id") < 200)
+      .select(col("doc_id"), col("tok").as("top_term"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-ID heuristic (n-gram/stopword marker scoring — SURVEY §2.3
+    * "language-ID"): confusion counts of predicted vs labeled lang. The
+    * corpus vocabulary is synthetic so the prediction is a demo of the
+    * pipeline shape, not linguistics. */
+  val qLangId: Q = Q(
+    "t56_langid_confusion",
+    """SELECT lang,
+      |  CASE WHEN len(list_filter(string_split(text, ' '),
+      |         x -> list_contains(['the','a','of','and','to','in'], x)))
+      |       * 1.0 / len(string_split(text, ' ')) > 0.08
+      |       THEN 'en_like' ELSE 'other' END AS predicted,
+      |  count(*) AS n
+      |FROM documents GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+  ) { (s, d) =>
+    val stopArr = array(stopwords.map(lit): _*)
+    Tables.documents(s, d)
+      .withColumn("t", tokens)
+      .withColumn("predicted",
+        when(size(filter(col("t"), x => array_contains(stopArr, x))) * lit(1.0)
+          / size(col("t")) > 0.08, "en_like").otherwise("other"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  /** Deterministic document fingerprint (rolling polynomial hash over
+    * token lengths, mod 1e9+7 — engine-portable integer arithmetic). */
+  val qFingerprint: Q = Q(
+    "t57_doc_fingerprint",
+    """SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(string_split(text, ' '), x -> CAST(length(x) AS BIGINT))),
+      |    (a, x) -> (a * 31 + x) % 1000000007) AS fingerprint
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        aggregate(transform(tokens, x => length(x).cast("long")), lit(0L),
+          (a, x) => (a * 31 + x) % 1000000007L).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(qTokenCounts, qLangStats, qExactDedup, qDedupKeepFirst,
+    qQuality, qNgramJaccard, qTfIdf, qLangId, qFingerprint)
+}

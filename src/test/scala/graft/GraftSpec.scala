@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites (local[4], UTC — mirrors the driver
+  * harness). */
+object TestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+/** Golden parity with the reference's own smoke tests (FIXTURES.md §1):
+  * same program → same answer, regardless of parallelism. */
+class GoldenSmokeSpec extends AnyFunSuite {
+  import TestSession.spark
+
+  test("delayed sum analog: sum(range(1000)) == 499500 (reference example/test.py:23)") {
+    val got = spark.range(1000).agg(sum("id")).head.getLong(0)
+    assert(got == 499500L)
+  }
+
+  test("shipped-code map analog: range(100).map(+1) == [1..100] (reference example/custom_image/test.py:7)") {
+    import org.apache.spark.sql.Encoders
+    val got: Array[Long] = spark.range(100)
+      .as[Long](Encoders.scalaLong)
+      .map(x => x + 1L)(Encoders.scalaLong)
+      .collect()
+    java.util.Arrays.sort(got)
+    assert(java.util.Arrays.equals(got, (1L to 100L).toArray))
+  }
+
+  test("entry returns rows at sf0.001 (driver t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query returns a readable non-negative row count") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, TestSession.sf).count()
+      assert(n >= 0, s"$name returned $n")
+    }
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
+
+/** Probabilistic/engine-specific ops that the DuckDB oracle can't check
+  * (SURVEY.md §5 strategy: ScalaTest owns these). */
+class DedupSpec extends AnyFunSuite {
+  import TestSession.{spark, sf}
+
+  private lazy val exactPairs: Set[(Long, Long)] =
+    operators.Text.qNgramJaccard.fn(spark, sf)
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash LSH recall >= 0.85 vs exact 3-gram jaccard pairs, no false positives at est>=0.5") {
+    val got = operators.Dedup.qMinHashLsh.fn(spark, sf)
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.nonEmpty, "ground truth must be non-trivial")
+    val recall = (exactPairs & got).size.toDouble / exactPairs.size
+    assert(recall >= 0.85, s"recall $recall, got ${got.size} pairs")
+  }
+
+  test("simhash: near-dup docs have small hamming distance") {
+    val sims = operators.Dedup.qSimHash.fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hams = exactPairs.toSeq.map { case (a, b) =>
+      java.lang.Long.bitCount(sims(a) ^ sims(b))
+    }
+    assert(hams.nonEmpty && hams.count(_ <= 8) >= (hams.size * 0.8).toInt,
+      s"hamming distances of true near-dups: $hams")
+  }
+
+  test("approx_count_distinct within 10% of exact per event_type") {
+    val exact = operators.Aggregates.qCountDistinct.fn(spark, sf)
+      .select("event_type", "n_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    operators.Aggregates.qApproxDistinct.fn(spark, sf).collect().foreach { r =>
+      val (et, approx) = (r.getString(0), r.getLong(1))
+      val e = exact(et).toDouble
+      assert(math.abs(approx - e) / e <= 0.10, s"$et: approx $approx vs exact $e")
+    }
+  }
+
+  test("sample returns a plausible Bernoulli fraction") {
+    val n = operators.SortsSets.qSample.fn(spark, sf).head.getLong(0)
+    // 6000 rows at 1% → expect ~60, allow wide deterministic-seed band
+    assert(n > 20 && n < 140, s"sampled $n")
+  }
+
+  test("dedup idempotence: distinct of distinct is a fixpoint") {
+    val docs = Tables.documents(spark, sf).select("text")
+    val once = docs.distinct()
+    assert(once.count() == once.distinct().count())
+  }
+
+  test("union row-count additivity") {
+    val o = Tables.orders(spark, sf)
+    val a = o.filter(col("o_totalprice") > 200000)
+    val b = o.filter(col("o_totalprice") <= 200000)
+    assert(a.unionByName(b).count() == o.count())
+  }
+
+  test("top-k is a subset of the full sort prefix") {
+    val topk = operators.SortsSets.qTopK.fn(spark, sf)
+      .select("o_orderkey").collect().map(_.getLong(0))
+    val full = Tables.orders(spark, sf)
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(15).select("o_orderkey").collect().map(_.getLong(0))
+    assert(topk.sameElements(full))
+  }
+}
