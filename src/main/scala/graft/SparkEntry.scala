@@ -14,7 +14,8 @@ object SparkEntry {
     operators.Relational.all ++ operators.Joins.all ++
       operators.Aggregates.all ++ operators.Windows.all ++
       operators.SortsSets.all ++ operators.ScalarTours.all ++
-      operators.Events.all ++ operators.Text.all ++ operators.Dedup.all
+      operators.Events.all ++ operators.Text.all ++ operators.Dedup.all ++
+      operators.Vectors.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

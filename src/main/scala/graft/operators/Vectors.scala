@@ -1,0 +1,246 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+import graft.{Q, Tables}
+
+/** Similarity search over `embeddings` (SURVEY.md §2.3): brute-force
+  * cosine top-k as the exact baseline, LSH and IVF as the scale paths.
+  *
+  * Scale posture: probes are tiny and broadcast; candidates stream
+  * through one scan. Norms are computed once per vector, never per pair.
+  * The O(n²) queries are explicitly bounded (pair scans capped by id
+  * range); unbounded near-dup goes through LSH buckets (v65) or IVF
+  * cluster pruning (v66) — the 100 TB paths.
+  */
+object Vectors {
+
+  /** vectors with a precomputed norm column. */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", VectorOps.norm(col("embedding")))
+
+  private val duckNormed =
+    s"SELECT vec_id, label, embedding, ${VectorOps.duckNorm("embedding")} AS nrm FROM embeddings"
+
+  /** Brute-force cosine top-5 neighbors for 10 probe vectors (BASELINE.md
+    * anchor shape: "brute-force cosine top-k"). */
+  val qCosineTopK: Q = Q(
+    "v61_cosine_topk",
+    s"""WITH v AS ($duckNormed),
+       |probes AS (SELECT * FROM v WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |         ${VectorOps.duckDot("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS sim
+       |  FROM probes p JOIN v c ON c.vec_id <> p.vec_id)
+       |SELECT probe_id, cand_id, round(sim, 6) AS sim, rn
+       |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+       |        ORDER BY sim DESC, cand_id) AS BIGINT) AS rn FROM scored) t
+       |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin
+  ) { (s, d) =>
+    val v = withNorm(Tables.embeddings(s, d))
+    val probes = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("nrm").as("pn"))
+    val cands = v.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+      col("nrm").as("cn"))
+    val scored = cands.join(broadcast(probes), col("cand_id") =!= col("probe_id"))
+      .withColumn("sim", VectorOps.cosineFromNorms(
+        VectorOps.dot(col("pe"), col("ce")), col("pn"), col("cn")))
+    val w = Window.partitionBy(col("probe_id")).orderBy(desc("sim"), col("cand_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("probe_id"), col("cand_id"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
+  /** kNN label vote: predicted label of each probe = majority label of its
+    * 10 nearest neighbors (vote count desc, label asc tie-break). */
+  val qKnnVote: Q = Q(
+    "v62_knn_label_vote",
+    s"""WITH v AS ($duckNormed),
+       |probes AS (SELECT * FROM v WHERE vec_id < 50),
+       |scored AS (
+       |  SELECT p.vec_id AS probe_id, p.label AS true_label, c.label AS cand_label,
+       |         ${VectorOps.duckDot("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS sim,
+       |         c.vec_id AS cand_id
+       |  FROM probes p JOIN v c ON c.vec_id <> p.vec_id),
+       |top10 AS (
+       |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |           ORDER BY sim DESC, cand_id) AS rn FROM scored) t WHERE rn <= 10),
+       |votes AS (SELECT probe_id, true_label, cand_label, count(*) AS n_votes
+       |          FROM top10 GROUP BY probe_id, true_label, cand_label)
+       |SELECT probe_id, true_label, cand_label AS predicted, n_votes
+       |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |        ORDER BY n_votes DESC, cand_label) AS vr FROM votes) t
+       |WHERE vr = 1 ORDER BY probe_id""".stripMargin
+  ) { (s, d) =>
+    val v = withNorm(Tables.embeddings(s, d))
+    val probes = v.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("probe_id"), col("label").as("true_label"),
+        col("embedding").as("pe"), col("nrm").as("pn"))
+    val cands = v.select(col("vec_id").as("cand_id"), col("label").as("cand_label"),
+      col("embedding").as("ce"), col("nrm").as("cn"))
+    val scored = cands.join(broadcast(probes), col("cand_id") =!= col("probe_id"))
+      .withColumn("sim", VectorOps.cosineFromNorms(
+        VectorOps.dot(col("pe"), col("ce")), col("pn"), col("cn")))
+    val wSim = Window.partitionBy(col("probe_id")).orderBy(desc("sim"), col("cand_id"))
+    val votes = scored.withColumn("rn", row_number().over(wSim))
+      .filter(col("rn") <= 10)
+      .groupBy(col("probe_id"), col("true_label"), col("cand_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val wVote = Window.partitionBy(col("probe_id"))
+      .orderBy(desc("n_votes"), col("cand_label"))
+    votes.withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("probe_id"), col("true_label"),
+        col("cand_label").as("predicted"), col("n_votes"))
+      .orderBy(col("probe_id"))
+  }
+
+  /** Per-cluster embedding statistics (norms, component aggregates). */
+  val qNormStats: Q = Q(
+    "v63_norm_stats",
+    s"""SELECT label, count(*) AS n,
+       |  round(avg(nrm), 6) AS avg_norm,
+       |  round(min(nrm), 6) AS min_norm,
+       |  round(max(nrm), 6) AS max_norm,
+       |  round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS avg_c0
+       |FROM ($duckNormed) v GROUP BY label ORDER BY label""".stripMargin
+  ) { (s, d) =>
+    withNorm(Tables.embeddings(s, d))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("nrm")), 6).as("avg_norm"),
+        round(min(col("nrm")), 6).as("min_norm"),
+        round(max(col("nrm")), 6).as("max_norm"),
+        round(avg(element_at(col("embedding"), 1).cast("double")), 6).as("avg_c0"))
+      .orderBy(col("label"))
+  }
+
+  /** Embedding-cosine near-dup: top-20 most similar pairs in a bounded id
+    * range (the exact form; LSH v65 is the unbounded-scale form). */
+  val qPairTopK: Q = Q(
+    "v64_most_similar_pairs",
+    s"""WITH v AS (SELECT * FROM ($duckNormed) t WHERE vec_id < 300),
+       |pairs AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb,
+       |         ${VectorOps.duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
+       |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+       |SELECT va, vb, round(sim, 6) AS sim
+       |FROM pairs ORDER BY sim DESC, va, vb LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val v = withNorm(Tables.embeddings(s, d)).filter(col("vec_id") < 300)
+    val a = v.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("va") < col("vb"))
+      .withColumn("sim", VectorOps.cosineFromNorms(
+        VectorOps.dot(col("ea"), col("eb")), col("na"), col("nb")))
+      .select(col("va"), col("vb"), round(col("sim"), 6).as("sim"))
+      .orderBy(desc("sim"), col("va"), col("vb"))
+      .limit(20)
+  }
+
+  /** Deterministic pseudo-random hyperplanes (seeded on the driver —
+    * engine-independent constants, but far too many literals for sane
+    * oracle SQL → v65 is ScalaTest-checked). */
+  private[graft] def hyperplanes(nBits: Int, dim: Int = 64): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(nBits, dim)(rnd.nextGaussian())
+  }
+
+  /** Random-hyperplane LSH ANN (the unbounded-scale similarity path):
+    * 8-bit sign signature → bucket join → exact cosine within bucket →
+    * top-1 per probe. Only bucket-colliding pairs are ever scored. */
+  val qLshAnn: Q = Q.noOracle("v65_lsh_ann") { (s, d) =>
+    val planes = hyperplanes(8)
+    def signature(e: Column): Column =
+      planes.zipWithIndex.map { case (p, i) =>
+        val proj = VectorOps.dot(e, array(p.map(lit): _*))
+        when(proj >= 0, lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+    val v = withNorm(Tables.embeddings(s, d))
+      .withColumn("sig", signature(col("embedding")))
+    val probes = v.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("nrm").as("pn"), col("sig"))
+    val cands = v.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+      col("nrm").as("cn"), col("sig"))
+    val scored = cands.join(broadcast(probes), Seq("sig"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .withColumn("sim", VectorOps.cosineFromNorms(
+        VectorOps.dot(col("pe"), col("ce")), col("pn"), col("cn")))
+    val w = Window.partitionBy(col("probe_id")).orderBy(desc("sim"), col("cand_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("probe_id"), col("cand_id"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("probe_id"))
+  }
+
+  /** IVF-style ANN with label-mean centroids, fully relational (oracle-
+    * checkable): probe → nearest 2 centroids → exact cosine within those
+    * clusters only → top-3. Centroid components rounded to 8 decimals on
+    * both engines so groupBy float-summation order can't break parity. */
+  val qIvfAnn: Q = Q(
+    "v66_ivf_ann",
+    s"""WITH v AS ($duckNormed),
+       |comp AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+       |                CAST(unnest(embedding) AS DOUBLE) AS x FROM v),
+       |cent AS (SELECT label AS clabel, list(round(cx, 8) ORDER BY dim) AS ce
+       |         FROM (SELECT label, dim, avg(x) AS cx FROM comp GROUP BY label, dim) t
+       |         GROUP BY label),
+       |centn AS (SELECT clabel, ce, ${VectorOps.duckNorm("ce")} AS cn FROM cent),
+       |probes AS (SELECT vec_id AS probe_id, embedding AS pe, nrm AS pn
+       |           FROM v WHERE vec_id < 20),
+       |pc AS (SELECT probe_id, clabel,
+       |         ${VectorOps.duckDot("pe", "ce")} / (pn * cn) AS csim
+       |       FROM probes CROSS JOIN centn),
+       |chosen AS (SELECT probe_id, clabel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY csim DESC, clabel) AS cr FROM pc) t WHERE cr <= 2),
+       |scored AS (
+       |  SELECT p.probe_id, c.vec_id AS cand_id,
+       |         ${VectorOps.duckDot("p.pe", "c.embedding")} / (p.pn * c.nrm) AS sim
+       |  FROM probes p JOIN chosen ch ON p.probe_id = ch.probe_id
+       |       JOIN v c ON c.label = ch.clabel AND c.vec_id <> p.probe_id)
+       |SELECT probe_id, cand_id, round(sim, 6) AS sim, rn
+       |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+       |        ORDER BY sim DESC, cand_id) AS BIGINT) AS rn FROM scored) t
+       |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
+  ) { (s, d) =>
+    val v = withNorm(Tables.embeddings(s, d))
+    // centroids: explode → per-dim avg → reassemble (rounded for parity)
+    val comp = v.select(col("vec_id"), col("label"),
+      posexplode(col("embedding")).as(Seq("dim0", "x")))
+    val cent = comp.groupBy(col("label").as("clabel"), col("dim0"))
+      .agg(round(avg(col("x").cast("double")), 8).as("cx"))
+      .groupBy(col("clabel"))
+      .agg(array_sort(collect_list(struct(col("dim0"), col("cx")))).as("pairs"))
+      .select(col("clabel"), transform(col("pairs"), p => p("cx")).as("ce"))
+      .withColumn("cn", VectorOps.norm(col("ce")))
+    val probes = v.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("nrm").as("pn"))
+    val pc = probes.crossJoin(broadcast(cent))
+      .withColumn("csim", VectorOps.cosineFromNorms(
+        VectorOps.dot(col("pe"), col("ce")), col("pn"), col("cn")))
+    val wc = Window.partitionBy(col("probe_id")).orderBy(desc("csim"), col("clabel"))
+    val chosen = pc.withColumn("cr", row_number().over(wc)).filter(col("cr") <= 2)
+      .select(col("probe_id"), col("clabel"))
+    val cands = v.select(col("vec_id").as("cand_id"), col("label"),
+      col("embedding").as("ce2"), col("nrm").as("cn2"))
+    val scored = probes.join(chosen, Seq("probe_id"))
+      .join(cands, col("label") === col("clabel") && col("cand_id") =!= col("probe_id"))
+      .withColumn("sim", VectorOps.cosineFromNorms(
+        VectorOps.dot(col("pe"), col("ce2")), col("pn"), col("cn2")))
+    val w = Window.partitionBy(col("probe_id")).orderBy(desc("sim"), col("cand_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("probe_id"), col("cand_id"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
+  val all: Seq[Q] = Seq(qCosineTopK, qKnnVote, qNormStats, qPairTopK,
+    qLshAnn, qIvfAnn)
+}

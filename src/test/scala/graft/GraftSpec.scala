@@ -115,6 +115,37 @@ class DedupSpec extends AnyFunSuite {
     assert(a.unionByName(b).count() == o.count())
   }
 
+  test("LSH ANN: results are valid neighbors bounded by the exact top-1") {
+    val exactTop1 = operators.Vectors.qCosineTopK.fn(spark, sf)
+      .filter(col("rn") === 1)
+      .select("probe_id", "sim").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ann = operators.Vectors.qLshAnn.fn(spark, sf)
+      .select("probe_id", "cand_id", "sim").collect()
+    assert(ann.nonEmpty, "LSH buckets must yield some candidates")
+    ann.foreach { r =>
+      val (p, c, s0) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(p != c)
+      // ANN can't beat the exact top-1 (probes 0-9 overlap both queries)
+      exactTop1.get(p).foreach(best => assert(s0 <= best + 1e-9,
+        s"probe $p: ann sim $s0 > exact best $best"))
+    }
+  }
+
+  test("IVF ANN: every result comes from one of the probe's 2 chosen clusters") {
+    val labels = Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = operators.Vectors.qIvfAnn.fn(spark, sf)
+      .select("probe_id", "cand_id").collect()
+    assert(rows.nonEmpty)
+    val clustersPerProbe = rows.groupBy(_.getLong(0))
+      .map { case (p, rs) => p -> rs.map(r => labels(r.getLong(1))).toSet }
+    clustersPerProbe.foreach { case (p, cl) =>
+      assert(cl.size <= 2, s"probe $p drew candidates from clusters $cl")
+    }
+  }
+
   test("top-k is a subset of the full sort prefix") {
     val topk = operators.SortsSets.qTopK.fn(spark, sf)
       .select("o_orderkey").collect().map(_.getLong(0))
