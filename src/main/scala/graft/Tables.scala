@@ -10,8 +10,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * a partitioned directory tree and gets partition pruning for free.
   */
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    functions.GraftFunctions.ensureRegistered(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")

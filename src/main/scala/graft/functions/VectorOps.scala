@@ -18,8 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Σ aᵢbᵢ as a sequential double fold. */
+  /** Σ aᵢbᵢ as a sequential double fold — codegen'd Expression (see
+    * DotProduct); identical bits to the HOF fold it replaced. */
   def dot(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+
+  /** The original higher-order-function formulation (kept for the HOF
+    * surface inventory and as the parity cross-check in tests). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (s, x) => s + x)
 

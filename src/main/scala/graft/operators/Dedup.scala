@@ -18,16 +18,36 @@ import graft.{Q, Tables}
   */
 object Dedup {
 
-  val NumHashes = 16
+  // 32 hashes in 4 bands of 8: detection ~0.99 at jaccard 0.95 while a
+  // band passes only j^8 of random pairs — this corpus has background
+  // jaccard ~0.3 (tiny vocabulary), so shallow bands (4 rows) leak
+  // ~0.8% of ALL pairs into the candidate join; 8 rows leak ~7e-5.
+  val NumHashes = 32
   val NumBands = 4
   val RowsPerBand: Int = NumHashes / NumBands
 
-  /** MinHash signature columns h0..h15: min over the doc's shingles of 16
-    * independent hash functions (xxhash64 seeded by component index). */
-  private def signatures(shx: org.apache.spark.sql.DataFrame) =
-    shx.groupBy(col("doc_id")).agg(
-      min(xxhash64(lit(0), col("s"))).as("h0"),
-      (1 until NumHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i")): _*)
+  /** Mixing constants in [1, 2^31) (seeded, fixed): each component is
+    * min((a_i * h31 + b_i) mod p) with h31 = xxhash64(shingle) mod p —
+    * one string hash per shingle, then integer-only work that cannot
+    * overflow a signed 64-bit under ANSI mode (a*h < 2^62), all inside
+    * whole-stage codegen. */
+  private val MersennePrime31 = 2147483647L // 2^31 - 1
+  private val mixers: Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(NumHashes)(
+      (1L + rnd.nextInt(Int.MaxValue - 1), 1L + rnd.nextInt(Int.MaxValue - 1)))
+  }
+
+  /** MinHash signature columns h0..h31 via universal hashing over one
+    * base xxhash64 per shingle. */
+  private def signatures(shx: org.apache.spark.sql.DataFrame) = {
+    val based = shx.withColumn("h", pmod(xxhash64(col("s")), lit(MersennePrime31)))
+    based.groupBy(col("doc_id")).agg(
+      min(pmod(col("h") * mixers(0)._1 + mixers(0)._2, lit(MersennePrime31))).as("h0"),
+      (1 until NumHashes).map(i =>
+        min(pmod(col("h") * mixers(i)._1 + mixers(i)._2, lit(MersennePrime31)))
+          .as(s"h$i")): _*)
+  }
 
   /** MinHash + LSH near-dup candidate pairs with estimated Jaccard
     * (fraction of agreeing signature components) >= 0.5. */
