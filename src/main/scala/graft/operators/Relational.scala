@@ -52,5 +52,26 @@ object Relational {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
-  val all: Seq[Q] = Seq(q1PricingSummary)
+  /** Full SQL entry point (dask `df.query` generalizes to Spark's SQL
+    * parser over registered views — `spark.sql` IS the string-predicate
+    * DSL at query granularity). Same oracle text runs on both engines. */
+  val qSqlApi: Q = Q(
+    "q74_sql_api",
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |       round(avg(o_totalprice), 4) AS avg_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       round(avg(o_totalprice), 4) AS avg_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(q1PricingSummary, qSqlApi)
 }

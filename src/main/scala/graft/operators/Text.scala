@@ -267,6 +267,27 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE-ish regex tokenization (SURVEY §2.3 "token counting": whitespace
+    * + regex): counts under a subword-flavored pattern — runs of letters,
+    * digit runs, or single non-space symbols — vs whitespace tokens. */
+  val qRegexTokens: Q = Q(
+    "t61_regex_token_counts",
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+      |    AS bpeish_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS subword4
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long")
+          .as("bpeish_tokens"),
+        regexp_count(col("text"), lit("[a-z]{1,4}")).cast("long").as("subword4"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(qTokenCounts, qLangStats, qExactDedup, qDedupKeepFirst,
-    qQuality, qNgramJaccard, qTfIdf, qLangId, qFingerprint)
+    qQuality, qNgramJaccard, qTfIdf, qLangId, qFingerprint, qRegexTokens)
 }
