@@ -15,7 +15,7 @@ object Aggregates {
   val qStats: Q = Q(
     "q10_agg_stats",
     """SELECT c_nationkey,
-      |  count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal,
+      |  count(*) AS n, round(sum(c_acctbal), 2) / count(*) AS avg_bal,
       |  round(min(c_acctbal), 2) AS min_bal, round(max(c_acctbal), 2) AS max_bal,
       |  round(stddev_samp(c_acctbal), 4) AS sd_bal,
       |  round(var_samp(c_acctbal), 4) AS var_bal
@@ -23,7 +23,7 @@ object Aggregates {
   ) { (s, d) =>
     Tables.customer(s, d).groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n"),
-        round(avg(col("c_acctbal")), 4).as("avg_bal"),
+        (round(sum(col("c_acctbal")), 2) / count(lit(1))).as("avg_bal"),
         round(min(col("c_acctbal")), 2).as("min_bal"),
         round(max(col("c_acctbal")), 2).as("max_bal"),
         round(stddev_samp(col("c_acctbal")), 4).as("sd_bal"),
@@ -187,7 +187,7 @@ object Aggregates {
   val qGlobalAgg: Q = Q(
     "q20_global_reduce",
     """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
-      |       round(avg(o_totalprice), 4) AS mean,
+      |       round(sum(o_totalprice), 2) / count(*) AS mean,
       |       round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi,
       |       count(DISTINCT o_custkey) AS n_customers
       |FROM orders""".stripMargin
@@ -195,7 +195,7 @@ object Aggregates {
     Tables.orders(s, d).agg(
       count(lit(1)).as("n"),
       round(sum(col("o_totalprice")), 2).as("total"),
-      round(avg(col("o_totalprice")), 4).as("mean"),
+      (round(sum(col("o_totalprice")), 2) / count(lit(1))).as("mean"),
       round(min(col("o_totalprice")), 2).as("lo"),
       round(max(col("o_totalprice")), 2).as("hi"),
       countDistinct(col("o_custkey")).as("n_customers"))

@@ -56,14 +56,14 @@ object Events {
     "q43_tumbling_1h",
     """SELECT date_trunc('hour', ts) AS bucket, event_type,
       |       count(*) AS n, round(sum(value), 2) AS total,
-      |       round(avg(value), 4) AS mean
+      |       round(sum(value), 2) / count(*) AS mean
       |FROM events GROUP BY bucket, event_type
       |ORDER BY bucket, event_type""".stripMargin
   ) { (s, d) =>
     Tables.events(s, d)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"),
-        round(avg(col("value")), 4).as("mean"))
+        (round(sum(col("value")), 2) / count(lit(1))).as("mean"))
       .select(col("w.start").as("bucket"), col("event_type"), col("n"),
         col("total"), col("mean"))
       .orderBy(col("bucket"), col("event_type"))

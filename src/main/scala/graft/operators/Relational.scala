@@ -58,7 +58,7 @@ object Relational {
   val qSqlApi: Q = Q(
     "q74_sql_api",
     """SELECT o_orderpriority, count(*) AS n_orders,
-      |       round(avg(o_totalprice), 4) AS avg_price
+      |       round(sum(o_totalprice), 2) / count(*) AS avg_price
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |WHERE c_mktsegment = 'BUILDING'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
@@ -67,7 +67,7 @@ object Relational {
     Tables.customer(s, d).createOrReplaceTempView("customer")
     s.sql(
       """SELECT o_orderpriority, count(*) AS n_orders,
-        |       round(avg(o_totalprice), 4) AS avg_price
+        |       round(sum(o_totalprice), 2) / count(*) AS avg_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)

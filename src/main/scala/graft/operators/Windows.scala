@@ -104,9 +104,12 @@ object Windows {
   val qRollingTime: Q = Q(
     "q25_window_rolling_1h",
     """SELECT user_id, event_id,
-      |  round(avg(value) OVER (PARTITION BY user_id
+      |  round(sum(value) OVER (PARTITION BY user_id
       |    ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
-      |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS avg_1h,
+      |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2)
+      |  / count(*) OVER (PARTITION BY user_id
+      |    ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS avg_1h,
       |  count(*) OVER (PARTITION BY user_id
       |    ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
       |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_1h
@@ -118,7 +121,8 @@ object Windows {
       .rangeBetween(-3600, Window.currentRow)
     Tables.events(s, d)
       .filter(col("user_id") <= 20)
-      .withColumn("avg_1h", round(avg(col("value")).over(w), 4))
+      .withColumn("avg_1h",
+        round(sum(col("value")).over(w), 2) / count(lit(1)).over(w))
       .withColumn("n_1h", count(lit(1)).over(w))
       .select("user_id", "event_id", "avg_1h", "n_1h")
       .orderBy(col("user_id"), col("event_id"))
@@ -131,9 +135,12 @@ object Windows {
       |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
       |    ORDER BY o_orderdate, o_orderkey
       |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 2) AS sum5,
-      |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
       |    ORDER BY o_orderdate, o_orderkey
-      |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS avg5
+      |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 2)
+      |  / count(*) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS avg5
       |FROM orders WHERE o_custkey <= 100
       |ORDER BY o_custkey, o_orderkey""".stripMargin
   ) { (s, d) =>
@@ -143,7 +150,8 @@ object Windows {
     Tables.orders(s, d)
       .filter(col("o_custkey") <= 100)
       .withColumn("sum5", round(sum(col("o_totalprice")).over(w), 2))
-      .withColumn("avg5", round(avg(col("o_totalprice")).over(w), 4))
+      .withColumn("avg5",
+        round(sum(col("o_totalprice")).over(w), 2) / count(lit(1)).over(w))
       .select("o_custkey", "o_orderkey", "sum5", "avg5")
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }

@@ -21,7 +21,7 @@ object StreamingOps {
     events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"),
-        round(avg(col("value")), 4).as("mean"))
+        (round(sum(col("value")), 2) / count(lit(1))).as("mean"))
       .select(col("w.start").as("bucket"), col("event_type"), col("n"),
         col("total"), col("mean"))
 
