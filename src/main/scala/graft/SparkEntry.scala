@@ -15,7 +15,8 @@ object SparkEntry {
       operators.Aggregates.all ++ operators.Windows.all ++
       operators.SortsSets.all ++ operators.ScalarTours.all ++
       operators.Events.all ++ operators.Text.all ++ operators.Dedup.all ++
-      operators.Vectors.all ++ operators.Typed.all ++ operators.Multimodal.all
+      operators.Vectors.all ++ operators.Typed.all ++ operators.Multimodal.all ++
+      operators.Scale.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

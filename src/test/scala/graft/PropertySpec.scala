@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5.4): algebraic laws that must
+  * hold for any input, checked over generated local datasets. */
+class PropertySpec extends AnyFunSuite {
+  import TestSession.spark
+
+  /** raw-ScalaCheck sampling (the scalatest bridge isn't on the
+    * classpath): evaluate the property over seeded generator draws. */
+  private def forAllSeeded[A](gen: Gen[A], seeds: Int = 5)(body: A => Unit): Unit =
+    (1 to seeds).foreach { i =>
+      body(gen.apply(Gen.Parameters.default, Seed(i.toLong))
+        .getOrElse(sys.error("gen failed")))
+    }
+
+  private val rowsGen: Gen[List[(Int, Double)]] =
+    Gen.listOfN(200, Gen.zip(Gen.choose(0, 5), Gen.choose(-100.0, 100.0)))
+
+  test("partial+final aggregation == single-pass aggregation (salting invariance)") {
+    forAllSeeded(rowsGen) { rows =>
+      {
+        import scala.jdk.CollectionConverters._
+        val df = spark.createDataFrame(
+          rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType))))
+        val direct = df.groupBy(col("k"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+        val salted = operators.Scale.saltedCountSum(df, col("k"), col("v"))
+          .select(col("k"), col("n"), col("total").as("s"))
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+        // counts always identical; the helper rounds totals to 2 decimals
+        // (its money-data contract), so compare within that grid
+        assert(direct.map(t => (t._1, t._2)) == salted.map(t => (t._1, t._2)))
+        val ds = direct.map(t => t._1 -> t._3).toMap
+        salted.foreach { case (k, _, s) => assert(math.abs(s - ds(k)) <= 0.005 + 1e-9) }
+      }
+    }
+  }
+
+  test("dropDuplicates is idempotent and bounded by the input") {
+    forAllSeeded(rowsGen) { rows =>
+      {
+        import scala.jdk.CollectionConverters._
+        val df = spark.createDataFrame(
+          rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType))))
+        val once = df.dropDuplicates("k")
+        assert(once.count() == once.dropDuplicates("k").count())
+        assert(once.count() <= df.count())
+        assert(once.count() == rows.map(_._1).distinct.size)
+      }
+    }
+  }
+
+  test("minhash estimate stays within [0,1] and exact-equal sets estimate 1.0") {
+    // identical token sets must produce identical signatures
+    val docs = spark.createDataFrame(Seq(
+      (0L, "a b c d e f g"), (1L, "a b c d e f g"), (2L, "x y z w q r s")
+    )).toDF("doc_id", "text")
+    val pairs = {
+      val shx = operators.Text.shingled(docs)
+      shx.groupBy("doc_id").agg(collect_set("s").as("sh")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    }
+    assert(pairs(0L) == pairs(1L) && pairs(0L) != pairs(2L))
+  }
+}
