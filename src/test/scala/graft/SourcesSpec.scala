@@ -87,6 +87,37 @@ class SourcesSpec extends AnyFunSuite {
     } finally { cached.unpersist() }
   }
 
+  test("bucketed tables join without a shuffle (dask divisions-aware merge)") {
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+    val l = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    o.write.mode("overwrite").bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_orders_b")
+    l.write.mode("overwrite").bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_lineitem_b")
+    // at fixture scale the planner prefers broadcast; disable it so the
+    // test exercises the bucketed sort-merge path a big-big join takes
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("graft_orders_b")
+        .join(spark.table("graft_lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // bucketing co-locates both sides: no shuffle exchange for the join
+      assert(plan.contains("SortMergeJoin"), plan.take(400))
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(900))
+      assert(joined.count() == l.count()) // every lineitem has its order
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("operators behave on empty inputs (filter-to-nothing upstream)") {
+    val empty = Tables.orders(spark, sf).filter(col("o_orderkey") < 0)
+    assert(empty.groupBy("o_orderstatus").count().count() == 0)
+    assert(empty.join(Tables.customer(spark, sf),
+      col("o_custkey") === col("c_custkey")).count() == 0)
+    assert(empty.orderBy(col("o_totalprice")).limit(5).count() == 0)
+    assert(empty.agg(sum("o_totalprice")).head.isNullAt(0)) // SQL sum() of none = null
+  }
+
   test("delayed-graph analog: driver-side lazy composition executes once on action") {
     // build a multi-stage lazy graph, nothing runs until the action
     val g1 = li.filter(col("l_quantity") > 10)
