@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Reshaping + set-semantics completions (SURVEY.md §2.2): melt/unpivot
+  * (dask `dd.melt`), arbitrary GROUPING SETS (SQL-only in the DataFrame
+  * world), and multiset EXCEPT ALL / INTERSECT ALL. */
+object Reshape {
+
+  /** melt / unpivot (dask `dd.melt(id_vars, value_vars)`): wide metric
+    * columns → long (metric, value) rows. Oracle reconstructs via
+    * UNION ALL — the engine-portable definition of unpivot. */
+  val qUnpivot: Q = Q(
+    "q79_unpivot_melt",
+    """SELECT l_orderkey, l_linenumber, metric, value FROM (
+      |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+      |  FROM lineitem WHERE l_orderkey < 100
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      |  FROM lineitem WHERE l_orderkey < 100
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+      |  FROM lineitem WHERE l_orderkey < 100) u
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d).filter(col("l_orderkey") < 100)
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        variableColumnName = "metric",
+        valueColumnName = "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+  }
+
+  /** Arbitrary GROUPING SETS (beyond rollup/cube; Spark exposes it via
+    * SQL): totals by segment, by priority, and grand total — but not the
+    * cross. */
+  val qGroupingSets: Q = Q(
+    "q80_grouping_sets",
+    """SELECT coalesce(c_mktsegment, 'ALL') AS seg,
+      |       coalesce(o_orderpriority, 'ALL') AS prio,
+      |       count(*) AS n
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+      |ORDER BY seg, prio""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT coalesce(c_mktsegment, 'ALL') AS seg,
+        |       coalesce(o_orderpriority, 'ALL') AS prio,
+        |       count(*) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+        |ORDER BY seg, prio""".stripMargin)
+  }
+
+  /** Multiset semantics: EXCEPT ALL / INTERSECT ALL preserve
+    * multiplicities (dask has only the merge-idiom approximations). */
+  val qMultisetOps: Q = Q(
+    "q81_multiset_except_intersect",
+    """SELECT 'except_all' AS op, count(*) AS n FROM (
+      |  SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+      |  EXCEPT ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |UNION ALL
+      |SELECT 'intersect_all', count(*) FROM (
+      |  SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+      |  INTERSECT ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |ORDER BY op""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val big = o.filter(col("o_totalprice") > 100000).select("o_custkey")
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    val ex = big.exceptAll(urgent).agg(count(lit(1)).as("n"))
+      .select(lit("except_all").as("op"), col("n"))
+    val in = big.intersectAll(urgent).agg(count(lit(1)).as("n"))
+      .select(lit("intersect_all").as("op"), col("n"))
+    ex.unionByName(in).orderBy(col("op"))
+  }
+
+  val all: Seq[Q] = Seq(qUnpivot, qGroupingSets, qMultisetOps)
+}
