@@ -201,6 +201,18 @@ object Aggregates {
       countDistinct(col("o_custkey")).as("n_customers"))
   }
 
+  /** Approximate percentiles (t-digest-style sketch — the dask `quantile`
+    * default; engine-specific → no SQL oracle, ScalaTest bounds it
+    * against the exact percentiles of q17). */
+  val qApproxQuantiles: Q = Q.noOracle("q82_percentile_approx") { (s, d) =>
+    Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_approx"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[Q] = Seq(qStats, qCountDistinct, qApproxDistinct, qValueCounts,
+    qApproxQuantiles,
     qPivot, qRollup, qCube, qQuantiles, qCorr, qMinMaxBy, qGlobalAgg)
 }

@@ -98,6 +98,18 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("percentile_approx within 2% of exact percentiles") {
+    val exact = operators.Aggregates.qQuantiles.fn(spark, sf)
+      .select("l_returnflag", "p50", "p99").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    operators.Aggregates.qApproxQuantiles.fn(spark, sf).collect().foreach { r =>
+      val (f, a50, a99) = (r.getString(0), r.getDouble(1), r.getDouble(2))
+      val (e50, e99) = exact(f)
+      assert(math.abs(a50 - e50) / e50 <= 0.02, s"$f p50 approx $a50 vs $e50")
+      assert(math.abs(a99 - e99) / e99 <= 0.02, s"$f p99 approx $a99 vs $e99")
+    }
+  }
+
   test("sample returns a plausible Bernoulli fraction") {
     val n = operators.SortsSets.qSample.fn(spark, sf).head.getLong(0)
     // 6000 rows at 1% → expect ~60, allow wide deterministic-seed band
