@@ -8,6 +8,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * handles column pruning + predicate pushdown on these scans automatically,
   * so loaders stay bare `spark.read.parquet` — at 100 TB the same call reads
   * a partitioned directory tree and gets partition pruning for free.
+  *
+  * Replaces the reference's data access: user scripts received a cluster handle and loaded data themselves (bin/dask-ssh-docker:77-99); here the fixture tables are the corpus (repo TESTDATA.md).
   */
 object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -14,6 +14,8 @@ import org.apache.spark.sql.types._
   * The fold is the same sequential left-to-right double accumulation as
   * VectorOps.dot's HOF form, so results are bit-identical and the DuckDB
   * oracle parity is unchanged.
+  *
+  * Perf-path custom Expression per SURVEY §4 (optional codegen upgrade).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -15,6 +15,8 @@ import org.apache.spark.sql.functions._
   * whole-stage-codegen'd, so the hot brute-force path has a codegen
   * upgrade available in graft.functions.CosineSimilarity (same fold
   * order, same bits).
+  *
+  * Tier C north-star extension (SURVEY §2.3 similarity search).
   */
 object VectorOps {
 

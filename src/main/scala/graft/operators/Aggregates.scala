@@ -7,6 +7,8 @@ import graft.{Q, Tables}
   * families of the deployed dask library on Spark's partial/final
   * HashAggregate (map-side combine comes free — same split-apply-combine
   * dask runs, but codegen'd).
+  *
+  * Reference capability: dask.dataframe groupby-agg, provisioned by the image default at dask_ssh_docker/__init__.py:307 (SURVEY §2.2 Tier B).
   */
 object Aggregates {
 

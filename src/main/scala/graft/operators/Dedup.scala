@@ -15,6 +15,8 @@ import graft.{Q, Tables}
   * sharing a band bucket are ever paired — at 100 TB the shuffle is
   * per-band-bucket, never all-pairs. SimHash candidates come from 16-bit
   * chunk equality (pigeonhole: hamming<=3 guarantees a shared chunk).
+  *
+  * Tier C north-star extension (repo BASELINE.json; SURVEY §2.3) — beyond the reference surface.
   */
 object Dedup {
 

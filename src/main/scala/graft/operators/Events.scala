@@ -12,6 +12,8 @@ import graft.{Q, Tables}
   * Each windowed query here is the batch twin of a Structured Streaming
   * query (graft.streaming keeps the readStream versions; ScalaTest proves
   * they agree) because the DuckDB oracle can only check batch SQL.
+  *
+  * Reference surface is batch-only (no streaming subsystem in dask/distributed as deployed — SURVEY §2.2 Streaming); these are the fixture-driven batch twins. Deployment cite: dask_ssh_docker/__init__.py:307.
   */
 object Events {
 
@@ -125,7 +127,7 @@ object Events {
 
   /** As-of join (dask `merge_asof` — SURVEY §7.3 hard part): for every
     * purchase, the latest click by the same user at or before it.
-    *
+  *
     * Spark-first algorithm: tag + union both sides, one shuffle on
     * user_id, then `last(click_ts, ignoreNulls)` over the time ordering —
     * O(n log n) with no range-join row explosion, the plan that survives

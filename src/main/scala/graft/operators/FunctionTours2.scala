@@ -6,7 +6,10 @@ import graft.{Q, Tables}
 
 /** Second scalar/window function tour (SURVEY.md §2.2 families, breadth
   * beyond ScalarTours): window navigation, extended string ops, trig and
-  * bit math. Parity notes per query. */
+  * bit math. Parity notes per query.
+  *
+  * Reference capability: pandas window/string/math accessors via the deployed image (dask_ssh_docker/__init__.py:307; SURVEY §2.2 Tier B).
+  */
 object FunctionTours2 {
 
   /** Window navigation: first/last/nth value + distribution ranks.

@@ -12,6 +12,8 @@ import graft.{Q, Tables}
   * production decode (JNI/codec per partition) would drop into.
   *
   * `documents.text` bytes stand in for the media payload.
+  *
+  * Tier C north-star extension (repo BASELINE.json; SURVEY §2.3) — beyond the reference surface.
   */
 object Multimodal {
 

@@ -5,7 +5,10 @@ import graft.{Q, Tables}
 
 /** Reshaping + set-semantics completions (SURVEY.md §2.2): melt/unpivot
   * (dask `dd.melt`), arbitrary GROUPING SETS (SQL-only in the DataFrame
-  * world), and multiset EXCEPT ALL / INTERSECT ALL. */
+  * world), and multiset EXCEPT ALL / INTERSECT ALL.
+  *
+  * Reference capability: dask dd.melt and set-op merge idioms via the deployed image (dask_ssh_docker/__init__.py:307; SURVEY §2.2 Tier B).
+  */
 object Reshape {
 
   /** melt / unpivot (dask `dd.melt(id_vars, value_vars)`): wide metric

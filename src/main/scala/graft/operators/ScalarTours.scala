@@ -13,6 +13,8 @@ import graft.{Q, Tables}
   * float→int CAST rounds while Spark truncates → casts go through
   * floor/round explicitly; DuckDB regexp_replace needs the 'g' flag to
   * match Spark's replace-all.
+  *
+  * Reference capability: the pandas accessor surface dask inherits, provisioned by the image default (dask_ssh_docker/__init__.py:307, bin/dask-ssh-docker:27-29; SURVEY §2.2 Tier B).
   */
 object ScalarTours {
 

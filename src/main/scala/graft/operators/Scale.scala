@@ -9,6 +9,8 @@ import graft.{Q, Tables}
   * where no reducer sees a whole hot key. AQE's skew-join split covers
   * the join case automatically; explicit salt is the portable form and
   * the one that also works for aggregations with giant groups.
+  *
+  * Scale posture per SURVEY §7.3; the reference's only parallelism knob is the --nprocs passthrough (dask_ssh_docker/__init__.py:218-219, README.md:60).
   */
 object Scale {
 

@@ -9,6 +9,8 @@ import graft.{Q, Tables}
   * top-k + merge — the same distributed algorithm dask `nlargest` runs,
   * no global sort materialized). Set ops are first-class in Spark where
   * dask needs merge idioms.
+  *
+  * Reference capability: dask sort_values/nlargest/concat/drop_duplicates via the deployed image (dask_ssh_docker/__init__.py:307; SURVEY §2.2 Tier B).
   */
 object SortsSets {
 

@@ -12,6 +12,8 @@ import graft.{Q, Tables}
   * All built from codegen'd built-ins (split/explode/HOFs) — no UDFs.
   * Near-dup thresholds compare in integer arithmetic (2*i >= na+nb-i)
   * so the cut is bit-identical across engines.
+  *
+  * Tier C north-star extension (repo BASELINE.json; SURVEY §2.3) — no counterpart in the reference source; grounded in the driver documents fixture.
   */
 object Text {
 
@@ -21,7 +23,7 @@ object Text {
   private def tokens: Column = split(col("text"), " ")
 
   /** Distinct 3-gram word shingles per doc (no rows when < 3 tokens).
-    *
+  *
     * Relational form (posexplode + window lead) rather than array HOFs:
     * Catalyst's CollapseProject inlines `split(text)` into every
     * element_at reference of the HOF form, re-splitting the document

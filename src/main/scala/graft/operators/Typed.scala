@@ -14,6 +14,8 @@ import graft.{Q, Tables}
   * remain oracle-checkable even though the implementation is arbitrary
   * Scala. That is the same invariant the reference's examples test
   * (same program → same answer, local or distributed).
+  *
+  * Reference capability: dask map_partitions / groupby.apply / dd.Aggregation via the deployed image (dask_ssh_docker/__init__.py:307; SURVEY §2.2 Tier B).
   */
 object Typed {
 

@@ -14,6 +14,8 @@ import graft.{Q, Tables}
   * The O(n²) queries are explicitly bounded (pair scans capped by id
   * range); unbounded near-dup goes through LSH buckets (v65) or IVF
   * cluster pruning (v66) — the 100 TB paths.
+  *
+  * Tier C north-star extension (repo BASELINE.json; SURVEY §2.3) — beyond the reference surface; dask.array analog per SURVEY §1.2.
   */
 object Vectors {
 

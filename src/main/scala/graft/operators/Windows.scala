@@ -11,6 +11,8 @@ import graft.{Q, Tables}
   * result is deterministic (oracle parity note, FIXTURES.md). Partition
   * keys (custkey, user_id) are the natural distribution keys at 100 TB —
   * one shuffle, then per-partition sorted evaluation.
+  *
+  * Reference capability: dask rolling/cumsum/shift via the deployed image (dask_ssh_docker/__init__.py:307; SURVEY §2.2 Tier B).
   */
 object Windows {
 

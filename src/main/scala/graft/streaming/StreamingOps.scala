@@ -13,6 +13,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Scale posture: every stateful op keys by user/event id (the shuffle
   * key), uses watermarks to bound state, and avoids per-record driver
   * work — the shapes that hold on a 1000-executor cluster.
+  *
+  * The reference ships no streaming subsystem (SURVEY §2.2 Streaming: dask delegates real-time to streamz, not deployed); this surface exists for the driver events fixture. The same-answer-any-mode invariant mirrors the reference smokes (example/test.py:5-13).
   */
 object StreamingOps {
 
