@@ -127,7 +127,7 @@ object Events {
 
   /** As-of join (dask `merge_asof` — SURVEY §7.3 hard part): for every
     * purchase, the latest click by the same user at or before it.
-  *
+    *
     * Spark-first algorithm: tag + union both sides, one shuffle on
     * user_id, then `last(click_ts, ignoreNulls)` over the time ordering —
     * O(n log n) with no range-join row explosion, the plan that survives

@@ -23,7 +23,7 @@ object Text {
   private def tokens: Column = split(col("text"), " ")
 
   /** Distinct 3-gram word shingles per doc (no rows when < 3 tokens).
-  *
+    *
     * Relational form (posexplode + window lead) rather than array HOFs:
     * Catalyst's CollapseProject inlines `split(text)` into every
     * element_at reference of the HOF form, re-splitting the document
