@@ -18,12 +18,14 @@ object Bench {
     // Warm the JVM once (classloading, parquet reader, codegen infra)
     // so the first measured query isn't charged ~15s of one-time cost.
     spark.range(1000).selectExpr("sum(id)").collect()
-    Tables.lineitem(spark, sfDir).limit(1).count()
+    try Tables.lineitem(spark, sfDir).limit(1).count()
+    catch { case _: Throwable => () } // bad sfDir → queries report -1 below
     // Deterministic execution order (sorted by name) for stable runs.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

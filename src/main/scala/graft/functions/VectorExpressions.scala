@@ -42,7 +42,11 @@ case class DotProduct(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val (lf, rf) = (isFloatArr(left), isFloatArr(right))
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) {
+      throw new IllegalArgumentException(
+        s"graft_dot: length mismatch ${x.numElements()} vs ${y.numElements()}")
+    }
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -62,7 +66,11 @@ case class DotProduct(left: Expression, right: Expression)
       def get(arr: String, idx: String, float: Boolean): String =
         if (float) s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot: length mismatch " + $a.numElements() + " vs " + $b.numElements());
+         |}
+         |int $n = $a.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += ${get(a, i, isFloatArr(left))} * ${get(b, i, isFloatArr(right))};
@@ -82,7 +90,11 @@ case class DotProduct(left: Expression, right: Expression)
 object GraftFunctions {
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.classic.ClassicConversions._
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    val registry = spark.sessionState.functionRegistry
+    val ident = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")
+    if (!registry.functionExists(ident)) {
+      registry.createOrReplaceTempFunction(
+        "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    }
   }
 }

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   *
   * These are composed from higher-order functions; ArrayAggregate is not
   * whole-stage-codegen'd, so the hot brute-force path has a codegen
-  * upgrade available in graft.functions.CosineSimilarity (same fold
+  * upgrade available in graft.functions.DotProduct (same fold
   * order, same bits).
   *
   * Tier C north-star extension (SURVEY §2.3 similarity search).

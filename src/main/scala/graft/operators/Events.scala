@@ -95,14 +95,14 @@ object Events {
   val qSessionize: Q = Q(
     "q45_sessionization",
     """WITH flagged AS (
-      |  SELECT user_id, ts, value,
+      |  SELECT user_id, event_id, ts, value,
       |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
       |           OVER (PARTITION BY user_id ORDER BY ts, event_id)
-      |         > 1800000000 THEN 1 ELSE 0 END AS new_session
+      |         >= 1800000000 THEN 1 ELSE 0 END AS new_session
       |  FROM events),
       |sessions AS (
       |  SELECT user_id, ts, value,
-      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, value
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       |  FROM flagged)
       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
@@ -112,12 +112,12 @@ object Events {
       |ORDER BY user_id, session_id""".stripMargin
   ) { (s, d) =>
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val runningFlags = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("value"))
+    val runningFlags = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, d)
       .withColumn("new_session",
         when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
-          > 1800000000L, 1).otherwise(0))
+          >= 1800000000L, 1).otherwise(0))
       .withColumn("session_id", sum(col("new_session")).over(runningFlags))
       .groupBy(col("user_id"), col("session_id"))
       .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),

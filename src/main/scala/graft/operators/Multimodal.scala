@@ -27,7 +27,7 @@ object Multimodal {
       |  sha256(text) AS content_sha,
       |  lower(hex(CAST(substr(text, 1, 8) AS BLOB))) AS magic,
       |  lower(array_to_string([hex(CAST(substr(text, i, 1) AS BLOB))
-      |    FOR i IN range(1, CAST(length(text) AS BIGINT) + 1, 16)], '')) AS sampled
+      |    FOR i IN range(1, greatest(CAST(length(text) AS BIGINT), 1) + 1, 16)], '')) AS sampled
       |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
     val bin = col("text").cast("binary")
@@ -37,7 +37,7 @@ object Multimodal {
         sha2(bin, 256).as("content_sha"),
         lower(hex(substring(bin, 1, 8))).as("magic"),
         lower(array_join(transform(
-          sequence(lit(1L), length(col("text")).cast("long"), lit(16L)),
+          sequence(lit(1L), greatest(length(col("text")).cast("long"), lit(1L)), lit(16L)),
           i => hex(substring(bin, i.cast("int"), lit(1)))), "")).as("sampled"))
       .orderBy(col("doc_id"))
   }

@@ -63,12 +63,12 @@ object Relational {
       |WHERE c_mktsegment = 'BUILDING'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   ) { (s, d) =>
-    Tables.orders(s, d).createOrReplaceTempView("orders")
-    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer")
     s.sql(
       """SELECT o_orderpriority, count(*) AS n_orders,
         |       round(sum(o_totalprice), 2) / count(*) AS avg_price
-        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |FROM graft_orders JOIN graft_customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }

@@ -48,13 +48,13 @@ object Reshape {
       |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
       |ORDER BY seg, prio""".stripMargin
   ) { (s, d) =>
-    Tables.orders(s, d).createOrReplaceTempView("orders")
-    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer")
     s.sql(
       """SELECT coalesce(c_mktsegment, 'ALL') AS seg,
         |       coalesce(o_orderpriority, 'ALL') AS prio,
         |       count(*) AS n
-        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |FROM graft_orders JOIN graft_customer ON o_custkey = c_custkey
         |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
         |ORDER BY seg, prio""".stripMargin)
   }

@@ -33,9 +33,12 @@ object Typed {
     "q67_typed_flatmapgroups",
     """SELECT o_custkey, o_orderkey, o_totalprice
       |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
-      |             avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+      |        CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |        sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |          OVER (PARTITION BY o_custkey) AS sum_cents,
+      |        count(*) OVER (PARTITION BY o_custkey) AS cnt
       |      FROM orders) t
-      |WHERE o_totalprice > cust_avg AND o_custkey <= 300
+      |WHERE cents * cnt > sum_cents AND o_custkey <= 300
       |ORDER BY o_custkey, o_orderkey""".stripMargin
   ) { (s, d) =>
     val ds = Tables.orders(s, d)
@@ -45,9 +48,14 @@ object Typed {
     ds.groupByKey(_.o_custkey)
       .flatMapGroups { (cust, it) =>
         val rows = it.toVector
-        val mean = rows.map(_.o_totalprice).sum / rows.size
-        rows.filter(_.o_totalprice > mean)
-          .map(r => AboveAvg(cust, r.o_orderkey, r.o_totalprice, mean))
+        // integer-cents arithmetic: the "above the group mean" cut is
+        // exact (cents*n > sumCents), immune to float summation order
+        val cents = rows.map(r => Math.round(r.o_totalprice * 100))
+        val sumCents = cents.sum
+        val n = rows.size
+        rows.zip(cents).collect { case (r, c) if c * n > sumCents =>
+          AboveAvg(cust, r.o_orderkey, r.o_totalprice, sumCents / 100.0 / n)
+        }
       }
       .toDF()
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
