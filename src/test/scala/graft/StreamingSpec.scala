@@ -95,6 +95,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("watermark drops late data: an event older than the watermark is excluded") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[Ev]
+    def ev(id: Long, minute: Int): Ev =
+      Ev(id, java.sql.Timestamp.valueOf(f"2024-06-01 10:$minute%02d:00"), 1L, "click", 1.0)
+    val stream = MemoryStream[Ev]
+    val agg = stream.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("late_out").start()
+    stream.addData(ev(1, 0), ev(2, 1))     // window 10:00
+    q.processAllAvailable()
+    stream.addData(ev(3, 30))              // advances watermark to 10:20
+    q.processAllAvailable()
+    stream.addData(ev(4, 2))               // LATE: 10:02 < watermark
+    q.processAllAvailable()
+    stream.addData(ev(5, 45))              // advance again to flush
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("late_out").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    // the 10:00 window closed with 2 events; the late 4th was dropped
+    assert(closed.get("2024-06-01 10:00:00.0").contains(2L), closed.toString)
+  }
+
+  test("checkpoint recovery: restarted dedup stream keeps state across the restart") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[Ev]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ckpt_out").toString
+    val rows = eventRows()
+    val (first, second) = rows.splitAt(rows.size / 2)
+    val stream = MemoryStream[Ev]
+    def start() = StreamingOps.dedupById(stream.toDF())
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out).start()
+    val q1 = start()
+    stream.addData(first)
+    q1.processAllAvailable()
+    q1.stop()                       // simulated failure/restart boundary
+    val q2 = start()                // resumes from the checkpointed state
+    stream.addData(second)
+    stream.addData(first.take(100)) // re-delivery of pre-restart events
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(out)
+    // recovered dedup state suppressed the re-delivered pre-restart rows
+    assert(got.count() == rows.size, s"got ${got.count()} vs ${rows.size}")
+    assert(got.select("event_id").distinct().count() == rows.size)
+  }
+
   test("session_window streaming agg: sessions match the batch lag-islands count") {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = Encoders.product[Ev]
