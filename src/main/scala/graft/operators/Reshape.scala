@@ -84,5 +84,23 @@ object Reshape {
     ex.unionByName(in).orderBy(col("op"))
   }
 
-  val all: Seq[Q] = Seq(qUnpivot, qGroupingSets, qMultisetOps)
+  /** explode_outer (pandas `.explode()` keeps empty-list rows as NaN):
+    * docs keep a null-token row when they have no long tokens. Oracle
+    * models outer semantics by substituting [NULL] for empty lists. */
+  val qExplodeOuter: Q = Q(
+    "q83_explode_outer",
+    """SELECT doc_id, tok FROM (
+      |  SELECT doc_id, unnest(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END) AS tok
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split(text, ' '), x -> length(x) > 6) AS l
+      |        FROM documents WHERE doc_id < 100))
+      |ORDER BY doc_id, tok""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d).filter(col("doc_id") < 100)
+      .withColumn("l", filter(split(col("text"), " "), x => length(x) > 6))
+      .select(col("doc_id"), explode_outer(col("l")).as("tok"))
+      .orderBy(col("doc_id"), col("tok"))
+  }
+
+  val all: Seq[Q] = Seq(qUnpivot, qGroupingSets, qMultisetOps, qExplodeOuter)
 }
