@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Third function tour (SURVEY.md §2.2): datetime parse/format
+  * (`pd.to_datetime` analog), printf-style string formatting, and array
+  * algebra (sort/union/intersect/flatten) — arrays surfaced as joined
+  * strings so the cross-engine compare stays scalar.
+  *
+  * Reference capability: pandas to_datetime/str.format/list ops via the
+  * deployed image (dask_ssh_docker/__init__.py:307; SURVEY §2.2 Tier B).
+  */
+object FunctionTours3 {
+
+  /** Format → parse roundtrip (dask `pd.to_datetime` + strftime):
+    * timestamps rendered to strings and parsed back, plus ISO week/day
+    * formatting. Spark uses Java patterns, DuckDB strftime/strptime —
+    * field-equivalent patterns chosen on each side. */
+  val qDatetimeParse: Q = Q(
+    "q84_datetime_parse_format",
+    """SELECT o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+      |  strftime(o_orderdate, '%d/%m/%Y') AS eu_day,
+      |  strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS reparsed,
+      |  CAST(strftime(o_orderdate, '%j') AS BIGINT) AS day_of_year
+      |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d).filter(col("o_orderkey") < 500)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso_day"),
+        date_format(col("o_orderdate"), "dd/MM/yyyy").as("eu_day"),
+        to_timestamp(date_format(col("o_orderdate"), "yyyy-MM-dd"), "yyyy-MM-dd")
+          .as("reparsed"),
+        dayofyear(col("o_orderdate")).cast("long").as("day_of_year"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** printf-style formatting (pandas `str.format`/`%` analog): Spark
+    * format_string ≡ DuckDB printf. */
+  val qFormatStrings: Q = Q(
+    "q85_format_strings",
+    """SELECT c_custkey,
+      |  printf('%s#%05d', c_mktsegment, c_custkey) AS tag,
+      |  printf('balance=%.2f', c_acctbal) AS bal_str,
+      |  printf('%d-%d', c_nationkey, CAST(c_custkey %% 10 AS INTEGER)) AS bucket
+      |FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey""".stripMargin
+        .replace("%%", "%")
+  ) { (s, d) =>
+    Tables.customer(s, d).filter(col("c_custkey") <= 100)
+      .select(col("c_custkey"),
+        format_string("%s#%05d", col("c_mktsegment"), col("c_custkey")).as("tag"),
+        format_string("balance=%.2f", col("c_acctbal")).as("bal_str"),
+        format_string("%d-%d", col("c_nationkey"), (col("c_custkey") % 10).cast("int"))
+          .as("bucket"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Array algebra: sort / distinct-union / intersect / flatten over token
+    * arrays, surfaced via array_join for scalar comparison. */
+  val qArrayAlgebra: Q = Q(
+    "q86_array_algebra",
+    """SELECT doc_id,
+      |  array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], ',')
+      |    AS first5_sorted,
+      |  len(list_distinct(list_concat(string_split(text, ' '),
+      |      ['spark', 'join']))) AS n_union,
+      |  len(list_filter(list_distinct(string_split(text, ' ')),
+      |      x -> list_contains(['spark', 'join', 'window'], x))) AS n_common,
+      |  len(flatten([string_split(text, ' '), ['x']])) AS n_flat
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val toks = split(col("text"), " ")
+    Tables.documents(s, d).filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        array_join(slice(array_sort(array_distinct(toks)), 1, 5), ",")
+          .as("first5_sorted"),
+        size(array_union(toks, array(lit("spark"), lit("join")))).cast("long")
+          .as("n_union"),
+        size(array_intersect(toks, array(lit("spark"), lit("join"), lit("window"))))
+          .cast("long").as("n_common"),
+        size(flatten(array(toks, array(lit("x"))))).cast("long").as("n_flat"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(qDatetimeParse, qFormatStrings, qArrayAlgebra)
+}
