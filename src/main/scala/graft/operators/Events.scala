@@ -91,7 +91,8 @@ object Events {
 
   /** Sessionization via gap islands (dask idiom: lag + cumsum flags; the
     * streaming twin uses session_window / flatMapGroupsWithState). A new
-    * session starts after a >30min silence; one output row per session. */
+    * session starts at a gap of >= 30min (aligned with session_window's
+    * end-exclusive close); one output row per session. */
   val qSessionize: Q = Q(
     "q45_sessionization",
     """WITH flagged AS (

@@ -43,9 +43,8 @@ object FunctionTours3 {
     """SELECT c_custkey,
       |  printf('%s#%05d', c_mktsegment, c_custkey) AS tag,
       |  printf('balance=%.2f', c_acctbal) AS bal_str,
-      |  printf('%d-%d', c_nationkey, CAST(c_custkey %% 10 AS INTEGER)) AS bucket
+      |  printf('%d-%d', c_nationkey, CAST(c_custkey % 10 AS INTEGER)) AS bucket
       |FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey""".stripMargin
-        .replace("%%", "%")
   ) { (s, d) =>
     Tables.customer(s, d).filter(col("c_custkey") <= 100)
       .select(col("c_custkey"),

@@ -176,7 +176,14 @@ object Text {
     // oracle result is unchanged there); the unbounded-scale path is the
     // MinHash-LSH variant (t58) — on this small-vocab corpus the shingle
     // join degenerates toward all-pairs, which is exactly what LSH avoids.
-    val shx = shingled(Tables.documents(s, d).filter(col("doc_id") < 1000))
+    jaccardPairs(Tables.documents(s, d).filter(col("doc_id") < 1000), 1, 2)
+  }
+
+  /** Doc pairs with 3-gram-shingle Jaccard >= num/den (compared in
+    * integer arithmetic: i*den >= (na+nb-i)*num). Shared by the t54
+    * oracle query (1/2) and the LSH precision test (7/20). */
+  def jaccardPairs(docs: DataFrame, num: Int, den: Int): DataFrame = {
+    val shx = shingled(docs)
     val sizes = shx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = shx.select(col("doc_id").as("da"), col("s"))
     val b = shx.select(col("doc_id").as("db"), col("s"))
@@ -185,7 +192,7 @@ object Text {
     inter
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
       .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
-      .filter(lit(2) * col("i") >= col("na") + col("nb") - col("i"))
+      .filter(col("i") * den >= (col("na") + col("nb") - col("i")) * num)
       .select(col("da"), col("db"),
         round(col("i") * lit(1.0) / (col("na") + col("nb") - col("i")), 6)
           .as("jaccard"))

@@ -79,21 +79,10 @@ class DedupSpec extends AnyFunSuite {
     // estimate is noisy around the 0.5 cut, so allow true jaccard down
     // to 0.35 — but nothing below (a banding/estimation regression that
     // floods candidates would fail here).
-    val lenient: Set[(Long, Long)] = {
-      val shx = operators.Text.shingled(Tables.documents(spark, sf))
-      val sizes = shx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val a = shx.select(col("doc_id").as("da"), col("s"))
-      val b = shx.select(col("doc_id").as("db"), col("s"))
-      a.join(b, a("s") === b("s") && col("da") < col("db"))
-        .groupBy("da", "db").agg(count(lit(1)).as("i"))
-        .collect()
-        .filter { r =>
-          val (da, db, i) = (r.getLong(0), r.getLong(1), r.getLong(2))
-          i.toDouble / (sizes(da) + sizes(db) - i) >= 0.35
-        }
+    val lenient: Set[(Long, Long)] =
+      operators.Text.jaccardPairs(Tables.documents(spark, sf), 7, 20)
+        .select("da", "db").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-    }
     val falsePositives = got -- lenient
     assert(falsePositives.isEmpty,
       s"${falsePositives.size} pairs below jaccard 0.35: ${falsePositives.take(5)}")

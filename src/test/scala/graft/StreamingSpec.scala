@@ -128,8 +128,15 @@ class StreamingSpec extends AnyFunSuite {
     implicit val enc = Encoders.product[Ev]
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val out = java.nio.file.Files.createTempDirectory("graft_ckpt_out").toString
-    val rows = eventRows()
-    val (first, second) = rows.splitAt(rows.size / 2)
+    // synthetic 1-minute-spaced events so the re-delivered rows are NEWER
+    // than the recovered watermark (max(firstBatch.ts) - 1h) and therefore
+    // reach the dedup state store — fixture rows spanning weeks would be
+    // dropped by the late-row filter and prove only watermark recovery.
+    def ev(i: Int): Ev = Ev(i.toLong,
+      java.sql.Timestamp.valueOf(f"2024-06-01 10:${i / 60}%02d:${i % 60}%02d"),
+      1L, "click", 1.0)
+    val first = (0 until 60).map(ev)   // 10:00:00 - 10:00:59
+    val second = (60 until 120).map(ev)
     val stream = MemoryStream[Ev]
     def start() = StreamingOps.dedupById(stream.toDF())
       .writeStream.outputMode(OutputMode.Append())
@@ -138,16 +145,18 @@ class StreamingSpec extends AnyFunSuite {
     val q1 = start()
     stream.addData(first)
     q1.processAllAvailable()
-    q1.stop()                       // simulated failure/restart boundary
-    val q2 = start()                // resumes from the checkpointed state
+    q1.stop()                        // simulated failure/restart boundary
+    val q2 = start()                 // resumes from the checkpointed state
+    stream.addData(first.takeRight(30)) // re-delivery, within watermark
     stream.addData(second)
-    stream.addData(first.take(100)) // re-delivery of pre-restart events
     q2.processAllAvailable()
     q2.stop()
     val got = spark.read.parquet(out)
-    // recovered dedup state suppressed the re-delivered pre-restart rows
-    assert(got.count() == rows.size, s"got ${got.count()} vs ${rows.size}")
-    assert(got.select("event_id").distinct().count() == rows.size)
+    // recovered dedup STATE (not just the watermark) suppressed the
+    // re-delivered rows: they were newer than the recovered watermark,
+    // so only the state-store lookup could have deduped them
+    assert(got.count() == 120, s"got ${got.count()} rows, want 120")
+    assert(got.select("event_id").distinct().count() == 120)
   }
 
   test("session_window streaming agg: sessions match the batch lag-islands count") {
