@@ -62,6 +62,48 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("join is symmetric: a⋈b and b⋈a produce the same row multiset") {
+    import TestSession.sf
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, sf).select("c_custkey", "c_nationkey")
+    val ab = o.join(c, o("o_custkey") === c("c_custkey"))
+      .select("o_orderkey", "c_nationkey").collect().map(_.toString).sorted.toSeq
+    val ba = c.join(o, o("o_custkey") === c("c_custkey"))
+      .select("o_orderkey", "c_nationkey").collect().map(_.toString).sorted.toSeq
+    assert(ab == ba)
+  }
+
+  test("filter commutes with projection (pushdown equivalence)") {
+    import TestSession.sf
+    val li = Tables.lineitem(spark, sf)
+    val a = li.select("l_orderkey", "l_quantity").filter(col("l_quantity") > 30)
+    val b = li.filter(col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    assert(a.count() == b.count())
+    assert(a.collect().map(_.toString).sorted.toSeq ==
+      b.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("semi join row count equals distinct-key inner join contribution") {
+    import TestSession.sf
+    val c = Tables.customer(spark, sf)
+    val o = Tables.orders(spark, sf).select("o_custkey")
+    val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi").count()
+    val viaDistinct = c.join(o.distinct(), c("c_custkey") === o("o_custkey")).count()
+    assert(semi == viaDistinct)
+  }
+
+  test("repartition count invariance: any partitioning yields the same aggregates") {
+    import TestSession.sf
+    val li = Tables.lineitem(spark, sf)
+    val base = li.groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq(1, 3, 16).foreach { n =>
+      val got = li.repartition(n).groupBy("l_returnflag").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == base, s"partitions=$n")
+    }
+  }
+
   test("minhash estimate stays within [0,1] and exact-equal sets estimate 1.0") {
     // identical token sets must produce identical signatures
     val docs = spark.createDataFrame(Seq(
