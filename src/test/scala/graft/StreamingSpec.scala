@@ -95,6 +95,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("stream-stream join == batch join with the same time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[Ev]
+    val stream = MemoryStream[Ev]
+    stream.addData(eventRows())
+    val got = runToMemory(StreamingOps.clickToPurchaseJoin(stream.toDF()),
+      "ssjoin_out", OutputMode.Append())
+    val want = StreamingOps.clickToPurchaseJoin(Tables.events(spark, sf))
+    assert(got.count() > 0, "join must be non-trivial on the fixture")
+    assert(sortedRows(got) == sortedRows(want))
+  }
+
+  test("foreachBatch sink: programmable sink sees every row exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[Ev]
+    val rows = eventRows()
+    val (first, second) = rows.splitAt(rows.size / 2)
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val stream = MemoryStream[Ev]
+    val q = stream.toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        seen.addAndGet(batch.count())
+        batches.incrementAndGet()
+        ()
+      }
+      .start()
+    stream.addData(first)
+    q.processAllAvailable()
+    stream.addData(second)
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.get() == rows.size, s"saw ${seen.get()} of ${rows.size}")
+    assert(batches.get() >= 2)
+  }
+
   test("watermark drops late data: an event older than the watermark is excluded") {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = Encoders.product[Ev]
