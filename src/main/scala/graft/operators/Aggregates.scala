@@ -214,7 +214,96 @@ object Aggregates {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Exact interpolated percentiles via distributed sort-position
+    * selection: rank the column in parallel (Scale.globalRowNumber — one
+    * bucketed shuffle), then pick/interpolate the two rows straddling
+    * each percentile position arithmetically. Spark's own `percentile`
+    * collects every value into ONE aggregation buffer per group — fine
+    * for bounded domains (q17's per-flag quantity), a scale-killer for
+    * high-cardinality columns at 100 TB; this is the sorted path.
+    * Returns a 1-row frame with one column per requested percentile,
+    * same interpolation arithmetic as percentile_cont. */
+  private def sortedQuantiles(df: org.apache.spark.sql.DataFrame,
+      value: org.apache.spark.sql.Column,
+      bucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      ps: Seq[(String, Double)]): org.apache.spark.sql.DataFrame = {
+    val vals = df.select(value.as("v")).filter(col("v").isNotNull)
+    val ranked = Scale.globalRowNumber(vals, bucket(col("v")), Seq(col("v")), "rn")
+    val n = vals.agg(count(lit(1)).as("qn"))
+    val aggs = ps.map { case (name, p) =>
+      val pos = (col("qn") - 1) * p // 0-indexed fractional position
+      val lo = floor(pos) + 1 // 1-indexed rank of the lower straddle row
+      val frac = pos - floor(pos)
+      sum(when(col("rn") === lo, col("v") * (lit(1.0) - frac))
+        .when(col("rn") === lo + 1, col("v") * frac)).as(name)
+    }
+    ranked.join(broadcast(n), lit(true)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** One-call summary statistics (dask/pandas `describe()`): count, mean,
+    * std, min, exact quartiles, max for two numeric columns, emitted in
+    * pandas' long layout (one row per statistic) — one distributed agg
+    * for the algebraic stats + a sort-rank pass per column for exact
+    * quartiles, then an 8-row stack() of the scalar results. */
+  val qDescribe: Q = Q(
+    "q90_describe",
+    """WITH a AS (SELECT
+      |  CAST(count(l_quantity) AS DOUBLE) AS qc, round(avg(l_quantity), 4) AS qm,
+      |  round(stddev_samp(l_quantity), 4) AS qsd, CAST(min(l_quantity) AS DOUBLE) AS qmn,
+      |  round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+      |  round(quantile_cont(l_quantity, 0.50), 4) AS q50,
+      |  round(quantile_cont(l_quantity, 0.75), 4) AS q75,
+      |  CAST(max(l_quantity) AS DOUBLE) AS qmx,
+      |  CAST(count(l_extendedprice) AS DOUBLE) AS pc, round(avg(l_extendedprice), 4) AS pm,
+      |  round(stddev_samp(l_extendedprice), 4) AS psd,
+      |  CAST(min(l_extendedprice) AS DOUBLE) AS pmn,
+      |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+      |  CAST(max(l_extendedprice) AS DOUBLE) AS pmx
+      |  FROM lineitem)
+      |SELECT stat, l_quantity, l_extendedprice FROM (
+      |  SELECT 'count' AS stat, qc AS l_quantity, pc AS l_extendedprice FROM a
+      |  UNION ALL SELECT 'mean', qm, pm FROM a
+      |  UNION ALL SELECT 'std', qsd, psd FROM a
+      |  UNION ALL SELECT 'min', qmn, pmn FROM a
+      |  UNION ALL SELECT '25%', q25, p25 FROM a
+      |  UNION ALL SELECT '50%', q50, p50 FROM a
+      |  UNION ALL SELECT '75%', q75, p75 FROM a
+      |  UNION ALL SELECT 'max', qmx, pmx FROM a
+      |) t ORDER BY stat""".stripMargin
+  ) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val qQuarts = sortedQuantiles(li, col("l_quantity"), v => floor(v / 5),
+      Seq("rq25" -> 0.25, "rq50" -> 0.50, "rq75" -> 0.75))
+    val pQuarts = sortedQuantiles(li, col("l_extendedprice"), v => floor(v / 5000),
+      Seq("rp25" -> 0.25, "rp50" -> 0.50, "rp75" -> 0.75))
+    val a = li.agg(
+      count(col("l_quantity")).cast("double").as("qc"),
+      round(avg(col("l_quantity")), 4).as("qm"),
+      round(stddev_samp(col("l_quantity")), 4).as("qsd"),
+      min(col("l_quantity")).cast("double").as("qmn"),
+      max(col("l_quantity")).cast("double").as("qmx"),
+      count(col("l_extendedprice")).cast("double").as("pc"),
+      round(avg(col("l_extendedprice")), 4).as("pm"),
+      round(stddev_samp(col("l_extendedprice")), 4).as("psd"),
+      min(col("l_extendedprice")).cast("double").as("pmn"),
+      max(col("l_extendedprice")).cast("double").as("pmx"))
+      .join(broadcast(qQuarts), lit(true)).join(broadcast(pQuarts), lit(true))
+      .select(col("*"),
+        round(col("rq25"), 4).as("q25"), round(col("rq50"), 4).as("q50"),
+        round(col("rq75"), 4).as("q75"),
+        round(col("rp25"), 4).as("p25"), round(col("rp50"), 4).as("p50"),
+        round(col("rp75"), 4).as("p75"))
+    a.selectExpr(
+      """stack(8,
+        |'count', qc, pc, 'mean', qm, pm, 'std', qsd, psd, 'min', qmn, pmn,
+        |'25%', q25, p25, '50%', q50, p50, '75%', q75, p75, 'max', qmx, pmx)
+        |AS (stat, l_quantity, l_extendedprice)""".stripMargin)
+      .orderBy(col("stat"))
+  }
+
   val all: Seq[Q] = Seq(qStats, qCountDistinct, qApproxDistinct, qValueCounts,
     qApproxQuantiles,
-    qPivot, qRollup, qCube, qQuantiles, qCorr, qMinMaxBy, qGlobalAgg)
+    qPivot, qRollup, qCube, qQuantiles, qCorr, qMinMaxBy, qGlobalAgg, qDescribe)
 }

@@ -173,6 +173,32 @@ object Joins {
       .orderBy(desc("n_sameday_pairs"), col("a.l_orderkey"))
   }
 
+  /** Right outer join (dask `how='right'`): q5's shape with the sides
+    * swapped — the null-producing side is now the LEFT input, preserved
+    * rows come from the right. Exercises Spark's `"right"` join type
+    * literally (the optimizer is free to flip it back to a left join;
+    * semantics are what the oracle checks). */
+  val qRightOuter: Q = Q(
+    "q88_right_outer_join",
+    """SELECT o_orderstatus,
+      |       count(*) AS n_orders,
+      |       count(l_orderkey) AS n_with_bigqty,
+      |       CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_without
+      |FROM (
+      |  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity >= 49
+      |) big RIGHT JOIN orders ON o_orderkey = l_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  ) { (s, d) =>
+    val big = Tables.lineitem(s, d).filter(col("l_quantity") >= 49)
+      .select(col("l_orderkey")).distinct()
+    big.join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"), "right")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        count(col("l_orderkey")).as("n_with_bigqty"),
+        sum(when(col("l_orderkey").isNull, 1).otherwise(0)).as("n_without"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val all: Seq[Q] = Seq(q3ShippingPriority, qBroadcastDims, qLeftOuter,
-    qFullOuter, qSemiAnti, qCrossTheta, qSelfJoin)
+    qFullOuter, qSemiAnti, qCrossTheta, qSelfJoin, qRightOuter)
 }

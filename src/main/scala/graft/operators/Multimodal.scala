@@ -73,7 +73,9 @@ object Multimodal {
   /** Feature extraction over binary payloads via typed mapPartitions
     * (per-partition batch iteration — where codec/model handles init once
     * per partition at scale). Row-wise semantics → partition-count
-    * independent; ScalaTest pins determinism. */
+    * independent; ScalaTest pins determinism. The 4-dim embedding is
+    * emitted as scalar columns e0..e3 (driver-facing outputs must be
+    * sortable scalars, not arrays). */
   val qMediaFeatures: Q = Q.noOracle("m72_media_feature_stub") { (s, d) =>
     val ds = Tables.documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -87,7 +89,8 @@ object Multimodal {
     }.toDF()
       .select(col("doc_id"), col("n_bytes"), round(col("mean_byte"), 6).as("mean_byte"),
         round(col("rms_byte"), 6).as("rms_byte"), col("n_frames"),
-        transform(col("embedding4"), x => round(x, 6)).as("embedding4"))
+        round(col("embedding4")(0), 6).as("e0"), round(col("embedding4")(1), 6).as("e1"),
+        round(col("embedding4")(2), 6).as("e2"), round(col("embedding4")(3), 6).as("e3"))
       .orderBy(col("doc_id"))
   }
 

@@ -94,7 +94,7 @@ object ScalarTours {
       |  round(pow(l_quantity, 2), 1) AS qty_sq,
       |  round(ln(l_extendedprice), 6) AS price_ln,
       |  round(exp(l_discount), 6) AS disc_exp,
-      |  sign(l_discount - 0.05) AS disc_sign,
+      |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
       |  CAST(l_quantity AS BIGINT) % 7 AS qty_mod7
       |FROM lineitem WHERE l_orderkey < 300 ORDER BY l_orderkey, l_linenumber""".stripMargin
   ) { (s, d) =>

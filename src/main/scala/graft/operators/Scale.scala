@@ -32,6 +32,67 @@ object Scale {
       .agg(sum(col("pn")).as("n"), round(sum(col("ps")), 2).as("total"))
   }
 
+  /** Scale-safe global row_number / rank over a total order, without the
+    * single-partition WindowExec that `Window.orderBy` (no partition)
+    * produces. Shape: bucket rows by a monotone-in-sort-order expression
+    * (ONE parallel shuffle of the fat table), rank within buckets, then
+    * offset each bucket by the summed counts of all earlier buckets — a
+    * #buckets-row aggregate joined back via broadcast. Total work is one
+    * shuffle + one tiny theta join; at 100 TB every reducer sees one
+    * bucket, never the whole table.
+    *
+    * `bucket` must be monotone non-decreasing along `order` (rows in a
+    * smaller bucket sort strictly before rows in a larger one; ties of the
+    * primary key must share a bucket — any deterministic banding of the
+    * primary sort key qualifies). Choose banding so #buckets stays O(100s)
+    * — e.g. from `approxQuantile` boundaries on a sample at scale.
+    * When `order` is a total order (unique tie-break), row_number == rank.
+    */
+  def globalRowNumber(df: DataFrame, bucket: Column, order: Seq[Column],
+      out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = df.withColumn("_grk_bucket", bucket)
+    val local = b.withColumn("_grk_local",
+      row_number().over(Window.partitionBy(col("_grk_bucket")).orderBy(order: _*)))
+    val counts = b.groupBy(col("_grk_bucket").as("_grk_bc")).agg(count(lit(1)).as("_grk_n"))
+    // cumulative count of strictly-earlier buckets: tiny theta self-join
+    // (#buckets² pairs, broadcast) — no single-partition window anywhere
+    val offsets = counts.as("gra").join(broadcast(counts.as("grb")),
+        col("grb._grk_bc") < col("gra._grk_bc"), "left")
+      .groupBy(col("gra._grk_bc").as("_grk_bo"))
+      .agg(coalesce(sum(col("grb._grk_n")), lit(0L)).as("_grk_off"))
+    local.join(broadcast(offsets), col("_grk_bucket") === col("_grk_bo"))
+      .withColumn(out, (col("_grk_off") + col("_grk_local")).cast("long"))
+      .drop("_grk_bucket", "_grk_local", "_grk_bo", "_grk_off")
+  }
+
+  /** Scale-safe global dense_rank over a BANDED key (distinct-value count
+    * must be modest — banded/rounded keys, categories; document the bound
+    * at the call site). dense_rank(k) = #distinct keys < k + 1, computed
+    * on the distinct-key table via a broadcast theta join, then broadcast-
+    * joined back to the fat table. The fat table is never re-shuffled. */
+  def globalDenseRank(df: DataFrame, key: Column, out: String): DataFrame = {
+    val keys = df.select(key.as("_gdr_k")).distinct()
+    val ranks = keys.as("gda").join(broadcast(keys.as("gdb")),
+        col("gdb._gdr_k") < col("gda._gdr_k"), "left")
+      .groupBy(col("gda._gdr_k"))
+      .agg((count(col("gdb._gdr_k")) + 1L).as(out))
+    df.join(broadcast(ranks), key === col("_gdr_k")).drop("_gdr_k")
+  }
+
+  /** SQL ntile(k) from a precomputed global row_number `rn` and total row
+    * count `n`: the first (n % k) tiles get ceil(n/k) rows, the rest get
+    * floor(n/k) — identical to WindowExec's NTile. Pure arithmetic, no
+    * window. */
+  def ntileFromRowNumber(rn: Column, n: Column, k: Int): Column = {
+    val q = (n / k).cast("long") // floor: both sides integral
+    val r = (n % k).cast("long")
+    val big = r * (q + lit(1L)) // rows covered by the ceil-sized tiles
+    when(rn <= big, (rn + q) / (q + lit(1L)))          // ceil(rn/(q+1))
+      .otherwise(r + (rn - big + q - 1) / q)           // r + ceil((rn-big)/q)
+      .cast("long")
+  }
+
   /** Salted skewed aggregation == direct aggregation (oracle = direct). */
   val qSaltedAgg: Q = Q(
     "q75_salted_skew_agg",

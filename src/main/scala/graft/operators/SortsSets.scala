@@ -135,6 +135,25 @@ object SortsSets {
       .agg(count(lit(1)).as("n_sampled"))
   }
 
+  /** `df.tail(n)` (dask: last n rows of the final partition). Dask's tail
+    * is positional; the deterministic Spark mapping pins the order by key:
+    * last 10 orders by orderkey = sort-desc + limit (TakeOrderedAndProject,
+    * no full sort, no single-partition stage) + re-sort ascending for
+    * presentation. */
+  val qTail: Q = Q(
+    "q89_tail",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM (
+      |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |  ORDER BY o_orderkey DESC LIMIT 10
+      |) t ORDER BY o_orderkey""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(desc("o_orderkey"))
+      .limit(10)
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[Q] = Seq(qTopK, qMultiSort, qUnionAll, qIntersect, qExcept,
-    qDistinct, qKeepFirst, qSample)
+    qDistinct, qKeepFirst, qSample, qTail)
 }

@@ -152,32 +152,71 @@ object Vectors {
     Array.fill(nBits, dim)(rnd.nextGaussian())
   }
 
-  /** Random-hyperplane LSH ANN (the unbounded-scale similarity path):
-    * 8-bit sign signature → bucket join → exact cosine within bucket →
-    * top-1 per probe. Only bucket-colliding pairs are ever scored. */
+  /** Random-hyperplane LSH ANN (the unbounded-scale similarity path),
+    * multi-table + multi-probe: L independent b-bit sign signatures per
+    * vector (candidates carry L bucket keys); probes additionally visit
+    * every bucket within Hamming distance `LshProbeRadius` of theirs in
+    * each table, which buys recall with probe-side fan-out instead of
+    * more candidate replicas — the memory-friendly knob at 100 TB.
+    * Only bucket-colliding pairs are ever scored; collisions are deduped
+    * per (probe, cand) before exact cosine ranking. Top-3 per probe;
+    * GraftSpec asserts recall@3 ≥ 0.9 against the exact scan.
+    *
+    * (b, L, radius) are THE tuning surface: this fixture's neighbors are
+    * weak (top-3 cosine ≈ 0.34 → per-bit agreement ≈ 0.61), so hitting
+    * 0.9 recall needs 8×8-bit tables probed at radius 2. On genuinely
+    * clustered embeddings (near-dup sim ≥ 0.8 → per-bit ≥ 0.8) the same
+    * machinery reaches that recall at radius ≤ 1 with 4 tables, with a
+    * far tighter candidate rate — tune per corpus. */
+  val NumLshTables = 8
+  val LshBits = 8
+  val LshProbeRadius = 2
   val qLshAnn: Q = Q.noOracle("v65_lsh_ann") { (s, d) =>
-    val planes = hyperplanes(8)
-    def signature(e: Column): Column =
-      planes.zipWithIndex.map { case (p, i) =>
-        val proj = VectorOps.dot(e, array(p.map(lit): _*))
-        when(proj >= 0, lit(1 << i)).otherwise(lit(0))
-      }.reduce(_ + _)
+    // Expression volume is the enemy here, not data volume: inlining
+    // 64 dot products (or 64×64 scalar literals, or 296 probe-key
+    // structs) as discrete expression nodes makes whole-stage codegen
+    // emit a multi-second Janino compile per stage. Keep everything in
+    // HOF lambdas over ONE 2-D plane literal: codegen'd loops, tiny
+    // generated source.
+    val planes = typedLit(hyperplanes(NumLshTables * LshBits).map(_.toSeq).toSeq)
+    // b-bit bucket id per table, all inside HOF lambdas: per (table, bit)
+    // iteration = one O(1) index into the plane literal + one dot —
+    // exactly L*b dots per row, interpreted (HOF lambdas skip codegen,
+    // which is the point: no giant generated class)
+    def sigsOf(e: Column): Column =
+      transform(sequence(lit(0), lit(NumLshTables - 1)), t =>
+        aggregate(sequence(lit(LshBits - 1), lit(0), lit(-1)), lit(0), (acc, i) =>
+          acc * 2 + when(
+            VectorOps.dot(e, element_at(planes, t * LshBits + i + 1)) >= 0,
+            lit(1)).otherwise(lit(0))))
     val v = withNorm(Tables.embeddings(s, d))
-      .withColumn("sig", signature(col("embedding")))
+      .withColumn("sigs", sigsOf(col("embedding")))
+    // candidate side: one (table, sig) bucket key per table
+    val cands = v.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+      col("nrm").as("cn"), posexplode(col("sigs")).as(Seq("tbl", "sig")))
+    // probe side: every bucket within Hamming distance LshProbeRadius,
+    // as one flip-mask literal × table-index HOF fan-out
+    val flips = typedLit((0 to (1 << LshBits) - 1)
+      .filter(m => Integer.bitCount(m) <= LshProbeRadius))
+    val probeKeys = flatten(transform(sequence(lit(0), lit(NumLshTables - 1)), t =>
+      transform(flips, f => struct(t.as("tbl"),
+        element_at(col("sigs"), t + 1).bitwiseXOR(f).as("sig")))))
     val probes = v.filter(col("vec_id") < 50)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
-        col("nrm").as("pn"), col("sig"))
-    val cands = v.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
-      col("nrm").as("cn"), col("sig"))
-    val scored = cands.join(broadcast(probes), Seq("sig"))
+        col("nrm").as("pn"), explode(probeKeys).as("k"))
+      .select(col("probe_id"), col("pe"), col("pn"),
+        col("k.tbl").as("tbl"), col("k.sig").as("sig"))
+    val hits = cands.join(broadcast(probes), Seq("tbl", "sig"))
       .filter(col("cand_id") =!= col("probe_id"))
       .withColumn("sim", VectorOps.cosineFromNorms(
         VectorOps.dot(col("pe"), col("ce")), col("pn"), col("cn")))
+      .groupBy(col("probe_id"), col("cand_id"))
+      .agg(max(col("sim")).as("sim")) // dedup cross-table collisions
     val w = Window.partitionBy(col("probe_id")).orderBy(desc("sim"), col("cand_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("probe_id"), col("cand_id"), round(col("sim"), 6).as("sim"))
-      .orderBy(col("probe_id"))
+    hits.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("probe_id"), col("cand_id"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy(col("probe_id"), col("rn"))
   }
 
   /** IVF-style ANN with label-mean centroids, fully relational (oracle-

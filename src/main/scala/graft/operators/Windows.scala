@@ -36,7 +36,15 @@ object Windows {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
-  /** rank / dense_rank / ntile over a global ordering. */
+  /** rank / dense_rank / ntile over a GLOBAL ordering — the scale-unsafe
+    * form (`Window.orderBy` with no partition) moves the whole table to
+    * one task, so this is built from Scale's bucket-offset machinery
+    * instead: band acctbal into ~22 range buckets (monotone in the sort
+    * order), rank within buckets in parallel, offset by earlier-bucket
+    * counts; dense_rank over the banded key via the distinct-key theta
+    * join; ntile(4) as arithmetic over the global row number. No
+    * single-partition WindowExec in the plan (PlanSpec asserts this).
+    * (acctbal DESC, suppkey) is a total order, so rank == row_number. */
   val qRanks: Q = Q(
     "q22_window_ranks",
     """SELECT s_suppkey, s_acctbal,
@@ -45,13 +53,17 @@ object Windows {
       |       ntile(4) OVER (ORDER BY s_acctbal DESC, s_suppkey) AS quartile
       |FROM supplier ORDER BY s_suppkey""".stripMargin
   ) { (s, d) =>
-    Tables.supplier(s, d)
-      .withColumn("rnk",
-        rank().over(Window.orderBy(desc("s_acctbal"), col("s_suppkey"))).cast("long"))
-      .withColumn("drnk", dense_rank().over(
-        Window.orderBy(round(col("s_acctbal") / 1000, 0))).cast("long"))
-      .withColumn("quartile",
-        ntile(4).over(Window.orderBy(desc("s_acctbal"), col("s_suppkey"))).cast("long"))
+    val base = Tables.supplier(s, d)
+    // bucket ascending == acctbal descending (banding of the primary key;
+    // TPC-H acctbal spans [-999.99, 9999.99] → ~22 buckets of width 500)
+    val ranked = Scale.globalRowNumber(base,
+      floor(-col("s_acctbal") / 500),
+      Seq(desc("s_acctbal"), col("s_suppkey")), "rnk")
+    val dense = Scale.globalDenseRank(ranked,
+      round(col("s_acctbal") / 1000, 0), "drnk")
+    val total = base.agg(count(lit(1)).as("_n"))
+    dense.join(broadcast(total), lit(true))
+      .withColumn("quartile", Scale.ntileFromRowNumber(col("rnk"), col("_n"), 4))
       .select("s_suppkey", "s_acctbal", "rnk", "drnk", "quartile")
       .orderBy(col("s_suppkey"))
   }
@@ -158,6 +170,40 @@ object Windows {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** The rest of the cumulative family (dask `cummax`/`cummin`/`cumprod`;
+    * cumsum is q23). Spark has no product aggregate, so cumprod is built
+    * from exp(sum(ln|x|)) with explicit sign/zero handling over the same
+    * frame: zero-if-any-zero-so-far, sign from the running count of
+    * negative factors. Factors are small exact integers (linenumber - 3,
+    * exercising negatives AND zeros) so the exp/ln round-trip stays well
+    * inside the 6-decimal rounding; oracle uses DuckDB's native
+    * `product()` window, proving the identity, not mirroring it. */
+  val qCumMinMaxProd: Q = Q(
+    "q87_window_cummax_cumprod",
+    """SELECT l_orderkey, l_linenumber,
+      |  max(l_quantity) OVER w AS cum_max_qty,
+      |  min(l_quantity) OVER w AS cum_min_qty,
+      |  round(product(CAST(l_linenumber - 3 AS DOUBLE)) OVER w, 6) AS cum_prod
+      |FROM lineitem WHERE l_orderkey < 1000
+      |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val x = (col("l_linenumber") - 3).cast("double")
+    val anyZero = max(when(x === 0, 1).otherwise(0)).over(w)
+    val negParity = pmod(sum(when(x < 0, 1L).otherwise(0L)).over(w), lit(2L))
+    val magnitude = exp(sum(log(abs(x))).over(w)) // log(0) → null, skipped; anyZero covers it
+    Tables.lineitem(s, d).filter(col("l_orderkey") < 1000)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        max(col("l_quantity")).over(w).as("cum_max_qty"),
+        min(col("l_quantity")).over(w).as("cum_min_qty"),
+        round(when(anyZero === 1, 0.0)
+          .otherwise((lit(1.0) - lit(2.0) * negParity) * magnitude), 6).as("cum_prod"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   val all: Seq[Q] = Seq(qTopkPerGroup, qRanks, qCumsum, qLagLead,
-    qRollingTime, qRollingRows)
+    qRollingTime, qRollingRows, qCumMinMaxProd)
 }

@@ -157,6 +157,29 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH ANN: recall@3 >= 0.9 vs the exact cosine top-3") {
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.embeddings(spark, sf)
+      .withColumn("nrm", functions.VectorOps.norm(col("embedding")))
+    val probes = v.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("nrm").as("pn"))
+    val cands = v.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+      col("nrm").as("cn"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(desc("sim"), col("cand_id"))
+    val exact = cands.join(broadcast(probes), col("cand_id") =!= col("probe_id"))
+      .withColumn("sim", functions.VectorOps.cosineFromNorms(
+        functions.VectorOps.dot(col("pe"), col("ce")), col("pn"), col("cn")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("probe_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = operators.Vectors.qLshAnn.fn(spark, sf)
+      .select("probe_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@3 = $recall (${exact.size} exact pairs)")
+  }
+
   test("IVF ANN: every result comes from one of the probe's 2 chosen clusters") {
     val labels = Tables.embeddings(spark, sf)
       .select("vec_id", "label").collect()

@@ -41,6 +41,20 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("v61_cosine_topk").contains("graft_dot"))
   }
 
+  test("q22: global ranks avoid the single-partition WindowExec") {
+    val qe = SparkEntry.queries("q22_window_ranks")(spark, sf).queryExecution
+    val unpartitioned = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty,
+      s"found ${unpartitioned.size} global (move-everything-to-one-task) windows")
+  }
+
+  test("q89: tail plans as TakeOrderedAndProject (no global sort)") {
+    assert(plan("q89_tail").contains("TakeOrderedAndProject"))
+  }
+
   test("q39: compound predicate reaches the scan as data filters") {
     val p = plan("q39_filter_predicates")
     val scanLine = p.linesIterator.find(_.contains("FileScan parquet")).get

@@ -8,8 +8,9 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Sources/sinks surface (SURVEY.md §2.2 "Scans / sources / sinks"):
   * csv/json/orc round-trips preserve query results; local-collection
   * ingest (dd.from_pandas analog); async actions (distributed.Future
-  * analog); caching. JDBC is declared (format("jdbc")) but not exercised
-  * — zero-egress environment, per SURVEY §2.2. */
+  * analog); caching. JDBC (read_sql_table/to_sql) is exercised against
+  * an embedded in-process Derby database — a real format("jdbc")
+  * round-trip with zero network egress. */
 class SourcesSpec extends AnyFunSuite {
   import TestSession.{spark, sf}
 
@@ -33,6 +34,24 @@ class SourcesSpec extends AnyFunSuite {
       StructField("l_extendedprice", DoubleType), StructField("l_returnflag", StringType)))
     val back = spark.read.option("header", "true").schema(schema).csv(dir)
     assert(fingerprint(back) == fingerprint(li))
+  }
+
+  test("jdbc round-trip via embedded Derby (dd.read_sql_table/to_sql)") {
+    // In-memory Derby = in-process JDBC, no network. At scale the same
+    // API takes partitionColumn/lowerBound/upperBound/numPartitions for
+    // a parallel partitioned read; the single-partition form is the
+    // dimension-table ingest path.
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val props = new java.util.Properties()
+    val nation = Tables.nation(spark, sf).select("n_nationkey", "n_name", "n_regionkey")
+    nation.write.mode("overwrite").jdbc(url, "nation_sql", props)
+    val back = spark.read.jdbc(url, "nation_sql", props)
+    assert(back.orderBy(col("n_nationkey")).collect().toSeq ==
+      nation.orderBy(col("n_nationkey")).collect().toSeq)
+    // predicate-partitioned parallel read (read_sql_table npartitions analog)
+    val parts = spark.read.jdbc(url, "nation_sql", // Derby needs quoted (case-exact) idents
+      predicates = Array("\"n_nationkey\" < 12", "\"n_nationkey\" >= 12"), props)
+    assert(parts.rdd.getNumPartitions == 2 && parts.count() == nation.count())
   }
 
   test("json round-trip preserves aggregates (dd.read_json/to_json)") {
