@@ -185,9 +185,12 @@ object Text {
   def jaccardPairs(docs: DataFrame, num: Int, den: Int): DataFrame = {
     val shx = shingled(docs)
     val sizes = shx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = shx.select(col("doc_id").as("da"), col("s"))
-    val b = shx.select(col("doc_id").as("db"), col("s"))
-    val inter = a.join(b, a("s") === b("s") && col("da") < col("db"))
+    // distinct per-side names: a self-join on the SAME attribute makes
+    // Spark warn + fall back to dataset-id disambiguation — works, but
+    // explicit is safer than relying on it
+    val a = shx.select(col("doc_id").as("da"), col("s").as("sa"))
+    val b = shx.select(col("doc_id").as("db"), col("s").as("sb"))
+    val inter = a.join(b, col("sa") === col("sb") && col("da") < col("db"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
     inter
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
@@ -297,6 +300,54 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** End-to-end corpus-cleaning pipeline (the composite shape a
+    * training-data pipeline runs per ingest batch): quality-score every
+    * doc → keep quality ≥ 0.5 → exact dedup keep-first among survivors →
+    * per-language manifest (kept docs, total tokens, avg quality). One
+    * declarative plan: Catalyst fuses the scoring projection into the
+    * scan-side, the dedup is one shuffle on text, the manifest one on
+    * lang. The quality cut compares UNROUNDED doubles — safe across
+    * engines because both sides compute the identical IEEE expression
+    * tree per row (no aggregation before the filter). */
+  val qPipelineClean: Q = Q(
+    "t62_pipeline_clean",
+    """WITH scored AS (
+      |  SELECT doc_id, lang, text,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    len(list_filter(string_split(text, ' '),
+      |        x -> list_contains(['the','a','of','and','to','in'], x)))
+      |      * 1.0 / len(string_split(text, ' ')) AS stop_ratio
+      |  FROM documents),
+      |q AS (SELECT *, least(1.0, n_tokens / 100.0) * (1 - stop_ratio) AS quality
+      |      FROM scored),
+      |good AS (SELECT * FROM q WHERE quality >= 0.5),
+      |kept AS (SELECT * FROM good
+      |         WHERE doc_id IN (SELECT min(doc_id) FROM good GROUP BY text))
+      |SELECT lang, count(*) AS n_kept,
+      |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |       round(avg(quality), 6) AS avg_quality
+      |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    val stopArr = array(stopwords.map(lit): _*)
+    val scored = Tables.documents(s, d)
+      .withColumn("t", tokens)
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("stop_ratio",
+        size(filter(col("t"), x => array_contains(stopArr, x))) * lit(1.0)
+          / col("n_tokens"))
+      .withColumn("quality",
+        least(lit(1.0), col("n_tokens") / 100.0) * (lit(1) - col("stop_ratio")))
+    val good = scored.filter(col("quality") >= 0.5)
+    val kept = good.join(
+      good.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    kept.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("total_tokens"),
+        round(avg(col("quality")), 6).as("avg_quality"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[Q] = Seq(qTokenCounts, qLangStats, qExactDedup, qDedupKeepFirst,
-    qQuality, qNgramJaccard, qTfIdf, qLangId, qFingerprint, qRegexTokens)
+    qQuality, qNgramJaccard, qTfIdf, qLangId, qFingerprint, qRegexTokens,
+    qPipelineClean)
 }
