@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{
+  ArrayExists, ArrayFilter, Expression, ExpressionInfo, GreaterThan,
+  GreaterThanOrEqual, LambdaFunction, LessThan, Literal, Size
+}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+
+/** Strength-reduce `size(filter(arr, f)) > 0` to `exists(arr, f)` inside
+  * Filter conditions. `filter` materializes a whole intermediate array
+  * per row only for its length to be compared to zero; `exists`
+  * short-circuits on the first match and allocates nothing — on a wide
+  * corpus scan (the quality-cut shape in the text pipeline) that is the
+  * difference between O(|arr|) allocation per row and an early-exit
+  * probe.
+  *
+  * Scoped to Filter conditions on purpose: for a NULL input array the
+  * two forms differ as *values* (`size` yields -1 under the legacy flag
+  * or NULL under ANSI, `exists` yields NULL) but both are non-true, so
+  * as a filter predicate the rewrite is semantics-preserving under
+  * either setting. Three-valued-logic `exists` (the default) likewise
+  * only differs from the counting form by returning NULL instead of
+  * false when no element matches but some predicate evaluated to NULL —
+  * also non-true, also dropped.
+  *
+  * Only single-argument lambdas are rewritten: `filter` also accepts a
+  * two-argument (value, index) lambda which `exists` has no equivalent
+  * for.
+  */
+object ExistsOverSizeFilter extends Rule[LogicalPlan] {
+  private def oneArg(f: Expression): Boolean = f match {
+    case l: LambdaFunction => l.arguments.size == 1
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      val rewritten = cond.transformUp {
+        case GreaterThan(Size(ArrayFilter(arr, fn), _), Literal(0, IntegerType))
+            if oneArg(fn) => ArrayExists(arr, fn)
+        case LessThan(Literal(0, IntegerType), Size(ArrayFilter(arr, fn), _))
+            if oneArg(fn) => ArrayExists(arr, fn)
+        case GreaterThanOrEqual(Size(ArrayFilter(arr, fn), _), Literal(1, IntegerType))
+            if oneArg(fn) => ArrayExists(arr, fn)
+      }
+      if (rewritten.fastEquals(cond)) f else Filter(rewritten, child)
+  }
+}
+
+/** Deployment-grade session wiring for graft's Catalyst extensions
+  * (`spark.sql.extensions=graft.functions.GraftExtensions`): registers
+  * `graft_dot` as a session function usable from SQL text — not just the
+  * Column API — and installs [[ExistsOverSizeFilter]] into the
+  * optimizer. `Tables` still calls `GraftFunctions.ensureRegistered` so
+  * sessions built *without* the conf (e.g. the driver harness's own)
+  * keep working; this class is the path a cluster deployment uses.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectOptimizerRule(_ => ExistsOverSizeFilter)
+  }
+}

@@ -61,4 +61,37 @@ class PlanSpec extends AnyFunSuite {
     assert(scanLine.contains("PushedFilters: [") && !scanLine.contains("PushedFilters: []"),
       scanLine.take(400))
   }
+
+  test("extensions: size(filter(...)) > 0 in a Filter becomes exists(...)") {
+    import org.apache.spark.sql.functions.{col, filter => afilter, size => asize}
+    val docs = Tables.documents(spark, sf)
+    val q = docs.filter(asize(afilter(org.apache.spark.sql.functions.split(col("text"), " "),
+      x => x === "the")) > 0)
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("exists("), opt.take(600))
+    assert(!opt.contains("size(filter("), opt.take(600))
+    // and the rewrite preserves the answer: exclude the rule, re-run, compare
+    val ruleName = functions.ExistsOverSizeFilter.ruleName
+    val prev = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+    spark.conf.set("spark.sql.optimizer.excludedRules", ruleName)
+    try {
+      val unopt = docs.filter(asize(afilter(
+        org.apache.spark.sql.functions.split(col("text"), " "), x => x === "the")) > 0)
+      assert(!unopt.queryExecution.optimizedPlan.toString.contains("exists("))
+      assert(unopt.count() == q.count())
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.optimizer.excludedRules", v)
+      case None => spark.conf.unset("spark.sql.optimizer.excludedRules")
+    }
+  }
+
+  test("extensions: graft_dot is a session SQL function (no temp registration)") {
+    // newSession shares the context but rebuilds SessionState from the
+    // injected extensions alone — Tables.ensureRegistered never ran here,
+    // so resolving graft_dot proves the injectFunction path.
+    val s2 = spark.newSession()
+    val d = s2.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head.getDouble(0)
+    assert(d == 11.0)
+  }
 }
