@@ -214,22 +214,45 @@ object Aggregates {
       .orderBy(col("l_returnflag"))
   }
 
-  /** Exact interpolated percentiles via distributed sort-position
-    * selection: rank the column in parallel (Scale.globalRowNumber — one
-    * bucketed shuffle), then pick/interpolate the two rows straddling
-    * each percentile position arithmetically. Spark's own `percentile`
-    * collects every value into ONE aggregation buffer per group — fine
-    * for bounded domains (q17's per-flag quantity), a scale-killer for
-    * high-cardinality columns at 100 TB; this is the sorted path.
-    * Returns a 1-row frame with one column per requested percentile,
-    * same interpolation arithmetic as percentile_cont. */
+  /** Exact interpolated percentiles via histogram pruning: pass 1
+    * aggregates per-bucket counts (map-side partial combine — only
+    * #buckets rows ever shuffle), pass 2 ranks ONLY the straddle buckets
+    * whose global rank interval contains a target position (≤ 2 tiny
+    * buckets per percentile, broadcast-joined), then interpolates the two
+    * straddling rows arithmetically. The fat table is never globally
+    * sorted or shuffled — unlike the rank-everything form (one full
+    * bucketed shuffle) or Spark's own `percentile` (every value in ONE
+    * aggregation buffer per group; fine for bounded domains like q17's
+    * per-flag quantity, a scale-killer for high-cardinality columns at
+    * 100 TB). Interpolation arithmetic matches percentile_cont.
+    * `bucket` must be a deterministic monotone banding of the value
+    * (equal values share a bucket), #buckets O(100s–1000s).
+    * Returns a 1-row frame with one column per requested percentile. */
   private def sortedQuantiles(df: org.apache.spark.sql.DataFrame,
       value: org.apache.spark.sql.Column,
       bucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       ps: Seq[(String, Double)]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val vals = df.select(value.as("v")).filter(col("v").isNotNull)
-    val ranked = Scale.globalRowNumber(vals, bucket(col("v")), Seq(col("v")), "rn")
-    val n = vals.agg(count(lit(1)).as("qn"))
+      .withColumn("_sq_b", bucket(col("v")))
+    val counts = vals.groupBy(col("_sq_b")).agg(count(lit(1)).as("_sq_cnt"))
+    // offset = #rows in strictly-earlier buckets (tiny broadcast theta join)
+    val offsets = counts.as("sqa").join(broadcast(counts.as("sqb")),
+        col("sqb._sq_b") < col("sqa._sq_b"), "left")
+      .groupBy(col("sqa._sq_b").as("_sq_bo"), col("sqa._sq_cnt").as("_sq_c"))
+      .agg(coalesce(sum(col("sqb._sq_cnt")), lit(0L)).as("_sq_off"))
+    val n = counts.agg(sum(col("_sq_cnt")).as("qn")) // no extra scan of df
+    // a bucket is a straddle iff its rank interval [off+1, off+cnt]
+    // intersects {lo, lo+1} for some requested percentile
+    val straddleCond = ps.map { case (_, p) =>
+      val lo = floor((col("qn") - 1) * p) + 1
+      col("_sq_off") < lo + 1 && col("_sq_off") + col("_sq_c") >= lo
+    }.reduce(_ || _)
+    val straddle = offsets.join(broadcast(n), lit(true)).filter(straddleCond)
+      .select(col("_sq_bo"), col("_sq_off"))
+    val ranked = vals.join(broadcast(straddle), col("_sq_b") === col("_sq_bo"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("_sq_b")).orderBy(col("v"))) + col("_sq_off"))
     val aggs = ps.map { case (name, p) =>
       val pos = (col("qn") - 1) * p // 0-indexed fractional position
       val lo = floor(pos) + 1 // 1-indexed rank of the lower straddle row
