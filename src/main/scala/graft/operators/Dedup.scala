@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
@@ -135,5 +135,86 @@ object Dedup {
       .orderBy(col("da"), col("db"))
   }
 
-  val all: Seq[Q] = Seq(qMinHashLsh, qSimHash, qSimHashPairs)
+  /** Connected components over an undirected edge list `(da, db)` by
+    * iterative min-label propagation: every node starts labeled with its
+    * own id; each round labels flow across edges and every node keeps the
+    * minimum seen. Each round is one shuffle of |E| label messages plus a
+    * groupBy-min — the standard distributed shape (what GraphX/GraphFrames
+    * CC does under the hood). `localCheckpoint` breaks lineage per round
+    * so the plan stays O(1) deep instead of growing by one join per
+    * iteration; on a cluster you'd point this at a reliable checkpoint
+    * dir instead. Converges in O(component diameter) rounds with a
+    * driver-side early exit (an `isEmpty` probe per round — control flow,
+    * not data movement); near-dup clusters are shallow (dup groups link
+    * through shared content), so the bound is small in practice — for
+    * adversarially-long chains the large-star/small-star contraction
+    * (O(log² n) rounds) is the drop-in upgrade.
+    * Returns (node, lbl) where lbl = min node id of the component. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val und = edges.select(col("da").as("src"), col("db").as("dst"))
+      .union(edges.select(col("db").as("src"), col("da").as("dst")))
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val flowed = und.join(labels, col("dst") === col("node"))
+        .select(col("src").as("node"), col("lbl"))
+      val next = labels.select(col("node"), col("lbl")).union(flowed)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      converged = next.as("nn").join(labels.as("oo"),
+          col("nn.node") === col("oo.node"))
+        .filter(col("nn.lbl") =!= col("oo.lbl")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-dup CLUSTER resolution — the step after pair detection that an
+    * actual dedup pipeline needs: pairs only say "a~b, b~c"; keep-one
+    * dedup needs the transitive closure {a,b,c} with one canonical
+    * survivor. Edges here are the exact-Jaccard pairs of t54 (bounded,
+    * deterministic → DuckDB-oracle-able via a recursive CTE); at scale
+    * the same components run over the LSH candidate pairs (t58). Emits
+    * one row per cluster: canonical id (min member) and member count. */
+  val qDedupClusters: Q = Q(
+    "t63_dedup_clusters",
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |         FROM documents WHERE doc_id < 1000),
+      |sh AS (SELECT doc_id,
+      |         list_distinct(CASE WHEN len(t) >= 3
+      |           THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+      |           ELSE [] END) AS shset
+      |       FROM toks),
+      |shx AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      |          FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY da, db),
+      |pairs AS (SELECT da, db
+      |          FROM inter JOIN sizes sa ON da = sa.doc_id
+      |                     JOIN sizes sb ON db = sb.doc_id
+      |          WHERE 2 * i >= sa.n + sb.n - i),
+      |edges AS (SELECT da AS src, db AS dst FROM pairs
+      |          UNION ALL SELECT db, da FROM pairs),
+      |reach(node, lbl) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node),
+      |labels AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node)
+      |SELECT cluster, count(*) AS n_members
+      |FROM labels GROUP BY cluster ORDER BY cluster""".stripMargin
+  ) { (s, d) =>
+    val pairs = Text.jaccardPairs(
+      Tables.documents(s, d).filter(col("doc_id") < 1000), 1, 2)
+    connectedComponents(pairs.select(col("da"), col("db")))
+      .groupBy(col("lbl").as("cluster")).agg(count(lit(1)).as("n_members"))
+      .orderBy(col("cluster"))
+  }
+
+  val all: Seq[Q] = Seq(qMinHashLsh, qSimHash, qSimHashPairs, qDedupClusters)
 }

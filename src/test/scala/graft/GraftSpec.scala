@@ -99,6 +99,37 @@ class DedupSpec extends AnyFunSuite {
       s"hamming distances of true near-dups: $hams")
   }
 
+  test("connected components: chain, triangle, and pair resolve to min-id labels") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    // chain 1-2-3-4 (diameter 3: exercises multi-round propagation),
+    // triangle 10-11-12 with a chord, isolated pair 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L))
+    val df = spark.createDataFrame(
+      edges.map { case (a, b) => Row(a, b) }.asJava,
+      StructType(Seq(StructField("da", LongType), StructField("db", LongType))))
+    val got = operators.Dedup.connectedComponents(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    assert(got == want)
+  }
+
+  test("dedup clusters: every t54 pair lands in one cluster, members add up") {
+    val clusters = operators.Dedup.qDedupClusters.fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.nonEmpty)
+    // each cluster has >= 2 members (only paired docs enter the graph)
+    assert(clusters.values.forall(_ >= 2), clusters.toString)
+    // total membership equals the distinct docs appearing in pairs
+    val docsInPairs = exactPairs.flatMap(p => Seq(p._1, p._2))
+    assert(clusters.values.sum == docsInPairs.size)
+    // canonical ids are themselves members (min of the component)
+    assert(clusters.keySet.subsetOf(docsInPairs))
+  }
+
   test("approx_count_distinct within 10% of exact per event_type") {
     val exact = operators.Aggregates.qCountDistinct.fn(spark, sf)
       .select("event_type", "n_users").collect()
