@@ -113,5 +113,51 @@ object Multimodal {
       .orderBy(col("label"))
   }
 
-  val all: Seq[Q] = Seq(qBinaryMeta, qMediaFeatures, qMixedJoin)
+  /** Frame sampling as ROW MULTIPLICITY (the shape that matters at scale:
+    * one video row explodes into thousands of frame rows, so partition
+    * sizing changes across the operator — after a real high-multiplicity
+    * explode you repartition before heavy per-frame work). Each 16-byte
+    * payload slice is a "frame"; per frame we emit its length, content
+    * hash, and a RESIZE-analog (every-2nd-byte downsample, hex-encoded).
+    * All slicing is codegen'd built-ins over the binary column — the
+    * decode-free subset of the pipeline is fully relational and
+    * oracle-checkable; a codec decode would slot into m72's mapPartitions
+    * instead. */
+  val qFrameExplode: Q = Q(
+    "m74_frame_explode",
+    """WITH idx AS (
+      |  SELECT doc_id, text,
+      |         unnest(range(0, CAST(ceil(length(text) / 16.0) AS BIGINT))) AS frame_idx
+      |  FROM documents WHERE doc_id < 100 AND length(text) > 0),
+      |f AS (SELECT doc_id, frame_idx,
+      |        substr(text, CAST(frame_idx * 16 + 1 AS BIGINT), 16) AS fr
+      |      FROM idx)
+      |SELECT doc_id, frame_idx,
+      |  CAST(length(fr) AS BIGINT) AS frame_len,
+      |  sha256(fr) AS frame_sha,
+      |  lower(array_to_string([hex(CAST(substr(fr, j, 1) AS BLOB))
+      |    FOR j IN range(1, CAST(length(fr) AS BIGINT) + 1, 2)], '')) AS resized_hex
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+  ) { (s, d) =>
+    val bin = col("text").cast("binary")
+    val frame = col("fr")
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 100 && length(col("text")) > 0)
+      .select(col("doc_id"), bin.as("p"),
+        ((length(bin) + 15) / 16).cast("long").as("nf"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("nf") - 1)).as("frame_idx"), col("p"))
+      .withColumn("fr",
+        substring(col("p"), (col("frame_idx") * 16 + 1).cast("int"), lit(16)))
+      .select(col("doc_id"), col("frame_idx"),
+        length(frame).cast("long").as("frame_len"),
+        sha2(frame, 256).as("frame_sha"),
+        lower(array_join(transform(
+          sequence(lit(0), length(frame) - 1, lit(2)),
+          j => hex(substring(frame, (j + 1).cast("int"), lit(1)))), ""))
+          .as("resized_hex"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val all: Seq[Q] = Seq(qBinaryMeta, qMediaFeatures, qMixedJoin, qFrameExplode)
 }
