@@ -153,20 +153,26 @@ object Dedup {
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val und = edges.select(col("da").as("src"), col("db").as("dst"))
       .union(edges.select(col("db").as("src"), col("da").as("dst")))
+      .localCheckpoint(true) // edges re-read every round: materialize once
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
-      .localCheckpoint(true)
     var iter = 0
     var converged = false
+    // convergence probe: per-node labels are monotone non-increasing, so
+    // sum(lbl) strictly decreases on any change — an unchanged sum IS the
+    // fixpoint. The decimal sum rides the same job that materializes the
+    // round's lazy checkpoint: exactly ONE distributed action per round.
+    var prevSum: Option[java.math.BigDecimal] = None
     while (iter < maxIter && !converged) {
       val flowed = und.join(labels, col("dst") === col("node"))
         .select(col("src").as("node"), col("lbl"))
       val next = labels.select(col("node"), col("lbl")).union(flowed)
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(true)
-      converged = next.as("nn").join(labels.as("oo"),
-          col("nn.node") === col("oo.node"))
-        .filter(col("nn.lbl") =!= col("oo.lbl")).isEmpty
+        .localCheckpoint(false) // lazy: first use below materializes it
+      val sumLbl = next.agg(sum(col("lbl").cast("decimal(38,0)")))
+        .head.getDecimal(0).stripTrailingZeros()
+      converged = prevSum.exists(_.compareTo(sumLbl) == 0)
+      prevSum = Some(sumLbl)
       labels = next
       iter += 1
     }
