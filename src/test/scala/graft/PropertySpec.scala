@@ -104,6 +104,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connected components match a local union-find on random graphs") {
+    val edgeGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(30, Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))
+        .map(_.collect { case (a, b) if a != b => (a min b, a max b) }.distinct)
+    forAllSeeded(edgeGen) { edges =>
+      if (edges.nonEmpty) {
+        // local reference: textbook union-find with path compression
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(ra max rb) = ra min rb
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        // normalize: canonical label = min node of the component
+        val want = nodes.groupBy(find).flatMap { case (_, ms) =>
+          ms.map(_ -> ms.min)
+        }.toMap
+        val got = operators.Dedup.connectedComponents(
+            spark.createDataFrame(edges).toDF("da", "db"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"edges=$edges")
+      }
+    }
+  }
+
   test("minhash estimate stays within [0,1] and exact-equal sets estimate 1.0") {
     // identical token sets must produce identical signatures
     val docs = spark.createDataFrame(Seq(
