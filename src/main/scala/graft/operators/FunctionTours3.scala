@@ -82,5 +82,30 @@ object FunctionTours3 {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(qDatetimeParse, qFormatStrings, qArrayAlgebra)
+  /** Regex family (pandas `str.extract`/`str.replace`/`str.contains`
+    * analogs): extract, global replace, boolean match, match count.
+    * Patterns restricted to the POSIX-safe subset that Java regex (Spark)
+    * and RE2-style (DuckDB) interpret identically; DuckDB's
+    * regexp_replace needs the explicit 'g' flag to match Spark's
+    * replace-all default. */
+  val qRegexFamily: Q = Q(
+    "q91_regex_family",
+    """SELECT doc_id,
+      |  regexp_extract(text, '[a-z]{6,}', 0) AS first_long_word,
+      |  regexp_replace(substr(text, 1, 40), '[aeiou]', '*', 'g') AS masked_prefix,
+      |  regexp_matches(text, ' [a-z]{4} ') AS has_4letter_word,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+a')) AS BIGINT) AS n_a_words
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        regexp_extract(col("text"), "[a-z]{6,}", 0).as("first_long_word"),
+        regexp_replace(substring(col("text"), 1, 40), "[aeiou]", "*")
+          .as("masked_prefix"),
+        col("text").rlike(" [a-z]{4} ").as("has_4letter_word"),
+        regexp_count(col("text"), lit("[a-z]+a")).cast("long").as("n_a_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(qDatetimeParse, qFormatStrings, qArrayAlgebra, qRegexFamily)
 }
