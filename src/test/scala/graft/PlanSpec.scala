@@ -85,6 +85,45 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed sort-merge join partition (skew=true in final plan)") {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit => flit, when => fwhen}
+    val conf = spark.conf
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force sort-merge
+    try {
+      // one hot key carrying ~98% of rows, wide payload to cross the
+      // byte threshold — the shape AQE's runtime re-plan exists for
+      val skewed = spark.range(100000)
+        .withColumn("k", fwhen(col("id") % 50 === 0, concat_ws("_", flit("key"), col("id") % 7))
+          .otherwise(flit("hot")))
+        .withColumn("payload", concat_ws("", Seq.fill(8)(col("id").cast("string")): _*))
+      val dim = spark.range(200).withColumn("k",
+        fwhen(col("id") === 0, flit("hot"))
+          .otherwise(concat_ws("_", flit("key"), col("id") % 7)))
+      val joined = skewed.join(dim, Seq("k"))
+      // run THIS DataFrame's own QueryExecution (count() would plan a new
+      // one and leave this plan unexecuted / un-adapted)
+      assert(joined.queryExecution.toRdd.count() > 0)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), finalPlan.take(1200))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("extensions: graft_dot is a session SQL function (no temp registration)") {
     // newSession shares the context but rebuilds SessionState from the
     // injected extensions alone — Tables.ensureRegistered never ran here,
