@@ -204,6 +204,41 @@ object Windows {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Forward/backward fill (dask `ffill`/`bfill`): carry the last/next
+    * non-null observation within each user's ordered event stream. Nulls
+    * are injected deterministically (event_id % 7 < 2) so both engines
+    * fill the identical gaps. One ordered window per direction — the
+    * per-partition frame shape map_overlap handles in dask; no
+    * single-partition window anywhere. */
+  val qFill: Q = Q(
+    "q92_ffill_bfill",
+    """SELECT user_id, event_id,
+      |  round(coalesce(last_value(v IGNORE NULLS) OVER wf, -1.0), 4) AS ffilled,
+      |  round(coalesce(first_value(v IGNORE NULLS) OVER wb, -1.0), 4) AS bfilled
+      |FROM (SELECT user_id, event_id, ts,
+      |        CASE WHEN event_id % 7 < 2 THEN NULL ELSE value END AS v
+      |      FROM events WHERE user_id <= 20)
+      |WINDOW
+      |  wf AS (PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  wb AS (PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |ORDER BY user_id, event_id""".stripMargin
+  ) { (s, d) =>
+    val wf = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wb = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    Tables.events(s, d).filter(col("user_id") <= 20)
+      .withColumn("v", when(col("event_id") % 7 < 2, lit(null)).otherwise(col("value")))
+      .select(col("user_id"), col("event_id"),
+        round(coalesce(last(col("v"), ignoreNulls = true).over(wf), lit(-1.0)), 4)
+          .as("ffilled"),
+        round(coalesce(first(col("v"), ignoreNulls = true).over(wb), lit(-1.0)), 4)
+          .as("bfilled"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   val all: Seq[Q] = Seq(qTopkPerGroup, qRanks, qCumsum, qLagLead,
-    qRollingTime, qRollingRows, qCumMinMaxProd)
+    qRollingTime, qRollingRows, qCumMinMaxProd, qFill)
 }
