@@ -184,6 +184,62 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** As-of join direction variants (dask `merge_asof(direction=
+    * 'forward'|'nearest')`): for each purchase, the first click at-or-
+    * after it (forward) and the closer of backward/forward (nearest,
+    * backward wins ties — pinned identically in the oracle). Same
+    * union-plus-ordered-window algorithm as q46, one window per
+    * direction: the forward pass orders purchases before tie-clicks so
+    * the following frame includes `>=`-style ties, mirroring ASOF's
+    * inclusive bound. Still one shuffle family on user_id — no range-join
+    * explosion. Oracle: DuckDB native ASOF both directions. */
+  val qAsOfDirections: Q = Q(
+    "q93_asof_directions",
+    """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT * FROM events WHERE event_type = 'click'),
+      |bk AS (SELECT p.event_id, p.user_id, p.ts, c.ts AS back_ts
+      |       FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
+      |fw AS (SELECT p.event_id, c.ts AS fwd_ts
+      |       FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts)
+      |SELECT bk.event_id, bk.user_id, bk.ts, bk.back_ts, fw.fwd_ts,
+      |  CASE
+      |    WHEN back_ts IS NULL THEN fwd_ts
+      |    WHEN fwd_ts IS NULL THEN back_ts
+      |    WHEN epoch_us(ts) - epoch_us(back_ts) <= epoch_us(fwd_ts) - epoch_us(ts)
+      |      THEN back_ts ELSE fwd_ts END AS nearest_ts
+      |FROM bk JOIN fw USING (event_id)
+      |ORDER BY bk.event_id""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("kind"),
+        lit(null).cast("long").as("event_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("kind"),
+        col("event_id"), lit(null).cast("timestamp").as("click_ts"))
+    // backward: clicks (kind 0) sort before purchases at equal ts → tie in frame
+    val wb = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // forward: purchases first at equal ts (1 - kind) → tie-click in the
+    // following frame
+    val wf = Window.partitionBy(col("user_id")).orderBy(col("ts"), lit(1) - col("kind"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val gapBack = unix_micros(col("ts")) - unix_micros(col("back_ts"))
+    val gapFwd = unix_micros(col("fwd_ts")) - unix_micros(col("ts"))
+    clicks.unionByName(purchases)
+      .withColumn("back_ts", last(col("click_ts"), ignoreNulls = true).over(wb))
+      .withColumn("fwd_ts", first(col("click_ts"), ignoreNulls = true).over(wf))
+      .filter(col("kind") === 1)
+      .withColumn("nearest_ts",
+        when(col("back_ts").isNull, col("fwd_ts"))
+          .when(col("fwd_ts").isNull, col("back_ts"))
+          .when(gapBack <= gapFwd, col("back_ts"))
+          .otherwise(col("fwd_ts")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("back_ts"), col("fwd_ts"), col("nearest_ts"))
+      .orderBy(col("event_id"))
+  }
+
   /** Array/higher-order-function tour (dask `dask.array` bridge — SURVEY
     * §1.2: fixed-length vector columns + HOFs; scalars out for parity). */
   val qArrayHof: Q = Q(
@@ -210,5 +266,5 @@ object Events {
   }
 
   val all: Seq[Q] = Seq(qJsonStruct, qJsonMap, qTumbling, qSliding,
-    qSessionize, qAsOfJoin, qAsOfTolerance, qArrayHof)
+    qSessionize, qAsOfJoin, qAsOfTolerance, qAsOfDirections, qArrayHof)
 }
