@@ -124,6 +124,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom-filter pruning injects might_contain on the fact side") {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.conf
+    val keys = Seq("spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    // thresholds sized for fixture data (defaults assume 10MB/10GB tables)
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // shuffle join
+    try {
+      val o = Tables.orders(spark, sf).filter(col("o_totalprice") > 400000)
+      val l = Tables.lineitem(spark, sf)
+      val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      val opt = j.queryExecution.optimizedPlan.toString
+      // the selective dim side built a bloom filter; the fat scan probes it
+      assert(opt.contains("might_contain"), opt.take(1000))
+      assert(j.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("extensions: graft_dot is a session SQL function (no temp registration)") {
     // newSession shares the context but rebuilds SessionState from the
     // injected extensions alone — Tables.ensureRegistered never ran here,
