@@ -135,6 +135,19 @@ object SortsSets {
       .agg(count(lit(1)).as("n_sampled"))
   }
 
+  /** Stratified sample (dask/pandas `groupby.sample` / Spark `sampleBy`):
+    * per-stratum Bernoulli fractions — the class-balancing shape a
+    * training-data pipeline uses to downsample dominant classes. Seeded
+    * and engine-specific → no SQL oracle; ScalaTest bounds each stratum's
+    * realized fraction. */
+  val qStratifiedSample: Q = Q.noOracle("q94_stratified_sample") { (s, d) =>
+    val fractions = Map("click" -> 0.05, "view" -> 0.05, "purchase" -> 0.5,
+      "signup" -> 1.0, "error" -> 1.0)
+    Tables.events(s, d).stat.sampleBy("event_type", fractions, 42L)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_sampled"))
+      .orderBy(col("event_type"))
+  }
+
   /** `df.tail(n)` (dask: last n rows of the final partition). Dask's tail
     * is positional; the deterministic Spark mapping pins the order by key:
     * last 10 orders by orderkey = sort-desc + limit (TakeOrderedAndProject,
@@ -155,5 +168,5 @@ object SortsSets {
   }
 
   val all: Seq[Q] = Seq(qTopK, qMultiSort, qUnionAll, qIntersect, qExcept,
-    qDistinct, qKeepFirst, qSample, qTail)
+    qDistinct, qKeepFirst, qSample, qStratifiedSample, qTail)
 }

@@ -159,6 +159,21 @@ class DedupSpec extends AnyFunSuite {
     assert(n > 20 && n < 140, s"sampled $n")
   }
 
+  test("stratified sample respects per-stratum fractions") {
+    val full = Tables.events(spark, sf).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = operators.SortsSets.qStratifiedSample.fn(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // fraction-1.0 strata keep every row
+    assert(sampled("signup") == full("signup"))
+    assert(sampled("error") == full("error"))
+    // Bernoulli strata land in a wide deterministic-seed band
+    val clickFrac = sampled("click").toDouble / full("click")
+    assert(clickFrac > 0.005 && clickFrac < 0.15, s"click frac $clickFrac")
+    val purchaseFrac = sampled("purchase").toDouble / full("purchase")
+    assert(purchaseFrac > 0.3 && purchaseFrac < 0.7, s"purchase frac $purchaseFrac")
+  }
+
   test("dedup idempotence: distinct of distinct is a fixpoint") {
     val docs = Tables.documents(spark, sf).select("text")
     val once = docs.distinct()
