@@ -128,6 +128,28 @@ class SourcesSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("dynamic partition overwrite replaces only the written partitions") {
+    val dir = tmp("graft_dpo")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      li.write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+      val before = spark.read.parquet(dir).groupBy("l_returnflag").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // the daily-ingest shape: re-emit ONE partition's data (halved)
+      li.filter(col("l_returnflag") === "A").limit((before("A") / 2).toInt)
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+      val after = spark.read.parquet(dir).groupBy("l_returnflag").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(after("A") == before("A") / 2, s"A: ${after("A")} vs ${before("A")}")
+      // untouched partitions survive the overwrite
+      (before.keySet - "A").foreach(k => assert(after(k) == before(k), k))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   test("operators behave on empty inputs (filter-to-nothing upstream)") {
     val empty = Tables.orders(spark, sf).filter(col("o_orderkey") < 0)
     assert(empty.groupBy("o_orderstatus").count().count() == 0)
