@@ -66,5 +66,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => ExistsOverSizeFilter)
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
   }
 }

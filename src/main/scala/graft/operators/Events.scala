@@ -240,6 +240,33 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Same as-of semantics as q46 through the NATIVE whole-operator path:
+    * graft.plans.AsOfJoinLogical → MergeAsOfExec (custom LogicalPlan +
+    * SparkStrategy + SparkPlan, injected by GraftExtensions) — one merge
+    * scan per co-partitioned pair instead of union+window. Same DuckDB
+    * ASOF oracle as q46 proves plan-for-plan equivalence. */
+  val qAsOfNative: Q = Q(
+    "q95_asof_native",
+    """SELECT p.event_id, p.user_id, p.ts,
+      |       c.ts AS last_click_ts,
+      |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    graft.plans.AsOf.lastTsAtOrBefore(
+        purchases, clicks, "user_id", "ts", "ts", "last_click_ts")
+      .select(col("event_id"), col("user_id"), col("ts"), col("last_click_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("last_click_ts"))).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** Array/higher-order-function tour (dask `dask.array` bridge — SURVEY
     * §1.2: fixed-length vector columns + HOFs; scalars out for parity). */
   val qArrayHof: Q = Q(
@@ -266,5 +293,6 @@ object Events {
   }
 
   val all: Seq[Q] = Seq(qJsonStruct, qJsonMap, qTumbling, qSliding,
-    qSessionize, qAsOfJoin, qAsOfTolerance, qAsOfDirections, qArrayHof)
+    qSessionize, qAsOfJoin, qAsOfTolerance, qAsOfDirections, qAsOfNative,
+    qArrayHof)
 }

@@ -1,0 +1,151 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, AttributeReference, Expression, GenericInternalRow,
+  JoinedRow, SortOrder, UnsafeProjection
+}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, Partitioning
+}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.TimestampType
+
+/** Native as-of join as a WHOLE-OPERATOR Catalyst extension — the (c) rung
+  * of the extensibility ladder (custom LogicalPlan + SparkStrategy +
+  * SparkPlan via SparkSessionExtensions), for the one reference operator
+  * Spark lacks natively (dask/pandas `merge_asof`; reference deploys it
+  * through the Dask image — SURVEY §2.2 joins row).
+  *
+  * Semantics: for every left row, the greatest right `ts` with the same
+  * key and `right.ts <= left.ts` (backward as-of, inclusive — DuckDB
+  * `ASOF JOIN ... ON l.k = r.k AND l.ts >= r.ts` and q46's union+window
+  * form). Physical shape: both sides hash-clustered on the key and sorted
+  * (key, ts) within partitions — EnsureRequirements inserts the
+  * exchanges/sorts — then ONE forward-only merge scan per partition pair:
+  * O(|L|+|R|) per partition, no buffering beyond a single lookahead row,
+  * no window state. That is strictly leaner than the union+window form
+  * (no null-column padding, no window buffer) and is the shape a
+  * dedicated engine gives merge_asof at 100 TB.
+  */
+case class AsOfJoinLogical(
+    left: LogicalPlan, right: LogicalPlan,
+    leftOn: Expression, rightOn: Expression,
+    leftTs: Expression, rightTs: Expression,
+    outAttr: AttributeReference)
+  extends BinaryNode {
+  override def output: Seq[Attribute] = left.output :+ outAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(outAttr)
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinLogical =
+    copy(left = newLeft, right = newRight)
+}
+
+case class MergeAsOfExec(
+    left: SparkPlan, right: SparkPlan,
+    leftOn: Expression, rightOn: Expression,
+    leftTs: Expression, rightTs: Expression,
+    outAttr: Attribute)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output :+ outAttr
+
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(outAttr)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(Seq(leftOn)), ClusteredDistribution(Seq(rightOn)))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftOn, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightOn, Ascending), SortOrder(rightTs, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftOn, Ascending), SortOrder(leftTs, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val (lOn, lTs, rOn, rTs) = (leftOn, leftTs, rightOn, rightTs)
+    val outSchema = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // generated key extractors + result row builder, one per partition
+      val lProj = UnsafeProjection.create(Seq(lOn, lTs), lOut)
+      val rProj = UnsafeProjection.create(Seq(rOn, rTs), rOut)
+      val resultProj = UnsafeProjection.create(outSchema, outSchema)
+      val matchCol = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      // single-row lookahead over the right side (rows arrive sorted)
+      var rKey = 0L; var rTsV = 0L; var rHas = false
+      def advanceRight(): Unit =
+        if (rIter.hasNext) {
+          val k = rProj(rIter.next())
+          rKey = k.getLong(0); rTsV = k.getLong(1); rHas = true
+        } else rHas = false
+      advanceRight()
+      var curKey = 0L; var haveKey = false
+      var matchTs = 0L; var haveMatch = false
+      lIter.map { lRow =>
+        val k = lProj(lRow)
+        val lKey = k.getLong(0); val lTsV = k.getLong(1)
+        if (!haveKey || lKey != curKey) { // new left key group: reset state
+          curKey = lKey; haveKey = true; haveMatch = false
+        }
+        // consume right rows at-or-before this left row's time
+        while (rHas && (rKey < lKey || (rKey == lKey && rTsV <= lTsV))) {
+          if (rKey == lKey) { matchTs = rTsV; haveMatch = true }
+          advanceRight()
+        }
+        if (haveMatch) matchCol.setLong(0, matchTs) else matchCol.setNullAt(0)
+        resultProj(joined(lRow, matchCol))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): MergeAsOfExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy mapping the logical node to the merge exec
+  * (registered via GraftExtensions.injectPlannerStrategy). */
+object GraftStrategies extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinLogical(l, r, lo, ro, lt, rt, out) =>
+      MergeAsOfExec(planLater(l), planLater(r), lo, ro, lt, rt, out) :: Nil
+    case _ => Nil
+  }
+}
+
+/** User-facing builder: backward as-of join returning `left` plus one
+  * timestamp column `outName` = the latest `rightTsCol` of the matching
+  * `onCol` group at-or-before `leftTsCol` (null when none). Key columns
+  * must be LongType, ts columns TimestampType. */
+object AsOf {
+  def lastTsAtOrBefore(left: DataFrame, right: DataFrame,
+      onCol: String, leftTsCol: String, rightTsCol: String,
+      outName: String): DataFrame = {
+    // both sides often derive from the same relation (self as-of), which
+    // would make left/right expression ids collide inside the custom node
+    // — something the analyzer's relation dedup can't untangle for an
+    // unknown operator. Re-alias the right projection so its ids are
+    // fresh and the node's expressions unambiguous.
+    val rFresh = right.select(onCol, rightTsCol).toDF("__asof_on", "__asof_ts")
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rFresh.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        sys.error(s"asof: column $n not found in ${p.output.map(_.name)}"))
+    val node = AsOfJoinLogical(lPlan, rPlan,
+      attr(lPlan, onCol), attr(rPlan, "__asof_on"),
+      attr(lPlan, leftTsCol), attr(rPlan, "__asof_ts"),
+      AttributeReference(outName, TimestampType)())
+    org.apache.spark.sql.graftshim.Shim.ofRows(left.sparkSession, node)
+  }
+}

@@ -151,6 +151,27 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("native merge as-of join: custom SparkPlan equals the union+window form") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click").select("user_id", "ts")
+    val native = graft.plans.AsOf.lastTsAtOrBefore(
+      purchases, clicks, "user_id", "ts", "ts", "last_click_ts")
+    // plan shape: the custom exec is planned, fed by one exchange per side
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("MergeAsOf"), plan.take(600))
+    val gotRows = native.collect()
+    val got = gotRows.map(r => r.getLong(0) ->
+      Option(r.getTimestamp(3)).map(_.getTime)).toMap
+    val want = operators.Events.qAsOfJoin.fn(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getTimestamp(3)).map(_.getTime)).toMap
+    assert(gotRows.length == want.size)
+    assert(got == want)
+  }
+
   test("extensions: graft_dot is a session SQL function (no temp registration)") {
     // newSession shares the context but rebuilds SessionState from the
     // injected extensions alone — Tables.ensureRegistered never ran here,
