@@ -102,5 +102,28 @@ object Reshape {
       .orderBy(col("doc_id"), col("tok"))
   }
 
-  val all: Seq[Q] = Seq(qUnpivot, qGroupingSets, qMultisetOps, qExplodeOuter)
+  /** One-hot encoding (pandas/dask `get_dummies` — the categorical →
+    * indicator-columns feature-engineering reshape). Indicator per
+    * category value, all inside one codegen'd projection; at scale the
+    * category list comes from a distinct-scan driven pivot (q14's shape)
+    * when it isn't known statically. */
+  val qOneHot: Q = Q(
+    "q96_one_hot",
+    """SELECT doc_id,
+      |  CAST(lang = 'de' AS BIGINT) AS lang_de,
+      |  CAST(lang = 'en' AS BIGINT) AS lang_en,
+      |  CAST(lang = 'es' AS BIGINT) AS lang_es,
+      |  CAST(lang = 'fr' AS BIGINT) AS lang_fr,
+      |  CAST(lang = 'zh' AS BIGINT) AS lang_zh
+      |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    Tables.documents(s, d).filter(col("doc_id") < 500)
+      .select(col("doc_id") +:
+        langs.map(l => (col("lang") === l).cast("long").as(s"lang_$l")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(qUnpivot, qGroupingSets, qMultisetOps, qExplodeOuter,
+    qOneHot)
 }
