@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-smoke harness: runs the load-bearing operator shapes on
+  * SYNTHETIC data 1-2 orders of magnitude past the sf0.1 fixtures
+  * (default 20M events / 2M docs vs 600k/2k), so the "would the plan
+  * hold at scale" question has measured evidence rather than argument.
+  * Deterministic generators (id arithmetic, no RNG), parquet-backed so
+  * scans/pushdown are real. Prints one `[smoke]` line per op with rows
+  * processed and wall seconds. Not part of the driver contract; run:
+  *
+  *   SPARK_GRAFT_SMOKE_ROWS=20000000 sbt "runMain graft.ScaleSmoke"
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nEvents = sys.env.getOrElse("SPARK_GRAFT_SMOKE_ROWS", "20000000").toLong
+    val nDocs = nEvents / 10
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(label: String, rows: Long)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val out = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[smoke] $label%-28s rows_in=$rows%,d out=$out%,d ${s}%8.2f s  " +
+        f"${rows / s / 1e6}%6.1f M rows/s")
+    }
+
+    val base = java.nio.file.Files.createTempDirectory("graft_smoke").toString
+
+    // ---- synthetic events: skewed event_type (80% 'click'), 100k users
+    spark.range(nEvents).select(
+      col("id").as("event_id"),
+      timestamp_micros(lit(1700000000000000L) + col("id") * 1000L).as("ts"),
+      pmod(xxhash64(col("id")), lit(100000L)).as("user_id"),
+      when(col("id") % 5 === 0, concat(lit("t"), col("id") % 4)).otherwise(lit("click"))
+        .as("event_type"),
+      (col("id") % 1000 / 7.0).as("value"))
+      .write.mode("overwrite").parquet(s"$base/events")
+    val ev = spark.read.parquet(s"$base/events")
+    ev.count() // warm FS cache / JIT before measuring
+
+    // ---- synthetic docs: ~10% exact-dup groups, 12-token texts
+    spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 12).map(i =>  // id div 10: 10-doc dup groups
+        concat(lit(s"w$i"), pmod(xxhash64((col("id") / 10).cast("long") + i),
+          lit(5000L)))): _*)
+        .as("text"))
+      .write.mode("overwrite").parquet(s"$base/docs")
+    val docs = spark.read.parquet(s"$base/docs")
+    docs.count()
+
+    time("agg groupBy (q1 shape)", nEvents) {
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)), avg(col("value")), max(col("value"))).count()
+    }
+    time("salted skew agg (q75 shape)", nEvents) {
+      operators.Scale.saltedCountSum(ev, col("event_type"), col("value")).count()
+    }
+    time("global row_number (q22 shape)", nEvents) {
+      operators.Scale.globalRowNumber(
+        ev.select(col("value"), col("event_id")), floor(col("value") / 10),
+        Seq(col("value"), col("event_id")), "rn").count()
+    }
+    time("exact quantiles (q90 shape)", nEvents) {
+      operators.Aggregates.sortedQuantiles(ev, col("value"), v => floor(v / 10),
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75)).count()
+    }
+    time("per-user window cumsum (q23)", nEvents) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("cum", sum(col("value")).over(w))
+        .select(max(col("cum"))).count()
+    }
+    time("native merge as-of (q95)", nEvents) {
+      val purchases = ev.filter(col("event_type") === "t1")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      plans.AsOf.lastTsAtOrBefore(
+        purchases, clicks, "user_id", "ts", "ts", "last_click_ts").count()
+    }
+    time("exact dedup keep-first (t52)", nDocs) {
+      docs.join(
+        docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
+        Seq("doc_id"), "left_semi").count()
+    }
+    time("minhash+LSH bands (t58 shape)", nDocs) {
+      // signatures + band buckets + colliding-pair count (score step
+      // omitted: pair volume is the scale risk, scoring is per-pair O(1))
+      val shx = operators.Text.shingled(docs.filter(col("doc_id") % 20 < 2))
+      val hashes = (0 until 8).map(i =>
+        min(pmod(col("h") * (2654435761L + i * 40503L) + i, lit(2147483647L)))
+          .as(s"h$i"))
+      val sigs = shx.withColumn("h", pmod(xxhash64(col("s")), lit(2147483647L)))
+        .groupBy(col("doc_id"))
+        .agg(hashes.head, hashes.tail: _*)
+      val banded = sigs.select(col("doc_id"),
+        posexplode(array((0 until 4).map(b =>
+          xxhash64(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))): _*))
+          .as(Seq("band", "bh")))
+      banded.as("x").join(banded.as("y"), Seq("band", "bh"))
+        .filter(col("x.doc_id") < col("y.doc_id")).count()
+    }
+    time("connected components (t63)", nDocs) {
+      val pairs = docs.filter(col("doc_id") % 10 < 2) // dup-heavy slice
+        .groupBy(col("text")).agg(min(col("doc_id")).as("da"), max(col("doc_id")).as("db"))
+        .filter(col("da") < col("db"))
+      operators.Dedup.connectedComponents(pairs.select("da", "db")).count()
+    }
+    spark.stop()
+  }
+}

@@ -228,7 +228,7 @@ object Aggregates {
     * `bucket` must be a deterministic monotone banding of the value
     * (equal values share a bucket), #buckets O(100s–1000s).
     * Returns a 1-row frame with one column per requested percentile. */
-  private def sortedQuantiles(df: org.apache.spark.sql.DataFrame,
+  private[graft] def sortedQuantiles(df: org.apache.spark.sql.DataFrame,
       value: org.apache.spark.sql.Column,
       bucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       ps: Seq[(String, Double)]): org.apache.spark.sql.DataFrame = {

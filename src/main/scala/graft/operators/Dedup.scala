@@ -169,9 +169,11 @@ object Dedup {
       val next = labels.select(col("node"), col("lbl")).union(flowed)
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
         .localCheckpoint(false) // lazy: first use below materializes it
-      val sumLbl = next.agg(sum(col("lbl").cast("decimal(38,0)")))
-        .head.getDecimal(0).stripTrailingZeros()
-      converged = prevSum.exists(_.compareTo(sumLbl) == 0)
+      val sumLbl = Option(next.agg(sum(col("lbl").cast("decimal(38,0)")))
+        .head.getDecimal(0)).map(_.stripTrailingZeros()).orNull
+      // null sum ⇔ no labeled nodes (empty edge list): trivially converged
+      converged = sumLbl == null ||
+        prevSum.exists(p => p != null && p.compareTo(sumLbl) == 0)
       prevSum = Some(sumLbl)
       labels = next
       iter += 1

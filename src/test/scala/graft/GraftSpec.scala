@@ -117,6 +117,14 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("connected components: empty edge list yields empty labels") {
+    import org.apache.spark.sql.types._
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("da", LongType), StructField("db", LongType))))
+    assert(operators.Dedup.connectedComponents(empty).count() == 0)
+  }
+
   test("dedup clusters: every t54 pair lands in one cluster, members add up") {
     val clusters = operators.Dedup.qDedupClusters.fn(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
