@@ -83,27 +83,38 @@ case class MergeAsOfExec(
       val joined = new JoinedRow
       // single-row lookahead over the right side (rows arrive sorted)
       var rKey = 0L; var rTsV = 0L; var rHas = false
-      def advanceRight(): Unit =
-        if (rIter.hasNext) {
+      // right rows with null key or ts can never match (SQL join-key
+      // semantics): skip them during advance
+      def advanceRight(): Unit = {
+        rHas = false
+        while (!rHas && rIter.hasNext) {
           val k = rProj(rIter.next())
-          rKey = k.getLong(0); rTsV = k.getLong(1); rHas = true
-        } else rHas = false
+          if (!k.isNullAt(0) && !k.isNullAt(1)) {
+            rKey = k.getLong(0); rTsV = k.getLong(1); rHas = true
+          }
+        }
+      }
       advanceRight()
       var curKey = 0L; var haveKey = false
       var matchTs = 0L; var haveMatch = false
       lIter.map { lRow =>
         val k = lProj(lRow)
-        val lKey = k.getLong(0); val lTsV = k.getLong(1)
-        if (!haveKey || lKey != curKey) { // new left key group: reset state
-          curKey = lKey; haveKey = true; haveMatch = false
+        if (k.isNullAt(0) || k.isNullAt(1)) { // null key/ts: no match, keep row
+          matchCol.setNullAt(0)
+          resultProj(joined(lRow, matchCol))
+        } else {
+          val lKey = k.getLong(0); val lTsV = k.getLong(1)
+          if (!haveKey || lKey != curKey) { // new left key group: reset state
+            curKey = lKey; haveKey = true; haveMatch = false
+          }
+          // consume right rows at-or-before this left row's time
+          while (rHas && (rKey < lKey || (rKey == lKey && rTsV <= lTsV))) {
+            if (rKey == lKey) { matchTs = rTsV; haveMatch = true }
+            advanceRight()
+          }
+          if (haveMatch) matchCol.setLong(0, matchTs) else matchCol.setNullAt(0)
+          resultProj(joined(lRow, matchCol))
         }
-        // consume right rows at-or-before this left row's time
-        while (rHas && (rKey < lKey || (rKey == lKey && rTsV <= lTsV))) {
-          if (rKey == lKey) { matchTs = rTsV; haveMatch = true }
-          advanceRight()
-        }
-        if (haveMatch) matchCol.setLong(0, matchTs) else matchCol.setNullAt(0)
-        resultProj(joined(lRow, matchCol))
       }
     }
   }

@@ -172,6 +172,33 @@ class PlanSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("native merge as-of join: null keys never match, left rows survive") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    def ts(m: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-06-01 10:$m%02d:00")
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts", TimestampType)))
+    val left = spark.createDataFrame(Seq(
+      Row(1L, ts(10)), Row(null, ts(11)), Row(2L, ts(12)), Row(2L, null)
+    ).asJava, schema)
+    val right = spark.createDataFrame(Seq(
+      Row(1L, ts(5)), Row(null, ts(6)), Row(2L, null), Row(2L, ts(7))
+    ).asJava, schema)
+    val got = graft.plans.AsOf.lastTsAtOrBefore(
+        left, right, "user_id", "ts", "ts", "m")
+      .collect().map(r => (Option(r.get(0)), Option(r.getTimestamp(1)),
+        Option(r.getTimestamp(2)))).toSet
+    val want = Set(
+      (Some(1L), Some(ts(10)), Some(ts(5))),  // normal backward match
+      (None, Some(ts(11)), None),             // null left key: kept, no match
+      (Some(2L), Some(ts(12)), Some(ts(7))),  // null right rows skipped
+      (Some(2L), None, None))                 // null left ts: kept, no match
+    assert(got.map(t => (t._1, t._2, t._3)) == want.map(t =>
+      (t._1.map(_.asInstanceOf[Any]), t._2, t._3)))
+  }
+
   test("extensions: graft_dot is a session SQL function (no temp registration)") {
     // newSession shares the context but rebuilds SessionState from the
     // injected extensions alone — Tables.ensureRegistered never ran here,
