@@ -196,6 +196,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.select("event_id").distinct().count() == 120)
   }
 
+  test("stream-static join enriches streaming rows from a fixed dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[Ev]
+    val dim = spark.range(10).select(col("id").as("bucket"),
+      concat_ws("-", lit("seg"), col("id")).as("segment"))
+    val stream = MemoryStream[Ev]
+    val rows = eventRows().filter(_.event_id < 1000) // deterministic subset
+    stream.addData(rows)
+    val joined = stream.toDF()
+      .withColumn("bucket", col("user_id") % 10)
+      .join(dim, Seq("bucket")) // static side: no watermark, re-read per batch
+      .groupBy(col("segment")).agg(count(lit(1)).as("n"))
+    val got = runToMemory(joined, "ss_join_out", OutputMode.Complete())
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.events(spark, sf).filter(col("event_id") < 1000)
+      .withColumn("bucket", col("user_id") % 10)
+      .join(dim, Seq("bucket"))
+      .groupBy(col("segment")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.values.sum == rows.size.toLong)
+    assert(got == want)
+  }
+
   test("Trigger.AvailableNow: file-source catch-up processes a backlog then stops") {
     import org.apache.spark.sql.streaming.Trigger
     val srcDir = java.nio.file.Files.createTempDirectory("graft_an_src").toString
