@@ -347,7 +347,26 @@ object Text {
       .orderBy(col("lang"))
   }
 
+  /** Corpus heavy hitters (frequent-items mining): exact global top-k
+    * terms by document frequency. One explode + one groupBy — partial
+    * aggregation bounds the shuffle to |vocab| per partition, then
+    * TakeOrderedAndProject keeps the top-k without a global sort. The
+    * approximate companion (Spark's `stat.freqItems`, lossy-counting
+    * sketch) is ScalaTest-bounded against this exact form. */
+  val qHeavyHitters: Q = Q(
+    "t64_heavy_hitters",
+    """SELECT tok, CAST(count(*) AS BIGINT) AS n_docs
+      |FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      |      FROM documents)
+      |GROUP BY tok ORDER BY n_docs DESC, tok LIMIT 10""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens).as("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(desc("n_docs"), col("tok")).limit(10)
+  }
+
   val all: Seq[Q] = Seq(qTokenCounts, qLangStats, qExactDedup, qDedupKeepFirst,
     qQuality, qNgramJaccard, qTfIdf, qLangId, qFingerprint, qRegexTokens,
-    qPipelineClean)
+    qPipelineClean, qHeavyHitters)
 }

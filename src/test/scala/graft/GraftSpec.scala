@@ -167,6 +167,21 @@ class DedupSpec extends AnyFunSuite {
     assert(n > 20 && n < 140, s"sampled $n")
   }
 
+  test("freqItems sketch finds every exact heavy hitter above its support") {
+    import org.apache.spark.sql.functions.{col, explode, split}
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val exactTop = toks.groupBy("tok").count()
+      .orderBy(col("count").desc).limit(5)
+      .collect().map(_.getString(0)).toSet
+    // lossy-counting sketch: support 1% — guaranteed superset of items
+    // with frequency above support (false positives allowed)
+    val approx = toks.stat.freqItems(Array("tok"), 0.01)
+      .head.getSeq[String](0).toSet
+    assert(exactTop.subsetOf(approx),
+      s"missing: ${exactTop -- approx} from ${approx.size} sketch items")
+  }
+
   test("stratified sample respects per-stratum fractions") {
     val full = Tables.events(spark, sf).groupBy("event_type").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
