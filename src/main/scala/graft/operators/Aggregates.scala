@@ -326,7 +326,31 @@ object Aggregates {
       .orderBy(col("stat"))
   }
 
+  /** `groupby().transform` (dask/pandas): a per-group statistic broadcast
+    * back onto every row — here the within-customer z-score of order
+    * totals. One unbounded window frame per group (no join-back needed);
+    * single-order customers get null stddev → null z, pinned identically
+    * in the oracle. */
+  val qGroupTransform: Q = Q(
+    "q97_group_transform",
+    """SELECT o_orderkey, o_custkey,
+      |  round((o_totalprice - avg(o_totalprice) OVER w)
+      |        / stddev_samp(o_totalprice) OVER w, 6) AS z_in_cust
+      |FROM orders WHERE o_custkey <= 200
+      |WINDOW w AS (PARTITION BY o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+    Tables.orders(s, d).filter(col("o_custkey") <= 200)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round((col("o_totalprice") - avg(col("o_totalprice")).over(w))
+          / stddev_samp(col("o_totalprice")).over(w), 6).as("z_in_cust"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[Q] = Seq(qStats, qCountDistinct, qApproxDistinct, qValueCounts,
     qApproxQuantiles,
-    qPivot, qRollup, qCube, qQuantiles, qCorr, qMinMaxBy, qGlobalAgg, qDescribe)
+    qPivot, qRollup, qCube, qQuantiles, qCorr, qMinMaxBy, qGlobalAgg, qDescribe,
+    qGroupTransform)
 }

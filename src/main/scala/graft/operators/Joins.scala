@@ -199,6 +199,43 @@ object Joins {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** `combine_first` (dask/pandas): fill one frame's missing values from
+    * another, keeping all keys from both — a full outer join on the key
+    * with per-column coalesce(primary, fallback). Nulls injected
+    * deterministically; keys 101-120 exist only in the fallback frame, so
+    * the outer side is exercised too. */
+  val qCombineFirst: Q = Q(
+    "q98_combine_first",
+    """WITH prim AS (
+      |  SELECT c_custkey, CASE WHEN c_custkey % 3 = 0 THEN NULL
+      |                         ELSE c_acctbal END AS bal,
+      |         c_mktsegment AS seg
+      |  FROM customer WHERE c_custkey <= 100),
+      |fb AS (SELECT c_custkey, round(c_acctbal, 0) AS bal, 'FALLBACK' AS seg
+      |       FROM customer WHERE c_custkey <= 120)
+      |SELECT coalesce(prim.c_custkey, fb.c_custkey) AS c_custkey,
+      |       round(coalesce(prim.bal, fb.bal), 2) AS bal,
+      |       coalesce(prim.seg, fb.seg) AS seg
+      |FROM prim FULL OUTER JOIN fb ON prim.c_custkey = fb.c_custkey
+      |ORDER BY c_custkey""".stripMargin
+  ) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val prim = c.filter(col("c_custkey") <= 100)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 3 === 0, lit(null)).otherwise(col("c_acctbal"))
+          .as("bal"),
+        col("c_mktsegment").as("seg"))
+    val fb = c.filter(col("c_custkey") <= 120)
+      .select(col("c_custkey"), round(col("c_acctbal"), 0).as("bal"),
+        lit("FALLBACK").as("seg"))
+    prim.as("p").join(fb.as("f"), col("p.c_custkey") === col("f.c_custkey"), "full_outer")
+      .select(
+        coalesce(col("p.c_custkey"), col("f.c_custkey")).as("c_custkey"),
+        round(coalesce(col("p.bal"), col("f.bal")), 2).as("bal"),
+        coalesce(col("p.seg"), col("f.seg")).as("seg"))
+      .orderBy(col("c_custkey"))
+  }
+
   val all: Seq[Q] = Seq(q3ShippingPriority, qBroadcastDims, qLeftOuter,
-    qFullOuter, qSemiAnti, qCrossTheta, qSelfJoin, qRightOuter)
+    qFullOuter, qSemiAnti, qCrossTheta, qSelfJoin, qRightOuter, qCombineFirst)
 }
