@@ -46,12 +46,17 @@ object Bench {
       }
     val cold = pass()
     val warm = pass()
-    def total(r: Seq[(String, Double)]) = r.map(_._2).filter(_ >= 0).sum
-    // a query that failed in either pass is reported as -1
-    val qs = cold.zip(warm).map { case ((k, c), (_, w)) =>
-      s"\"" + k + "\":" + (if (c < 0 || w < 0) -1.0 else w)
-    }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${total(warm)},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${total(cold)},"passes":2}""")
+    // a query that failed in either pass is -1 per-query AND excluded
+    // from both totals, so "value" always equals the sum of the positive
+    // per-query entries it reports
+    val merged = cold.zip(warm).map { case ((k, c), (_, w)) =>
+      k -> (if (c < 0 || w < 0) (-1.0, -1.0) else (c, w))
+    }
+    def total(pick: ((Double, Double)) => Double) =
+      merged.map(kv => pick(kv._2)).filter(_ >= 0).sum
+    val qs = merged.map { case (k, (_, w)) => s"\"" + k + "\":" + w }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${total(_._2)},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${total(_._1)},"passes":2}""")
     spark.stop()
   }
 }

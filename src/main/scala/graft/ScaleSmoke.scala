@@ -24,7 +24,8 @@ object ScaleSmoke {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.driver.memory", "8g")
+      // NOTE: driver heap cannot be set here (JVM already running under
+      // sbt); size it via the sbt/spark-submit JVM options if needed
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

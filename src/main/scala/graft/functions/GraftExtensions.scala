@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{
-  ArrayExists, ArrayFilter, Expression, ExpressionInfo, GreaterThan,
+  And, ArrayExists, ArrayFilter, Expression, ExpressionInfo, GreaterThan,
   GreaterThanOrEqual, LambdaFunction, LessThan, Literal, Size
 }
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
@@ -18,14 +18,14 @@ import org.apache.spark.sql.types.IntegerType
   * difference between O(|arr|) allocation per row and an early-exit
   * probe.
   *
-  * Scoped to Filter conditions on purpose: for a NULL input array the
-  * two forms differ as *values* (`size` yields -1 under the legacy flag
-  * or NULL under ANSI, `exists` yields NULL) but both are non-true, so
-  * as a filter predicate the rewrite is semantics-preserving under
-  * either setting. Three-valued-logic `exists` (the default) likewise
-  * only differs from the counting form by returning NULL instead of
-  * false when no element matches but some predicate evaluated to NULL —
-  * also non-true, also dropped.
+  * Scoped to TOP-LEVEL CONJUNCTS of Filter conditions on purpose: there
+  * the two forms differ only as false-vs-null — for a NULL input array
+  * (`size` yields -1 legacy / NULL ANSI, `exists` yields NULL) and for
+  * 3VL `exists` returning NULL where the count comparison returns false
+  * — and a filter drops both identically. In any other position (under
+  * NOT, inside coalesce, compared to another boolean) false and null are
+  * NOT interchangeable, so nested occurrences are deliberately left
+  * alone.
   *
   * Only single-argument lambdas are rewritten: `filter` also accepts a
   * two-argument (value, index) lambda which `exists` has no equivalent
@@ -37,17 +37,28 @@ object ExistsOverSizeFilter extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  // rewrite ONLY a whole top-level conjunct, never a subexpression
+  private def rewriteConjunct(e: Expression): Expression = e match {
+    case GreaterThan(Size(ArrayFilter(arr, fn), _), Literal(0, IntegerType))
+        if oneArg(fn) => ArrayExists(arr, fn)
+    case LessThan(Literal(0, IntegerType), Size(ArrayFilter(arr, fn), _))
+        if oneArg(fn) => ArrayExists(arr, fn)
+    case GreaterThanOrEqual(Size(ArrayFilter(arr, fn), _), Literal(1, IntegerType))
+        if oneArg(fn) => ArrayExists(arr, fn)
+    case other => other
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
-      val rewritten = cond.transformUp {
-        case GreaterThan(Size(ArrayFilter(arr, fn), _), Literal(0, IntegerType))
-            if oneArg(fn) => ArrayExists(arr, fn)
-        case LessThan(Literal(0, IntegerType), Size(ArrayFilter(arr, fn), _))
-            if oneArg(fn) => ArrayExists(arr, fn)
-        case GreaterThanOrEqual(Size(ArrayFilter(arr, fn), _), Literal(1, IntegerType))
-            if oneArg(fn) => ArrayExists(arr, fn)
-      }
-      if (rewritten.fastEquals(cond)) f else Filter(rewritten, child)
+      val conjuncts = splitConjunctivePredicates(cond)
+      val rewritten = conjuncts.map(rewriteConjunct)
+      if (conjuncts.zip(rewritten).forall { case (a, b) => a.fastEquals(b) }) f
+      else Filter(rewritten.reduce(And), child)
+  }
+
+  private def splitConjunctivePredicates(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
+    case other => Seq(other)
   }
 }
 

@@ -236,11 +236,9 @@ object Aggregates {
     val vals = df.select(value.as("v")).filter(col("v").isNotNull)
       .withColumn("_sq_b", bucket(col("v")))
     val counts = vals.groupBy(col("_sq_b")).agg(count(lit(1)).as("_sq_cnt"))
-    // offset = #rows in strictly-earlier buckets (tiny broadcast theta join)
-    val offsets = counts.as("sqa").join(broadcast(counts.as("sqb")),
-        col("sqb._sq_b") < col("sqa._sq_b"), "left")
-      .groupBy(col("sqa._sq_b").as("_sq_bo"), col("sqa._sq_cnt").as("_sq_c"))
-      .agg(coalesce(sum(col("sqb._sq_cnt")), lit(0L)).as("_sq_off"))
+    // offset = #rows in strictly-earlier buckets (shared Scale helper)
+    val offsets = Scale.bucketOffsets(counts, "_sq_b", "_sq_cnt", "_sq_off")
+      .select(col("_sq_b").as("_sq_bo"), col("_sq_cnt").as("_sq_c"), col("_sq_off"))
     val n = counts.agg(sum(col("_sq_cnt")).as("qn")) // no extra scan of df
     // a bucket is a straddle iff its rank interval [off+1, off+cnt]
     // intersects {lo, lo+1} for some requested percentile

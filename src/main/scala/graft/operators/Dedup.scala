@@ -150,7 +150,7 @@ object Dedup {
     * adversarially-long chains the large-star/small-star contraction
     * (O(log² n) rounds) is the drop-in upgrade.
     * Returns (node, lbl) where lbl = min node id of the component. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val und = edges.select(col("da").as("src"), col("db").as("dst"))
       .union(edges.select(col("db").as("src"), col("da").as("dst")))
       .localCheckpoint(true) // edges re-read every round: materialize once
@@ -178,6 +178,11 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // returning best-effort labels would silently split clusters (and
+    // diverge from the exact oracle) — fail loudly instead
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: no fixpoint within $maxIter rounds — component " +
+        "diameter exceeds the bound; raise maxIter or switch to star-contraction")
     labels
   }
 

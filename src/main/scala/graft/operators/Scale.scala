@@ -32,6 +32,26 @@ object Scale {
       .agg(sum(col("pn")).as("n"), round(sum(col("ps")), 2).as("total"))
   }
 
+  /** "Strictly earlier" bucket predicate with NULLS FIRST semantics (a
+    * null bucket sorts before every non-null one, matching Spark's
+    * default ascending sort): earlier(b, a) ⇔ b null ∧ a non-null, or
+    * both non-null ∧ b < a. */
+  private def earlierThan(b: Column, a: Column): Column =
+    (b.isNull && a.isNotNull) || (b.isNotNull && a.isNotNull && b < a)
+
+  /** Per-bucket cumulative offsets: for each (bucket, cnt) row of a
+    * per-bucket count table, the summed counts of all strictly-earlier
+    * buckets (NULLS FIRST). Tiny broadcast theta self-join (#buckets²
+    * pairs) — the shared core of globalRowNumber and the histogram-pruned
+    * exact quantiles. Output columns: (bucket, cnt, off) under the given
+    * names. */
+  private[graft] def bucketOffsets(counts: DataFrame, b: String, cnt: String,
+      off: String): DataFrame =
+    counts.as("gra").join(broadcast(counts.as("grb")),
+        earlierThan(col(s"grb.$b"), col(s"gra.$b")), "left")
+      .groupBy(col(s"gra.$b").as(b), col(s"gra.$cnt").as(cnt))
+      .agg(coalesce(sum(col(s"grb.$cnt")), lit(0L)).as(off))
+
   /** Scale-safe global row_number / rank over a total order, without the
     * single-partition WindowExec that `Window.orderBy` (no partition)
     * produces. Shape: bucket rows by a monotone-in-sort-order expression
@@ -44,8 +64,9 @@ object Scale {
     * `bucket` must be monotone non-decreasing along `order` (rows in a
     * smaller bucket sort strictly before rows in a larger one; ties of the
     * primary key must share a bucket — any deterministic banding of the
-    * primary sort key qualifies). Choose banding so #buckets stays O(100s)
-    * — e.g. from `approxQuantile` boundaries on a sample at scale.
+    * primary sort key qualifies; a NULL bucket is its own group ranked
+    * first, mirroring NULLS FIRST). Choose banding so #buckets stays
+    * O(100s) — e.g. from `approxQuantile` boundaries on a sample at scale.
     * When `order` is a total order (unique tie-break), row_number == rank.
     */
   def globalRowNumber(df: DataFrame, bucket: Column, order: Seq[Column],
@@ -55,29 +76,28 @@ object Scale {
     val local = b.withColumn("_grk_local",
       row_number().over(Window.partitionBy(col("_grk_bucket")).orderBy(order: _*)))
     val counts = b.groupBy(col("_grk_bucket").as("_grk_bc")).agg(count(lit(1)).as("_grk_n"))
-    // cumulative count of strictly-earlier buckets: tiny theta self-join
-    // (#buckets² pairs, broadcast) — no single-partition window anywhere
-    val offsets = counts.as("gra").join(broadcast(counts.as("grb")),
-        col("grb._grk_bc") < col("gra._grk_bc"), "left")
-      .groupBy(col("gra._grk_bc").as("_grk_bo"))
-      .agg(coalesce(sum(col("grb._grk_n")), lit(0L)).as("_grk_off"))
-    local.join(broadcast(offsets), col("_grk_bucket") === col("_grk_bo"))
+    val offsets = bucketOffsets(counts, "_grk_bc", "_grk_n", "_grk_off")
+    // null-safe equality: rows in the NULL bucket keep their rank too
+    local.join(broadcast(offsets), col("_grk_bucket") <=> col("_grk_bc"))
       .withColumn(out, (col("_grk_off") + col("_grk_local")).cast("long"))
-      .drop("_grk_bucket", "_grk_local", "_grk_bo", "_grk_off")
+      .drop("_grk_bucket", "_grk_local", "_grk_bc", "_grk_n", "_grk_off")
   }
 
   /** Scale-safe global dense_rank over a BANDED key (distinct-value count
     * must be modest — banded/rounded keys, categories; document the bound
     * at the call site). dense_rank(k) = #distinct keys < k + 1, computed
     * on the distinct-key table via a broadcast theta join, then broadcast-
-    * joined back to the fat table. The fat table is never re-shuffled. */
+    * joined back to the fat table. The fat table is never re-shuffled.
+    * A NULL key ranks first (NULLS FIRST), like the window function. */
   def globalDenseRank(df: DataFrame, key: Column, out: String): DataFrame = {
-    val keys = df.select(key.as("_gdr_k")).distinct()
+    val keys = df.select(key.as("_gdr_k")).distinct().withColumn("_gdr_one", lit(1))
     val ranks = keys.as("gda").join(broadcast(keys.as("gdb")),
-        col("gdb._gdr_k") < col("gda._gdr_k"), "left")
+        earlierThan(col("gdb._gdr_k"), col("gda._gdr_k")), "left")
+      // count the match marker, not the key: a NULL earlier key (nulls
+      // rank first) must still contribute to the rank of non-null keys
       .groupBy(col("gda._gdr_k"))
-      .agg((count(col("gdb._gdr_k")) + 1L).as(out))
-    df.join(broadcast(ranks), key === col("_gdr_k")).drop("_gdr_k")
+      .agg((count(col("gdb._gdr_one")) + 1L).as(out))
+    df.join(broadcast(ranks), key <=> col("_gdr_k")).drop("_gdr_k")
   }
 
   /** SQL ntile(k) from a precomputed global row_number `rn` and total row

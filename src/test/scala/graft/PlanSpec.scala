@@ -70,6 +70,12 @@ class PlanSpec extends AnyFunSuite {
     val opt = q.queryExecution.optimizedPlan.toString
     assert(opt.contains("exists("), opt.take(600))
     assert(!opt.contains("size(filter("), opt.take(600))
+    // negated / nested positions must NOT rewrite: false-vs-null matters
+    // under NOT (a null-array row is kept unrewritten, dropped rewritten)
+    val negated = docs.filter(!(asize(afilter(
+      org.apache.spark.sql.functions.split(col("text"), " "), x => x === "the")) > 0))
+    assert(!negated.queryExecution.optimizedPlan.toString.contains("exists("),
+      "rewrite leaked into a negated position")
     // and the rewrite preserves the answer: exclude the rule, re-run, compare
     val ruleName = functions.ExistsOverSizeFilter.ruleName
     val prev = spark.conf.getOption("spark.sql.optimizer.excludedRules")
