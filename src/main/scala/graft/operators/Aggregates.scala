@@ -347,8 +347,30 @@ object Aggregates {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Fixed-width binning (pandas/dask `cut`): histogram of prices in
+    * 10k-wide bins with per-bin stats. Bin assignment is pure arithmetic
+    * in the projection — the map-side-combined groupBy ships only
+    * #bins rows per partition. (Quantile binning `qcut` = the same shape
+    * with sortedQuantiles/percentile_approx boundaries.) */
+  val qBinning: Q = Q(
+    "q99_cut_binning",
+    """SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bin,
+      |  count(*) AS n, round(avg(l_extendedprice), 4) AS avg_price,
+      |  CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+      |  CAST(max(l_extendedprice) AS DOUBLE) AS hi
+      |FROM lineitem GROUP BY bin ORDER BY bin""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .withColumn("bin", floor(col("l_extendedprice") / 10000).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        min(col("l_extendedprice")).cast("double").as("lo"),
+        max(col("l_extendedprice")).cast("double").as("hi"))
+      .orderBy(col("bin"))
+  }
+
   val all: Seq[Q] = Seq(qStats, qCountDistinct, qApproxDistinct, qValueCounts,
     qApproxQuantiles,
     qPivot, qRollup, qCube, qQuantiles, qCorr, qMinMaxBy, qGlobalAgg, qDescribe,
-    qGroupTransform)
+    qGroupTransform, qBinning)
 }

@@ -167,6 +167,26 @@ class DedupSpec extends AnyFunSuite {
     assert(n > 20 && n < 140, s"sampled $n")
   }
 
+  test("global rank helpers keep null keys and rank them first (NULLS FIRST)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(Seq(
+      Row(java.lang.Long.valueOf(30L)), Row(null), Row(java.lang.Long.valueOf(10L)),
+      Row(null), Row(java.lang.Long.valueOf(20L))
+    ).asJava, StructType(Seq(StructField("k", LongType))))
+    import org.apache.spark.sql.functions.col
+    val rn = operators.Scale.globalRowNumber(df, col("k"), Seq(col("k")), "rn")
+      .collect().map(r => Option(r.get(0)) -> r.getLong(1))
+    assert(rn.length == 5, "no rows may be dropped")
+    assert(rn.filter(_._1.isEmpty).map(_._2).sorted.toSeq == Seq(1L, 2L))
+    assert(rn.filter(_._1.contains(30L)).head._2 == 5L)
+    val dr = operators.Scale.globalDenseRank(df, col("k"), "dr")
+      .collect().map(r => Option(r.get(0)) -> r.getLong(1)).toSet
+    assert(dr == Set(Option.empty[Any] -> 1L, Some(10L) -> 2L,
+      Some(20L) -> 3L, Some(30L) -> 4L))
+  }
+
   test("freqItems sketch finds every exact heavy hitter above its support") {
     import org.apache.spark.sql.functions.{col, explode, split}
     val toks = Tables.documents(spark, sf)
