@@ -369,8 +369,39 @@ object Aggregates {
       .orderBy(col("bin"))
   }
 
+  /** Quantile binning (pandas/dask `qcut`): quartile boundaries from the
+    * histogram-pruned exact quantiles (a 1-row broadcast — no collect),
+    * then arithmetic bin assignment + per-bin stats. Rows equal to a
+    * boundary go to the lower bin (`> b` comparisons), pinned identically
+    * in the oracle. */
+  val qQcut: Q = Q(
+    "q100_qcut_binning",
+    """WITH b AS (SELECT
+      |    quantile_cont(l_extendedprice, 0.25) AS q1,
+      |    quantile_cont(l_extendedprice, 0.50) AS q2,
+      |    quantile_cont(l_extendedprice, 0.75) AS q3
+      |  FROM lineitem)
+      |SELECT CAST(CAST(l_extendedprice > q1 AS BIGINT)
+      |            + CAST(l_extendedprice > q2 AS BIGINT)
+      |            + CAST(l_extendedprice > q3 AS BIGINT) AS BIGINT) AS qbin,
+      |  count(*) AS n, round(avg(l_extendedprice), 4) AS avg_price
+      |FROM lineitem, b GROUP BY qbin ORDER BY qbin""".stripMargin
+  ) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val bounds = sortedQuantiles(li, col("l_extendedprice"), v => floor(v / 5000),
+      Seq("q1" -> 0.25, "q2" -> 0.50, "q3" -> 0.75))
+    li.join(broadcast(bounds), lit(true))
+      .withColumn("qbin",
+        ((col("l_extendedprice") > col("q1")).cast("long")
+          + (col("l_extendedprice") > col("q2")).cast("long")
+          + (col("l_extendedprice") > col("q3")).cast("long")))
+      .groupBy(col("qbin"))
+      .agg(count(lit(1)).as("n"), round(avg(col("l_extendedprice")), 4).as("avg_price"))
+      .orderBy(col("qbin"))
+  }
+
   val all: Seq[Q] = Seq(qStats, qCountDistinct, qApproxDistinct, qValueCounts,
     qApproxQuantiles,
     qPivot, qRollup, qCube, qQuantiles, qCorr, qMinMaxBy, qGlobalAgg, qDescribe,
-    qGroupTransform, qBinning)
+    qGroupTransform, qBinning, qQcut)
 }
