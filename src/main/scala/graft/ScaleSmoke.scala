@@ -122,5 +122,15 @@ object ScaleSmoke {
       operators.Dedup.connectedComponents(pairs.select("da", "db")).count()
     }
     spark.stop()
+    // synthetic tables are hundreds of MB per run: delete so repeated
+    // runs don't build disk pressure (which skews the measurements)
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    rmTree(java.nio.file.Paths.get(base))
   }
 }

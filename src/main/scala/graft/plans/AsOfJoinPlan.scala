@@ -73,6 +73,8 @@ case class MergeAsOfExec(
     val lOut = left.output
     val rOut = right.output
     val (lOn, lTs, rOn, rTs) = (leftOn, leftTs, rightOn, rightTs)
+    val lMayBeNull = leftOn.nullable || leftTs.nullable
+    val rMayBeNull = rightOn.nullable || rightTs.nullable
     val outSchema = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // generated key extractors + result row builder, one per partition
@@ -84,12 +86,13 @@ case class MergeAsOfExec(
       // single-row lookahead over the right side (rows arrive sorted)
       var rKey = 0L; var rTsV = 0L; var rHas = false
       // right rows with null key or ts can never match (SQL join-key
-      // semantics): skip them during advance
+      // semantics): skip them during advance. Null checks are hoisted on
+      // schema nullability so non-nullable inputs pay no per-row branch.
       def advanceRight(): Unit = {
         rHas = false
         while (!rHas && rIter.hasNext) {
           val k = rProj(rIter.next())
-          if (!k.isNullAt(0) && !k.isNullAt(1)) {
+          if (!rMayBeNull || (!k.isNullAt(0) && !k.isNullAt(1))) {
             rKey = k.getLong(0); rTsV = k.getLong(1); rHas = true
           }
         }
@@ -99,8 +102,8 @@ case class MergeAsOfExec(
       var matchTs = 0L; var haveMatch = false
       lIter.map { lRow =>
         val k = lProj(lRow)
-        if (k.isNullAt(0) || k.isNullAt(1)) { // null key/ts: no match, keep row
-          matchCol.setNullAt(0)
+        if (lMayBeNull && (k.isNullAt(0) || k.isNullAt(1))) {
+          matchCol.setNullAt(0) // null key/ts: no match, keep row
           resultProj(joined(lRow, matchCol))
         } else {
           val lKey = k.getLong(0); val lTsV = k.getLong(1)
