@@ -91,6 +91,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("t64: heavy hitters top-k plans as TakeOrderedAndProject with partial agg") {
+    val p = plan("t64_heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+    assert(p.contains("partial_"), p.take(400))
+  }
+
+  test("q99: binning aggregation is two-phase (map-side partial)") {
+    assert(plan("q99_cut_binning").contains("partial_"))
+  }
+
   test("AQE splits a skewed sort-merge join partition (skew=true in final plan)") {
     import org.apache.spark.sql.functions.{col, concat_ws, lit => flit, when => fwhen}
     val conf = spark.conf
