@@ -366,7 +366,37 @@ object Text {
       .orderBy(desc("n_docs"), col("tok")).limit(10)
   }
 
+  /** Benchmark decontamination (the eval-overlap scrub a pretraining
+    * pipeline runs): flag training docs sharing any 3-gram shingle with a
+    * benchmark/eval set, with the overlap count as evidence. The
+    * benchmark side is small by construction → its shingle set broadcasts
+    * and the training side needs ONE scan + a broadcast hash join — no
+    * shuffle of the training corpus at all. Here docs < 50 stand in for
+    * the benchmark; the rest is the corpus. */
+  val qDecontaminate: Q = Q(
+    "t65_decontamination",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct(CASE WHEN len(t) >= 3
+      |           THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+      |           ELSE [] END) AS shset
+      |       FROM toks),
+      |shx AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+      |bench AS (SELECT DISTINCT s FROM shx WHERE doc_id < 50),
+      |train AS (SELECT doc_id, s FROM shx WHERE doc_id >= 50)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_3grams
+      |FROM train JOIN bench USING (s)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val shx = shingled(Tables.documents(s, d))
+    val bench = shx.filter(col("doc_id") < 50).select(col("s")).distinct()
+    val train = shx.filter(col("doc_id") >= 50)
+    train.join(broadcast(bench), Seq("s"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_3grams"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(qTokenCounts, qLangStats, qExactDedup, qDedupKeepFirst,
     qQuality, qNgramJaccard, qTfIdf, qLangId, qFingerprint, qRegexTokens,
-    qPipelineClean, qHeavyHitters)
+    qPipelineClean, qHeavyHitters, qDecontaminate)
 }
