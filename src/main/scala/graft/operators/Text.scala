@@ -396,7 +396,56 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Repetition filter (the Gopher-style quality rule t53's
+    * length/punct/stopword ratios don't cover): per-doc fraction of the
+    * most repeated word and most repeated 2-gram; docs above threshold
+    * are flagged as low-quality boilerplate. Explode-based relational
+    * per-token work, two groupBys per signal — both map-side combined on
+    * (doc_id, gram). */
+  val qRepetition: Q = Q(
+    "t66_repetition_filter",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents WHERE doc_id < 300),
+      |words AS (SELECT doc_id, unnest(t) AS g FROM toks),
+      |wc AS (SELECT doc_id, g, count(*) AS c FROM words GROUP BY doc_id, g),
+      |wstat AS (SELECT doc_id, max(c) AS mx, sum(c) AS n FROM wc GROUP BY doc_id),
+      |grams AS (SELECT doc_id,
+      |            unnest(CASE WHEN len(t) >= 2
+      |              THEN [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]
+      |              ELSE [] END) AS g
+      |          FROM toks),
+      |gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+      |gstat AS (SELECT doc_id, max(c) AS mx, sum(c) AS n FROM gc GROUP BY doc_id)
+      |SELECT w.doc_id,
+      |  round(w.mx * 1.0 / w.n, 6) AS top_word_frac,
+      |  round(g.mx * 1.0 / g.n, 6) AS top_2gram_frac,
+      |  (w.mx * 1.0 / w.n > 0.2 OR g.mx * 1.0 / g.n > 0.18) AS flagged
+      |FROM wstat w JOIN gstat g ON w.doc_id = g.doc_id
+      |ORDER BY w.doc_id""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+      .withColumn("t", tokens)
+    def topFrac(grams: DataFrame, mx: String, n: String): DataFrame =
+      grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as(mx), sum(col("c")).as(n))
+    val wstat = topFrac(docs.select(col("doc_id"), explode(col("t")).as("g")),
+      "wmx", "wn")
+    val gstat = topFrac(docs.select(col("doc_id"),
+      explode(when(size(col("t")) >= 2,
+        transform(sequence(lit(0), size(col("t")) - 2),
+          i => concat_ws(" ", col("t")(i), col("t")(i + 1))))
+        .otherwise(array().cast("array<string>"))).as("g")), "gmx", "gn")
+    val wf = col("wmx") * lit(1.0) / col("wn")
+    val gf = col("gmx") * lit(1.0) / col("gn")
+    wstat.join(gstat, Seq("doc_id"))
+      .select(col("doc_id"),
+        round(wf, 6).as("top_word_frac"),
+        round(gf, 6).as("top_2gram_frac"),
+        (wf > 0.2 || gf > 0.18).as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(qTokenCounts, qLangStats, qExactDedup, qDedupKeepFirst,
     qQuality, qNgramJaccard, qTfIdf, qLangId, qFingerprint, qRegexTokens,
-    qPipelineClean, qHeavyHitters, qDecontaminate)
+    qPipelineClean, qHeavyHitters, qDecontaminate, qRepetition)
 }
