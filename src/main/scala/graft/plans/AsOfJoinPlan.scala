@@ -145,6 +145,14 @@ object AsOf {
   def lastTsAtOrBefore(left: DataFrame, right: DataFrame,
       onCol: String, leftTsCol: String, rightTsCol: String,
       outName: String): DataFrame = {
+    // self-sufficient on ANY session: if GraftExtensions wasn't installed
+    // at session build (a host-controlled session), register the strategy
+    // through the public experimental hook so the node always plans
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(GraftStrategies)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GraftStrategies
+    }
     // both sides often derive from the same relation (self as-of), which
     // would make left/right expression ids collide inside the custom node
     // — something the analyzer's relation dedup can't untangle for an
