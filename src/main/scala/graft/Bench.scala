@@ -5,15 +5,20 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: wall-clock per SparkEntry query at the given
   * scale factor, one shared session, one JSON line to stdout.
   *
-  * Two measured passes. Pass 1 (cold) pays each query's one-time cost —
-  * codegen, plan cache, JIT. Pass 2 (warm) is the marginal per-query cost
-  * and is the headline number: at 100 TB a query's runtime is data-bound,
-  * so the per-action constant the cold pass measures on 100 MB fixtures
-  * is floor, not signal (BASELINE.md §3). The fixture tables are cached
-  * once up front (untimed prep): every query re-derives the same scan
-  * plan, so Spark's CacheManager substitutes the in-memory relation —
-  * the cross-query analog of scan reuse a warm cluster gets from the
-  * OS page cache + parquet footer caching. */
+  * One cold pass + three warm passes; the headline per-query number is
+  * the MEDIAN of the warm passes. The cold pass pays each query's
+  * one-time cost — codegen, plan cache, JIT; warm is the marginal
+  * per-query cost: at 100 TB a query's runtime is data-bound, so the
+  * per-action constant the cold pass measures on 100 MB fixtures is
+  * floor, not signal (BASELINE.md §3). Median-of-3 because the bench
+  * shares the machine with the driver's own verify/oracle work: r2's
+  * driver run reported 43 s for a query that takes 1.2 s warm on an
+  * idle machine (every pass re-measured, plans unchanged) — a single
+  * contended pass must not become the round's number. The fixture
+  * tables are cached once up front (untimed prep): every query
+  * re-derives the same scan plan, so Spark's CacheManager substitutes
+  * the in-memory relation — the cross-query analog of scan reuse a
+  * warm cluster gets from the OS page cache + parquet footer caching. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -45,18 +50,21 @@ object Bench {
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
     val cold = pass()
-    val warm = pass()
-    // a query that failed in either pass is -1 per-query AND excluded
-    // from both totals, so "value" always equals the sum of the positive
+    val warms = Seq(pass(), pass(), pass())
+    // a query that failed in any pass is -1 per-query AND excluded from
+    // both totals, so "value" always equals the sum of the positive
     // per-query entries it reports
-    val merged = cold.zip(warm).map { case ((k, c), (_, w)) =>
-      k -> (if (c < 0 || w < 0) (-1.0, -1.0) else (c, w))
+    def median3(xs: Seq[Double]): Double = xs.sorted.apply(1)
+    val merged = cold.indices.map { i =>
+      val (k, c) = cold(i)
+      val ws = warms.map(_(i)._2)
+      k -> (if (c < 0 || ws.exists(_ < 0)) (-1.0, -1.0) else (c, median3(ws)))
     }
     def total(pick: ((Double, Double)) => Double) =
       merged.map(kv => pick(kv._2)).filter(_ >= 0).sum
     val qs = merged.map { case (k, (_, w)) => s"\"" + k + "\":" + w }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${total(_._2)},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${total(_._1)},"passes":2}""")
+    println(s"""{"metric":"total","value":${total(_._2)},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${total(_._1)},"passes":4,"warm_stat":"median_of_3"}""")
     spark.stop()
   }
 }

@@ -177,13 +177,17 @@ object Windows {
     * negative factors. Factors are small exact integers (linenumber - 3,
     * exercising negatives AND zeros) so the exp/ln round-trip stays well
     * inside the 6-decimal rounding; oracle uses DuckDB's native
-    * `product()` window, proving the identity, not mirroring it. */
+    * `product()` window, proving the identity, not mirroring it. The
+    * `+ 0.0` normalizes DuckDB's IEEE signed zero: `product` emits -0.0
+    * when a zero factor follows an odd number of negatives, while the
+    * zero-if-any-zero branch here emits +0.0 — bit-equal everywhere else
+    * (r2 driver hash compared bits, not values). */
   val qCumMinMaxProd: Q = Q(
     "q87_window_cummax_cumprod",
     """SELECT l_orderkey, l_linenumber,
       |  max(l_quantity) OVER w AS cum_max_qty,
       |  min(l_quantity) OVER w AS cum_min_qty,
-      |  round(product(CAST(l_linenumber - 3 AS DOUBLE)) OVER w, 6) AS cum_prod
+      |  round(product(CAST(l_linenumber - 3 AS DOUBLE)) OVER w, 6) + 0.0 AS cum_prod
       |FROM lineitem WHERE l_orderkey < 1000
       |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
