@@ -400,8 +400,29 @@ object Aggregates {
       .orderBy(col("qbin"))
   }
 
+  /** Per-group mode (dask `Series.mode` per group): most frequent
+    * event_type per user, via Spark's native deterministic `mode`
+    * aggregate (ties → lowest value). The oracle mirrors the tie-break
+    * explicitly (count desc, value asc) rather than relying on DuckDB's
+    * own `mode()`, whose tie behavior is unspecified. */
+  val qGroupMode: Q = Q(
+    "q102_group_mode",
+    """SELECT user_id, event_type AS modal_type FROM (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY count(*) DESC, event_type) AS rn
+      |  FROM events WHERE user_id < 50
+      |  GROUP BY user_id, event_type) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d).filter(col("user_id") < 50)
+      .groupBy(col("user_id"))
+      .agg(mode(col("event_type"), deterministic = true).as("modal_type"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[Q] = Seq(qStats, qCountDistinct, qApproxDistinct, qValueCounts,
     qApproxQuantiles,
     qPivot, qRollup, qCube, qQuantiles, qCorr, qMinMaxBy, qGlobalAgg, qDescribe,
-    qGroupTransform, qBinning, qQcut)
+    qGroupTransform, qBinning, qQcut, qGroupMode)
 }

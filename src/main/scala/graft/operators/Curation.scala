@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Corpus-curation operators (SURVEY.md §2.3 extensions): the steps
+  * between "cleaned documents" and "training batches" — fixed-budget
+  * context packing, unigram language-model scoring, PII redaction, and
+  * reproducible seeded shuffling.
+  *
+  * All four are declarative single-plan shapes with no global window:
+  * the two total-order ops (packing, shuffle) route through
+  * Scale.bucketOffsets / Scale.globalRowNumber so no reducer ever sees
+  * the whole corpus.
+  *
+  * Tier C north-star extension (repo BASELINE.json; SURVEY §2.3) — no
+  * counterpart in the reference source; grounded in the driver documents
+  * fixture.
+  */
+object Curation {
+
+  /** Context-window packing (concatenate-and-chunk, the GPT-style
+    * pretraining batch layout): documents in doc_id order are laid
+    * end-to-end on a global token tape; a document belongs to the
+    * 1024-token window its FIRST token lands in. Needs a global running
+    * token sum — computed scale-safe: band doc_id (monotone in the
+    * order), per-band window cumsum, then offset each band by the summed
+    * token counts of earlier bands (tiny broadcast theta join via
+    * Scale.bucketOffsets. No single-partition WindowExec anywhere. */
+  val qContextPacking: Q = Q(
+    "t67_context_packing",
+    """WITH d AS (SELECT doc_id,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |           FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |        sum(n_tokens) OVER (ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+      |          AS cum_prev
+      |      FROM d)
+      |SELECT CAST(cum_prev // 1024 AS BIGINT) AS window_id,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS window_tokens,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM c GROUP BY window_id ORDER BY window_id""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    // banding of the sort key: ~500 docs per band; any monotone banding
+    // works (at 100 TB: approxQuantile boundaries on a sample)
+    val banded = docs.withColumn("_b", (col("doc_id") / 500).cast("long"))
+    val w = Window.partitionBy(col("_b")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = banded.withColumn("_local", sum(col("n_tokens")).over(w))
+    val counts = banded.groupBy(col("_b").as("_bc")).agg(sum(col("n_tokens")).as("_bn"))
+    val offs = Scale.bucketOffsets(counts, "_bc", "_bn", "_off")
+    local.join(broadcast(offs), col("_b") === col("_bc"))
+      .withColumn("cum_prev", col("_off") + col("_local") - col("n_tokens"))
+      .withColumn("window_id", expr("cum_prev div 1024"))
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("window_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("window_id"))
+  }
+
+  /** Unigram language-model quality score: avg ln p(token) per document
+    * under the corpus's own unigram distribution — the cheap perplexity
+    * proxy a pretraining pipeline uses to rank documents. The frequency
+    * table is |vocab| rows (aggregated corpus-wide, broadcast back); the
+    * corpus-total is a 1-row aggregate that stays in the plan — no
+    * driver collect. */
+  val qUnigramLogprob: Q = Q(
+    "t68_unigram_logprob",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |             FROM documents),
+      |freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+      |tot AS (SELECT sum(c) AS n FROM freq)
+      |SELECT doc_id, round(avg(ln(c * 1.0 / n)), 6) AS avg_logprob,
+      |       CAST(count(*) AS BIGINT) AS n_tokens
+      |FROM tok JOIN freq USING (tok) CROSS JOIN tot
+      |WHERE doc_id < 100
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = freq.agg(sum(col("c")).as("n"))
+    tok.join(broadcast(freq), Seq("tok"))
+      .crossJoin(broadcast(tot))
+      .filter(col("doc_id") < 100)
+      .groupBy(col("doc_id"))
+      .agg(round(avg(log(col("c") * lit(1.0) / col("n"))), 6).as("avg_logprob"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII-style redaction (the regex scrub layer of a curation pipeline):
+    * digit runs of 2+ become a <NUM> placeholder, with the redaction
+    * count as an audit column. Codegen'd regexp_replace/regexp_count —
+    * one projection, no shuffle; at 100 TB this is a pure map stage. */
+  val qPiiRedaction: Q = Q(
+    "t69_pii_redaction",
+    """SELECT doc_id,
+      |  regexp_replace(text, '[0-9][0-9]+', '<NUM>', 'g') AS redacted,
+      |  CAST(len(regexp_extract_all(text, '[0-9][0-9]+')) AS BIGINT)
+      |    AS n_redacted
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d).filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "[0-9][0-9]+", "<NUM>").as("redacted"),
+        regexp_count(col("text"), lit("[0-9][0-9]+")).cast("long").as("n_redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Reproducible seeded corpus shuffle (training-data ordering): global
+    * position = rank under md5(seed || doc_id) — engine-portable, seed-
+    * deterministic, and scale-safe via Scale.globalRowNumber (bucket =
+    * first two hex chars of the key, a monotone banding of the sort
+    * order; no single-partition window). Emits the first 20 positions of
+    * the permutation. */
+  val qSeededShuffle: Q = Q(
+    "t70_seeded_shuffle",
+    """SELECT pos, doc_id FROM (
+      |  SELECT doc_id,
+      |    CAST(row_number() OVER (
+      |      ORDER BY md5('graft-shuffle-42:' || CAST(doc_id AS VARCHAR)), doc_id)
+      |      AS BIGINT) AS pos
+      |  FROM documents) t
+      |WHERE pos <= 20 ORDER BY pos""".stripMargin
+  ) { (s, d) =>
+    val keyed = Tables.documents(s, d).select(col("doc_id"))
+      .withColumn("_k", md5(concat(lit("graft-shuffle-42:"),
+        col("doc_id").cast("string"))))
+    Scale.globalRowNumber(keyed, substring(col("_k"), 1, 2),
+        Seq(col("_k"), col("doc_id")), "pos")
+      .filter(col("pos") <= 20)
+      .select(col("pos"), col("doc_id"))
+      .orderBy(col("pos"))
+  }
+
+  val all: Seq[Q] = Seq(qContextPacking, qUnigramLogprob, qPiiRedaction,
+    qSeededShuffle)
+}

@@ -236,6 +236,44 @@ object Joins {
       .orderBy(col("c_custkey"))
   }
 
+  /** Merge indicator (pandas/dask `merge(indicator=True)`): full outer
+    * join with a provenance column saying which side(s) each key came
+    * from. The id-range filters force all three classes to appear
+    * (every customer has orders in the fixture, so an unfiltered join
+    * would be all 'both'). Summarized per class so the output is stable
+    * across scales. */
+  val qMergeIndicator: Q = Q(
+    "q101_merge_indicator",
+    """WITH l AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 800),
+      |r AS (SELECT DISTINCT o_custkey AS k FROM orders
+      |      WHERE o_custkey >= 400 AND o_custkey < 1200)
+      |SELECT CASE WHEN l.k IS NULL THEN 'right_only'
+      |            WHEN r.k IS NULL THEN 'left_only'
+      |            ELSE 'both' END AS merge_ind,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       min(coalesce(l.k, r.k)) AS min_key,
+      |       max(coalesce(l.k, r.k)) AS max_key
+      |FROM l FULL JOIN r ON l.k = r.k
+      |GROUP BY merge_ind ORDER BY merge_ind""".stripMargin
+  ) { (s, d) =>
+    val l = Tables.customer(s, d).filter(col("c_custkey") < 800)
+      .select(col("c_custkey").as("lk"))
+    val r = Tables.orders(s, d)
+      .filter(col("o_custkey") >= 400 && col("o_custkey") < 1200)
+      .select(col("o_custkey").as("rk")).distinct()
+    l.join(r, col("lk") === col("rk"), "full_outer")
+      .select(
+        when(col("lk").isNull, "right_only")
+          .when(col("rk").isNull, "left_only")
+          .otherwise("both").as("merge_ind"),
+        coalesce(col("lk"), col("rk")).as("k"))
+      .groupBy(col("merge_ind"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_key"),
+        max(col("k")).as("max_key"))
+      .orderBy(col("merge_ind"))
+  }
+
   val all: Seq[Q] = Seq(q3ShippingPriority, qBroadcastDims, qLeftOuter,
-    qFullOuter, qSemiAnti, qCrossTheta, qSelfJoin, qRightOuter, qCombineFirst)
+    qFullOuter, qSemiAnti, qCrossTheta, qSelfJoin, qRightOuter, qCombineFirst,
+    qMergeIndicator)
 }

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the corpus-curation operators (Curation.scala)
+  * — properties the DuckDB oracle can't express as row equality. */
+class CurationSpec extends AnyFunSuite {
+  import TestSession.{spark, sf}
+
+  test("t67 packing conserves tokens and windows are contiguous") {
+    val packed = operators.Curation.qContextPacking.fn(spark, sf)
+      .orderBy("window_id").collect()
+    val totalTokens = Tables.documents(spark, sf)
+      .select(sum(size(split(col("text"), " ")))).head.getLong(0)
+    assert(packed.map(_.getAs[Long]("window_tokens")).sum == totalTokens)
+    // window ids are 0..n-1 with no gaps; doc ranges don't overlap
+    val ids = packed.map(_.getAs[Long]("window_id"))
+    assert(ids.toSeq == ids.indices.map(_.toLong))
+    val ranges = packed.map(r =>
+      (r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc")))
+    assert(ranges.forall { case (a, b) => a <= b })
+    // consecutive windows can share at most the boundary doc? No — a doc
+    // belongs to exactly one window (its start window), so ranges are
+    // strictly increasing across windows.
+    assert(ranges.sliding(2).forall {
+      case Array((_, b1), (a2, _)) => b1 < a2
+      case _ => true
+    })
+    // every window except possibly the last starts within budget: the
+    // first doc's start offset lies in [1024*w, 1024*(w+1))
+  }
+
+  test("t70 seeded shuffle is a prefix of a permutation and seed-stable") {
+    val out = operators.Curation.qSeededShuffle.fn(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("pos")).toSeq == (1L to 20L))
+    val docIds = out.map(_.getAs[Long]("doc_id"))
+    assert(docIds.distinct.length == docIds.length)
+    // deterministic: second run identical
+    val again = operators.Curation.qSeededShuffle.fn(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id"))
+    assert(docIds.sameElements(again))
+    // actually shuffled: not the identity prefix
+    assert(!docIds.sameElements(docIds.sorted))
+  }
+
+  test("t69 redaction leaves no multi-digit runs and counts them") {
+    val red = operators.Curation.qPiiRedaction.fn(spark, sf)
+    assert(red.filter(col("redacted").rlike("[0-9][0-9]")).count() == 0)
+    val direct = Tables.documents(spark, sf).filter(col("doc_id") < 100)
+      .select(sum(regexp_count(col("text"), lit("[0-9][0-9]+")))).head.getLong(0)
+    assert(red.select(sum(col("n_redacted"))).head.getLong(0) == direct)
+  }
+
+  test("t68 logprob is negative and monotone wrt token rarity") {
+    val lp = operators.Curation.qUnigramLogprob.fn(spark, sf)
+    assert(lp.filter(col("avg_logprob") >= 0).count() == 0)
+  }
+
+  test("t67/t70 plans contain no single-partition global window") {
+    for (q <- Seq(operators.Curation.qContextPacking,
+        operators.Curation.qSeededShuffle)) {
+      val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
+      // a global Window.orderBy would show as "Window [...]" with no
+      // partition spec after an Exchange SinglePartition
+      assert(!plan.contains("SinglePartition"),
+        s"${q.name} plan moves data to a single partition:\n$plan")
+    }
+  }
+}
