@@ -186,6 +186,79 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating large-star/small-star contraction
+    * (the O(log² n)-round MapReduce formulation): each round every node
+    * links its larger neighbors (large-star) then its smaller-or-equal
+    * neighbors (small-star) directly to the minimum of its closed
+    * neighborhood, halving component diameter per round instead of
+    * propagating labels one hop. This is the drop-in upgrade over
+    * [[connectedComponents]] for adversarially-long chains — min-label
+    * needs O(diameter) rounds, star contraction O(log² n) — at the cost
+    * of one extra shuffle per round (two star phases). Same contract:
+    * (node, lbl) for every node in the edge list, lbl = component min.
+    *
+    * Convergence: each round's output edge set is a deterministic
+    * function of the current edge set and the paper proves monotone
+    * progress to a fixpoint (stars pointing at component minima), so an
+    * unchanged order-independent set fingerprint (count + xxhash64 sum)
+    * detects the fixpoint — one distributed action per round, same
+    * probe discipline as min-label's label-sum. */
+  def connectedComponentsStar(edges: DataFrame, maxIter: Int = 40): DataFrame = {
+    val spark = edges.sparkSession
+    import org.apache.spark.sql.DataFrame
+    def canon(e: DataFrame): DataFrame =
+      e.filter(col("src") =!= col("dst")).distinct()
+    // one star phase: every node u with closed-neighborhood min m links
+    // the requested side of its neighborhood to m
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val und = e.select(col("src").as("u"), col("dst").as("v"))
+        .union(e.select(col("dst").as("u"), col("src").as("v")))
+      val mins = und.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val joined = und.join(mins, Seq("u"))
+      val linked =
+        if (large) joined.filter(col("v") > col("u"))
+          .select(col("v").as("src"), col("m").as("dst"))
+        else joined.filter(col("v") <= col("u"))
+          .select(col("v").as("src"), col("m").as("dst"))
+          .union(mins.select(col("u").as("src"), col("m").as("dst")))
+      canon(linked).localCheckpoint(false) // lazy: probe below materializes
+    }
+    var cur = canon(edges.select(col("da").as("src"), col("db").as("dst")))
+      .localCheckpoint(true)
+    // probe = (#edges, Σ xxhash64(src,dst)): a content fingerprint of the
+    // edge SET (order-independent), equal ⇔ the phase was a no-op — the
+    // paper's fixpoint. One distributed action per round.
+    def probe(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).head
+      (r.getLong(0), Option(r.getDecimal(1))
+        .map(_.stripTrailingZeros()).orNull)
+    }
+    var prev = probe(cur)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val next = star(star(cur, large = true), large = false)
+      val p = probe(next)
+      converged = p._1 == prev._1 && ((p._2 eq null) && (prev._2 eq null) ||
+        p._2 != null && prev._2 != null && p._2.compareTo(prev._2) == 0)
+      prev = p
+      cur = next
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar: no fixpoint within $maxIter rounds")
+    // at the fixpoint every edge is (node, componentMin); the minima
+    // themselves label each other via their self-star rows in smallStar's
+    // (u, m) union — but self-edges were canonicalized away, so re-add
+    // the root labels explicitly
+    val roots = cur.select(col("dst").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    cur.select(col("src").as("node"), col("dst").as("lbl")).union(roots)
+      .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+  }
+
   /** Near-dup CLUSTER resolution — the step after pair detection that an
     * actual dedup pipeline needs: pairs only say "a~b, b~c"; keep-one
     * dedup needs the transitive closure {a,b,c} with one canonical
@@ -229,5 +302,21 @@ object Dedup {
       .orderBy(col("cluster"))
   }
 
-  val all: Seq[Q] = Seq(qMinHashLsh, qSimHash, qSimHashPairs, qDedupClusters)
+  /** t63's cluster resolution re-run through the star-contraction CC —
+    * same edges, same oracle (the recursive-CTE transitive closure),
+    * proving the O(log² n) path produces identical clusters to min-label
+    * propagation under the driver's hash compare. */
+  val qDedupClustersStar: Q = Q(
+    "t71_dedup_clusters_star",
+    qDedupClusters.oracle.get
+  ) { (s, d) =>
+    val pairs = Text.jaccardPairs(
+      Tables.documents(s, d).filter(col("doc_id") < 1000), 1, 2)
+    connectedComponentsStar(pairs.select(col("da"), col("db")))
+      .groupBy(col("lbl").as("cluster")).agg(count(lit(1)).as("n_members"))
+      .orderBy(col("cluster"))
+  }
+
+  val all: Seq[Q] = Seq(qMinHashLsh, qSimHash, qSimHashPairs, qDedupClusters,
+    qDedupClustersStar)
 }

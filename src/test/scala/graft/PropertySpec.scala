@@ -133,6 +133,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("star-contraction CC matches union-find, including a long chain") {
+    val edgeGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(30, Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))
+        .map(_.collect { case (a, b) if a != b => (a min b, a max b) }.distinct)
+    forAllSeeded(edgeGen) { edges =>
+      if (edges.nonEmpty) {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(ra max rb) = ra min rb
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val want = nodes.groupBy(find).flatMap { case (_, ms) =>
+          ms.map(_ -> ms.min)
+        }.toMap
+        val got = operators.Dedup.connectedComponentsStar(
+            spark.createDataFrame(edges).toDF("da", "db"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"edges=$edges")
+      }
+    }
+    // a 120-node chain: diameter 119 ≫ the 40-round cap — min-label
+    // propagation could never finish inside it, star contraction must
+    // (this is exactly the adversarial case the O(log² n) bound buys)
+    val chain = (0L until 119L).map(i => (i, i + 1))
+    val got = operators.Dedup.connectedComponentsStar(
+        spark.createDataFrame(chain).toDF("da", "db"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 120 && got.forall(_._2 == 0L))
+  }
+
   test("minhash estimate stays within [0,1] and exact-equal sets estimate 1.0") {
     // identical token sets must produce identical signatures
     val docs = spark.createDataFrame(Seq(
