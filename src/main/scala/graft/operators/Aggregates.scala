@@ -421,8 +421,43 @@ object Aggregates {
       .orderBy(col("user_id"))
   }
 
+  /** Per-group qcut (dask `groupby.quantile` + binning): quartile
+    * boundaries computed WITHIN each event_type, then every event binned
+    * against its own group's boundaries. The boundary table is one row
+    * per group (5 here) → broadcast back onto the fat side; quartiles
+    * rounded to 6 decimals on both engines so the bin comparison can't
+    * flip on a last-ulp interpolation difference. */
+  val qQcutPerGroup: Q = Q(
+    "q103_qcut_per_group",
+    """WITH b AS (SELECT event_type,
+      |    round(quantile_cont(value, 0.25), 6) AS q1,
+      |    round(quantile_cont(value, 0.50), 6) AS q2,
+      |    round(quantile_cont(value, 0.75), 6) AS q3
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_type,
+      |  CAST(CAST(value > q1 AS BIGINT) + CAST(value > q2 AS BIGINT)
+      |       + CAST(value > q3 AS BIGINT) AS BIGINT) AS qbin,
+      |  CAST(count(*) AS BIGINT) AS n, round(avg(value), 4) AS avg_value
+      |FROM events e JOIN b USING (event_type)
+      |GROUP BY e.event_type, qbin ORDER BY e.event_type, qbin""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val bounds = ev.groupBy(col("event_type")).agg(
+      round(percentile(col("value"), lit(0.25)), 6).as("q1"),
+      round(percentile(col("value"), lit(0.50)), 6).as("q2"),
+      round(percentile(col("value"), lit(0.75)), 6).as("q3"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("qbin",
+        ((col("value") > col("q1")).cast("long")
+          + (col("value") > col("q2")).cast("long")
+          + (col("value") > col("q3")).cast("long")))
+      .groupBy(col("event_type"), col("qbin"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("event_type"), col("qbin"))
+  }
+
   val all: Seq[Q] = Seq(qStats, qCountDistinct, qApproxDistinct, qValueCounts,
     qApproxQuantiles,
     qPivot, qRollup, qCube, qQuantiles, qCorr, qMinMaxBy, qGlobalAgg, qDescribe,
-    qGroupTransform, qBinning, qQcut, qGroupMode)
+    qGroupTransform, qBinning, qQcut, qGroupMode, qQcutPerGroup)
 }

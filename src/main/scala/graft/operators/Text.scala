@@ -445,7 +445,74 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Count-min sketch over corpus token frequencies, fully ORACLE-CHECKED:
+    * the hash family is an engine-portable rolling polynomial over the
+    * token's character codes (no xxhash), so DuckDB reproduces the exact
+    * counter array and the exact estimates. d=4 rows × w=512 buckets;
+    * counters are one groupBy (map-side combined — partial aggregation IS
+    * the sketch merge, the property that makes CMS distributable); the
+    * ≤2048-row counter table broadcasts back to score the exact top-10
+    * heavy hitters. CMS guarantee (est ≥ true, est ≤ true + εN w.h.p.) is
+    * asserted in CurationSpec. */
+  val qCmsHeavyHitters: Q = {
+    val P = 1000000007L
+    val W = 512
+    val mix = Seq((1664525L, 1013904223L), (22695477L, 1L),
+      (134775813L, 1L), (214013L, 2531011L))
+    val duckMix = mix.zipWithIndex.map { case ((a, b), j) =>
+      s"SELECT $j AS j, CAST($a AS BIGINT) AS a, CAST($b AS BIGINT) AS b"
+    }.mkString(" UNION ALL ")
+    Q(
+      "t72_cms_heavy_hitters",
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |h AS (SELECT tok,
+         |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(range(1, length(tok) + 1),
+         |            i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT))),
+         |          (a, c) -> (a * 131 + c) % $P) AS th
+         |      FROM tok),
+         |mix(j, a, b) AS ($duckMix),
+         |buckets AS (SELECT j, (a * th + b) % $P % $W AS bkt FROM h CROSS JOIN mix),
+         |counters AS (SELECT j, bkt, count(*) AS c FROM buckets GROUP BY j, bkt),
+         |exact AS (SELECT tok, th, count(*) AS n FROM h GROUP BY tok, th
+         |          ORDER BY n DESC, tok LIMIT 10),
+         |est AS (SELECT tok, n, min(c) AS cms_est
+         |        FROM (SELECT e.tok, e.n, (m.a * e.th + m.b) % $P % $W AS bkt, m.j
+         |              FROM exact e CROSS JOIN mix m) q
+         |        JOIN counters USING (j, bkt)
+         |        GROUP BY tok, n)
+         |SELECT tok, CAST(n AS BIGINT) AS n, CAST(cms_est AS BIGINT) AS cms_est
+         |FROM est ORDER BY n DESC, tok""".stripMargin
+    ) { (s, d) =>
+      val toks = Tables.documents(s, d).select(explode(tokens).as("tok"))
+      // portable rolling-polynomial token hash (cannot overflow: a < P
+      // ≈ 2^30, a*131 + 127 < 2^37, well inside signed 64-bit ANSI)
+      val hashed = toks.withColumn("th",
+        aggregate(transform(sequence(lit(1), length(col("tok"))),
+            i => ascii(col("tok").substr(i, lit(1))).cast("long")),
+          lit(0L), (a, c) => (a * 131L + c) % P))
+      val mixDf = s.createDataFrame(
+        mix.zipWithIndex.map { case ((a, b), j) => (j, a, b) })
+        .toDF("j", "a", "b")
+      val buckets = hashed.crossJoin(broadcast(mixDf))
+        .select(col("j"), ((col("a") * col("th") + col("b")) % P % W).as("bkt"))
+      val counters = buckets.groupBy(col("j"), col("bkt"))
+        .agg(count(lit(1)).as("c"))
+      val exact = hashed.groupBy(col("tok"), col("th"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("tok")).limit(10)
+      exact.crossJoin(broadcast(mixDf))
+        .select(col("tok"), col("n"), col("j"),
+          ((col("a") * col("th") + col("b")) % P % W).as("bkt"))
+        .join(broadcast(counters), Seq("j", "bkt"))
+        .groupBy(col("tok"), col("n")).agg(min(col("c")).as("cms_est"))
+        .select(col("tok"), col("n"), col("cms_est"))
+        .orderBy(desc("n"), col("tok"))
+    }
+  }
+
   val all: Seq[Q] = Seq(qTokenCounts, qLangStats, qExactDedup, qDedupKeepFirst,
     qQuality, qNgramJaccard, qTfIdf, qLangId, qFingerprint, qRegexTokens,
-    qPipelineClean, qHeavyHitters, qDecontaminate, qRepetition)
+    qPipelineClean, qHeavyHitters, qDecontaminate, qRepetition,
+    qCmsHeavyHitters)
 }

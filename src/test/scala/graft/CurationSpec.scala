@@ -57,6 +57,21 @@ class CurationSpec extends AnyFunSuite {
     assert(lp.filter(col("avg_logprob") >= 0).count() == 0)
   }
 
+  test("t72 CMS estimates dominate true counts within the epsilon-N bound") {
+    val out = operators.Text.qCmsHeavyHitters.fn(spark, sf).collect()
+    assert(out.nonEmpty)
+    val totalTokens = Tables.documents(spark, sf)
+      .select(sum(size(split(col("text"), " ")))).head.getLong(0)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val est = r.getAs[Long]("cms_est")
+      assert(est >= n, s"CMS must never underestimate: ${r}")
+      // ε = e/w per row, min over d=4 rows; use the loose 4e/w envelope
+      assert(est - n <= (4 * math.E / 512 * totalTokens).toLong + 1,
+        s"CMS overshoot beyond bound: ${r} (N=$totalTokens)")
+    }
+  }
+
   test("t67/t70 plans contain no single-partition global window") {
     for (q <- Seq(operators.Curation.qContextPacking,
         operators.Curation.qSeededShuffle)) {
