@@ -96,5 +96,22 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(
         "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     }
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain as
+    // internal expressions (used by its own runtime join filters) but
+    // does not expose them in the SQL registry; surface them under graft
+    // names for the incremental-dedup gate (Curation.bloomIncrementalDedup)
+    val bloomAgg = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bloom_agg")
+    if (!registry.functionExists(bloomAgg)) {
+      registry.createOrReplaceTempFunction(
+        "graft_bloom_agg",
+        exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs(0), exprs(1), exprs(2)),
+        "scala_udf")
+      registry.createOrReplaceTempFunction(
+        "graft_might_contain",
+        exprs => org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs(0), exprs(1)),
+        "scala_udf")
+    }
   }
 }

@@ -139,6 +139,94 @@ object Curation {
       .orderBy(col("pos"))
   }
 
+  /** Deterministic hash split (dask `random_split`'s reproducible
+    * sibling, and how real pipelines carve train/val/test): bucket =
+    * hash of the stable id, split by bucket range — membership is a pure
+    * row-local function, stable under reruns, appends, and repartitions
+    * (none of which hold for RNG-based splits). Engine-portable bucket:
+    * two leading md5 hex chars → integer via ascii arithmetic. */
+  val qHashSplit: Q = Q(
+    "q104_hash_split",
+    """WITH b AS (SELECT doc_id, lang,
+      |    (ascii(substr(md5('graft-split-7:' || CAST(doc_id AS VARCHAR)), 1, 1)) * 131
+      |     + ascii(substr(md5('graft-split-7:' || CAST(doc_id AS VARCHAR)), 2, 1))) % 100
+      |      AS bkt
+      |  FROM documents)
+      |SELECT CASE WHEN bkt < 70 THEN 'train'
+      |            WHEN bkt < 85 THEN 'val' ELSE 'test' END AS split,
+      |       lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |       min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM b GROUP BY split, lang ORDER BY split, lang""".stripMargin
+  ) { (s, d) =>
+    val k = md5(concat(lit("graft-split-7:"), col("doc_id").cast("string")))
+    Tables.documents(s, d)
+      .withColumn("bkt",
+        (ascii(substring(k, 1, 1)) * 131 + ascii(substring(k, 2, 1))) % 100)
+      .withColumn("split",
+        when(col("bkt") < 70, "train").when(col("bkt") < 85, "val")
+          .otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  /** Deterministic per-group sampling (the reproducible form of
+    * `groupby.sample`/reservoir selection, e.g. picking a fixed eval
+    * subset per language): keep the k docs with the smallest
+    * md5(seed ‖ id) within each group. Rank-k-by-hash is one partial
+    * top-k per group — at scale Spark's window top-k over the group
+    * partitioning; membership is stable under reruns and appends of
+    * other groups. */
+  val qHashSamplePerGroup: Q = Q(
+    "q105_hash_sample_per_group",
+    """SELECT lang, doc_id FROM (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5('graft-sample-3:' || CAST(doc_id AS VARCHAR)), doc_id)
+      |      AS rn
+      |  FROM documents) t
+      |WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin
+  ) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(md5(concat(lit("graft-sample-3:"), col("doc_id").cast("string"))),
+        col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("lang"), col("doc_id"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  /** Incremental (append-only) dedup gate — the 100 TB ingest shape: the
+    * EXISTING corpus's content hashes fold into a Bloom filter (one
+    * aggregate, mergeable across partitions), and each INCOMING doc
+    * probes it map-side — no shuffle and no join of the incoming batch
+    * against the full corpus. might_contain=false ⇒ definitely new
+    * (Bloom has no false negatives — the property the spec asserts);
+    * positives are the only docs that pay an exact-hash semi-join.
+    * Engine-specific bits → no SQL oracle; CurationSpec owns it. */
+  def bloomIncrementalDedup(existing: org.apache.spark.sql.DataFrame,
+      incoming: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // might_contain requires its filter as a constant or scalar subquery
+    // (the same contract Spark's own runtime join filters use), so the
+    // one-row bloom aggregate rides in as a scalar subquery
+    existing
+      .agg(expr("graft_bloom_agg(xxhash64(text), 100000L, 800000L)").as("bf"))
+      .createOrReplaceTempView("graft_bloom_existing")
+    incoming.withColumn("maybe_dup",
+      expr("graft_might_contain((SELECT bf FROM graft_bloom_existing), xxhash64(text))"))
+  }
+
+  val qBloomIncremental: Q = Q.noOracle("t73_bloom_incremental_dedup") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+    bloomIncrementalDedup(existing, incoming)
+      .groupBy(col("maybe_dup")).agg(count(lit(1)).as("n"))
+      .orderBy(col("maybe_dup"))
+  }
+
   val all: Seq[Q] = Seq(qContextPacking, qUnigramLogprob, qPiiRedaction,
-    qSeededShuffle)
+    qSeededShuffle, qHashSplit, qHashSamplePerGroup, qBloomIncremental)
 }

@@ -72,6 +72,24 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("t73 bloom gate has zero false negatives and a sane positive rate") {
+    val docs = Tables.documents(spark, sf)
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+    val gated = operators.Curation.bloomIncrementalDedup(existing, incoming)
+    // every incoming doc whose text REALLY exists in the corpus must be
+    // flagged maybe_dup (no false negatives)
+    val realDups = incoming.join(existing.select(col("text")).distinct(),
+      Seq("text"), "left_semi")
+    val missed = realDups.join(gated.filter(!col("maybe_dup"))
+      .select(col("doc_id")), Seq("doc_id"), "left_semi").count()
+    assert(missed == 0, "bloom false negative")
+    // false-positive rate stays far below 50%: flagged count can't
+    // exceed realDups + 10% of incoming
+    val flagged = gated.filter(col("maybe_dup")).count()
+    assert(flagged <= realDups.count() + (incoming.count() * 0.1).toLong + 1)
+  }
+
   test("t67/t70 plans contain no single-partition global window") {
     for (q <- Seq(operators.Curation.qContextPacking,
         operators.Curation.qSeededShuffle)) {
