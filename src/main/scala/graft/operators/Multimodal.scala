@@ -75,8 +75,31 @@ object Multimodal {
     * per partition at scale). Row-wise semantics → partition-count
     * independent; ScalaTest pins determinism. The 4-dim embedding is
     * emitted as scalar columns e0..e3 (driver-facing outputs must be
-    * sortable scalars, not arrays). */
-  val qMediaFeatures: Q = Q.noOracle("m72_media_feature_stub") { (s, d) =>
+    * sortable scalars, not arrays).
+    *
+    * Oracle-checked: the corpus is pure ASCII (length == octet_length at
+    * every sf), so DuckDB reproduces the stub's byte statistics exactly
+    * from `ascii()` codes — same sequential fold order, same divisors
+    * (the stride sums divide by TOTAL length, as the stub does). */
+  val qMediaFeatures: Q = Q(
+    "m72_media_feature_stub",
+    """WITH codes AS (
+      |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+      |    greatest(length(text), 1) AS n,
+      |    list_transform(range(1, length(text) + 1),
+      |      i -> CAST(ascii(substr(text, i, 1)) AS DOUBLE)) AS cs
+      |  FROM documents)
+      |SELECT doc_id, n_bytes,
+      |  round(coalesce(list_sum(cs), 0) / n, 6) AS mean_byte,
+      |  round(sqrt(coalesce(list_sum(list_transform(cs, c -> c * c)), 0) / n), 6)
+      |    AS rms_byte,
+      |  CAST((n_bytes + 15) // 16 AS INTEGER) AS n_frames,
+      |  round(coalesce(list_sum([cs[j] FOR j IN range(1, len(cs) + 1) IF (j - 1) % 4 = 0]), 0) / n, 6) AS e0,
+      |  round(coalesce(list_sum([cs[j] FOR j IN range(1, len(cs) + 1) IF (j - 1) % 4 = 1]), 0) / n, 6) AS e1,
+      |  round(coalesce(list_sum([cs[j] FOR j IN range(1, len(cs) + 1) IF (j - 1) % 4 = 2]), 0) / n, 6) AS e2,
+      |  round(coalesce(list_sum([cs[j] FOR j IN range(1, len(cs) + 1) IF (j - 1) % 4 = 3]), 0) / n, 6) AS e3
+      |FROM codes ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
     val ds = Tables.documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[MediaRow]
