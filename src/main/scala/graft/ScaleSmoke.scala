@@ -121,6 +121,43 @@ object ScaleSmoke {
         .filter(col("da") < col("db"))
       operators.Dedup.connectedComponents(pairs.select("da", "db")).count()
     }
+    time("star-contraction CC (t71)", nDocs) {
+      val pairs = docs.filter(col("doc_id") % 10 < 2)
+        .groupBy(col("text")).agg(min(col("doc_id")).as("da"), max(col("doc_id")).as("db"))
+        .filter(col("da") < col("db"))
+      operators.Dedup.connectedComponentsStar(pairs.select("da", "db")).count()
+    }
+    time("context packing (t67 shape)", nDocs) {
+      // banded global cumsum + bucket offsets over every doc
+      import org.apache.spark.sql.expressions.Window
+      val d = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+        .withColumn("_b", (col("doc_id") / 100000).cast("long"))
+      val w = Window.partitionBy(col("_b")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = d.withColumn("_local", sum(col("n")).over(w))
+      val counts = d.groupBy(col("_b").as("_bc")).agg(sum(col("n")).as("_bn"))
+      val offs = operators.Scale.bucketOffsets(counts, "_bc", "_bn", "_off")
+      local.join(broadcast(offs), col("_b") === col("_bc"))
+        .withColumn("wid", expr("(_off + _local - n) div 1024"))
+        .groupBy(col("wid")).agg(count(lit(1))).count()
+    }
+    time("CMS counter build (t72 shape)", nDocs) {
+      // portable token hash + 4-row bucket counters over the full corpus
+      val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+      functions.GraftFunctions.ensureRegistered(spark)
+      val hashed = toks.withColumn("th",
+        call_function("graft_polyhash", col("tok"), lit(131L), lit(1000000007L)))
+      hashed.select(posexplode(array((0 until 4).map(j =>
+          (col("th") * (1664525L + j * 98765L) + j) % 1000000007L % 512): _*))
+          .as(Seq("j", "bkt")))
+        .groupBy(col("j"), col("bkt")).agg(count(lit(1))).count()
+    }
+    time("bloom dedup gate (t73 shape)", nDocs) {
+      val existing = docs.filter(col("doc_id") % 2 === 0)
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+      operators.Curation.bloomIncrementalDedup(existing, incoming)
+        .groupBy(col("maybe_dup")).agg(count(lit(1))).count()
+    }
     spark.stop()
     // synthetic tables are hundreds of MB per run: delete so repeated
     // runs don't build disk pressure (which skews the measurements)

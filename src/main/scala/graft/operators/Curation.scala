@@ -208,6 +208,9 @@ object Curation {
     * Engine-specific bits → no SQL oracle; CurationSpec owns it. */
   def bloomIncrementalDedup(existing: org.apache.spark.sql.DataFrame,
       incoming: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // self-sufficient on ANY session (the AsOf builder's discipline):
+    // sessions that never touched Tables still get the graft registry
+    graft.functions.GraftFunctions.ensureRegistered(existing.sparkSession)
     // might_contain requires its filter as a constant or scalar subquery
     // (the same contract Spark's own runtime join filters use), so the
     // one-row bloom aggregate rides in as a scalar subquery

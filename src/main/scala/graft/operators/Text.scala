@@ -485,12 +485,12 @@ object Text {
          |FROM est ORDER BY n DESC, tok""".stripMargin
     ) { (s, d) =>
       val toks = Tables.documents(s, d).select(explode(tokens).as("tok"))
-      // portable rolling-polynomial token hash (cannot overflow: a < P
-      // ≈ 2^30, a*131 + 127 < 2^37, well inside signed 64-bit ANSI)
+      // portable rolling-polynomial token hash — the codegen'd
+      // StringPolyHash expression (byte loop ≡ the ascii/substr HOF and
+      // the DuckDB list_reduce oracle on this ASCII corpus; cannot
+      // overflow: h < P ≈ 2^30, h*131 + 255 < 2^38)
       val hashed = toks.withColumn("th",
-        aggregate(transform(sequence(lit(1), length(col("tok"))),
-            i => ascii(col("tok").substr(i, lit(1))).cast("long")),
-          lit(0L), (a, c) => (a * 131L + c) % P))
+        call_function("graft_polyhash", col("tok"), lit(131L), lit(P)))
       val mixDf = s.createDataFrame(
         mix.zipWithIndex.map { case ((a, b), j) => (j, a, b) })
         .toDF("j", "a", "b")

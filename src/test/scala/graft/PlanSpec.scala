@@ -41,6 +41,10 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("v61_cosine_topk").contains("graft_dot"))
   }
 
+  test("t72: token hashing uses the codegen graft_polyhash expression") {
+    assert(plan("t72_cms_heavy_hitters").contains("graft_polyhash"))
+  }
+
   test("q22: global ranks avoid the single-partition WindowExec") {
     val qe = SparkEntry.queries("q22_window_ranks")(spark, sf).queryExecution
     val unpartitioned = qe.optimizedPlan.collect {
