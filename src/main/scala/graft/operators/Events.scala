@@ -292,7 +292,41 @@ object Events {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Multi-key as-of join (dask `merge_asof(by=[k1, k2])`): the last
+    * click by the SAME user on the SAME calendar day — the by-columns
+    * become the window partition (and the shuffle key), the time stays
+    * the ordered axis. Same union+window algorithm as q46, one shuffle
+    * on the composite key. */
+  val qAsOfMultiKey: Q = Q(
+    "q106_asof_multikey",
+    """SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_same_day
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND date_trunc('day', p.ts) = date_trunc('day', c.ts)
+      | AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d).withColumn("day", date_trunc("day", col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("day"), col("ts"), lit(0).as("kind"),
+        lit(null).cast("long").as("event_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("day"), col("ts"), lit(1).as("kind"),
+        col("event_id"), lit(null).cast("timestamp").as("click_ts"))
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click_same_day",
+        last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("last_click_same_day"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[Q] = Seq(qJsonStruct, qJsonMap, qTumbling, qSliding,
     qSessionize, qAsOfJoin, qAsOfTolerance, qAsOfDirections, qAsOfNative,
-    qArrayHof)
+    qArrayHof, qAsOfMultiKey)
 }

@@ -243,6 +243,31 @@ object Windows {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Rolling quantiles (dask `rolling(n).median()/quantile(q)`): exact
+    * interpolated percentile over a 5-row trailing frame per customer —
+    * `percentile` as a WINDOW aggregate (Spark buffers only the frame,
+    * not the partition) against DuckDB's `quantile_cont OVER`. Same
+    * interpolation parity contract as q17. */
+  val qRollingMedian: Q = Q(
+    "q107_rolling_median",
+    """SELECT o_custkey, o_orderkey,
+      |  round(quantile_cont(o_totalprice, 0.5) OVER w, 4) AS med5,
+      |  round(quantile_cont(o_totalprice, 0.75) OVER w, 4) AS p75_5
+      |FROM orders WHERE o_custkey <= 100
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-4, Window.currentRow)
+    Tables.orders(s, d).filter(col("o_custkey") <= 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(percentile(col("o_totalprice"), lit(0.5)).over(w), 4).as("med5"),
+        round(percentile(col("o_totalprice"), lit(0.75)).over(w), 4).as("p75_5"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val all: Seq[Q] = Seq(qTopkPerGroup, qRanks, qCumsum, qLagLead,
-    qRollingTime, qRollingRows, qCumMinMaxProd, qFill)
+    qRollingTime, qRollingRows, qCumMinMaxProd, qFill, qRollingMedian)
 }

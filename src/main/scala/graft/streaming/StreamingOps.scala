@@ -1,8 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{
+  GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState
+}
 
 /** Structured Streaming surface (SURVEY.md §2.2 "Streaming"): the same
   * transformations run over a batch DataFrame or a readStream DataFrame —
@@ -76,6 +79,37 @@ object StreamingOps {
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class UserCount(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Spark 4 `transformWithState` processor (the successor API to
+    * flatMapGroupsWithState: typed state variables, timers, TTL —
+    * requires the RocksDB state store): same running per-user counter
+    * semantics as [[userRunningCounts]], so StreamingSpec can assert
+    * both stateful APIs converge to the identical batch aggregate.
+    * Public class: Janino/encoders reject private members at runtime. */
+  class RunningCountProcessor extends StatefulProcessor[Long, Ev, UserCount] {
+    @transient private var state: ValueState[UserCount] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserCount]("running",
+        Encoders.product[UserCount], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        timers: TimerValues): Iterator[UserCount] = {
+      val prev = Option(state.get()).getOrElse(UserCount(user, 0L, 0.0))
+      var n = prev.n_events
+      var v = prev.total_value
+      rows.foreach { e => n += 1; v += e.value }
+      val next = UserCount(user, n, v)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** transformWithState running counts (TimeMode.None: no timers). */
+  def userRunningCountsTws(events: Dataset[Ev]): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningCountProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 
   /** Arbitrary per-key state (dask futures/actor gap → Spark
     * flatMapGroupsWithState): running per-user counters, emitted on every

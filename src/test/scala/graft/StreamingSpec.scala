@@ -95,6 +95,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("transformWithState running counts (RocksDB store) == batch groupBy") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[Ev]
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = eventRows()
+      val (first, second) = rows.splitAt(rows.size / 2)
+      val stream = MemoryStream[Ev]
+      val q = StreamingOps.userRunningCountsTws(stream.toDS())
+        .toDF()
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("tws_counts_out").start()
+      stream.addData(first)
+      q.processAllAvailable()
+      stream.addData(second)
+      q.processAllAvailable()
+      q.stop()
+      val want = Tables.events(spark, sf).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = spark.table("tws_counts_out").groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want)
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream join == batch join with the same time bound") {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = Encoders.product[Ev]
