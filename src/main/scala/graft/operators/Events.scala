@@ -326,7 +326,24 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Calendar resample (dask `resample('1D')` on a DatetimeIndex, i.e.
+    * wall-clock buckets rather than fixed-width windows): date_trunc
+    * groupBy — the calendar-aware sibling of q43's `window()` buckets
+    * (identical here for days, but date_trunc also handles months /
+    * quarters / years, which fixed-width windows cannot). */
+  val qResampleDaily: Q = Q(
+    "q109_resample_daily",
+    """SELECT date_trunc('day', ts) AS day, event_type,
+      |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+      |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(qJsonStruct, qJsonMap, qTumbling, qSliding,
     qSessionize, qAsOfJoin, qAsOfTolerance, qAsOfDirections, qAsOfNative,
-    qArrayHof, qAsOfMultiKey)
+    qArrayHof, qAsOfMultiKey, qResampleDaily)
 }

@@ -167,6 +167,39 @@ object SortsSets {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Heterogeneous concat (dask `dd.concat` over frames with different
+    * columns fills the gaps with nulls): orders-side rows carry price but
+    * no balance, customer-side rows the reverse — `unionByName(
+    * allowMissingColumns = true)` ≡ DuckDB `UNION ALL BY NAME`. */
+  val qConcatByName: Q = Q(
+    "q108_concat_by_name",
+    """SELECT src, count(*) AS n,
+      |  CAST(count(o_totalprice) AS BIGINT) AS n_price,
+      |  CAST(count(c_acctbal) AS BIGINT) AS n_bal,
+      |  round(coalesce(sum(o_totalprice), 0) + coalesce(sum(c_acctbal), 0), 2)
+      |    AS total
+      |FROM (
+      |  SELECT 'ord' AS src, o_custkey AS k, o_totalprice FROM orders
+      |  WHERE o_totalprice > 400000
+      |  UNION ALL BY NAME
+      |  SELECT 'cust' AS src, c_custkey AS k, c_acctbal FROM customer
+      |  WHERE c_acctbal > 9000
+      |) u GROUP BY src ORDER BY src""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+      .select(lit("ord").as("src"), col("o_custkey").as("k"), col("o_totalprice"))
+    val c = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+      .select(lit("cust").as("src"), col("c_custkey").as("k"), col("c_acctbal"))
+    o.unionByName(c, allowMissingColumns = true)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n"),
+        count(col("o_totalprice")).as("n_price"),
+        count(col("c_acctbal")).as("n_bal"),
+        round(coalesce(sum(col("o_totalprice")), lit(0))
+          + coalesce(sum(col("c_acctbal")), lit(0)), 2).as("total"))
+      .orderBy(col("src"))
+  }
+
   val all: Seq[Q] = Seq(qTopK, qMultiSort, qUnionAll, qIntersect, qExcept,
-    qDistinct, qKeepFirst, qSample, qStratifiedSample, qTail)
+    qDistinct, qKeepFirst, qSample, qStratifiedSample, qTail, qConcatByName)
 }

@@ -511,8 +511,31 @@ object Text {
     }
   }
 
+  /** Corpus n-gram frequency table (the LM-prep sibling of t49's unigram
+    * counts): top-20 bigrams corpus-wide. Bigrams come from the same
+    * relational shingle shape as [[shingled]] (posexplode + lead), one
+    * map-side-combined groupBy — |bigram vocab| per partition reaches
+    * the shuffle, never the token stream. */
+  val qBigramCounts: Q = Q(
+    "t74_bigram_counts",
+    """SELECT g, CAST(count(*) AS BIGINT) AS n FROM (
+      |  SELECT [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))] AS gs
+      |  FROM (SELECT string_split(text, ' ') AS t FROM documents) x
+      |), LATERAL unnest(gs) AS u(g)
+      |GROUP BY g ORDER BY n DESC, g LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "tok")))
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .filter(col("t1").isNotNull)
+      .select(concat_ws(" ", col("tok"), col("t1")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("g")).limit(20)
+  }
+
   val all: Seq[Q] = Seq(qTokenCounts, qLangStats, qExactDedup, qDedupKeepFirst,
     qQuality, qNgramJaccard, qTfIdf, qLangId, qFingerprint, qRegexTokens,
     qPipelineClean, qHeavyHitters, qDecontaminate, qRepetition,
-    qCmsHeavyHitters)
+    qCmsHeavyHitters, qBigramCounts)
 }
