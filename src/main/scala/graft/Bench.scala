@@ -62,9 +62,27 @@ object Bench {
     }
     def total(pick: ((Double, Double)) => Double) =
       merged.map(kv => pick(kv._2)).filter(_ >= 0).sum
-    val qs = merged.map { case (k, (_, w)) => s"\"" + k + "\":" + w }
+    def fmt(v: Double) = if (v < 0) "-1" else f"$v%.3f"
+    // Full per-query detail (all ~120 queries, cold + warm) goes to a
+    // file: the driver's stdout capture keeps only the LAST 2000 chars,
+    // so a single JSON line carrying every query never survives intact
+    // (BENCH_r1..r3 all show "parsed": null for exactly this reason).
+    val detail = merged.map { case (k, (c, w)) =>
+      s"\"" + k + "\":{\"cold\":" + fmt(c) + ",\"warm\":" + fmt(w) + "}"
+    }.mkString("{", ",", "}")
+    val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
+    java.nio.file.Files.write(detailPath,
+      s"""{"sf":"$sfDir","warm_stat":"median_of_3","queries":$detail}""".getBytes("UTF-8"))
+    // Final stdout line stays compact (< ~700 chars): totals + the
+    // BASELINE.md §3 anchor queries, so it parses from a 2000-char tail.
+    val anchors = Seq("q1_pricing_summary", "q3_join3_revenue_top10",
+      "q21_window_topk_per_customer", "q43_tumbling_1h", "q11_count_distinct",
+      "t49_token_counts", "t51_exact_dedup_stats", "v61_cosine_topk")
+    val byName = merged.toMap
+    val qs = anchors.flatMap(a => byName.get(a).map(v => s"\"" + a + "\":" + fmt(v._2)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${total(_._2)},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${total(_._1)},"passes":4,"warm_stat":"median_of_3"}""")
+    val nFail = merged.count(_._2._2 < 0)
+    println(s"""{"metric":"total","value":${fmt(total(_._2))},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${fmt(total(_._1))},"passes":4,"warm_stat":"median_of_3","n_queries":${merged.size},"n_failed":$nFail,"detail":"BENCH_DETAIL.json"}""")
     spark.stop()
   }
 }

@@ -101,11 +101,27 @@ case class StringPolyHash(child: Expression, baseE: Expression, modE: Expression
   override def third: Expression = modE
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType && baseE.foldable && modE.foldable &&
-      baseE.dataType == LongType && modE.dataType == LongType)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      "graft_polyhash expects (string, long literal base, long literal mod)")
+    if (!(child.dataType == StringType && baseE.foldable && modE.foldable &&
+      baseE.dataType == LongType && modE.dataType == LongType))
+      TypeCheckResult.TypeCheckFailure(
+        "graft_polyhash expects (string, long literal base, long literal mod)")
+    else {
+      // Validate the literal values at analysis time: mod <= 0 would
+      // throw (or yield negative hashes) per-row, and mod >= 2^31 lets
+      // h*base overflow Long silently (h < mod, base < 2^31 guarantees
+      // h*base + byte < 2^62). Fail the query up front instead.
+      val base = baseE.eval(null)
+      val mod = modE.eval(null)
+      if (base == null || mod == null)
+        TypeCheckResult.TypeCheckFailure("graft_polyhash base/mod must be non-null")
+      else if (mod.asInstanceOf[Long] <= 0L || mod.asInstanceOf[Long] >= (1L << 31))
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_polyhash mod must be in (0, 2^31), got $mod")
+      else if (base.asInstanceOf[Long] < 0L || base.asInstanceOf[Long] >= (1L << 31))
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_polyhash base must be in [0, 2^31), got $base")
+      else TypeCheckResult.TypeCheckSuccess
+    }
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_polyhash"

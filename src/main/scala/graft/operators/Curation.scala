@@ -66,9 +66,12 @@ object Curation {
   /** Unigram language-model quality score: avg ln p(token) per document
     * under the corpus's own unigram distribution — the cheap perplexity
     * proxy a pretraining pipeline uses to rank documents. The frequency
-    * table is |vocab| rows (aggregated corpus-wide, broadcast back); the
-    * corpus-total is a 1-row aggregate that stays in the plan — no
-    * driver collect. */
+    * table is |vocab| rows (aggregated corpus-wide); vocab grows with
+    * the corpus, so the token⋈freq join carries NO broadcast hint — AQE
+    * broadcasts it at runtime while it fits under the threshold and
+    * falls back to a shuffle join beyond that, which is exactly the
+    * 100 TB behavior. The corpus-total IS always one row, so it alone
+    * rides as a broadcast; no driver collect anywhere. */
   val qUnigramLogprob: Q = Q(
     "t68_unigram_logprob",
     """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -85,7 +88,7 @@ object Curation {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val tot = freq.agg(sum(col("c")).as("n"))
-    tok.join(broadcast(freq), Seq("tok"))
+    tok.join(freq, Seq("tok"))
       .crossJoin(broadcast(tot))
       .filter(col("doc_id") < 100)
       .groupBy(col("doc_id"))
@@ -213,13 +216,21 @@ object Curation {
     graft.functions.GraftFunctions.ensureRegistered(existing.sparkSession)
     // might_contain requires its filter as a constant or scalar subquery
     // (the same contract Spark's own runtime join filters use), so the
-    // one-row bloom aggregate rides in as a scalar subquery
+    // one-row bloom aggregate rides in as a scalar subquery. The view
+    // name is unique per call (and dropped once the plan is analyzed) so
+    // concurrent calls on one session can't race on it and a user view
+    // is never clobbered — Dataset analysis is eager, so the subquery
+    // plan is already embedded by the time the view goes away.
+    val view = s"graft_bloom_existing_${bloomViewSeq.incrementAndGet()}"
     existing
       .agg(expr("graft_bloom_agg(xxhash64(text), 100000L, 800000L)").as("bf"))
-      .createOrReplaceTempView("graft_bloom_existing")
-    incoming.withColumn("maybe_dup",
-      expr("graft_might_contain((SELECT bf FROM graft_bloom_existing), xxhash64(text))"))
+      .createOrReplaceTempView(view)
+    try incoming.withColumn("maybe_dup",
+      expr(s"graft_might_contain((SELECT bf FROM $view), xxhash64(text))"))
+    finally existing.sparkSession.catalog.dropTempView(view)
   }
+
+  private val bloomViewSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   val qBloomIncremental: Q = Q.noOracle("t73_bloom_incremental_dedup") { (s, d) =>
     val docs = Tables.documents(s, d)
@@ -230,6 +241,81 @@ object Curation {
       .orderBy(col("maybe_dup"))
   }
 
+  /** C4-style boilerplate detection: a trigram shingle that appears in
+    * many DISTINCT documents is boilerplate (nav bars, license headers,
+    * templated spans); each document is scored by the fraction of its
+    * shingles that are corpus-common. Pure relational: one shingle
+    * explode, one frequency groupBy, one equi-join back — the same
+    * shuffle-on-shingle shape as t54, but with NO pair join, so it does
+    * not degenerate on repetitive corpora (frequency is a count, not a
+    * pairing). At 100 TB the frequency table is vocab-sized and joins
+    * shuffle-side under AQE, exactly like t68's unigram table. */
+  val qBoilerplateNgrams: Q = Q(
+    "t75_boilerplate_ngrams",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct(CASE WHEN len(t) >= 3
+      |           THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+      |           ELSE [] END) AS shset
+      |       FROM toks),
+      |shx AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+      |freq AS (SELECT s, count(*) AS nd FROM shx GROUP BY s),
+      |per AS (SELECT shx.doc_id, count(*) AS n_shingles,
+      |               count(*) FILTER (WHERE f.nd >= 5) AS n_common
+      |        FROM shx JOIN freq f USING (s) GROUP BY shx.doc_id)
+      |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+      |       CAST(n_common AS BIGINT) AS n_common,
+      |       round(n_common * 1.0 / n_shingles, 6) AS boilerplate_frac
+      |FROM per ORDER BY boilerplate_frac DESC, doc_id LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val shx = Text.shingled(Tables.documents(s, d))
+    val freq = shx.groupBy(col("s")).agg(count(lit(1)).as("nd"))
+    shx.join(freq, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("nd") >= 5, 1)).as("n_common"))
+      .withColumn("boilerplate_frac",
+        round(col("n_common") * lit(1.0) / col("n_shingles"), 6))
+      .orderBy(desc("boilerplate_frac"), col("doc_id"))
+      .limit(20)
+  }
+
+  /** RAG-style document chunking: fixed 32-token windows at stride 24
+    * (8-token overlap), the retrieval-index layout. One sequence-explode
+    * per doc — embarrassingly parallel, no shuffle at all (the orderBy
+    * is presentation-only); chunk count and boundaries are arithmetic on
+    * the token count, so both engines cut bit-identical chunks. */
+  val qDocChunking: Q = Q(
+    "t76_doc_chunking",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents WHERE doc_id < 100),
+      |nc AS (SELECT doc_id, t, len(t) AS n,
+      |         1 + CAST(ceil(greatest(len(t) - 32, 0) / 24.0) AS BIGINT) AS n_chunks
+      |       FROM toks),
+      |expanded AS (SELECT doc_id, t, n,
+      |               unnest(range(0, n_chunks)) AS chunk_id FROM nc)
+      |SELECT doc_id, chunk_id,
+      |       CAST(least(n, chunk_id * 24 + 32) - chunk_id * 24 AS BIGINT) AS n_tokens,
+      |       array_to_string(list_slice(t, chunk_id * 24 + 1,
+      |         least(chunk_id * 24 + 32, n)), ' ') AS chunk_text
+      |FROM expanded ORDER BY doc_id, chunk_id""".stripMargin
+  ) { (s, d) =>
+    val toks = Tables.documents(s, d).filter(col("doc_id") < 100)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .withColumn("n_chunks",
+        lit(1L) + ceil(greatest(col("n") - 32, lit(0L)) / lit(24.0)).cast("long"))
+    val nTok = least(col("n"), col("chunk_id") * 24 + 32) - col("chunk_id") * 24
+    toks
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"), nTok.as("n_tokens"),
+        concat_ws(" ", slice(col("t"),
+          (col("chunk_id") * 24 + 1).cast("int"), nTok.cast("int"))).as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   val all: Seq[Q] = Seq(qContextPacking, qUnigramLogprob, qPiiRedaction,
-    qSeededShuffle, qHashSplit, qHashSamplePerGroup, qBloomIncremental)
+    qSeededShuffle, qHashSplit, qHashSamplePerGroup, qBloomIncremental,
+    qBoilerplateNgrams, qDocChunking)
 }

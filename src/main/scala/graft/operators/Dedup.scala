@@ -229,20 +229,27 @@ object Dedup {
     // probe = (#edges, Σ xxhash64(src,dst)): a content fingerprint of the
     // edge SET (order-independent), equal ⇔ the phase was a no-op — the
     // paper's fixpoint. One distributed action per round.
-    def probe(e: DataFrame): (Long, java.math.BigDecimal) = {
+    // two independently-seeded hash sums: one 64-bit sum could in
+    // principle collide across distinct edge sets of equal count (a
+    // silent early-converge); the second seed makes that ~2^-128.
+    def probe(e: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
       val r = e.agg(count(lit(1)),
-        sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).head
-      (r.getLong(0), Option(r.getDecimal(1))
-        .map(_.stripTrailingZeros()).orNull)
+        sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
+        sum(xxhash64(lit("graft-cc-seed2"), col("src"), col("dst"))
+          .cast("decimal(38,0)"))).head
+      def d(i: Int) = Option(r.getDecimal(i)).map(_.stripTrailingZeros()).orNull
+      (r.getLong(0), d(1), d(2))
     }
     var prev = probe(cur)
     var iter = 0
     var converged = false
+    def sameSum(a: java.math.BigDecimal, b: java.math.BigDecimal) =
+      ((a eq null) && (b eq null)) || (a != null && b != null && a.compareTo(b) == 0)
     while (iter < maxIter && !converged) {
       val next = star(star(cur, large = true), large = false)
       val p = probe(next)
-      converged = p._1 == prev._1 && ((p._2 eq null) && (prev._2 eq null) ||
-        p._2 != null && prev._2 != null && p._2.compareTo(prev._2) == 0)
+      converged = p._1 == prev._1 && sameSum(p._2, prev._2) &&
+        sameSum(p._3, prev._3)
       prev = p
       cur = next
       iter += 1

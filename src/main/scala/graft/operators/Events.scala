@@ -343,7 +343,38 @@ object Events {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** pandas `crosstab(event_type, daypart)`: a contingency table of two
+    * categoricals — groupBy + pivot with PINNED category columns (the
+    * data-driven-category pivot is q14); coalesce(0) because an empty
+    * cell is a zero count, not null. One shuffle on the row key; the
+    * pivot itself is map-side conditional aggregation. */
+  val qCrosstab: Q = Q(
+    "q110_crosstab",
+    """SELECT event_type,
+      |  count(*) FILTER (WHERE hour(ts) < 6) AS night,
+      |  count(*) FILTER (WHERE hour(ts) >= 6 AND hour(ts) < 12) AS morning,
+      |  count(*) FILTER (WHERE hour(ts) >= 12 AND hour(ts) < 18) AS afternoon,
+      |  count(*) FILTER (WHERE hour(ts) >= 18) AS evening
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    val daypart = when(hour(col("ts")) < 6, "night")
+      .when(hour(col("ts")) < 12, "morning")
+      .when(hour(col("ts")) < 18, "afternoon")
+      .otherwise("evening")
+    Tables.events(s, d)
+      .withColumn("daypart", daypart)
+      .groupBy(col("event_type"))
+      .pivot("daypart", Seq("night", "morning", "afternoon", "evening"))
+      .count()
+      .select(col("event_type"),
+        coalesce(col("night"), lit(0L)).as("night"),
+        coalesce(col("morning"), lit(0L)).as("morning"),
+        coalesce(col("afternoon"), lit(0L)).as("afternoon"),
+        coalesce(col("evening"), lit(0L)).as("evening"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(qJsonStruct, qJsonMap, qTumbling, qSliding,
     qSessionize, qAsOfJoin, qAsOfTolerance, qAsOfDirections, qAsOfNative,
-    qArrayHof, qAsOfMultiKey, qResampleDaily)
+    qArrayHof, qAsOfMultiKey, qResampleDaily, qCrosstab)
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -200,6 +201,33 @@ object SortsSets {
       .orderBy(col("src"))
   }
 
+  /** pandas `duplicated(subset, keep=...)` — FLAG duplicates instead of
+    * dropping them (the audit-trail form of q33's keep-first dedup):
+    * dup_any = `keep=False` (every member of a >1 group), dup_first =
+    * `keep='first'` (all but the first occurrence in doc_id order).
+    * One shuffle on the subset key; both flags ride the same window
+    * partition, so the second costs nothing extra. */
+  val qDuplicatedFlag: Q = Q(
+    "q111_duplicated_flag",
+    """SELECT doc_id, (cnt > 1) AS dup_any, (rn > 1) AS dup_first
+      |FROM (SELECT doc_id,
+      |        count(*) OVER (PARTITION BY lang, n_chars) AS cnt,
+      |        row_number() OVER (PARTITION BY lang, n_chars
+      |          ORDER BY doc_id) AS rn
+      |      FROM documents) t
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val part = Window.partitionBy(col("lang"), col("n_chars"))
+    val ord = part.orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("cnt", count(lit(1)).over(part))
+      .withColumn("rn", row_number().over(ord))
+      .select(col("doc_id"), (col("cnt") > 1).as("dup_any"),
+        (col("rn") > 1).as("dup_first"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(qTopK, qMultiSort, qUnionAll, qIntersect, qExcept,
-    qDistinct, qKeepFirst, qSample, qStratifiedSample, qTail, qConcatByName)
+    qDistinct, qKeepFirst, qSample, qStratifiedSample, qTail, qConcatByName,
+    qDuplicatedFlag)
 }

@@ -282,6 +282,103 @@ object Vectors {
       .orderBy(col("probe_id"), col("rn"))
   }
 
+  /** One k-means E-step + update statistics, fully relational and
+    * oracle-checked: seed centroids are fixed corpus vectors, every
+    * vector is assigned to its max-cosine seed (ties → lower seed id),
+    * and the M-step's per-cluster means are summarized. The full
+    * iterated loop is v68; this pins the per-iteration semantics to the
+    * DuckDB differential. Seeds ride as a broadcast — the assignment is
+    * one scan, no shuffle until the k-row aggregate. */
+  val qKmeansStep: Q = Q(
+    "v67_kmeans_step",
+    s"""WITH v AS ($duckNormed),
+       |seeds AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn
+       |          FROM v WHERE vec_id IN (0, 10, 20, 30)),
+       |pc AS (SELECT a.vec_id, a.embedding, s.cid,
+       |         ${VectorOps.duckDot("a.embedding", "s.ce")} / (a.nrm * s.cn) AS sim
+       |       FROM v a CROSS JOIN seeds s),
+       |asg AS (SELECT * FROM (SELECT vec_id, embedding, cid, sim,
+       |          row_number() OVER (PARTITION BY vec_id
+       |            ORDER BY sim DESC, cid) AS rn FROM pc) t WHERE rn = 1)
+       |SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n,
+       |       round(avg(sim), 6) AS avg_sim,
+       |       round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS new_c0
+       |FROM asg GROUP BY cid ORDER BY cid""".stripMargin
+  ) { (s, d) =>
+    val v = withNorm(Tables.embeddings(s, d))
+    val seeds = v.filter(col("vec_id").isin(0L, 10L, 20L, 30L))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val pc = v.crossJoin(broadcast(seeds))
+      .withColumn("sim", VectorOps.cosineFromNorms(
+        VectorOps.dot(col("embedding"), col("ce")), col("nrm"), col("cn")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(desc("sim"), col("cid"))
+    pc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("cid").as("cluster_id"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("sim")), 6).as("avg_sim"),
+        round(avg(element_at(col("embedding"), 1).cast("double")), 6).as("new_c0"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** Full Lloyd's k-means over the embedding column — the semantic-
+    * clustering primitive (cluster-then-sample curation, IVF coarse
+    * quantizer training). Fully relational like the CC loops: centroids
+    * stay a k-row DataFrame (broadcast each round, never larger), the
+    * E-step is one scan + k-way argmin, the M-step a posexplode mean
+    * (v66's centroid shape), and each round materializes through ONE
+    * distributed action that also carries the convergence probe
+    * (assignment-set fingerprint, Dedup's discipline). Squared-L2
+    * assignment + mean update ⇒ inertia is provably non-increasing
+    * (GraftSpec asserts it). Engine-specific hashing → no SQL oracle;
+    * v67 oracle-pins the single-step semantics. */
+  def kmeansLloyd(emb: DataFrame, seedIds: Seq[Long],
+      maxIter: Int = 10): (DataFrame, Seq[Double]) = {
+    val v = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("sq", VectorOps.dot(col("e"), col("e")))
+      .localCheckpoint(true) // fixed across rounds: cut re-scan lineage
+    var cent = v.filter(col("vec_id").isin(seedIds: _*))
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    var inertias = Vector.empty[Double]
+    var prevFp: java.math.BigDecimal = null
+    var asg: DataFrame = null
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val centSq = cent.withColumn("csq", VectorOps.dot(col("ce"), col("ce")))
+      val pc = v.crossJoin(broadcast(centSq))
+        .withColumn("d2",
+          col("sq") + col("csq") - lit(2.0) * VectorOps.dot(col("e"), col("ce")))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+      asg = pc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("d2"), col("e"))
+        .localCheckpoint(false) // lazy: the probe below materializes it
+      val r = asg.agg(sum(col("d2")),
+        sum(xxhash64(col("vec_id"), col("cid")).cast("decimal(38,0)"))).head
+      val fp = Option(r.getDecimal(1)).map(_.stripTrailingZeros()).orNull
+      inertias :+= r.getDouble(0)
+      // unchanged assignment ⇒ identical M-step ⇒ fixpoint
+      converged = prevFp != null && fp != null && prevFp.compareTo(fp) == 0
+      prevFp = fp
+      if (!converged) {
+        cent = asg.select(col("cid"), posexplode(col("e")).as(Seq("dim0", "x")))
+          .groupBy(col("cid"), col("dim0")).agg(avg(col("x")).as("cx"))
+          .groupBy(col("cid"))
+          .agg(array_sort(collect_list(struct(col("dim0"), col("cx")))).as("p"))
+          .select(col("cid"), transform(col("p"), p => p("cx")).as("ce"))
+      }
+      iter += 1
+    }
+    (asg, inertias)
+  }
+
+  val qKmeansLloyd: Q = Q.noOracle("v68_kmeans_lloyd") { (s, d) =>
+    val (asg, _) = kmeansLloyd(Tables.embeddings(s, d), Seq(0L, 10L, 20L, 30L), 8)
+    asg.groupBy(col("cid").as("cluster_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("d2")), 3).as("inertia"))
+      .orderBy(col("cluster_id"))
+  }
+
   val all: Seq[Q] = Seq(qCosineTopK, qKnnVote, qNormStats, qPairTopK,
-    qLshAnn, qIvfAnn)
+    qLshAnn, qIvfAnn, qKmeansStep, qKmeansLloyd)
 }

@@ -296,4 +296,23 @@ class DedupSpec extends AnyFunSuite {
       .limit(15).select("o_orderkey").collect().map(_.getLong(0))
     assert(topk.sameElements(full))
   }
+
+  test("v68 kmeans partitions every vector and inertia never increases") {
+    val emb = Tables.embeddings(spark, sf)
+    val (asg, inertias) =
+      operators.Vectors.kmeansLloyd(emb, Seq(0L, 10L, 20L, 30L), 8)
+    val n = emb.count()
+    assert(asg.count() == n)
+    assert(asg.select("vec_id").distinct().count() == n)
+    val k = asg.select("cid").distinct().count()
+    assert(k >= 1 && k <= 4)
+    // Lloyd guarantee (squared-L2 assignment, mean update): each round's
+    // post-assignment inertia <= the previous round's, up to float noise
+    assert(inertias.nonEmpty)
+    inertias.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a * (1 + 1e-9) + 1e-9,
+        s"inertia increased: $inertias")
+      case _ => ()
+    }
+  }
 }
