@@ -534,8 +534,42 @@ object Text {
       .orderBy(desc("n"), col("g")).limit(20)
   }
 
+  /** Gopher-style statistical quality signals: per-doc Shannon entropy
+    * of the token distribution and type-token ratio — low entropy /
+    * low TTR flags template spam and keyword stuffing that t53's
+    * length-based score misses. Two groupBys on (doc, token) then
+    * (doc): both shuffles key on doc_id, so at 100 TB this is two
+    * map-side-combined passes, no wide rows. */
+  val qTokenEntropy: Q = Q(
+    "t77_token_entropy",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |             FROM documents WHERE doc_id < 200),
+      |tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+      |n AS (SELECT doc_id, sum(c) AS n, count(*) AS n_types
+      |      FROM tc GROUP BY doc_id)
+      |SELECT tc.doc_id,
+      |  round(-sum((c * 1.0 / n.n) * ln(c * 1.0 / n.n)), 6) AS entropy,
+      |  round(max(n.n_types) * 1.0 / max(n.n), 6) AS type_token_ratio,
+      |  CAST(max(n.n) AS BIGINT) AS n_tokens
+      |FROM tc JOIN n USING (doc_id)
+      |GROUP BY tc.doc_id ORDER BY tc.doc_id""".stripMargin
+  ) { (s, d) =>
+    val tok = Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"), explode(tokens).as("tok"))
+    val tc = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val n = tc.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_types"))
+    val p = col("c") * lit(1.0) / col("n")
+    tc.join(n, Seq("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(round(-sum(p * log(p)), 6).as("entropy"),
+        round(max(col("n_types")) * lit(1.0) / max(col("n")), 6).as("type_token_ratio"),
+        max(col("n")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(qTokenCounts, qLangStats, qExactDedup, qDedupKeepFirst,
     qQuality, qNgramJaccard, qTfIdf, qLangId, qFingerprint, qRegexTokens,
     qPipelineClean, qHeavyHitters, qDecontaminate, qRepetition,
-    qCmsHeavyHitters, qBigramCounts)
+    qCmsHeavyHitters, qBigramCounts, qTokenEntropy)
 }
