@@ -158,6 +158,34 @@ object ScaleSmoke {
       operators.Curation.bloomIncrementalDedup(existing, incoming)
         .groupBy(col("maybe_dup")).agg(count(lit(1))).count()
     }
+    time("boilerplate ngrams (t75)", nDocs) {
+      val shx = operators.Text.shingled(docs)
+      val freq = shx.groupBy(col("s")).agg(count(lit(1)).as("nd"))
+      shx.join(freq, Seq("s"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"), count(when(col("nd") >= 5, 1)).as("n_common"))
+        .count()
+    }
+    time("doc chunking (t76 shape)", nDocs) {
+      val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+        .withColumn("n", size(col("t")).cast("long"))
+        .withColumn("n_chunks",
+          lit(1L) + ceil(greatest(col("n") - 32, lit(0L)) / lit(24.0)).cast("long"))
+      toks.select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("cid")).count()
+    }
+    val nVec = nDocs / 10
+    time("kmeans lloyd (v68 shape)", nVec) {
+      // synthetic 16-d embeddings from id arithmetic; 4 centroids, 5
+      // rounds max — measures the E-step crossJoin + M-step posexplode
+      // mean at 100× the fixture vector count
+      val emb = spark.range(nVec).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(15)), i =>
+          (pmod(xxhash64(col("id") * 16 + i), lit(1000L)).cast("double")
+            / 500.0 - 1.0).cast("float")).as("embedding"))
+      val (asg, _) = operators.Vectors.kmeansLloyd(emb, Seq(0L, 1L, 2L, 3L), 5)
+      asg.count()
+    }
     spark.stop()
     // synthetic tables are hundreds of MB per run: delete so repeated
     // runs don't build disk pressure (which skews the measurements)

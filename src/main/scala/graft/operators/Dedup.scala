@@ -324,6 +324,31 @@ object Dedup {
       .orderBy(col("cluster"))
   }
 
+  /** Edit-distance fuzzy matching (record-linkage near-dup for SHORT
+    * strings — the per-pair exact scorer that shingle/minhash methods
+    * gate): Levenshtein over 24-char prefixes on a bounded id range.
+    * Classic DP on both engines ⇒ bit-identical distances. The pair join
+    * is the bounded oracle form; at scale candidates come from the LSH /
+    * simhash buckets and only THEY pay the O(len²) DP. */
+  val qLevenshteinPairs: Q = Q(
+    "t78_levenshtein_pairs",
+    """WITH d AS (SELECT doc_id, substr(text, 1, 24) AS p
+      |           FROM documents WHERE doc_id < 60)
+      |SELECT a.doc_id AS da, b.doc_id AS db,
+      |       CAST(levenshtein(a.p, b.p) AS INT) AS dist
+      |FROM d a JOIN d b ON a.doc_id < b.doc_id
+      |ORDER BY dist, da, db LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 60)
+      .select(col("doc_id"), substring(col("text"), 1, 24).as("p"))
+    val a = docs.select(col("doc_id").as("da"), col("p").as("pa"))
+    val b = docs.select(col("doc_id").as("db"), col("p").as("pb"))
+    a.join(b, col("da") < col("db"))
+      .select(col("da"), col("db"), levenshtein(col("pa"), col("pb")).as("dist"))
+      .orderBy(col("dist"), col("da"), col("db"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(qMinHashLsh, qSimHash, qSimHashPairs, qDedupClusters,
-    qDedupClustersStar)
+    qDedupClustersStar, qLevenshteinPairs)
 }

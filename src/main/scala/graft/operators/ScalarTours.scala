@@ -187,6 +187,42 @@ object ScalarTours {
       .orderBy(col("o_orderkey"))
   }
 
+  /** pandas NA family as DataFrameNaFunctions (`fillna` → na.fill,
+    * `dropna` → na.drop, `replace` → na.replace): the fixtures carry no
+    * nulls, so nullif() manufactures them first — which also exercises
+    * the null-production side (pandas `mask`'s inverse). n_complete is
+    * the na.drop("any") survivor count riding along as a broadcast
+    * 1-row aggregate. */
+  val qNaFamily: Q = Q(
+    "q112_na_family",
+    """WITH base AS (SELECT nullif(l_returnflag, 'N') AS flag_n,
+      |                     nullif(l_quantity, 1.0) AS qty_n
+      |              FROM lineitem),
+      |kept AS (SELECT count(*) AS n_complete FROM base
+      |         WHERE flag_n IS NOT NULL AND qty_n IS NOT NULL),
+      |filled AS (SELECT CASE WHEN coalesce(flag_n, 'X') = 'R' THEN 'RET'
+      |                       ELSE coalesce(flag_n, 'X') END AS flag,
+      |                  coalesce(qty_n, 0.0) AS qty
+      |           FROM base)
+      |SELECT flag, count(*) AS n, round(sum(qty), 2) AS sum_qty,
+      |       count(*) FILTER (WHERE qty = 0.0) AS n_filled,
+      |       (SELECT n_complete FROM kept) AS n_complete
+      |FROM filled GROUP BY flag ORDER BY flag""".stripMargin
+  ) { (s, d) =>
+    val base = Tables.lineitem(s, d).select(
+      expr("nullif(l_returnflag, 'N')").as("flag_n"),
+      expr("nullif(l_quantity, 1.0D)").as("qty_n"))
+    val kept = base.na.drop("any")
+      .agg(count(lit(1)).as("n_complete"))
+    base.na.fill(Map("flag_n" -> "X", "qty_n" -> 0.0))
+      .na.replace("flag_n", Map("R" -> "RET"))
+      .groupBy(col("flag_n").as("flag"))
+      .agg(count(lit(1)).as("n"), round(sum(col("qty_n")), 2).as("sum_qty"),
+        count(when(col("qty_n") === 0.0, 1)).as("n_filled"))
+      .crossJoin(broadcast(kept))
+      .orderBy(col("flag"))
+  }
+
   val all: Seq[Q] = Seq(qStrings, qDates, qMath, qConditional, qPredicates,
-    qCasts)
+    qCasts, qNaFamily)
 }

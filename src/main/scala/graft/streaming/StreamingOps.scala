@@ -54,6 +54,19 @@ object StreamingOps {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("session_value"))
 
+  /** Dynamic-gap session windows (Spark 3.2+): the gap is a per-event
+    * EXPRESSION, not a constant — purchases hold their session open for
+    * an hour, everything else 30 minutes. Same plan batch or stream. */
+  def sessionWindowsDynamic(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"),
+        when(col("event_type") === "purchase", "1 hour")
+          .otherwise("30 minutes")).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
   /** Stream-stream inner join with watermarked time bound: purchases
     * joined to clicks by the same user within the preceding hour. Both
     * sides carry watermarks so join state is bounded (Spark requires the

@@ -96,6 +96,25 @@ class CurationSpec extends AnyFunSuite {
     assert(flagged <= realDups.count() + (incoming.count() * 0.1).toLong + 1)
   }
 
+  test("t76 overlap-stripped chunk concat reconstructs every document") {
+    val chunks = operators.Curation.qDocChunking.fn(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 100)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(chunks.nonEmpty)
+    chunks.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("chunk_id"))
+      // stride 24 on 32-token chunks ⇒ 8 shared tokens at each seam
+      val toks = sorted.zipWithIndex.flatMap { case (r, i) =>
+        val t = r.getAs[String]("chunk_text").split(" ")
+        if (i == 0) t.toSeq else t.drop(8).toSeq
+      }
+      assert(toks.mkString(" ") == docs(id), s"doc $id reassembly broke")
+      sorted.dropRight(1).foreach(r =>
+        assert(r.getAs[Long]("n_tokens") == 32L, s"doc $id non-final short chunk"))
+    }
+  }
+
   test("t67/t70 plans contain no single-partition global window") {
     for (q <- Seq(operators.Curation.qContextPacking,
         operators.Curation.qSeededShuffle)) {

@@ -70,6 +70,44 @@ class SourcesSpec extends AnyFunSuite {
     assert(fingerprint(back) == fingerprint(li))
   }
 
+  test("binaryFile source ingests opaque media files with metadata") {
+    // The multimodal ingest path: raw image/audio/video files land as
+    // (path, modificationTime, length, content) rows — the binary
+    // column feeds the m71/m72 decode plumbing. pathGlobFilter does
+    // format routing server-side, before any bytes reach the plan.
+    val dir = java.nio.file.Paths.get(tmp("graft_bin"))
+    val payloads = Seq("imgA" -> 40, "imgB" -> 90, "clipC" -> 25)
+    payloads.foreach { case (name, n) =>
+      Files.write(dir.resolve(s"$name.img"), Array.fill[Byte](n)(name.head.toByte))
+    }
+    Files.write(dir.resolve("notes.txt"), "not media".getBytes)
+    val media = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.img").load(dir.toString)
+    assert(media.count() == 3)
+    val got = media
+      .select(regexp_extract(input_file_name(), "([^/]+)\\.img$", 1).as("name"),
+        col("length"), size_of_binary(col("content")).as("n_bytes"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    payloads.foreach { case (name, n) =>
+      assert(got(name) == (n.toLong, n), s"$name: ${got(name)}")
+    }
+  }
+
+  private def size_of_binary(c: org.apache.spark.sql.Column) = length(c)
+
+  test("text source reads raw lines (dd.read_table analog)") {
+    val dir = tmp("graft_text")
+    Tables.documents(spark, sf).select(col("text")).limit(50)
+      .write.mode("overwrite").text(dir)
+    val back = spark.read.text(dir)
+    assert(back.count() == 50)
+    assert(back.schema.fieldNames.toSeq == Seq("value"))
+    // whole-file variant: one row per file (document-per-file corpora)
+    val whole = spark.read.option("wholetext", "true").text(dir)
+    assert(whole.count() >= 1 && whole.agg(sum(length(col("value"))))
+      .head.getLong(0) >= back.agg(sum(length(col("value")))).head.getLong(0))
+  }
+
   test("partitioned parquet write prunes on read (directory partitioning)") {
     val dir = tmp("graft_part")
     li.write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
@@ -157,6 +195,24 @@ class SourcesSpec extends AnyFunSuite {
       col("o_custkey") === col("c_custkey")).count() == 0)
     assert(empty.orderBy(col("o_totalprice")).limit(5).count() == 0)
     assert(empty.agg(sum("o_totalprice")).head.isNullAt(0)) // SQL sum() of none = null
+  }
+
+  test("observe() collects pipeline metrics on the side (dask diagnostics analog)") {
+    // Observation = metrics riding the SAME job (no second scan):
+    // dask's ProgressBar/ResourceProfiler counterpart for row counts /
+    // sums at an intermediate pipeline stage.
+    val obs = org.apache.spark.sql.Observation("graft_obs")
+    val staged = li
+      .observe(obs, count(lit(1)).as("n_rows"),
+        round(sum(col("l_extendedprice")), 2).as("total_price"))
+      .filter(col("l_quantity") > 25)
+    val survivors = staged.count()
+    val metrics = obs.get
+    val expectRows = li.count()
+    val expectTotal = li.agg(round(sum(col("l_extendedprice")), 2)).head.getDouble(0)
+    assert(metrics("n_rows") == expectRows)
+    assert(metrics("total_price") == expectTotal)
+    assert(survivors < expectRows) // the filter ran downstream of the metric point
   }
 
   test("delayed-graph analog: driver-side lazy composition executes once on action") {

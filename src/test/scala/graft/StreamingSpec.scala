@@ -321,4 +321,19 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotPerUser == wantPerUser)
   }
+
+  test("dynamic-gap session window: stream equals batch, gaps differ by type") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[Ev]
+    val stream = MemoryStream[Ev]
+    stream.addData(eventRows())
+    val got = runToMemory(StreamingOps.sessionWindowsDynamic(stream.toDF()),
+      "dyn_sessions_out", OutputMode.Complete())
+    val want = StreamingOps.sessionWindowsDynamic(Tables.events(spark, sf))
+    assert(sortedRows(got) == sortedRows(want))
+    // the dynamic gap really bites: purchase-extended sessions make the
+    // session count differ from the fixed-30-minute form
+    val fixed = StreamingOps.sessionWindows(Tables.events(spark, sf))
+    assert(want.count() != fixed.count())
+  }
 }
