@@ -59,6 +59,29 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q89_tail").contains("TakeOrderedAndProject"))
   }
 
+  test("t75: boilerplate scoring joins on the shingle — no pair join, no cartesian") {
+    val p = plan("t75_boilerplate_ngrams")
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    // frequency join keys on the shingle string: candidate volume is
+    // O(shingle collisions), never O(docs²)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(400))
+  }
+
+  test("t76: chunking plan has no shuffle before the presentation sort") {
+    val qe = SparkEntry.queries("t76_doc_chunking")(spark, sf).queryExecution
+    // exactly one Exchange: the final orderBy's range partitioning —
+    // chunk construction itself is embarrassingly parallel
+    val exchanges = qe.executedPlan.toString.linesIterator
+      .count(_.trim.stripPrefix("+- ").startsWith("Exchange"))
+    assert(exchanges <= 1, qe.executedPlan.toString.take(600))
+  }
+
+  test("v67: kmeans E-step broadcasts the seed centroids") {
+    val p = plan("v67_kmeans_step")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(600))
+  }
+
   test("q39: compound predicate reaches the scan as data filters") {
     val p = plan("q39_filter_predicates")
     val scanLine = p.linesIterator.find(_.contains("FileScan parquet")).get
