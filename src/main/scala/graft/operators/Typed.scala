@@ -159,6 +159,88 @@ object Typed {
       .orderBy(col("pid"))
   }
 
+  case class UserEvent(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, value: Double)
+  implicit val userEventEnc: Encoder[UserEvent] = Encoders.product[UserEvent]
+  case class UserEwm(user_id: Long, n_events: Long, ewm: Double)
+  implicit val userEwmEnc: Encoder[UserEwm] = Encoders.product[UserEwm]
+
+  /** Exponentially weighted mean (pandas/dask `ewm(alpha).mean()`,
+    * adjust=False): a sequential per-key recurrence s ← (1−α)s + αx that
+    * no Spark built-in expresses — exactly what the typed groupByKey
+    * escape hatch is for. The fold order is pinned (ts, event_id), and
+    * the oracle runs the IDENTICAL left fold via DuckDB `list_reduce`,
+    * so the doubles match bit-for-bit, not just to rounding. Each group
+    * sorts in memory (fixture groups ~100 rows); at 100 TB the same
+    * recurrence distributes by composing per-band affine maps
+    * (s_end = (1−α)^n·s_start + c — associative, Scale.bucketOffsets
+    * discipline), documented here as the scale path. */
+  val qEwm: Q = Q(
+    "q113_ewm_final",
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  round(list_reduce(list(value ORDER BY ts, event_id),
+      |    (s, x) -> 0.8 * s + 0.2 * x), 6) AS ewm
+      |FROM events WHERE user_id < 50
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+  ) { (s, d) =>
+    val ds = Tables.events(s, d).filter(col("user_id") < 50)
+      .select("user_id", "event_id", "ts", "value").as[UserEvent]
+    ds.groupByKey(_.user_id)
+      .mapGroups { (uid, it) =>
+        val rows = it.toVector.sortBy(r => (r.ts.getTime, r.event_id))
+        val ewm = rows.map(_.value).reduceLeft((acc, x) => 0.8 * acc + 0.2 * x)
+        UserEwm(uid, rows.size.toLong, ewm)
+      }
+      .toDF()
+      // HALF_UP rounding lives in the plan so it matches the oracle's
+      // round() semantics (rint would tie-break half-to-even)
+      .select(col("user_id"), col("n_events"), round(col("ewm"), 6).as("ewm"))
+      .orderBy(col("user_id"))
+  }
+
+  case class LineNet(l_orderkey: Long, cents: Long)
+  implicit val lineNetEnc: Encoder[LineNet] = Encoders.product[LineNet]
+  case class OrderRecon(o_orderkey: Long, o_totalprice: Double,
+      n_lines: Long, net: Double)
+  implicit val orderReconEnc: Encoder[OrderRecon] = Encoders.product[OrderRecon]
+
+  /** Typed cogroup — the two-input sibling of flatMapGroups (dask idiom:
+    * map_partitions over two division-aligned frames): orders and their
+    * lineitems meet per orderkey in one closure, no join materialized.
+    * Line nets sum in integer cents inside the closure, so the result is
+    * partitioning-independent. Orders with no lineitems surface with
+    * n_lines = 0 (the full-outer semantics joins can't give flatMapGroups). */
+  val qCogroup: Q = Q(
+    "q114_typed_cogroup",
+    """SELECT o.o_orderkey, o.o_totalprice,
+      |  CAST(count(l.l_orderkey) AS BIGINT) AS n_lines,
+      |  round(coalesce(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+      |    * 100) AS BIGINT)), 0) / 100.0, 2) AS net
+      |FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE o.o_orderkey < 300
+      |GROUP BY o.o_orderkey, o.o_totalprice ORDER BY o.o_orderkey""".stripMargin
+  ) { (s, d) =>
+    val os = Tables.orders(s, d).filter(col("o_orderkey") < 300)
+      .select("o_orderkey", "o_custkey", "o_totalprice").as[OrderRow]
+    val ls = Tables.lineitem(s, d).filter(col("l_orderkey") < 300)
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("cents"))
+      .as[LineNet]
+    os.groupByKey(_.o_orderkey)
+      .cogroup(ls.groupByKey(_.l_orderkey)) { (k, oit, lit_) =>
+        oit.map { o =>
+          val cents = lit_.map(_.cents).toVector
+          OrderRecon(k, o.o_totalprice, cents.size.toLong,
+            cents.sum / 100.0)
+        }
+      }
+      .toDF()
+      .select(col("o_orderkey"), col("o_totalprice"), col("n_lines"),
+        round(col("net"), 2).as("net"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[Q] = Seq(qFlatMapGroups, qMapPartitions, qStableMean,
-    qRangePartition)
+    qRangePartition, qEwm, qCogroup)
 }
