@@ -374,7 +374,54 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** Calendar UPsampling + forward fill (pandas `asfreq('1D')` /
+    * `resample('1D').ffill()` — q109's inverse): each user gets a dense
+    * daily spine between their first and last day (sequence-explode, no
+    * shuffle to build), missing days left-join to null and forward-fill
+    * from the last observed day. The spine is arithmetic per key, so at
+    * 100 TB it parallelizes per user with no global structure. */
+  val qUpsampleFfill: Q = Q(
+    "q115_upsample_ffill",
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, value, ts, event_id
+      |            FROM events WHERE user_id < 10),
+      |daily AS (SELECT user_id, day, value AS v FROM (
+      |    SELECT user_id, day, value,
+      |      row_number() OVER (PARTITION BY user_id, day
+      |        ORDER BY ts DESC, event_id DESC) AS rn FROM ev) t WHERE rn = 1),
+      |spine AS (SELECT user_id,
+      |            CAST(unnest(generate_series(min(day), max(day),
+      |              INTERVAL 1 DAY)) AS DATE) AS day
+      |          FROM ev GROUP BY user_id),
+      |j AS (SELECT s.user_id, s.day, d.v FROM spine s
+      |      LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day)
+      |SELECT user_id, day,
+      |  round(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+      |    AS value_ff,
+      |  (v IS NULL) AS was_filled
+      |FROM j ORDER BY user_id, day""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d).filter(col("user_id") < 10)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("value"), col("ts"), col("event_id"))
+    val wDay = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val daily = ev.withColumn("rn", row_number().over(wDay))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("value").as("v"))
+    val spine = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
+    val wFf = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("value_ff", round(last(col("v"), ignoreNulls = true).over(wFf), 2))
+      .select(col("user_id"), col("day"), col("value_ff"),
+        col("v").isNull.as("was_filled"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   val all: Seq[Q] = Seq(qJsonStruct, qJsonMap, qTumbling, qSliding,
     qSessionize, qAsOfJoin, qAsOfTolerance, qAsOfDirections, qAsOfNative,
-    qArrayHof, qAsOfMultiKey, qResampleDaily, qCrosstab)
+    qArrayHof, qAsOfMultiKey, qResampleDaily, qCrosstab, qUpsampleFfill)
 }

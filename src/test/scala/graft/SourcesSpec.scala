@@ -197,6 +197,23 @@ class SourcesSpec extends AnyFunSuite {
     assert(empty.agg(sum("o_totalprice")).head.isNullAt(0)) // SQL sum() of none = null
   }
 
+  test("_metadata hidden columns expose file provenance on parquet scans") {
+    // lineage/provenance without a UDF: _metadata.file_path/file_name/
+    // file_size ride the scan (the input_file_name successor). A
+    // partitioned write then shows per-file row attribution.
+    val dir = tmp("graft_meta")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+    val withMeta = spark.read.parquet(dir)
+      // file_path, not file_name: partition dirs reuse the same
+      // part-<task-uuid> basename, only the full path is unique
+      .select(col("l_orderkey"), col("_metadata.file_path").as("f"),
+        col("_metadata.file_size").as("sz"))
+    assert(withMeta.count() == li.count())
+    val files = withMeta.select("f").distinct().count()
+    assert(files >= 3, s"expected >=3 files, got $files") // one per flag at least
+    assert(withMeta.filter(col("sz") <= 0).count() == 0)
+  }
+
   test("observe() collects pipeline metrics on the side (dask diagnostics analog)") {
     // Observation = metrics riding the SAME job (no second scan):
     // dask's ProgressBar/ResourceProfiler counterpart for row counts /
