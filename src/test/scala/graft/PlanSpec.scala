@@ -242,6 +242,32 @@ class PlanSpec extends AnyFunSuite {
       (t._1.map(_.asInstanceOf[Any]), t._2, t._3)))
   }
 
+  test("global audit: no stray cartesian product or unpartitioned window in ANY query") {
+    // Every registered query's physical plan, one sweep: the two
+    // classic scale-killers must only appear where a bounded input
+    // makes them deliberate (whitelisted here with the bound).
+    val cartesianOk = Set(
+      "q8_cross_theta_join" // theta join demo: 25-row nation × nation
+    )
+    val globalWindowOk = Set.empty[String]
+    val cartOffenders = scala.collection.mutable.ListBuffer[String]()
+    val winOffenders = scala.collection.mutable.ListBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val plan = fn(spark, sf).queryExecution.sparkPlan
+      val hasCart = plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.nonEmpty
+      val hasGlobalWin = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }.nonEmpty
+      if (hasCart && !cartesianOk(name)) cartOffenders += name
+      if (hasGlobalWin && !globalWindowOk(name)) winOffenders += name
+    }
+    assert(cartOffenders.isEmpty, s"unexpected CartesianProduct in: $cartOffenders")
+    assert(winOffenders.isEmpty, s"unpartitioned WindowExec in: $winOffenders")
+  }
+
   test("extensions: graft_dot is a session SQL function (no temp registration)") {
     // newSession shares the context but rebuilds SessionState from the
     // injected extensions alone — Tables.ensureRegistered never ran here,
