@@ -62,7 +62,10 @@ object Bench {
     }
     def total(pick: ((Double, Double)) => Double) =
       merged.map(kv => pick(kv._2)).filter(_ >= 0).sum
-    def fmt(v: Double) = if (v < 0) "-1" else f"$v%.3f"
+    def fmt(v: Double) = // Locale.ROOT: a comma-decimal default locale
+      // would emit "0,123" and re-break the JSON line this fixes
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // Full per-query detail (all ~120 queries, cold + warm) goes to a
     // file: the driver's stdout capture keeps only the LAST 2000 chars,
     // so a single JSON line carrying every query never survives intact

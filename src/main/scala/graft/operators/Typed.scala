@@ -187,7 +187,10 @@ object Typed {
       .select("user_id", "event_id", "ts", "value").as[UserEvent]
     ds.groupByKey(_.user_id)
       .mapGroups { (uid, it) =>
-        val rows = it.toVector.sortBy(r => (r.ts.getTime, r.event_id))
+        // getNanos too: getTime truncates to ms, but the fixture carries
+        // µs — the oracle's ORDER BY ts is full-precision
+        val rows = it.toVector
+          .sortBy(r => (r.ts.getTime, r.ts.getNanos, r.event_id))
         val ewm = rows.map(_.value).reduceLeft((acc, x) => 0.8 * acc + 0.2 * x)
         UserEwm(uid, rows.size.toLong, ewm)
       }

@@ -250,9 +250,19 @@ class PlanSpec extends AnyFunSuite {
       "q8_cross_theta_join" // theta join demo: 25-row nation × nation
     )
     val globalWindowOk = Set.empty[String]
+    // Iterative queries run their loop eagerly on fn() and return a
+    // frame over a localCheckpoint'd RDD, so their returned plan is a
+    // truncated scan — sweeping them here would both claim coverage the
+    // audit can't deliver and execute multi-round jobs in a plan-only
+    // test. Their per-round shapes are locked separately: v67 pins the
+    // kmeans E-step, t63/t71's round bodies are groupBy/join-only
+    // (DedupSpec + the CC property tests drive them).
+    val iterative = Set("v68_kmeans_lloyd", "t63_dedup_clusters",
+      "t71_dedup_clusters_star")
     val cartOffenders = scala.collection.mutable.ListBuffer[String]()
     val winOffenders = scala.collection.mutable.ListBuffer[String]()
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+        if !iterative(name)) {
       val plan = fn(spark, sf).queryExecution.sparkPlan
       val hasCart = plan.collect {
         case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
