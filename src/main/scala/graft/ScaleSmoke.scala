@@ -174,6 +174,24 @@ object ScaleSmoke {
       toks.select(col("doc_id"),
         explode(sequence(lit(0L), col("n_chunks") - 1)).as("cid")).count()
     }
+    time("typed ewm fold (q113 shape)", nEvents) {
+      // 20M events / 100k users ≈ 200-row groups: the typed mapGroups
+      // recurrence at two orders past the fixture
+      import org.apache.spark.sql.{Encoder, Encoders}
+      implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+      implicit val enc: Encoder[(Long, Long, Double)] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble)
+      implicit val outEnc: Encoder[(Long, Double)] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+      ev.select(col("user_id"), col("event_id"), col("value"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapGroups { (uid, it) =>
+          val xs = it.toVector.sortBy(_._2).map(_._3)
+          uid -> xs.reduceLeft((s, x) => 0.8 * s + 0.2 * x)
+        }
+        .toDF("user_id", "ewm").count()
+    }
     val nVec = nDocs / 10
     time("kmeans lloyd (v68 shape)", nVec) {
       // synthetic 16-d embeddings from id arithmetic; 4 centroids, 5

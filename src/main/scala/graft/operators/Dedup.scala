@@ -175,6 +175,9 @@ object Dedup {
       converged = sumLbl == null ||
         prevSum.exists(p => p != null && p.compareTo(sumLbl) == 0)
       prevSum = Some(sumLbl)
+      // the probe materialized next, so the previous round's checkpoint
+      // blocks are dead (round 1's labels isn't checkpointed — no-op)
+      Scale.dropCheckpoint(labels)
       labels = next
       iter += 1
     }
@@ -183,6 +186,7 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents: no fixpoint within $maxIter rounds — component " +
         "diameter exceeds the bound; raise maxIter or switch to star-contraction")
+    Scale.dropCheckpoint(und) // labels is checkpointed; edges are dead
     labels
   }
 
@@ -246,11 +250,17 @@ object Dedup {
     def sameSum(a: java.math.BigDecimal, b: java.math.BigDecimal) =
       ((a eq null) && (b eq null)) || (a != null && b != null && a.compareTo(b) == 0)
     while (iter < maxIter && !converged) {
-      val next = star(star(cur, large = true), large = false)
+      val mid = star(cur, large = true)
+      val next = star(mid, large = false)
       val p = probe(next)
       converged = p._1 == prev._1 && sameSum(p._2, prev._2) &&
         sameSum(p._3, prev._3)
       prev = p
+      // probe materialized next; the superseded round's checkpoints —
+      // last round's edges AND this round's large-star intermediate —
+      // are dead (the final cur is kept — the result reads it)
+      Scale.dropCheckpoint(mid)
+      Scale.dropCheckpoint(cur)
       cur = next
       iter += 1
     }

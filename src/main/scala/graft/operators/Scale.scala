@@ -16,6 +16,23 @@ object Scale {
 
   val SaltBuckets = 16
 
+  /** Release the cached blocks behind a localCheckpoint'd frame
+    * (Dataset.unpersist only covers CacheManager entries, not
+    * checkpoint RDDs). Caller contract: nothing may read the frame
+    * again — its lineage is truncated, so dropped blocks cannot be
+    * recomputed. The iterative operators (CC, k-means) call this on
+    * each superseded round so a loop pins one round's state, not all
+    * of them. */
+  private[operators] def dropCheckpoint(df: DataFrame): Unit =
+    // ROOT match only: a derived (non-checkpointed) frame EMBEDS its
+    // parents' LogicalRDD nodes, and a tree-wide drop would unpersist a
+    // parent checkpoint other rounds still read. A checkpointed frame's
+    // plan root IS the LogicalRDD; anything else is a no-op.
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** Two-phase salted aggregation: stage 1 aggregates (key, salt) —
     * spreading each hot key over SaltBuckets reducers — stage 2 merges
     * the partials. Result is identical to the direct groupBy (the

@@ -361,7 +361,7 @@ object Vectors {
       // the probe materialized this round's asg, so the PREVIOUS round's
       // checkpoint blocks (read through cent during that action) are now
       // dead — release them instead of pinning one copy per round
-      if (prevAsg != null) dropCheckpoint(prevAsg)
+      if (prevAsg != null) Scale.dropCheckpoint(prevAsg)
       prevAsg = asg
       // unchanged assignment ⇒ identical M-step ⇒ fixpoint
       converged = prevFp != null && fp != null && prevFp.compareTo(fp) == 0
@@ -375,17 +375,9 @@ object Vectors {
       }
       iter += 1
     }
-    dropCheckpoint(v) // the returned asg is checkpointed, v is dead
+    Scale.dropCheckpoint(v) // the returned asg is checkpointed, v is dead
     (asg, inertias)
   }
-
-  /** Release the cached blocks behind a localCheckpoint'd frame (Dataset
-    * .unpersist only covers CacheManager entries, not checkpoint RDDs). */
-  private def dropCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-      case _ => ()
-    }
 
   val qKmeansLloyd: Q = Q.noOracle("v68_kmeans_lloyd") { (s, d) =>
     val (asg, _) = kmeansLloyd(Tables.embeddings(s, d), Seq(0L, 10L, 20L, 30L), 8)
