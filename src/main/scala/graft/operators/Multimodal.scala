@@ -182,5 +182,39 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
-  val all: Seq[Q] = Seq(qBinaryMeta, qMediaFeatures, qMixedJoin, qFrameExplode)
+  /** ViT-style patch grid: each payload is cut into fixed 16-byte
+    * patches laid out on an 8-wide grid — (patch_row, patch_col) ids +
+    * per-patch bytes, the image-tokenization layout an encoder consumes.
+    * Pure arithmetic + substring on the binary column: zero shuffle
+    * until the presentation sort, embarrassingly parallel at any scale
+    * (the m72 decode stub would slot in per patch). */
+  val qPatchGrid: Q = Q(
+    "m75_patch_grid",
+    """WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+      |           FROM documents WHERE doc_id < 50),
+      |p AS (SELECT doc_id, text, n,
+      |        unnest(range(0, CAST(ceil(n / 16.0) AS BIGINT))) AS pid FROM d)
+      |SELECT doc_id, pid // 8 AS patch_row, pid % 8 AS patch_col,
+      |  CAST(least(n - pid * 16, 16) AS BIGINT) AS n_bytes,
+      |  lower(hex(CAST(substr(text, CAST(pid * 16 + 1 AS INT), 16) AS BLOB)))
+      |    AS patch_hex
+      |FROM p ORDER BY doc_id, patch_row, patch_col""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("n"))
+    docs
+      .select(col("doc_id"), col("text"), col("n"),
+        explode(sequence(lit(0L),
+          ceil(col("n") / lit(16.0)).cast("long") - 1)).as("pid"))
+      .select(col("doc_id"),
+        expr("pid div 8").as("patch_row"),
+        (col("pid") % 8).as("patch_col"),
+        least(col("n") - col("pid") * 16, lit(16L)).as("n_bytes"),
+        lower(hex(substring(col("text").cast("binary"),
+          (col("pid") * 16 + 1).cast("int"), lit(16)))).as("patch_hex"))
+      .orderBy(col("doc_id"), col("patch_row"), col("patch_col"))
+  }
+
+  val all: Seq[Q] = Seq(qBinaryMeta, qMediaFeatures, qMixedJoin, qFrameExplode,
+    qPatchGrid)
 }

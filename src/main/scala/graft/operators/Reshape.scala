@@ -124,6 +124,32 @@ object Reshape {
       .orderBy(col("doc_id"))
   }
 
+  /** pandas `factorize` (categorical → dense integer codes, the ML
+    * label-encoding step): codes 0..k−1 assigned in sort order via
+    * Scale.globalDenseRank — a broadcast dictionary join, NOT an
+    * unpartitioned window, so the encoding scales to high-cardinality
+    * vocabularies (the dictionary is the only small side). */
+  val qFactorize: Q = Q(
+    "q116_factorize",
+    """WITH codes AS (SELECT event_type,
+      |    CAST(dense_rank() OVER (ORDER BY event_type) - 1 AS BIGINT) AS code
+      |  FROM (SELECT DISTINCT event_type FROM events) t)
+      |SELECT e.event_id, e.event_type, c.code
+      |FROM events e JOIN codes c USING (event_type)
+      |WHERE e.event_id < 100 ORDER BY e.event_id""".stripMargin
+  ) { (s, d) =>
+    // dictionary from the FULL corpus (codes must not depend on which
+    // slice is being encoded), then a broadcast join onto the slice
+    val dict = Scale.globalDenseRank(
+      Tables.events(s, d).select(col("event_type")).distinct(),
+      col("event_type"), "rk")
+    Tables.events(s, d).filter(col("event_id") < 100)
+      .join(broadcast(dict), Seq("event_type"))
+      .select(col("event_id"), col("event_type"),
+        (col("rk") - 1).cast("long").as("code"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[Q] = Seq(qUnpivot, qGroupingSets, qMultisetOps, qExplodeOuter,
-    qOneHot)
+    qOneHot, qFactorize)
 }

@@ -268,6 +268,35 @@ object Windows {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** pandas `Series.autocorr(lag=1)` per key: lag-1 autocorrelation of
+    * each event type's hourly totals — resample + shift + corr composed
+    * into one plan. Hourly totals round to 2 decimals BEFORE the corr so
+    * both engines correlate identical doubles (float-sum order in the
+    * hourly sum must not leak into the statistic). */
+  val qAutocorr: Q = Q(
+    "q117_autocorr_hourly",
+    """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+      |             round(sum(value), 2) AS tot
+      |           FROM events GROUP BY event_type, hr),
+      |l AS (SELECT event_type, tot,
+      |        lag(tot) OVER (PARTITION BY event_type ORDER BY hr) AS prev
+      |      FROM h)
+      |SELECT event_type, CAST(count(prev) AS BIGINT) AS n_pairs,
+      |       round(corr(tot, prev), 6) AS autocorr
+      |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    val h = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(round(sum(col("value")), 2).as("tot"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    h.withColumn("prev", lag(col("tot"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(col("prev")).as("n_pairs"),
+        round(corr(col("tot"), col("prev")), 6).as("autocorr"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(qTopkPerGroup, qRanks, qCumsum, qLagLead,
-    qRollingTime, qRollingRows, qCumMinMaxProd, qFill, qRollingMedian)
+    qRollingTime, qRollingRows, qCumMinMaxProd, qFill, qRollingMedian,
+    qAutocorr)
 }
