@@ -242,6 +242,24 @@ class PlanSpec extends AnyFunSuite {
       (t._1.map(_.asInstanceOf[Any]), t._2, t._3)))
   }
 
+  test("join strategy hints steer the planner (merge vs shuffle_hash vs broadcast)") {
+    // the explicit control surface over Catalyst's join choice — what a
+    // user reaches for when stats mislead the optimizer at scale
+    import org.apache.spark.sql.functions.col
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.toString
+    val merge = planOf(o.hint("merge").join(l, col("o_orderkey") === col("l_orderkey")))
+    assert(merge.contains("SortMergeJoin"), merge.take(300))
+    val shuffleHash = planOf(o.hint("shuffle_hash")
+      .join(l, col("o_orderkey") === col("l_orderkey")))
+    assert(shuffleHash.contains("ShuffledHashJoin"), shuffleHash.take(300))
+    val bcast = planOf(l.join(o.hint("broadcast"),
+      col("o_orderkey") === col("l_orderkey")))
+    assert(bcast.contains("BroadcastHashJoin"), bcast.take(300))
+  }
+
   test("global audit: no stray cartesian product or unpartitioned window in ANY query") {
     // Every registered query's physical plan, one sweep: the two
     // classic scale-killers must only appear where a bounded input

@@ -214,6 +214,53 @@ class SourcesSpec extends AnyFunSuite {
     assert(withMeta.filter(col("sz") <= 0).count() == 0)
   }
 
+  test("malformed json rows land in _corrupt_record instead of failing the read") {
+    // ingest robustness: PERMISSIVE mode (the production default for
+    // dirty corpora) quarantines bad rows in a side column; FAILFAST is
+    // the strict-validation variant.
+    val dir = java.nio.file.Paths.get(tmp("graft_badjson"))
+    Files.write(dir.resolve("part.json"), java.util.Arrays.asList(
+      """{"id": 1, "v": 10.5}""",
+      """{"id": 2 "v": oops""", // malformed on purpose
+      """{"id": 3, "v": 7.25}"""))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", DoubleType), StructField("_corrupt_record", StringType)))
+    val read = spark.read.schema(schema).json(dir.toString).cache()
+    assert(read.count() == 3)
+    assert(read.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(read.filter(col("_corrupt_record").isNull)
+      .agg(sum(col("v"))).head.getDouble(0) == 17.75)
+    read.unpersist()
+    intercept[Exception] {
+      spark.read.schema(StructType(schema.dropRight(1)))
+        .option("mode", "FAILFAST").json(dir.toString).collect()
+    }
+  }
+
+  test("broadcast variable + accumulator reach typed tasks (scatter/counter analog)") {
+    // distributed.Client.scatter -> sc.broadcast (ship a lookup once per
+    // executor); custom task-side counters -> LongAccumulator.
+    val lookup = spark.sparkContext.broadcast(Map("N" -> 0.0, "R" -> 1.5, "A" -> 3.0))
+    val seen = spark.sparkContext.longAccumulator("rows_seen")
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val enc: Encoder[(String, Double)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaDouble)
+    implicit val dEnc: Encoder[Double] = Encoders.scalaDouble
+    val adjusted = li.select(col("l_returnflag"), col("l_extendedprice"))
+      .as[(String, Double)]
+      .map { case (flag, price) =>
+        seen.add(1)
+        price * (1.0 + lookup.value.getOrElse(flag, 0.0) / 100)
+      }
+    val total = adjusted.agg(sum(col("value"))).head.getDouble(0)
+    assert(seen.value == li.count())
+    val direct = li.select(sum(col("l_extendedprice") *
+      (lit(1.0) + element_at(
+        map(lit("N"), lit(0.0), lit("R"), lit(1.5), lit("A"), lit(3.0)),
+        col("l_returnflag")) / 100))).head.getDouble(0)
+    assert(math.abs(total - direct) / direct < 1e-9)
+  }
+
   test("observe() collects pipeline metrics on the side (dask diagnostics analog)") {
     // Observation = metrics riding the SAME job (no second scan):
     // dask's ProgressBar/ResourceProfiler counterpart for row counts /
