@@ -315,7 +315,82 @@ object Curation {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Data-mixing sampler (the pretraining "mixture weights" step): each
+    * source gets a token budget (even-numbered sources 2000, odd 1000 —
+    * the stand-in for per-domain mixture weights), and docs are admitted
+    * in seeded-hash order until the budget is spent (first doc crossing
+    * the line is kept, the take-until convention). md5-hash order makes
+    * the sample reproducible under reruns, appends, and repartitioning —
+    * the same property q104/t70 rely on. Per-source window over the hash
+    * order = bounded partitions (one per source); at 100 TB a giant
+    * source routes through Scale.globalRowNumber banding like t70. */
+  val qDataMixing: Q = Q(
+    "t79_data_mixing",
+    """WITH d AS (SELECT source, doc_id,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |             CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+      |                  THEN 2000 ELSE 1000 END AS budget,
+      |             md5('mix42:' || CAST(doc_id AS VARCHAR)) AS h
+      |           FROM documents),
+      |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+      |        ORDER BY h, doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+      |        AS cum_prev
+      |      FROM d)
+      |SELECT source, CAST(max(budget) AS BIGINT) AS budget,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN cum_prev < budget THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_selected,
+      |       CAST(sum(CASE WHEN cum_prev < budget THEN n_tokens ELSE 0 END)
+      |            AS BIGINT) AS tokens_selected
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("budget",
+        when(substring(col("source"), 4, 10).cast("int") % 2 === 0, 2000L)
+          .otherwise(1000L))
+      .withColumn("h", md5(concat(lit("mix42:"), col("doc_id").cast("string"))))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("cum_prev", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .groupBy(col("source"))
+      .agg(max(col("budget")).as("budget"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("cum_prev") < col("budget"), 1L).otherwise(0L))
+          .as("n_selected"),
+        sum(when(col("cum_prev") < col("budget"), col("n_tokens")).otherwise(0L))
+          .as("tokens_selected"))
+      .orderBy(col("source"))
+  }
+
+  /** Sequence-length distribution (the batch-shape planning stat every
+    * packing/bucketing stage needs): docs histogrammed into power-of-two
+    * token buckets per language. Pure groupBy — one shuffle to ≤
+    * |lang|×|bucket| rows; log2 on integer token counts is exact at the
+    * bucket boundaries on both engines (powers of two are exactly
+    * representable and log2 is correctly rounded there). */
+  val qSeqlenHistogram: Q = Q(
+    "t80_seqlen_histogram",
+    """SELECT lang,
+      |       CAST(floor(log2(n_tokens)) AS BIGINT) AS bucket,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+      |       CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+      |       CAST(max(n_tokens) AS BIGINT) AS max_tokens
+      |FROM (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT)
+      |        AS n_tokens FROM documents) t
+      |GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy(col("lang"), floor(log2(col("n_tokens"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"),
+        min(col("n_tokens")).as("min_tokens"), max(col("n_tokens")).as("max_tokens"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
   val all: Seq[Q] = Seq(qContextPacking, qUnigramLogprob, qPiiRedaction,
     qSeededShuffle, qHashSplit, qHashSamplePerGroup, qBloomIncremental,
-    qBoilerplateNgrams, qDocChunking)
+    qBoilerplateNgrams, qDocChunking, qDataMixing, qSeqlenHistogram)
 }

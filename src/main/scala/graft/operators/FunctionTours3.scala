@@ -107,5 +107,40 @@ object FunctionTours3 {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(qDatetimeParse, qFormatStrings, qArrayAlgebra, qRegexFamily)
+  /** Timezone conversion family (pandas `tz_convert` / Spark
+    * `from_utc_timestamp` + `convert_timezone`): UTC event instants
+    * rendered as wall time in named IANA zones, including a fractional-
+    * offset zone (Kathmandu +05:45). Both engines resolve zone rules
+    * from the IANA tzdb, so formatted wall times compare exactly; output
+    * is formatted strings + an hour column so no TIMESTAMP_TZ type
+    * crosses the oracle boundary. Pure map stage — no shuffle. */
+  val qTimezones: Q = Q(
+    "q119_timezone_family",
+    """SELECT event_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS utc_wall,
+      |  strftime((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York',
+      |           '%Y-%m-%d %H:%M:%S') AS ny_wall,
+      |  strftime((ts AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Tokyo',
+      |           '%Y-%m-%d %H:%M:%S') AS tokyo_wall,
+      |  strftime((ts AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Kathmandu',
+      |           '%Y-%m-%d %H:%M:%S') AS ktm_wall,
+      |  CAST(hour((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York')
+      |       AS BIGINT) AS ny_hour
+      |FROM events WHERE event_id < 300 ORDER BY event_id""".stripMargin
+  ) { (s, d) =>
+    val fmt = "yyyy-MM-dd HH:mm:ss"
+    val e = Tables.events(s, d).filter(col("event_id") < 300)
+    def wall(zone: String) = date_format(from_utc_timestamp(col("ts"), zone), fmt)
+    e.select(col("event_id"),
+        date_format(col("ts"), fmt).as("utc_wall"),
+        wall("America/New_York").as("ny_wall"),
+        wall("Asia/Tokyo").as("tokyo_wall"),
+        wall("Asia/Kathmandu").as("ktm_wall"),
+        hour(from_utc_timestamp(col("ts"), "America/New_York")).cast("long")
+          .as("ny_hour"))
+      .orderBy(col("event_id"))
+  }
+
+  val all: Seq[Q] = Seq(qDatetimeParse, qFormatStrings, qArrayAlgebra, qRegexFamily,
+    qTimezones)
 }

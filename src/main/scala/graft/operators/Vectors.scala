@@ -386,6 +386,59 @@ object Vectors {
       .orderBy(col("cluster_id"))
   }
 
+  /** SemDeDup-style semantic dedup: embedding-cosine near-dup pruning
+    * bounded by cluster membership. Within each cluster, a vector is a
+    * duplicate iff some LOWER-id member has cosine ≥ τ (keep-first, the
+    * exact-dedup q33/t52 convention lifted to embedding space). Pairs are
+    * scored ONLY within a cluster — the SemDeDup scale contract: the
+    * corpus-wide O(n²) never happens; cost is Σ_c |c|², bounded by the
+    * coarse quantizer's cell size. Clusters here are the fixture's
+    * ground-truth `label` so DuckDB can replay the exact result; the
+    * production upstream is v68's kmeans (same assignment semantics as
+    * the oracle-pinned v67 E-step). τ=0.30 ≈ the fixture's within-cluster
+    * 99th-percentile similarity, so ~1% of members are pruned. */
+  val qSemanticDedup: Q = Q(
+    "v69_semantic_dedup",
+    s"""WITH v AS ($duckNormed),
+       |p AS (SELECT a.label, a.vec_id AS a_id,
+       |        round(max(${VectorOps.duckDot("a.embedding", "b.embedding")}
+       |          / (a.nrm * b.nrm)), 6) AS max_prior
+       |      FROM v a JOIN v b ON a.label = b.label AND b.vec_id < a.vec_id
+       |      GROUP BY a.label, a.vec_id),
+       |f AS (SELECT v.label, v.vec_id, p.max_prior,
+       |        coalesce(p.max_prior >= 0.30, false) AS is_dup
+       |      FROM v LEFT JOIN p ON v.label = p.label AND v.vec_id = p.a_id)
+       |SELECT label AS cluster, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |       CAST(sum(CASE WHEN is_dup THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+       |       round(max(max_prior), 6) AS max_prior_sim
+       |FROM f GROUP BY label ORDER BY label""".stripMargin
+  ) { (s, d) =>
+    val v = withNorm(Tables.embeddings(s, d))
+    val a = v.select(col("label"), col("vec_id").as("a_id"),
+      col("embedding").as("ae"), col("nrm").as("an"))
+    val b = v.select(col("label"), col("vec_id").as("b_id"),
+      col("embedding").as("be"), col("nrm").as("bn"))
+    // per-cluster pair scan (b_id < a_id): the only pair join, bounded by
+    // cluster size. At 100 TB the join key is the kmeans cell id — many
+    // thousand cells, each small — so no single key dominates a reducer.
+    val maxPrior = a.join(b, Seq("label"))
+      .filter(col("b_id") < col("a_id"))
+      .withColumn("sim", VectorOps.cosineFromNorms(
+        VectorOps.dot(col("ae"), col("be")), col("an"), col("bn")))
+      .groupBy(col("label"), col("a_id"))
+      .agg(round(max(col("sim")), 6).as("max_prior"))
+    v.select(col("label"), col("vec_id").as("a_id"))
+      .join(maxPrior, Seq("label", "a_id"), "left")
+      .withColumn("is_dup", coalesce(col("max_prior") >= 0.30, lit(false)))
+      .groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("is_dup"), 0L).otherwise(1L)).as("n_kept"),
+        round(max(col("max_prior")), 6).as("max_prior_sim"))
+      .orderBy(col("cluster"))
+  }
+
   val all: Seq[Q] = Seq(qCosineTopK, qKnnVote, qNormStats, qPairTopK,
-    qLshAnn, qIvfAnn, qKmeansStep, qKmeansLloyd)
+    qLshAnn, qIvfAnn, qKmeansStep, qKmeansLloyd, qSemanticDedup)
 }

@@ -296,7 +296,95 @@ object Windows {
       .orderBy(col("event_type"))
   }
 
+  /** Linear interpolation of missing values (pandas `interpolate
+    * (method='linear')`, dask via map_overlap): per-user event series
+    * with synthetic dropout (every event_id ≡ 1,2 mod 5 nulled), each
+    * gap filled by the line between its non-null neighbors; leading /
+    * trailing gaps fall back to bfill / ffill. Four ignoreNulls window
+    * functions over the SAME per-user frame — one shuffle, no self-join.
+    * Windows are per-user (bounded partitions), never global. */
+  val qInterpolate: Q = Q(
+    "q118_interpolate",
+    """WITH e AS (SELECT user_id, event_id, ts,
+      |             CASE WHEN event_id % 5 IN (1, 2) THEN NULL
+      |                  ELSE value END AS v
+      |           FROM events WHERE user_id < 10),
+      |r AS (SELECT user_id, event_id, v,
+      |        CAST(row_number() OVER (PARTITION BY user_id
+      |          ORDER BY ts, event_id) AS BIGINT) AS rn
+      |      FROM e),
+      |n AS (SELECT user_id, event_id, v, rn,
+      |        last_value(v IGNORE NULLS) OVER
+      |          (PARTITION BY user_id ORDER BY rn
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |        last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER
+      |          (PARTITION BY user_id ORDER BY rn
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pr,
+      |        first_value(v IGNORE NULLS) OVER
+      |          (PARTITION BY user_id ORDER BY rn
+      |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |        first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER
+      |          (PARTITION BY user_id ORDER BY rn
+      |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nr
+      |      FROM r)
+      |SELECT user_id, event_id, rn, (v IS NULL) AS was_null,
+      |       round(CASE WHEN v IS NOT NULL THEN v
+      |                  WHEN pv IS NULL THEN nv
+      |                  WHEN nv IS NULL THEN pv
+      |                  ELSE pv + (nv - pv) * (rn - pr) / (nr - pr)
+      |             END, 6) AS v_interp
+      |FROM n ORDER BY user_id, rn""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.events(s, d).filter(col("user_id") < 10)
+      .withColumn("v", when(col("event_id") % 5 isin (1, 2), lit(null))
+        .otherwise(col("value")))
+    val wo = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val r = e.withColumn("rn", row_number().over(wo).cast("long"))
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val notNullRn = when(col("v").isNotNull, col("rn"))
+    r.withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("pr", last(notNullRn, ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nr", first(notNullRn, ignoreNulls = true).over(wNext))
+      .select(col("user_id"), col("event_id"), col("rn"),
+        col("v").isNull.as("was_null"),
+        round(when(col("v").isNotNull, col("v"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv"))
+            * (col("rn") - col("pr")) / (col("nr") - col("pr"))), 6)
+          .as("v_interp"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** `pct_change` (pandas/dask Series.pct_change): fractional change of
+    * each customer's order total vs their previous order. One lag over
+    * the per-customer frame; first order per customer yields NULL — kept
+    * (pandas keeps the leading NaN). */
+  val qPctChange: Q = Q(
+    "q120_pct_change",
+    """SELECT o_custkey, o_orderkey,
+      |       round((o_totalprice - prev) / prev, 6) AS pct_change
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        lag(o_totalprice) OVER (PARTITION BY o_custkey
+      |          ORDER BY o_orderdate, o_orderkey) AS prev
+      |      FROM orders WHERE o_custkey < 100) t
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d).filter(col("o_custkey") < 100)
+      .withColumn("prev", lag(col("o_totalprice"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+        round((col("o_totalprice") - col("prev")) / col("prev"), 6)
+          .as("pct_change"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val all: Seq[Q] = Seq(qTopkPerGroup, qRanks, qCumsum, qLagLead,
     qRollingTime, qRollingRows, qCumMinMaxProd, qFill, qRollingMedian,
-    qAutocorr)
+    qAutocorr, qInterpolate, qPctChange)
 }
