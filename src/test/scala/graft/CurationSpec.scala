@@ -115,6 +115,41 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("t79 data mixing: selection is budget-bounded and seed-stable") {
+    val out = operators.Curation.qDataMixing.fn(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    val bySource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.length == bySource.size)
+    out.foreach { r =>
+      val (src, budget) = (r.getAs[String]("source"), r.getAs[Long]("budget"))
+      assert(r.getAs[Long]("n_docs") == bySource(src))
+      val sel = r.getAs[Long]("n_selected")
+      assert(sel >= 1, s"$src selected nothing") // first doc always admitted
+      // take-until: all but the last admitted doc fit strictly under
+      // budget, so tokens_selected < budget + max single-doc length
+      val maxDoc = docs.filter(col("source") === src)
+        .select(max(size(split(col("text"), " ")))).head.getInt(0)
+      val tok = r.getAs[Long]("tokens_selected")
+      assert(tok < budget + maxDoc, s"$src overshot: $tok vs $budget")
+    }
+    // seed-stability: a second run is bit-identical (md5 order, no RNG)
+    val again = operators.Curation.qDataMixing.fn(spark, sf).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("t80 seqlen histogram: buckets partition the corpus and bound token lengths") {
+    val out = operators.Curation.qSeqlenHistogram.fn(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == total)
+    out.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val (lo, hi) = (math.pow(2, b.toDouble), math.pow(2, (b + 1).toDouble))
+      assert(r.getAs[Long]("min_tokens") >= lo.toLong)
+      assert(r.getAs[Long]("max_tokens") < hi.toLong)
+    }
+  }
+
   test("t67/t70 plans contain no single-partition global window") {
     for (q <- Seq(operators.Curation.qContextPacking,
         operators.Curation.qSeededShuffle)) {

@@ -315,4 +315,48 @@ class DedupSpec extends AnyFunSuite {
       case _ => ()
     }
   }
+
+  test("v69 semantic dedup partitions clusters and keeps every cluster's first member") {
+    val out = operators.Vectors.qSemanticDedup.fn(spark, sf).collect()
+    val emb = Tables.embeddings(spark, sf)
+    val byLabel = emb.groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out.length == byLabel.size)
+    out.foreach { r =>
+      val (n, dup, kept) = (r.getAs[Long]("n"), r.getAs[Long]("n_dup"),
+        r.getAs[Long]("n_kept"))
+      assert(n == byLabel(r.getAs[Int]("cluster")), "cluster size mismatch")
+      assert(dup + kept == n, "dup/kept don't partition the cluster")
+      // keep-first: the min-id member has no lower-id pair, so every
+      // cluster retains at least one representative
+      assert(kept >= 1)
+    }
+  }
+
+  test("q118 interpolation: observed points unchanged, gaps between neighbors") {
+    val rows = operators.Windows.qInterpolate.fn(spark, sf).collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.values.foreach { us =>
+      val s = us.sortBy(_.getAs[Long]("rn"))
+      s.foreach { r =>
+        assert(!r.isNullAt(r.fieldIndex("v_interp")), "no row stays null")
+      }
+      // interior filled values lie within [min,max] of the bracketing
+      // observed values (linear interpolation never extrapolates)
+      val obs = s.filter(!_.getAs[Boolean]("was_null"))
+        .map(r => r.getAs[Long]("rn") -> r.getAs[Double]("v_interp"))
+      s.filter(_.getAs[Boolean]("was_null")).foreach { r =>
+        val rn = r.getAs[Long]("rn")
+        val before = obs.filter(_._1 < rn).map(_._2).lastOption
+        val after = obs.find(_._1 > rn).map(_._2)
+        (before, after) match {
+          case (Some(a), Some(b)) =>
+            val v = r.getAs[Double]("v_interp")
+            assert(v >= math.min(a, b) - 1e-6 && v <= math.max(a, b) + 1e-6,
+              s"interpolated $v outside [$a,$b]")
+          case _ => () // edge gap: bfill/ffill, equality checked by oracle
+        }
+      }
+    }
+  }
 }
