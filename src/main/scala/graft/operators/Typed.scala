@@ -244,6 +244,54 @@ object Typed {
       .orderBy(col("o_orderkey"))
   }
 
+  case class TopEntry(o_orderkey: Long, o_totalprice: Double)
+
+  /** Bounded top-k aggregate: keeps only the current k best rows in the
+    * aggregation buffer, so top-k-per-group runs as a partial (map-side)
+    * aggregate — each task ships at most k rows per group to the
+    * shuffle. The scale upgrade over the `row_number` window (q21),
+    * which must shuffle and sort EVERY row of every group: at 100 TB
+    * with millions of rows per customer the window sorts the world,
+    * while this buffer never exceeds k entries. Order (price desc,
+    * orderkey asc) is total, so results are deterministic and the
+    * oracle is the exact window-function formulation. */
+  object Top3Orders extends Aggregator[TopEntry, Seq[TopEntry], Seq[TopEntry]] {
+    private val K = 3
+    private def ord(e: TopEntry): (Double, Long) = (-e.o_totalprice, e.o_orderkey)
+    private def trim(xs: Seq[TopEntry]): Seq[TopEntry] =
+      xs.sortBy(ord).take(K)
+    override def zero: Seq[TopEntry] = Nil
+    override def reduce(b: Seq[TopEntry], x: TopEntry): Seq[TopEntry] =
+      trim(b :+ x)
+    override def merge(a: Seq[TopEntry], b: Seq[TopEntry]): Seq[TopEntry] =
+      trim(a ++ b)
+    override def finish(b: Seq[TopEntry]): Seq[TopEntry] = b
+    override def bufferEncoder: Encoder[Seq[TopEntry]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TopEntry]]()
+    override def outputEncoder: Encoder[Seq[TopEntry]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TopEntry]]()
+  }
+
+  val qTopkAggregator: Q = Q(
+    "q121_topk_heap_aggregator",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        CAST(row_number() OVER (PARTITION BY o_custkey
+      |          ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      |      FROM orders WHERE o_custkey < 2000) t
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+  ) { (s, d) =>
+    val ds = Tables.orders(s, d).filter(col("o_custkey") < 2000)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    ds.groupBy(col("o_custkey"))
+      .agg(udaf(Top3Orders, Encoders.product[TopEntry])(
+        col("o_orderkey"), col("o_totalprice")).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("o_custkey"), col("e.o_orderkey").as("o_orderkey"),
+        col("e.o_totalprice").as("o_totalprice"), (col("i") + 1).cast("long").as("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
   val all: Seq[Q] = Seq(qFlatMapGroups, qMapPartitions, qStableMean,
-    qRangePartition, qEwm, qCogroup)
+    qRangePartition, qEwm, qCogroup, qTopkAggregator)
 }

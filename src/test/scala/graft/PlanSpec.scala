@@ -128,6 +128,28 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q99_cut_binning").contains("partial_"))
   }
 
+  test("q121: bounded top-k Aggregator plans as a partial (map-side) aggregate") {
+    // The point of the heap Aggregator: each task pre-trims its groups
+    // to k rows BEFORE the shuffle. The physical plan must show the
+    // two-phase ObjectHashAggregate with a partial_ mode — if it ever
+    // planned as a single final aggregate, the scale claim is void.
+    val p = plan("q121_topk_heap_aggregator")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p.take(600))
+    assert(p.contains("partial_"), p.take(600))
+    // and the results match the window formulation exactly (q21 shape)
+    import org.apache.spark.sql.functions.col
+    val agg = operators.Typed.qTopkAggregator.fn(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaWindow = Tables.orders(spark, sf).filter(col("o_custkey") < 2000)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    assert(agg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(agg).isEmpty,
+      "heap aggregator diverges from window top-k")
+  }
+
   test("AQE splits a skewed sort-merge join partition (skew=true in final plan)") {
     import org.apache.spark.sql.functions.{col, concat_ws, lit => flit, when => fwhen}
     val conf = spark.conf
