@@ -119,6 +119,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") || expected == one.count())
   }
 
+  test("schema evolution: mergeSchema unions parquet footers across files") {
+    // dask read_parquet over a dataset whose later files grew a column:
+    // the union schema comes back, old files' missing column reads NULL,
+    // and pruning to the common columns never touches the new one.
+    val dir = tmp("graft_evolve")
+    spark.range(0, 5).selectExpr("id", "id * 2 AS a")
+      .write.parquet(s"$dir/batch=1")
+    spark.range(5, 8).selectExpr("id", "id * 2 AS a", "'new' AS b")
+      .write.parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "a", "b", "batch"))
+    assert(merged.count() == 8)
+    assert(merged.filter(col("b").isNull).count() == 5) // old files → NULL
+    assert(merged.filter(col("b") === "new").count() == 3)
+    // column pruning still reaches the scan when b is untouched
+    val pruned = merged.select("id", "a").queryExecution.executedPlan.toString
+    assert(pruned.contains("ReadSchema") && !pruned.contains("b:string"),
+      pruned.take(400))
+  }
+
   test("local collection ingest (dd.from_pandas analog)") {
     import scala.jdk.CollectionConverters._
     val rows = Seq((1L, "a"), (2L, "b"), (3L, "a"))
