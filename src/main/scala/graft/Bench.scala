@@ -1,5 +1,7 @@
 package graft
 
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: wall-clock per SparkEntry query at the given
@@ -39,14 +41,15 @@ object Bench {
         "lineitem", "documents", "embeddings")
         .foreach(n => Tables.t(spark, sfDir, n).cache().count())
       Tables.events(spark, sfDir).cache().count()
-    } catch { case _: Throwable => () } // bad sfDir → queries report -1 below
+    } catch { case NonFatal(_) => () } // bad sfDir → queries report -1 below
+    // (NonFatal: an OOM during warm-up must surface, not read as "all failed")
 
     // Deterministic execution order (sorted by name) for stable runs.
     def pass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
-          catch { case _: Throwable => false }
+          catch { case NonFatal(_) => false }
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
     val cold = pass()

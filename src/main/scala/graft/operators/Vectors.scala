@@ -332,7 +332,8 @@ object Vectors {
     * (GraftSpec asserts it). Engine-specific hashing → no SQL oracle;
     * v67 oracle-pins the single-step semantics. */
   def kmeansLloyd(emb: DataFrame, seedIds: Seq[Long],
-      maxIter: Int = 10): (DataFrame, Seq[Double]) = {
+      maxIter: Int = 10,
+      centroidScale: Option[Int] = None): (DataFrame, Seq[Double]) = {
     val v = emb.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("e"))
       .withColumn("sq", VectorOps.dot(col("e"), col("e")))
@@ -367,8 +368,14 @@ object Vectors {
       converged = prevFp != null && fp != null && prevFp.compareTo(fp) == 0
       prevFp = fp
       if (!converged) {
+        // centroidScale: round M-step means to that many decimals — the
+        // engine-portability knob the unrolled differential (v72) needs
+        // (avg summation order differs across engines; rounded centroids
+        // make round-2 assignments bit-comparable). None = full precision.
+        val cx = centroidScale
+          .map(s0 => round(avg(col("x")), s0)).getOrElse(avg(col("x")))
         cent = asg.select(col("cid"), posexplode(col("e")).as(Seq("dim0", "x")))
-          .groupBy(col("cid"), col("dim0")).agg(avg(col("x")).as("cx"))
+          .groupBy(col("cid"), col("dim0")).agg(cx.as("cx"))
           .groupBy(col("cid"))
           .agg(array_sort(collect_list(struct(col("dim0"), col("cx")))).as("p"))
           .select(col("cid"), transform(col("p"), p => p("cx")).as("ce"))
@@ -439,6 +446,113 @@ object Vectors {
       .orderBy(col("cluster"))
   }
 
+  /** Deterministic 64×16 projection matrix, exact in both engines:
+    * m(i)(j) = ((i·131 + j·7919) mod 23 − 11) / 11 — integer arithmetic
+    * then one IEEE division, so Scala and DuckDB produce identical bits. */
+  private val ProjDim = 16
+  private def projCol(j: Int): Seq[Double] =
+    (0 until 64).map(i => ((i * 131 + j * 7919) % 23 - 11) / 11.0)
+
+  /** Blocked matmul, small right operand: embeddings (n×64) × broadcast
+    * projection matrix (64×16) — the random-projection / PCA-apply step
+    * of an LLM pipeline (dask.array `da.matmul(x, w)` with w a single
+    * block; deployed-image capability, reference `__init__.py:307`).
+    * The matrix rides as 16 literal array<double> columns folded into
+    * whole-stage codegen — a pure map stage, zero shuffle, so at 100 TB
+    * it scans once at I/O speed. Output is flattened to 16 scalar
+    * columns (the driver's sorter can't take array columns). */
+  val qMatmulProject: Q = Q(
+    "v70_matmul_project", {
+      val cols = (0 until ProjDim).map { j =>
+        s"""round(list_sum([CAST(embedding[i] AS DOUBLE) *
+           |    (((((i-1)*131 + ${j * 7919}) % 23) - 11) / 11.0)
+           |    FOR i IN range(1, 65)]), 6) AS p$j""".stripMargin
+      }.mkString(",\n  ")
+      s"SELECT vec_id,\n  $cols\nFROM embeddings ORDER BY vec_id"
+    }
+  ) { (s, d) =>
+    val outs = (0 until ProjDim).map(j =>
+      round(VectorOps.dot(col("embedding"), typedLit(projCol(j))), 6).as(s"p$j"))
+    Tables.embeddings(s, d)
+      .select(col("vec_id") +: outs: _*)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Blocked Gram matrix XᵀX over the 64-d embeddings (dask.array
+    * `da.matmul(x.T, x)` / the covariance step of PCA). Relational
+    * formulation: double posexplode → per-(i,j) products → hash
+    * aggregate. Partial aggregation IS the per-partition outer-product
+    * partial: each task folds its rows into a local 4096-key (64×64)
+    * hash map, and the shuffle carries only #partitions×4096 partial
+    * sums no matter the corpus size — the treeAggregate shape, fully
+    * inside whole-stage codegen. Output flattened to (i, j, g) scalar
+    * rows for the driver's sorter. */
+  val qGramMatrix: Q = Q(
+    "v71_gram_matrix",
+    """WITH p AS (
+      |  SELECT CAST(i - 1 AS INTEGER) AS i, CAST(j - 1 AS INTEGER) AS j,
+      |         CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE) AS prod
+      |  FROM embeddings, range(1, 65) r1(i), range(1, 65) r2(j))
+      |SELECT i, j, round(sum(prod), 6) AS g
+      |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(transform(col("embedding"), x => x.cast("double")).as("e"))
+    val rows = e.select(col("e"), posexplode(col("e")).as(Seq("i", "xi")))
+    rows.select(col("i"), col("xi"), posexplode(col("e")).as(Seq("j", "xj")))
+      .groupBy(col("i"), col("j"))
+      .agg(round(sum(col("xi") * col("xj")), 6).as("g"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Fixed-2-round unrolled Lloyd's k-means, DuckDB-differential: the
+    * SAME E/M code path as v68 (`kmeansLloyd`) run for exactly two
+    * rounds with centroids rounded to 6 decimals at the M-step
+    * (`centroidScale`), so the oracle can replay both rounds as chained
+    * CTEs — upgrading the loop semantics from invariant-checked (v68)
+    * to differential-checked. Distances use the expanded
+    * ‖a‖²+‖c‖²−2a·c form in both engines (identical sequential folds ⇒
+    * identical argmin, ties → lower cid). */
+  val qKmeansUnrolled: Q = Q(
+    "v72_kmeans_2round",
+    """WITH v AS (SELECT vec_id,
+      |            [CAST(embedding[i] AS DOUBLE) FOR i IN range(1, 65)] AS e
+      |           FROM embeddings),
+      |vs AS (SELECT vec_id, e,
+      |         list_sum([e[i] * e[i] FOR i IN range(1, 65)]) AS sq FROM v),
+      |c1 AS (SELECT vec_id AS cid, e AS ce, sq AS csq FROM vs
+      |       WHERE vec_id IN (0, 10, 20, 30)),
+      |d1 AS (SELECT vs.vec_id, vs.e, c1.cid,
+      |         vs.sq + c1.csq
+      |           - 2.0 * list_sum([vs.e[i] * c1.ce[i] FOR i IN range(1, 65)]) AS d2
+      |       FROM vs CROSS JOIN c1),
+      |a1 AS (SELECT vec_id, e, cid FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY vec_id
+      |           ORDER BY d2, cid) AS rn FROM d1) t WHERE rn = 1),
+      |m2 AS (SELECT cid, i, round(avg(e[i]), 6) AS cx
+      |       FROM a1, range(1, 65) r(i) GROUP BY cid, i),
+      |c2 AS (SELECT cid, array_agg(cx ORDER BY i) AS ce FROM m2 GROUP BY cid),
+      |c2s AS (SELECT cid, ce,
+      |          list_sum([ce[i] * ce[i] FOR i IN range(1, 65)]) AS csq FROM c2),
+      |e2 AS (SELECT vs.vec_id, c2s.cid,
+      |         vs.sq + c2s.csq
+      |           - 2.0 * list_sum([vs.e[i] * c2s.ce[i] FOR i IN range(1, 65)]) AS d2
+      |       FROM vs CROSS JOIN c2s),
+      |a2 AS (SELECT vec_id, cid, d2 FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY vec_id
+      |           ORDER BY d2, cid) AS rn FROM e2) t WHERE rn = 1)
+      |SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(d2), 6) AS inertia
+      |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin
+  ) { (s, d) =>
+    val (asg, _) = kmeansLloyd(Tables.embeddings(s, d),
+      Seq(0L, 10L, 20L, 30L), maxIter = 2, centroidScale = Some(6))
+    asg.groupBy(col("cid").as("cluster_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("d2")), 6).as("inertia"))
+      .orderBy(col("cluster_id"))
+  }
+
   val all: Seq[Q] = Seq(qCosineTopK, qKnnVote, qNormStats, qPairTopK,
-    qLshAnn, qIvfAnn, qKmeansStep, qKmeansLloyd, qSemanticDedup)
+    qLshAnn, qIvfAnn, qKmeansStep, qKmeansLloyd, qSemanticDedup,
+    qMatmulProject, qGramMatrix, qKmeansUnrolled)
 }
