@@ -140,10 +140,11 @@ object Dedup {
     * own id; each round labels flow across edges and every node keeps the
     * minimum seen. Each round is one shuffle of |E| label messages plus a
     * groupBy-min — the standard distributed shape (what GraphX/GraphFrames
-    * CC does under the hood). `localCheckpoint` breaks lineage per round
-    * so the plan stays O(1) deep instead of growing by one join per
-    * iteration; on a cluster you'd point this at a reliable checkpoint
-    * dir instead. Converges in O(component diameter) rounds with a
+    * CC does under the hood). [[Scale.cut]] breaks lineage per round so
+    * the plan stays O(1) deep instead of growing by one join per
+    * iteration — `localCheckpoint` by default, a RELIABLE checkpoint
+    * dir when `spark.graft.checkpoint.dir` is set (the cluster
+    * fault-tolerance knob). Converges in O(component diameter) rounds with a
     * driver-side early exit (an `isEmpty` probe per round — control flow,
     * not data movement); near-dup clusters are shallow (dup groups link
     * through shared content), so the bound is small in practice — for
@@ -151,9 +152,11 @@ object Dedup {
     * (O(log² n) rounds) is the drop-in upgrade.
     * Returns (node, lbl) where lbl = min node id of the component. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val und = edges.select(col("da").as("src"), col("db").as("dst"))
-      .union(edges.select(col("db").as("src"), col("da").as("dst")))
-      .localCheckpoint(true) // edges re-read every round: materialize once
+    // edges are re-read every round: materialize once. Scale.cut =
+    // localCheckpoint locally, reliable checkpoint when
+    // spark.graft.checkpoint.dir is set (cluster fault tolerance).
+    val und = Scale.cut(edges.select(col("da").as("src"), col("db").as("dst"))
+      .union(edges.select(col("db").as("src"), col("da").as("dst"))), eager = true)
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
     var iter = 0
@@ -166,9 +169,9 @@ object Dedup {
     while (iter < maxIter && !converged) {
       val flowed = und.join(labels, col("dst") === col("node"))
         .select(col("src").as("node"), col("lbl"))
-      val next = labels.select(col("node"), col("lbl")).union(flowed)
-        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(false) // lazy: first use below materializes it
+      val next = Scale.cut(labels.select(col("node"), col("lbl")).union(flowed)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl")),
+        eager = false) // lazy: first use below materializes it
       val sumLbl = Option(next.agg(sum(col("lbl").cast("decimal(38,0)")))
         .head.getDecimal(0)).map(_.stripTrailingZeros()).orNull
       // null sum ⇔ no labeled nodes (empty edge list): trivially converged
@@ -226,10 +229,10 @@ object Dedup {
         else joined.filter(col("v") <= col("u"))
           .select(col("v").as("src"), col("m").as("dst"))
           .union(mins.select(col("u").as("src"), col("m").as("dst")))
-      canon(linked).localCheckpoint(false) // lazy: probe below materializes
+      Scale.cut(canon(linked), eager = false) // lazy: probe below materializes
     }
-    var cur = canon(edges.select(col("da").as("src"), col("db").as("dst")))
-      .localCheckpoint(true)
+    var cur = Scale.cut(
+      canon(edges.select(col("da").as("src"), col("db").as("dst"))), eager = true)
     // probe = (#edges, Σ xxhash64(src,dst)): a content fingerprint of the
     // edge SET (order-independent), equal ⇔ the phase was a no-op — the
     // paper's fixpoint. One distributed action per round.

@@ -33,6 +33,29 @@ object Scale {
       case _ => ()
     }
 
+  /** Session conf key: when set (to an HDFS/S3/posix path), iterative
+    * loops cut lineage via RELIABLE checkpoints in that directory
+    * instead of `localCheckpoint`. */
+  val CheckpointDirKey = "spark.graft.checkpoint.dir"
+
+  /** Round-boundary lineage cut for the iterative operators (CC,
+    * k-means). Default `localCheckpoint`: executor-storage-backed,
+    * zero-config, right for local[*] — but lineage is truncated, so on
+    * a real cluster losing an executor mid-loop kills the job. Setting
+    * [[CheckpointDirKey]] switches every loop to reliable checkpoints
+    * (files under the given dir, fault-tolerant). The dir is installed
+    * once per SparkContext; set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` to reap
+    * superseded round files on GC. */
+  private[operators] def cut(df: DataFrame, eager: Boolean): DataFrame =
+    df.sparkSession.conf.getOption(CheckpointDirKey).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint(eager)
+      case None => df.localCheckpoint(eager)
+    }
+
   /** Two-phase salted aggregation: stage 1 aggregates (key, salt) —
     * spreading each hot key over SaltBuckets reducers — stage 2 merges
     * the partials. Result is identical to the direct groupBy (the

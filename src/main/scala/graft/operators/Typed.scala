@@ -292,6 +292,104 @@ object Typed {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  case class LseBuf(mx: Double, s: Double)
+  implicit val lseBufEnc: Encoder[LseBuf] = Encoders.product[LseBuf]
+
+  /** Numerically-stable log-sum-exp fold: lse = mx + ln Σ exp(xᵢ − mx),
+    * carried as (running max, rescaled sum) so no exp ever overflows.
+    * The `dask.bag` fold/foldby surface (deployed-image capability,
+    * reference `__init__.py:307`): an associative, commutative
+    * binop+combine pair, which is exactly what Spark's Aggregator
+    * partial-aggregation contract is — each task folds its partition
+    * locally (the binop), buffers merge pairwise up the tree (the
+    * combine), so the shuffle carries one 2-double buffer per (lang ×
+    * task), never raw scores. At 100 TB this IS treeAggregate's shape,
+    * expressed relationally so it composes with groupBy. */
+  object LseAgg extends Aggregator[Double, LseBuf, Double] {
+    override def zero: LseBuf = LseBuf(Double.NegativeInfinity, 0.0)
+    override def reduce(b: LseBuf, x: Double): LseBuf =
+      if (x <= b.mx) LseBuf(b.mx, b.s + math.exp(x - b.mx))
+      else LseBuf(x, b.s * math.exp(b.mx - x) + 1.0)
+    override def merge(a: LseBuf, b: LseBuf): LseBuf =
+      if (b.mx == Double.NegativeInfinity) a
+      else if (a.mx == Double.NegativeInfinity) b
+      else if (a.mx >= b.mx) LseBuf(a.mx, a.s + b.s * math.exp(b.mx - a.mx))
+      else LseBuf(b.mx, b.s + a.s * math.exp(a.mx - b.mx))
+    override def finish(b: LseBuf): Double = b.mx + math.log(b.s)
+    override def bufferEncoder: Encoder[LseBuf] = lseBufEnc
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Per-lang log-sum-exp over document scores (softmax normalizer /
+    * log-evidence of a doc-quality mixture — the reduction a scoring
+    * pipeline runs per shard). Oracle replays the stable form directly:
+    * max + ln(sum(exp(x − max))). */
+  val qFoldLogSumExp: Q = Q(
+    "t81_fold_logsumexp",
+    """WITH s AS (SELECT lang, n_chars / 100.0 AS x FROM documents),
+      |m AS (SELECT lang, max(x) AS mx FROM s GROUP BY lang)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |       round(mx + ln(sum(exp(x - mx))), 6) AS lse
+      |FROM s JOIN m USING (lang)
+      |GROUP BY lang, mx ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), (col("n_chars") / lit(100.0)).as("x"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(udaf(LseAgg, Encoders.scalaDouble)(col("x")), 6).as("lse"))
+      .orderBy(col("lang"))
+  }
+
+  case class RollTm(user_id: Long, event_id: Long, trimmed_mean: Double)
+  implicit val rollTmEnc: Encoder[RollTm] = Encoders.product[RollTm]
+
+  /** `rolling(5).apply(custom_fn)` — the generic rolling closure (pandas
+    * surface carried by dask): a 5-row trimmed mean (drop one min and
+    * one max, average the middle three) per user in time order, emitted
+    * only for full windows. No Spark built-in computes an arbitrary
+    * function of a sliding buffer, so this is the typed escape hatch:
+    * groupByKey + flatMapGroups with an in-memory `sliding(5)` — each
+    * group sorts in memory (fixture groups ~100 rows); at 100 TB the
+    * same closure runs per (user × day) bucket with window-sized overlap
+    * carried across bucket edges (the map_overlap discipline the q23-q26
+    * frames document). Oracle = DuckDB list window over the identical
+    * frame. */
+  val qRollingApply: Q = Q(
+    "q122_rolling_apply",
+    """WITH w AS (
+      |  SELECT user_id, event_id,
+      |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS win,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events WHERE user_id < 30)
+      |SELECT user_id, event_id,
+      |  round((list_sum(win) - list_min(win) - list_max(win)) / 3.0, 6)
+      |    AS trimmed_mean
+      |FROM w WHERE rn >= 5 ORDER BY user_id, event_id""".stripMargin
+  ) { (s, d) =>
+    val ds = Tables.events(s, d).filter(col("user_id") < 30)
+      .select("user_id", "event_id", "ts", "value").as[UserEvent]
+    ds.groupByKey(_.user_id)
+      .flatMapGroups { (uid, it) =>
+        // getNanos too: getTime truncates to ms but the fixture carries
+        // µs (q113's sort-parity discipline)
+        val rows = it.toVector
+          .sortBy(r => (r.ts.getTime, r.ts.getNanos, r.event_id))
+        rows.sliding(5).filter(_.size == 5).map { w =>
+          val vs = w.map(_.value)
+          // left-to-right fold in frame order = the oracle's list_sum
+          val sum = vs.foldLeft(0.0)(_ + _)
+          RollTm(uid, w.last.event_id, (sum - vs.min - vs.max) / 3.0)
+        }
+      }
+      .toDF()
+      .select(col("user_id"), col("event_id"),
+        round(col("trimmed_mean"), 6).as("trimmed_mean"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   val all: Seq[Q] = Seq(qFlatMapGroups, qMapPartitions, qStableMean,
-    qRangePartition, qEwm, qCogroup, qTopkAggregator)
+    qRangePartition, qEwm, qCogroup, qTopkAggregator, qFoldLogSumExp,
+    qRollingApply)
 }

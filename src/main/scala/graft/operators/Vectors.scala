@@ -334,10 +334,10 @@ object Vectors {
   def kmeansLloyd(emb: DataFrame, seedIds: Seq[Long],
       maxIter: Int = 10,
       centroidScale: Option[Int] = None): (DataFrame, Seq[Double]) = {
-    val v = emb.select(col("vec_id"),
+    val v = Scale.cut(emb.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("e"))
-      .withColumn("sq", VectorOps.dot(col("e"), col("e")))
-      .localCheckpoint(true) // fixed across rounds: cut re-scan lineage
+      .withColumn("sq", VectorOps.dot(col("e"), col("e"))),
+      eager = true) // fixed across rounds: cut re-scan lineage
     var cent = v.filter(col("vec_id").isin(seedIds: _*))
       .select(col("vec_id").as("cid"), col("e").as("ce"))
     var inertias = Vector.empty[Double]
@@ -352,9 +352,10 @@ object Vectors {
         .withColumn("d2",
           col("sq") + col("csq") - lit(2.0) * VectorOps.dot(col("e"), col("ce")))
       val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
-      asg = pc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"), col("d2"), col("e"))
-        .localCheckpoint(false) // lazy: the probe below materializes it
+      asg = Scale.cut(
+        pc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid"), col("d2"), col("e")),
+        eager = false) // lazy: the probe below materializes it
       val r = asg.agg(sum(col("d2")),
         sum(xxhash64(col("vec_id"), col("cid")).cast("decimal(38,0)"))).head
       val fp = Option(r.getDecimal(1)).map(_.stripTrailingZeros()).orNull

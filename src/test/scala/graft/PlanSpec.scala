@@ -318,6 +318,29 @@ class PlanSpec extends AnyFunSuite {
     assert(winOffenders.isEmpty, s"unpartitioned WindowExec in: $winOffenders")
   }
 
+  test("persist/cache substitutes InMemoryRelation; unpersist invalidates it") {
+    // dask `df.persist()` → Dataset.persist: CacheManager must swap an
+    // EQUIVALENT plan (not just the same reference) to the in-memory
+    // relation, and unpersist must restore the original scan — the
+    // product-surface contract, not just a bench warm-up trick.
+    import org.apache.spark.sql.functions.col
+    val base = Tables.lineitem(spark, sf).filter(col("l_quantity") > 10)
+    base.persist()
+    try {
+      base.count() // materialize
+      // a re-derived (plan-equal, reference-distinct) frame hits the cache
+      val rederived = Tables.lineitem(spark, sf).filter(col("l_quantity") > 10)
+      def hasInMemory(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.executedPlan.collect {
+          case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => c
+        }.nonEmpty
+      assert(hasInMemory(rederived), "cached plan not substituted")
+      base.unpersist(true)
+      val after = Tables.lineitem(spark, sf).filter(col("l_quantity") > 10)
+      assert(!hasInMemory(after), "unpersist did not invalidate the cache entry")
+    } finally base.unpersist(true)
+  }
+
   test("extensions: graft_dot is a session SQL function (no temp registration)") {
     // newSession shares the context but rebuilds SessionState from the
     // injected extensions alone — Tables.ensureRegistered never ran here,

@@ -168,6 +168,29 @@ class PropertySpec extends AnyFunSuite {
     assert(got.length == 120 && got.forall(_._2 == 0L))
   }
 
+  test("iterative loops use a reliable checkpoint dir when configured") {
+    // spark.graft.checkpoint.dir routes Scale.cut to Dataset.checkpoint
+    // (fault-tolerant files) instead of localCheckpoint — the cluster
+    // knob: executor loss mid-loop must not kill the job. Results must
+    // be identical either way; files must actually land in the dir.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    spark.conf.set(operators.Scale.CheckpointDirKey, dir.getAbsolutePath)
+    try {
+      val edges = spark.createDataFrame(
+        Seq((0L, 1L), (1L, 2L), (5L, 6L))).toDF("da", "db")
+      val got = operators.Dedup.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 5L, 6L -> 5L))
+      val gotStar = operators.Dedup.connectedComponentsStar(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotStar == got)
+      def files(f: java.io.File): Int =
+        if (f.isFile) 1
+        else Option(f.listFiles).map(_.map(files).sum).getOrElse(0)
+      assert(files(dir) > 0, "no reliable checkpoint files were written")
+    } finally spark.conf.unset(operators.Scale.CheckpointDirKey)
+  }
+
   test("minhash estimate stays within [0,1] and exact-equal sets estimate 1.0") {
     // identical token sets must produce identical signatures
     val docs = spark.createDataFrame(Seq(
