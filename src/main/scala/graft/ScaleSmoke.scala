@@ -204,6 +204,57 @@ object ScaleSmoke {
       val (asg, _) = operators.Vectors.kmeansLloyd(emb, Seq(0L, 1L, 2L, 3L), 5)
       asg.count()
     }
+    time("semantic dedup pairs (v69)", nVec) {
+      // per-cluster pair scan bounded by cell size: 2000 clusters of
+      // ~nVec/2000 members → Σ|c|² pairs scored, never corpus O(n²)
+      val emb = spark.range(nVec).select(col("id").as("vec_id"),
+        pmod(col("id"), lit(2000L)).as("label"),
+        transform(sequence(lit(0), lit(15)), i =>
+          (pmod(xxhash64(col("id") * 16 + i), lit(1000L)).cast("double")
+            / 500.0 - 1.0).cast("float")).as("embedding"))
+        .withColumn("nrm",
+          sqrt(call_function("graft_dot", col("embedding"), col("embedding"))))
+      val a = emb.select(col("label"), col("vec_id").as("a_id"),
+        col("embedding").as("ae"), col("nrm").as("an"))
+      val b = emb.select(col("label"), col("vec_id").as("b_id"),
+        col("embedding").as("be"), col("nrm").as("bn"))
+      a.join(b, Seq("label")).filter(col("b_id") < col("a_id"))
+        .withColumn("sim",
+          call_function("graft_dot", col("ae"), col("be")) / (col("an") * col("bn")))
+        .groupBy(col("label"), col("a_id")).agg(max(col("sim")).as("mx"))
+        .filter(col("mx") >= 0.9).count()
+    }
+    time("data mixing cumsum (t79)", nDocs) {
+      // seeded-order token budgets: per-source window cumsum; 1000
+      // synthetic sources keep each window partition ~nDocs/1000 rows
+      import org.apache.spark.sql.expressions.Window
+      val d = docs.select(col("doc_id"),
+          pmod(xxhash64(col("doc_id")), lit(1000L)).as("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("budget",
+          when(col("source") % 2 === 0, 20000L).otherwise(10000L))
+        .withColumn("h", md5(concat(lit("mix42:"), col("doc_id").cast("string"))))
+      val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("cum_prev", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("cum_prev") < col("budget"), col("n_tokens"))
+            .otherwise(0L)).as("tokens_selected"))
+        .count()
+    }
+    time("bounded top-k agg (q121)", nEvents) {
+      // map-side bounded-heap partial agg: shuffle carries ≤3 rows per
+      // (user × task) no matter the group size
+      import org.apache.spark.sql.Encoders
+      ev.select(col("user_id"), col("event_id").as("o_orderkey"),
+          col("value").as("o_totalprice"))
+        .groupBy(col("user_id"))
+        .agg(udaf(operators.Typed.Top3Orders,
+          Encoders.product[operators.Typed.TopEntry])(
+          col("o_orderkey"), col("o_totalprice")).as("top"))
+        .count()
+    }
     spark.stop()
     // synthetic tables are hundreds of MB per run: delete so repeated
     // runs don't build disk pressure (which skews the measurements)

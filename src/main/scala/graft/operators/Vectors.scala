@@ -553,7 +553,34 @@ object Vectors {
       .orderBy(col("cluster_id"))
   }
 
+  /** Axis-0 reduction over the embedding block (dask.array
+    * `x.mean(axis=0)` / `x.std(axis=0)` / min/max — feature-wise corpus
+    * statistics, the normalization-constants step before whitening or
+    * PCA). posexplode → 64-group hash aggregate: partial aggregation
+    * folds each partition into 64 running moments, the shuffle carries
+    * #partitions×64 rows — same treeReduce shape as v71, bounded by the
+    * dimensionality not the corpus. */
+  val qAxisReduce: Q = Q(
+    "v73_axis_reduce",
+    """WITH p AS (SELECT CAST(i - 1 AS INTEGER) AS dim,
+      |             CAST(embedding[i] AS DOUBLE) AS x
+      |           FROM embeddings, range(1, 65) r(i))
+      |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+      |       round(avg(x), 6) AS mean, round(stddev_samp(x), 6) AS std,
+      |       round(min(x), 6) AS mn, round(max(x), 6) AS mx
+      |FROM p GROUP BY dim ORDER BY dim""".stripMargin
+  ) { (s, d) =>
+    Tables.embeddings(s, d)
+      .select(posexplode(transform(col("embedding"), x => x.cast("double")))
+        .as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), round(avg(col("x")), 6).as("mean"),
+        round(stddev_samp(col("x")), 6).as("std"),
+        round(min(col("x")), 6).as("mn"), round(max(col("x")), 6).as("mx"))
+      .orderBy(col("dim"))
+  }
+
   val all: Seq[Q] = Seq(qCosineTopK, qKnnVote, qNormStats, qPairTopK,
     qLshAnn, qIvfAnn, qKmeansStep, qKmeansLloyd, qSemanticDedup,
-    qMatmulProject, qGramMatrix, qKmeansUnrolled)
+    qMatmulProject, qGramMatrix, qKmeansUnrolled, qAxisReduce)
 }

@@ -318,6 +318,23 @@ class PlanSpec extends AnyFunSuite {
     assert(winOffenders.isEmpty, s"unpartitioned WindowExec in: $winOffenders")
   }
 
+  test("explain('formatted') exposes scan pushdown and codegen spans") {
+    // dask `visualize()` / task-graph introspection maps to Spark's plan
+    // output: the formatted explain must surface the load-bearing facts a
+    // user tunes against — pushed filters, read schema, codegen spans,
+    // two-phase aggregation — for the flagship query.
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+    df.collect() // materialize THIS queryExecution so AQE finalizes
+    // (count() would build its own QE and leave this plan un-executed)
+    val txt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(txt.contains("Physical Plan"))
+    assert(txt.contains("PushedFilters"), "scan filter pushdown not visible")
+    assert(txt.contains("ReadSchema"), "column pruning not visible")
+    assert(txt.contains("codegen id"), "no codegen span in plan")
+    assert(txt.count(_ == '\n') > 10, "formatted plan suspiciously short")
+  }
+
   test("persist/cache substitutes InMemoryRelation; unpersist invalidates it") {
     // dask `df.persist()` → Dataset.persist: CacheManager must swap an
     // EQUIVALENT plan (not just the same reference) to the in-memory
