@@ -568,8 +568,59 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** C4-style segment-level dedup WITH document reconstruction: the
+    * corpus is segmented (deterministic 8-token "lines", the fixture
+    * texts having no newlines), every occurrence of a segment after its
+    * first (by doc_id, then position) is dropped, and each document is
+    * re-assembled from its surviving segments in order. This is the
+    * transform C4/RefinedWeb apply with three-sentence spans — distinct
+    * from t75, which only *scores* boilerplate, this one *rewrites* the
+    * corpus. Shape at 100 TB: one explode, one segment-keyed window
+    * (shuffle on seg_text — the dedup key, as any exact dedup must),
+    * one groupBy back on doc_id; no pair joins, no collects. Output
+    * carries an md5 prefix of the rebuilt text so the oracle checks the
+    * reconstruction byte-for-byte without shipping long strings. */
+  val qSegmentDedup: Q = Q(
+    "t82_segment_dedup_rebuild",
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |segs AS (SELECT doc_id,
+      |           CAST(r.i AS BIGINT) AS seg_idx,
+      |           array_to_string(ws[r.i * 8 + 1 : r.i * 8 + 8], ' ') AS seg
+      |         FROM words, unnest(range(0, (len(ws) + 7) // 8)) AS r(i)),
+      |marked AS (SELECT doc_id, seg_idx, seg,
+      |             row_number() OVER (PARTITION BY seg
+      |               ORDER BY doc_id, seg_idx) AS occ
+      |           FROM segs)
+      |SELECT doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_seg,
+      |       CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       substring(md5(coalesce(string_agg(CASE WHEN occ = 1 THEN seg END, ' '
+      |         ORDER BY seg_idx), '')), 1, 16) AS rebuilt_md5
+      |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val ws = split(col("text"), " ")
+    val segs = Tables.documents(s, d)
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), floor((size(col("ws")) + 7) / 8).cast("int") - 1),
+          i => array_join(slice(col("ws"), i * 8 + 1, lit(8)), " ")))
+          .as(Seq("seg_idx", "seg")))
+      .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"), col("seg"))
+    val w = Window.partitionBy(col("seg")).orderBy(col("doc_id"), col("seg_idx"))
+    segs.withColumn("occ", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_seg"),
+        sum(when(col("occ") === 1, 1L).otherwise(0L)).as("n_kept"),
+        substring(md5(array_join(transform(
+          array_sort(collect_list(when(col("occ") === 1,
+            struct(col("seg_idx"), col("seg"))))),
+          s_ => s_.getField("seg")), " ")), 1, 16).as("rebuilt_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(qTokenCounts, qLangStats, qExactDedup, qDedupKeepFirst,
     qQuality, qNgramJaccard, qTfIdf, qLangId, qFingerprint, qRegexTokens,
     qPipelineClean, qHeavyHitters, qDecontaminate, qRepetition,
-    qCmsHeavyHitters, qBigramCounts, qTokenEntropy)
+    qCmsHeavyHitters, qBigramCounts, qTokenEntropy, qSegmentDedup)
 }

@@ -580,7 +580,100 @@ object Vectors {
       .orderBy(col("dim"))
   }
 
+  /** Per-vector int8 scalar quantization (the embedding-store compression
+    * step of an LLM retrieval pipeline: 4× smaller than float32, dequant
+    * on the fly). scale = max|x|/127; code = floor(x/scale + 0.5) — the
+    * round-half-up formulation both engines evaluate identically (no
+    * banker's-rounding divergence). Pure map stage over one scan, zero
+    * shuffle; reconstruction RMSE rides the same sequential double fold
+    * as every cosine (VectorOps parity contract). */
+  val qInt8Quantize: Q = Q(
+    "v74_int8_quantize",
+    """WITH v AS (SELECT vec_id,
+      |            [CAST(embedding[i] AS DOUBLE) FOR i IN range(1, 65)] AS e
+      |           FROM embeddings),
+      |m AS (SELECT vec_id, e,
+      |        list_max([abs(x) FOR x IN e]) / 127.0 AS scale FROM v),
+      |q AS (SELECT vec_id, e, scale,
+      |        [CASE WHEN scale = 0 THEN 0
+      |              ELSE CAST(greatest(-127, least(127, floor(x / scale + 0.5)))
+      |                   AS BIGINT) END FOR x IN e] AS qs
+      |      FROM m)
+      |SELECT vec_id, list_min(qs) AS qmin, list_max(qs) AS qmax,
+      |       CAST(list_sum(qs) AS BIGINT) AS qsum, round(scale, 9) AS scale,
+      |       round(sqrt(list_sum([(e[i] - qs[i] * scale) * (e[i] - qs[i] * scale)
+      |                            FOR i IN range(1, 65)]) / 64.0), 6) AS rmse
+      |FROM q ORDER BY vec_id""".stripMargin
+  ) { (s, d) =>
+    val e = transform(col("embedding"), x => x.cast("double"))
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), e.as("e"))
+      .withColumn("scale", array_max(transform(col("e"), x => abs(x))) / 127.0)
+      .withColumn("qs", transform(col("e"), x =>
+        when(col("scale") === 0, lit(0L)).otherwise(
+          greatest(lit(-127L), least(lit(127L),
+            floor(x / col("scale") + 0.5))))))
+    base.select(col("vec_id"),
+        array_min(col("qs")).as("qmin"), array_max(col("qs")).as("qmax"),
+        aggregate(col("qs"), lit(0L), (acc, x) => acc + x).as("qsum"),
+        round(col("scale"), 9).as("scale"),
+        round(sqrt(aggregate(
+          zip_with(col("e"), col("qs"), (x, qv) =>
+            (x - qv * col("scale")) * (x - qv * col("scale"))),
+          lit(0.0), (acc, x) => acc + x) / 64.0), 6).as("rmse"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Matryoshka-style truncated-dimension search: cosine top-5 over the
+    * FIRST 16 of 64 dims (MRL embeddings are trained so prefixes stay
+    * meaningful — the cheap first-pass of a two-stage retrieval), with
+    * the full-dim similarity of each surviving pair reported alongside
+    * (the rerank signal). 4× less arithmetic and memory traffic per
+    * candidate at 100 TB; same broadcast-probe single-scan shape as v61. */
+  val qMatryoshkaTopK: Q = Q(
+    "v75_matryoshka_topk",
+    s"""WITH v AS (SELECT vec_id, embedding,
+       |            ${VectorOps.duckNorm("embedding", 16)} AS n16,
+       |            ${VectorOps.duckNorm("embedding")} AS n64
+       |           FROM embeddings),
+       |probes AS (SELECT * FROM v WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |         ${VectorOps.duckDot("p.embedding", "c.embedding", 16)}
+       |           / (p.n16 * c.n16) AS sim16,
+       |         ${VectorOps.duckDot("p.embedding", "c.embedding")}
+       |           / (p.n64 * c.n64) AS sim_full
+       |  FROM probes p JOIN v c ON c.vec_id <> p.vec_id)
+       |SELECT probe_id, cand_id, round(sim16, 6) AS sim16,
+       |       round(sim_full, 6) AS sim_full, rn
+       |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+       |        ORDER BY sim16 DESC, cand_id) AS BIGINT) AS rn FROM scored) t
+       |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin
+  ) { (s, d) =>
+    val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+      VectorOps.norm(slice(col("embedding"), 1, 16)).as("n16"),
+      VectorOps.norm(col("embedding")).as("n64"))
+    val probes = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("n16").as("pn16"), col("n64").as("pn64"))
+    val cands = v.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+      col("n16").as("cn16"), col("n64").as("cn64"))
+    val scored = cands.join(broadcast(probes), col("cand_id") =!= col("probe_id"))
+      .withColumn("sim16", VectorOps.cosineFromNorms(
+        VectorOps.dot(slice(col("pe"), 1, 16), slice(col("ce"), 1, 16)),
+        col("pn16"), col("cn16")))
+      .withColumn("sim_full", VectorOps.cosineFromNorms(
+        VectorOps.dot(col("pe"), col("ce")), col("pn64"), col("cn64")))
+    val w = Window.partitionBy(col("probe_id")).orderBy(desc("sim16"), col("cand_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("probe_id"), col("cand_id"), round(col("sim16"), 6).as("sim16"),
+        round(col("sim_full"), 6).as("sim_full"), col("rn"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
   val all: Seq[Q] = Seq(qCosineTopK, qKnnVote, qNormStats, qPairTopK,
     qLshAnn, qIvfAnn, qKmeansStep, qKmeansLloyd, qSemanticDedup,
-    qMatmulProject, qGramMatrix, qKmeansUnrolled, qAxisReduce)
+    qMatmulProject, qGramMatrix, qKmeansUnrolled, qAxisReduce,
+    qInt8Quantize, qMatryoshkaTopK)
 }

@@ -384,7 +384,59 @@ object Windows {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** `groupby.cumcount()` / `groupby.ngroup()` (pandas/dask): position of
+    * each row within its group (0-based) plus a dense group id. cumcount
+    * rides the one per-customer window shuffle; ngroup is a GLOBAL
+    * dense_rank, which pandas evaluates serially — here it goes through
+    * `Scale.globalDenseRank` (distinct-key theta join, broadcast back),
+    * so the fat table is never re-shuffled and no single-partition
+    * WindowExec appears (PlanSpec global audit). */
+  val qCumcount: Q = Q(
+    "q123_group_cumcount",
+    """SELECT o_custkey, o_orderkey,
+      |       CAST(row_number() OVER (PARTITION BY o_custkey
+      |         ORDER BY o_orderdate, o_orderkey) - 1 AS BIGINT) AS cumcount,
+      |       CAST(dense_rank() OVER (ORDER BY o_custkey) - 1 AS BIGINT) AS ngroup
+      |FROM orders WHERE o_custkey < 50
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.orders(s, d).filter(col("o_custkey") < 50)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Scale.globalDenseRank(o, col("o_custkey"), "ngroup1")
+      .withColumn("cumcount", (row_number().over(w) - 1).cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"), col("cumcount"),
+        (col("ngroup1") - 1L).cast("long").as("ngroup"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** `expanding()` aggregates (pandas/dask `df.expanding().mean()/max()`):
+    * running mean/max/count over each customer's order history — the
+    * UNBOUNDED PRECEDING..CURRENT ROW frame. Same shuffle as cumsum
+    * (q23); the frame is evaluated in one sorted pass per key. */
+  val qExpanding: Q = Q(
+    "q124_expanding_agg",
+    """SELECT o_custkey, o_orderkey,
+      |       round(avg(o_totalprice) OVER w, 6) AS exp_mean,
+      |       max(o_totalprice) OVER w AS exp_max,
+      |       CAST(count(*) OVER w AS BIGINT) AS exp_n
+      |FROM orders WHERE o_custkey < 50
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d).filter(col("o_custkey") < 50)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(avg(col("o_totalprice")).over(w), 6).as("exp_mean"),
+        max(col("o_totalprice")).over(w).as("exp_max"),
+        count(lit(1)).over(w).cast("long").as("exp_n"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val all: Seq[Q] = Seq(qTopkPerGroup, qRanks, qCumsum, qLagLead,
     qRollingTime, qRollingRows, qCumMinMaxProd, qFill, qRollingMedian,
-    qAutocorr, qInterpolate, qPctChange)
+    qAutocorr, qInterpolate, qPctChange, qCumcount, qExpanding)
 }
