@@ -255,6 +255,35 @@ object ScaleSmoke {
           col("o_orderkey"), col("o_totalprice")).as("top"))
         .count()
     }
+    time("segment dedup rebuild (t82)", nDocs) {
+      // ~2 8-token segments per 12-token doc; the dup groups collapse to
+      // one kept occurrence — one segment-keyed window + one doc groupBy
+      operators.Text.segmentDedupRebuild(docs, 8).count()
+    }
+    val nVec64 = nVec / 4
+    // 64-d synthetic embeddings for the full-width vector ops (PQ needs
+    // the 8×8 subspace layout; int8 quantization measures the map stage)
+    val emb64 = spark.range(nVec64).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        (pmod(xxhash64(col("id") * 64 + i), lit(1000L)).cast("double")
+          / 500.0 - 1.0).cast("float")).as("embedding"))
+    time("int8 quantization (v74 shape)", nVec64) {
+      val e = transform(col("embedding"), x => x.cast("double"))
+      emb64.select(col("vec_id"), e.as("e"))
+        .withColumn("scale", array_max(transform(col("e"), x => abs(x))) / 127.0)
+        .select(col("vec_id"), aggregate(
+          transform(col("e"), x =>
+            when(col("scale") === 0, lit(0L)).otherwise(
+              greatest(lit(-127L), least(lit(127L),
+                floor(x / col("scale") + 0.5))))),
+          lit(0L), (acc, x) => acc + x).as("qsum"))
+        .count()
+    }
+    time("PQ encode+ADC query (v76)", nVec64) {
+      // codebook training (2 rounds) + codes-only ADC scan for 10 probes
+      operators.Vectors.pqAdcTopK(emb64, nProbes = 10, k = 10, rounds = 2)
+        .count()
+    }
     spark.stop()
     // synthetic tables are hundreds of MB per run: delete so repeated
     // runs don't build disk pressure (which skews the measurements)

@@ -337,6 +337,63 @@ object Dedup {
       .orderBy(col("cluster"))
   }
 
+  /** End-to-end near-dup dedup pipeline — the composition a curation job
+    * actually runs: near-dup EDGES (exact 3-gram Jaccard ≥ 1/2 here; at
+    * scale the LSH candidates of t58 feed the same downstream) →
+    * connected components → keep-first representative per component →
+    * per-document verdict joined back onto the FULL corpus (singletons
+    * keep themselves). One loop (CC) plus two relational joins; the
+    * verdict table is exactly what a 100 TB rewrite stage would
+    * semi-join against. Oracle = t63's recursive-CTE closure extended
+    * with the left-join-back and per-cluster sizes. */
+  val qNearDupPipeline: Q = Q(
+    "t83_neardup_pipeline",
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |         FROM documents WHERE doc_id < 1000),
+      |sh AS (SELECT doc_id,
+      |         list_distinct(CASE WHEN len(t) >= 3
+      |           THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+      |           ELSE [] END) AS shset
+      |       FROM toks),
+      |shx AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      |          FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY da, db),
+      |pairs AS (SELECT da, db
+      |          FROM inter JOIN sizes sa ON da = sa.doc_id
+      |                     JOIN sizes sb ON db = sb.doc_id
+      |          WHERE 2 * i >= sa.n + sb.n - i),
+      |edges AS (SELECT da AS src, db AS dst FROM pairs
+      |          UNION ALL SELECT db, da FROM pairs),
+      |reach(node, lbl) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node),
+      |labels AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+      |asg AS (SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster
+      |        FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+      |        WHERE d.doc_id < 1000),
+      |cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+      |       FROM asg GROUP BY cluster)
+      |SELECT a.doc_id, a.cluster, cs.cluster_size,
+      |       a.doc_id = a.cluster AS is_kept
+      |FROM asg a JOIN cs USING (cluster) ORDER BY a.doc_id""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 1000)
+    val pairs = Text.jaccardPairs(docs, 1, 2)
+    val labels = connectedComponents(pairs.select(col("da"), col("db")))
+    val asg = docs.select(col("doc_id"))
+      .join(labels.select(col("node").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster"))
+    val sizes = asg.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+    asg.join(sizes, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("cluster_size"),
+        (col("doc_id") === col("cluster")).as("is_kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Edit-distance fuzzy matching (record-linkage near-dup for SHORT
     * strings — the per-pair exact scorer that shingle/minhash methods
     * gate): Levenshtein over 24-char prefixes on a bounded id range.
@@ -363,5 +420,5 @@ object Dedup {
   }
 
   val all: Seq[Q] = Seq(qMinHashLsh, qSimHash, qSimHashPairs, qDedupClusters,
-    qDedupClustersStar, qLevenshteinPairs)
+    qDedupClustersStar, qNearDupPipeline, qLevenshteinPairs)
 }

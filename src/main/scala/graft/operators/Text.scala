@@ -597,14 +597,19 @@ object Text {
       |       substring(md5(coalesce(string_agg(CASE WHEN occ = 1 THEN seg END, ' '
       |         ORDER BY seg_idx), '')), 1, 16) AS rebuilt_md5
       |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
-  ) { (s, d) =>
+  ) { (s, d) => segmentDedupRebuild(Tables.documents(s, d), 8) }
+
+  /** The t82 transform over any (doc_id, text) frame — also driven at
+    * 100× fixture rows by ScaleSmoke. */
+  def segmentDedupRebuild(docs: DataFrame, segTokens: Int): DataFrame = {
     val ws = split(col("text"), " ")
-    val segs = Tables.documents(s, d)
+    val segs = docs
       .select(col("doc_id"), ws.as("ws"))
       .select(col("doc_id"),
         posexplode(transform(
-          sequence(lit(0), floor((size(col("ws")) + 7) / 8).cast("int") - 1),
-          i => array_join(slice(col("ws"), i * 8 + 1, lit(8)), " ")))
+          sequence(lit(0),
+            floor((size(col("ws")) + segTokens - 1) / segTokens).cast("int") - 1),
+          i => array_join(slice(col("ws"), i * segTokens + 1, lit(segTokens)), " ")))
           .as(Seq("seg_idx", "seg")))
       .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"), col("seg"))
     val w = Window.partitionBy(col("seg")).orderBy(col("doc_id"), col("seg_idx"))

@@ -672,8 +672,134 @@ object Vectors {
       .orderBy(col("probe_id"), col("rn"))
   }
 
+  /** Product-quantization codebooks + codes (the compression half of
+    * IVF-PQ): the 64-d space splits into 16 subspaces of 4 dims, each
+    * with a 16-centroid codebook trained by per-subspace Lloyd rounds —
+    * all subspaces train TOGETHER in one plan per round (the codebook
+    * frame is 16×16 = 256 rows, broadcast; one scan + one window + one
+    * posexplode mean per round, v68's discipline). Returns
+    * (codes (vec_id, sub, cid), codebook (sub, cid, cv)). A vector
+    * becomes 16 half-byte codes (8 bytes) — 64× smaller than
+    * float32×64 — which is what makes a 100 TB vector store scannable
+    * from memory. */
+  /** PQ layout: 16 subspaces × 4 dims × 16 centroids = 16 half-byte
+    * codes (8 bytes/vector, 64× compression of float32×64). 4-d
+    * subspaces keep per-subspace quantization error low enough for
+    * useful recall even on near-isotropic vectors. */
+  private val PqSubs = 16
+  private val PqSubDim = 4
+  private val PqCent = 16
+
+  def pqEncode(emb: DataFrame, rounds: Int = 3): (DataFrame, DataFrame) = {
+    val subs = PqSubs; val subDim = PqSubDim; val nCent = PqCent
+    val sv = Scale.cut(emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .select(col("vec_id"), posexplode(transform(
+          sequence(lit(0), lit(subs - 1)),
+          i => slice(col("e"), i * subDim + 1, lit(subDim))))
+        .as(Seq("sub", "sv")))
+      .withColumn("ssq", VectorOps.dot(col("sv"), col("sv"))), eager = true)
+    // deterministic init: subvectors of the first nCent vectors
+    var cent = sv.filter(col("vec_id") < nCent)
+      .select(col("sub"), col("vec_id").cast("int").as("cid"), col("sv").as("cv"))
+    var prevCent: DataFrame = null
+    def assign(cb: DataFrame): DataFrame = {
+      val cbSq = cb.withColumn("csq", VectorOps.dot(col("cv"), col("cv")))
+      val pc = sv.join(broadcast(cbSq), Seq("sub"))
+        .withColumn("d2", col("ssq") + col("csq")
+          - lit(2.0) * VectorOps.dot(col("sv"), col("cv")))
+      val w = Window.partitionBy(col("vec_id"), col("sub"))
+        .orderBy(col("d2"), col("cid"))
+      pc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("sub"), col("cid"), col("sv"))
+    }
+    for (_ <- 1 to rounds) {
+      val next = assign(cent)
+        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("dim0", "x")))
+        .groupBy(col("sub"), col("cid"), col("dim0")).agg(avg(col("x")).as("cx"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(array_sort(collect_list(struct(col("dim0"), col("cx")))).as("p"))
+        .select(col("sub"), col("cid"), transform(col("p"), p => p("cx")).as("cv"))
+      // one action per round on a 128-row frame: truncates the E/M
+      // lineage so round plans don't nest (the CC/k-means discipline).
+      // The eager cut reads the PREVIOUS round's checkpoint — release it
+      // only after this round is materialized.
+      cent = Scale.cut(next, eager = true)
+      if (prevCent != null) Scale.dropCheckpoint(prevCent)
+      prevCent = cent
+    }
+    // materialize the codes BEFORE releasing sv: the final assignment
+    // reads sv, and a lazy return would find its blocks gone
+    val codes = Scale.cut(
+      assign(cent).select(col("vec_id"), col("sub"), col("cid")), eager = true)
+    Scale.dropCheckpoint(sv)
+    (codes, cent)
+  }
+
+  /** PQ-ANN query by asymmetric distance computation (ADC): each probe
+    * precomputes a 16×16 lookup table of exact subvector→centroid
+    * distances (probes×256 rows, broadcast), and every candidate is
+    * scored as the SUM of 16 table lookups keyed by its codes — the
+    * vector store is scanned as codes only, never as floats. Join on
+    * (sub, cid) + hash aggregate: map-side partial sums, no row ever
+    * carries an embedding. The third ANN family next to LSH (v65) and
+    * IVF (v66); engine-trained codebooks ⇒ no SQL oracle — recall and
+    * code-range invariants live in GraftSpec. */
+  val qPqAnn: Q = Q.noOracle("v76_pq_ann") { (s, d) =>
+    pqAdcTopK(Tables.embeddings(s, d), nProbes = 10, k = 10)
+  }
+
+  /** The v76 query over any (vec_id, embedding: array<float>[64]) frame —
+    * also driven at 100× fixture rows by ScaleSmoke. */
+  def pqAdcTopK(emb: DataFrame, nProbes: Int, k: Int,
+      rounds: Int = 3): DataFrame = {
+    val (codes, cent) = pqEncode(emb, rounds)
+    val centSq = cent.withColumn("csq", VectorOps.dot(col("cv"), col("cv")))
+    val psv = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .select(col("probe_id"), posexplode(transform(
+          sequence(lit(0), lit(PqSubs - 1)),
+          i => slice(col("e"), i * PqSubDim + 1, lit(PqSubDim))))
+        .as(Seq("sub", "psv")))
+      .withColumn("psq", VectorOps.dot(col("psv"), col("psv")))
+    val lut = psv.join(broadcast(centSq), Seq("sub"))
+      .select(col("probe_id"), col("sub"), col("cid"),
+        (col("psq") + col("csq")
+          - lit(2.0) * VectorOps.dot(col("psv"), col("cv"))).as("pd2"))
+    val scored = codes.join(broadcast(lut), Seq("sub", "cid"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id").as("cand_id"))
+      .agg(sum(col("pd2")).as("ad2"))
+    // stage 1: ADC shortlist of 5k by approximate distance (codes only —
+    // the 100 TB scan never touches floats)
+    val wA = Window.partitionBy(col("probe_id")).orderBy(col("ad2"), col("cand_id"))
+    val shortlist = scored.withColumn("rn0", row_number().over(wA))
+      .filter(col("rn0") <= 5 * k)
+      .select(col("probe_id"), col("cand_id"))
+    // stage 2: exact re-rank of the shortlist — floats are read for
+    // probes×5k candidate rows only (broadcast semi-join into the
+    // embedding store), the standard PQ-then-rerank retrieval layout
+    val fullSq = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("fe"))
+      .withColumn("fsq", VectorOps.dot(col("fe"), col("fe")))
+    val pe = fullSq.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("fe").as("pfe"), col("fsq").as("pfsq"))
+    val rer = fullSq.select(col("vec_id").as("cand_id"), col("fe"), col("fsq"))
+      .join(broadcast(shortlist), Seq("cand_id"))
+      .join(broadcast(pe), Seq("probe_id"))
+      .withColumn("d2", col("pfsq") + col("fsq")
+        - lit(2.0) * VectorOps.dot(col("pfe"), col("fe")))
+    val wE = Window.partitionBy(col("probe_id")).orderBy(col("d2"), col("cand_id"))
+    rer.withColumn("rn", row_number().over(wE).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("cand_id"), round(col("d2"), 6).as("d2"),
+        col("rn"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
   val all: Seq[Q] = Seq(qCosineTopK, qKnnVote, qNormStats, qPairTopK,
     qLshAnn, qIvfAnn, qKmeansStep, qKmeansLloyd, qSemanticDedup,
     qMatmulProject, qGramMatrix, qKmeansUnrolled, qAxisReduce,
-    qInt8Quantize, qMatryoshkaTopK)
+    qInt8Quantize, qMatryoshkaTopK, qPqAnn)
 }

@@ -298,7 +298,7 @@ class PlanSpec extends AnyFunSuite {
     // kmeans E-step, t63/t71's round bodies are groupBy/join-only
     // (DedupSpec + the CC property tests drive them).
     val iterative = Set("v68_kmeans_lloyd", "t63_dedup_clusters",
-      "t71_dedup_clusters_star")
+      "t71_dedup_clusters_star", "v76_pq_ann", "t83_neardup_pipeline")
     val cartOffenders = scala.collection.mutable.ListBuffer[String]()
     val winOffenders = scala.collection.mutable.ListBuffer[String]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
