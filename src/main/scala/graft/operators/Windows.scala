@@ -436,7 +436,76 @@ object Windows {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** pandas `merge_ordered(fill_method='ffill')`: two per-day aggregate
+    * series (order counts, event counts) full-outer-joined on the date
+    * spine, then each side forward-filled through the other's gap days.
+    * The ffill window is global BY CONSTRUCTION on a bounded frame: both
+    * inputs are per-day aggregates, so the row count is O(calendar days)
+    * — thousands — regardless of corpus size (the aggregation is the
+    * bound, like q8's 25-row nation cross; whitelisted in the PlanSpec
+    * audit with that argument). */
+  val qMergeOrdered: Q = Q(
+    "q125_merge_ordered",
+    """WITH od AS (SELECT o_orderdate AS d, CAST(count(*) AS BIGINT) AS n_orders
+      |           FROM orders GROUP BY 1),
+      |ed AS (SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n_events
+      |       FROM events GROUP BY 1),
+      |m AS (SELECT coalesce(od.d, ed.d) AS d, n_orders, n_events
+      |      FROM od FULL OUTER JOIN ed ON od.d = ed.d)
+      |SELECT d,
+      |  coalesce(n_orders,
+      |    last_value(n_orders IGNORE NULLS) OVER (ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_orders_f,
+      |  coalesce(n_events,
+      |    last_value(n_events IGNORE NULLS) OVER (ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_events_f
+      |FROM m ORDER BY d""".stripMargin
+  ) { (s, d) =>
+    val od = Tables.orders(s, d).groupBy(col("o_orderdate").as("d"))
+      .agg(count(lit(1)).as("n_orders"))
+    val ed = Tables.events(s, d).groupBy(col("ts").cast("date").as("d"))
+      .agg(count(lit(1)).as("n_events"))
+    val m = od.join(ed, Seq("d"), "full_outer")
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    m.select(col("d"),
+        coalesce(col("n_orders"),
+          last(col("n_orders"), ignoreNulls = true).over(w), lit(0L))
+          .as("n_orders_f"),
+        coalesce(col("n_events"),
+          last(col("n_events"), ignoreNulls = true).over(w), lit(0L))
+          .as("n_events_f"))
+      .orderBy(col("d"))
+  }
+
+  /** `groupby.rank(pct=True)` (pandas/dask): per-customer percentile
+    * position of each order by totalprice. With the unique
+    * (totalprice, orderkey) tie-break, pandas' pct rank IS cume_dist;
+    * SQL percent_rank reported alongside. Same one-shuffle frame as
+    * every per-customer window. */
+  val qGroupPctRank: Q = Q(
+    "q126_group_pct_rank",
+    """SELECT o_custkey, o_orderkey,
+      |       round(percent_rank() OVER w, 6) AS pct_rank,
+      |       round(cume_dist() OVER w, 6) AS cume,
+      |       CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders
+      |FROM orders WHERE o_custkey < 50
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wAll = Window.partitionBy(col("o_custkey"))
+    Tables.orders(s, d).filter(col("o_custkey") < 50)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        count(lit(1)).over(wAll).cast("long").as("n_orders"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val all: Seq[Q] = Seq(qTopkPerGroup, qRanks, qCumsum, qLagLead,
     qRollingTime, qRollingRows, qCumMinMaxProd, qFill, qRollingMedian,
-    qAutocorr, qInterpolate, qPctChange, qCumcount, qExpanding)
+    qAutocorr, qInterpolate, qPctChange, qCumcount, qExpanding,
+    qMergeOrdered, qGroupPctRank)
 }

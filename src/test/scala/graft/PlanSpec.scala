@@ -289,7 +289,11 @@ class PlanSpec extends AnyFunSuite {
     val cartesianOk = Set(
       "q8_cross_theta_join" // theta join demo: 25-row nation × nation
     )
-    val globalWindowOk = Set.empty[String]
+    val globalWindowOk = Set(
+      // per-day AGGREGATE series: row count is O(calendar days) at any
+      // corpus size — the aggregation is the bound (cf. q8's 25-row side)
+      "q125_merge_ordered"
+    )
     // Iterative queries run their loop eagerly on fn() and return a
     // frame over a localCheckpoint'd RDD, so their returned plan is a
     // truncated scan — sweeping them here would both claim coverage the
