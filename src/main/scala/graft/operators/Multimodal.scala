@@ -215,6 +215,38 @@ object Multimodal {
       .orderBy(col("doc_id"), col("patch_row"), col("patch_col"))
   }
 
+  /** Keyframe sampling: keep every 4th frame of the m74 frame stream
+    * (the video-pipeline decimation step — decode only sampled frames
+    * downstream). Pure arithmetic filter on the frame index, applied
+    * BEFORE any hashing, so 3/4 of the per-frame work is skipped, not
+    * discarded: zero shuffle until the presentation sort, and the
+    * sampled-frame rank (`kf_rank`) is derived arithmetically, not via
+    * a window. The m72 decode stub would consume exactly these rows. */
+  val qKeyframeSample: Q = Q(
+    "m76_keyframe_sample",
+    """WITH idx AS (
+      |  SELECT doc_id, text,
+      |         unnest(range(0, CAST(ceil(length(text) / 16.0) AS BIGINT))) AS frame_idx
+      |  FROM documents WHERE doc_id < 100 AND length(text) > 0)
+      |SELECT doc_id, frame_idx, frame_idx // 4 AS kf_rank,
+      |  sha256(substr(text, CAST(frame_idx * 16 + 1 AS BIGINT), 16)) AS frame_sha
+      |FROM idx WHERE frame_idx % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin
+  ) { (s, d) =>
+    val bin = col("text").cast("binary")
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 100 && length(col("text")) > 0)
+      .select(col("doc_id"), bin.as("p"),
+        ((length(bin) + 15) / 16).cast("long").as("nf"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("nf") - 1)).as("frame_idx"), col("p"))
+      .filter(col("frame_idx") % 4 === 0)
+      .select(col("doc_id"), col("frame_idx"),
+        expr("frame_idx div 4").as("kf_rank"),
+        sha2(substring(col("p"), (col("frame_idx") * 16 + 1).cast("int"), lit(16)),
+          256).as("frame_sha"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   val all: Seq[Q] = Seq(qBinaryMeta, qMediaFeatures, qMixedJoin, qFrameExplode,
-    qPatchGrid)
+    qPatchGrid, qKeyframeSample)
 }

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Retrieval-side scoring operators for the LLM data pipeline: BM25
+  * lexical ranking (the RAG / search baseline every retrieval stack
+  * starts from) and an n-gram language-model perplexity proxy with
+  * backoff (the CCNet/Gopher-style LM quality filter, one step past
+  * t68's unigram scorer).
+  *
+  * Both are single declarative plans over the `documents` fixture. The
+  * corpus statistics they need (doc count, average doc length, total
+  * training tokens, vocabulary size) are 1-row aggregates that stay in
+  * the plan as broadcast sides — never a driver collect — so the same
+  * shape runs unchanged when `documents` is 100 TB: the only large
+  * shuffles are the token/bigram groupBys, which partial-aggregate
+  * map-side.
+  *
+  * Tier C north-star extensions (SURVEY §2.3 "quality scoring") — no
+  * counterpart in the reference source (its capability site is the
+  * provisioned Dask image, dask_ssh_docker/__init__.py:307); grounded
+  * in the driver documents fixture.
+  */
+object Retrieval {
+
+  private def tokens = split(col("text"), " ")
+
+  /** BM25 (Okapi, k1=1.2 b=0.75) top-10 documents for a fixed 3-term
+    * query. Scale shape: the per-term postings come from one token
+    * explode with the term filter applied BEFORE the groupBy (so the
+    * shuffle carries only query-term hits, not the whole corpus);
+    * df/N/avgdl are tiny aggregates broadcast onto the scored rows; the
+    * final top-10 is a rounded-score sort + limit → TakeOrderedAndProject,
+    * never a global sort materialization. */
+  val qBm25: Q = Q(
+    "t84_bm25_topk",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |              FROM documents),
+      |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+      |       FROM toks GROUP BY doc_id),
+      |stats AS (SELECT avg(dl * 1.0) AS avgdl, CAST(count(*) AS BIGINT) AS n
+      |          FROM dl),
+      |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks
+      |       WHERE tok IN ('spark', 'query', 'join') GROUP BY doc_id, tok),
+      |df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |       FROM tf GROUP BY tok),
+      |scored AS (
+      |  SELECT tf.doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+      |    sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+      |        * (tf.tf * 2.2)
+      |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS score
+      |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+      |  GROUP BY tf.doc_id)
+      |SELECT doc_id, n_terms, round(score, 6) AS bm25
+      |FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+  ) { (s, d) =>
+    val toks = Tables.documents(s, d).select(col("doc_id"), explode(tokens).as("tok"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(avg(col("dl") * lit(1.0)).as("avgdl"),
+      count(lit(1)).as("n")) // 1 row, stays in the plan as a broadcast side
+    val tf = toks.filter(col("tok").isin("spark", "query", "join"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    val idf = log(lit(1) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val term = idf * (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    tf.join(broadcast(df), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(term).as("score"))
+      .select(col("doc_id"), col("n_terms"), round(col("score"), 6).as("bm25"))
+      .orderBy(desc("bm25"), col("doc_id"))
+      .limit(10)
+  }
+
+  /** Bigram language-model scoring with Stupid-Backoff-style fallback
+    * (Brants et al. 2007 shape): the LM trains on the `source = 'src0'`
+    * slice, then scores every document's bigrams — seen bigrams get
+    * ln(c(w1,w2)/c(w1)), unseen ones back off to the add-one-smoothed
+    * unigram ln(0.4 * (c(w2)+1)/(T+V)). This is the held-out-LM quality
+    * filter (CCNet-style) the unigram t68 only approximates, and unlike
+    * t68 its model side is a proper TABLE (bigram counts shuffle-join
+    * onto the scored explode, never a driver-side vocab broadcast — the
+    * t68 advisory's scale fix, demonstrated). Docs shorter than 2
+    * tokens drop out naturally (no bigrams). */
+  val qBigramBackoff: Q = Q(
+    "t85_bigram_backoff_lm",
+    """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ts
+      |           FROM documents),
+      |bg AS (SELECT doc_id, source, ts[i] AS w1, ts[i + 1] AS w2
+      |       FROM (SELECT doc_id, source, ts,
+      |               unnest(range(1, len(ts))) AS i FROM d)),
+      |tbg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+      |        FROM bg WHERE source = 'src0' GROUP BY w1, w2),
+      |tuni AS (SELECT tok, CAST(count(*) AS BIGINT) AS cu
+      |         FROM (SELECT unnest(ts) AS tok FROM d WHERE source = 'src0')
+      |         GROUP BY tok),
+      |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS t,
+      |               CAST(count(*) AS BIGINT) AS v FROM tuni),
+      |scored AS (
+      |  SELECT bg.doc_id,
+      |    CASE WHEN tbg.cb IS NOT NULL
+      |         THEN ln((tbg.cb * 1.0) / u1.cu)
+      |         ELSE ln((0.4 * (coalesce(u2.cu, 0) + 1.0)) / (tot.t + tot.v))
+      |    END AS lp
+      |  FROM bg
+      |  LEFT JOIN tbg ON bg.w1 = tbg.w1 AND bg.w2 = tbg.w2
+      |  LEFT JOIN tuni u1 ON bg.w1 = u1.tok
+      |  LEFT JOIN tuni u2 ON bg.w2 = u2.tok
+      |  CROSS JOIN tot
+      |  WHERE bg.doc_id < 100)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |       round(avg(lp), 6) AS avg_logprob
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), tokens.as("ts"))
+      .filter(size(col("ts")) >= 2) // sequence(0, -1) would descend, not empty
+    val bg = docs.select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(0), size(col("ts")) - 2), i =>
+          struct(element_at(col("ts"), i + 1).as("w1"),
+            element_at(col("ts"), i + 2).as("w2")))).as("b"))
+      .select(col("doc_id"), col("source"), col("b.w1"), col("b.w2"))
+    val tbg = bg.filter(col("source") === "src0")
+      .groupBy(col("w1").as("tw1"), col("w2").as("tw2"))
+      .agg(count(lit(1)).as("cb"))
+    val tuni = docs.filter(col("source") === "src0")
+      .select(explode(col("ts")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val tot = tuni.agg(sum(col("cu")).as("t"), count(lit(1)).as("v"))
+    val lp = when(col("cb").isNotNull, log((col("cb") * lit(1.0)) / col("cu1")))
+      .otherwise(log((lit(0.4) * (coalesce(col("cu2"), lit(0L)) + lit(1.0)))
+        / (col("t") + col("v"))))
+    bg.filter(col("doc_id") < 100)
+      .join(tbg, col("w1") === col("tw1") && col("w2") === col("tw2"), "left")
+      .join(tuni.select(col("tok").as("tk1"), col("cu").as("cu1")),
+        col("w1") === col("tk1"), "left")
+      .join(tuni.select(col("tok").as("tk2"), col("cu").as("cu2")),
+        col("w2") === col("tk2"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(lp), 6).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(qBm25, qBigramBackoff)
+}

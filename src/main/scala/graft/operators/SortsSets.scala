@@ -227,7 +227,51 @@ object SortsSets {
       .orderBy(col("doc_id"))
   }
 
+  /** pandas `clip(lower, upper)` + `nsmallest(15)`: bound a column to a
+    * range, then take the 15 smallest by the clipped value. The clip is
+    * a pure scalar map (least/greatest, codegen'd); the nsmallest is an
+    * ordered limit → TakeOrderedAndProject (per-partition heaps + driver
+    * merge of 15-row partials), never a global sort. Ties on the clipped
+    * floor break by (l_orderkey, l_linenumber), so the cut is
+    * deterministic in both engines. */
+  val qClipNsmallest: Q = Q(
+    "q127_clip_nsmallest",
+    """SELECT l_orderkey, l_linenumber,
+      |  round(least(greatest(l_extendedprice, 5000.0), 50000.0), 2) AS clipped
+      |FROM lineitem
+      |ORDER BY clipped, l_orderkey, l_linenumber LIMIT 15""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(least(greatest(col("l_extendedprice"), lit(5000.0)), lit(50000.0)), 2)
+          .as("clipped"))
+      .orderBy(col("clipped"), col("l_orderkey"), col("l_linenumber"))
+      .limit(15)
+  }
+
+  /** pandas `groupby.nth(2)` (0-indexed): the third order per customer
+    * in (o_orderdate, o_orderkey) order. One partitioned window — the
+    * groupBy key is the partition key, so rows never leave their
+    * reducer — then a rank-equality filter. Customers with fewer than
+    * three orders drop out, matching pandas nth semantics. */
+  val qNthPerGroup: Q = Q(
+    "q128_nth_per_group",
+    """SELECT o_custkey, o_orderkey AS nth_orderkey, o_totalprice AS nth_price
+      |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate, o_orderkey) AS rn FROM orders)
+      |WHERE rn = 3 ORDER BY o_custkey""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 3)
+      .select(col("o_custkey"), col("o_orderkey").as("nth_orderkey"),
+        col("o_totalprice").as("nth_price"))
+      .orderBy(col("o_custkey"))
+  }
+
   val all: Seq[Q] = Seq(qTopK, qMultiSort, qUnionAll, qIntersect, qExcept,
     qDistinct, qKeepFirst, qSample, qStratifiedSample, qTail, qConcatByName,
-    qDuplicatedFlag)
+    qDuplicatedFlag, qClipNsmallest, qNthPerGroup)
 }

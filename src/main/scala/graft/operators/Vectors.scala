@@ -798,8 +798,40 @@ object Vectors {
       .orderBy(col("probe_id"), col("rn"))
   }
 
+  /** Per-dimension z-score standardization (feature whitening, diagonal
+    * form): every dimension is centered/scaled by its corpus mean/std —
+    * the preprocessing step before PCA / k-means on embeddings. The
+    * per-dim stats are a 64-row aggregate (the v73 axis-reduce shape)
+    * broadcast back onto the explode, so the corpus is scanned twice and
+    * shuffled once on a 64-key groupBy regardless of row count; the
+    * presented slice (vec_id < 5) prunes AFTER the stats on purpose —
+    * the stats must see the whole corpus. */
+  val qStandardizeDims: Q = Q(
+    "v77_standardize_dims",
+    """WITH p AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+      |             CAST(embedding[i] AS DOUBLE) AS x
+      |           FROM embeddings, range(1, 65) r(i)),
+      |st AS (SELECT dim, avg(x) AS mu, stddev_samp(x) AS sd
+      |       FROM p GROUP BY dim)
+      |SELECT vec_id, p.dim, round((x - mu) / sd, 6) AS z
+      |FROM p JOIN st USING (dim) WHERE vec_id < 5
+      |ORDER BY vec_id, p.dim""".stripMargin
+  ) { (s, d) =>
+    val p = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(transform(col("embedding"), x => x.cast("double")))
+          .as(Seq("dim", "x")))
+    val st = p.groupBy(col("dim").as("sdim"))
+      .agg(avg(col("x")).as("mu"), stddev_samp(col("x")).as("sd"))
+    p.filter(col("vec_id") < 5)
+      .join(broadcast(st), col("dim") === col("sdim"))
+      .select(col("vec_id"), col("dim"),
+        round((col("x") - col("mu")) / col("sd"), 6).as("z"))
+      .orderBy(col("vec_id"), col("dim"))
+  }
+
   val all: Seq[Q] = Seq(qCosineTopK, qKnnVote, qNormStats, qPairTopK,
     qLshAnn, qIvfAnn, qKmeansStep, qKmeansLloyd, qSemanticDedup,
     qMatmulProject, qGramMatrix, qKmeansUnrolled, qAxisReduce,
-    qInt8Quantize, qMatryoshkaTopK, qPqAnn)
+    qInt8Quantize, qMatryoshkaTopK, qPqAnn, qStandardizeDims)
 }
