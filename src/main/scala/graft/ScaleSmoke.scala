@@ -284,6 +284,53 @@ object ScaleSmoke {
       operators.Vectors.pqAdcTopK(emb64, nProbes = 10, k = 10, rounds = 2)
         .count()
     }
+    time("BM25 scoring (t84 shape)", nDocs) {
+      // postings for 3 query terms: the term filter lands BEFORE the
+      // groupBy, so the shuffle carries only hits; df/N/avgdl broadcast
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(avg(col("dl") * lit(1.0)).as("avgdl"), count(lit(1)).as("n"))
+      val tf = toks.filter(col("tok").isin("w0123", "w1123", "w2123"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+      val idf = log(lit(1) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      val term = idf * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      tf.join(broadcast(dfq), Seq("tok")).join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .groupBy(col("doc_id")).agg(sum(term).as("score"))
+        .orderBy(desc("score"), col("doc_id")).limit(10).count()
+    }
+    time("bigram LM scoring (t85 shape)", nDocs) {
+      // model = bigram/unigram count TABLES from a 25% train slice,
+      // shuffle-joined onto the full-corpus bigram explode (~11 bigrams
+      // per 12-token doc) — the t68 vocab-broadcast scale fix
+      val d = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .filter(size(col("ts")) >= 2)
+      val bg = d.select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(col("ts")) - 2), i =>
+            struct(element_at(col("ts"), i + 1).as("w1"),
+              element_at(col("ts"), i + 2).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      val train = bg.filter(col("doc_id") % 4 === 0)
+      val tbg = train.groupBy(col("w1").as("tw1"), col("w2").as("tw2"))
+        .agg(count(lit(1)).as("cb"))
+      val tuni = d.filter(col("doc_id") % 4 === 0)
+        .select(explode(col("ts")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+      val tot = tuni.agg(sum(col("cu")).as("t"), count(lit(1)).as("v"))
+      val lp = when(col("cb").isNotNull, log((col("cb") * lit(1.0)) / col("cu1")))
+        .otherwise(log((lit(0.4) * (coalesce(col("cu2"), lit(0L)) + lit(1.0)))
+          / (col("t") + col("v"))))
+      bg.join(tbg, col("w1") === col("tw1") && col("w2") === col("tw2"), "left")
+        .join(tuni.select(col("tok").as("tk1"), col("cu").as("cu1")),
+          col("w1") === col("tk1"), "left")
+        .join(tuni.select(col("tok").as("tk2"), col("cu").as("cu2")),
+          col("w2") === col("tk2"), "left")
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id")).agg(avg(lp).as("avg_logprob"))
+        .count()
+    }
     spark.stop()
     // synthetic tables are hundreds of MB per run: delete so repeated
     // runs don't build disk pressure (which skews the measurements)

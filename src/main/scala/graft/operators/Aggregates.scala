@@ -456,8 +456,40 @@ object Aggregates {
       .orderBy(col("event_type"), col("qbin"))
   }
 
+  /** Weighted per-group statistics (pandas' `np.average(x, weights=w)`
+    * groupby-apply): quantity-weighted mean price/discount and weighted
+    * discount variance, all as plain sum ratios — sum(w·x)/sum(w) and
+    * the algebraic E[x²]−E[x]² form — so the whole thing is ONE
+    * map-side-combined hash aggregate, no second centered pass and no
+    * window. The variance rides the small-magnitude discount column on
+    * purpose: the algebraic form cancels catastrophically on large
+    * values (price² ~1e9) but is exact-to-6-decimals on [0,0.1]. */
+  val qWeightedStats: Q = Q(
+    "q129_weighted_group_stats",
+    """SELECT l_returnflag,
+      |  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2)
+      |    AS wmean_price,
+      |  round(sum(l_discount * l_quantity) / sum(l_quantity), 6) AS wmean_disc,
+      |  round(sum(l_quantity * l_discount * l_discount) / sum(l_quantity)
+      |        - (sum(l_discount * l_quantity) / sum(l_quantity))
+      |          * (sum(l_discount * l_quantity) / sum(l_quantity)), 6)
+      |    AS wvar_disc
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val wmDisc = sum(col("l_discount") * col("l_quantity")) / sum(col("l_quantity"))
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(col("l_extendedprice") * col("l_quantity"))
+          / sum(col("l_quantity")), 2).as("wmean_price"),
+        round(wmDisc, 6).as("wmean_disc"),
+        round(sum(col("l_quantity") * col("l_discount") * col("l_discount"))
+          / sum(col("l_quantity")) - wmDisc * wmDisc, 6).as("wvar_disc"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[Q] = Seq(qStats, qCountDistinct, qApproxDistinct, qValueCounts,
     qApproxQuantiles,
     qPivot, qRollup, qCube, qQuantiles, qCorr, qMinMaxBy, qGlobalAgg, qDescribe,
-    qGroupTransform, qBinning, qQcut, qGroupMode, qQcutPerGroup)
+    qGroupTransform, qBinning, qQcut, qGroupMode, qQcutPerGroup, qWeightedStats)
 }

@@ -624,8 +624,44 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-corpus exact dedup: drop from the working corpus any document
+    * whose exact text already exists in a reference corpus (a previous
+    * training snapshot, an eval set — the hash-level decontamination
+    * companion to t65's shingle overlap). The reference side reduces to
+    * DISTINCT text hashes before the anti-join, so the join's build side
+    * is unique-keyed; the working corpus takes exactly one scan + one
+    * hash-partitioned anti-join (or a broadcast anti-join when the
+    * reference is small — Catalyst picks by size). Here `source='src0'`
+    * plays the reference, the rest the working corpus. */
+  val qCrossCorpusDedup: Q = Q(
+    "t86_cross_corpus_dedup",
+    """WITH ref AS (SELECT DISTINCT md5(text) AS h FROM documents
+      |             WHERE source = 'src0'),
+      |work AS (SELECT source, md5(text) AS h FROM documents
+      |         WHERE source <> 'src0')
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN ref.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN ref.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+      |FROM work LEFT JOIN ref ON work.h = ref.h
+      |GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val ref = docs.filter(col("source") === "src0")
+      .select(md5(col("text")).as("rh")).distinct()
+    docs.filter(col("source") =!= "src0")
+      .select(col("source"), md5(col("text")).as("h"))
+      .join(ref, col("h") === col("rh"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rh").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rh").isNotNull, 1L).otherwise(0L)).as("n_removed"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(qTokenCounts, qLangStats, qExactDedup, qDedupKeepFirst,
     qQuality, qNgramJaccard, qTfIdf, qLangId, qFingerprint, qRegexTokens,
     qPipelineClean, qHeavyHitters, qDecontaminate, qRepetition,
-    qCmsHeavyHitters, qBigramCounts, qTokenEntropy, qSegmentDedup)
+    qCmsHeavyHitters, qBigramCounts, qTokenEntropy, qSegmentDedup,
+    qCrossCorpusDedup)
 }

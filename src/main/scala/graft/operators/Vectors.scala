@@ -830,8 +830,62 @@ object Vectors {
       .orderBy(col("vec_id"), col("dim"))
   }
 
+  /** Top-eigenvector PCA via two fixed power-iteration steps on the
+    * Gram matrix (the random-projection upgrade: an actual principal
+    * direction, the dask.array `da.linalg` shape). The corpus is touched
+    * ONCE — to build the 64×64 Gram (v71's double-posexplode partial
+    * agg); each iteration after that is a 4096-row join against a
+    * 64-row broadcast vector, O(d²) work independent of corpus size, so
+    * at 100 TB the cost is one Gram pass + pennies. Differential
+    * discipline (the v72 pattern): the Gram is rounded to 6 decimals in
+    * BOTH engines before iterating, pinning the iteration inputs
+    * exactly; the fixed v0 = 1/8·𝟙 start breaks sign ambiguity. */
+  val qPowerIteration: Q = Q(
+    "v78_power_iteration",
+    """WITH p AS (
+      |  SELECT CAST(i - 1 AS INTEGER) AS gi, CAST(j - 1 AS INTEGER) AS gj,
+      |         CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE) AS prod
+      |  FROM embeddings, range(1, 65) r1(i), range(1, 65) r2(j)),
+      |g AS (SELECT gi, gj, round(sum(prod), 6) AS g FROM p GROUP BY gi, gj),
+      |v1r AS (SELECT gi AS dim, sum(g * 0.125) AS x FROM g GROUP BY gi),
+      |n1 AS (SELECT sqrt(sum(x * x)) AS nrm FROM v1r),
+      |v1 AS (SELECT dim, x / nrm AS x FROM v1r, n1),
+      |v2r AS (SELECT g.gi AS dim, sum(g.g * v1.x) AS x
+      |        FROM g JOIN v1 ON g.gj = v1.dim GROUP BY g.gi),
+      |n2 AS (SELECT sqrt(sum(x * x)) AS nrm FROM v2r)
+      |SELECT dim, round(x / nrm, 6) AS comp, round(nrm, 4) AS eigval
+      |FROM v2r, n2 ORDER BY dim""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(transform(col("embedding"), x => x.cast("double")).as("e"))
+    val rows = e.select(col("e"), posexplode(col("e")).as(Seq("i", "xi")))
+    val gram = rows
+      .select(col("i"), col("xi"), posexplode(col("e")).as(Seq("j", "xj")))
+      .groupBy(col("i"), col("j"))
+      .agg(round(sum(col("xi") * col("xj")), 6).as("g"))
+    // one matvec: G (4096 rows) ⋈ broadcast v (64 rows) → 64-row partial agg
+    def matvecRaw(v: DataFrame): DataFrame =
+      gram.join(broadcast(v), col("j") === col("dim"))
+        .groupBy(col("i"))
+        .agg(sum(col("g") * col("x")).as("x"))
+        .select(col("i").as("dim"), col("x"))
+    def normalize(vr: DataFrame): DataFrame = {
+      val n = vr.agg(sqrt(sum(col("x") * col("x"))).as("nrm"))
+      vr.crossJoin(broadcast(n)).select(col("dim"), (col("x") / col("nrm")).as("x"))
+    }
+    val v0 = s.range(64).select(col("id").cast("int").as("dim"), lit(0.125).as("x"))
+    val v1 = normalize(matvecRaw(v0))
+    val v2r = matvecRaw(v1)
+    val n2 = v2r.agg(sqrt(sum(col("x") * col("x"))).as("nrm"))
+    v2r.crossJoin(broadcast(n2))
+      .select(col("dim"), round(col("x") / col("nrm"), 6).as("comp"),
+        round(col("nrm"), 4).as("eigval"))
+      .orderBy(col("dim"))
+  }
+
   val all: Seq[Q] = Seq(qCosineTopK, qKnnVote, qNormStats, qPairTopK,
     qLshAnn, qIvfAnn, qKmeansStep, qKmeansLloyd, qSemanticDedup,
     qMatmulProject, qGramMatrix, qKmeansUnrolled, qAxisReduce,
-    qInt8Quantize, qMatryoshkaTopK, qPqAnn, qStandardizeDims)
+    qInt8Quantize, qMatryoshkaTopK, qPqAnn, qStandardizeDims,
+    qPowerIteration)
 }
