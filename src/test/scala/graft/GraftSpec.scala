@@ -391,4 +391,55 @@ class DedupSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("v78 power iteration returns a unit vector with positive eigenvalue") {
+    val out = operators.Vectors.qPowerIteration.fn(spark, TestSession.sf).collect()
+    assert(out.length == 64)
+    val comps = out.map(_.getAs[Double]("comp"))
+    val norm = math.sqrt(comps.map(c => c * c).sum)
+    // comps are rounded to 6 decimals → norm within 64 * 5e-7 of 1
+    assert(math.abs(norm - 1.0) < 1e-4, s"norm $norm")
+    val eig = out.map(_.getAs[Double]("eigval")).distinct
+    assert(eig.length == 1 && eig.head > 0, s"eigval ${eig.toSeq}")
+  }
+
+  test("t86 cross-corpus dedup: kept + removed == docs, totals cover the corpus") {
+    val out = operators.Text.qCrossCorpusDedup.fn(spark, TestSession.sf).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_removed") ==
+        r.getAs[Long]("n_docs"))
+    }
+    val total = out.map(_.getAs[Long]("n_docs")).sum
+    val expected = Tables.documents(spark, TestSession.sf)
+      .filter(col("source") =!= "src0").count()
+    assert(total == expected)
+  }
+
+  test("t84 BM25: every returned doc contains a query term, scores positive") {
+    val out = operators.Retrieval.qBm25.fn(spark, TestSession.sf)
+    assert(out.count() <= 10)
+    out.collect().foreach(r => assert(r.getAs[Double]("bm25") > 0))
+    val withText = out.join(Tables.documents(spark, TestSession.sf), Seq("doc_id"))
+    val noHit = withText.filter(
+      !col("text").contains("spark") && !col("text").contains("query") &&
+        !col("text").contains("join")).count()
+    assert(noHit == 0)
+  }
+
+  test("m76 keyframes are exactly the frame_idx % 4 == 0 subset of m74") {
+    val kf = operators.Multimodal.qKeyframeSample.fn(spark, TestSession.sf)
+      .select(col("doc_id"), col("frame_idx"), col("kf_rank"), col("frame_sha"))
+    kf.collect().foreach { r =>
+      val idx = r.getAs[Long]("frame_idx")
+      assert(idx % 4 == 0 && r.getAs[Long]("kf_rank") * 4 == idx)
+    }
+    val full = operators.Multimodal.qFrameExplode.fn(spark, TestSession.sf)
+      .filter(col("frame_idx") % 4 === 0)
+      .select(col("doc_id"), col("frame_idx"), col("frame_sha"))
+    // same (doc, idx, sha) set: keyframes are a pure filter of the m74 stream
+    assert(kf.select("doc_id", "frame_idx", "frame_sha")
+      .exceptAll(full).count() == 0)
+    assert(full.exceptAll(
+      kf.select("doc_id", "frame_idx", "frame_sha")).count() == 0)
+  }
 }
