@@ -343,6 +343,34 @@ object Events {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** Weekly OHLC downsample (pandas `resample('W').ohlc()`): open/close
+    * via `min_by`/`max_by` on the event timestamp — an order-statistic
+    * the aggregate carries through the map-side combine, so the plan is
+    * ONE hash aggregate with no per-week sort or window. Deterministic
+    * because `ts` is unique in the fixture (and `arg_min`'s tie rule
+    * would otherwise differ per engine — a real pipeline would break
+    * ties on a unique id). Week buckets: date_trunc('week') is
+    * Monday-start in both engines. */
+  val qOhlcWeekly: Q = Q(
+    "q130_resample_weekly_ohlc",
+    """SELECT date_trunc('week', ts) AS wk,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  round(arg_min(value, ts), 6) AS open,
+      |  round(max(value), 6) AS high,
+      |  round(min(value), 6) AS low,
+      |  round(arg_max(value, ts), 6) AS close
+      |FROM events GROUP BY wk ORDER BY wk""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_trunc("week", col("ts")).as("wk"))
+      .agg(count(lit(1)).as("n_events"),
+        round(min_by(col("value"), col("ts")), 6).as("open"),
+        round(max(col("value")), 6).as("high"),
+        round(min(col("value")), 6).as("low"),
+        round(max_by(col("value"), col("ts")), 6).as("close"))
+      .orderBy(col("wk"))
+  }
+
   /** pandas `crosstab(event_type, daypart)`: a contingency table of two
     * categoricals — groupBy + pivot with PINNED category columns (the
     * data-driven-category pivot is q14); coalesce(0) because an empty
@@ -423,5 +451,6 @@ object Events {
 
   val all: Seq[Q] = Seq(qJsonStruct, qJsonMap, qTumbling, qSliding,
     qSessionize, qAsOfJoin, qAsOfTolerance, qAsOfDirections, qAsOfNative,
-    qArrayHof, qAsOfMultiKey, qResampleDaily, qCrosstab, qUpsampleFfill)
+    qArrayHof, qAsOfMultiKey, qResampleDaily, qCrosstab, qUpsampleFfill,
+    qOhlcWeekly)
 }

@@ -145,5 +145,32 @@ object Retrieval {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(qBm25, qBigramBackoff)
+  /** Zipf rank–frequency head (the corpus-health diagnostic every
+    * tokenizer/vocab decision starts from): global term rank by
+    * (freq DESC, term) over the WHOLE vocabulary via
+    * `Scale.globalRowNumber` — bucket = −freq is monotone in the sort,
+    * so ranking parallelizes across frequency bands with a broadcast
+    * offset join, never a single-partition window (the q22 discipline;
+    * distinct-frequency count, which bounds the offset table, grows
+    * ~√(corpus tokens) under Zipf). The top-20 cut is an ordered limit →
+    * TakeOrderedAndProject. */
+  val qZipfRankFreq: Q = Q(
+    "t87_zipf_rank_freq",
+    """WITH tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq
+      |            FROM (SELECT unnest(string_split(text, ' ')) AS tok
+      |                  FROM documents)
+      |            GROUP BY tok)
+      |SELECT CAST(row_number() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS rank,
+      |       tok, freq
+      |FROM tf ORDER BY rank LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val tf = Tables.documents(s, d)
+      .select(explode(tokens).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    Scale.globalRowNumber(tf, col("freq") * -1, Seq(col("tok")), "rank")
+      .orderBy(col("rank")).limit(20)
+      .select(col("rank"), col("tok"), col("freq"))
+  }
+
+  val all: Seq[Q] = Seq(qBm25, qBigramBackoff, qZipfRankFreq)
 }
