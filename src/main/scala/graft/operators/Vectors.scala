@@ -883,9 +883,49 @@ object Vectors {
       .orderBy(col("dim"))
   }
 
+  /** Hard-negative mining (contrastive-training data prep): for each
+    * probe, the 3 most-similar vectors with a DIFFERENT label — the
+    * near-miss candidates an embedding model trains against. Same
+    * broadcast-probe scan as v61 (probes tiny, corpus streamed once,
+    * codegen dot, precomputed norms); the label inequality rides the
+    * join condition, so wrong-label candidates are dropped before any
+    * scoring. At 100 TB the probe side stays a broadcast and the
+    * per-probe top-3 is the bounded window. */
+  val qHardNegatives: Q = Q(
+    "v79_hard_negatives",
+    s"""WITH v AS ($duckNormed),
+       |probes AS (SELECT * FROM v WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT p.vec_id AS probe_id, p.label AS probe_label,
+       |         c.vec_id AS cand_id, c.label AS neg_label,
+       |         ${VectorOps.duckDot("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS sim
+       |  FROM probes p JOIN v c ON c.label <> p.label)
+       |SELECT probe_id, probe_label, cand_id, neg_label,
+       |       round(sim, 6) AS sim, rn
+       |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+       |        ORDER BY sim DESC, cand_id) AS BIGINT) AS rn FROM scored) t
+       |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
+  ) { (s, d) =>
+    val v = withNorm(Tables.embeddings(s, d))
+    val probes = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("label").as("probe_label"),
+        col("embedding").as("pe"), col("nrm").as("pn"))
+    val cands = v.select(col("vec_id").as("cand_id"), col("label").as("neg_label"),
+      col("embedding").as("ce"), col("nrm").as("cn"))
+    val scored = cands.join(broadcast(probes), col("neg_label") =!= col("probe_label"))
+      .withColumn("sim", VectorOps.cosineFromNorms(
+        VectorOps.dot(col("pe"), col("ce")), col("pn"), col("cn")))
+    val w = Window.partitionBy(col("probe_id")).orderBy(desc("sim"), col("cand_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("probe_id"), col("probe_label"), col("cand_id"),
+        col("neg_label"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
   val all: Seq[Q] = Seq(qCosineTopK, qKnnVote, qNormStats, qPairTopK,
     qLshAnn, qIvfAnn, qKmeansStep, qKmeansLloyd, qSemanticDedup,
     qMatmulProject, qGramMatrix, qKmeansUnrolled, qAxisReduce,
     qInt8Quantize, qMatryoshkaTopK, qPqAnn, qStandardizeDims,
-    qPowerIteration)
+    qPowerIteration, qHardNegatives)
 }
