@@ -273,6 +273,44 @@ object Joins {
       .orderBy(col("merge_ind"))
   }
 
+  /** pandas `merge(validate='1:1'|'1:m'|'m:1')`: an IN-PLAN join-key
+    * cardinality assertion. The claimed-unique side gets a per-key count
+    * window and an `assert_true(count <= 1)` FILTER condition — the
+    * filter keeps every valid row (assert_true yields null on success)
+    * but the job fails loudly on the first duplicate key, instead of
+    * silently fanning out rows the way an unvalidated merge does. Scale:
+    * the count window shuffles on exactly the join keys — the same
+    * partitioning the join itself needs, so AQE/exchange-reuse can
+    * coalesce them; no extra pass over the data.
+    *
+    * Reference capability: pandas merge-validate carried by the deployed
+    * dask dataframe layer (dask_ssh_docker/__init__.py:307). */
+  def validateUnique(df: org.apache.spark.sql.DataFrame,
+      keys: Seq[String], side: String): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    df.withColumn("_val_cnt", count(lit(1)).over(w))
+      .filter(assert_true(col("_val_cnt") <= 1,
+        concat(lit(s"merge validate failed: $side side has duplicate key ("),
+          concat_ws(",", keys.map(c => col(c).cast("string")): _*),
+          lit(")"))).isNull)
+      .drop("_val_cnt")
+  }
+
+  /** `mergeValidated(left, right, keys, how, validate)`: the pandas
+    * merge-validate surface. "1:1" asserts both sides unique, "1:m" the
+    * left, "m:1" the right; "m:m" is a plain join. */
+  def mergeValidated(left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame, keys: Seq[String],
+      how: String = "inner", validate: String = "m:m")
+      : org.apache.spark.sql.DataFrame = {
+    val l = if (validate == "1:1" || validate == "1:m")
+      validateUnique(left, keys, "left") else left
+    val r = if (validate == "1:1" || validate == "m:1")
+      validateUnique(right, keys, "right") else right
+    l.join(r, keys, how)
+  }
+
   val all: Seq[Q] = Seq(q3ShippingPriority, qBroadcastDims, qLeftOuter,
     qFullOuter, qSemiAnti, qCrossTheta, qSelfJoin, qRightOuter, qCombineFirst,
     qMergeIndicator)

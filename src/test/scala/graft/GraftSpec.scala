@@ -426,6 +426,27 @@ class DedupSpec extends AnyFunSuite {
     assert(noHit == 0)
   }
 
+  test("mergeValidated: 'm:1' passes on a unique dim and fails loudly on dup keys") {
+    val nation = Tables.nation(spark, TestSession.sf)
+    val customer = Tables.customer(spark, TestSession.sf)
+    // m:1 against the genuinely-unique nation key: joins clean
+    val ok = operators.Joins.mergeValidated(
+      customer.withColumnRenamed("c_nationkey", "n_nationkey"), nation,
+      Seq("n_nationkey"), "inner", "m:1")
+    assert(ok.count() == customer.count())
+    // 1:m with a duplicated "one" side: the job must fail, not fan out
+    val dupes = nation.union(nation)
+    val ex = intercept[Exception] {
+      operators.Joins.mergeValidated(dupes,
+        customer.withColumnRenamed("c_nationkey", "n_nationkey"),
+        Seq("n_nationkey"), "inner", "1:m").count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m => m != null && m.contains("merge validate failed")),
+      s"unexpected failure: ${ex.getMessage}")
+  }
+
   test("m76 keyframes are exactly the frame_idx % 4 == 0 subset of m74") {
     val kf = operators.Multimodal.qKeyframeSample.fn(spark, TestSession.sf)
       .select(col("doc_id"), col("frame_idx"), col("kf_rank"), col("frame_sha"))
