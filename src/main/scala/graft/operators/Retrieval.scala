@@ -172,5 +172,62 @@ object Retrieval {
       .select(col("rank"), col("tok"), col("freq"))
   }
 
-  val all: Seq[Q] = Seq(qBm25, qBigramBackoff, qZipfRankFreq)
+  /** Sparse TF-IDF cosine pair similarity — the inverted-index dot
+    * product (the sparse-retrieval analog of v61's dense scan): two docs'
+    * score is Σ over SHARED terms of their tf-idf weights, so pairs are
+    * generated by a term-keyed equi-join, never an all-pairs cross. The
+    * standard sparse-scale discipline is applied: stop-term pruning
+    * (df·10 ≤ N) caps posting-list length — the join fan-out is bounded
+    * by the rarest-decile lists, which is what keeps a term-partitioned
+    * sparse dot product tractable at corpus scale; norms use the same
+    * pruned vocabulary, so the score is a true cosine in pruned space.
+    * The pair cut (doc_id < 200 on both sides) bounds the presented
+    * output; the rounded-sim sort makes the top-15 cut engine-stable. */
+  val qTfIdfCosinePairs: Q = Q(
+    "t88_tfidf_cosine_pairs",
+    """WITH tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |                  FROM documents)
+      |            GROUP BY doc_id, tok),
+      |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |w AS (SELECT tf.doc_id, tf.tok, tf.tf * ln(n.n_docs * 1.0 / df.df) AS w
+      |      FROM tf JOIN df USING (tok) CROSS JOIN n
+      |      WHERE df.df * 10 <= n.n_docs),
+      |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, sum(a.w * b.w) AS dot
+      |          FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |          WHERE a.doc_id < 200 AND b.doc_id < 200
+      |          GROUP BY da, db)
+      |SELECT da, db, round(dot / (x.nrm * y.nrm), 6) AS sim
+      |FROM pairs JOIN nrm x ON pairs.da = x.doc_id
+      |           JOIN nrm y ON pairs.db = y.doc_id
+      |ORDER BY sim DESC, da, db LIMIT 15""".stripMargin
+  ) { (s, d) =>
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val w = tf.join(df, Seq("tok")).crossJoin(broadcast(nDocs))
+      .filter(col("df") * 10 <= col("n_docs"))
+      .select(col("doc_id"), col("tok"),
+        (col("tf") * log(col("n_docs") * lit(1.0) / col("df"))).as("w"))
+    val nrm = w.groupBy(col("doc_id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val a = w.filter(col("doc_id") < 200)
+      .select(col("doc_id").as("da"), col("tok").as("ta"), col("w").as("wa"))
+    val b = w.filter(col("doc_id") < 200)
+      .select(col("doc_id").as("db"), col("tok").as("tb"), col("w").as("wb"))
+    val pairs = a.join(b, col("ta") === col("tb") && col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(sum(col("wa") * col("wb")).as("dot"))
+    pairs
+      .join(nrm.select(col("doc_id").as("da"), col("nrm").as("na")), Seq("da"))
+      .join(nrm.select(col("doc_id").as("db"), col("nrm").as("nb")), Seq("db"))
+      .select(col("da"), col("db"),
+        round(col("dot") / (col("na") * col("nb")), 6).as("sim"))
+      .orderBy(desc("sim"), col("da"), col("db"))
+      .limit(15)
+  }
+
+  val all: Seq[Q] = Seq(qBm25, qBigramBackoff, qZipfRankFreq, qTfIdfCosinePairs)
 }

@@ -59,6 +59,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q89_tail").contains("TakeOrderedAndProject"))
   }
 
+  test("t84: BM25 top-10 plans as TakeOrderedAndProject with partial aggregates") {
+    val p = plan("t84_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+    // postings + doc-length aggs combine map-side before their shuffles
+    assert("partial_".r.findAllIn(p).size >= 2, p.take(400))
+  }
+
+  test("t88: sparse tf-idf pairs join on the term — no pair cartesian") {
+    val p = plan("t88_tfidf_cosine_pairs")
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+  }
+
   test("t75: boilerplate scoring joins on the shingle — no pair join, no cartesian") {
     val p = plan("t75_boilerplate_ngrams")
     assert(!p.contains("CartesianProduct"), p.take(400))
