@@ -85,6 +85,35 @@ object Aggregates {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** pandas `pivot_table(aggfunc=['count','mean'])` — a pivot carrying
+    * TWO aggregates per category cell. Spark's `pivot().agg(a, b)`
+    * compiles to one conditional hash aggregate (each cell a
+    * FILTER-style branch), so the multi-agg costs the same single
+    * shuffle as q14's one-agg pivot; column names follow Spark's
+    * `<category>_<alias>` convention, pinned in the oracle. */
+  val qPivotMultiAgg: Q = Q(
+    "q131_pivot_multi_agg",
+    """SELECT c_mktsegment,
+      |  CAST(coalesce(count(*) FILTER (WHERE o_orderstatus = 'F'), 0) AS BIGINT) AS "F_n",
+      |  round(coalesce(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0), 2) AS "F_avg_price",
+      |  CAST(coalesce(count(*) FILTER (WHERE o_orderstatus = 'O'), 0) AS BIGINT) AS "O_n",
+      |  round(coalesce(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 0), 2) AS "O_avg_price",
+      |  CAST(coalesce(count(*) FILTER (WHERE o_orderstatus = 'P'), 0) AS BIGINT) AS "P_n",
+      |  round(coalesce(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 0), 2) AS "P_avg_price"
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"),
+        round(coalesce(avg(col("o_totalprice")), lit(0)), 2).as("avg_price"))
+      .na.fill(0L, Seq("F_n", "O_n", "P_n"))
+      .na.fill(0.0, Seq("F_avg_price", "O_avg_price", "P_avg_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Rollup (beyond the dask API — SURVEY §2.2 flags grouping sets as the
     * free Spark upgrade): region → nation hierarchy totals. */
   val qRollup: Q = Q(
@@ -491,5 +520,6 @@ object Aggregates {
   val all: Seq[Q] = Seq(qStats, qCountDistinct, qApproxDistinct, qValueCounts,
     qApproxQuantiles,
     qPivot, qRollup, qCube, qQuantiles, qCorr, qMinMaxBy, qGlobalAgg, qDescribe,
-    qGroupTransform, qBinning, qQcut, qGroupMode, qQcutPerGroup, qWeightedStats)
+    qGroupTransform, qBinning, qQcut, qGroupMode, qQcutPerGroup, qWeightedStats,
+    qPivotMultiAgg)
 }

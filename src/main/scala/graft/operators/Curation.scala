@@ -390,7 +390,40 @@ object Curation {
       .orderBy(col("lang"), col("bucket"))
   }
 
+  /** Source-diversity monitoring per language (the mixture-health stat a
+    * curation dashboard tracks): distinct source count plus the Shannon
+    * entropy of the source distribution — low entropy flags a language
+    * dominated by one crawl/source. Two chained aggregates — (lang,
+    * source) counts, then per-lang entropy over the count rows — both
+    * map-side combined; the second input is |langs×sources| rows, tiny
+    * at any corpus scale. Entropy accumulates ln on the p·ln p terms in
+    * deterministic per-source order only up to fp sum order, same
+    * round-6 discipline as every scored aggregate here. */
+  val qSourceDiversity: Q = Q(
+    "t89_source_diversity",
+    """WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+      |           FROM documents GROUP BY lang, source),
+      |l AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM c GROUP BY lang)
+      |SELECT c.lang, CAST(count(*) AS BIGINT) AS n_sources,
+      |  max(l.n_lang) AS n_docs,
+      |  round(-sum((c.n * 1.0 / l.n_lang) * ln(c.n * 1.0 / l.n_lang)), 6)
+      |    AS source_entropy
+      |FROM c JOIN l ON c.lang = l.lang
+      |GROUP BY c.lang ORDER BY c.lang""".stripMargin
+  ) { (s, d) =>
+    val c = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+    val l = c.groupBy(col("lang").as("llang")).agg(sum(col("n")).as("n_lang"))
+    val p = col("n") * lit(1.0) / col("n_lang")
+    c.join(broadcast(l), col("lang") === col("llang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sources"), max(col("n_lang")).as("n_docs"),
+        round(-sum(p * log(p)), 6).as("source_entropy"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[Q] = Seq(qContextPacking, qUnigramLogprob, qPiiRedaction,
     qSeededShuffle, qHashSplit, qHashSamplePerGroup, qBloomIncremental,
-    qBoilerplateNgrams, qDocChunking, qDataMixing, qSeqlenHistogram)
+    qBoilerplateNgrams, qDocChunking, qDataMixing, qSeqlenHistogram,
+    qSourceDiversity)
 }
