@@ -114,6 +114,42 @@ object Aggregates {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Per-group winsorization (scipy `winsorize` / pandas clip-at-
+    * quantiles): values outside each group's [p05, p95] clamp to the
+    * boundary — the standard outlier treatment before model features.
+    * Same two-phase shape as q103's qcut: exact per-group percentiles
+    * (rounded, so both engines clip at identical literals) ride a
+    * k-row broadcast back onto the fat table; one scan, one shuffle for
+    * the boundary aggregate, map-side clip. Reported per group: clipped
+    * count + winsorized mean/max. */
+  val qWinsorize: Q = Q(
+    "q132_winsorize_per_group",
+    """WITH b AS (SELECT event_type,
+      |    round(quantile_cont(value, 0.05), 6) AS lo,
+      |    round(quantile_cont(value, 0.95), 6) AS hi
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(value < lo OR value > hi AS BIGINT)) AS BIGINT) AS n_clipped,
+      |  round(avg(least(greatest(value, lo), hi)), 6) AS wmean,
+      |  round(max(least(greatest(value, lo), hi)), 6) AS wmax
+      |FROM events e JOIN b USING (event_type)
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val bounds = ev.groupBy(col("event_type")).agg(
+      round(percentile(col("value"), lit(0.05)), 6).as("lo"),
+      round(percentile(col("value"), lit(0.95)), 6).as("hi"))
+    val clipped = least(greatest(col("value"), col("lo")), col("hi"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value") < col("lo") || col("value") > col("hi")).cast("long"))
+          .as("n_clipped"),
+        round(avg(clipped), 6).as("wmean"),
+        round(max(clipped), 6).as("wmax"))
+      .orderBy(col("event_type"))
+  }
+
   /** Rollup (beyond the dask API — SURVEY §2.2 flags grouping sets as the
     * free Spark upgrade): region → nation hierarchy totals. */
   val qRollup: Q = Q(
@@ -521,5 +557,5 @@ object Aggregates {
     qApproxQuantiles,
     qPivot, qRollup, qCube, qQuantiles, qCorr, qMinMaxBy, qGlobalAgg, qDescribe,
     qGroupTransform, qBinning, qQcut, qGroupMode, qQcutPerGroup, qWeightedStats,
-    qPivotMultiAgg)
+    qPivotMultiAgg, qWinsorize)
 }

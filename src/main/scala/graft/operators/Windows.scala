@@ -504,8 +504,41 @@ object Windows {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** pandas `rolling(10).corr(other)`: rolling correlation of a series
+    * with its own lag (the streaming autocorrelation monitor, cousin of
+    * q117's bucketed autocorr). Two chained window passes over ONE
+    * per-user sorted frame — the lag pass and the corr-frame pass share
+    * the (user_id, ts) partitioning/ordering, so Spark plans a single
+    * sort with two WindowExecs on top, no re-shuffle. `corr` runs as a
+    * window aggregate (any declarative aggregate does); rows before the
+    * window fills (rn < 10) are cut, matching pandas min_periods. */
+  val qRollingCorr: Q = Q(
+    "q133_rolling_corr",
+    """WITH l AS (SELECT user_id, ts, value,
+      |    lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS lagv,
+      |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS rn
+      |  FROM events)
+      |SELECT user_id, rn,
+      |  round(corr(value, lagv) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS roll_corr
+      |FROM l WHERE user_id < 5
+      |QUALIFY rn >= 10
+      |ORDER BY user_id, rn""".stripMargin
+  ) { (s, d) =>
+    val wl = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val wr = wl.rowsBetween(-9, 0)
+    Tables.events(s, d)
+      .filter(col("user_id") < 5)
+      .withColumn("lagv", lag(col("value"), 1).over(wl))
+      .withColumn("rn", row_number().over(wl).cast("long"))
+      .withColumn("roll_corr", round(corr(col("value"), col("lagv")).over(wr), 6))
+      .filter(col("rn") >= 10)
+      .select(col("user_id"), col("rn"), col("roll_corr"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
   val all: Seq[Q] = Seq(qTopkPerGroup, qRanks, qCumsum, qLagLead,
     qRollingTime, qRollingRows, qCumMinMaxProd, qFill, qRollingMedian,
     qAutocorr, qInterpolate, qPctChange, qCumcount, qExpanding,
-    qMergeOrdered, qGroupPctRank)
+    qMergeOrdered, qGroupPctRank, qRollingCorr)
 }
