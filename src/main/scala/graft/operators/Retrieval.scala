@@ -26,6 +26,23 @@ object Retrieval {
 
   private def tokens = split(col("text"), " ")
 
+  /** (doc_id, source, ts) with the <2-token guard: Spark's `sequence`
+    * DESCENDS when stop < start, so short docs must be cut before the
+    * bigram index sequence is built. */
+  private def tokenized(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), tokens.as("ts"))
+      .filter(size(col("ts")) >= 2)
+
+  /** Bigram explode shared by the LM scorer (t85) and the OOV-coverage
+    * diagnostic (t90): one row per adjacent token pair. */
+  private def bigrams(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(0), size(col("ts")) - 2), i =>
+          struct(element_at(col("ts"), i + 1).as("w1"),
+            element_at(col("ts"), i + 2).as("w2")))).as("b"))
+      .select(col("doc_id"), col("source"), col("b.w1"), col("b.w2"))
+
   /** BM25 (Okapi, k1=1.2 b=0.75) top-10 documents for a fixed 3-term
     * query. Scale shape: the per-term postings come from one token
     * explode with the term filter applied BEFORE the groupBy (so the
@@ -115,14 +132,8 @@ object Retrieval {
       |       round(avg(lp), 6) AS avg_logprob
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), tokens.as("ts"))
-      .filter(size(col("ts")) >= 2) // sequence(0, -1) would descend, not empty
-    val bg = docs.select(col("doc_id"), col("source"),
-        explode(transform(sequence(lit(0), size(col("ts")) - 2), i =>
-          struct(element_at(col("ts"), i + 1).as("w1"),
-            element_at(col("ts"), i + 2).as("w2")))).as("b"))
-      .select(col("doc_id"), col("source"), col("b.w1"), col("b.w2"))
+    val docs = tokenized(s, d)
+    val bg = bigrams(docs)
     val tbg = bg.filter(col("source") === "src0")
       .groupBy(col("w1").as("tw1"), col("w2").as("tw2"))
       .agg(count(lit(1)).as("cb"))
@@ -229,5 +240,41 @@ object Retrieval {
       .limit(15)
   }
 
-  val all: Seq[Q] = Seq(qBm25, qBigramBackoff, qZipfRankFreq, qTfIdfCosinePairs)
+  /** Bigram OOV (out-of-vocabulary) rate per source against the
+    * src0-trained model — t85's companion diagnostic: how much of each
+    * source's bigram mass the LM has never seen. High OOV flags domain
+    * shift before the perplexity scores are trusted. One left join of
+    * the corpus bigram explode against the DISTINCT train bigram set
+    * (unique-keyed build side), then a per-source aggregate. */
+  val qBigramOov: Q = Q(
+    "t90_bigram_oov_rate",
+    """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ts
+      |           FROM documents),
+      |bg AS (SELECT doc_id, source, ts[i] AS w1, ts[i + 1] AS w2
+      |       FROM (SELECT doc_id, source, ts,
+      |               unnest(range(1, len(ts))) AS i FROM d)),
+      |tbg AS (SELECT DISTINCT w1, w2 FROM bg WHERE source = 'src0')
+      |SELECT bg.source, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(CASE WHEN tbg.w1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  round(sum(CASE WHEN tbg.w1 IS NULL THEN 1.0 ELSE 0.0 END) / count(*), 6)
+      |    AS oov_rate
+      |FROM bg LEFT JOIN tbg ON bg.w1 = tbg.w1 AND bg.w2 = tbg.w2
+      |WHERE bg.source <> 'src0'
+      |GROUP BY bg.source ORDER BY bg.source""".stripMargin
+  ) { (s, d) =>
+    val bg = bigrams(tokenized(s, d))
+    val tbg = bg.filter(col("source") === "src0")
+      .select(col("w1").as("tw1"), col("w2").as("tw2")).distinct()
+    bg.filter(col("source") =!= "src0")
+      .join(tbg, col("w1") === col("tw1") && col("w2") === col("tw2"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("tw1").isNull, 1L).otherwise(0L)).as("n_oov"),
+        round(sum(when(col("tw1").isNull, 1.0).otherwise(0.0)) / count(lit(1)), 6)
+          .as("oov_rate"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[Q] = Seq(qBm25, qBigramBackoff, qZipfRankFreq, qTfIdfCosinePairs,
+    qBigramOov)
 }

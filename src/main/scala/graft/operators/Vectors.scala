@@ -923,9 +923,35 @@ object Vectors {
       .orderBy(col("probe_id"), col("rn"))
   }
 
+  /** Embedding-norm outlier detection (the corrupt-vector sanity filter
+    * an embedding store runs at ingest: truncated writes, bad batches
+    * and zero vectors all surface as norm outliers): flag vectors whose
+    * norm is > 2σ from the corpus mean. The norm is the same codegen'd
+    * dot fold every cosine uses; the mean/σ are ONE 1-row aggregate
+    * broadcast back onto a second scan — no window, no collect, two
+    * scans total at any corpus size. */
+  val qNormOutliers: Q = Q(
+    "v80_norm_outliers",
+    s"""WITH v AS ($duckNormed),
+       |s AS (SELECT avg(nrm) AS mu, stddev_samp(nrm) AS sd FROM v)
+       |SELECT vec_id, label, round(nrm, 6) AS nrm,
+       |       round((nrm - mu) / sd, 6) AS z
+       |FROM v, s WHERE abs((nrm - mu) / sd) > 2
+       |ORDER BY vec_id""".stripMargin
+  ) { (s, d) =>
+    val v = withNorm(Tables.embeddings(s, d))
+    val st = v.agg(avg(col("nrm")).as("mu"), stddev_samp(col("nrm")).as("sd"))
+    val z = (col("nrm") - col("mu")) / col("sd")
+    v.crossJoin(broadcast(st))
+      .filter(abs(z) > 2)
+      .select(col("vec_id"), col("label"), round(col("nrm"), 6).as("nrm"),
+        round(z, 6).as("z"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[Q] = Seq(qCosineTopK, qKnnVote, qNormStats, qPairTopK,
     qLshAnn, qIvfAnn, qKmeansStep, qKmeansLloyd, qSemanticDedup,
     qMatmulProject, qGramMatrix, qKmeansUnrolled, qAxisReduce,
     qInt8Quantize, qMatryoshkaTopK, qPqAnn, qStandardizeDims,
-    qPowerIteration, qHardNegatives)
+    qPowerIteration, qHardNegatives, qNormOutliers)
 }
