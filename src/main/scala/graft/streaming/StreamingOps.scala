@@ -44,6 +44,17 @@ object StreamingOps {
   def dedupById(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
 
+  /** Bounded-state streaming dedup (Spark 3.5+
+    * `dropDuplicatesWithinWatermark`): unlike `dropDuplicates`, whose
+    * key state grows forever, entries here are EVICTED once the
+    * watermark passes their event time — the only dedup that survives
+    * an unbounded 100 TB/day ingest stream. Contract: duplicates are
+    * only guaranteed dropped while they arrive within the watermark
+    * delay of the first occurrence, which is exactly the at-least-once
+    * redelivery window of a real source. */
+  def dedupByIdWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark("event_id")
+
   /** Session-window aggregation (Spark 3.2+ `session_window`): sessions
     * close after 30 minutes of silence per user. */
   def sessionWindows(events: DataFrame): DataFrame =

@@ -68,6 +68,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.select("event_id").distinct().count() == rows.size)
   }
 
+  test("dropDuplicatesWithinWatermark: bounded-state dedup drops redelivered rows") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[Ev]
+    val rows = eventRows()
+    val stream = MemoryStream[Ev]
+    // same-batch + next-batch redelivery: both fall inside the 1h
+    // watermark of the originals, so the bounded-state dedup must drop
+    // them exactly like the unbounded one
+    stream.addData(rows ++ rows.take(100))
+    stream.addData(rows.take(300))
+    val got = runToMemory(
+      StreamingOps.dedupByIdWithinWatermark(stream.toDF()),
+      "dedup_wm_out", OutputMode.Append())
+    assert(got.count() == rows.size)
+    assert(got.select("event_id").distinct().count() == rows.size)
+  }
+
   test("flatMapGroupsWithState running counts converge to batch groupBy") {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = Encoders.product[Ev]
