@@ -599,11 +599,11 @@ object Text {
       |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
   ) { (s, d) => segmentDedupRebuild(Tables.documents(s, d), 8) }
 
-  /** The t82 transform over any (doc_id, text) frame — also driven at
-    * 100× fixture rows by ScaleSmoke. */
-  def segmentDedupRebuild(docs: DataFrame, segTokens: Int): DataFrame = {
+  /** Fixed-width token segments of every doc: (doc_id, seg_idx, seg) —
+    * shared by the t82 rebuild and the t91 excision. */
+  private def segmentsOf(docs: DataFrame, segTokens: Int): DataFrame = {
     val ws = split(col("text"), " ")
-    val segs = docs
+    docs
       .select(col("doc_id"), ws.as("ws"))
       .select(col("doc_id"),
         posexplode(transform(
@@ -612,6 +612,12 @@ object Text {
           i => array_join(slice(col("ws"), i * segTokens + 1, lit(segTokens)), " ")))
           .as(Seq("seg_idx", "seg")))
       .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"), col("seg"))
+  }
+
+  /** The t82 transform over any (doc_id, text) frame — also driven at
+    * 100× fixture rows by ScaleSmoke. */
+  def segmentDedupRebuild(docs: DataFrame, segTokens: Int): DataFrame = {
+    val segs = segmentsOf(docs, segTokens)
     val w = Window.partitionBy(col("seg")).orderBy(col("doc_id"), col("seg_idx"))
     segs.withColumn("occ", row_number().over(w))
       .groupBy(col("doc_id"))
@@ -659,9 +665,52 @@ object Text {
       .orderBy(col("source"))
   }
 
+  /** Decontamination by EXCISION (t65's flagging upgraded to the
+    * transform real pipelines apply): 8-token segments matching any
+    * benchmark segment are cut out and the document is re-assembled
+    * from what survives — per-doc excision counts plus an md5 of the
+    * rebuilt text, byte-checked by the oracle. The benchmark side
+    * (doc_id < 50) reduces to a DISTINCT segment set before the join —
+    * unique-keyed and broadcast-able — so the working corpus pays one
+    * segment explode + one left join + one doc groupBy; same shapes as
+    * t82, no pair joins. */
+  val qDecontaminateExcise: Q = Q(
+    "t91_decontaminate_excise",
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |segs AS (SELECT doc_id,
+      |           CAST(r.i AS BIGINT) AS seg_idx,
+      |           array_to_string(ws[r.i * 8 + 1 : r.i * 8 + 8], ' ') AS seg
+      |         FROM words, unnest(range(0, (len(ws) + 7) // 8)) AS r(i)),
+      |bench AS (SELECT DISTINCT seg FROM segs WHERE doc_id < 50),
+      |marked AS (SELECT s.doc_id, s.seg_idx, s.seg,
+      |             bench.seg IS NOT NULL AS hit
+      |           FROM segs s LEFT JOIN bench ON s.seg = bench.seg
+      |           WHERE s.doc_id >= 50)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_seg,
+      |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_excised,
+      |  substring(md5(coalesce(string_agg(CASE WHEN NOT hit THEN seg END, ' '
+      |    ORDER BY seg_idx), '')), 1, 16) AS rebuilt_md5
+      |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val segs = segmentsOf(Tables.documents(s, d), 8)
+    val bench = segs.filter(col("doc_id") < 50)
+      .select(col("seg").as("bseg")).distinct()
+    segs.filter(col("doc_id") >= 50)
+      .join(bench, col("seg") === col("bseg"), "left")
+      .withColumn("hit", col("bseg").isNotNull)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_seg"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_excised"),
+        substring(md5(array_join(transform(
+          array_sort(collect_list(when(!col("hit"),
+            struct(col("seg_idx"), col("seg"))))),
+          s_ => s_.getField("seg")), " ")), 1, 16).as("rebuilt_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(qTokenCounts, qLangStats, qExactDedup, qDedupKeepFirst,
     qQuality, qNgramJaccard, qTfIdf, qLangId, qFingerprint, qRegexTokens,
     qPipelineClean, qHeavyHitters, qDecontaminate, qRepetition,
     qCmsHeavyHitters, qBigramCounts, qTokenEntropy, qSegmentDedup,
-    qCrossCorpusDedup)
+    qCrossCorpusDedup, qDecontaminateExcise)
 }
