@@ -949,9 +949,93 @@ object Vectors {
       .orderBy(col("vec_id"))
   }
 
+  /** IVF-PQ — the FAISS-style composite index, assembled from the two
+    * structures this library already proves separately: an IVF coarse
+    * quantizer (v66's label-mean centroids; each probe visits its
+    * `nCells` nearest cells only) gating a PQ-ADC scan (v76's 8-byte
+    * codes + per-probe lookup table), then exact re-rank of the ADC
+    * shortlist. At 100 TB this is THE serving layout: the coarse cut
+    * drops (1 − nCells/K) of the store before any scoring, the
+    * surviving candidates are scanned as codes (64× smaller than
+    * floats), and floats are touched only for the probes×shortlist
+    * re-rank. Engine-trained codebooks ⇒ no SQL oracle; cell-membership
+    * + within-cell-recall invariants live in GraftSpec. */
+  val qIvfPq: Q = Q.noOracle("v81_ivf_pq_ann") { (s, d) =>
+    ivfPqTopK(Tables.embeddings(s, d), nProbes = 10, k = 10, nCells = 2)
+  }
+
+  /** The v81 query over any (vec_id, embedding, label) frame. */
+  def ivfPqTopK(emb: DataFrame, nProbes: Int, k: Int, nCells: Int,
+      rounds: Int = 2): DataFrame = {
+    val e = transform(col("embedding"), x => x.cast("double"))
+    // coarse quantizer: one centroid per label cell (broadcast K rows)
+    val comp = emb.select(col("label"),
+      posexplode(e).as(Seq("dim", "x")))
+    val cent = comp.groupBy(col("label").as("clabel"), col("dim"))
+      .agg(avg(col("x")).as("cx"))
+      .groupBy(col("clabel"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("p"))
+      .select(col("clabel"), transform(col("p"), p => p("cx")).as("ce"))
+      .withColumn("csq", VectorOps.dot(col("ce"), col("ce")))
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), e.as("pe"))
+      .withColumn("psq", VectorOps.dot(col("pe"), col("pe")))
+    val wC = Window.partitionBy(col("probe_id")).orderBy(col("cd2"), col("clabel"))
+    val probeCells = probes.crossJoin(broadcast(cent))
+      .withColumn("cd2", col("psq") + col("csq")
+        - lit(2.0) * VectorOps.dot(col("pe"), col("ce")))
+      .withColumn("rn", row_number().over(wC)).filter(col("rn") <= nCells)
+      .select(col("probe_id"), col("clabel"))
+    // candidate gate: (probe, vec) pairs whose cell survived the coarse cut
+    val cand = emb.select(col("vec_id"), col("label"))
+      .join(broadcast(probeCells), col("label") === col("clabel"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"))
+    // PQ codes over the full store; ADC LUT per probe (v76's layout)
+    val (codes, centPq) = pqEncode(emb, rounds)
+    val centSq = centPq.withColumn("cqsq", VectorOps.dot(col("cv"), col("cv")))
+    val psv = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), e.as("pe"))
+      .select(col("probe_id"), posexplode(transform(
+          sequence(lit(0), lit(PqSubs - 1)),
+          i => slice(col("pe"), i * PqSubDim + 1, lit(PqSubDim))))
+        .as(Seq("sub", "psv")))
+      .withColumn("ppsq", VectorOps.dot(col("psv"), col("psv")))
+    val lut = psv.join(broadcast(centSq), Seq("sub"))
+      .select(col("probe_id"), col("sub"), col("cid"),
+        (col("ppsq") + col("cqsq")
+          - lit(2.0) * VectorOps.dot(col("psv"), col("cv"))).as("pd2"))
+    // gated ADC: codes join the candidate pairs first, so only surviving
+    // cells' codes are ever scored
+    val scored = codes.join(cand, Seq("vec_id"))
+      .join(broadcast(lut), Seq("probe_id", "sub", "cid"))
+      .groupBy(col("probe_id"), col("vec_id").as("cand_id"))
+      .agg(sum(col("pd2")).as("ad2"))
+    val wA = Window.partitionBy(col("probe_id")).orderBy(col("ad2"), col("cand_id"))
+    val shortlist = scored.withColumn("rn0", row_number().over(wA))
+      .filter(col("rn0") <= 5 * k).select(col("probe_id"), col("cand_id"))
+    // exact re-rank of the shortlist (floats read for these rows only)
+    val fullSq = emb.select(col("vec_id"), e.as("fe"))
+      .withColumn("fsq", VectorOps.dot(col("fe"), col("fe")))
+    val pe = fullSq.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("fe").as("pfe"),
+        col("fsq").as("pfsq"))
+    val wE = Window.partitionBy(col("probe_id")).orderBy(col("d2"), col("cand_id"))
+    fullSq.select(col("vec_id").as("cand_id"), col("fe"), col("fsq"))
+      .join(broadcast(shortlist), Seq("cand_id"))
+      .join(broadcast(pe), Seq("probe_id"))
+      .withColumn("d2", col("pfsq") + col("fsq")
+        - lit(2.0) * VectorOps.dot(col("pfe"), col("fe")))
+      .withColumn("rn", row_number().over(wE).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("cand_id"), round(col("d2"), 6).as("d2"),
+        col("rn"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
   val all: Seq[Q] = Seq(qCosineTopK, qKnnVote, qNormStats, qPairTopK,
     qLshAnn, qIvfAnn, qKmeansStep, qKmeansLloyd, qSemanticDedup,
     qMatmulProject, qGramMatrix, qKmeansUnrolled, qAxisReduce,
     qInt8Quantize, qMatryoshkaTopK, qPqAnn, qStandardizeDims,
-    qPowerIteration, qHardNegatives, qNormOutliers)
+    qPowerIteration, qHardNegatives, qNormOutliers, qIvfPq)
 }

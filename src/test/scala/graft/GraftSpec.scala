@@ -426,6 +426,42 @@ class DedupSpec extends AnyFunSuite {
     assert(noHit == 0)
   }
 
+  test("v81 IVF-PQ: results respect the coarse cut and recall the within-cell exact top-k") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, TestSession.sf)
+    val k = 10
+    val got = operators.Vectors.ivfPqTopK(emb, nProbes = 5, k = k, nCells = 2)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id")))
+    assert(got.nonEmpty)
+    // exact within-cell ground truth: for each probe, the 2 nearest
+    // label-centroids, then exact L2 top-k among members of those cells
+    val e = transform(col("embedding"), x => x.cast("double"))
+    val vecs = emb.select(col("vec_id"), col("label"), e.as("v")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Double](2).toArray))
+    val byLabel = vecs.groupBy(_._2)
+    val cents = byLabel.map { case (l, vs) =>
+      l -> Array.tabulate(vs.head._3.length)(i => vs.map(_._3(i)).sum / vs.size)
+    }
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val probes = vecs.filter(_._1 < 5)
+    for ((pid, _, pv) <- probes) {
+      val cells = cents.toSeq.sortBy { case (l, c) => (d2(pv, c), l) }
+        .take(2).map(_._1).toSet
+      val gotCands = got.filter(_._1 == pid).map(_._2).toSet
+      // every returned candidate lives in one of the probe's 2 cells
+      gotCands.foreach { c =>
+        assert(cells.contains(vecs.find(_._1 == c).get._2),
+          s"probe $pid: cand $c outside chosen cells $cells")
+      }
+      val exact = vecs.filter(v => cells.contains(v._2) && v._1 != pid)
+        .sortBy(v => (d2(pv, v._3), v._1)).take(k).map(_._1).toSet
+      val recall = (gotCands & exact).size.toDouble / k
+      assert(recall >= 0.8, s"probe $pid within-cell recall $recall < 0.8")
+    }
+  }
+
   test("mergeValidated: 'm:1' passes on a unique dim and fails loudly on dup keys") {
     val nation = Tables.nation(spark, TestSession.sf)
     val customer = Tables.customer(spark, TestSession.sf)
