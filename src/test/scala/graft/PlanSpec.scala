@@ -72,6 +72,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(400))
   }
 
+  test("q133: lag + rolling corr share one per-user sort (no second exchange)") {
+    val qe = SparkEntry.queries("q133_rolling_corr")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    // both window passes partition on user_id: exactly ONE hash exchange
+    // on user_id feeds them (the final presentation sort adds a range
+    // exchange, which is fine)
+    val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 user_id hash exchange, got $hashEx")
+  }
+
   test("t75: boilerplate scoring joins on the shingle — no pair join, no cartesian") {
     val p = plan("t75_boilerplate_ngrams")
     assert(!p.contains("CartesianProduct"), p.take(400))
