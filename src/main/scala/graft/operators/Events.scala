@@ -163,6 +163,43 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Strict as-of join (pandas `merge_asof(allow_exact_matches=False)`):
+    * the matched click must be strictly EARLIER — an exact-tie is not a
+    * match. Run on minute-truncated times, where ties actually exist
+    * (raw fixture timestamps are unique, which would make strict ≡
+    * non-strict and the variant vacuous). Same union+single-shuffle
+    * +ordered-window shape as q46; the only change is the sort kind:
+    * purchases order BEFORE clicks at equal time (purchase 0 < click 1),
+    * so an equal-time click is not yet visible to the running `last`. */
+  val qAsOfStrict: Q = Q(
+    "q134_asof_strict",
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |             date_trunc('minute', ts) AS tm FROM events),
+      |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT * FROM e WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, p.tm, c.tm AS last_click_tm
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND p.tm > c.tm
+      |ORDER BY p.event_id""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .withColumn("tm", date_trunc("minute", col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tm"), lit(0).as("kind"),
+        col("event_id"), lit(null).cast("timestamp").as("click_tm"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tm"), lit(1).as("kind"),
+        lit(null).cast("long").as("event_id"), col("tm").as("click_tm"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tm"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(clicks)
+      .withColumn("last_click_tm", last(col("click_tm"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 0)
+      .select(col("event_id"), col("user_id"), col("tm"), col("last_click_tm"))
+      .orderBy(col("event_id"))
+  }
+
   /** As-of join with tolerance (dask `merge_asof(tolerance=...)`): same,
     * but the click must be within 1 hour. */
   val qAsOfTolerance: Q = Q(
@@ -452,5 +489,5 @@ object Events {
   val all: Seq[Q] = Seq(qJsonStruct, qJsonMap, qTumbling, qSliding,
     qSessionize, qAsOfJoin, qAsOfTolerance, qAsOfDirections, qAsOfNative,
     qArrayHof, qAsOfMultiKey, qResampleDaily, qCrosstab, qUpsampleFfill,
-    qOhlcWeekly)
+    qOhlcWeekly, qAsOfStrict)
 }
