@@ -389,7 +389,48 @@ object Typed {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  case class DocText(doc_id: Long, text: String)
+  implicit val docTextEnc: Encoder[DocText] = Encoders.product[DocText]
+  case class DocCompression(doc_id: Long, n_bytes: Long, n_compressed: Long,
+      ratio: Double)
+  implicit val docCompEnc: Encoder[DocCompression] = Encoders.product[DocCompression]
+
+  /** Deflate compression ratio per document — the RefinedWeb/CCNet-style
+    * quality signal: boilerplate and repetition compress far below
+    * natural text, so a low ratio flags low-information documents. This
+    * is the canonical expensive-resource-per-partition `mapPartitions`
+    * shape: ONE `Deflater` is allocated per partition and reset between
+    * documents (per-row allocation would churn native memory at corpus
+    * scale). Pure map stage — zero shuffle before the presentation
+    * sort. No SQL oracle (DuckDB has no deflate scalar); separation +
+    * determinism invariants live in GraftSpec. */
+  def compressionRatio(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    docs.select(col("doc_id"), col("text")).as[DocText]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](8192)
+        it.map { dt =>
+          val bytes = dt.text.getBytes("UTF-8")
+          if (bytes.isEmpty) DocCompression(dt.doc_id, 0L, 0L, 1.0)
+          else {
+            deflater.reset()
+            deflater.setInput(bytes)
+            deflater.finish()
+            var n = 0L
+            while (!deflater.finished()) n += deflater.deflate(buf)
+            DocCompression(dt.doc_id, bytes.length.toLong, n,
+              math.round(n.toDouble / bytes.length * 1e6) / 1e6)
+          }
+        }
+      }.toDF()
+  }
+
+  val qCompressionRatio: Q = Q.noOracle("t92_compression_ratio") { (s, d) =>
+    compressionRatio(Tables.documents(s, d)).orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(qFlatMapGroups, qMapPartitions, qStableMean,
     qRangePartition, qEwm, qCogroup, qTopkAggregator, qFoldLogSumExp,
-    qRollingApply)
+    qRollingApply, qCompressionRatio)
 }

@@ -426,6 +426,35 @@ class DedupSpec extends AnyFunSuite {
     assert(noHit == 0)
   }
 
+  test("t92 compression ratio separates repetitive from high-entropy text, deterministically") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val rep = "spam ham " * 500                       // highly repetitive
+    val rnd = new scala.util.Random(42)
+    val high = Array.fill(4000)(('a' + rnd.nextInt(26)).toChar).mkString
+    val df = spark.createDataFrame(
+      Seq((0L, rep), (1L, high)).map(t => org.apache.spark.sql.Row(t._1, t._2)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    val rows = operators.Typed.compressionRatio(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ratio")).toMap
+    assert(rows(0L) < 0.1, s"repetitive text ratio ${rows(0L)} not << 1")
+    assert(rows(1L) > 0.5, s"high-entropy ratio ${rows(1L)} unexpectedly low")
+    // corpus run: ratios in a sane band and stable across reruns
+    val corpus = operators.Typed.qCompressionRatio.fn(spark, TestSession.sf)
+    val a = corpus.collect().map(_.toString).sorted.toSeq
+    val b = operators.Typed.qCompressionRatio.fn(spark, TestSession.sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+    corpus.collect().foreach { r =>
+      val ratio = r.getAs[Double]("ratio")
+      assert(ratio > 0 && ratio <= 1.5, s"ratio $ratio out of band")
+    }
+  }
+
   test("v81 IVF-PQ: results respect the coarse cut and recall the within-cell exact top-k") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, TestSession.sf)
