@@ -18,6 +18,40 @@ import org.apache.spark.sql.functions._
   *
   * Tier C north-star extension (SURVEY §2.3 similarity search).
   */
+/** Session-conf knobs for the vector/ANN machinery (VERDICT r5 #2:
+  * nothing hardcodes the fixture's 64 dims). Defaults reproduce the
+  * fixture geometry exactly — 64-d vectors, 16-d projections, 16×4×16
+  * PQ — so every pinned-at-64 oracle stays bit-identical; a user with
+  * 768/1024/4096-d embeddings sets `spark.graft.vec.dim` (and
+  * optionally the PQ subspace width) and every operator follows. */
+object VecConf {
+  /** Embedding dimensionality (default 64, the fixture's). */
+  val DimKey = "spark.graft.vec.dim"
+  /** Output dims of the v70 random projection (default 16). */
+  val ProjDimKey = "spark.graft.vec.projdim"
+  /** Matryoshka truncated-prefix length for v75 (default 16). */
+  val MrlDimKey = "spark.graft.vec.mrldim"
+  /** PQ subspace width in dims (default 4; must divide dim). */
+  val PqSubDimKey = "spark.graft.pq.subdim"
+  /** PQ centroids per subspace (default 16 = half-byte codes). */
+  val PqCentKey = "spark.graft.pq.centroids"
+
+  private def get(s: org.apache.spark.sql.SparkSession, k: String, dflt: Int): Int =
+    s.conf.getOption(k).map(_.toInt).getOrElse(dflt)
+
+  def dim(s: org.apache.spark.sql.SparkSession): Int = get(s, DimKey, 64)
+  def projDim(s: org.apache.spark.sql.SparkSession): Int = get(s, ProjDimKey, 16)
+  def mrlDim(s: org.apache.spark.sql.SparkSession): Int = get(s, MrlDimKey, 16)
+  def pqSubDim(s: org.apache.spark.sql.SparkSession): Int = get(s, PqSubDimKey, 4)
+  def pqCent(s: org.apache.spark.sql.SparkSession): Int = get(s, PqCentKey, 16)
+  /** PQ subspace count: dim / subDim (dim must be divisible). */
+  def pqSubs(s: org.apache.spark.sql.SparkSession): Int = {
+    val d = dim(s); val sd = pqSubDim(s)
+    require(d % sd == 0, s"$DimKey=$d not divisible by $PqSubDimKey=$sd")
+    d / sd
+  }
+}
+
 object VectorOps {
 
   /** Σ aᵢbᵢ as a sequential double fold — codegen'd Expression (see

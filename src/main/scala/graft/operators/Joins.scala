@@ -287,14 +287,20 @@ object Joins {
     * dask dataframe layer (dask_ssh_docker/__init__.py:307). */
   def validateUnique(df: org.apache.spark.sql.DataFrame,
       keys: Seq[String], side: String): org.apache.spark.sql.DataFrame = {
+    // the helper column must not collide with a caller column (withColumn
+    // silently REPLACES an existing name, corrupting the output): pick
+    // the first _val_cnt{,2,3,…} absent from the frame.
+    val cnt = Iterator.from(1)
+      .map(i => if (i == 1) "_val_cnt" else s"_val_cnt$i")
+      .find(n => !df.columns.contains(n)).get
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
-    df.withColumn("_val_cnt", count(lit(1)).over(w))
-      .filter(assert_true(col("_val_cnt") <= 1,
+    df.withColumn(cnt, count(lit(1)).over(w))
+      .filter(assert_true(col(cnt) <= 1,
         concat(lit(s"merge validate failed: $side side has duplicate key ("),
           concat_ws(",", keys.map(c => col(c).cast("string")): _*),
           lit(")"))).isNull)
-      .drop("_val_cnt")
+      .drop(cnt)
   }
 
   /** `mergeValidated(left, right, keys, how, validate)`: the pandas
@@ -311,7 +317,51 @@ object Joins {
     l.join(r, keys, how)
   }
 
+  /** Interval-overlap join (the genomic/temporal "overlap" family —
+    * distinct from q25's point-in-range and q46's as-of): pairs of
+    * (purchase, click) events of the SAME user whose ±6h windows
+    * overlap, i.e. |p.ts − c.ts| ≤ 6h. Scale shape: NEVER the naive
+    * theta join (which degenerates to a per-user cross product) —
+    * instead the classic band join: bucket each event into
+    * floor(epoch/W) bands, explode the left side into its three
+    * adjacent bands (b−1, b, b+1), equi-join on (user, band), then
+    * apply the exact timestamp predicate. Every candidate pair meets in
+    * EXACTLY one band (the right side keeps its single home band), so
+    * no dedup pass is needed, and the shuffle is a plain equi-join
+    * partitioned by (user, band) — each reducer sees one band's
+    * worth, never a user's whole history. Bands use fractional epoch
+    * seconds (fixture timestamps carry sub-second parts); the overlap
+    * test itself stays in timestamp arithmetic, µs-exact in both
+    * engines. */
+  val qIntervalOverlap: Q = Q(
+    "q136_interval_overlap_join",
+    """SELECT p.user_id, CAST(count(*) AS BIGINT) AS n_overlaps
+      |FROM events p JOIN events c ON p.user_id = c.user_id
+      |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      |  AND p.ts <= c.ts + INTERVAL 6 HOUR
+      |  AND c.ts <= p.ts + INTERVAL 6 HOUR
+      |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin
+  ) { (s, d) =>
+    val w = 6 * 3600 // band width = the overlap tolerance, in seconds
+    val ev = Tables.events(s, d)
+    def banded(tpe: String, idOut: String, tsOut: String) =
+      ev.filter(col("event_type") === tpe)
+        .select(col("user_id"), col("event_id").as(idOut), col("ts").as(tsOut),
+          floor(col("ts").cast("double") / w).cast("long").as("b0"))
+    val p = banded("purchase", "a_id", "a_ts")
+      .select(col("user_id"), col("a_id"), col("a_ts"),
+        explode(array(col("b0") - 1, col("b0"), col("b0") + 1)).as("band"))
+    val c = banded("click", "b_id", "b_ts")
+      .withColumnRenamed("b0", "band")
+    p.join(c, Seq("user_id", "band"))
+      .filter(col("a_ts") <= col("b_ts") + expr("INTERVAL 6 HOURS") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 6 HOURS"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_overlaps"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[Q] = Seq(q3ShippingPriority, qBroadcastDims, qLeftOuter,
     qFullOuter, qSemiAnti, qCrossTheta, qSelfJoin, qRightOuter, qCombineFirst,
-    qMergeIndicator)
+    qMergeIndicator, qIntervalOverlap)
 }

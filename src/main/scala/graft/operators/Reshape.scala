@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -150,6 +151,70 @@ object Reshape {
       .orderBy(col("event_id"))
   }
 
+  /** dask/pandas `df.categorize(columns)` — multi-column dictionary
+    * encoding with a REUSABLE dictionary (known-categories semantics:
+    * `astype(CategoricalDtype(categories=...))` applies one dictionary
+    * to any frame; the deployed image's pandas surface, reference
+    * `__init__.py:307`). One corpus scan stacks every categorical
+    * column into (colname, value) pairs; distinct + a per-column
+    * dense code in value order. The dictionary is bounded by total
+    * vocabulary size — the only windowed frame — and application is a
+    * broadcast join per column, so the fat frame never shuffles. */
+  def buildDictionary(df: DataFrame, cats: Seq[String]): DataFrame = {
+    val pairs = df.select(explode(array(cats.map(c =>
+        struct(lit(c).as("colname"), col(c).cast("string").as("value"))): _*)).as("p"))
+      .select(col("p.colname").as("colname"), col("p.value").as("value"))
+      .distinct()
+    // codes 0..k−1 per column in value sort order; the window partitions
+    // by colname over the SMALL dict frame, never the corpus
+    pairs.withColumn("code", (dense_rank().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("colname"))
+          .orderBy(col("value"))) - 1).cast("long"))
+  }
+
+  /** Encode `cats` columns of ANY frame against a prebuilt dictionary
+    * (appends `<col>_code`; values absent from the dictionary encode as
+    * null — pandas' unknown-category NaN). Broadcast join per column. */
+  def applyDictionary(df: DataFrame, dict: DataFrame, cats: Seq[String]): DataFrame =
+    cats.foldLeft(df) { (acc, c) =>
+      val d = dict.filter(col("colname") === c)
+        .select(col("value").as(s"__cat_$c"), col("code").as(s"${c}_code"))
+      acc.join(broadcast(d), acc(c).cast("string") === col(s"__cat_$c"), "left")
+        .drop(s"__cat_$c")
+    }
+
+  /** The oracled demo: one dictionary over (lang, source) from the FULL
+    * documents corpus, applied to TWO disjoint frames (the reuse
+    * contract — codes must agree across frames because they come from
+    * the shared dictionary, not per-frame ranks), results unioned. */
+  val qCategorize: Q = Q(
+    "q135_categorize",
+    """WITH dl AS (SELECT lang AS value,
+      |    CAST(dense_rank() OVER (ORDER BY lang) - 1 AS BIGINT) AS code
+      |  FROM (SELECT DISTINCT lang FROM documents) t),
+      |ds AS (SELECT source AS value,
+      |    CAST(dense_rank() OVER (ORDER BY source) - 1 AS BIGINT) AS code
+      |  FROM (SELECT DISTINCT source FROM documents) t)
+      |SELECT d.doc_id, d.lang, dl.code AS lang_code,
+      |       d.source, ds.code AS source_code
+      |FROM documents d JOIN dl ON d.lang = dl.value
+      |               JOIN ds ON d.source = ds.value
+      |WHERE d.doc_id < 50 OR (d.doc_id >= 450 AND d.doc_id < 475)
+      |ORDER BY d.doc_id""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val dict = buildDictionary(docs, Seq("lang", "source"))
+    val sliceA = docs.filter(col("doc_id") < 50)
+    val sliceB = docs.filter(col("doc_id") >= 450 && col("doc_id") < 475)
+    // two separate frames encoded against ONE dictionary, then unioned
+    Seq(sliceA, sliceB).map(sl =>
+        applyDictionary(sl, dict, Seq("lang", "source"))
+          .select(col("doc_id"), col("lang"), col("lang_code"),
+            col("source"), col("source_code")))
+      .reduce(_ union _)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(qUnpivot, qGroupingSets, qMultisetOps, qExplodeOuter,
-    qOneHot, qFactorize)
+    qOneHot, qFactorize, qCategorize)
 }

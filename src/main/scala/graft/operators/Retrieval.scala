@@ -137,8 +137,12 @@ object Retrieval {
     val tbg = bg.filter(col("source") === "src0")
       .groupBy(col("w1").as("tw1"), col("w2").as("tw2"))
       .agg(count(lit(1)).as("cb"))
-    val tuni = docs.filter(col("source") === "src0")
-      .select(explode(col("ts")).as("tok"))
+    // unigram counts come from ALL src0 docs (unfiltered explode) — the
+    // >=2-token guard applies only to the bigram side; a short doc still
+    // contributes its tokens to the unigram model, matching the oracle's
+    // unfiltered CTE `d`.
+    val tuni = Tables.documents(s, d).filter(col("source") === "src0")
+      .select(explode(tokens).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
     val tot = tuni.agg(sum(col("cu")).as("t"), count(lit(1)).as("v"))
     val lp = when(col("cb").isNotNull, log((col("cb") * lit(1.0)) / col("cu1")))

@@ -63,8 +63,13 @@ object Scale {
     * oracle checks. events has only 5 event_type values over 100k rows —
     * a genuinely skewed key. */
   def saltedCountSum(df: DataFrame, key: Column, value: Column): DataFrame = {
-    val salted = df.withColumn("_salt", pmod(xxhash64(monotonically_increasing_id()),
-      lit(SaltBuckets.toLong)))
+    // salt by row-CONTENT hash, not monotonically_increasing_id: the id
+    // depends on partition layout, so content hashing makes the partial
+    // (key, salt) shapes identical run-to-run — stage-level debugging
+    // sees the same partials every run. Collisions are harmless (a salt
+    // is only a spreading device; the merge is associative).
+    val salted = df.withColumn("_salt",
+      pmod(xxhash64(df.columns.map(col): _*), lit(SaltBuckets.toLong)))
     salted
       .groupBy(key.as("k"), col("_salt"))
       .agg(count(lit(1)).as("pn"), sum(value).as("ps"))

@@ -409,6 +409,12 @@ object Typed {
     docs.select(col("doc_id"), col("text")).as[DocText]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(6)
+        // release the native zlib state deterministically at task end —
+        // the lazy iterator gives no in-band hook, and waiting for the
+        // Cleaner holds native memory exactly as long as the churn this
+        // per-partition design exists to avoid.
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](8192)
         it.map { dt =>
           val bytes = dt.text.getBytes("UTF-8")

@@ -45,6 +45,22 @@ case class AsOfJoinLogical(
     copy(left = newLeft, right = newRight)
 }
 
+/** Per-partition merge scan for the as-of join.
+  *
+  * SKEW POSTURE: `requiredChildDistribution` clusters BOTH sides on the
+  * join key, so one hot key lands on one partition pair — and AQE's
+  * skew-join split does NOT apply to a custom exec (OptimizeSkewedJoin
+  * only rewrites SortMergeJoin/ShuffledHashJoin). The merge itself is
+  * O(|L|+|R|) streaming with one lookahead row — no buffering blowup —
+  * so a hot key costs wall-clock on one task, never memory. Bound: with
+  * key weight w (fraction of all rows on the hottest key), the stage
+  * runs in ~max(w, 1/P) of a full scan. When one key dominates (say
+  * w ≥ 10%), use the union+window as-of form (`Events.q46` /
+  * `asOfUnionWindow`) instead: its window also clusters on the key, but
+  * salting/banding composes with it, and AQE can at least coalesce the
+  * rest. A salted two-phase variant of this exec (salt right-side rows
+  * into time bands, merge per (key, band), stitch with a per-band
+  * carry-in) is the upgrade path if a measured workload needs it. */
 case class MergeAsOfExec(
     left: SparkPlan, right: SparkPlan,
     leftOn: Expression, rightOn: Expression,

@@ -287,6 +287,74 @@ class PlanSpec extends AnyFunSuite {
       (t._1.map(_.asInstanceOf[Any]), t._2, t._3)))
   }
 
+  test("native merge as-of join under heavy key skew (one user = 50% of rows)") {
+    // MergeAsOfExec clusters on the key, so a hot key lands on ONE
+    // partition pair and AQE's skew split does not apply to a custom
+    // exec (scaladoc'd bound, AsOfJoinPlan.scala). This pins: (a) the
+    // merge completes under 50% single-key weight — streaming scan, no
+    // buffering blowup — and (b) parity with the skew-safe union+window
+    // form holds exactly.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val n = 4000L
+    val left = spark.range(n).select(
+      when(col("id") % 2 === 0, lit(777L)).otherwise(col("id") % 500).as("user_id"),
+      timestamp_seconds(lit(1700000000L) + col("id") * 7).as("ts"),
+      col("id").as("lid"))
+    val right = spark.range(n).select(
+      when(col("id") % 2 === 1, lit(777L)).otherwise(col("id") % 500).as("user_id"),
+      timestamp_seconds(lit(1700000000L) + col("id") * 5).as("ts"))
+    val native = graft.plans.AsOf.lastTsAtOrBefore(
+      left, right, "user_id", "ts", "ts", "m")
+    val got = native.collect()
+      .map(r => r.getLong(2) -> Option(r.getTimestamp(3)).map(_.getTime)).toMap
+    // oracle: the union+window as-of form (q46's algorithm, skew-safe twin)
+    val lTag = left.select(col("user_id"), col("ts"), col("lid"), lit(1).as("isL"),
+      lit(null).cast("timestamp").as("rts"))
+    val rTag = right.select(col("user_id"), col("ts"),
+      lit(null).cast("long").as("lid"), lit(0).as("isL"), col("ts").as("rts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("isL"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = lTag.union(rTag)
+      .withColumn("m", last(col("rts"), ignoreNulls = true).over(w))
+      .filter(col("isL") === 1)
+      .collect().map(r => r.getAs[Long]("lid") ->
+        Option(r.getAs[java.sql.Timestamp]("m")).map(_.getTime)).toMap
+    assert(got.size == n)
+    assert(got == want)
+  }
+
+  test("repartitionByRange: explicit partition-count control with ordered ranges (npartitions knob)") {
+    // The Dask-API partitioning control surface (SURVEY §4 shuffle row):
+    // df.repartition(npartitions=N) / set_index divisions. Spark twin:
+    // repartitionByRange pins BOTH the partition count and a total
+    // range order across partitions (every key in partition i sorts
+    // before every key in partition i+1) — the precondition for the
+    // sorted-divisions merge join (q70) and ordered writes.
+    import org.apache.spark.sql.functions._
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val rp = o.repartitionByRange(7, col("o_orderkey"))
+    assert(rp.rdd.getNumPartitions == 7) // user-pinned count: AQE must not coalesce
+    val plan = rp.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning(o_orderkey"), plan.take(400))
+    val bounds = rp.select(spark_partition_id().as("p"), col("o_orderkey"))
+      .groupBy(col("p"))
+      .agg(min("o_orderkey").as("mn"), max("o_orderkey").as("mx"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("p")).collect()
+    assert(bounds.length == 7)
+    assert(bounds.forall(_.getAs[Long]("cnt") > 0L))
+    // disjoint, ordered ranges across partition ids
+    bounds.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("mx") <= b.getAs[Long]("mn"),
+          s"overlap between partition ${a.getAs[Int]("p")} and ${b.getAs[Int]("p")}")
+      case _ => ()
+    }
+    // round-trip sanity: repartitioning reorders, never drops
+    assert(rp.count() == o.count())
+  }
+
   test("join strategy hints steer the planner (merge vs shuffle_hash vs broadcast)") {
     // the explicit control surface over Catalyst's join choice — what a
     // user reaches for when stats mislead the optimizer at scale

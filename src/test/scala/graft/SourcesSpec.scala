@@ -155,6 +155,57 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows.sum == 499500L)
   }
 
+  test("as_completed analog: concurrent FutureActions complete out of submission order") {
+    // distributed.as_completed yields futures as they FINISH, not as they
+    // were submitted. Spark twin: two concurrent 1-task jobs (both fit in
+    // local[4]'s slots), the slow one submitted FIRST — completion
+    // callbacks must still fire fast-first.
+    import scala.concurrent.Await
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val slow = spark.sparkContext.range(0L, 1L, 1L, numSlices = 1)
+      .map { i => Thread.sleep(1500); i }.collectAsync()
+    val fast = spark.sparkContext.range(0L, 1L, 1L, numSlices = 1)
+      .map(identity).collectAsync()
+    slow.onComplete(_ => order.add("slow"))
+    fast.onComplete(_ => order.add("fast"))
+    Await.result(slow, 60.seconds)
+    Await.result(fast, 60.seconds)
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (order.size < 2 && System.nanoTime() < deadline) Thread.sleep(20)
+    assert(order.toArray(Array.empty[String]).toSeq == Seq("fast", "slow"))
+  }
+
+  test("fire_and_forget analog: foreachAsync side effect lands without holding the future") {
+    // distributed.fire_and_forget: submit for effect, drop the handle.
+    // Spark twin: foreachAsync driving an accumulator; the test never
+    // touches the returned future's value, only observes the effect.
+    val acc = spark.sparkContext.longAccumulator("graft_faf")
+    spark.sparkContext.range(0L, 10L, 1L, numSlices = 2)
+      .foreachAsync(_ => acc.add(1)) // handle dropped
+    val deadline = System.nanoTime() + 30e9.toLong
+    while (acc.value < 10L && System.nanoTime() < deadline) Thread.sleep(20)
+    assert(acc.value == 10L)
+  }
+
+  test("Client.cancel analog: FutureAction.cancel aborts the job, session stays usable") {
+    import scala.concurrent.Await
+    import scala.concurrent.duration._
+    val hang = spark.sparkContext.range(0L, 2L, 1L, numSlices = 2)
+      .map { i => Thread.sleep(120000); i }.collectAsync()
+    // let the job actually start before cancelling
+    val started = System.nanoTime() + 30e9.toLong
+    while (spark.sparkContext.statusTracker.getActiveJobIds().isEmpty &&
+      System.nanoTime() < started) Thread.sleep(20)
+    hang.cancel()
+    val ex = intercept[Exception] { Await.result(hang, 60.seconds) }
+    assert(ex.getMessage != null && ex.getMessage.toLowerCase.contains("cancel"),
+      s"unexpected failure: ${ex.getMessage}")
+    // cooperative cancel killed ONE job, not the session
+    assert(spark.range(10).count() == 10L)
+  }
+
   test("persist/cache returns identical results (df.persist analog)") {
     val base = li.filter(col("l_quantity") > 25)
     val cached = base.persist()

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dimensionality generalization (VERDICT r5 #2): the vector/ANN
+  * machinery must not hardcode the fixture's 64 dims. These tests run
+  * cosine top-k, PQ encode/ADC retrieval, and the v70 projection on a
+  * SYNTHETIC 128-dim corpus with `spark.graft.vec.dim=128` set on an
+  * isolated child session (newSession ⇒ own conf, shared context —
+  * no leakage into the pinned-at-64 fixture suites). */
+class VecDimSpec extends AnyFunSuite {
+  import graft.functions.{VecConf, VectorOps}
+
+  private val Dim = 128
+  private val N = 300L
+
+  /** Child session with its own conf; extensions re-applied from the
+    * shared spark.sql.extensions setting. */
+  private lazy val s128: SparkSession = {
+    val s = TestSession.spark.newSession()
+    s.conf.set(VecConf.DimKey, Dim.toString)
+    s
+  }
+
+  /** Deterministic synthetic corpus: e(id)(j) = (((id·31 + j·17) mod 97) − 48) / 48,
+    * stored as array<float> like the fixture. */
+  private def emb128: DataFrame =
+    s128.range(N).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(Dim - 1)),
+        j => (((col("id") * 31 + j * 17) % 97) - 48).cast("double") / 48.0)
+        .cast("array<float>").as("embedding"))
+
+  private def embRow(id: Long): Array[Double] =
+    (0 until Dim).map(j => (((id * 31 + j * 17) % 97) - 48).toFloat / 48.0f)
+      .map(_.toDouble).toArray
+
+  test("graft_dot folds 128-dim arrays (conf-free dim agnosticism)") {
+    val got = emb128.filter(col("vec_id") === 2)
+      .select(VectorOps.dot(col("embedding"), col("embedding"))).head.getDouble(0)
+    val e = embRow(2)
+    val want = e.map(x => x * x).sum
+    assert(math.abs(got - want) < 1e-9)
+  }
+
+  test("cosine top-k on 128-dim vectors: shape + per-probe descending sims") {
+    val out = operators.Vectors.cosineTopK(emb128, nProbes = 5, k = 3).collect()
+    assert(out.length == 15)
+    out.groupBy(_.getAs[Long]("probe_id")).foreach { case (_, rows) =>
+      val byRn = rows.sortBy(_.getAs[Long]("rn"))
+      assert(byRn.map(_.getAs[Long]("rn")).toSeq == Seq(1L, 2L, 3L))
+      val sims = byRn.map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      assert(sims.forall(sv => sv >= -1.000001 && sv <= 1.000001))
+    }
+  }
+
+  test("PQ geometry follows conf: 128 dims -> 32 subspaces of 4, codes in [0,16)") {
+    assert(VecConf.pqSubs(s128) == 32)
+    val (codes, cent) = operators.Vectors.pqEncode(emb128, rounds = 2)
+    assert(codes.count() == N * 32)
+    val subRange = codes.agg(min("sub"), max("sub")).head
+    assert(subRange.getInt(0) == 0 && subRange.getInt(1) == 31)
+    val cidRange = codes.agg(min("cid"), max("cid")).head
+    assert(cidRange.getInt(0) >= 0 && cidRange.getInt(1) < 16)
+    // every codebook entry is a 4-d centroid; <=16 per subspace
+    val lens = cent.select(size(col("cv")).as("l")).distinct().collect().map(_.getInt(0))
+    assert(lens.toSeq == Seq(4))
+    val perSub = cent.groupBy("sub").count().agg(max("count")).head.getLong(0)
+    assert(perSub <= 16)
+  }
+
+  test("ADC retrieval runs end-to-end at 128 dims and finds plausible neighbors") {
+    val out = operators.Vectors.pqAdcTopK(emb128, nProbes = 3, k = 5, rounds = 2)
+      .collect()
+    assert(out.length == 15)
+    // d2 is a squared distance: non-negative, ascending within a probe
+    out.groupBy(_.getAs[Long]("probe_id")).foreach { case (_, rows) =>
+      val d2s = rows.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("d2"))
+      assert(d2s.forall(_ >= -1e-6))
+      assert(d2s.zip(d2s.tail).forall { case (a, b) => a <= b + 1e-9 })
+    }
+  }
+
+  test("v70 projection at 128 dims: 16 output cols, differential vs local dot") {
+    val out = operators.Vectors.matmulProject(emb128)
+    assert(out.columns.toSeq == "vec_id" +: (0 until 16).map(j => s"p$j"))
+    val row0 = out.filter(col("vec_id") === 7).head
+    val e = embRow(7)
+    (0 until 16).foreach { j =>
+      val w = operators.Vectors.projCol(j, Dim)
+      val want = e.zip(w).map { case (a, b) => a * b }.sum
+      assert(math.abs(row0.getAs[Double](s"p$j") - math.round(want * 1e6) / 1e6) < 2e-6,
+        s"p$j mismatch")
+    }
+  }
+
+  test("parent session conf is untouched (fixture suites still see 64)") {
+    assert(VecConf.dim(TestSession.spark) == 64)
+    assert(VecConf.pqSubs(TestSession.spark) == 16)
+  }
+}
