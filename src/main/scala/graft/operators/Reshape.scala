@@ -215,6 +215,71 @@ object Reshape {
       .orderBy(col("doc_id"))
   }
 
+  /** pandas `pd.crosstab(lang, source)` — the contingency table via
+    * Spark's dedicated `stat.crosstab` (zero-filled counts, one
+    * pass + pivot). Output is |langs| × |sources| — bounded by category
+    * cardinality, not corpus size, so the wide shape is safe at any
+    * scale; high-cardinality axes belong in the long (groupBy) form. */
+  val qCrosstab: Q = Q(
+    "q137_crosstab", {
+      val srcs = (0 until 20).map(i => s"src$i")
+      val cols = srcs.map(sv =>
+        s"CAST(sum(CASE WHEN source = '$sv' THEN 1 ELSE 0 END) AS BIGINT) AS $sv")
+        .mkString(",\n  ")
+      s"SELECT lang AS lang_source,\n  $cols\nFROM documents GROUP BY lang ORDER BY lang"
+    }
+  ) { (s, d) =>
+    Tables.documents(s, d).stat.crosstab("lang", "source")
+      .orderBy(col("lang_source"))
+  }
+
+  /** pandas `pd.cut` — FIXED-edge binning (q100's qcut is the
+    * quantile-edge twin): order totals labeled by explicit price bands.
+    * A codegen'd CASE chain, zero shuffle before the per-bin aggregate. */
+  val qCutBins: Q = Q(
+    "q138_cut_fixed_bins",
+    """SELECT CASE WHEN o_totalprice < 50000 THEN 'lo'
+      |            WHEN o_totalprice < 150000 THEN 'mid'
+      |            WHEN o_totalprice < 300000 THEN 'hi'
+      |            ELSE 'vhi' END AS bin,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       round(avg(o_totalprice), 2) AS avg_price
+      |FROM orders GROUP BY bin ORDER BY bin""".stripMargin
+  ) { (s, d) =>
+    val bin = when(col("o_totalprice") < 50000, "lo")
+      .when(col("o_totalprice") < 150000, "mid")
+      .when(col("o_totalprice") < 300000, "hi")
+      .otherwise("vhi")
+    Tables.orders(s, d)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 2).as("avg_price"))
+      .orderBy(col("bin"))
+  }
+
+  /** pandas `df.explode(['toks', 'lens'])` — MULTI-column explode of
+    * parallel arrays in lockstep (one output row per position, all
+    * exploded columns aligned): `posexplode(arrays_zip(...))`. The zip
+    * guarantees positional alignment that two independent explodes
+    * would destroy. */
+  val qExplodeMulti: Q = Q(
+    "q139_explode_multi",
+    """SELECT doc_id, CAST(i AS BIGINT) AS pos, ts[i + 1] AS tok,
+      |       CAST(length(ts[i + 1]) AS BIGINT) AS tok_len
+      |FROM (SELECT doc_id, string_split(text, ' ') AS ts,
+      |        unnest(range(0, len(string_split(text, ' ')))) AS i
+      |      FROM documents WHERE doc_id < 30)
+      |ORDER BY doc_id, pos""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d).filter(col("doc_id") < 30)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("lens", transform(col("toks"), t => length(t).cast("long")))
+      .select(col("doc_id"),
+        posexplode(arrays_zip(col("toks"), col("lens"))).as(Seq("pos", "z")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("z.toks").as("tok"), col("z.lens").as("tok_len"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
   val all: Seq[Q] = Seq(qUnpivot, qGroupingSets, qMultisetOps, qExplodeOuter,
-    qOneHot, qFactorize, qCategorize)
+    qOneHot, qFactorize, qCategorize, qCrosstab, qCutBins, qExplodeMulti)
 }
