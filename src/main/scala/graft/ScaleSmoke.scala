@@ -284,6 +284,49 @@ object ScaleSmoke {
       operators.Vectors.pqAdcTopK(emb64, nProbes = 10, k = 10, rounds = 2)
         .count()
     }
+    // the round-6 serving split: train ONCE outside the timer (the
+    // pqIndex layout), then measure the ADC scan + re-rank alone — the
+    // per-query cost a 100 TB store actually pays
+    locally {
+      val (codes0, cent0) = operators.Vectors.pqEncode(emb64, rounds = 2)
+      val codes = codes0.cache(); codes.count()
+      val cent = cent0.cache(); cent.count()
+      time("PQ ADC serve-only (v76 split)", nVec64) {
+        operators.Vectors.pqAdcTopKFrom(emb64, codes, cent, nProbes = 10, k = 10)
+          .count()
+      }
+      codes.unpersist(); cent.unpersist()
+    }
+    time("interval band join (q136)", nEvents) {
+      // |p.ts − c.ts| ≤ 6h pairs between the 5% 't1' slice and the 80%
+      // 'click' slice, same user: floor(epoch/W) bands, 3-band explode
+      // on the small side, (user, band) equi-join — never a per-user
+      // cross product even with 16M clicks
+      val w = 6 * 3600
+      def banded(tpe: String, idOut: String, tsOut: String) =
+        ev.filter(col("event_type") === tpe)
+          .select(col("user_id"), col("event_id").as(idOut), col("ts").as(tsOut),
+            floor(col("ts").cast("double") / w).cast("long").as("b0"))
+      val p = banded("t1", "a_id", "a_ts")
+        .select(col("user_id"), col("a_id"), col("a_ts"),
+          explode(array(col("b0") - 1, col("b0"), col("b0") + 1)).as("band"))
+      val c = banded("click", "b_id", "b_ts").withColumnRenamed("b0", "band")
+      p.join(c, Seq("user_id", "band"))
+        .filter(col("a_ts") <= col("b_ts") + expr("INTERVAL 6 HOURS") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 6 HOURS"))
+        .groupBy(col("user_id")).agg(count(lit(1))).count()
+    }
+    time("categorize dictionary (q135)", nDocs) {
+      // multi-column dictionary build over the corpus + broadcast-join
+      // application to a disjoint slice: the dict is |vocab|-bounded
+      val cats = docs.select(col("doc_id"),
+        concat(lit("s"), pmod(xxhash64(col("doc_id")), lit(1000L))).as("src"),
+        concat(lit("l"), pmod(col("doc_id"), lit(50L))).as("lang"))
+      val dict = operators.Reshape.buildDictionary(cats, Seq("src", "lang"))
+      operators.Reshape.applyDictionary(
+        cats.filter(col("doc_id") % 7 === 0), dict, Seq("src", "lang"))
+        .groupBy(col("lang_code")).agg(count(lit(1))).count()
+    }
     time("BM25 scoring (t84 shape)", nDocs) {
       // postings for 3 query terms: the term filter lands BEFORE the
       // groupBy, so the shuffle carries only hits; df/N/avgdl broadcast

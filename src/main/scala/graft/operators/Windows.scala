@@ -537,8 +537,40 @@ object Windows {
       .orderBy(col("user_id"), col("rn"))
   }
 
+  /** pandas `rank(method='average')` — the one ranking method Spark has
+    * no builtin for (rank = 'min', dense_rank = 'dense', row_number =
+    * 'first'): tied values share the MEAN of their positions. Identity:
+    * avg_rank = rank() + (tie_count − 1)/2, so it composes from two
+    * window aggregates over the SAME (key, order) partitioning — one
+    * sort, two WindowExecs, no re-shuffle. Ties are manufactured by
+    * banding prices to thousands (real totals are near-unique). */
+  val qRankAverage: Q = Q(
+    "q140_rank_average",
+    """SELECT o_custkey, o_orderkey, band,
+      |       round(r + (c - 1) / 2.0, 1) AS avg_rank
+      |FROM (SELECT o_custkey, o_orderkey,
+      |        CAST(floor(o_totalprice / 10000) AS BIGINT) AS band,
+      |        CAST(rank() OVER (PARTITION BY o_custkey
+      |          ORDER BY floor(o_totalprice / 10000)) AS BIGINT) AS r,
+      |        CAST(count(*) OVER (PARTITION BY o_custkey,
+      |          floor(o_totalprice / 10000)) AS BIGINT) AS c
+      |      FROM orders WHERE o_custkey < 50) t
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+  ) { (s, d) =>
+    val band = floor(col("o_totalprice") / 10000).cast("long")
+    val wR = Window.partitionBy(col("o_custkey")).orderBy(band)
+    val wC = Window.partitionBy(col("o_custkey"), band)
+    Tables.orders(s, d).filter(col("o_custkey") < 50)
+      .select(col("o_custkey"), col("o_orderkey"), band.as("band"),
+        rank().over(wR).cast("long").as("r"),
+        count(lit(1)).over(wC).cast("long").as("c"))
+      .select(col("o_custkey"), col("o_orderkey"), col("band"),
+        round(col("r") + (col("c") - 1) / 2.0, 1).as("avg_rank"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val all: Seq[Q] = Seq(qTopkPerGroup, qRanks, qCumsum, qLagLead,
     qRollingTime, qRollingRows, qCumMinMaxProd, qFill, qRollingMedian,
     qAutocorr, qInterpolate, qPctChange, qCumcount, qExpanding,
-    qMergeOrdered, qGroupPctRank, qRollingCorr)
+    qMergeOrdered, qGroupPctRank, qRollingCorr, qRankAverage)
 }

@@ -355,6 +355,17 @@ class PlanSpec extends AnyFunSuite {
     assert(rp.count() == o.count())
   }
 
+  test("q136: interval overlap plans as a banded equi-join, never theta/cartesian") {
+    // the naive overlap theta join degenerates to a per-user cross
+    // product; the band form must surface as a plain equi-join on
+    // (user_id, band) with the timestamp predicate as a post-filter
+    val p = plan("q136_interval_overlap_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
   test("join strategy hints steer the planner (merge vs shuffle_hash vs broadcast)") {
     // the explicit control surface over Catalyst's join choice — what a
     // user reaches for when stats mislead the optimizer at scale
