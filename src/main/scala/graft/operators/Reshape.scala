@@ -164,6 +164,9 @@ object Reshape {
     val pairs = df.select(explode(array(cats.map(c =>
         struct(lit(c).as("colname"), col(c).cast("string").as("value"))): _*)).as("p"))
       .select(col("p.colname").as("colname"), col("p.value").as("value"))
+      // NaN/null is NOT a category (pandas semantics): a null value
+      // encodes as null code via the left join, never as a dict entry
+      .filter(col("value").isNotNull)
       .distinct()
     // codes 0..k−1 per column in value sort order; the window partitions
     // by colname over the SMALL dict frame, never the corpus

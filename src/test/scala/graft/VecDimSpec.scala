@@ -96,6 +96,18 @@ class VecDimSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ composite runs end-to-end at 128 dims (coarse cells + ADC + re-rank)") {
+    val labeled = emb128.withColumn("label", pmod(col("vec_id"), lit(5)))
+    val out = operators.Vectors.ivfPqTopK(labeled, nProbes = 2, k = 4,
+      nCells = 2).collect()
+    assert(out.nonEmpty && out.length <= 8)
+    out.groupBy(_.getAs[Long]("probe_id")).foreach { case (_, rows) =>
+      val d2s = rows.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("d2"))
+      assert(d2s.forall(_ >= -1e-6))
+      assert(d2s.zip(d2s.tail).forall { case (a, b) => a <= b + 1e-9 })
+    }
+  }
+
   test("parent session conf is untouched (fixture suites still see 64)") {
     assert(VecConf.dim(TestSession.spark) == 64)
     assert(VecConf.pqSubs(TestSession.spark) == 16)
