@@ -771,7 +771,14 @@ object Vectors {
     * parquet under [[PqIndexDirKey]]/`key`; later calls (and later
     * sessions) read the parquet — the registered v76/v81 queries
     * measure RETRIEVAL, not training. Both frames are written before
-    * either is read, so a half-written index (no _SUCCESS) retrains. */
+    * either is read, so a half-written index (no _SUCCESS) retrains.
+    *
+    * STALENESS CONTRACT: the key covers corpus IDENTITY (path tag) and
+    * PQ geometry/rounds, not corpus content — like any offline ANN
+    * index (a FAISS file does not watch its corpus either). If the data
+    * under the same path changes, delete the index dir (or point
+    * [[PqIndexDirKey]] elsewhere) to retrain; a geometry or rounds
+    * change re-keys automatically. */
   def pqIndex(emb: DataFrame, key: String, rounds: Int = 3): (DataFrame, DataFrame) = {
     val s = emb.sparkSession
     val root = s.conf.getOption(PqIndexDirKey).filter(_.nonEmpty)

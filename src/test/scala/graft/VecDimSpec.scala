@@ -108,6 +108,24 @@ class VecDimSpec extends AnyFunSuite {
     }
   }
 
+  test("pqIndex trains once and serves from parquet on later calls") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_test").toString
+    s128.conf.set(operators.Vectors.PqIndexDirKey, dir)
+    try {
+      val (codes1, cent1) = operators.Vectors.pqIndex(emb128, "t128", rounds = 1)
+      val n1 = codes1.count()
+      assert(n1 == N * 32)
+      val success = java.nio.file.Paths.get(dir, "t128", "codes", "_SUCCESS")
+      assert(java.nio.file.Files.exists(success))
+      val mtime = java.nio.file.Files.getLastModifiedTime(success)
+      // second call must READ, not retrain: same counts, untouched files
+      val (codes2, cent2) = operators.Vectors.pqIndex(emb128, "t128", rounds = 1)
+      assert(codes2.count() == n1)
+      assert(cent2.count() == cent1.count())
+      assert(java.nio.file.Files.getLastModifiedTime(success) == mtime)
+    } finally s128.conf.unset(operators.Vectors.PqIndexDirKey)
+  }
+
   test("parent session conf is untouched (fixture suites still see 64)") {
     assert(VecConf.dim(TestSession.spark) == 64)
     assert(VecConf.pqSubs(TestSession.spark) == 16)
