@@ -422,8 +422,45 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  /** Deterministic WEIGHTED Bernoulli sampling (pandas
+    * `df.sample(frac, weights=col)` made reproducible): each doc's keep
+    * probability is proportional to its token count (longer docs more
+    * likely kept — the quality-weighted curation admit), decided by a
+    * seeded md5 bucket instead of an RNG, so the sample is identical
+    * under reruns, appends, and repartitioning (q104's stability
+    * argument, extended from uniform to weighted). Pure map stage +
+    * one aggregate; oracled exactly because both engines compute the
+    * same md5 arithmetic. */
+  val qWeightedSample: Q = Q(
+    "t93_weighted_sample",
+    """WITH b AS (SELECT doc_id, lang,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    (ascii(substr(md5('graft-wsample-3:' || CAST(doc_id AS VARCHAR)), 1, 1)) * 131
+      |     + ascii(substr(md5('graft-wsample-3:' || CAST(doc_id AS VARCHAR)), 2, 1))) % 100
+      |      AS bkt
+      |  FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CAST(bkt < least(n_tokens, 90) AS BIGINT)) AS BIGINT) AS n_kept,
+      |  round(sum(CASE WHEN bkt < least(n_tokens, 90) THEN n_tokens ELSE 0 END)
+      |        * 1.0 / sum(n_tokens), 6) AS token_keep_frac
+      |FROM b GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    val k = md5(concat(lit("graft-wsample-3:"), col("doc_id").cast("string")))
+    val b = Tables.documents(s, d)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("bkt",
+        (ascii(substring(k, 1, 1)) * 131 + ascii(substring(k, 2, 1))) % 100)
+      .withColumn("keep", col("bkt") < least(col("n_tokens"), lit(90L)))
+    b.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        round(sum(when(col("keep"), col("n_tokens")).otherwise(0L)) * lit(1.0)
+          / sum(col("n_tokens")), 6).as("token_keep_frac"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[Q] = Seq(qContextPacking, qUnigramLogprob, qPiiRedaction,
     qSeededShuffle, qHashSplit, qHashSamplePerGroup, qBloomIncremental,
     qBoilerplateNgrams, qDocChunking, qDataMixing, qSeqlenHistogram,
-    qSourceDiversity)
+    qSourceDiversity, qWeightedSample)
 }

@@ -141,6 +141,30 @@ object FunctionTours3 {
       .orderBy(col("event_id"))
   }
 
+  /** pandas `str.extractall` — EVERY regex match becomes its own row
+    * with a per-source match index (q91 extracts the first match and
+    * counts the rest; this is the exploding form). One
+    * `posexplode(regexp_extract_all(...))` projection — no shuffle
+    * before the presentation sort; both engines use leftmost
+    * non-overlapping match semantics, so the match lists align
+    * position-for-position. */
+  val qExtractAll: Q = Q(
+    "q141_extractall",
+    """SELECT doc_id, CAST(i AS BIGINT) AS match_idx, ms[i + 1] AS m
+      |FROM (SELECT doc_id, regexp_extract_all(text, 's[a-z]+') AS ms,
+      |        unnest(range(0, len(regexp_extract_all(text, 's[a-z]+')))) AS i
+      |      FROM documents WHERE doc_id < 60)
+      |ORDER BY doc_id, match_idx""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d).filter(col("doc_id") < 60)
+      .select(col("doc_id"),
+        posexplode(regexp_extract_all(col("text"), lit("s[a-z]+"), lit(0)))
+          .as(Seq("match_idx", "m")))
+      .select(col("doc_id"), col("match_idx").cast("long").as("match_idx"),
+        col("m"))
+      .orderBy(col("doc_id"), col("match_idx"))
+  }
+
   val all: Seq[Q] = Seq(qDatetimeParse, qFormatStrings, qArrayAlgebra, qRegexFamily,
-    qTimezones)
+    qTimezones, qExtractAll)
 }
