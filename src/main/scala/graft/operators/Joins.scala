@@ -361,7 +361,61 @@ object Joins {
       .orderBy(col("user_id"))
   }
 
+  /** Snapshot diff / change capture (pandas `DataFrame.compare` + the
+    * SCD audit between two corpus versions — "what changed since the
+    * last crawl"): a key-aligned FULL OUTER join classifying every key
+    * as unchanged / modified / added / deleted. One shuffle on the key
+    * for both sides; the value comparison is null-safe so a missing
+    * side never reads as a change of value. The "new" snapshot is
+    * derived deterministically from the fixture (drop every 97th id,
+    * add 1.0 to every 101st) so the oracle replays it exactly —
+    * exact-dollar arithmetic, no float rounding at the compare
+    * boundary. */
+  val qSnapshotDiff: Q = Q(
+    "q142_snapshot_diff",
+    """WITH old AS (SELECT event_id, value FROM events),
+      |new AS (SELECT event_id,
+      |          CASE WHEN event_id % 101 = 0 THEN value + 1.0 ELSE value END AS value
+      |        FROM events WHERE event_id % 97 <> 0
+      |        UNION ALL
+      |        SELECT event_id + 20000000, value FROM events WHERE event_id % 103 = 0),
+      |j AS (SELECT coalesce(old.event_id, new.event_id) AS k,
+      |        old.event_id AS ok, new.event_id AS nk,
+      |        old.value AS ov, new.value AS nv
+      |      FROM old FULL OUTER JOIN new ON old.event_id = new.event_id),
+      |c AS (SELECT k,
+      |        CASE WHEN ok IS NULL THEN 'added'
+      |             WHEN nk IS NULL THEN 'deleted'
+      |             WHEN ov = nv THEN 'unchanged'
+      |             ELSE 'modified' END AS change
+      |      FROM j)
+      |SELECT change, CAST(count(*) AS BIGINT) AS n,
+      |       min(k) AS min_id, max(k) AS max_id
+      |FROM c GROUP BY change ORDER BY change""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val old = ev.select(col("event_id"), col("value"))
+    val nw = ev.filter(col("event_id") % 97 =!= 0)
+      .select(col("event_id"),
+        when(col("event_id") % 101 === 0, col("value") + 1.0)
+          .otherwise(col("value")).as("value"))
+      .union(ev.filter(col("event_id") % 103 === 0)
+        .select((col("event_id") + 20000000L).as("event_id"), col("value")))
+    val j = old.select(col("event_id").as("ok"), col("value").as("ov"))
+      .join(nw.select(col("event_id").as("nk"), col("value").as("nv")),
+        col("ok") === col("nk"), "full_outer")
+    j.select(coalesce(col("ok"), col("nk")).as("k"),
+        when(col("ok").isNull, "added")
+          .when(col("nk").isNull, "deleted")
+          .when(col("ov") === col("nv"), "unchanged")
+          .otherwise("modified").as("change"))
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_id"),
+        max(col("k")).as("max_id"))
+      .orderBy(col("change"))
+  }
+
   val all: Seq[Q] = Seq(q3ShippingPriority, qBroadcastDims, qLeftOuter,
     qFullOuter, qSemiAnti, qCrossTheta, qSelfJoin, qRightOuter, qCombineFirst,
-    qMergeIndicator, qIntervalOverlap)
+    qMergeIndicator, qIntervalOverlap, qSnapshotDiff)
 }

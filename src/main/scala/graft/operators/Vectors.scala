@@ -1042,8 +1042,25 @@ object Vectors {
     * + within-cell-recall invariants live in GraftSpec. */
   val qIvfPq: Q = Q.noOracle("v81_ivf_pq_ann") { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    val (codes, cent) = pqIndex(emb, pqIndexKey(s, d, 2), rounds = 2)
-    ivfPqTopKFrom(emb, codes, cent, nProbes = 10, k = 10, nCells = 2)
+    val key = pqIndexKey(s, d, 2)
+    val (codes, cent) = pqIndex(emb, key, rounds = 2)
+    val coarse = persistedFrame(s, s"$key/coarse")(ivfCoarseCentroids(emb))
+    ivfPqTopKFrom(emb, codes, cent, coarse, nProbes = 10, k = 10, nCells = 2)
+  }
+
+  /** Persist-or-read a derived frame under [[PqIndexDirKey]] (the
+    * index-artifact helper behind the coarse quantizer; same
+    * write-before-read + _SUCCESS contract as [[pqIndex]]). */
+  private def persistedFrame(s: SparkSession, subdir: String)(
+      build: => DataFrame): DataFrame = {
+    val root = s.conf.getOption(PqIndexDirKey).filter(_.nonEmpty)
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft_pq_index")
+    val dir = s"$root/$subdir"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")))
+      build.write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
   }
 
   /** End-to-end (train + query) form — ScaleSmoke and the recall tests
@@ -1051,28 +1068,33 @@ object Vectors {
   def ivfPqTopK(emb: DataFrame, nProbes: Int, k: Int, nCells: Int,
       rounds: Int = 2): DataFrame = {
     val (codes, centPq) = pqEncode(emb, rounds)
-    ivfPqTopKFrom(emb, codes, centPq, nProbes, k, nCells)
+    ivfPqTopKFrom(emb, codes, centPq, ivfCoarseCentroids(emb), nProbes, k, nCells)
   }
 
-  /** The v81 coarse-gated ADC scan + re-rank over a prebuilt
-    * (codes, codebook) pair. The IVF coarse quantizer (label-mean
-    * centroids, one aggregate pass) stays in the query — it is the
-    * cheap half; the Lloyd-trained PQ codebook is the persisted one. */
-  def ivfPqTopKFrom(emb: DataFrame, codes: DataFrame, centPq: DataFrame,
-      nProbes: Int, k: Int, nCells: Int): DataFrame = {
-    val sess = emb.sparkSession
-    val subs = VecConf.pqSubs(sess)
-    val subDim = VecConf.pqSubDim(sess)
-    val e = transform(col("embedding"), x => x.cast("double"))
-    // coarse quantizer: one centroid per label cell (broadcast K rows)
-    val comp = emb.select(col("label"),
-      posexplode(e).as(Seq("dim", "x")))
-    val cent = comp.groupBy(col("label").as("clabel"), col("dim"))
+  /** The IVF coarse quantizer: one centroid per label cell — a single
+    * aggregate pass over the corpus, K rows out. Part of the serving
+    * index (a FAISS IVF-PQ file carries its coarse quantizer too), so
+    * the registered v81 persists it next to the PQ codebook. */
+  def ivfCoarseCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"),
+        posexplode(transform(col("embedding"), x => x.cast("double")))
+          .as(Seq("dim", "x")))
+      .groupBy(col("label").as("clabel"), col("dim"))
       .agg(avg(col("x")).as("cx"))
       .groupBy(col("clabel"))
       .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("p"))
       .select(col("clabel"), transform(col("p"), p => p("cx")).as("ce"))
       .withColumn("csq", VectorOps.dot(col("ce"), col("ce")))
+
+  /** The v81 coarse-gated ADC scan + re-rank over a prebuilt index:
+    * (codes, PQ codebook, coarse centroids). */
+  def ivfPqTopKFrom(emb: DataFrame, codes: DataFrame, centPq: DataFrame,
+      coarse: DataFrame, nProbes: Int, k: Int, nCells: Int): DataFrame = {
+    val sess = emb.sparkSession
+    val subs = VecConf.pqSubs(sess)
+    val subDim = VecConf.pqSubDim(sess)
+    val e = transform(col("embedding"), x => x.cast("double"))
+    val cent = coarse
     val probes = emb.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), e.as("pe"))
       .withColumn("psq", VectorOps.dot(col("pe"), col("pe")))
