@@ -374,6 +374,31 @@ object ScaleSmoke {
         .groupBy(col("doc_id")).agg(avg(lp).as("avg_logprob"))
         .count()
     }
+    time("funnel 3-stage (q143 shape)", nEvents) {
+      // t0 → t1 → t2 ordered funnel: three shrinking user-keyed hash
+      // aggregates; each later stage joins only the prior stage's
+      // survivor set (AQE broadcasts it once it collapses)
+      val s1 = ev.filter(col("event_type") === "t0")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "t1")
+        .join(s1, "user_id").where(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "t2")
+        .join(s2, "user_id").where(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      s3.count()
+    }
+    time("rolling distinct actives (q147 shape)", nEvents) {
+      // WAU shape on 10-min buckets (the synthetic span is hours, not
+      // days): each distinct (user, bucket) explodes to the 7 windows it
+      // serves — bounded 7× fan-out + dedup, never a range self-join
+      val ub = ev.select(col("user_id"),
+        floor(col("ts").cast("double") / 600).cast("long").as("b")).distinct()
+      ub.select(col("user_id"),
+          explode(sequence(col("b"), col("b") + 6)).as("b2"))
+        .dropDuplicates("user_id", "b2")
+        .groupBy(col("b2")).agg(count(lit(1)).as("wau")).count()
+    }
     spark.stop()
     // synthetic tables are hundreds of MB per run: delete so repeated
     // runs don't build disk pressure (which skews the measurements)

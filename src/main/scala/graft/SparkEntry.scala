@@ -18,7 +18,8 @@ object SparkEntry {
       operators.Vectors.all ++ operators.Typed.all ++ operators.Multimodal.all ++
       operators.Scale.all ++ operators.FunctionTours2.all ++
       operators.Reshape.all ++ operators.FunctionTours3.all ++
-      operators.Curation.all ++ operators.Retrieval.all
+      operators.Curation.all ++ operators.Retrieval.all ++
+      operators.Analytics.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
