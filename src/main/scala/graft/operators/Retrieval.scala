@@ -279,6 +279,132 @@ object Retrieval {
       .orderBy(col("source"))
   }
 
+  /** PMI collocation mining (phrase detection for tokenizer/vocab prep,
+    * the word2vec-phrases / NLTK collocations op): pointwise mutual
+    * information of adjacent token pairs, log((c_ab/N_pairs) /
+    * ((c_a/N_tok)·(c_b/N_tok))), min pair count 25. Scale shape: two
+    * count TABLES (bigram, unigram) built by map-side-combining
+    * groupBys; the unigram side joins on each pair endpoint (broadcast —
+    * the vocab table is |V|-bounded), corpus totals ride 1-row broadcast
+    * cross joins; final top-15 is a rounded-score
+    * TakeOrderedAndProject. Sorts on the ROUNDED pmi with a (w1, w2)
+    * tie-break so the limit cut is engine-stable. */
+  val qPmiCollocations: Q = Q(
+    "t94_pmi_collocations",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |bg AS (SELECT ts[i] AS w1, ts[i + 1] AS w2
+      |       FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM d)),
+      |pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cp FROM bg GROUP BY w1, w2),
+      |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS cu
+      |        FROM (SELECT unnest(ts) AS tok FROM d) GROUP BY tok),
+      |nt AS (SELECT CAST(sum(cu) AS BIGINT) AS n_tok FROM uni),
+      |np AS (SELECT CAST(sum(cp) AS BIGINT) AS n_pair FROM pc)
+      |SELECT w1, w2, cp,
+      |       round(ln((cp * 1.0 / n_pair) /
+      |                ((u1.cu * 1.0 / n_tok) * (u2.cu * 1.0 / n_tok))), 6) AS pmi
+      |FROM pc JOIN uni u1 ON pc.w1 = u1.tok JOIN uni u2 ON pc.w2 = u2.tok
+      |CROSS JOIN nt CROSS JOIN np
+      |WHERE cp >= 25
+      |ORDER BY pmi DESC, w1, w2 LIMIT 15""".stripMargin
+  ) { (s, d) =>
+    val docs = tokenized(s, d)
+    val pc = bigrams(docs).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cp"))
+    val uni = Tables.documents(s, d).select(explode(tokens).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val nt = uni.agg(sum(col("cu")).as("n_tok"))
+    val np = pc.agg(sum(col("cp")).as("n_pair"))
+    pc.filter(col("cp") >= 25)
+      .join(broadcast(uni.select(col("tok").as("w1"), col("cu").as("cu1"))), "w1")
+      .join(broadcast(uni.select(col("tok").as("w2"), col("cu").as("cu2"))), "w2")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(np))
+      .select(col("w1"), col("w2"), col("cp"),
+        round(log((col("cp") * lit(1.0) / col("n_pair")) /
+          ((col("cu1") * lit(1.0) / col("n_tok")) *
+           (col("cu2") * lit(1.0) / col("n_tok")))), 6).as("pmi"))
+      .orderBy(desc("pmi"), col("w1"), col("w2")).limit(15)
+  }
+
+  /** Corpus drift: symmetric smoothed unigram KL divergence between two
+    * corpus slices (the data-mixing / distribution-shift monitor a
+    * training pipeline runs between crawls). Add-one smoothing over the
+    * UNION vocabulary so absent tokens contribute finite mass. Scale
+    * shape: two |V|-bounded count tables full-outer-joined on the token,
+    * totals as 1-row broadcast sides, one scalar aggregate out — the
+    * corpus is scanned once per slice and never pairwise. */
+  val qKlDrift: Q = Q(
+    "t95_kl_drift",
+    """WITH toks AS (
+      |  SELECT CAST(substr(source, 4) AS INTEGER) < 10 AS in_a,
+      |         unnest(string_split(text, ' ')) AS tok FROM documents),
+      |ca AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks WHERE in_a GROUP BY tok),
+      |cb AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks WHERE NOT in_a GROUP BY tok),
+      |u AS (SELECT coalesce(ca.tok, cb.tok) AS tok,
+      |             coalesce(ca.c, 0) AS c_a, coalesce(cb.c, 0) AS c_b
+      |      FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS v,
+      |               CAST(sum(c_a) AS BIGINT) AS n_a,
+      |               CAST(sum(c_b) AS BIGINT) AS n_b FROM u)
+      |SELECT v, n_a, n_b,
+      |  round(sum(((c_a + 1.0) / (n_a + v)) *
+      |            ln(((c_a + 1.0) / (n_a + v)) / ((c_b + 1.0) / (n_b + v)))), 6) AS kl_ab,
+      |  round(sum(((c_b + 1.0) / (n_b + v)) *
+      |            ln(((c_b + 1.0) / (n_b + v)) / ((c_a + 1.0) / (n_a + v)))), 6) AS kl_ba
+      |FROM u CROSS JOIN tot GROUP BY v, n_a, n_b""".stripMargin
+  ) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select((substring(col("source"), 4, 10).cast("int") < 10).as("in_a"),
+        explode(tokens).as("tok"))
+    val ca = toks.filter(col("in_a")).groupBy(col("tok")).agg(count(lit(1)).as("c_a"))
+    val cb = toks.filter(!col("in_a"))
+      .groupBy(col("tok").as("tok_b")).agg(count(lit(1)).as("c_b"))
+    val u = ca.join(cb, col("tok") === col("tok_b"), "full_outer")
+      .select(coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+    val tot = u.agg(count(lit(1)).as("v"), sum(col("c_a")).as("n_a"),
+      sum(col("c_b")).as("n_b"))
+    val pA = (col("c_a") + lit(1.0)) / (col("n_a") + col("v"))
+    val pB = (col("c_b") + lit(1.0)) / (col("n_b") + col("v"))
+    u.crossJoin(broadcast(tot))
+      .groupBy(col("v"), col("n_a"), col("n_b"))
+      .agg(round(sum(pA * log(pA / pB)), 6).as("kl_ab"),
+        round(sum(pB * log(pB / pA)), 6).as("kl_ba"))
+      .select(col("v"), col("n_a"), col("n_b"), col("kl_ab"), col("kl_ba"))
+  }
+
+  /** Vocabulary coverage curve (tokenizer vocab sizing): what fraction
+    * of corpus tokens the top-k most frequent types cover, at k = 5, 10,
+    * 20. Rank over the |V|-bounded count table goes through
+    * `Scale.globalRowNumber` (bucketed by −count, so no single-partition
+    * window even at a 10M-type web vocab); the fixed-k coverages then
+    * collapse to ONE conditional aggregate — no cumulative window at
+    * all. Ties rank by token for engine-stable cuts. */
+  val qVocabCoverage: Q = Q(
+    "t96_vocab_coverage",
+    """WITH uni AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY tok),
+      |ranked AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rk FROM uni)
+      |SELECT CAST(count(*) AS BIGINT) AS vocab,
+      |  round(sum(c) FILTER (WHERE rk <= 5) * 1.0 / sum(c), 6) AS cov_5,
+      |  round(sum(c) FILTER (WHERE rk <= 10) * 1.0 / sum(c), 6) AS cov_10,
+      |  round(sum(c) FILTER (WHERE rk <= 20) * 1.0 / sum(c), 6) AS cov_20
+      |FROM ranked""".stripMargin
+  ) { (s, d) =>
+    val uni = Tables.documents(s, d).select(explode(tokens).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val ranked = Scale.globalRowNumber(uni, negate(col("c")),
+      Seq(col("tok")), "rk")
+    ranked.agg(count(lit(1)).as("vocab"),
+      round(sum(when(col("rk") <= 5, col("c"))) * lit(1.0) / sum(col("c")), 6)
+        .as("cov_5"),
+      round(sum(when(col("rk") <= 10, col("c"))) * lit(1.0) / sum(col("c")), 6)
+        .as("cov_10"),
+      round(sum(when(col("rk") <= 20, col("c"))) * lit(1.0) / sum(col("c")), 6)
+        .as("cov_20"))
+  }
+
   val all: Seq[Q] = Seq(qBm25, qBigramBackoff, qZipfRankFreq, qTfIdfCosinePairs,
-    qBigramOov)
+    qBigramOov, qPmiCollocations, qKlDrift, qVocabCoverage)
 }

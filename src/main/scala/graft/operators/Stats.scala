@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Statistical-inference surface: grouped OLS regression, chi-squared
+  * independence, and Gini concentration. The scipy/statsmodels ops a
+  * user of the reference image runs driver-side after a Dask collect
+  * (dask_ssh_docker/__init__.py:307 provisions the scipy stack); here
+  * each is a fully distributed aggregate — the raw table is scanned
+  * once, every "statistic table" (contingency cells, group moments,
+  * rank table) is category- or user-bounded, and the final statistic is
+  * a scalar aggregate, so the shapes are unchanged at 100 TB.
+  */
+object Stats {
+
+  /** Grouped simple OLS (y = extendedprice on x = quantity per return
+    * flag) via the SQL-standard regr_* aggregates — one hash aggregate
+    * with map-side partials, the moment-based closed form (never a
+    * per-group solver). Slope/intercept rounded to 3 (the two engines'
+    * moment accumulation orders differ in the last ~2 ulps at 60k rows);
+    * r² and the means to 6. */
+  val qOls: Q = Q(
+    "q149_ols_regression",
+    """SELECT l_returnflag,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       round(regr_slope(l_extendedprice, l_quantity), 3) AS slope,
+      |       round(regr_intercept(l_extendedprice, l_quantity), 3) AS intercept,
+      |       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+      |       round(avg(l_quantity), 6) AS avg_x
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 3).as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 3).as("intercept"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+        round(avg(col("l_quantity")), 6).as("avg_x"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Chi-squared test of independence for event_type × daypart: observed
+    * contingency cells from ONE hash aggregate; row/column marginals are
+    * category-bounded re-aggregations of those cells (the raw table is
+    * not rescanned); expected = row·col/N; χ² = Σ(o−e)²/e. Degrees of
+    * freedom computed from the marginal cardinalities, not hardcoded. */
+  val qChi2: Q = Q(
+    "q150_chi2_independence",
+    """WITH obs AS (
+      |  SELECT event_type,
+      |         CASE WHEN hour(ts) < 6 THEN 'night'
+      |              WHEN hour(ts) < 12 THEN 'morning'
+      |              WHEN hour(ts) < 18 THEN 'afternoon'
+      |              ELSE 'evening' END AS daypart,
+      |         CAST(count(*) AS BIGINT) AS o
+      |  FROM events GROUP BY event_type, daypart),
+      |rt AS (SELECT event_type, sum(o) AS r FROM obs GROUP BY event_type),
+      |ct AS (SELECT daypart, sum(o) AS c FROM obs GROUP BY daypart),
+      |n AS (SELECT sum(o) AS n FROM obs)
+      |SELECT round(sum((o - r * c * 1.0 / n) * (o - r * c * 1.0 / n)
+      |                 / (r * c * 1.0 / n)), 4) AS chi2,
+      |       CAST((count(DISTINCT obs.event_type) - 1)
+      |            * (count(DISTINCT obs.daypart) - 1) AS BIGINT) AS dof
+      |FROM obs JOIN rt ON obs.event_type = rt.event_type
+      |         JOIN ct ON obs.daypart = ct.daypart CROSS JOIN n""".stripMargin
+  ) { (s, d) =>
+    val daypart = when(hour(col("ts")) < 6, "night")
+      .when(hour(col("ts")) < 12, "morning")
+      .when(hour(col("ts")) < 18, "afternoon")
+      .otherwise("evening")
+    val obs = Tables.events(s, d)
+      .groupBy(col("event_type"), daypart.as("daypart"))
+      .agg(count(lit(1)).as("o"))
+    val rt = obs.groupBy(col("event_type").as("rt_type")).agg(sum(col("o")).as("r"))
+    val ct = obs.groupBy(col("daypart").as("ct_dp")).agg(sum(col("o")).as("c"))
+    val n = obs.agg(sum(col("o")).as("n"))
+    val e = col("r") * col("c") * lit(1.0) / col("n")
+    obs.join(broadcast(rt), col("event_type") === col("rt_type"))
+      .join(broadcast(ct), col("daypart") === col("ct_dp"))
+      .crossJoin(broadcast(n))
+      .agg(round(sum((col("o") - e) * (col("o") - e) / e), 4).as("chi2"),
+        ((countDistinct(col("event_type")) - 1)
+          * (countDistinct(col("daypart")) - 1)).as("dof"))
+  }
+
+  /** Gini coefficient of per-user purchase revenue (the corpus/revenue
+    * concentration audit): G = 2·Σ rkᵢxᵢ / (n·Σx) − (n+1)/n on
+    * ascending-sorted x. The rank comes from `Scale.globalRowNumber`
+    * bucketed by floor(x/100) — parallel ranking with a broadcast
+    * bucket-offset join, no single-partition window over the user
+    * table — and the statistic is one scalar aggregate. Ties rank by
+    * user_id in both engines. */
+  val qGini: Q = Q(
+    "q151_gini_concentration",
+    """WITH rev AS (
+      |  SELECT user_id, sum(value) AS x FROM events
+      |  WHERE event_type = 'purchase' GROUP BY user_id),
+      |ranked AS (
+      |  SELECT x, row_number() OVER (ORDER BY x, user_id) AS rk FROM rev)
+      |SELECT CAST(count(*) AS BIGINT) AS n_users,
+      |       round(sum(x), 2) AS total_revenue,
+      |       round(2.0 * sum(rk * x) / (count(*) * sum(x))
+      |             - (count(*) + 1.0) / count(*), 6) AS gini
+      |FROM ranked""".stripMargin
+  ) { (s, d) =>
+    val rev = Tables.events(s, d).filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(sum(col("value")).as("x"))
+    val ranked = Scale.globalRowNumber(rev, floor(col("x") / 100),
+      Seq(col("x"), col("user_id")), "rk")
+    ranked.agg(count(lit(1)).as("n_users"),
+      round(sum(col("x")), 2).as("total_revenue"),
+      round(lit(2.0) * sum(col("rk") * col("x"))
+        / (count(lit(1)) * sum(col("x")))
+        - (count(lit(1)) + lit(1.0)) / count(lit(1)), 6).as("gini"))
+  }
+
+  val all: Seq[Q] = Seq(qOls, qChi2, qGini)
+}
