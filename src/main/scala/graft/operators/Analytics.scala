@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
@@ -214,6 +215,132 @@ object Analytics {
       .orderBy(col("channel"))
   }
 
+  /** Frame profiler (pandas `df.info()`/dask `describe(include='all')`:
+    * the first look at an unknown table): per-column null count,
+    * distinct count, numeric min/max. ONE aggregate scan computes every
+    * metric (the multi-DISTINCT expand is ×k for k profiled columns —
+    * bounded by the schema width, documented trade for a single pass),
+    * then `stack` unpivots the 1-row result driver-side-free. Timestamps
+    * profile as µs epochs so no engine-specific string formatting leaks
+    * into the compare. */
+  val qProfile: Q = Q(
+    "q152_profile",
+    """WITH a AS (SELECT
+      |  count(*) AS n,
+      |  count(event_id) AS c1, count(DISTINCT event_id) AS d1,
+      |    min(event_id * 1.0) AS mn1, max(event_id * 1.0) AS mx1,
+      |  count(ts) AS c2, count(DISTINCT ts) AS d2,
+      |    min(epoch_us(ts) * 1.0) AS mn2, max(epoch_us(ts) * 1.0) AS mx2,
+      |  count(user_id) AS c3, count(DISTINCT user_id) AS d3,
+      |    min(user_id * 1.0) AS mn3, max(user_id * 1.0) AS mx3,
+      |  count(event_type) AS c4, count(DISTINCT event_type) AS d4,
+      |  count(value) AS c5, count(DISTINCT value) AS d5,
+      |    min(value) AS mn5, max(value) AS mx5,
+      |  count(props) AS c6, count(DISTINCT props) AS d6
+      |  FROM events)
+      |SELECT * FROM (
+      |  SELECT 'event_id' AS col, n - c1 AS n_null, d1 AS n_distinct,
+      |         round(mn1, 4) AS min_num, round(mx1, 4) AS max_num FROM a
+      |  UNION ALL SELECT 'ts', n - c2, d2, round(mn2, 4), round(mx2, 4) FROM a
+      |  UNION ALL SELECT 'user_id', n - c3, d3, round(mn3, 4), round(mx3, 4) FROM a
+      |  UNION ALL SELECT 'event_type', n - c4, d4, NULL, NULL FROM a
+      |  UNION ALL SELECT 'value', n - c5, d5, round(mn5, 4), round(mx5, 4) FROM a
+      |  UNION ALL SELECT 'props', n - c6, d6, NULL, NULL FROM a)
+      |ORDER BY col""".stripMargin
+  ) { (s, d) =>
+    val nullD = lit(null).cast("double")
+    val agg = Tables.events(s, d).agg(
+      count(lit(1)).as("n"),
+      count(col("event_id")).as("c1"), countDistinct(col("event_id")).as("d1"),
+      min(col("event_id") * 1.0).as("mn1"), max(col("event_id") * 1.0).as("mx1"),
+      count(col("ts")).as("c2"), countDistinct(col("ts")).as("d2"),
+      min(unix_micros(col("ts")) * 1.0).as("mn2"),
+      max(unix_micros(col("ts")) * 1.0).as("mx2"),
+      count(col("user_id")).as("c3"), countDistinct(col("user_id")).as("d3"),
+      min(col("user_id") * 1.0).as("mn3"), max(col("user_id") * 1.0).as("mx3"),
+      count(col("event_type")).as("c4"), countDistinct(col("event_type")).as("d4"),
+      count(col("value")).as("c5"), countDistinct(col("value")).as("d5"),
+      min(col("value")).as("mn5"), max(col("value")).as("mx5"),
+      count(col("props")).as("c6"), countDistinct(col("props")).as("d6"))
+    def row(name: String, c: String, dd: String, mn: Column, mx: Column) =
+      struct(lit(name).as("col"), (col("n") - col(c)).as("n_null"),
+        col(dd).as("n_distinct"), mn.as("min_num"), mx.as("max_num"))
+    agg.select(explode(array(
+        row("event_id", "c1", "d1", round(col("mn1"), 4), round(col("mx1"), 4)),
+        row("ts", "c2", "d2", round(col("mn2"), 4), round(col("mx2"), 4)),
+        row("user_id", "c3", "d3", round(col("mn3"), 4), round(col("mx3"), 4)),
+        row("event_type", "c4", "d4", nullD, nullD),
+        row("value", "c5", "d5", round(col("mn5"), 4), round(col("mx5"), 4)),
+        row("props", "c6", "d6", nullD, nullD))).as("r"))
+      .select(col("r.*"))
+      .orderBy(col("col"))
+  }
+
+  /** SCD2 compaction (gaps-and-islands): collapse a user's daily value
+    * tier into validity intervals [valid_from, valid_to] — the
+    * slowly-changing-dimension build every warehouse runs. Change flags
+    * via lag(), island ids via a running sum, then ONE groupBy per
+    * (user, island). All three windows share the (user_id, day) sort —
+    * a single exchange+sort at scale. Bounded to user_id < 20 so the
+    * interval table stays a readable fixture output. */
+  val qScd2: Q = Q(
+    "q153_scd2_intervals",
+    """WITH daily AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |         CAST(floor(avg(value) / 50) AS BIGINT) AS tier
+      |  FROM events WHERE user_id < 20 GROUP BY user_id, day),
+      |flagged AS (
+      |  SELECT user_id, day, tier,
+      |         CASE WHEN tier = lag(tier) OVER w THEN 0 ELSE 1 END AS chg
+      |  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      |islands AS (
+      |  SELECT user_id, day, tier,
+      |         sum(chg) OVER (PARTITION BY user_id ORDER BY day
+      |                        ROWS UNBOUNDED PRECEDING) AS seg
+      |  FROM flagged)
+      |SELECT user_id, min(day) AS valid_from, max(day) AS valid_to,
+      |       min(tier) AS tier, CAST(count(*) AS BIGINT) AS n_days
+      |FROM islands GROUP BY user_id, seg
+      |ORDER BY user_id, valid_from""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val daily = Tables.events(s, d).filter(col("user_id") < 20)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(floor(avg(col("value")) / 50).as("tier"))
+    val flagged = daily.withColumn("chg",
+      when(col("tier") === lag(col("tier"), 1).over(w), 0).otherwise(1))
+    val islands = flagged.withColumn("seg",
+      sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    islands.groupBy(col("user_id"), col("seg"))
+      .agg(min(col("day")).as("valid_from"), max(col("day")).as("valid_to"),
+        min(col("tier")).as("tier"), count(lit(1)).as("n_days"))
+      .drop("seg")
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
+  /** Per-user activity bitmap: day-of-month presence packed into one
+    * BIGINT via bit_or(1 << (day−1)) — the roaring-bitmap-style compact
+    * activity encoding (30 days → 8 bytes/user instead of a user×day
+    * table). n_days_active = popcount. One hash aggregate with map-side
+    * bit_or partials; the bitmap column then supports O(1) bitwise
+    * cohort intersections downstream. */
+  val qActivityBitmap: Q = Q(
+    "q154_activity_bitmap",
+    """SELECT user_id,
+      |       bit_or(CAST(1 AS BIGINT) << (day(ts) - 1)) AS bitmap,
+      |       CAST(bit_count(bit_or(CAST(1 AS BIGINT) << (day(ts) - 1)))
+      |            AS BIGINT) AS n_days_active
+      |FROM events WHERE user_id < 40
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+  ) { (s, d) =>
+    val bit = expr("shiftleft(CAST(1 AS BIGINT), day(ts) - 1)")
+    Tables.events(s, d).filter(col("user_id") < 40)
+      .groupBy(col("user_id"))
+      .agg(bit_or(bit).as("bitmap"),
+        bit_count(bit_or(bit)).cast("long").as("n_days_active"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[Q] = Seq(qFunnel, qRetention, qTimeToConvert, qTransitions,
-    qRollingWau, qAttribution)
+    qRollingWau, qAttribution, qProfile, qScd2, qActivityBitmap)
 }

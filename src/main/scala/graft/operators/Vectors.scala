@@ -1150,9 +1150,53 @@ object Vectors {
       .orderBy(col("probe_id"), col("rn"))
   }
 
+  /** Class-centroid similarity matrix (the embedding-space class-overlap
+    * audit: which label pairs are hardest to separate — the confusion
+    * heat-map a curation pipeline checks before training a classifier
+    * head). Centroids from ONE posexplode hash aggregate (labels×dims
+    * rows, v73's treeReduce shape), ROUNDED to 6 before the cosine so
+    * cross-engine fp summation order can't amplify (the v72 rounding
+    * discipline); the pair table is labels²-bounded, broadcast-joined.
+    * Dim-agnostic on the Spark side (folds derive from array length);
+    * the oracle stays fixture-pinned at 64. */
+  val qCentroidSim: Q = Q(
+    "v82_centroid_similarity",
+    """WITH p AS (SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+      |             CAST(embedding[i] AS DOUBLE) AS x
+      |           FROM embeddings, range(1, 65) r(i)),
+      |c AS (SELECT label, dim, round(avg(x), 6) AS v FROM p GROUP BY label, dim),
+      |vec AS (SELECT label, list(v ORDER BY dim) AS e FROM c GROUP BY label)
+      |SELECT a.label AS l1, b.label AS l2,
+      |  round(list_sum([a.e[i] * b.e[i] FOR i IN range(1, 65)]) /
+      |        (sqrt(list_sum([x * x FOR x IN a.e]))
+      |         * sqrt(list_sum([x * x FOR x IN b.e]))), 6) AS cos_sim
+      |FROM vec a JOIN vec b ON a.label < b.label
+      |ORDER BY l1, l2""".stripMargin
+  ) { (s, d) =>
+    val cent = Tables.embeddings(s, d)
+      .select(col("label"),
+        posexplode(transform(col("embedding"), x => x.cast("double")))
+          .as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("x")), 6).as("v"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("v")))),
+        sv => sv.getField("v")).as("e"))
+    def sq(a: org.apache.spark.sql.Column) =
+      aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x)
+    val a = cent.select(col("label").as("l1"), col("e").as("ea"))
+    val b = cent.select(col("label").as("l2"), col("e").as("eb"))
+    a.join(broadcast(b), col("l1") < col("l2"))
+      .select(col("l1"), col("l2"),
+        round(aggregate(zip_with(col("ea"), col("eb"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x)
+          / (sqrt(sq(col("ea"))) * sqrt(sq(col("eb")))), 6).as("cos_sim"))
+      .orderBy(col("l1"), col("l2"))
+  }
+
   val all: Seq[Q] = Seq(qCosineTopK, qKnnVote, qNormStats, qPairTopK,
     qLshAnn, qIvfAnn, qKmeansStep, qKmeansLloyd, qSemanticDedup,
     qMatmulProject, qGramMatrix, qKmeansUnrolled, qAxisReduce,
     qInt8Quantize, qMatryoshkaTopK, qPqAnn, qStandardizeDims,
-    qPowerIteration, qHardNegatives, qNormOutliers, qIvfPq)
+    qPowerIteration, qHardNegatives, qNormOutliers, qIvfPq, qCentroidSim)
 }

@@ -473,4 +473,31 @@ class PlanSpec extends AnyFunSuite {
       .head.getDouble(0)
     assert(d == 11.0)
   }
+
+  test("partitioned layout: day filter becomes a PartitionFilter (pruned scan)") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    // The 100 TB layout is a date-partitioned directory tree; a day
+    // predicate must prune directories at planning time (PartitionFilters),
+    // never run as a post-scan data filter over every file.
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    try {
+      Tables.events(spark, sf)
+        .withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("day").parquet(dir)
+      val pruned = spark.read.parquet(dir).filter(col("day") === "2024-01-03")
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") &&
+        plan.replaceAll("\\s+", " ").matches(".*PartitionFilters: \\[[^\\]]*day[^\\]]*\\].*"),
+        plan.take(1200))
+      // the pruned scan reads exactly the one partition's rows
+      val expected = Tables.events(spark, sf)
+        .filter(to_date(col("ts")) === "2024-01-03").count()
+      assert(pruned.count() == expected && expected > 0)
+    } finally {
+      val p = java.nio.file.Paths.get(dir)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }
