@@ -341,6 +341,76 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** Cohort LTV curve: cumulative purchase revenue per first-event-week
+    * cohort, normalized by cohort size — the lifetime-value trajectory
+    * read directly off q144's cohort frame. The cumulative window runs
+    * over the weeks²-bounded cohort table (never user-sized rows), and
+    * cohort sizes broadcast back onto it. */
+  val qLtvCurve: Q = Q(
+    "q155_cohort_ltv",
+    """WITH first_ev AS (
+      |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+      |  FROM events GROUP BY user_id),
+      |sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+      |       FROM first_ev GROUP BY cohort),
+      |rev AS (
+      |  SELECT f.cohort,
+      |         CAST(datediff('day', f.cohort,
+      |              CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INTEGER)
+      |           AS week_offset,
+      |         sum(e.value) AS rev
+      |  FROM events e JOIN first_ev f ON e.user_id = f.user_id
+      |  WHERE e.event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT r.cohort AS cohort, r.week_offset AS week_offset, sz.n_users,
+      |       round(sum(r.rev) OVER (PARTITION BY r.cohort ORDER BY r.week_offset)
+      |             / sz.n_users, 4) AS ltv_per_user
+      |FROM rev r JOIN sz ON r.cohort = sz.cohort
+      |ORDER BY cohort, week_offset""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val firstEv = ev.groupBy(col("user_id"))
+      .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort"))
+    val sz = firstEv.groupBy(col("cohort")).agg(count(lit(1)).as("n_users"))
+    val rev = ev.filter(col("event_type") === "purchase")
+      .join(firstEv, "user_id")
+      .groupBy(col("cohort"),
+        (datediff(to_date(date_trunc("week", col("ts"))), col("cohort")) / 7)
+          .cast("int").as("week_offset"))
+      .agg(sum(col("value")).as("rev"))
+    val wCum = Window.partitionBy(col("cohort")).orderBy(col("week_offset"))
+    rev.join(broadcast(sz), "cohort")
+      .select(col("cohort"), col("week_offset"), col("n_users"),
+        round(sum(col("rev")).over(wCum) / col("n_users"), 4).as("ltv_per_user"))
+      .orderBy(col("cohort"), col("week_offset"))
+  }
+
+  /** Top event paths (3-step Sankey / user-journey mining): trigrams of
+    * consecutive event types per user timeline via two lead()s sharing
+    * one (user, ts) sort, counted and cut to the top 10 — the path table
+    * is |types|³-bounded, so the final sort is a TakeOrdered over at
+    * most 125 rows. */
+  val qTopPaths: Q = Q(
+    "q156_top_paths",
+    """WITH seq AS (
+      |  SELECT event_type AS s1,
+      |         lead(event_type, 1) OVER w AS s2,
+      |         lead(event_type, 2) OVER w AS s3
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+      |SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
+      |FROM seq WHERE s3 IS NOT NULL
+      |GROUP BY s1, s2, s3 ORDER BY n DESC, s1, s2, s3 LIMIT 10""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    Tables.events(s, d)
+      .select(col("event_type").as("s1"),
+        lead(col("event_type"), 1).over(w).as("s2"),
+        lead(col("event_type"), 2).over(w).as("s3"))
+      .where(col("s3").isNotNull)
+      .groupBy(col("s1"), col("s2"), col("s3")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("s1"), col("s2"), col("s3")).limit(10)
+  }
+
   val all: Seq[Q] = Seq(qFunnel, qRetention, qTimeToConvert, qTransitions,
-    qRollingWau, qAttribution, qProfile, qScd2, qActivityBitmap)
+    qRollingWau, qAttribution, qProfile, qScd2, qActivityBitmap,
+    qLtvCurve, qTopPaths)
 }

@@ -405,6 +405,68 @@ object Retrieval {
         .as("cov_20"))
   }
 
+  /** Weighted PageRank over the token co-occurrence digraph (TextRank's
+    * substrate — keyword/centrality scoring for extractive salience).
+    * Two UNROLLED power iterations in one declarative plan (the v72
+    * fixed-iteration differential pattern): rank mass moves along bigram
+    * edges weighted by count/out-weight, d = 0.85, uniform init.
+    * Intermediate ranks round to 10 decimals in BOTH engines so fp
+    * summation order can't amplify across iterations; output rounds
+    * to 6. Scale shape: the rank table is |V|-bounded, each iteration
+    * is one edges⋈ranks shuffle join + a target-keyed aggregate —
+    * E-proportional work per iteration, never N×N; the open-iteration
+    * form runs one action per round with checkpoint release
+    * (Dedup.connectedComponents' loop discipline). */
+  val qTokenPageRank: Q = Q(
+    "t97_token_pagerank",
+    """WITH d AS (SELECT string_split(text, ' ') AS ts FROM documents),
+      |bg AS (SELECT ts[i] AS w1, ts[i + 1] AS w2
+      |       FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM d)),
+      |e AS (SELECT w1, w2, count(*) * 1.0 AS w FROM bg GROUP BY w1, w2),
+      |nodes AS (SELECT DISTINCT tok FROM
+      |          (SELECT w1 AS tok FROM e UNION SELECT w2 FROM e)),
+      |n AS (SELECT count(*) * 1.0 AS nn FROM nodes),
+      |outw AS (SELECT w1, sum(w) AS ow FROM e GROUP BY w1),
+      |r0 AS (SELECT tok, 1.0 / nn AS r FROM nodes CROSS JOIN n),
+      |m1 AS (SELECT e.w2 AS tok, sum(r0.r * e.w / outw.ow) AS m
+      |       FROM e JOIN outw ON e.w1 = outw.w1 JOIN r0 ON e.w1 = r0.tok
+      |       GROUP BY e.w2),
+      |r1 AS (SELECT nodes.tok,
+      |         round(0.15 / nn + 0.85 * coalesce(m1.m, 0), 10) AS r
+      |       FROM nodes CROSS JOIN n LEFT JOIN m1 ON nodes.tok = m1.tok),
+      |m2 AS (SELECT e.w2 AS tok, sum(r1.r * e.w / outw.ow) AS m
+      |       FROM e JOIN outw ON e.w1 = outw.w1 JOIN r1 ON e.w1 = r1.tok
+      |       GROUP BY e.w2),
+      |r2 AS (SELECT nodes.tok,
+      |         round(0.15 / nn + 0.85 * coalesce(m2.m, 0), 10) AS r
+      |       FROM nodes CROSS JOIN n LEFT JOIN m2 ON nodes.tok = m2.tok)
+      |SELECT tok, round(r, 6) AS pagerank FROM r2
+      |ORDER BY pagerank DESC, tok""".stripMargin
+  ) { (s, d) =>
+    val e = bigrams(tokenized(s, d))
+      .groupBy(col("w1"), col("w2")).agg((count(lit(1)) * lit(1.0)).as("w"))
+    val nodes = e.select(col("w1").as("tok"))
+      .union(e.select(col("w2"))).distinct()
+    val nTot = nodes.agg((count(lit(1)) * lit(1.0)).as("nn"))
+    val outw = e.groupBy(col("w1")).agg(sum(col("w")).as("ow"))
+    val eo = e.join(outw, "w1")
+    def step(prev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val m = eo.join(prev.withColumnRenamed("tok", "rtok"),
+          col("w1") === col("rtok"))
+        .groupBy(col("w2")).agg(sum(col("r") * col("w") / col("ow")).as("m"))
+      nodes.join(m, col("tok") === col("w2"), "left")
+        .crossJoin(broadcast(nTot))
+        .select(col("tok"),
+          round(lit(0.15) / col("nn") + lit(0.85) * coalesce(col("m"), lit(0.0)),
+            10).as("r"))
+    }
+    val r0 = nodes.crossJoin(broadcast(nTot))
+      .select(col("tok"), (lit(1.0) / col("nn")).as("r"))
+    val r2 = step(step(r0))
+    r2.select(col("tok"), round(col("r"), 6).as("pagerank"))
+      .orderBy(desc("pagerank"), col("tok"))
+  }
+
   val all: Seq[Q] = Seq(qBm25, qBigramBackoff, qZipfRankFreq, qTfIdfCosinePairs,
-    qBigramOov, qPmiCollocations, qKlDrift, qVocabCoverage)
+    qBigramOov, qPmiCollocations, qKlDrift, qVocabCoverage, qTokenPageRank)
 }

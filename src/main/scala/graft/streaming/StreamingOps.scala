@@ -154,4 +154,42 @@ object StreamingOps {
           Iterator.single(next)
       }
   }
+
+  case class FunnelProgress(user_id: Long, stage: Int, stage_ts_us: Long)
+
+  /** Stateful streaming funnel tracker — the live form of the batch
+    * funnel (Analytics q143): a per-user MONOTONE stage machine
+    * signup(1) → view(2) → purchase(3), each stage advancing only on an
+    * event STRICTLY after the recorded previous-stage time (so
+    * re-delivered/duplicate events can never advance it twice). State is
+    * 16 bytes/user. Within a micro-batch rows are sorted by event time
+    * (+ event_id) before folding; across batches the (stage, stage_ts)
+    * state carries the machine forward. Contract: a user's *stage*
+    * events must not arrive stage-inverted ACROSS batch boundaries
+    * (StreamingSpec feeds chronological chunks); full event-time
+    * disorder needs watermark buffering — the batch q143 is the
+    * backfill/repair form. */
+  def funnelStages(events: Dataset[Ev]): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelProgress](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[FunnelProgress]) =>
+          var st = state.getOption.getOrElse(FunnelProgress(user, 0, Long.MinValue))
+          rows.toVector.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val t = micros(e.ts)
+            st = (st.stage, e.event_type) match {
+              case (0, "signup") => FunnelProgress(user, 1, t)
+              case (1, "view") if t > st.stage_ts_us => FunnelProgress(user, 2, t)
+              case (2, "purchase") if t > st.stage_ts_us => FunnelProgress(user, 3, t)
+              case _ => st
+            }
+          }
+          state.update(st)
+          Iterator.single(st)
+      }
+  }
 }
