@@ -247,6 +247,51 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Scene-change detection (PySceneDetect-style content detector over
+    * the m74 frame stream): per-frame "intensity" is a decode-free
+    * deterministic scalar (first byte of the frame — a real decoder's
+    * luma mean slots in via m72's mapPartitions), a cut fires when the
+    * intensity jumps > 40 between CONSECUTIVE frames. lag() per doc over
+    * frame_idx — the window partitions on doc_id, so a 2-hour video's
+    * frames stay one partition while docs parallelize; per-doc output is
+    * 1 row. */
+  val qSceneChange: Q = Q(
+    "m77_scene_change",
+    """WITH idx AS (
+      |  SELECT doc_id, text,
+      |         unnest(range(0, CAST(ceil(length(text) / 16.0) AS BIGINT))) AS frame_idx
+      |  FROM documents WHERE doc_id < 100 AND length(text) > 0),
+      |f AS (SELECT doc_id, frame_idx,
+      |        ord(substr(text, CAST(frame_idx * 16 + 1 AS BIGINT), 1)) AS intensity
+      |      FROM idx),
+      |dlt AS (SELECT doc_id, frame_idx, intensity,
+      |          abs(intensity - lag(intensity) OVER
+      |              (PARTITION BY doc_id ORDER BY frame_idx)) > 40 AS cut
+      |        FROM f)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+      |       CAST(count(*) FILTER (WHERE cut) AS BIGINT) AS n_cuts,
+      |       min(CASE WHEN cut THEN frame_idx END) AS first_cut
+      |FROM dlt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val f = Tables.documents(s, d)
+      .filter(col("doc_id") < 100 && length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L),
+          ceil(length(col("text")) / 16.0).cast("long") - 1)).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        expr("ascii(substring(text, cast(frame_idx * 16 + 1 as int), 1))")
+          .as("intensity"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val dlt = f.withColumn("cut",
+      abs(col("intensity") - lag(col("intensity"), 1).over(w)) > 40)
+    dlt.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        count(when(col("cut"), lit(1))).as("n_cuts"),
+        min(when(col("cut"), col("frame_idx"))).as("first_cut"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(qBinaryMeta, qMediaFeatures, qMixedJoin, qFrameExplode,
-    qPatchGrid, qKeyframeSample)
+    qPatchGrid, qKeyframeSample, qSceneChange)
 }

@@ -169,5 +169,50 @@ object Scale {
       .orderBy(col("event_type"))
   }
 
-  val all: Seq[Q] = Seq(qSaltedAgg)
+  /** Z-order (Morton) layout audit — the multi-dimensional data-skipping
+    * story (Delta/Iceberg OPTIMIZE ZORDER): interleave the bits of two
+    * clustering keys (user bucket, day) so a 2-D box predicate touches
+    * few contiguous "blocks" instead of every day-linear block. The
+    * z-value is pure per-row bit arithmetic (codegen'd, identical SQL in
+    * both engines); blocks are z>>5 groups standing in for files; the
+    * output reports each block's min/max envelope and whether the box
+    * query [ub 4..7]×[day 10..13] would scan it — the min/max skipping
+    * decision a lakehouse makes from footer stats. */
+  val qZorderLayout: Q = Q(
+    "q157_zorder_layout",
+    """WITH c AS (
+      |  SELECT user_id % 16 AS ub, day(ts) - 1 AS d0 FROM events),
+      |z AS (SELECT ub, d0,
+      |        ((d0 & 1) << 0) | (((d0 >> 1) & 1) << 2) | (((d0 >> 2) & 1) << 4)
+      |      | (((d0 >> 3) & 1) << 6) | (((d0 >> 4) & 1) << 8)
+      |      | ((ub & 1) << 1) | (((ub >> 1) & 1) << 3) | (((ub >> 2) & 1) << 5)
+      |      | (((ub >> 3) & 1) << 7) AS zv
+      |      FROM c)
+      |SELECT zv >> 5 AS block, CAST(count(*) AS BIGINT) AS n_rows,
+      |       min(ub) AS min_ub, max(ub) AS max_ub,
+      |       min(d0) AS min_d0, max(d0) AS max_d0,
+      |       max(ub) >= 4 AND min(ub) <= 7 AND max(d0) >= 10 AND min(d0) <= 13
+      |         AS would_scan
+      |FROM z GROUP BY block ORDER BY block""".stripMargin
+  ) { (s, d) =>
+    // shiftleft/shiftright spellings: the >>/<< operator forms are
+    // DuckDB-only; Spark's functions are the codegen'd equivalents
+    val zbits = ((0 until 5).map(i =>
+      s"shiftleft(shiftright(d0, $i) & 1, ${2 * i})") ++
+      (0 until 4).map(i =>
+        s"shiftleft(shiftright(ub, $i) & 1, ${2 * i + 1})")).mkString(" | ")
+    graft.Tables.events(s, d)
+      .select((col("user_id") % 16).as("ub"),
+        (dayofmonth(col("ts")) - 1).cast("long").as("d0"))
+      .withColumn("zv", expr(zbits))
+      .groupBy((col("zv") / 32).cast("long").as("block"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("ub")).as("min_ub"), max(col("ub")).as("max_ub"),
+        min(col("d0")).as("min_d0"), max(col("d0")).as("max_d0"),
+        (max(col("ub")) >= 4 && min(col("ub")) <= 7 &&
+          max(col("d0")) >= 10 && min(col("d0")) <= 13).as("would_scan"))
+      .orderBy(col("block"))
+  }
+
+  val all: Seq[Q] = Seq(qSaltedAgg, qZorderLayout)
 }

@@ -115,5 +115,97 @@ object Stats {
         - (count(lit(1)) + lit(1.0)) / count(lit(1)), 6).as("gini"))
   }
 
-  val all: Seq[Q] = Seq(qOls, qChi2, qGini)
+  /** Day-of-week seasonal anomaly detection: z-score each day's
+    * purchase revenue against its weekday's mean/std (the STL-lite
+    * seasonal baseline an ops dashboard runs). Daily aggregate → 7-row
+    * weekday stats broadcast back → map-side z-score. Weekday parity:
+    * Spark `weekday()` is 0=Monday, DuckDB `isodow()` is 1=Monday —
+    * aligned as weekday+1. */
+  val qSeasonalAnomaly: Q = Q(
+    "q158_seasonal_anomaly",
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |         isodow(ts) AS dow, round(sum(value), 2) AS rev
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |sea AS (SELECT dow, avg(rev) AS mu, stddev_samp(rev) AS sd,
+      |               CAST(count(*) AS BIGINT) AS n_obs
+      |        FROM daily GROUP BY dow)
+      |SELECT day, daily.dow AS dow, rev,
+      |       round((rev - mu) / sd, 4) AS z,
+      |       abs((rev - mu) / sd) > 1.5 AS anomaly
+      |FROM daily JOIN sea ON daily.dow = sea.dow
+      |ORDER BY day""".stripMargin
+  ) { (s, d) =>
+    val daily = Tables.events(s, d).filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"),
+        (expr("weekday(ts)") + 1).cast("long").as("dow"))
+      .agg(round(sum(col("value")), 2).as("rev"))
+    val sea = daily.groupBy(col("dow").as("s_dow"))
+      .agg(avg(col("rev")).as("mu"), stddev_samp(col("rev")).as("sd"),
+        count(lit(1)).as("n_obs"))
+    daily.join(broadcast(sea), col("dow") === col("s_dow"))
+      .select(col("day"), col("dow"), col("rev"),
+        round((col("rev") - col("mu")) / col("sd"), 4).as("z"),
+        (abs((col("rev") - col("mu")) / col("sd")) > 1.5).as("anomaly"))
+      .orderBy(col("day"))
+  }
+
+  /** cume_dist — the one SQL ranking function the surface didn't yet
+    * demonstrate (pandas `rank(pct=True, method='max')` semantics).
+    * Partitioned per user, so no global window; ties share a value (both
+    * engines define cume_dist as rows ≤ current / rows). */
+  val qCumeDist: Q = Q(
+    "q159_cume_dist",
+    """SELECT user_id, event_id, value,
+      |       round(cume_dist() OVER (PARTITION BY user_id ORDER BY value), 6)
+      |         AS pct_at_or_below
+      |FROM events WHERE user_id < 5
+      |ORDER BY user_id, value, event_id""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("value"))
+    Tables.events(s, d).filter(col("user_id") < 5)
+      .select(col("user_id"), col("event_id"), col("value"),
+        round(cume_dist().over(w), 6).as("pct_at_or_below"))
+      .orderBy(col("user_id"), col("value"), col("event_id"))
+  }
+
+  /** Skewness/kurtosis per group — computed from raw moments with ONE
+    * written-out formula instead of the builtins, because Spark's
+    * `skewness` is the population g1 while DuckDB's is the
+    * bias-corrected sample form: silently different numbers from the
+    * same data. Raw moments come from a single map-side-combined
+    * aggregate; the central-moment algebra is identical text in both
+    * engines. */
+  val qHigherMoments: Q = Q(
+    "q160_higher_moments",
+    """WITH m AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |         avg(value) AS m1, avg(value * value) AS p2,
+      |         avg(value * value * value) AS p3,
+      |         avg(value * value * value * value) AS p4
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, n,
+      |  round((p3 - 3 * m1 * p2 + 2 * m1 * m1 * m1)
+      |        / power(p2 - m1 * m1, 1.5), 6) AS skew_g1,
+      |  round((p4 - 4 * m1 * p3 + 6 * m1 * m1 * p2 - 3 * m1 * m1 * m1 * m1)
+      |        / ((p2 - m1 * m1) * (p2 - m1 * m1)) - 3, 6) AS kurt_excess
+      |FROM m ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    val v = col("value")
+    val m = Tables.events(s, d).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), avg(v).as("m1"), avg(v * v).as("p2"),
+        avg(v * v * v).as("p3"), avg(v * v * v * v).as("p4"))
+    val (m1, p2, p3, p4) = (col("m1"), col("p2"), col("p3"), col("p4"))
+    m.select(col("event_type"), col("n"),
+        round((p3 - lit(3) * m1 * p2 + lit(2) * m1 * m1 * m1)
+          / pow(p2 - m1 * m1, 1.5), 6).as("skew_g1"),
+        round((p4 - lit(4) * m1 * p3 + lit(6) * m1 * m1 * p2
+          - lit(3) * m1 * m1 * m1 * m1)
+          / ((p2 - m1 * m1) * (p2 - m1 * m1)) - lit(3), 6).as("kurt_excess"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[Q] = Seq(qOls, qChi2, qGini, qSeasonalAnomaly, qCumeDist,
+    qHigherMoments)
 }
