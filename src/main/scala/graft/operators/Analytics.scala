@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
@@ -410,7 +410,222 @@ object Analytics {
       .orderBy(desc("n"), col("s1"), col("s2"), col("s3")).limit(10)
   }
 
+  /** Session-level distribution summary over q45's session frame
+    * (duration minutes, events/session, value/session): the "how do
+    * sessions look" dashboard scalar row. Same two shared-sort windows
+    * as q45, then one global 1-row aggregate. */
+  val qSessionStats: Q = Q(
+    "q161_session_stats",
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |         >= 1800000000 THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged),
+      |s AS (SELECT user_id, session_id,
+      |        (epoch_us(max(ts)) - epoch_us(min(ts))) / 60000000.0 AS mins,
+      |        count(*) AS n_events, sum(value) AS v
+      |      FROM sessions GROUP BY user_id, session_id)
+      |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+      |       round(avg(mins), 4) AS avg_minutes,
+      |       round(median(mins), 4) AS med_minutes,
+      |       round(avg(n_events), 4) AS avg_events,
+      |       round(avg(v), 4) AS avg_value
+      |FROM s""".stripMargin
+  ) { (s, d) =>
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val running = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("new_session",
+        when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
+          >= 1800000000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(running))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+        / lit(60000000.0)).as("mins"),
+        count(lit(1)).as("n_events"), sum(col("value")).as("v"))
+      .agg(count(lit(1)).as("n_sessions"),
+        round(avg(col("mins")), 4).as("avg_minutes"),
+        round(expr("percentile(mins, 0.5)"), 4).as("med_minutes"),
+        round(avg(col("n_events")), 4).as("avg_events"),
+        round(avg(col("v")), 4).as("avg_value"))
+  }
+
+  /** Share-of-total contribution (`ratio_to_report`): each event type's
+    * revenue share. The SQL-window form puts every row in ONE unbounded
+    * frame; here the total is a 1-row broadcast cross join onto the
+    * category-bounded aggregate — the scale-safe spelling. */
+  val qShareOfTotal: Q = Q(
+    "q162_share_of_total",
+    """WITH tot AS (SELECT sum(value) AS t FROM events)
+      |SELECT event_type, round(sum(value), 2) AS revenue,
+      |       round(sum(value) / t, 6) AS share
+      |FROM events CROSS JOIN tot GROUP BY event_type, t
+      |ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val tot = ev.agg(sum(col("value")).as("t"))
+    ev.groupBy(col("event_type"))
+      .agg(round(sum(col("value")), 2).as("revenue"), sum(col("value")).as("_s"))
+      .crossJoin(broadcast(tot))
+      .select(col("event_type"), col("revenue"),
+        round(col("_s") / col("t"), 6).as("share"))
+      .orderBy(col("event_type"))
+  }
+
+  /** RFM segmentation (marketing's recency/frequency/monetary quintile
+    * grid): each dimension ranks through `Scale.globalRowNumber` +
+    * `ntileFromRowNumber` — SQL-ntile semantics with NO single-partition
+    * window even at 10⁹ customers (the oracle's plain ntile() is the
+    * semantics contract, not the plan). Output is the segment grid
+    * (≤125 cells), never user-sized. */
+  val qRfm: Q = Q(
+    "q163_rfm_segments",
+    """WITH rfm AS (
+      |  SELECT user_id, max(epoch_us(ts)) AS r_us,
+      |         CAST(count(*) AS BIGINT) AS f, sum(value) AS m
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |q AS (SELECT ntile(5) OVER (ORDER BY r_us, user_id) AS r_q,
+      |             ntile(5) OVER (ORDER BY f, user_id) AS f_q,
+      |             ntile(5) OVER (ORDER BY m, user_id) AS m_q,
+      |             m FROM rfm)
+      |SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_users,
+      |       round(sum(m), 2) AS monetary
+      |FROM q GROUP BY r_q, f_q, m_q ORDER BY r_q, f_q, m_q""".stripMargin
+  ) { (s, d) =>
+    val rfm = Tables.events(s, d).filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("r_us"), count(lit(1)).as("f"),
+        sum(col("value")).as("m"))
+    // metric-banded buckets keep each globalRowNumber partition bounded
+    val day = 86400000000L
+    def quintile(df: DataFrame, metric: Column, bucket: Column,
+        out: String): DataFrame = {
+      val ranked = graft.operators.Scale.globalRowNumber(df, bucket,
+        Seq(metric, col("user_id")), "_rn")
+      val n1 = df.agg(count(lit(1)).as("_n"))
+      ranked.join(broadcast(n1), lit(true))
+        .withColumn(out, graft.operators.Scale.ntileFromRowNumber(
+          col("_rn"), col("_n"), 5))
+        .drop("_rn", "_n")
+    }
+    val q1 = quintile(rfm, col("r_us"), floor(col("r_us") / day), "r_q")
+    val q2 = quintile(q1, col("f"), floor(col("f") / 5), "f_q")
+    val q3 = quintile(q2, col("m"), floor(col("m") / 500), "m_q")
+    q3.groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_users"), round(sum(col("m")), 2).as("monetary"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
+  /** Growth accounting (the new/retained/resurrected/churned weekly
+    * ledger): per-user week classification from ONE (user, week) window
+    * pass; churn falls out of the week-level ledger as
+    * prev-week actives − current retained, via a weeks-bounded broadcast
+    * self-join (no global window, no second scan of the event log). */
+  val qGrowthAccounting: Q = Q(
+    "q164_growth_accounting",
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      |  FROM events),
+      |classed AS (
+      |  SELECT wk,
+      |    CASE WHEN wk = min(wk) OVER (PARTITION BY user_id) THEN 'new'
+      |         WHEN lag(wk) OVER (PARTITION BY user_id ORDER BY wk) = wk - 7
+      |           THEN 'retained'
+      |         ELSE 'resurrected' END AS cls
+      |  FROM uw),
+      |weekly AS (
+      |  SELECT wk,
+      |    CAST(count(*) FILTER (WHERE cls = 'new') AS BIGINT) AS n_new,
+      |    CAST(count(*) FILTER (WHERE cls = 'retained') AS BIGINT) AS n_retained,
+      |    CAST(count(*) FILTER (WHERE cls = 'resurrected') AS BIGINT)
+      |      AS n_resurrected,
+      |    CAST(count(*) AS BIGINT) AS n_active
+      |  FROM classed GROUP BY wk)
+      |SELECT w.wk AS wk, w.n_new, w.n_retained, w.n_resurrected, w.n_active,
+      |       coalesce(p.n_active - w.n_retained, 0) AS n_churned
+      |FROM weekly w LEFT JOIN weekly p ON p.wk = w.wk - 7
+      |ORDER BY wk""".stripMargin
+  ) { (s, d) =>
+    val uw = Tables.events(s, d)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+      .distinct()
+    val wAll = Window.partitionBy(col("user_id"))
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+    val classed = uw.select(col("wk"),
+      when(col("wk") === min(col("wk")).over(wAll), "new")
+        .when(lag(col("wk"), 1).over(wOrd) === date_sub(col("wk"), 7), "retained")
+        .otherwise("resurrected").as("cls"))
+    val weekly = classed.groupBy(col("wk")).agg(
+      count(when(col("cls") === "new", 1)).as("n_new"),
+      count(when(col("cls") === "retained", 1)).as("n_retained"),
+      count(when(col("cls") === "resurrected", 1)).as("n_resurrected"),
+      count(lit(1)).as("n_active"))
+    val prev = weekly.select((col("wk") + expr("INTERVAL 7 DAYS")).cast("date")
+      .as("wk"), col("n_active").as("_pa"))
+    weekly.join(broadcast(prev), Seq("wk"), "left")
+      .select(col("wk"), col("n_new"), col("n_retained"), col("n_resurrected"),
+        col("n_active"),
+        coalesce(col("_pa") - col("n_retained"), lit(0L)).as("n_churned"))
+      .orderBy(col("wk"))
+  }
+
+  /** Data-expectations audit (the Great-Expectations/dbt-test contract
+    * sweep): declared rules → violation counts in one result frame.
+    * Range/null rules are conditional counts inside single passes;
+    * referential integrity is an anti join against the broadcast-able
+    * key side; uniqueness re-aggregates the key groupBy. Violations
+    * REPORT here (the audit form); `Joins.mergeValidated` is the
+    * fail-loud in-plan form of the same contract. */
+  val qExpectations: Q = Q(
+    "q165_expectations",
+    """SELECT * FROM (
+      |  SELECT 'lineitem_qty_range' AS rule,
+      |    CAST(count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+      |      AS BIGINT) AS n_violations FROM lineitem
+      |  UNION ALL SELECT 'orders_price_positive',
+      |    CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT) FROM orders
+      |  UNION ALL SELECT 'orders_custkey_not_null',
+      |    CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) FROM orders
+      |  UNION ALL SELECT 'orders_custkey_fk',
+      |    (SELECT CAST(count(*) AS BIGINT) FROM orders o
+      |     LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |     WHERE c.c_custkey IS NULL)
+      |  UNION ALL SELECT 'lineitem_pk_unique',
+      |    (SELECT CAST(coalesce(sum(cnt - 1), 0) AS BIGINT) FROM
+      |     (SELECT count(*) AS cnt FROM lineitem
+      |      GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)))
+      |ORDER BY rule""".stripMargin
+  ) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    def r(name: String, cnt: DataFrame): DataFrame =
+      cnt.select(lit(name).as("rule"), col("n").cast("long").as("n_violations"))
+    val r1 = r("lineitem_qty_range", li.agg(
+      count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1)).as("n")))
+    val r2 = r("orders_price_positive", o.agg(
+      count(when(col("o_totalprice") <= 0, 1)).as("n")))
+    val r3 = r("orders_custkey_not_null", o.agg(
+      count(when(col("o_custkey").isNull, 1)).as("n")))
+    val r4 = r("orders_custkey_fk", o.join(c,
+      col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n")))
+    val r5 = r("lineitem_pk_unique", li
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+      .agg(coalesce(sum(col("cnt") - 1), lit(0L)).as("n")))
+    r1.union(r2).union(r3).union(r4).union(r5).orderBy(col("rule"))
+  }
+
   val all: Seq[Q] = Seq(qFunnel, qRetention, qTimeToConvert, qTransitions,
     qRollingWau, qAttribution, qProfile, qScd2, qActivityBitmap,
-    qLtvCurve, qTopPaths)
+    qLtvCurve, qTopPaths, qSessionStats, qShareOfTotal, qRfm,
+    qGrowthAccounting, qExpectations)
 }
