@@ -624,8 +624,68 @@ object Analytics {
     r1.union(r2).union(r3).union(r4).union(r5).orderBy(col("rule"))
   }
 
+  /** Point-in-time-correct feature join (the feature-store leakage
+    * guard): each label event is enriched with the LATEST weekly feature
+    * snapshot whose validity start (week end) is at-or-before the label
+    * time — features never see the label's own week. Same union + one
+    * shuffle + ordered-window as-of machinery as q46 (snapshot kind
+    * sorts first at ties → inclusive bound, ASOF `>=`); the snapshot
+    * side is (user × week)-bounded, cumulated by a per-user window
+    * BEFORE the join, so the event log is scanned once per side and
+    * nothing user-sized crosses a broadcast. */
+  val qPitFeatures: Q = Q(
+    "q166_point_in_time_features",
+    """WITH wk AS (
+      |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS w,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS r
+      |  FROM events GROUP BY user_id, w),
+      |snap AS (
+      |  SELECT user_id, CAST(w + 7 AS TIMESTAMP) AS snap_ts,
+      |         CAST(sum(n) OVER (PARTITION BY user_id ORDER BY w) AS BIGINT)
+      |           AS cum_events,
+      |         round(sum(r) OVER (PARTITION BY user_id ORDER BY w), 2) AS cum_rev
+      |  FROM wk),
+      |lbl AS (SELECT event_id, user_id, ts, value FROM events
+      |        WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-15')
+      |SELECT l.event_id, l.user_id, l.value,
+      |       s.cum_events AS feat_cum_events, s.cum_rev AS feat_cum_rev
+      |FROM lbl l ASOF LEFT JOIN snap s
+      |  ON l.user_id = s.user_id AND l.ts >= s.snap_ts
+      |ORDER BY l.event_id""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val wk = ev.groupBy(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0))).as("r"))
+    val wCum = Window.partitionBy(col("user_id")).orderBy(col("w"))
+    val snap = wk.select(col("user_id"),
+      date_add(col("w"), 7).cast("timestamp").as("ts"), lit(0).as("kind"),
+      lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"),
+      sum(col("n")).over(wCum).as("s_events"),
+      round(sum(col("r")).over(wCum), 2).as("s_rev"))
+    val lbl = ev.filter(col("event_type") === "purchase" &&
+        col("ts") >= lit("2024-01-15").cast("timestamp"))
+      .select(col("user_id"), col("ts"), lit(1).as("kind"), col("event_id"),
+        col("value"), lit(null).cast("long").as("s_events"),
+        lit(null).cast("double").as("s_rev"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    snap.unionByName(lbl)
+      .withColumn("feat_cum_events",
+        last(col("s_events"), ignoreNulls = true).over(w))
+      .withColumn("feat_cum_rev", last(col("s_rev"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("feat_cum_events"), col("feat_cum_rev"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[Q] = Seq(qFunnel, qRetention, qTimeToConvert, qTransitions,
     qRollingWau, qAttribution, qProfile, qScd2, qActivityBitmap,
     qLtvCurve, qTopPaths, qSessionStats, qShareOfTotal, qRfm,
-    qGrowthAccounting, qExpectations)
+    qGrowthAccounting, qExpectations, qPitFeatures)
 }

@@ -206,6 +206,63 @@ object Stats {
       .orderBy(col("event_type"))
   }
 
+  /** A/B experiment readout: users assigned to arms by the q104
+    * deterministic md5 bucket (stable under reruns/appends — the
+    * experimentation-platform assignment contract), conversion = any
+    * purchase in the measurement window; two-proportion pooled z
+    * statistic computed from the 2-row arm table. One user-keyed
+    * aggregate + a 2-row pivot — the raw log is scanned once. */
+  val qAbTest: Q = Q(
+    "q167_ab_test",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CASE WHEN (ascii(substr(md5('graft-ab-1:' || CAST(user_id AS VARCHAR)), 1, 1)) * 131
+      |         + ascii(substr(md5('graft-ab-1:' || CAST(user_id AS VARCHAR)), 2, 1))) % 2 = 0
+      |         THEN 'control' ELSE 'treatment' END AS arm,
+      |    max(CASE WHEN event_type = 'purchase' AND value >= 180
+      |             AND ts >= TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY user_id, arm),
+      |a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(conv) AS BIGINT) AS x FROM u GROUP BY arm),
+      |w AS (SELECT
+      |  max(CASE WHEN arm = 'control' THEN n END) AS n_c,
+      |  max(CASE WHEN arm = 'control' THEN x END) AS x_c,
+      |  max(CASE WHEN arm = 'treatment' THEN n END) AS n_t,
+      |  max(CASE WHEN arm = 'treatment' THEN x END) AS x_t FROM a)
+      |SELECT n_c, x_c, n_t, x_t,
+      |  round(x_c * 1.0 / n_c, 6) AS p_c, round(x_t * 1.0 / n_t, 6) AS p_t,
+      |  round((x_t * 1.0 / n_t - x_c * 1.0 / n_c)
+      |    / sqrt(((x_c + x_t) * 1.0 / (n_c + n_t))
+      |           * (1 - (x_c + x_t) * 1.0 / (n_c + n_t))
+      |           * (1.0 / n_c + 1.0 / n_t)), 4) AS z
+      |FROM w""".stripMargin
+  ) { (s, d) =>
+    val k = md5(concat(lit("graft-ab-1:"), col("user_id").cast("string")))
+    val u = Tables.events(s, d)
+      .withColumn("arm",
+        when((ascii(substring(k, 1, 1)) * 131 + ascii(substring(k, 2, 1))) % 2
+          === 0, "control").otherwise("treatment"))
+      .groupBy(col("user_id"), col("arm"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") >= 180 &&
+        col("ts") >= lit("2024-01-15").cast("timestamp"), 1).otherwise(0))
+        .as("conv"))
+    val a = u.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("x"))
+    val w = a.agg(
+      max(when(col("arm") === "control", col("n"))).as("n_c"),
+      max(when(col("arm") === "control", col("x"))).as("x_c"),
+      max(when(col("arm") === "treatment", col("n"))).as("n_t"),
+      max(when(col("arm") === "treatment", col("x"))).as("x_t"))
+    val (nc, xc, nt, xt) = (col("n_c"), col("x_c"), col("n_t"), col("x_t"))
+    val pPool = (xc + xt) * lit(1.0) / (nc + nt)
+    w.select(nc, xc, nt, xt,
+      round(xc * lit(1.0) / nc, 6).as("p_c"),
+      round(xt * lit(1.0) / nt, 6).as("p_t"),
+      round((xt * lit(1.0) / nt - xc * lit(1.0) / nc)
+        / sqrt(pPool * (lit(1) - pPool) * (lit(1.0) / nc + lit(1.0) / nt)), 4)
+        .as("z"))
+  }
+
   val all: Seq[Q] = Seq(qOls, qChi2, qGini, qSeasonalAnomaly, qCumeDist,
-    qHigherMoments)
+    qHigherMoments, qAbTest)
 }
