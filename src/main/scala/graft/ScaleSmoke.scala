@@ -388,6 +388,57 @@ object ScaleSmoke {
         .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
       s3.count()
     }
+    time("rfm quintile grid (q163 shape)", nEvents) {
+      // three metric-banded globalRowNumber + ntile passes over the
+      // 100k-user RFM frame — the no-single-partition-window ranking
+      // discipline at its real cardinality
+      val rfm = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"))
+        .agg(max(col("ts").cast("long")).as("r_s"),
+          count(lit(1)).as("f"), sum(col("value")).as("m"))
+      def quintile(df: org.apache.spark.sql.DataFrame,
+          metric: org.apache.spark.sql.Column,
+          bucket: org.apache.spark.sql.Column, out: String) = {
+        val ranked = operators.Scale.globalRowNumber(df, bucket,
+          Seq(metric, col("user_id")), "_rn")
+        val n1 = df.agg(count(lit(1)).as("_n"))
+        ranked.join(broadcast(n1), lit(true))
+          .withColumn(out,
+            operators.Scale.ntileFromRowNumber(col("_rn"), col("_n"), 5))
+          .drop("_rn", "_n")
+      }
+      val q1 = quintile(rfm, col("r_s"), floor(col("r_s") / 3600), "r_q")
+      val q2 = quintile(q1, col("f"), floor(col("f") / 50), "f_q")
+      val q3 = quintile(q2, col("m"), floor(col("m") / 5000), "m_q")
+      q3.groupBy(col("r_q"), col("f_q"), col("m_q"))
+        .agg(count(lit(1))).count()
+    }
+    time("token pagerank 2 iter (t97 shape)", nDocs) {
+      // ~60k-node / 20M-bigram token digraph: each iteration is one
+      // edges⋈ranks shuffle join + a target-keyed aggregate
+      val d2 = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      val bg = d2.select(explode(transform(sequence(lit(0), size(col("ts")) - 2),
+          i => struct(element_at(col("ts"), i + 1).as("w1"),
+            element_at(col("ts"), i + 2).as("w2")))).as("b"))
+        .select(col("b.w1"), col("b.w2"))
+      val e = bg.groupBy(col("w1"), col("w2")).agg((count(lit(1)) * lit(1.0)).as("w"))
+      val nodes = e.select(col("w1").as("tok")).union(e.select(col("w2"))).distinct()
+      val nTot = nodes.agg((count(lit(1)) * lit(1.0)).as("nn"))
+      val outw = e.groupBy(col("w1")).agg(sum(col("w")).as("ow"))
+      val eo = e.join(outw, "w1")
+      def step(prev: org.apache.spark.sql.DataFrame) = {
+        val m = eo.join(prev.withColumnRenamed("tok", "rtok"),
+            col("w1") === col("rtok"))
+          .groupBy(col("w2")).agg(sum(col("r") * col("w") / col("ow")).as("m"))
+        nodes.join(m, col("tok") === col("w2"), "left")
+          .crossJoin(broadcast(nTot))
+          .select(col("tok"), (lit(0.15) / col("nn")
+            + lit(0.85) * coalesce(col("m"), lit(0.0))).as("r"))
+      }
+      val r0 = nodes.crossJoin(broadcast(nTot))
+        .select(col("tok"), (lit(1.0) / col("nn")).as("r"))
+      step(step(r0)).count()
+    }
     time("rolling distinct actives (q147 shape)", nEvents) {
       // WAU shape on 10-min buckets (the synthetic span is hours, not
       // days): each distinct (user, bucket) explodes to the 7 windows it

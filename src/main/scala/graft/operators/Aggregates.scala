@@ -553,9 +553,33 @@ object Aggregates {
       .orderBy(col("l_returnflag"))
   }
 
+  /** pivot_table(margins=True): the contingency table WITH its 'All'
+    * totals row and total column (pandas margins). Row margin rides the
+    * ROLLUP (one extra grouping set on the same shuffle); the column
+    * margin is just another conditional count — no second scan, no
+    * union of aggregates. */
+  val qPivotMargins: Q = Q(
+    "q169_pivot_margins",
+    """SELECT coalesce(event_type, 'All') AS event_type,
+      |  CAST(count(*) FILTER (WHERE hour(ts) < 12) AS BIGINT) AS am,
+      |  CAST(count(*) FILTER (WHERE hour(ts) >= 12) AS BIGINT) AS pm,
+      |  CAST(count(*) AS BIGINT) AS total
+      |FROM events GROUP BY ROLLUP(event_type)
+      |ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .rollup(col("event_type"))
+      .agg(count(when(hour(col("ts")) < 12, 1)).as("am"),
+        count(when(hour(col("ts")) >= 12, 1)).as("pm"),
+        count(lit(1)).as("total"))
+      .select(coalesce(col("event_type"), lit("All")).as("event_type"),
+        col("am"), col("pm"), col("total"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(qStats, qCountDistinct, qApproxDistinct, qValueCounts,
     qApproxQuantiles,
     qPivot, qRollup, qCube, qQuantiles, qCorr, qMinMaxBy, qGlobalAgg, qDescribe,
     qGroupTransform, qBinning, qQcut, qGroupMode, qQcutPerGroup, qWeightedStats,
-    qPivotMultiAgg, qWinsorize)
+    qPivotMultiAgg, qWinsorize, qPivotMargins)
 }

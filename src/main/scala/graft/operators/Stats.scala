@@ -263,6 +263,41 @@ object Stats {
         .as("z"))
   }
 
+  /** pandas `df.corrwith(other)`: column-wise correlation between two
+    * keyed frames — here each user's first-half vs second-half (n_events,
+    * revenue), the period-over-period stability check. Two user-keyed
+    * aggregates from conditional counts on ONE scan, an inner join on
+    * the key, then corr() per matching column pair. Both engines' corr
+    * is sample Pearson (the n/(n−1) factors cancel in the ratio). */
+  val qCorrWith: Q = Q(
+    "q168_corrwith",
+    """WITH j AS (
+      |  SELECT user_id,
+      |    CAST(count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-15') AS BIGINT) AS an,
+      |    sum(value) FILTER (WHERE ts < TIMESTAMP '2024-01-15') AS ar,
+      |    CAST(count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-15') AS BIGINT) AS bn,
+      |    sum(value) FILTER (WHERE ts >= TIMESTAMP '2024-01-15') AS br
+      |  FROM events GROUP BY user_id
+      |  HAVING an > 0 AND bn > 0)
+      |SELECT * FROM (
+      |  SELECT 'n_events' AS metric, round(corr(an, bn), 6) AS corr_ab FROM j
+      |  UNION ALL SELECT 'revenue', round(corr(ar, br), 6) FROM j)
+      |ORDER BY metric""".stripMargin
+  ) { (s, d) =>
+    val cut = lit("2024-01-15").cast("timestamp")
+    val j = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(count(when(col("ts") < cut, 1)).as("an"),
+        sum(when(col("ts") < cut, col("value"))).as("ar"),
+        count(when(col("ts") >= cut, 1)).as("bn"),
+        sum(when(col("ts") >= cut, col("value"))).as("br"))
+      .filter(col("an") > 0 && col("bn") > 0)
+    val rn = j.agg(round(corr(col("an"), col("bn")), 6).as("corr_ab"))
+      .select(lit("n_events").as("metric"), col("corr_ab"))
+    val rr = j.agg(round(corr(col("ar"), col("br")), 6).as("corr_ab"))
+      .select(lit("revenue").as("metric"), col("corr_ab"))
+    rn.union(rr).orderBy(col("metric"))
+  }
+
   val all: Seq[Q] = Seq(qOls, qChi2, qGini, qSeasonalAnomaly, qCumeDist,
-    qHigherMoments, qAbTest)
+    qHigherMoments, qAbTest, qCorrWith)
 }

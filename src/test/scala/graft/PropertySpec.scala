@@ -203,4 +203,26 @@ class PropertySpec extends AnyFunSuite {
     }
     assert(pairs(0L) == pairs(1L) && pairs(0L) != pairs(2L))
   }
+
+  test("ntileFromRowNumber obeys SQL NTILE laws for any n and k") {
+    import spark.implicits._
+    // laws: tiles ascend with rn, sizes differ by ≤1, the first (n mod k)
+    // tiles are the larger ones, and the result equals WindowExec's ntile
+    forAllSeeded(Gen.zip(Gen.choose(1, 97), Gen.choose(1, 11)), seeds = 8) {
+      case (n, k) =>
+        val df = spark.range(1, n + 1).toDF("rn")
+          .withColumn("_n", lit(n.toLong))
+        val got = df.withColumn("tile",
+            operators.Scale.ntileFromRowNumber(col("rn"), col("_n"), k))
+          .select("rn", "tile").as[(Long, Long)].collect().sortBy(_._1)
+        val want = spark.range(1, n + 1).toDF("rn")
+          .withColumn("tile", ntile(k).over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("rn"))))
+          .select(col("rn"), col("tile").cast("long")).as[(Long, Long)]
+          .collect().sortBy(_._1)
+        assert(got.toSeq == want.toSeq, s"n=$n k=$k")
+        val sizes = got.groupBy(_._2).view.mapValues(_.size).toMap
+        assert(sizes.values.max - sizes.values.min <= 1, s"n=$n k=$k sizes=$sizes")
+    }
+  }
 }
