@@ -474,6 +474,15 @@ class PlanSpec extends AnyFunSuite {
     assert(d == 11.0)
   }
 
+  test("q166: point-in-time as-of join plans JOIN-FREE (union + window)") {
+    // the leakage-guard as-of rides q46's union + single user-keyed
+    // window machinery — no join operator anywhere in the plan, so there
+    // is no as-of row explosion and no skew-prone range join at 100 TB
+    val p = plan("q166_point_in_time_features")
+    assert(!p.contains("Join"), p.take(800))
+    assert(p.contains("Window"), p.take(800))
+  }
+
   test("partitioned layout: day filter becomes a PartitionFilter (pruned scan)") {
     import org.apache.spark.sql.functions.{col, to_date}
     // The 100 TB layout is a date-partitioned directory tree; a day

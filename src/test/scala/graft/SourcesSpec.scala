@@ -358,4 +358,33 @@ class SourcesSpec extends AnyFunSuite {
     val out = g3.orderBy("l_returnflag").collect() // .compute() analog
     assert(out.nonEmpty)
   }
+
+  test("small-file compaction: repartition + maxRecordsPerFile bound file count and size") {
+    // the 100 TB operational concern: a streaming/incremental ingest
+    // leaves thousands of tiny files; compaction = read → repartition →
+    // rewrite with a per-file record cap. Rows survive byte-for-byte.
+    val srcDir = tmp("graft_small")
+    li.repartition(64).write.mode("overwrite").parquet(srcDir) // 64 shards
+    def parquetFiles(dir: String) =
+      new java.io.File(dir).listFiles.count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles(srcDir) >= 32)
+    val outDir = tmp("graft_compact")
+    val n = li.count()
+    spark.read.parquet(srcDir)
+      .repartition(2)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", (n / 3).toString) // cap forces ≥2 files/partition
+      .parquet(outDir)
+    val files = parquetFiles(outDir)
+    // 2 partitions × (cap splits) → small bounded count, far below 64
+    assert(files >= 2 && files <= 8, s"files=$files")
+    assert(spark.read.parquet(outDir).count() == n)
+    // compacted data is row-identical (multiset compare via sorted hash)
+    // bit_xor: order-independent and overflow-free (ANSI sum would throw)
+    val a = spark.read.parquet(srcDir).selectExpr("xxhash64(*) h")
+      .agg(expr("bit_xor(h)"), count(lit(1))).collect()(0)
+    val b = spark.read.parquet(outDir).selectExpr("xxhash64(*) h")
+      .agg(expr("bit_xor(h)"), count(lit(1))).collect()(0)
+    assert(a == b)
+  }
 }
