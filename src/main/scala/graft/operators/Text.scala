@@ -708,9 +708,91 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Full curation funnel with per-stage audit (the end-to-end corpus
+    * build report a training run signs off on): quality filter → exact
+    * dedup keep-first → benchmark decontamination, each stage counted
+    * per language so the drop attribution is visible — the t62/t52/t65
+    * stages composed into ONE declarative plan with flags instead of
+    * filters. Scale shapes unchanged from the parts: quality is a map
+    * stage, dedup rank is a text-keyed window, contamination evidence is
+    * a broadcast-bench shingle join; the audit is one final hash
+    * aggregate over flag columns. */
+  val qCurationFunnel: Q = Q(
+    "t98_curation_funnel",
+    """WITH corpus AS (
+      |  SELECT doc_id, lang, text, string_split(text, ' ') AS t
+      |  FROM documents WHERE doc_id >= 50),
+      |scored AS (
+      |  SELECT doc_id, lang, text,
+      |    CAST(len(t) AS BIGINT) AS n_tokens,
+      |    least(1.0, len(t) / 100.0)
+      |      * (1 - len(list_filter(t,
+      |          x -> list_contains(['the','a','of','and','to','in'], x)))
+      |          * 1.0 / len(t)) AS quality
+      |  FROM corpus),
+      |flags1 AS (
+      |  SELECT *, quality >= 0.5 AS q_pass FROM scored),
+      |flags2 AS (
+      |  SELECT *, q_pass AND doc_id = min(CASE WHEN q_pass THEN doc_id END)
+      |      OVER (PARTITION BY text) AS keep_dedup
+      |  FROM flags1),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |         CASE WHEN len(t) >= 3
+      |           THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                 FOR i IN range(1, len(t) - 1)]
+      |           ELSE [] END)) AS s
+      |       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 50),
+      |contam AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+      |           FROM sh JOIN bench USING (s) WHERE sh.doc_id >= 50
+      |           GROUP BY sh.doc_id),
+      |flags3 AS (
+      |  SELECT f.*, f.keep_dedup AND coalesce(c.n_shared, 0) < 5 AS keep_clean
+      |  FROM flags2 f LEFT JOIN contam c ON f.doc_id = c.doc_id)
+      |SELECT lang,
+      |  CAST(count(*) AS BIGINT) AS n_raw,
+      |  CAST(count(*) FILTER (WHERE q_pass) AS BIGINT) AS n_quality,
+      |  CAST(count(*) FILTER (WHERE keep_dedup) AS BIGINT) AS n_dedup,
+      |  CAST(count(*) FILTER (WHERE keep_clean) AS BIGINT) AS n_clean,
+      |  CAST(coalesce(sum(CASE WHEN keep_clean THEN n_tokens END), 0) AS BIGINT)
+      |    AS tokens_clean
+      |FROM flags3 GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    val stopArr = array(stopwords.map(lit): _*)
+    val corpus = Tables.documents(s, d).filter(col("doc_id") >= 50)
+      .withColumn("t", tokens)
+    val scored = corpus
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("quality",
+        least(lit(1.0), size(col("t")) / 100.0)
+          * (lit(1) - size(filter(col("t"), x => array_contains(stopArr, x)))
+            * lit(1.0) / size(col("t"))))
+      .withColumn("q_pass", col("quality") >= 0.5)
+    val wText = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
+    val flags2 = scored.withColumn("keep_dedup",
+      col("q_pass") &&
+        col("doc_id") === min(when(col("q_pass"), col("doc_id"))).over(wText))
+    val shx = shingled(Tables.documents(s, d))
+    val bench = shx.filter(col("doc_id") < 50).select(col("s")).distinct()
+    val contam = shx.filter(col("doc_id") >= 50)
+      .join(broadcast(bench), Seq("s"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    val flags3 = flags2.join(contam, Seq("doc_id"), "left")
+      .withColumn("keep_clean",
+        col("keep_dedup") && coalesce(col("n_shared"), lit(0L)) < 5)
+    flags3.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_raw"),
+        count(when(col("q_pass"), 1)).as("n_quality"),
+        count(when(col("keep_dedup"), 1)).as("n_dedup"),
+        count(when(col("keep_clean"), 1)).as("n_clean"),
+        coalesce(sum(when(col("keep_clean"), col("n_tokens"))), lit(0L))
+          .as("tokens_clean"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[Q] = Seq(qTokenCounts, qLangStats, qExactDedup, qDedupKeepFirst,
     qQuality, qNgramJaccard, qTfIdf, qLangId, qFingerprint, qRegexTokens,
     qPipelineClean, qHeavyHitters, qDecontaminate, qRepetition,
     qCmsHeavyHitters, qBigramCounts, qTokenEntropy, qSegmentDedup,
-    qCrossCorpusDedup, qDecontaminateExcise)
+    qCrossCorpusDedup, qDecontaminateExcise, qCurationFunnel)
 }

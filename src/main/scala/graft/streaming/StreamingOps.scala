@@ -37,6 +37,20 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
       .select(col("w.start").as("wstart"), col("n"), col("total"))
 
+  /** Sliding-window distinct actives (the streaming WAU/DAU form of
+    * batch q147): streaming can't COUNT(DISTINCT) inside a window
+    * aggregate, so the distinct happens FIRST — dropDuplicates on
+    * (user_id, window) bounds state to one row per user-window — and the
+    * windowed count then counts rows. Same two-step the batch form's
+    * explode+dedup performs. */
+  def slidingDistinctUsers(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), window(col("ts"), "2 hours", "1 hour").as("w"))
+      .dropDuplicates("user_id", "w")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("w.start").as("wstart"), col("n_users"))
+
   /** Watermarked exactly-once-ish dedup (dask has no analog; stream form
     * of dropDuplicates): duplicate event_ids within the watermark horizon
     * collapse to one. On a batch frame the watermark is a no-op and this

@@ -55,6 +55,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(got) == sortedRows(want))
   }
 
+  test("streaming sliding distinct actives == batch distinct count (WAU form)") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[Ev]
+    val stream = MemoryStream[Ev]
+    stream.addData(eventRows())
+    val got = runToMemory(
+      StreamingOps.slidingDistinctUsers(stream.toDF()),
+      "sliding_users_out", OutputMode.Complete())
+    // batch truth: plain COUNT(DISTINCT) per window — the spelling
+    // streaming can't run, which is exactly what the op works around
+    val want = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(col("w.start").as("wstart"), col("n_users"))
+    assert(sortedRows(got) == sortedRows(want))
+    assert(got.count() > 0)
+  }
+
   test("streaming dedup drops duplicate event_ids across batches") {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = Encoders.product[Ev]
