@@ -684,8 +684,34 @@ object Analytics {
       .orderBy(col("event_id"))
   }
 
+  /** pandas `groupby.filter(lambda g: pred(g))`: keep the member ROWS of
+    * groups whose aggregate passes — here purchase events of users with
+    * ≥ 500 total purchase revenue. Spelled as aggregate → semi join (the
+    * survivor-key side is an aggregate, broadcast-able when selective)
+    * rather than a window flag, so the fat side is never re-shuffled on
+    * a second pass. Output bounded to user_id < 30. */
+  val qGroupFilter: Q = Q(
+    "q170_group_filter",
+    """WITH big AS (
+      |  SELECT user_id FROM events WHERE event_type = 'purchase'
+      |  GROUP BY user_id HAVING sum(value) >= 500)
+      |SELECT e.event_id, e.user_id, e.value
+      |FROM events e JOIN big ON e.user_id = big.user_id
+      |WHERE e.event_type = 'purchase' AND e.user_id < 30
+      |ORDER BY e.event_id""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val big = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(sum(col("value")).as("_t"))
+      .filter(col("_t") >= 500).select("user_id")
+    ev.filter(col("event_type") === "purchase" && col("user_id") < 30)
+      .join(big, Seq("user_id"), "left_semi")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[Q] = Seq(qFunnel, qRetention, qTimeToConvert, qTransitions,
     qRollingWau, qAttribution, qProfile, qScd2, qActivityBitmap,
     qLtvCurve, qTopPaths, qSessionStats, qShareOfTotal, qRfm,
-    qGrowthAccounting, qExpectations, qPitFeatures)
+    qGrowthAccounting, qExpectations, qPitFeatures, qGroupFilter)
 }

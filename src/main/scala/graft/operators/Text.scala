@@ -790,9 +790,50 @@ object Text {
       .orderBy(col("lang"))
   }
 
+  /** DIRECTIONAL shingle containment |A∩B| / |A| ≥ 0.8 (the asymmetric
+    * near-dup signal Jaccard misses: a short doc quoted inside a long
+    * one scores low Jaccard but high containment — the
+    * quotation/plagiarism/sub-document detector). Same shingle-keyed
+    * equi-join shape as t54 (only colliding pairs reach the aggregate);
+    * directional, so (da, db) keeps order and the size join is on the
+    * CONTAINED side only. Integer threshold arithmetic (i·10 ≥ n·8) —
+    * no float compare at the cut. Bounded form; LSH buckets feed it at
+    * open scale exactly as for t54. */
+  val qContainment: Q = Q(
+    "t99_shingle_containment",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents WHERE doc_id < 300),
+      |sh AS (SELECT doc_id,
+      |         list_distinct(CASE WHEN len(t) >= 3
+      |           THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+      |           ELSE [] END) AS shset
+      |       FROM toks),
+      |shx AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      |          FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id <> b.doc_id
+      |          GROUP BY da, db)
+      |SELECT da, db, round(i * 1.0 / sa.n, 6) AS containment
+      |FROM inter JOIN sizes sa ON da = sa.doc_id
+      |WHERE i * 10 >= sa.n * 8
+      |ORDER BY da, db""".stripMargin
+  ) { (s, d) =>
+    val shx = shingled(Tables.documents(s, d).filter(col("doc_id") < 300))
+    val sizes = shx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = shx.select(col("doc_id").as("da"), col("s").as("sa"))
+    val b = shx.select(col("doc_id").as("db"), col("s").as("sb"))
+    a.join(b, col("sa") === col("sb") && col("da") =!= col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .filter(col("i") * 10 >= col("na") * 8)
+      .select(col("da"), col("db"),
+        round(col("i") * lit(1.0) / col("na"), 6).as("containment"))
+      .orderBy(col("da"), col("db"))
+  }
+
   val all: Seq[Q] = Seq(qTokenCounts, qLangStats, qExactDedup, qDedupKeepFirst,
     qQuality, qNgramJaccard, qTfIdf, qLangId, qFingerprint, qRegexTokens,
     qPipelineClean, qHeavyHitters, qDecontaminate, qRepetition,
     qCmsHeavyHitters, qBigramCounts, qTokenEntropy, qSegmentDedup,
-    qCrossCorpusDedup, qDecontaminateExcise, qCurationFunnel)
+    qCrossCorpusDedup, qDecontaminateExcise, qCurationFunnel, qContainment)
 }
