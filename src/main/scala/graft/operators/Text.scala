@@ -831,9 +831,41 @@ object Text {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Tokenizer fertility per language (tokens-per-word + chars-per-token
+    * — the multilingual tokenizer-efficiency dashboard: a language whose
+    * fertility is high pays more sequence length per word, which skews
+    * both training cost and mixing budgets). t61's BPE-ish regex as the
+    * subword proxy; per-language corpus ratios from one aggregate (ratio
+    * of sums, not mean-of-ratios — the corpus-level definition). */
+  val qFertility: Q = Q(
+    "t100_tokenizer_fertility",
+    """SELECT lang,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS words,
+      |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+      |    AS BIGINT) AS subwords,
+      |  round(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+      |    * 1.0 / sum(len(string_split(text, ' '))), 6) AS fertility,
+      |  round(sum(n_chars) * 1.0
+      |    / sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))), 6)
+      |    AS chars_per_subword
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    val subw = regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long")
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(sum(size(tokens).cast("long")).as("words"),
+        sum(subw).as("subwords"),
+        round(sum(subw) * lit(1.0) / sum(size(tokens).cast("long")), 6)
+          .as("fertility"),
+        round(sum(col("n_chars")) * lit(1.0) / sum(subw), 6)
+          .as("chars_per_subword"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[Q] = Seq(qTokenCounts, qLangStats, qExactDedup, qDedupKeepFirst,
     qQuality, qNgramJaccard, qTfIdf, qLangId, qFingerprint, qRegexTokens,
     qPipelineClean, qHeavyHitters, qDecontaminate, qRepetition,
     qCmsHeavyHitters, qBigramCounts, qTokenEntropy, qSegmentDedup,
-    qCrossCorpusDedup, qDecontaminateExcise, qCurationFunnel, qContainment)
+    qCrossCorpusDedup, qDecontaminateExcise, qCurationFunnel, qContainment,
+    qFertility)
 }
