@@ -295,6 +295,30 @@ object ScaleSmoke {
         operators.Vectors.pqAdcTopKFrom(emb64, codes, cent, nProbes = 10, k = 10)
           .count()
       }
+      // round-7 ingest path: encode-only assignment of a 10% "new batch"
+      // against the FIXED codebook — broadcast argmin, no Lloyd rounds,
+      // the existing corpus is never rescanned
+      time("PQ append encode-only (v83)", nVec64 / 10) {
+        val fresh = spark.range(nVec64 / 10).select(
+          (col("id") + lit(10000000L)).as("vec_id"),
+          transform(sequence(lit(0), lit(63)), i =>
+            (pmod(xxhash64(col("id") * 64 + i + 7), lit(1000L)).cast("double")
+              / 500.0 - 1.0).cast("float")).as("embedding"))
+        val cbSq = cent.withColumn("csq",
+          graft.functions.VectorOps.dot(col("cv"), col("cv")))
+        val sv = fresh.select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("e"))
+          .select(col("vec_id"), posexplode(transform(sequence(lit(0), lit(15)),
+            i => slice(col("e"), i * 4 + 1, lit(4)))).as(Seq("sub", "sv")))
+          .withColumn("ssq", graft.functions.VectorOps.dot(col("sv"), col("sv")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"), col("sub")).orderBy(col("d2"), col("cid"))
+        sv.join(broadcast(cbSq), Seq("sub"))
+          .withColumn("d2", col("ssq") + col("csq")
+            - lit(2.0) * graft.functions.VectorOps.dot(col("sv"), col("cv")))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .count()
+      }
       codes.unpersist(); cent.unpersist()
     }
     time("interval band join (q136)", nEvents) {
@@ -389,29 +413,42 @@ object ScaleSmoke {
       s3.count()
     }
     time("rfm quintile grid (q163 shape)", nEvents) {
-      // three metric-banded globalRowNumber + ntile passes over the
-      // 100k-user RFM frame — the no-single-partition-window ranking
-      // discipline at its real cardinality
-      val rfm = ev.filter(col("event_type") === "click")
-        .groupBy(col("user_id"))
-        .agg(max(col("ts").cast("long")).as("r_s"),
-          count(lit(1)).as("f"), sum(col("value")).as("m"))
-      def quintile(df: org.apache.spark.sql.DataFrame,
-          metric: org.apache.spark.sql.Column,
-          bucket: org.apache.spark.sql.Column, out: String) = {
-        val ranked = operators.Scale.globalRowNumber(df, bucket,
-          Seq(metric, col("user_id")), "_rn")
-        val n1 = df.agg(count(lit(1)).as("_n"))
-        ranked.join(broadcast(n1), lit(true))
-          .withColumn(out,
-            operators.Scale.ntileFromRowNumber(col("_rn"), col("_n"), 5))
-          .drop("_rn", "_n")
-      }
-      val q1 = quintile(rfm, col("r_s"), floor(col("r_s") / 3600), "r_q")
-      val q2 = quintile(q1, col("f"), floor(col("f") / 50), "f_q")
-      val q3 = quintile(q2, col("m"), floor(col("m") / 5000), "m_q")
-      q3.groupBy(col("r_q"), col("f_q"), col("m_q"))
+      // the ROUND-7 production shape: cut base + one multi-metric
+      // quantile pass + three independent globalRowNumber/ntile branches
+      // joined on user_id — 100k-user cardinality, quantile bands ≤64
+      val rfm = operators.Scale.cut(
+        ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"))
+          .agg(max(col("ts").cast("long")).as("r_s"),
+            count(lit(1)).as("f"), sum(col("value")).as("m")),
+        eager = true)
+      val ms = Seq(col("r_s"), col("f"), col("m"))
+      val edges = operators.Scale.quantileEdges(rfm, ms, 64)
+      val n1 = rfm.agg(count(lit(1)).as("_n"))
+      def quintile(metric: org.apache.spark.sql.Column,
+          es: Array[Double], out: String) =
+        operators.Scale.globalRowNumber(rfm,
+            operators.Scale.bucketsFromEdges(metric, es),
+            Seq(metric, col("user_id")), "_rn")
+          .join(broadcast(n1), lit(true))
+          .select(col("user_id"),
+            operators.Scale.ntileFromRowNumber(col("_rn"), col("_n"), 5).as(out))
+      quintile(col("r_s"), edges(0), "r_q")
+        .join(quintile(col("f"), edges(1), "f_q"), "user_id")
+        .join(quintile(col("m"), edges(2), "m_q"), "user_id")
+        .groupBy(col("r_q"), col("f_q"), col("m_q"))
         .agg(count(lit(1))).count()
+    }
+    time("salted as-of hot keys (q171)", nEvents) {
+      // 4 keys over nEvents rows (25% weight each) — the workload a
+      // key-clustered as-of serializes; banded form spreads each key
+      // over ≤32 time-band window partitions
+      val lhs = ev.filter(col("event_type") =!= "click")
+        .select(col("event_id"), (col("user_id") % 4).as("hk"), col("ts"))
+      val rhs = ev.filter(col("event_type") === "click")
+        .select((col("user_id") % 4).as("hk"), col("ts"))
+      graft.plans.AsOf.saltedLastTsAtOrBefore(
+        lhs, rhs, "hk", "ts", "ts", "m", bands = 32).count()
     }
     time("token pagerank 2 iter (t97 shape)", nDocs) {
       // ~60k-node / 20M-bigram token digraph: each iteration is one
@@ -421,8 +458,13 @@ object ScaleSmoke {
           i => struct(element_at(col("ts"), i + 1).as("w1"),
             element_at(col("ts"), i + 2).as("w2")))).as("b"))
         .select(col("b.w1"), col("b.w2"))
-      val e = bg.groupBy(col("w1"), col("w2")).agg((count(lit(1)) * lit(1.0)).as("w"))
-      val nodes = e.select(col("w1").as("tok")).union(e.select(col("w2"))).distinct()
+      // round-7 production shape: the edge aggregate and node table are
+      // cut once — the unrolled plan references them ~10× otherwise
+      val e = operators.Scale.cut(bg.groupBy(col("w1"), col("w2"))
+        .agg((count(lit(1)) * lit(1.0)).as("w")), eager = true)
+      val nodes = operators.Scale.cut(
+        e.select(col("w1").as("tok")).union(e.select(col("w2"))).distinct(),
+        eager = true)
       val nTot = nodes.agg((count(lit(1)) * lit(1.0)).as("nn"))
       val outw = e.groupBy(col("w1")).agg(sum(col("w")).as("ow"))
       val eo = e.join(outw, "w1")

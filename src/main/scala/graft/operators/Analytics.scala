@@ -484,7 +484,20 @@ object Analytics {
     * `ntileFromRowNumber` — SQL-ntile semantics with NO single-partition
     * window even at 10⁹ customers (the oracle's plain ntile() is the
     * semantics contract, not the plan). Output is the segment grid
-    * (≤125 cells), never user-sized. */
+    * (≤125 cells), never user-sized.
+    *
+    * The user table is [[Scale.cut]] once; the three quintiles are
+    * INDEPENDENT branches over that materialized base, joined back on
+    * user_id — the r6 form chained them, and since globalRowNumber
+    * references its input from the window, the count table, AND the
+    * broadcast total, the chain recomputed the events aggregate ~27×
+    * (4.1 s warm in the r6 bench). Band edges for all three metrics
+    * come from ONE multi-column [[Scale.quantileEdges]] pass —
+    * data-derived quantile bands, so #buckets stays ≤64 whatever the
+    * metric's range (the fixed `floor(m/500)` band width was fixture
+    * arithmetic that would blow up the #buckets² offsets join on real
+    * revenue distributions). Total: one events scan, one quantile job
+    * over the cut base, three bounded rank branches, two |users| joins. */
   val qRfm: Q = Q(
     "q163_rfm_segments",
     """WITH rfm AS (
@@ -499,25 +512,25 @@ object Analytics {
       |       round(sum(m), 2) AS monetary
       |FROM q GROUP BY r_q, f_q, m_q ORDER BY r_q, f_q, m_q""".stripMargin
   ) { (s, d) =>
-    val rfm = Tables.events(s, d).filter(col("event_type") === "purchase")
-      .groupBy(col("user_id"))
-      .agg(max(unix_micros(col("ts"))).as("r_us"), count(lit(1)).as("f"),
-        sum(col("value")).as("m"))
-    // metric-banded buckets keep each globalRowNumber partition bounded
-    val day = 86400000000L
-    def quintile(df: DataFrame, metric: Column, bucket: Column,
-        out: String): DataFrame = {
-      val ranked = graft.operators.Scale.globalRowNumber(df, bucket,
-        Seq(metric, col("user_id")), "_rn")
-      val n1 = df.agg(count(lit(1)).as("_n"))
-      ranked.join(broadcast(n1), lit(true))
-        .withColumn(out, graft.operators.Scale.ntileFromRowNumber(
-          col("_rn"), col("_n"), 5))
-        .drop("_rn", "_n")
-    }
-    val q1 = quintile(rfm, col("r_us"), floor(col("r_us") / day), "r_q")
-    val q2 = quintile(q1, col("f"), floor(col("f") / 5), "f_q")
-    val q3 = quintile(q2, col("m"), floor(col("m") / 500), "m_q")
+    val rfm = Scale.cut(
+      Tables.events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(max(unix_micros(col("ts"))).as("r_us"), count(lit(1)).as("f"),
+          sum(col("value")).as("m")),
+      eager = true)
+    val metrics = Seq(col("r_us"), col("f"), col("m"))
+    val edges = Scale.quantileEdges(rfm, metrics, 64)
+    val n1 = rfm.agg(count(lit(1)).as("_n"))
+    def quintile(metric: Column, es: Array[Double], out: String): DataFrame =
+      Scale.globalRowNumber(rfm, Scale.bucketsFromEdges(metric, es),
+          Seq(metric, col("user_id")), "_rn")
+        .join(broadcast(n1), lit(true))
+        .select(col("user_id"),
+          Scale.ntileFromRowNumber(col("_rn"), col("_n"), 5).as(out),
+          col("m"))
+    val q3 = quintile(col("r_us"), edges(0), "r_q")
+      .join(quintile(col("f"), edges(1), "f_q").drop("m"), "user_id")
+      .join(quintile(col("m"), edges(2), "m_q").drop("m"), "user_id")
     q3.groupBy(col("r_q"), col("f_q"), col("m_q"))
       .agg(count(lit(1)).as("n_users"), round(sum(col("m")), 2).as("monetary"))
       .orderBy(col("r_q"), col("f_q"), col("m_q"))

@@ -416,7 +416,16 @@ object Retrieval {
     * is one edges⋈ranks shuffle join + a target-keyed aggregate —
     * E-proportional work per iteration, never N×N; the open-iteration
     * form runs one action per round with checkpoint release
-    * (Dedup.connectedComponents' loop discipline). */
+    * (Dedup.connectedComponents' loop discipline).
+    *
+    * The edge aggregate and node table are [[Scale.cut]] once up front:
+    * the unrolled plan references them from nodes/outw/eo and from BOTH
+    * step subtrees, so without the cut the tokenize→explode→groupBy
+    * scan re-ran ~10× inside one action (r6 bench: 5.6 s warm vs 2.8 s
+    * cold — warm passes ran under the accumulated executor-storage
+    * pressure of 229 queries' checkpoint blocks, which taxed the
+    * recompute-heavy plan hardest; the cut removes the recompute and
+    * the inversion with it). */
   val qTokenPageRank: Q = Q(
     "t97_token_pagerank",
     """WITH d AS (SELECT string_split(text, ' ') AS ts FROM documents),
@@ -443,10 +452,11 @@ object Retrieval {
       |SELECT tok, round(r, 6) AS pagerank FROM r2
       |ORDER BY pagerank DESC, tok""".stripMargin
   ) { (s, d) =>
-    val e = bigrams(tokenized(s, d))
-      .groupBy(col("w1"), col("w2")).agg((count(lit(1)) * lit(1.0)).as("w"))
-    val nodes = e.select(col("w1").as("tok"))
-      .union(e.select(col("w2"))).distinct()
+    val e = Scale.cut(bigrams(tokenized(s, d))
+      .groupBy(col("w1"), col("w2")).agg((count(lit(1)) * lit(1.0)).as("w")),
+      eager = true)
+    val nodes = Scale.cut(e.select(col("w1").as("tok"))
+      .union(e.select(col("w2"))).distinct(), eager = true)
     val nTot = nodes.agg((count(lit(1)) * lit(1.0)).as("nn"))
     val outw = e.groupBy(col("w1")).agg(sum(col("w")).as("ow"))
     val eo = e.join(outw, "w1")

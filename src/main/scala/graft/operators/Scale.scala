@@ -47,7 +47,7 @@ object Scale {
     * once per SparkContext; set
     * `spark.cleaner.referenceTracking.cleanCheckpoints=true` to reap
     * superseded round files on GC. */
-  private[operators] def cut(df: DataFrame, eager: Boolean): DataFrame =
+  private[graft] def cut(df: DataFrame, eager: Boolean): DataFrame =
     df.sparkSession.conf.getOption(CheckpointDirKey).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
@@ -63,13 +63,19 @@ object Scale {
     * oracle checks. events has only 5 event_type values over 100k rows —
     * a genuinely skewed key. */
   def saltedCountSum(df: DataFrame, key: Column, value: Column): DataFrame = {
-    // salt by row-CONTENT hash, not monotonically_increasing_id: the id
-    // depends on partition layout, so content hashing makes the partial
-    // (key, salt) shapes identical run-to-run — stage-level debugging
-    // sees the same partials every run. Collisions are harmless (a salt
-    // is only a spreading device; the merge is associative).
+    // salt by content hash MIXED with the per-partition row position
+    // (monotonically_increasing_id = partition_id<<33 | local index):
+    // content alone makes partials reproducible run-to-run, but all
+    // IDENTICAL duplicate rows of a hot key hash to one salt bucket —
+    // exactly the duplicated-log case salting exists for — silently
+    // restoring the single-reducer hot spot. Mixing the position back in
+    // keeps duplicates spread; given an identical partition layout the
+    // partial (key, salt) shapes are still deterministic. Collisions are
+    // harmless (a salt is only a spreading device; the merge is
+    // associative).
     val salted = df.withColumn("_salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(SaltBuckets.toLong)))
+      pmod(xxhash64(df.columns.map(col) :+ monotonically_increasing_id(): _*),
+        lit(SaltBuckets.toLong)))
     salted
       .groupBy(key.as("k"), col("_salt"))
       .agg(count(lit(1)).as("pn"), sum(value).as("ps"))
@@ -127,6 +133,43 @@ object Scale {
       .withColumn(out, (col("_grk_off") + col("_grk_local")).cast("long"))
       .drop("_grk_bucket", "_grk_local", "_grk_bc", "_grk_n", "_grk_off")
   }
+
+  /** Data-derived banding for [[globalRowNumber]]: band edges from
+    * `approxQuantile` (Greenwald-Khanna over one pass — the "derive
+    * banding from a sample" posture the globalRowNumber scaladoc asks
+    * for), returned as a monotone bucket expression usable as the
+    * `bucket` argument. Unlike a fixed `floor(x/width)` band, quantile
+    * edges bound BOTH the bucket count (≤ n, regardless of the metric's
+    * range — no #buckets² offsets-join blowup when per-user sums span
+    * orders of magnitude) and the per-bucket row count (≈ N/n even
+    * under value skew). bucket(x) = #edges ≤ x is non-decreasing in x,
+    * and NULL metrics map to bucket 0, where NULLS FIRST ordering puts
+    * them. Costs one extra pass over `df` (the quantile job) — pass a
+    * materialized/cut frame when the plan below it is expensive. */
+  def quantileBuckets(df: DataFrame, metric: Column, n: Int): Column =
+    bucketsFromEdges(metric, quantileEdges(df, Seq(metric), n).head)
+
+  /** The quantile pass behind [[quantileBuckets]], exposed for callers
+    * banding SEVERAL metrics of one frame: all columns share a single
+    * data pass (`approxQuantile`'s multi-column form), so three RFM
+    * dimensions cost one job, not three. Returns one edge array per
+    * metric, in input order. */
+  def quantileEdges(df: DataFrame, metrics: Seq[Column], n: Int): Seq[Array[Double]] = {
+    require(n >= 2, s"quantileEdges: need n >= 2 bands, got $n")
+    val named = df.select(metrics.zipWithIndex.map {
+      case (m, i) => m.cast("double").as(s"_qe_$i") }: _*)
+    named.stat.approxQuantile(metrics.indices.map(i => s"_qe_$i").toArray,
+        (1 until n).map(_.toDouble / n).toArray, 0.001)
+      .toSeq.map(_.distinct.sorted)
+  }
+
+  /** Monotone band expression from precomputed edges:
+    * bucket(x) = #edges ≤ x (NULL metrics land in band 0, where NULLS
+    * FIRST ordering puts them). */
+  def bucketsFromEdges(metric: Column, edges: Array[Double]): Column =
+    if (edges.isEmpty) lit(0L)
+    else edges.map(e => when(metric.cast("double") >= lit(e), 1L).otherwise(0L))
+      .reduce(_ + _)
 
   /** Scale-safe global dense_rank over a BANDED key (distinct-value count
     * must be modest — banded/rounded keys, categories; document the bound

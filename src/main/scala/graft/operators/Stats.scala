@@ -87,10 +87,13 @@ object Stats {
   /** Gini coefficient of per-user purchase revenue (the corpus/revenue
     * concentration audit): G = 2·Σ rkᵢxᵢ / (n·Σx) − (n+1)/n on
     * ascending-sorted x. The rank comes from `Scale.globalRowNumber`
-    * bucketed by floor(x/100) — parallel ranking with a broadcast
-    * bucket-offset join, no single-partition window over the user
-    * table — and the statistic is one scalar aggregate. Ties rank by
-    * user_id in both engines. */
+    * bucketed by [[Scale.quantileBuckets]] — data-derived quantile band
+    * edges, so #buckets stays ≤64 whatever range per-user revenue spans
+    * (a fixed `floor(x/width)` band would quadratically blow up the
+    * offsets theta join on heavy-tailed revenue at scale) — and the
+    * statistic is one scalar aggregate. The user table is [[Scale.cut]]
+    * first: the quantile pass, window, and count table each reference
+    * it. Ties rank by user_id in both engines. */
   val qGini: Q = Q(
     "q151_gini_concentration",
     """WITH rev AS (
@@ -104,9 +107,12 @@ object Stats {
       |             - (count(*) + 1.0) / count(*), 6) AS gini
       |FROM ranked""".stripMargin
   ) { (s, d) =>
-    val rev = Tables.events(s, d).filter(col("event_type") === "purchase")
-      .groupBy(col("user_id")).agg(sum(col("value")).as("x"))
-    val ranked = Scale.globalRowNumber(rev, floor(col("x") / 100),
+    val rev = Scale.cut(
+      Tables.events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(sum(col("value")).as("x")),
+      eager = true)
+    val ranked = Scale.globalRowNumber(rev,
+      Scale.quantileBuckets(rev, col("x"), 64),
       Seq(col("x"), col("user_id")), "rk")
     ranked.agg(count(lit(1)).as("n_users"),
       round(sum(col("x")), 2).as("total_revenue"),

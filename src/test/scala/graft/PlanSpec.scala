@@ -324,6 +324,56 @@ class PlanSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("salted as-of join: exact parity with the native exec under 50% key skew") {
+    // the banded decomposition must be EXACT (band(r) < band(l) ⇒ r < l),
+    // so the salted form and the key-clustered native merge agree row-for-row
+    import org.apache.spark.sql.functions._
+    val n = 4000L
+    val left = spark.range(n).select(
+      when(col("id") % 2 === 0, lit(777L)).otherwise(col("id") % 500).as("user_id"),
+      timestamp_seconds(lit(1700000000L) + col("id") * 7).as("ts"),
+      col("id").as("lid"))
+    val right = spark.range(n).select(
+      when(col("id") % 2 === 1, lit(777L)).otherwise(col("id") % 500).as("user_id"),
+      timestamp_seconds(lit(1700000000L) + col("id") * 5).as("ts"))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("lid") ->
+        Option(r.getAs[java.sql.Timestamp]("m")).map(_.getTime)).toMap
+    val salted = toMap(graft.plans.AsOf.saltedLastTsAtOrBefore(
+      left, right, "user_id", "ts", "ts", "m", bands = 8))
+    val native = toMap(graft.plans.AsOf.lastTsAtOrBefore(
+      left, right, "user_id", "ts", "ts", "m"))
+    assert(salted.size == n)
+    assert(salted == native)
+  }
+
+  test("salted as-of join: null semantics match the native exec") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampType}
+    def ts(sec: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts", TimestampType)))
+    val left = spark.createDataFrame(Seq(
+      Row(1L, ts(10)), Row(null, ts(11)), Row(2L, ts(12)), Row(2L, null)
+    ).asJava, schema)
+    val right = spark.createDataFrame(Seq(
+      Row(1L, ts(5)), Row(null, ts(6)), Row(2L, null), Row(2L, ts(7))
+    ).asJava, schema)
+    val got = graft.plans.AsOf.saltedLastTsAtOrBefore(
+        left, right, "user_id", "ts", "ts", "m", bands = 4)
+      .collect().map(r => (Option(r.get(0)), Option(r.getTimestamp(1)),
+        Option(r.getTimestamp(2)))).toSet
+    val want = Set(
+      (Some(1L), Some(ts(10)), Some(ts(5))),  // normal backward match
+      (None, Some(ts(11)), None),             // null left key: kept, no match
+      (Some(2L), Some(ts(12)), Some(ts(7))),  // null right rows skipped
+      (Some(2L), None, None))                 // null left ts: kept, no match
+    assert(got.map(t => (t._1, t._2, t._3)) == want.map(t =>
+      (t._1.map(_.asInstanceOf[Any]), t._2, t._3)))
+  }
+
   test("repartitionByRange: explicit partition-count control with ordered ranges (npartitions knob)") {
     // The Dask-API partitioning control surface (SURVEY §4 shuffle row):
     // df.repartition(npartitions=N) / set_index divisions. Spark twin:

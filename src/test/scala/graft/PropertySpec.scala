@@ -45,6 +45,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("quantileBuckets: ranks via globalRowNumber == window row_number, buckets bounded") {
+    forAllSeeded(rowsGen) { rows =>
+      {
+        import scala.jdk.CollectionConverters._
+        val df = spark.createDataFrame(
+          rows.zipWithIndex.map { case ((_, v), i) => org.apache.spark.sql.Row(i.toLong, v) }.asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType))))
+        val bucket = operators.Scale.quantileBuckets(df, col("v"), 16)
+        // bucket count bounded by n; bucket is monotone non-decreasing in v
+        val got = operators.Scale.globalRowNumber(df, bucket,
+            Seq(col("v"), col("id")), "rn")
+          .select(col("id"), col("rn")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val want = rows.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+          .sortBy { case (i, v) => (v, i) }.zipWithIndex
+          .map { case ((i, _), rk) => i -> (rk + 1L) }.toMap
+        assert(got == want)
+        val nb = df.select(bucket.as("b")).distinct().count()
+        assert(nb <= 16, s"quantileBuckets produced $nb > 16 bands")
+      }
+    }
+  }
+
   test("dropDuplicates is idempotent and bounded by the input") {
     forAllSeeded(rowsGen) { rows =>
       {

@@ -130,4 +130,85 @@ class VecDimSpec extends AnyFunSuite {
     assert(VecConf.dim(TestSession.spark) == 64)
     assert(VecConf.pqSubs(TestSession.spark) == 16)
   }
+
+  test("pqIndexAppend: encode-only append serves new vectors, exactly-once per batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_append").toString
+    s128.conf.set(operators.Vectors.PqIndexDirKey, dir)
+    try {
+      val train = emb128.filter(col("vec_id") < 200)
+      val fresh = emb128.filter(col("vec_id") >= 200)
+      val (codes0, _) = operators.Vectors.pqIndex(train, "tapp", rounds = 1)
+      assert(codes0.count() == 200L * 32)
+      val drift1 = operators.Vectors.pqIndexAppend(fresh, "tapp", "b1")
+      // same synthetic distribution: the codebook still fits
+      assert(drift1 > 0.2 && drift1 < 5.0, s"drift=$drift1")
+      val (codes1, _) = operators.Vectors.pqIndex(train, "tapp", rounds = 1)
+      assert(codes1.count() == N * 32) // appended codes are served
+      assert(codes1.select("vec_id").distinct().count() == N)
+      // exactly-once: replaying the batch is a no-op returning the stored drift
+      val marker = java.nio.file.Paths.get(dir, "tapp", "_drift_b1")
+      val mtime = java.nio.file.Files.getLastModifiedTime(marker)
+      val drift2 = operators.Vectors.pqIndexAppend(fresh, "tapp", "b1")
+      assert(math.abs(drift2 - drift1) < 1e-12)
+      assert(java.nio.file.Files.getLastModifiedTime(marker) == mtime)
+      assert(operators.Vectors.pqIndex(train, "tapp", rounds = 1)._1.count() == N * 32)
+      // appended neighbors are retrievable candidates in the ADC scan
+      val (codesAll, cent) = operators.Vectors.pqIndex(train, "tapp", rounds = 1)
+      val served = operators.Vectors.pqAdcTopKFrom(emb128, codesAll, cent,
+        nProbes = 5, k = 20).collect()
+      assert(served.exists(_.getAs[Long]("cand_id") >= 200),
+        "appended vectors never surface in retrieval")
+    } finally s128.conf.unset(operators.Vectors.PqIndexDirKey)
+  }
+
+  test("pqIndexAppend drift re-check flags a shifted ingest distribution") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_drift").toString
+    s128.conf.set(operators.Vectors.PqIndexDirKey, dir)
+    try {
+      operators.Vectors.pqIndex(emb128, "tdrift", rounds = 1)
+      // same-distribution batch: ratio near 1; shifted batch (embeddings
+      // scaled 10x off the trained centroids): ratio far above
+      val same = emb128.filter(col("vec_id") < 50)
+        .withColumn("vec_id", col("vec_id") + lit(10000L))
+      val shifted = same.withColumn("embedding",
+        transform(col("embedding"), x => x * lit(10.0f)).cast("array<float>"))
+        .withColumn("vec_id", col("vec_id") + lit(10000L))
+      val dSame = operators.Vectors.pqIndexAppend(same, "tdrift", "same")
+      val dShift = operators.Vectors.pqIndexAppend(shifted, "tdrift", "shifted")
+      assert(dSame < 3.0, s"same-distribution drift=$dSame")
+      assert(dShift > 10.0 && dShift > 3 * dSame, s"shifted drift=$dShift")
+    } finally s128.conf.unset(operators.Vectors.PqIndexDirKey)
+  }
+
+  test("per-call VecGeom override: 128-d corpus through a 64-d session") {
+    import graft.functions.VecGeom
+    // the parent session's conf says 64 dims; the explicit geometry wins,
+    // so two corpora with different dims coexist in ONE session
+    val s = TestSession.spark
+    assert(VecConf.dim(s) == 64)
+    val emb = s.range(60).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(Dim - 1)),
+        j => (((col("id") * 31 + j * 17) % 97) - 48).cast("double") / 48.0)
+        .cast("array<float>").as("embedding"))
+    val g = Some(VecGeom(dim = Dim))
+    val (codes, cent) = operators.Vectors.pqEncode(emb, rounds = 1, geom = g)
+    assert(codes.count() == 60L * 32) // 128/4 = 32 subspaces, not the conf's 16
+    val out = operators.Vectors.pqAdcTopKFrom(emb, codes, cent,
+      nProbes = 2, k = 3, geom = g).collect()
+    assert(out.length == 6)
+  }
+
+  test("VecGeom and VecConf validate loudly (r6 advisory)") {
+    import graft.functions.VecGeom
+    val eMrl = intercept[IllegalArgumentException](VecGeom(dim = 64, mrlDim = 128))
+    assert(eMrl.getMessage.contains("mrlDim"))
+    val eProj = intercept[IllegalArgumentException](VecGeom(dim = 8, projDim = 0))
+    assert(eProj.getMessage.contains("projDim"))
+    val eDiv = intercept[IllegalArgumentException](VecGeom(dim = 20, pqSubDim = 3))
+    assert(eDiv.getMessage.contains("divisible"))
+    val s = TestSession.spark.newSession()
+    s.conf.set(VecConf.DimKey, "64d") // the typo'd conf from the advisory
+    val eConf = intercept[IllegalArgumentException](VecConf.dim(s))
+    assert(eConf.getMessage.contains(VecConf.DimKey) && eConf.getMessage.contains("64d"))
+  }
 }
