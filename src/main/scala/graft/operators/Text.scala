@@ -862,10 +862,76 @@ object Text {
       .orderBy(col("lang"))
   }
 
+  /** Dedup-AWARE example weighting (the soft alternative to dropping
+    * duplicates — downweight instead: each doc in an exact-dup cluster
+    * of size n trains with weight 1/n, so the cluster contributes one
+    * effective example and the loss is unbiased w.r.t. the deduped
+    * corpus). Reports per-source effective size and redundancy — the
+    * "how much of this source is actually new signal" mixing input.
+    * Shape: one hash groupBy for cluster sizes + one hash-keyed join
+    * back; both sides shuffle on the content hash, no pair explosion —
+    * the t51 exact-dedup scale posture with a weight instead of a drop. */
+  val qDedupWeights: Q = Q(
+    "t101_dedup_weights",
+    """WITH c AS (SELECT source, md5(text) AS h FROM documents),
+      |g AS (SELECT h, count(*) AS csize FROM c GROUP BY h)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       round(sum(1.0 / csize), 6) AS effective_docs,
+      |       round(1.0 - sum(1.0 / csize) / count(*), 6) AS redundancy
+      |FROM c JOIN g USING (h)
+      |GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    val c = Tables.documents(s, d).select(col("source"), md5(col("text")).as("h"))
+    val g = c.groupBy(col("h")).agg(count(lit(1)).as("csize"))
+    c.join(g, "h")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(lit(1.0) / col("csize")), 6).as("effective_docs"),
+        round(lit(1.0) - sum(lit(1.0) / col("csize")) / count(lit(1)), 6)
+          .as("redundancy"))
+      .orderBy(col("source"))
+  }
+
+  /** Per-document shingle NOVELTY (the curation audit behind "is this
+    * crawl snapshot adding anything": share of a doc's 3-gram shingles
+    * whose FIRST owner — min doc_id across the corpus — is the doc
+    * itself; ingest-order novelty, dedup's additive complement).
+    * Shape: the [[shingled]] relational trigrams, one shingle-keyed
+    * groupBy for first owners, one join back, one doc-keyed aggregate —
+    * every stage is key-partitioned, no pairs. */
+  val qShingleNovelty: Q = Q(
+    "t104_shingle_novelty",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+      |              FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS s
+      |       FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+      |             FROM toks)),
+      |own AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+      |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+      |       CAST(sum(CASE WHEN own.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_novel,
+      |       round(sum(CASE WHEN own.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+      |             * 1.0 / count(*), 6) AS novelty
+      |FROM sh JOIN own USING (s)
+      |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
+  ) { (s, d) =>
+    val shx = shingled(Tables.documents(s, d))
+    val own = shx.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+    shx.join(own, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"),
+        round(sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          * lit(1.0) / count(lit(1)), 6).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(qTokenCounts, qLangStats, qExactDedup, qDedupKeepFirst,
     qQuality, qNgramJaccard, qTfIdf, qLangId, qFingerprint, qRegexTokens,
     qPipelineClean, qHeavyHitters, qDecontaminate, qRepetition,
     qCmsHeavyHitters, qBigramCounts, qTokenEntropy, qSegmentDedup,
     qCrossCorpusDedup, qDecontaminateExcise, qCurationFunnel, qContainment,
-    qFertility)
+    qFertility, qDedupWeights, qShingleNovelty)
 }
