@@ -459,8 +459,49 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  /** Temperature-based source mixing (the multilingual/multi-source
+    * rebalancing rule: sample source s with probability ∝ pₛ^α, α<1
+    * upweights the tail — the mT5/XLM-R mixing law; t79 then executes
+    * budgets like these). One source-keyed aggregate → a |sources|-row
+    * frame; totals and the normalizer ride broadcast 1-row aggregates,
+    * so the corpus is scanned once whatever its size. pow() output is
+    * rounded to 10 decimals in BOTH engines before normalizing (libm vs
+    * JVM pow may differ in the last ulp — the v72 rounding discipline). */
+  val qTemperatureMixing: Q = Q(
+    "t103_temperature_mixing",
+    """WITH s AS (SELECT source,
+      |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+      |           FROM documents GROUP BY source),
+      |t AS (SELECT sum(toks) AS tot FROM s),
+      |p AS (SELECT source, toks,
+      |        round(pow(toks * 1.0 / tot, 0.7), 10) AS pa
+      |      FROM s CROSS JOIN t),
+      |z AS (SELECT sum(pa) AS zsum FROM p)
+      |SELECT source, toks, round(pa / zsum, 6) AS mix_weight,
+      |       CAST(round(pa / zsum * 1000000, 0) AS BIGINT) AS target_tokens,
+      |       round(pa / zsum * 1000000 / toks, 4) AS upsample_factor
+      |FROM p CROSS JOIN z ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    val src = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("toks"))
+    val tot = src.agg(sum(col("toks")).as("tot"))
+    val p = src.crossJoin(broadcast(tot))
+      .select(col("source"), col("toks"),
+        round(pow(col("toks") * lit(1.0) / col("tot"), 0.7), 10).as("pa"))
+    val z = p.agg(sum(col("pa")).as("zsum"))
+    p.crossJoin(broadcast(z))
+      .select(col("source"), col("toks"),
+        round(col("pa") / col("zsum"), 6).as("mix_weight"),
+        round(col("pa") / col("zsum") * 1000000, 0).cast("long")
+          .as("target_tokens"),
+        round(col("pa") / col("zsum") * 1000000 / col("toks"), 4)
+          .as("upsample_factor"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(qContextPacking, qUnigramLogprob, qPiiRedaction,
     qSeededShuffle, qHashSplit, qHashSamplePerGroup, qBloomIncremental,
     qBoilerplateNgrams, qDocChunking, qDataMixing, qSeqlenHistogram,
-    qSourceDiversity, qWeightedSample)
+    qSourceDiversity, qWeightedSample, qTemperatureMixing)
 }

@@ -419,6 +419,43 @@ object Dedup {
       .limit(20)
   }
 
+  /** BLOCKED fuzzy join — the scale form of t78's bounded pair scorer
+    * (record linkage / fuzzy entity match over a whole corpus): docs are
+    * blocked by a cheap deterministic signature (first two tokens + a
+    * length band), pairs form ONLY inside a block, and the O(len²)
+    * Levenshtein DP verifies just those collisions. The signature is
+    * an equi-join key, so the candidate stage is one shuffle; cross-
+    * signature pairs are never materialized — the blocking-key pattern
+    * every entity-resolution pipeline runs at scale (block sizes are
+    * data-bounded like LSH buckets; a pathological mega-block would
+    * salt/split like any hot join key). */
+  val qFuzzyBlockedJoin: Q = Q(
+    "t102_fuzzy_blocked_join",
+    """WITH d AS (SELECT doc_id,
+      |             string_split(text, ' ')[1] || '|' ||
+      |             string_split(text, ' ')[2] || '|' ||
+      |             CAST(len(string_split(text, ' ')) // 8 AS VARCHAR) AS sig,
+      |             substr(text, 1, 32) AS p
+      |           FROM documents)
+      |SELECT a.doc_id AS da, b.doc_id AS db,
+      |       CAST(levenshtein(a.p, b.p) AS INT) AS dist
+      |FROM d a JOIN d b ON a.sig = b.sig AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.p, b.p) <= 12
+      |ORDER BY da, db""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      concat_ws("|", element_at(split(col("text"), " "), 1),
+        element_at(split(col("text"), " "), 2),
+        floor(size(split(col("text"), " ")) / 8).cast("string")).as("sig"),
+      substring(col("text"), 1, 32).as("p"))
+    val a = docs.select(col("doc_id").as("da"), col("sig"), col("p").as("pa"))
+    val b = docs.select(col("doc_id").as("db"), col("sig"), col("p").as("pb"))
+    a.join(b, Seq("sig")).filter(col("da") < col("db"))
+      .select(col("da"), col("db"), levenshtein(col("pa"), col("pb")).as("dist"))
+      .filter(col("dist") <= 12)
+      .orderBy(col("da"), col("db"))
+  }
+
   val all: Seq[Q] = Seq(qMinHashLsh, qSimHash, qSimHashPairs, qDedupClusters,
-    qDedupClustersStar, qNearDupPipeline, qLevenshteinPairs)
+    qDedupClustersStar, qNearDupPipeline, qLevenshteinPairs, qFuzzyBlockedJoin)
 }

@@ -415,7 +415,58 @@ object Joins {
       .orderBy(col("change"))
   }
 
+  /** Delete-request cascade (the GDPR/right-to-be-forgotten propagation
+    * audit a data platform runs before a purge): a deleted-customer set
+    * cascades customer → orders → lineitem, and the output is the
+    * per-table before/after/purged ledger the compliance job logs.
+    * Shape: each stage is an anti/semi join against the DISTINCT key set
+    * of the previous stage (deleted custkeys gate orders; the affected
+    * ORDERKEY set — unique by construction — gates lineitem), so every
+    * build side is a bounded key list the planner can broadcast, and no
+    * fact table is scanned more than twice (once to count, once to
+    * classify). */
+  val qDeleteCascade: Q = Q(
+    "q172_delete_cascade",
+    """WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+      |do_ AS (SELECT o_orderkey FROM orders
+      |        WHERE o_custkey IN (SELECT c_custkey FROM del)),
+      |c AS (SELECT 'customer' AS tbl,
+      |        (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_before,
+      |        (SELECT CAST(count(*) AS BIGINT) FROM del) AS n_purged),
+      |o AS (SELECT 'orders' AS tbl,
+      |        (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_before,
+      |        (SELECT CAST(count(*) AS BIGINT) FROM do_) AS n_purged),
+      |l AS (SELECT 'lineitem' AS tbl,
+      |        (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_before,
+      |        (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+      |         WHERE l_orderkey IN (SELECT o_orderkey FROM do_)) AS n_purged)
+      |SELECT tbl, n_before, n_purged, n_before - n_purged AS n_after
+      |FROM (SELECT * FROM c UNION ALL SELECT * FROM o
+      |      UNION ALL SELECT * FROM l)
+      |ORDER BY tbl""".stripMargin
+  ) { (s, d) =>
+    val cust = Tables.customer(s, d)
+    val ords = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    val del = cust.filter(col("c_custkey") % 97 === 0).select(col("c_custkey"))
+    val delOrders = ords.join(broadcast(del),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"))
+    def ledger(tbl: String, all: org.apache.spark.sql.DataFrame,
+        purged: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      all.agg(count(lit(1)).as("n_before"))
+        .crossJoin(broadcast(purged.agg(count(lit(1)).as("n_purged"))))
+        .select(lit(tbl).as("tbl"), col("n_before"), col("n_purged"),
+          (col("n_before") - col("n_purged")).as("n_after"))
+    val delLine = li.join(broadcast(delOrders),
+      col("l_orderkey") === col("o_orderkey"), "left_semi")
+    ledger("customer", cust, del)
+      .unionByName(ledger("orders", ords, delOrders))
+      .unionByName(ledger("lineitem", li, delLine))
+      .orderBy(col("tbl"))
+  }
+
   val all: Seq[Q] = Seq(q3ShippingPriority, qBroadcastDims, qLeftOuter,
     qFullOuter, qSemiAnti, qCrossTheta, qSelfJoin, qRightOuter, qCombineFirst,
-    qMergeIndicator, qIntervalOverlap, qSnapshotDiff)
+    qMergeIndicator, qIntervalOverlap, qSnapshotDiff, qDeleteCascade)
 }

@@ -477,6 +477,79 @@ object Retrieval {
       .orderBy(desc("pagerank"), col("tok"))
   }
 
+  /** Token co-occurrence graph structure: degree/edge/triangle census +
+    * global clustering coefficient (the connectivity audit behind graph-
+    * based keyword extraction and coverage diagnostics; triangles measure
+    * how "phrase-like" the vocabulary's neighborhoods are).
+    *
+    * Spark side counts triangles by DEGREE ORIENTATION (each undirected
+    * edge directed from its (degree, name)-smaller endpoint; a triangle
+    * is a wedge u→v₁, u→v₂ closed by v₁→v₂) — the standard MR algorithm:
+    * out-degrees are bounded by O(√E), so the wedge self-join never
+    * explodes on hub tokens the way a lexicographic orientation would
+    * (stopword hubs have huge neighborhoods; orientation caps the
+    * quadratic side at the degree-ordered half). The oracle counts the
+    * same triangles lexicographically — counts agree exactly because
+    * both orientations pick each triangle once. Edge/degree tables are
+    * |V|/|E|-bounded and [[Scale.cut]] once (they anchor four joins). */
+  val qTokenGraphTriangles: Q = Q(
+    "t105_token_graph_triangles",
+    """WITH d AS (SELECT string_split(text, ' ') AS ts FROM documents),
+      |bg AS (SELECT ts[i] AS w1, ts[i + 1] AS w2
+      |       FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM d)),
+      |e AS (SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+      |      FROM bg WHERE w1 <> w2),
+      |deg AS (SELECT tok, CAST(count(*) AS BIGINT) AS dg FROM
+      |        (SELECT a AS tok FROM e UNION ALL SELECT b FROM e)
+      |        GROUP BY tok),
+      |tri AS (SELECT CAST(count(*) AS BIGINT) AS nt
+      |        FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+      |                  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+      |w AS (SELECT CAST(sum(dg * (dg - 1) / 2) AS BIGINT) AS nw FROM deg)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+      |       nt AS n_triangles, nw AS n_wedges,
+      |       round(3.0 * nt / nw, 6) AS clustering
+      |FROM tri CROSS JOIN w""".stripMargin
+  ) { (s, d) =>
+    val e = Scale.cut(bigrams(tokenized(s, d))
+      .filter(col("w1") =!= col("w2"))
+      .select(least(col("w1"), col("w2")).as("a"),
+        greatest(col("w1"), col("w2")).as("b"))
+      .distinct(), eager = true)
+    val deg = Scale.cut(
+      e.select(col("a").as("tok")).union(e.select(col("b")))
+        .groupBy(col("tok")).agg(count(lit(1)).as("dg")), eager = true)
+    // orient each edge from its (degree, name)-smaller endpoint
+    val ed = e.join(deg.select(col("tok").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("tok").as("b"), col("dg").as("db")), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oe = Scale.cut(ed.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dv")), eager = true)
+    // wedge (u→v1, u→v2) with (dv1, v1) < (dv2, v2), closed by v1→v2
+    val e1 = oe.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
+    val e2 = oe.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
+    val wedges = e1.join(e2, Seq("u"))
+      .filter(col("dv1") < col("dv2") ||
+        (col("dv1") === col("dv2") && col("v1") < col("v2")))
+    val tri = wedges.join(oe.select(col("u").as("v1"), col("v").as("v2")),
+        Seq("v1", "v2"))
+      .agg(count(lit(1)).as("nt"))
+    val nWedge = deg.agg((sum(col("dg") * (col("dg") - 1) / 2))
+      .cast("long").as("nw"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    nNodes.crossJoin(broadcast(nEdges)).crossJoin(broadcast(tri))
+      .crossJoin(broadcast(nWedge))
+      .select(col("n_nodes"), col("n_edges"), col("nt").as("n_triangles"),
+        col("nw").as("n_wedges"),
+        round(lit(3.0) * col("nt") / col("nw"), 6).as("clustering"))
+  }
+
   val all: Seq[Q] = Seq(qBm25, qBigramBackoff, qZipfRankFreq, qTfIdfCosinePairs,
-    qBigramOov, qPmiCollocations, qKlDrift, qVocabCoverage, qTokenPageRank)
+    qBigramOov, qPmiCollocations, qKlDrift, qVocabCoverage, qTokenPageRank,
+    qTokenGraphTriangles)
 }
