@@ -292,6 +292,56 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Audio/video SYNC alignment (the multimodal track-merging step: a
+    * video stream at one cadence, an audio stream at another, and each
+    * audio chunk must attach to the latest video frame at-or-before its
+    * timestamp — the A/V-sync as-of every caption/alignment pipeline
+    * runs). Video frames tick every 40 ms (m74's 16-byte frames), audio
+    * chunks every 23 ms (25-byte chunks); the match is the q46
+    * union+window as-of keyed on doc_id, so a long recording's tracks
+    * stay one ordered partition while docs parallelize; drift_ms is the
+    * per-chunk A/V offset an alignment QA stage thresholds on. Oracle =
+    * DuckDB native ASOF on the integer timelines. */
+  val qAvSyncDrift: Q = Q(
+    "m78_av_sync_drift",
+    """WITH d AS (SELECT doc_id, length(text) AS n FROM documents
+      |           WHERE doc_id < 30 AND length(text) > 0),
+      |v AS (SELECT doc_id,
+      |        unnest(range(0, CAST(ceil(n / 16.0) AS BIGINT))) * 40 AS v_ms
+      |      FROM d),
+      |a AS (SELECT doc_id,
+      |        unnest(range(0, CAST(ceil(n / 25.0) AS BIGINT))) * 23 AS a_ms
+      |      FROM d)
+      |SELECT a.doc_id AS doc_id, a_ms, v_ms, CAST(v_ms / 40 AS BIGINT) AS v_idx,
+      |       a_ms - v_ms AS drift_ms
+      |FROM a ASOF JOIN v ON a.doc_id = v.doc_id AND a.a_ms >= v.v_ms
+      |ORDER BY a.doc_id, a_ms""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .filter(col("doc_id") < 30 && length(col("text")) > 0)
+      .select(col("doc_id"), length(col("text")).as("n"))
+    val v = docs.select(col("doc_id"),
+        explode(sequence(lit(0L),
+          ceil(col("n") / 16.0).cast("long") - 1)).as("vi"))
+      .select(col("doc_id"), (col("vi") * 40).as("ms"), lit(0).as("kind"),
+        (col("vi") * 40).as("v_ms"))
+    val a = docs.select(col("doc_id"),
+        explode(sequence(lit(0L),
+          ceil(col("n") / 25.0).cast("long") - 1)).as("ai"))
+      .select(col("doc_id"), (col("ai") * 23).as("ms"), lit(1).as("kind"),
+        lit(null).cast("long").as("v_ms"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("ms"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v.unionByName(a)
+      .withColumn("m", last(col("v_ms"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("doc_id"), col("ms").as("a_ms"), col("m").as("v_ms"),
+        (col("m") / 40).cast("long").as("v_idx"),
+        (col("ms") - col("m")).as("drift_ms"))
+      .orderBy(col("doc_id"), col("a_ms"))
+  }
+
   val all: Seq[Q] = Seq(qBinaryMeta, qMediaFeatures, qMixedJoin, qFrameExplode,
-    qPatchGrid, qKeyframeSample, qSceneChange)
+    qPatchGrid, qKeyframeSample, qSceneChange, qAvSyncDrift)
 }

@@ -304,6 +304,52 @@ object Stats {
     rn.union(rr).orderBy(col("metric"))
   }
 
+  /** ROLLING regression (pandas `rolling(20).apply(slope)` / the online
+    * trend detector): per user, the OLS slope of value against event
+    * index over the trailing 20 events — q149's regr_* algebra moved
+    * into a window frame. x is the per-user row index (small exact
+    * integers, so n·Σx² − (Σx)² is exact and the cancellation-prone
+    * term is integer arithmetic — epoch-microsecond x would lose the
+    * slope to fp cancellation at 1e30 magnitudes). One user-keyed sort
+    * feeds all five running sums; partitions are per-user, never
+    * global. */
+  val qRollingRegression: Q = Q(
+    "q173_rolling_regression",
+    """WITH e AS (SELECT user_id, event_id, value,
+      |             CAST(row_number() OVER (PARTITION BY user_id
+      |               ORDER BY ts, event_id) AS BIGINT) AS x
+      |           FROM events WHERE user_id < 20),
+      |r AS (SELECT user_id, event_id, x, value,
+      |        CAST(count(*) OVER w AS BIGINT) AS n,
+      |        sum(x) OVER w AS sx, sum(value) OVER w AS sy,
+      |        sum(x * value) OVER w AS sxy, sum(x * x) OVER w AS sxx
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY x
+      |        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+      |SELECT user_id, event_id, x, n,
+      |       round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6)
+      |         AS slope
+      |FROM r WHERE n >= 5 ORDER BY user_id, x""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val wRn = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val e = Tables.events(s, d).filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"), col("value"),
+        row_number().over(wRn).cast("long").as("x"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("x"))
+      .rowsBetween(-19, Window.currentRow)
+    val r = e.select(col("user_id"), col("event_id"), col("x"), col("value"),
+      count(lit(1)).over(w).as("n"),
+      sum(col("x")).over(w).as("sx"), sum(col("value")).over(w).as("sy"),
+      sum(col("x") * col("value")).over(w).as("sxy"),
+      sum(col("x") * col("x")).over(w).as("sxx"))
+    r.filter(col("n") >= 5)
+      .select(col("user_id"), col("event_id"), col("x"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          / nullif(col("n") * col("sxx") - col("sx") * col("sx"), lit(0)), 6)
+          .as("slope"))
+      .orderBy(col("user_id"), col("x"))
+  }
+
   val all: Seq[Q] = Seq(qOls, qChi2, qGini, qSeasonalAnomaly, qCumeDist,
-    qHigherMoments, qAbTest, qCorrWith)
+    qHigherMoments, qAbTest, qCorrWith, qRollingRegression)
 }

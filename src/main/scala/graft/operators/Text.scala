@@ -928,10 +928,52 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-SOURCE content-overlap matrix (the provenance audit behind
+    * "which feeds copy from which": for each ordered source pair,
+    * |shingles(a) ∩ shingles(b)| / |shingles(a)| — t99's directional
+    * containment lifted from documents to sources). Shape: distinct
+    * (source, shingle) pairs, one shingle-keyed self-join (per-shingle
+    * fan-out ≤ |sources|², bounded like an LSH bucket), one pair-keyed
+    * count, a broadcast per-source total — output is sources²-bounded
+    * whatever the corpus size. */
+  val qSourceOverlap: Q = Q(
+    "t106_source_overlap_matrix",
+    """WITH toks AS (SELECT source, string_split(text, ' ') AS ts
+      |              FROM documents),
+      |sh AS (SELECT DISTINCT source,
+      |         ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS s
+      |       FROM (SELECT source, ts, unnest(range(1, len(ts) - 1)) AS i
+      |             FROM toks)),
+      |tot AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+      |pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+      |            CAST(count(*) AS BIGINT) AS n_shared
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.source <> b.source
+      |          GROUP BY 1, 2)
+      |SELECT src_a, src_b, n_shared,
+      |       round(n_shared * 1.0 / tot.n_sh, 6) AS containment
+      |FROM pairs JOIN tot ON pairs.src_a = tot.source
+      |ORDER BY src_a, src_b""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val sh = shingled(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("s")).distinct()
+    val tot = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("source").as("src_a"), col("s"))
+    val b = sh.select(col("source").as("src_b"), col("s"))
+    a.join(b, Seq("s")).filter(col("src_a") =!= col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(tot.withColumnRenamed("source", "src_a")), "src_a")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("n_shared") * lit(1.0) / col("n_sh"), 6).as("containment"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   val all: Seq[Q] = Seq(qTokenCounts, qLangStats, qExactDedup, qDedupKeepFirst,
     qQuality, qNgramJaccard, qTfIdf, qLangId, qFingerprint, qRegexTokens,
     qPipelineClean, qHeavyHitters, qDecontaminate, qRepetition,
     qCmsHeavyHitters, qBigramCounts, qTokenEntropy, qSegmentDedup,
     qCrossCorpusDedup, qDecontaminateExcise, qCurationFunnel, qContainment,
-    qFertility, qDedupWeights, qShingleNovelty)
+    qFertility, qDedupWeights, qShingleNovelty, qSourceOverlap)
 }

@@ -1345,10 +1345,95 @@ object Vectors {
       .withColumn("append_drift", round(lit(drift), 4))
   }
 
+  /** Token-embedding lookup + MEAN POOLING to document vectors (the
+    * embedding-table pattern every doc-embedding pipeline runs: token →
+    * dictionary id → embedding row → per-doc average). The dictionary
+    * id is a deterministic md5 bucket (the q104/q167 assignment
+    * contract, identical in both engines); the embedding table joins as
+    * a BROADCAST dictionary — at 100 TB the corpus streams once while
+    * the vocab-sized table rides the broadcast; pooling is one
+    * (doc, dim)-keyed partial-aggregating shuffle. Pooled dims round to
+    * 6 BEFORE the norm in both engines (fp summation-order discipline). */
+  val qEmbeddingPooling: Q = Q(
+    "t107_embedding_pooling",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |             FROM documents WHERE doc_id < 200),
+      |tv AS (SELECT doc_id, (ascii(substr(md5(tok), 1, 1)) * 131
+      |         + ascii(substr(md5(tok), 2, 1))) % 500 AS vid FROM tok),
+      |p AS (SELECT doc_id, i - 1 AS dim, CAST(e.embedding[i] AS DOUBLE) AS x
+      |      FROM tv JOIN embeddings e ON tv.vid = e.vec_id, range(1, 65) r(i)),
+      |agg AS (SELECT doc_id, dim, round(avg(x), 6) AS px, count(*) AS cnt
+      |        FROM p GROUP BY doc_id, dim)
+      |SELECT doc_id, CAST(max(cnt) AS BIGINT) AS n_tok,
+      |       round(sqrt(sum(px * px)), 6) AS norm,
+      |       max(CASE WHEN dim = 0 THEN px END) AS p0,
+      |       max(CASE WHEN dim = 1 THEN px END) AS p1,
+      |       max(CASE WHEN dim = 2 THEN px END) AS p2,
+      |       max(CASE WHEN dim = 3 THEN px END) AS p3
+      |FROM agg GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val tok = Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val h = md5(col("tok"))
+    val tv = tok.select(col("doc_id"),
+      ((ascii(substring(h, 1, 1)) * 131 + ascii(substring(h, 2, 1))) % 500)
+        .cast("long").as("vid"))
+    val p = tv.join(broadcast(Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))),
+        col("vid") === col("vec_id"))
+      .select(col("doc_id"),
+        posexplode(transform(col("embedding"), x => x.cast("double")))
+          .as(Seq("dim", "x")))
+    val agg = p.groupBy(col("doc_id"), col("dim"))
+      .agg(round(avg(col("x")), 6).as("px"), count(lit(1)).as("cnt"))
+    agg.groupBy(col("doc_id"))
+      .agg(max(col("cnt")).as("n_tok"),
+        round(sqrt(sum(col("px") * col("px"))), 6).as("norm"),
+        max(when(col("dim") === 0, col("px"))).as("p0"),
+        max(when(col("dim") === 1, col("px"))).as("p1"),
+        max(when(col("dim") === 2, col("px"))).as("p2"),
+        max(when(col("dim") === 3, col("px"))).as("p3"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** ANN quality AUDIT as a first-class query (the recall@k dashboard a
+    * vector store publishes next to its latency numbers): per probe,
+    * |PQ-ADC top-10 ∩ exact-L2 top-10| / 10, from the PERSISTED index.
+    * The exact side is the v61-style broadcast-probe scan — probes are
+    * tiny, so ground truth costs one corpus pass; the audit joins two
+    * 10×k result sets. Engine-seeded codebooks ⇒ no SQL oracle; the
+    * bounds live in GraftSpec (per-probe recall ∈ [0,1], mean ≥ 0.6,
+    * matching the v76 recall test). */
+  val qAnnRecallAudit: Q = Q.noOracle("v84_ann_recall_audit") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val (codes, cent) = pqIndex(emb, pqIndexKey(s, d, 3, emb), rounds = 3)
+    val ann = pqAdcTopKFrom(emb, codes, cent, nProbes = 10, k = 10)
+      .select(col("probe_id"), col("cand_id"))
+    // exact L2 ground truth: broadcast probes, one corpus scan
+    val e = transform(col("embedding"), x => x.cast("double"))
+    val fullSq = emb.select(col("vec_id"), e.as("fe"))
+      .withColumn("fsq", VectorOps.dot(col("fe"), col("fe")))
+    val pr = fullSq.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("fe").as("pfe"),
+        col("fsq").as("pfsq"))
+    val wE = Window.partitionBy(col("probe_id")).orderBy(col("d2"), col("cand_id"))
+    val exact = fullSq.select(col("vec_id").as("cand_id"), col("fe"), col("fsq"))
+      .join(broadcast(pr), col("cand_id") =!= col("probe_id"))
+      .withColumn("d2", col("pfsq") + col("fsq")
+        - lit(2.0) * VectorOps.dot(col("pfe"), col("fe")))
+      .withColumn("rn", row_number().over(wE)).filter(col("rn") <= 10)
+      .select(col("probe_id"), col("cand_id"))
+    ann.join(exact, Seq("probe_id", "cand_id"), "left_semi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hit"))
+      .select(col("probe_id"),
+        round(col("n_hit") / lit(10.0), 2).as("recall_at_10"))
+      .orderBy(col("probe_id"))
+  }
+
   val all: Seq[Q] = Seq(qCosineTopK, qKnnVote, qNormStats, qPairTopK,
     qLshAnn, qIvfAnn, qKmeansStep, qKmeansLloyd, qSemanticDedup,
     qMatmulProject, qGramMatrix, qKmeansUnrolled, qAxisReduce,
     qInt8Quantize, qMatryoshkaTopK, qPqAnn, qStandardizeDims,
     qPowerIteration, qHardNegatives, qNormOutliers, qIvfPq, qCentroidSim,
-    qPqAppend)
+    qPqAppend, qEmbeddingPooling, qAnnRecallAudit)
 }
