@@ -577,9 +577,66 @@ object Aggregates {
       .orderBy(col("event_type"))
   }
 
+  /** WEIGHTED median (the order statistic q129's weighted moments
+    * can't express: half the QUANTITY lies at or below this price).
+    * Lower-median convention: the smallest x whose running weight
+    * reaches half the group total.
+    *
+    * The oracle states the semantics as one per-group running sum; the
+    * Spark plan computes the SAME running weight banded — l_returnflag
+    * has 3 values, so a per-group window would put a third of a 100 TB
+    * corpus in one partition. Instead: quantile-band x (≤64 data-derived
+    * bands), run the window per (group, band), and offset each band by
+    * the summed weight of earlier bands (a groups×bands-row table) —
+    * `globalRowNumber`'s decomposition generalized from counts to
+    * weights. Banding is EXACT here, not just equivalent-in-the-limit:
+    * quantities are integral, so partial sums are the same numbers under
+    * any association and the threshold compare cannot flip on fp
+    * rounding. Tie rows share an x, so which tie crosses the threshold
+    * cannot change the filtered MIN. */
+  val qWeightedMedian: Q = Q(
+    "q174_weighted_median",
+    """WITH c AS (SELECT l_returnflag AS k, l_extendedprice AS x,
+      |             sum(l_quantity) OVER (PARTITION BY l_returnflag
+      |               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
+      |           FROM lineitem)
+      |SELECT k AS l_returnflag, round(min(x), 2) AS weighted_median,
+      |       round(max(tot), 2) AS total_weight
+      |FROM c WHERE cw >= tot / 2 GROUP BY k ORDER BY k""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, d).select(col("l_returnflag").as("k"),
+      col("l_extendedprice").as("x"), col("l_quantity").as("wt"),
+      col("l_orderkey"), col("l_linenumber"))
+    val edges = graft.operators.Scale.quantileEdges(li, Seq(col("x")), 64).head
+    val withB = li.withColumn("_b",
+      graft.operators.Scale.bucketsFromEdges(col("x"), edges))
+    val wLoc = Window.partitionBy(col("k"), col("_b"))
+      .orderBy(col("x"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = withB.withColumn("_cwl", sum(col("wt")).over(wLoc))
+    val wOff = Window.partitionBy(col("k")).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = withB.groupBy(col("k"), col("_b")).agg(sum(col("wt")).as("_bw"))
+      .withColumn("_off", coalesce(sum(col("_bw")).over(wOff), lit(0.0)))
+      .select(col("k").as("_ok"), col("_b").as("_ob"), col("_off"))
+    val tot = withB.groupBy(col("k").as("_tk")).agg(sum(col("wt")).as("tot"))
+    local.join(broadcast(off), col("k") === col("_ok") && col("_b") === col("_ob"))
+      .join(broadcast(tot), col("k") === col("_tk"))
+      .filter(col("_off") + col("_cwl") >= col("tot") / 2)
+      .groupBy(col("k"))
+      .agg(round(min(col("x")), 2).as("weighted_median"),
+        round(max(col("tot")), 2).as("total_weight"))
+      .select(col("k").as("l_returnflag"), col("weighted_median"),
+        col("total_weight"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[Q] = Seq(qStats, qCountDistinct, qApproxDistinct, qValueCounts,
     qApproxQuantiles,
     qPivot, qRollup, qCube, qQuantiles, qCorr, qMinMaxBy, qGlobalAgg, qDescribe,
     qGroupTransform, qBinning, qQcut, qGroupMode, qQcutPerGroup, qWeightedStats,
-    qPivotMultiAgg, qWinsorize, qPivotMargins)
+    qPivotMultiAgg, qWinsorize, qPivotMargins, qWeightedMedian)
 }

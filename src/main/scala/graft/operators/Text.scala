@@ -970,10 +970,86 @@ object Text {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** Quality-score vs duplication CALIBRATION (the sanity check before
+    * trusting a quality filter: do low-quality bins actually carry the
+    * duplication? — if dup_rate is flat across bins the score adds no
+    * signal over dedup). Quality = t53's formula over the FULL corpus,
+    * fixed 0.1-wide bins (score ∈ [0,1], so ≤11 bins — no quantile pass
+    * needed); duplication = t51's min-doc_id ownership. Two hash-keyed
+    * aggregates + one join; output is bins-bounded. */
+  val qQualityDupCalibration: Q = Q(
+    "t108_quality_dup_calibration",
+    """WITH q AS (
+      |  SELECT doc_id, text,
+      |    round(least(1.0, len(string_split(text, ' ')) / 100.0)
+      |      * (1 - len(list_filter(string_split(text, ' '),
+      |           x -> list_contains(['the','a','of','and','to','in'], x)))
+      |         * 1.0 / len(string_split(text, ' '))), 6) AS quality
+      |  FROM documents),
+      |own AS (SELECT text, min(doc_id) AS keeper FROM documents GROUP BY text),
+      |j AS (SELECT q.doc_id, q.quality, q.doc_id <> own.keeper AS is_dup
+      |      FROM q JOIN own USING (text))
+      |SELECT CAST(floor(quality * 10) AS BIGINT) AS qbin,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       round(avg(CASE WHEN is_dup THEN 1.0 ELSE 0.0 END), 6) AS dup_rate,
+      |       round(avg(quality), 6) AS avg_quality
+      |FROM j GROUP BY qbin ORDER BY qbin""".stripMargin
+  ) { (s, d) =>
+    val stopArr = array(stopwords.map(lit): _*)
+    val docs = Tables.documents(s, d)
+    val q = docs.withColumn("t", tokens)
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .select(col("doc_id"), col("text"),
+        round(least(lit(1.0), col("n_tokens") / 100.0)
+          * (lit(1) - size(filter(col("t"), x => array_contains(stopArr, x)))
+            * lit(1.0) / col("n_tokens")), 6).as("quality"))
+    val own = docs.groupBy(col("text")).agg(min(col("doc_id")).as("keeper"))
+    q.join(own, "text")
+      .select(col("quality"), (col("doc_id") =!= col("keeper")).as("is_dup"))
+      .groupBy(floor(col("quality") * 10).cast("long").as("qbin"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(when(col("is_dup"), 1.0).otherwise(0.0)), 6).as("dup_rate"),
+        round(avg(col("quality")), 6).as("avg_quality"))
+      .orderBy(col("qbin"))
+  }
+
+  /** One-row DATASET CARD (the summary block a dataset release ships:
+    * size, token count, language/source spread, duplication, length
+    * envelope) — every statistic from ONE scan: the distincts expand
+    * inside a single aggregate, nothing is collected and re-scanned.
+    * The exact count-distincts are the fixture form; at 100 TB each has
+    * its approx_count_distinct twin (q12's posture). */
+  val qDatasetCard: Q = Q(
+    "t109_dataset_card",
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+      |  round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 6) AS dup_rate,
+      |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+      |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+      |  round(avg(n_chars), 4) AS avg_chars
+      |FROM documents""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens).cast("long")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(md5(col("text"))).as("n_unique"),
+        round(lit(1.0) - countDistinct(md5(col("text"))) * lit(1.0)
+          / count(lit(1)), 6).as("dup_rate"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+  }
+
   val all: Seq[Q] = Seq(qTokenCounts, qLangStats, qExactDedup, qDedupKeepFirst,
     qQuality, qNgramJaccard, qTfIdf, qLangId, qFingerprint, qRegexTokens,
     qPipelineClean, qHeavyHitters, qDecontaminate, qRepetition,
     qCmsHeavyHitters, qBigramCounts, qTokenEntropy, qSegmentDedup,
     qCrossCorpusDedup, qDecontaminateExcise, qCurationFunnel, qContainment,
-    qFertility, qDedupWeights, qShingleNovelty, qSourceOverlap)
+    qFertility, qDedupWeights, qShingleNovelty, qSourceOverlap,
+    qQualityDupCalibration, qDatasetCard)
 }

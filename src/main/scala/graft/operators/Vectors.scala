@@ -1404,30 +1404,57 @@ object Vectors {
     * 10×k result sets. Engine-seeded codebooks ⇒ no SQL oracle; the
     * bounds live in GraftSpec (per-probe recall ∈ [0,1], mean ≥ 0.6,
     * matching the v76 recall test). */
+  /** Exact-L2 ground truth: broadcast probes, one corpus scan — the
+    * brute-force baseline the ANN audits (v84/v85) compare against. */
+  private def exactL2TopK(emb: DataFrame, nProbes: Int, k: Int): DataFrame = {
+    val e = transform(col("embedding"), x => x.cast("double"))
+    val fullSq = emb.select(col("vec_id"), e.as("fe"))
+      .withColumn("fsq", VectorOps.dot(col("fe"), col("fe")))
+    val pr = fullSq.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("fe").as("pfe"),
+        col("fsq").as("pfsq"))
+    val wE = Window.partitionBy(col("probe_id")).orderBy(col("d2"), col("cand_id"))
+    fullSq.select(col("vec_id").as("cand_id"), col("fe"), col("fsq"))
+      .join(broadcast(pr), col("cand_id") =!= col("probe_id"))
+      .withColumn("d2", col("pfsq") + col("fsq")
+        - lit(2.0) * VectorOps.dot(col("pfe"), col("fe")))
+      .withColumn("rn", row_number().over(wE)).filter(col("rn") <= k)
+      .select(col("probe_id"), col("cand_id"))
+  }
+
   val qAnnRecallAudit: Q = Q.noOracle("v84_ann_recall_audit") { (s, d) =>
     val emb = Tables.embeddings(s, d)
     val (codes, cent) = pqIndex(emb, pqIndexKey(s, d, 3, emb), rounds = 3)
     val ann = pqAdcTopKFrom(emb, codes, cent, nProbes = 10, k = 10)
       .select(col("probe_id"), col("cand_id"))
-    // exact L2 ground truth: broadcast probes, one corpus scan
-    val e = transform(col("embedding"), x => x.cast("double"))
-    val fullSq = emb.select(col("vec_id"), e.as("fe"))
-      .withColumn("fsq", VectorOps.dot(col("fe"), col("fe")))
-    val pr = fullSq.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), col("fe").as("pfe"),
-        col("fsq").as("pfsq"))
-    val wE = Window.partitionBy(col("probe_id")).orderBy(col("d2"), col("cand_id"))
-    val exact = fullSq.select(col("vec_id").as("cand_id"), col("fe"), col("fsq"))
-      .join(broadcast(pr), col("cand_id") =!= col("probe_id"))
-      .withColumn("d2", col("pfsq") + col("fsq")
-        - lit(2.0) * VectorOps.dot(col("pfe"), col("fe")))
-      .withColumn("rn", row_number().over(wE)).filter(col("rn") <= 10)
-      .select(col("probe_id"), col("cand_id"))
-    ann.join(exact, Seq("probe_id", "cand_id"), "left_semi")
+    ann.join(exactL2TopK(emb, 10, 10), Seq("probe_id", "cand_id"), "left_semi")
       .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hit"))
       .select(col("probe_id"),
         round(col("n_hit") / lit(10.0), 2).as("recall_at_10"))
       .orderBy(col("probe_id"))
+  }
+
+  /** IVF nprobe SWEEP (the serving-tuning dashboard: recall@10 as a
+    * function of how many coarse cells each query probes — the knob a
+    * vector store turns to trade latency for recall). Three gated ADC
+    * runs over the SAME persisted index (v81's — trained once, shared)
+    * against one exact ground truth; mean recall must be non-decreasing
+    * in n_cells (GraftSpec pins monotonicity). */
+  val qIvfProbeSweep: Q = Q.noOracle("v85_ivf_probe_sweep") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val key = pqIndexKey(s, d, 2, emb)
+    val (codes, cent) = pqIndex(emb, key, rounds = 2)
+    val coarse = persistedFrame(s, s"$key/coarse")(ivfCoarseCentroids(emb))
+    val exact = Scale.cut(exactL2TopK(emb, 10, 10), eager = true)
+    val runs = Seq(1, 2, 3).map { nc =>
+      ivfPqTopKFrom(emb, codes, cent, coarse, nProbes = 10, k = 10, nCells = nc)
+        .select(col("probe_id"), col("cand_id"))
+        .join(exact, Seq("probe_id", "cand_id"), "left_semi")
+        .agg((count(lit(1)) / lit(100.0)).as("mean_recall_at_10"))
+        .select(lit(nc).as("n_cells"),
+          round(col("mean_recall_at_10"), 2).as("mean_recall_at_10"))
+    }
+    runs.reduce(_ unionByName _).orderBy(col("n_cells"))
   }
 
   val all: Seq[Q] = Seq(qCosineTopK, qKnnVote, qNormStats, qPairTopK,
@@ -1435,5 +1462,5 @@ object Vectors {
     qMatmulProject, qGramMatrix, qKmeansUnrolled, qAxisReduce,
     qInt8Quantize, qMatryoshkaTopK, qPqAnn, qStandardizeDims,
     qPowerIteration, qHardNegatives, qNormOutliers, qIvfPq, qCentroidSim,
-    qPqAppend, qEmbeddingPooling, qAnnRecallAudit)
+    qPqAppend, qEmbeddingPooling, qAnnRecallAudit, qIvfProbeSweep)
 }
