@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -634,9 +635,38 @@ object Aggregates {
       .orderBy(col("l_returnflag"))
   }
 
+  /** INCREMENTAL aggregate maintenance (the warehouse rollup pattern:
+    * yesterday's materialized partial state + today's delta = the new
+    * rollup, WITHOUT rescanning history). The Spark plan aggregates the
+    * two date slices separately into (count, sum) PARTIALS and merges
+    * them — sum of sums, count of counts, avg derived at the end; the
+    * oracle computes the same stats in one direct pass, so the hash
+    * compare PROVES the re-aggregation algebra (what makes sum/count/avg
+    * incrementally maintainable while median is not). At scale the
+    * "yesterday" side is a tiny stored table, not a scan. */
+  val qIncrementalAggMerge: Q = Q(
+    "q176_incremental_agg_merge",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(value), 2) AS total, round(sum(value) / count(*), 6)
+      |         AS avg_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    def partial(df: DataFrame): DataFrame = df.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("ps"))
+    val history = partial(ev.filter(dayofmonth(col("ts")) < 15))
+    val delta = partial(ev.filter(dayofmonth(col("ts")) >= 15))
+    history.unionByName(delta)
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"), round(sum(col("ps")), 2).as("total"),
+        round(sum(col("ps")) / sum(col("pn")), 6).as("avg_value"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(qStats, qCountDistinct, qApproxDistinct, qValueCounts,
     qApproxQuantiles,
     qPivot, qRollup, qCube, qQuantiles, qCorr, qMinMaxBy, qGlobalAgg, qDescribe,
     qGroupTransform, qBinning, qQcut, qGroupMode, qQcutPerGroup, qWeightedStats,
-    qPivotMultiAgg, qWinsorize, qPivotMargins, qWeightedMedian)
+    qPivotMultiAgg, qWinsorize, qPivotMargins, qWeightedMedian,
+    qIncrementalAggMerge)
 }

@@ -500,8 +500,39 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** FEATURE HASHING (the hashing trick: categorical crosses → a fixed
+    * 64-slot feature space with no dictionary to build, broadcast, or
+    * keep consistent across training runs). The cross lang×source hashes
+    * through the q104 deterministic md5 bucket; the output audits each
+    * slot's load AND its collision count (distinct crosses per slot) —
+    * the collision-rate check that decides whether 64 slots is enough.
+    * One groupBy on the slot; no vocabulary state anywhere. */
+  val qFeatureHashing: Q = Q(
+    "t110_feature_hashing",
+    """WITH f AS (SELECT (ascii(substr(md5(lang || 'x' || source), 1, 1)) * 131
+      |             + ascii(substr(md5(lang || 'x' || source), 2, 1))) % 64
+      |             AS slot,
+      |             lang || 'x' || source AS cross_val
+      |           FROM documents)
+      |SELECT slot, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(count(DISTINCT cross_val) AS BIGINT) AS n_crosses,
+      |       CAST(count(DISTINCT cross_val) > 1 AS BOOLEAN) AS collided
+      |FROM f GROUP BY slot ORDER BY slot""".stripMargin
+  ) { (s, d) =>
+    val cross = concat(col("lang"), lit("x"), col("source"))
+    val h = md5(cross)
+    Tables.documents(s, d)
+      .select(((ascii(substring(h, 1, 1)) * 131 + ascii(substring(h, 2, 1)))
+        % 64).as("slot"), cross.as("cross_val"))
+      .groupBy(col("slot"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("cross_val")).as("n_crosses"),
+        (countDistinct(col("cross_val")) > 1).as("collided"))
+      .orderBy(col("slot"))
+  }
+
   val all: Seq[Q] = Seq(qContextPacking, qUnigramLogprob, qPiiRedaction,
     qSeededShuffle, qHashSplit, qHashSamplePerGroup, qBloomIncremental,
     qBoilerplateNgrams, qDocChunking, qDataMixing, qSeqlenHistogram,
-    qSourceDiversity, qWeightedSample, qTemperatureMixing)
+    qSourceDiversity, qWeightedSample, qTemperatureMixing, qFeatureHashing)
 }

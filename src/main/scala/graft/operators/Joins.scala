@@ -466,7 +466,51 @@ object Joins {
       .orderBy(col("tbl"))
   }
 
+  /** TPC-H Q5-shaped SIX-way join (local-supplier revenue by nation):
+    * the multi-join workload Catalyst's join reordering + broadcast
+    * selection exists for. The plan the optimizer should pick — and
+    * the fixture plan shows — is: region⋈nation⋈customer/supplier as
+    * BROADCAST dims (region prunes nations before anything big moves),
+    * the orders date filter PUSHED to the parquet scan, and only the
+    * two fact joins (orders⋈customer, lineitem⋈orders) shuffling. The
+    * co-location predicate c_nationkey = s_nationkey rides the supplier
+    * join, never a standalone theta. */
+  val qLocalSupplierRevenue: Q = Q(
+    "q175_local_supplier_revenue",
+    """SELECT n_name,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+  ) { (s, d) =>
+    val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(rev), 2).as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
   val all: Seq[Q] = Seq(q3ShippingPriority, qBroadcastDims, qLeftOuter,
     qFullOuter, qSemiAnti, qCrossTheta, qSelfJoin, qRightOuter, qCombineFirst,
-    qMergeIndicator, qIntervalOverlap, qSnapshotDiff, qDeleteCascade)
+    qMergeIndicator, qIntervalOverlap, qSnapshotDiff, qDeleteCascade,
+    qLocalSupplierRevenue)
 }

@@ -1457,10 +1457,63 @@ object Vectors {
     runs.reduce(_ unionByName _).orderBy(col("n_cells"))
   }
 
+  /** BINARY (sign-bit) embedding retrieval — the 1-bit quantization rung
+    * below v74's int8: each 64-d vector collapses to TWO 32-bit words
+    * (sign bits), and similarity is Hamming distance = two XOR+popcount
+    * ops per candidate — 256× less data than float32×64 and pure
+    * codegen integer arithmetic, the memory-resident first-pass filter
+    * binary vector stores run before a float re-rank. Packing stays in
+    * 32-bit halves so no value touches the sign bit of a 64-bit word
+    * (identical integer semantics in both engines). Probes broadcast;
+    * the corpus is scanned once as packed words. */
+  val qBinaryHammingTopK: Q = Q(
+    "v86_binary_hamming_topk",
+    """WITH b AS (
+      |  SELECT vec_id,
+      |    list_sum([CASE WHEN embedding[i] > 0 THEN 1 << (i - 1)
+      |              ELSE 0 END FOR i IN range(1, 33)]) AS w0,
+      |    list_sum([CASE WHEN embedding[i] > 0 THEN 1 << (i - 33)
+      |              ELSE 0 END FOR i IN range(33, 65)]) AS w1
+      |  FROM embeddings),
+      |p AS (SELECT vec_id AS probe_id, w0 AS p0, w1 AS p1 FROM b
+      |      WHERE vec_id < 10),
+      |sc AS (SELECT probe_id, vec_id AS cand_id,
+      |         CAST(bit_count(xor(w0, p0)) + bit_count(xor(w1, p1)) AS BIGINT)
+      |           AS hamming
+      |       FROM b JOIN p ON vec_id <> probe_id)
+      |SELECT probe_id, cand_id, hamming, rn
+      |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+      |        ORDER BY hamming, cand_id) AS BIGINT) AS rn FROM sc) t
+      |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin
+  ) { (s, d) =>
+    // 2^(i−lo) via pow: exact in double through 2^31, and the shift
+    // amount must be a per-element Column (functions.shiftleft takes a
+    // fixed Int bit count)
+    def pack(lo: Int): Column = aggregate(
+      sequence(lit(lo), lit(lo + 31)),
+      lit(0L),
+      (acc, i) => acc + when(element_at(col("embedding"), (i + 1).cast("int"))
+        > 0, pow(lit(2.0), i - lo).cast("long")).otherwise(0L))
+    val b = Tables.embeddings(s, d)
+      .select(col("vec_id"), pack(0).as("w0"), pack(32).as("w1"))
+    val p = b.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("w0").as("p0"),
+        col("w1").as("p1"))
+    val sc = b.join(broadcast(p), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("cand_id"),
+        (bit_count(expr("w0 ^ p0")) + bit_count(expr("w1 ^ p1")))
+          .cast("long").as("hamming"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("hamming"), col("cand_id"))
+    sc.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
   val all: Seq[Q] = Seq(qCosineTopK, qKnnVote, qNormStats, qPairTopK,
     qLshAnn, qIvfAnn, qKmeansStep, qKmeansLloyd, qSemanticDedup,
     qMatmulProject, qGramMatrix, qKmeansUnrolled, qAxisReduce,
     qInt8Quantize, qMatryoshkaTopK, qPqAnn, qStandardizeDims,
     qPowerIteration, qHardNegatives, qNormOutliers, qIvfPq, qCentroidSim,
-    qPqAppend, qEmbeddingPooling, qAnnRecallAudit, qIvfProbeSweep)
+    qPqAppend, qEmbeddingPooling, qAnnRecallAudit, qIvfProbeSweep,
+    qBinaryHammingTopK)
 }
