@@ -169,6 +169,61 @@ object StreamingOps {
       }
   }
 
+  case class GrowthState(first_wk_days: Int, last_wk_days: Int)
+  case class WeekClass(user_id: Long, wk_days: Int, cls: String)
+
+  /** transformWithState growth-accounting LEDGER — the live form of the
+    * batch weekly ledger (Analytics q164): per-user state is just
+    * (first week, latest week) = 8 bytes, and each NEW (user, week)
+    * observation emits exactly one classified row — `new` on the first
+    * week ever seen, `retained` when the week immediately follows the
+    * latest ledgered week, `resurrected` after a gap. Weekly counts
+    * (and churn = prev-week actives − retained, a weeks-bounded rollup)
+    * aggregate downstream from the emitted ledger — the event stream is
+    * never re-scanned. Same cross-batch contract as [[funnelStages]]:
+    * chunks arrive chronologically (a week older than the ledgered
+    * latest is already-counted by construction and is skipped);
+    * full event-time disorder is the batch q164's backfill job.
+    * Weeks are Monday-based UTC epoch-day starts, matching
+    * `date_trunc('week', ts)` under the UTC session the engine pins. */
+  class GrowthLedgerProcessor extends StatefulProcessor[Long, Ev, WeekClass] {
+    @transient private var state: ValueState[GrowthState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[GrowthState]("growth",
+        Encoders.product[GrowthState], TTLConfig.NONE)
+    private def weekDays(t: java.sql.Timestamp): Int = {
+      val ld = t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
+      ld.minusDays(ld.getDayOfWeek.getValue - 1L).toEpochDay.toInt
+    }
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        timers: TimerValues): Iterator[WeekClass] = {
+      var st = Option(state.get())
+      val out = Vector.newBuilder[WeekClass]
+      rows.map(e => weekDays(e.ts)).toVector.distinct.sorted.foreach { wk =>
+        st match {
+          case None =>
+            out += WeekClass(user, wk, "new")
+            st = Some(GrowthState(wk, wk))
+          case Some(s) if wk <= s.last_wk_days => () // already ledgered
+          case Some(s) =>
+            val cls = if (wk == s.last_wk_days + 7) "retained" else "resurrected"
+            out += WeekClass(user, wk, cls)
+            st = Some(s.copy(last_wk_days = wk))
+        }
+      }
+      st.foreach(state.update)
+      out.result().iterator
+    }
+  }
+
+  /** transformWithState growth ledger (TimeMode.None: no timers). */
+  def growthLedgerTws(events: Dataset[Ev]): Dataset[WeekClass] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new GrowthLedgerProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   case class FunnelProgress(user_id: Long, stage: Int, stage_ts_us: Long)
 
   /** Stateful streaming funnel tracker — the live form of the batch

@@ -372,6 +372,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.count() != fixed.count())
   }
 
+  test("transformWithState growth ledger converges to the batch growth accounting (q164)") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[Ev]
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // chronological chunks: the ledger's cross-batch contract
+      val rows = eventRows().sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+      val chunks = rows.grouped((rows.size + 2) / 3).toSeq
+      val stream = MemoryStream[Ev]
+      val q = StreamingOps.growthLedgerTws(stream.toDS()).toDF()
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("growth_out").start()
+      chunks.foreach { c => stream.addData(c); q.processAllAvailable() }
+      q.stop()
+      // each (user, week) is emitted exactly once → the sink IS the ledger;
+      // weekly rollup + churn (prev-week actives − retained) derive from it
+      val ledger = spark.table("growth_out")
+      val weekly = ledger.groupBy(col("wk_days")).agg(
+        count(when(col("cls") === "new", 1)).as("n_new"),
+        count(when(col("cls") === "retained", 1)).as("n_retained"),
+        count(when(col("cls") === "resurrected", 1)).as("n_resurrected"),
+        count(lit(1)).as("n_active"))
+      val prevWk = weekly.select((col("wk_days") + 7).as("wk_days"),
+        col("n_active").as("_pa"))
+      val got = weekly.join(prevWk, Seq("wk_days"), "left")
+        .select(col("wk_days"), col("n_new"), col("n_retained"),
+          col("n_resurrected"), col("n_active"),
+          coalesce(col("_pa") - col("n_retained"), lit(0L)).as("n_churned"))
+        .collect()
+        .map(r => r.getInt(0).toLong ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toMap
+      val want = SparkEntry.queries("q164_growth_accounting")(spark, sf)
+        .collect()
+        .map(r => r.getDate(0).toLocalDate.toEpochDay ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toMap
+      assert(got == want)
+      // non-vacuous: the fixture month spans multiple ledger weeks with
+      // at least one retained cohort
+      assert(want.size > 1 && want.values.map(_._2).sum > 0)
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stateful streaming funnel converges to the batch funnel (q143)") {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = Encoders.product[Ev]
