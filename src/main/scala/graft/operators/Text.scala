@@ -1045,11 +1045,46 @@ object Text {
         round(avg(col("n_chars")), 4).as("avg_chars"))
   }
 
+  /** ONE BPE MERGE STEP (tokenizer-training inner loop): the top merge
+    * candidates = adjacent-symbol-pair counts over the corpus. The
+    * scale-critical move is BPE's own: aggregate to the WORD-FREQUENCY
+    * table first (vocabulary-bounded, ~√corpus), then explode each
+    * distinct word once into its character pairs weighted by frequency —
+    * the corpus text is scanned exactly once and every later merge
+    * iteration would re-read only the word table. Guarded to len ≥ 2
+    * (Spark's `sequence(1, 0)` DESCENDS — it would emit bogus pairs for
+    * 1-char words). Top-20 by count with pair tie-break. */
+  val qBpeMergeStep: Q = Q(
+    "t111_bpe_merge_step",
+    """WITH w AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS f
+      |  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+      |        FROM documents)
+      |  WHERE word <> '' GROUP BY word),
+      |p AS (SELECT unnest([substr(word, i, 2) FOR i IN range(1, length(word))])
+      |        AS pair, f
+      |      FROM w WHERE length(word) >= 2)
+      |SELECT pair, CAST(sum(f) AS BIGINT) AS n
+      |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val words = Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+    words.filter(length(col("word")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"), col("f"))
+      .groupBy(col("pair")).agg(sum(col("f")).as("n"))
+      .orderBy(desc("n"), col("pair")).limit(20)
+      .orderBy(desc("n"), col("pair"))
+  }
+
   val all: Seq[Q] = Seq(qTokenCounts, qLangStats, qExactDedup, qDedupKeepFirst,
     qQuality, qNgramJaccard, qTfIdf, qLangId, qFingerprint, qRegexTokens,
     qPipelineClean, qHeavyHitters, qDecontaminate, qRepetition,
     qCmsHeavyHitters, qBigramCounts, qTokenEntropy, qSegmentDedup,
     qCrossCorpusDedup, qDecontaminateExcise, qCurationFunnel, qContainment,
     qFertility, qDedupWeights, qShingleNovelty, qSourceOverlap,
-    qQualityDupCalibration, qDatasetCard)
+    qQualityDupCalibration, qDatasetCard, qBpeMergeStep)
 }

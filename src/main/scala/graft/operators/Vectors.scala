@@ -1509,11 +1509,130 @@ object Vectors {
       .orderBy(col("probe_id"), col("rn"))
   }
 
+  /** MMR (maximal marginal relevance) DIVERSIFIED re-rank — the
+    * retrieval op that trades relevance against redundancy: after the
+    * usual cosine first pass, each next pick maximizes
+    * λ·rel − (1−λ)·max-sim-to-already-picked, so near-duplicate hits
+    * can't fill the result list. Greedy selection is inherently
+    * sequential, but each step is a TINY broadcast computation over the
+    * per-probe candidate POOL (top-8 here) — the corpus is touched only
+    * by the first-pass scan; the pool is lineage-cut once and every
+    * unrolled step (k=3, λ=0.7) joins the 24-row pool/pair tables.
+    * Relevance and pair sims round to 6 dp in BOTH engines before any
+    * argmax so fp noise can't flip a selection. */
+  val qMmrRerank: Q = Q(
+    "v87_mmr_rerank",
+    s"""WITH v AS ($duckNormed),
+       |probes AS (SELECT * FROM v WHERE vec_id < 3),
+       |rel AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, c.embedding AS ce,
+       |         c.nrm AS cn,
+       |         round(${VectorOps.duckDot("p.embedding", "c.embedding")}
+       |           / (p.nrm * c.nrm), 6) AS rel
+       |  FROM probes p JOIN v c ON c.vec_id <> p.vec_id),
+       |pool AS (SELECT * FROM (SELECT *, row_number() OVER (
+       |           PARTITION BY probe_id ORDER BY rel DESC, cand_id) AS prn
+       |         FROM rel) t WHERE prn <= 8),
+       |pairs AS (
+       |  SELECT a.probe_id, a.cand_id AS ca, b.cand_id AS cb,
+       |         round(${VectorOps.duckDot("a.ce", "b.ce")} / (a.cn * b.cn), 6)
+       |           AS s
+       |  FROM pool a JOIN pool b
+       |    ON a.probe_id = b.probe_id AND a.cand_id <> b.cand_id),
+       |s1 AS (SELECT probe_id, cand_id, rel FROM pool WHERE prn = 1),
+       |m2 AS (SELECT p.probe_id, p.cand_id, p.rel,
+       |         round(0.7 * p.rel - 0.3 * pr.s, 6) AS score
+       |       FROM pool p
+       |       JOIN s1 ON p.probe_id = s1.probe_id AND p.cand_id <> s1.cand_id
+       |       JOIN pairs pr ON pr.probe_id = p.probe_id
+       |         AND pr.ca = p.cand_id AND pr.cb = s1.cand_id),
+       |s2 AS (SELECT * FROM (SELECT *, row_number() OVER (
+       |         PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rn2
+       |       FROM m2) t WHERE rn2 = 1),
+       |m3 AS (SELECT p.probe_id, p.cand_id,
+       |         round(0.7 * p.rel - 0.3 * greatest(pa.s, pb.s), 6) AS score
+       |       FROM pool p
+       |       JOIN s1 ON p.probe_id = s1.probe_id AND p.cand_id <> s1.cand_id
+       |       JOIN s2 ON p.probe_id = s2.probe_id AND p.cand_id <> s2.cand_id
+       |       JOIN pairs pa ON pa.probe_id = p.probe_id
+       |         AND pa.ca = p.cand_id AND pa.cb = s1.cand_id
+       |       JOIN pairs pb ON pb.probe_id = p.probe_id
+       |         AND pb.ca = p.cand_id AND pb.cb = s2.cand_id),
+       |s3 AS (SELECT * FROM (SELECT *, row_number() OVER (
+       |         PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rn3
+       |       FROM m3) t WHERE rn3 = 1)
+       |SELECT probe_id, CAST(1 AS BIGINT) AS mmr_rank, cand_id, rel AS score
+       |FROM s1
+       |UNION ALL SELECT probe_id, CAST(2 AS BIGINT), cand_id, score FROM s2
+       |UNION ALL SELECT probe_id, CAST(3 AS BIGINT), cand_id, score FROM s3
+       |ORDER BY probe_id, mmr_rank""".stripMargin
+  ) { (s, d) =>
+    val v = withNorm(Tables.embeddings(s, d))
+    val probes = v.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("nrm").as("pn"))
+    val rel = v.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("nrm").as("cn"))
+      .join(broadcast(probes), col("cand_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("cand_id"), col("ce"), col("cn"),
+        round(VectorOps.cosineFromNorms(
+          VectorOps.dot(col("pe"), col("ce")), col("pn"), col("cn")), 6)
+          .as("rel"))
+    val wP = Window.partitionBy(col("probe_id")).orderBy(desc("rel"), col("cand_id"))
+    // lineage-cut: the pool feeds pairs + all three selection steps —
+    // without the cut every step re-runs the corpus scan (the t97 lesson)
+    val pool = Scale.cut(
+      rel.withColumn("prn", row_number().over(wP)).filter(col("prn") <= 8), true)
+    val pairs = pool
+      .select(col("probe_id"), col("cand_id").as("ca"), col("ce").as("ea"),
+        col("cn").as("na"))
+      .join(pool.select(col("probe_id"), col("cand_id").as("cb"),
+        col("ce").as("eb"), col("cn").as("nb")), Seq("probe_id"))
+      .filter(col("ca") =!= col("cb"))
+      .select(col("probe_id"), col("ca"), col("cb"),
+        round(VectorOps.cosineFromNorms(
+          VectorOps.dot(col("ea"), col("eb")), col("na"), col("nb")), 6).as("s"))
+    val s1 = pool.filter(col("prn") === 1)
+      .select(col("probe_id"), col("cand_id").as("s1c"), col("rel").as("s1rel"))
+    val m2 = pool.select(col("probe_id"), col("cand_id"), col("rel"))
+      .join(broadcast(s1), Seq("probe_id")).filter(col("cand_id") =!= col("s1c"))
+      .join(broadcast(pairs), Seq("probe_id"))
+      .filter(col("ca") === col("cand_id") && col("cb") === col("s1c"))
+      .select(col("probe_id"), col("cand_id"),
+        round(lit(0.7) * col("rel") - lit(0.3) * col("s"), 6).as("score"))
+    val w2 = Window.partitionBy(col("probe_id")).orderBy(desc("score"), col("cand_id"))
+    val s2 = m2.withColumn("rn2", row_number().over(w2)).filter(col("rn2") === 1)
+      .select(col("probe_id"), col("cand_id").as("s2c"), col("score").as("s2score"))
+    val pa = pairs.select(col("probe_id"), col("ca").as("pa_ca"),
+      col("cb").as("pa_cb"), col("s").as("sa"))
+    val pb = pairs.select(col("probe_id"), col("ca").as("pb_ca"),
+      col("cb").as("pb_cb"), col("s").as("sb"))
+    val m3 = pool.select(col("probe_id"), col("cand_id"), col("rel"))
+      .join(broadcast(s1), Seq("probe_id")).filter(col("cand_id") =!= col("s1c"))
+      .join(broadcast(s2), Seq("probe_id")).filter(col("cand_id") =!= col("s2c"))
+      .join(broadcast(pa), Seq("probe_id"))
+      .filter(col("pa_ca") === col("cand_id") && col("pa_cb") === col("s1c"))
+      .join(broadcast(pb), Seq("probe_id"))
+      .filter(col("pb_ca") === col("cand_id") && col("pb_cb") === col("s2c"))
+      .select(col("probe_id"), col("cand_id"),
+        round(lit(0.7) * col("rel") - lit(0.3) * greatest(col("sa"), col("sb")), 6)
+          .as("score"))
+    val s3 = m3.withColumn("rn3", row_number().over(w2)).filter(col("rn3") === 1)
+      .select(col("probe_id"), col("cand_id").as("s3c"), col("score").as("s3score"))
+    s1.select(col("probe_id"), lit(1L).as("mmr_rank"),
+        col("s1c").as("cand_id"), col("s1rel").as("score"))
+      .unionByName(s2.select(col("probe_id"), lit(2L).as("mmr_rank"),
+        col("s2c").as("cand_id"), col("s2score").as("score")))
+      .unionByName(s3.select(col("probe_id"), lit(3L).as("mmr_rank"),
+        col("s3c").as("cand_id"), col("s3score").as("score")))
+      .orderBy(col("probe_id"), col("mmr_rank"))
+  }
+
   val all: Seq[Q] = Seq(qCosineTopK, qKnnVote, qNormStats, qPairTopK,
     qLshAnn, qIvfAnn, qKmeansStep, qKmeansLloyd, qSemanticDedup,
     qMatmulProject, qGramMatrix, qKmeansUnrolled, qAxisReduce,
     qInt8Quantize, qMatryoshkaTopK, qPqAnn, qStandardizeDims,
     qPowerIteration, qHardNegatives, qNormOutliers, qIvfPq, qCentroidSim,
     qPqAppend, qEmbeddingPooling, qAnnRecallAudit, qIvfProbeSweep,
-    qBinaryHammingTopK)
+    qBinaryHammingTopK, qMmrRerank)
 }

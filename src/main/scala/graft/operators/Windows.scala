@@ -569,8 +569,95 @@ object Windows {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** PARETO FRONTIER (2-D skyline: minimize price, maximize size) — the
+    * "best tradeoff set" query. A point survives iff no other point is
+    * strictly cheaper AND strictly bigger, i.e. iff its size ≥ the max
+    * size over all strictly-smaller prices. The naive form is the
+    * oracle's O(n²) NOT EXISTS; the Spark plan decomposes it: dominance
+    * depends only on the per-distinct-price max size (one groupBy),
+    * then that prefix-max is computed BANDED — a per-band window plus a
+    * #bands² theta join on the tiny per-band aggregate for the carry-in
+    * (the `globalRowNumber` pattern) — so no unpartitioned window ever
+    * sees the corpus. At 100 TB the bands come from price quantiles;
+    * here fixed-width bins keep both engines deterministic. */
+  val qParetoFrontier: Q = Q(
+    "q177_pareto_frontier",
+    """SELECT t.p_partkey, t.p_retailprice, t.p_size
+      |FROM part t
+      |WHERE NOT EXISTS (SELECT 1 FROM part o
+      |  WHERE o.p_retailprice < t.p_retailprice AND o.p_size > t.p_size)
+      |ORDER BY t.p_retailprice, t.p_partkey""".stripMargin
+  ) { (s, d) =>
+    val part = Tables.part(s, d)
+    val pm = part.groupBy(col("p_retailprice")).agg(max(col("p_size")).as("msz"))
+      .withColumn("band", floor(col("p_retailprice") / 100).cast("long"))
+    // one row per distinct price → rowsBetween(-1) = strictly smaller
+    // prices within the band
+    val wLoc = Window.partitionBy(col("band")).orderBy(col("p_retailprice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = pm.withColumn("loc", max(col("msz")).over(wLoc))
+    val bAgg = pm.groupBy(col("band")).agg(max(col("msz")).as("bm"))
+    val carry = bAgg.select(col("band").as("a_band"))
+      .join(bAgg.select(col("band").as("b_band"), col("bm")),
+        col("b_band") < col("a_band"))
+      .groupBy(col("a_band")).agg(max(col("bm")).as("carry"))
+      .withColumnRenamed("a_band", "band")
+    val dom = local.join(broadcast(carry), Seq("band"), "left")
+      .select(col("p_retailprice"),
+        greatest(coalesce(col("loc"), lit(-1)), coalesce(col("carry"), lit(-1)))
+          .as("dom"))
+    part.join(dom, Seq("p_retailprice"))
+      .filter(col("p_size") >= col("dom"))
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .orderBy(col("p_retailprice"), col("p_partkey"))
+  }
+
+  /** SEQUENCE GAP FINDER (gaps-and-islands "what ids are missing"): the
+    * data-quality sweep over an id sequence with holes — here the
+    * purchase-event ids, a genuinely gapped subsequence. The oracle is
+    * one global lag window; the Spark plan never orders the corpus
+    * globally: ids band by floor(id/1024), intra-band gaps come from a
+    * per-band lag, and the ≤1 gap spanning each band boundary comes
+    * from the tiny per-band (min, max) aggregate stitched via a
+    * next-non-empty-band theta join (bands with no surviving ids make
+    * neighbor bands non-adjacent, which the min_by stitch handles). */
+  val qSequenceGaps: Q = Q(
+    "q178_sequence_gaps",
+    """WITH ids AS (SELECT event_id AS id FROM events
+      |             WHERE event_type = 'purchase'),
+      |g AS (SELECT id, lag(id) OVER (ORDER BY id) AS prev FROM ids)
+      |SELECT CAST(prev + 1 AS BIGINT) AS gap_start,
+      |       CAST(id - 1 AS BIGINT) AS gap_end,
+      |       CAST(id - prev - 1 AS BIGINT) AS n_missing
+      |FROM g WHERE prev IS NOT NULL AND id - prev > 1
+      |ORDER BY n_missing DESC, gap_start LIMIT 10""".stripMargin
+  ) { (s, d) =>
+    val ids = Tables.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("id"),
+        floor(col("event_id") / 1024).cast("long").as("band"))
+    val wLoc = Window.partitionBy(col("band")).orderBy(col("id"))
+    val intra = ids.withColumn("prev", lag(col("id"), 1).over(wLoc))
+      .filter(col("prev").isNotNull && col("id") - col("prev") > 1)
+      .select((col("prev") + 1).as("gap_start"), (col("id") - 1).as("gap_end"),
+        (col("id") - col("prev") - 1).as("n_missing"))
+    val bAgg = ids.groupBy(col("band"))
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+    val nxt = bAgg.select(col("band").as("a_band"), col("mx"))
+      .join(bAgg.select(col("band").as("b_band"), col("mn")),
+        col("b_band") > col("a_band"))
+      .groupBy(col("a_band"), col("mx"))
+      .agg(min_by(col("mn"), col("b_band")).as("nmn"))
+    val cross = nxt.filter(col("nmn") - col("mx") > 1)
+      .select((col("mx") + 1).as("gap_start"), (col("nmn") - 1).as("gap_end"),
+        (col("nmn") - col("mx") - 1).as("n_missing"))
+    intra.unionByName(cross)
+      .orderBy(desc("n_missing"), col("gap_start")).limit(10)
+      .orderBy(desc("n_missing"), col("gap_start"))
+  }
+
   val all: Seq[Q] = Seq(qTopkPerGroup, qRanks, qCumsum, qLagLead,
     qRollingTime, qRollingRows, qCumMinMaxProd, qFill, qRollingMedian,
     qAutocorr, qInterpolate, qPctChange, qCumcount, qExpanding,
-    qMergeOrdered, qGroupPctRank, qRollingCorr, qRankAverage)
+    qMergeOrdered, qGroupPctRank, qRollingCorr, qRankAverage,
+    qParetoFrontier, qSequenceGaps)
 }
