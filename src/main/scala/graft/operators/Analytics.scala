@@ -723,8 +723,43 @@ object Analytics {
       .orderBy(col("event_id"))
   }
 
+  /** LONGEST ACTIVITY STREAK (gaps-and-islands over calendar days): the
+    * engagement metric behind "7-day streak" badges. Distinct active days
+    * per user, islands via the day-number − row_number anchor (consecutive
+    * days share an anchor), island length by count, best per user. Every
+    * window and aggregate is keyed on user_id — the event log shuffles
+    * once and no global ordering ever materializes; per-user day counts
+    * are calendar-bounded so no partition can exceed ~days-of-history. */
+  val qLongestStreak: Q = Q(
+    "q179_longest_streak",
+    """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |n AS (SELECT user_id, CAST(d - DATE '1970-01-01' AS BIGINT) AS dn FROM d),
+      |g AS (SELECT user_id, dn,
+      |        dn - row_number() OVER (PARTITION BY user_id ORDER BY dn) AS grp
+      |      FROM n),
+      |s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS len
+      |      FROM g GROUP BY user_id, grp)
+      |SELECT user_id, CAST(max(len) AS BIGINT) AS best_streak,
+      |       CAST(count(*) AS BIGINT) AS n_streaks
+      |FROM s GROUP BY user_id
+      |ORDER BY best_streak DESC, user_id LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val days = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .select(col("user_id"),
+        datediff(col("d"), lit("1970-01-01")).cast("long").as("dn"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("dn"))
+    val streaks = days.withColumn("grp", col("dn") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp")).agg(count(lit(1)).as("len"))
+    streaks.groupBy(col("user_id"))
+      .agg(max(col("len")).as("best_streak"), count(lit(1)).as("n_streaks"))
+      .orderBy(desc("best_streak"), col("user_id")).limit(20)
+      .orderBy(desc("best_streak"), col("user_id"))
+  }
+
   val all: Seq[Q] = Seq(qFunnel, qRetention, qTimeToConvert, qTransitions,
     qRollingWau, qAttribution, qProfile, qScd2, qActivityBitmap,
     qLtvCurve, qTopPaths, qSessionStats, qShareOfTotal, qRfm,
-    qGrowthAccounting, qExpectations, qPitFeatures, qGroupFilter)
+    qGrowthAccounting, qExpectations, qPitFeatures, qGroupFilter,
+    qLongestStreak)
 }

@@ -509,8 +509,37 @@ object Joins {
       .orderBy(desc("revenue"), col("n_name"))
   }
 
+  /** MARKET-BASKET PAIR COUNTS (co-occurrence mining, the A-priori first
+    * pass): parts purchased together in the same order. The pair space
+    * never materializes globally — the self-join is an EQUI-join on
+    * l_orderkey, so fan-out is per-basket and bounded by (basket size)²
+    * (TPC-H baskets are ≤ 7 lines; a 100 TB pipeline with pathological
+    * baskets adds a per-basket line cap before the join — one window on
+    * the already-shuffled key). `a < b` halves the pairs and fixes
+    * orientation; counts then hash-aggregate on the pair key with
+    * map-side combine. */
+  val qMarketBasket: Q = Q(
+    "q180_market_basket",
+    """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |      FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey
+      |       AND a.l_partkey < b.l_partkey)
+      |SELECT pa, pb, CAST(count(*) AS BIGINT) AS n_baskets
+      |FROM p GROUP BY pa, pb
+      |ORDER BY n_baskets DESC, pa, pb LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = items.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    a.join(b, Seq("l_orderkey")).filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_baskets"))
+      .orderBy(desc("n_baskets"), col("pa"), col("pb")).limit(20)
+      .orderBy(desc("n_baskets"), col("pa"), col("pb"))
+  }
+
   val all: Seq[Q] = Seq(q3ShippingPriority, qBroadcastDims, qLeftOuter,
     qFullOuter, qSemiAnti, qCrossTheta, qSelfJoin, qRightOuter, qCombineFirst,
     qMergeIndicator, qIntervalOverlap, qSnapshotDiff, qDeleteCascade,
-    qLocalSupplierRevenue)
+    qLocalSupplierRevenue, qMarketBasket)
 }

@@ -342,6 +342,62 @@ object Multimodal {
       .orderBy(col("doc_id"), col("a_ms"))
   }
 
+  /** MULTIMODAL TOKEN BUDGETING — the packing step of a vision-language
+    * training pipeline: each document costs text tokens PLUS image
+    * tokens (one per 16-byte patch, the m75 grid model), and documents
+    * pack greedily in doc_id order into 4096-token context bins.
+    * Per-doc costs are a map-only scan (token count via size(filter(…)),
+    * no explode); the running total uses the t67 banded-cumsum
+    * discipline — band doc_id, per-band window, tiny per-band offsets
+    * via theta join — so no unpartitioned window ever orders the corpus.
+    * Output is bin-bounded: Σtokens / 4096 rows regardless of corpus
+    * row count. */
+  val qModalTokenBudget: Q = Q(
+    "m79_modal_token_budget",
+    """WITH d AS (SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |      x -> x <> '')) AS BIGINT) AS t_tok,
+      |    CAST(ceil(length(text) / 16.0) AS BIGINT) AS patches
+      |  FROM documents),
+      |c AS (SELECT doc_id, t_tok, patches, t_tok + patches AS tot,
+      |        CAST(sum(t_tok + patches) OVER (ORDER BY doc_id) AS BIGINT)
+      |          AS cum
+      |      FROM d)
+      |SELECT CAST(floor((cum - tot) / 4096.0) AS BIGINT) AS bin_id,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(t_tok) AS BIGINT) AS text_tokens,
+      |  CAST(sum(patches) AS BIGINT) AS image_tokens,
+      |  round(sum(tot) / 4096.0, 6) AS fill
+      |FROM c GROUP BY bin_id ORDER BY bin_id""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("size(filter(split(lower(text), '[^a-z]+'), x -> x != ''))")
+          .cast("long").as("t_tok"),
+        ceil(length(col("text")) / lit(16.0)).cast("long").as("patches"))
+      .withColumn("tot", col("t_tok") + col("patches"))
+      .withColumn("_b", (col("doc_id") / 500).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_b")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val local = docs.withColumn("_local", sum(col("tot")).over(w))
+    val bandTotals = docs.groupBy(col("_b").as("_bc"))
+      .agg(sum(col("tot")).as("_bn"))
+    val offsets = bandTotals.select(col("_bc").as("_ba"))
+      .join(bandTotals, col("_bc") < col("_ba"))
+      .groupBy(col("_ba")).agg(sum(col("_bn")).as("_off"))
+    val cum = local.join(broadcast(offsets), col("_b") === col("_ba"), "left")
+      .withColumn("cum", col("_local") + coalesce(col("_off"), lit(0L)))
+    cum.withColumn("bin_id",
+        floor((col("cum") - col("tot")) / lit(4096.0)).cast("long"))
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t_tok")).as("text_tokens"),
+        sum(col("patches")).as("image_tokens"),
+        round(sum(col("tot")) / lit(4096.0), 6).as("fill"))
+      .orderBy(col("bin_id"))
+  }
+
   val all: Seq[Q] = Seq(qBinaryMeta, qMediaFeatures, qMixedJoin, qFrameExplode,
-    qPatchGrid, qKeyframeSample, qSceneChange, qAvSyncDrift)
+    qPatchGrid, qKeyframeSample, qSceneChange, qAvSyncDrift,
+    qModalTokenBudget)
 }

@@ -549,7 +549,46 @@ object Retrieval {
         round(lit(3.0) * col("nt") / col("nw"), 6).as("clustering"))
   }
 
+  /** TERM BURSTINESS (Church & Gale): how much a term repeats WITHIN the
+    * documents that contain it — avg term frequency conditioned on
+    * presence. Content words burst (a doc about "whales" says it ten
+    * times); function words don't. The curation use is spotting template
+    * spam: terms with high burstiness and low df are boilerplate
+    * signatures. Two token-keyed hash aggregates (doc×term tf, then per-
+    * term df/cf) — both map-side combined, no windows, no broadcasts of
+    * vocabulary. Burstiness = cf/df is an exact-integer division done
+    * once per term, identically in both engines, then the top-20 cut
+    * sorts on the ROUNDED value. */
+  val qTermBurstiness: Q = Q(
+    "t112_term_burstiness",
+    """WITH tok AS (SELECT doc_id,
+      |    unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+      |  FROM documents),
+      |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      |       FROM tok WHERE w <> '' GROUP BY doc_id, w),
+      |b AS (SELECT w, CAST(count(*) AS BIGINT) AS df,
+      |        CAST(sum(tf) AS BIGINT) AS cf,
+      |        round(avg(tf * 1.0), 6) AS burstiness
+      |      FROM tf GROUP BY w)
+      |SELECT w AS term, df, cf, burstiness
+      |FROM b WHERE df >= 20
+      |ORDER BY burstiness DESC, term LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("w"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        round(avg(col("tf") * lit(1.0)), 6).as("burstiness"))
+      .filter(col("df") >= 20)
+      .select(col("w").as("term"), col("df"), col("cf"), col("burstiness"))
+      .orderBy(desc("burstiness"), col("term")).limit(20)
+      .orderBy(desc("burstiness"), col("term"))
+  }
+
   val all: Seq[Q] = Seq(qBm25, qBigramBackoff, qZipfRankFreq, qTfIdfCosinePairs,
     qBigramOov, qPmiCollocations, qKlDrift, qVocabCoverage, qTokenPageRank,
-    qTokenGraphTriangles)
+    qTokenGraphTriangles, qTermBurstiness)
 }

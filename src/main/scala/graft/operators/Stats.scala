@@ -350,6 +350,85 @@ object Stats {
       .orderBy(col("user_id"), col("x"))
   }
 
+  /** WINSORIZED MEAN (robust aggregation): per return flag, the mean of
+    * extended price after clipping to the [p05, p95] band — the outlier-
+    * resistant KPI next to the raw mean. Percentiles come from a groupBy
+    * `percentile` aggregate (exact linear interpolation, the same formula
+    * as DuckDB's quantile_cont), rounded to 6 dp before clipping so both
+    * engines clip at identical bounds. Exact percentile buffers one
+    * group's values on a reducer — fine at 3 groups; at 100 TB the
+    * one-word swap is `approx_percentile(..., accuracy)` (bounded memory,
+    * same plan shape) or the q174 banded exact machinery when exactness
+    * is contractual. The clip itself is a broadcast join of the 3-row
+    * bounds table back onto the scan — no second wide shuffle. */
+  val qWinsorizedMean: Q = Q(
+    "q182_winsorized_mean",
+    """WITH b AS (SELECT l_returnflag,
+      |    round(quantile_cont(l_extendedprice, 0.05), 6) AS lo,
+      |    round(quantile_cont(l_extendedprice, 0.95), 6) AS hi
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  round(avg(least(greatest(l.l_extendedprice, b.lo), b.hi)), 4)
+      |    AS winsorized_mean,
+      |  round(avg(l.l_extendedprice), 4) AS raw_mean,
+      |  CAST(sum(CASE WHEN l.l_extendedprice < b.lo
+      |                  OR l.l_extendedprice > b.hi
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+      |FROM lineitem l JOIN b USING (l_returnflag)
+      |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin
+  ) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val bounds = li.groupBy(col("l_returnflag"))
+      .agg(round(percentile(col("l_extendedprice"), lit(0.05)), 6).as("lo"),
+        round(percentile(col("l_extendedprice"), lit(0.95)), 6).as("hi"))
+    li.join(broadcast(bounds), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(least(greatest(col("l_extendedprice"), col("lo")),
+          col("hi"))), 4).as("winsorized_mean"),
+        round(avg(col("l_extendedprice")), 4).as("raw_mean"),
+        sum(when(col("l_extendedprice") < col("lo")
+          || col("l_extendedprice") > col("hi"), 1L).otherwise(0L))
+          .as("n_clipped"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** BENFORD FIRST-DIGIT AUDIT — the classic fabricated-numbers smell
+    * test: the distribution of leading digits of order totals against
+    * Benford's law p(d) = log10(1 + 1/d). One scan, one 9-row hash
+    * aggregate, a 1-row broadcast total; deviations computed from the
+    * UNROUNDED ratio then rounded identically in both engines. `floor`
+    * (not CAST) extracts the integer part — DuckDB's double→int CAST
+    * rounds half-to-even while Spark's truncates, so the digit string
+    * must come from an explicitly floored value. */
+  val qBenford: Q = Q(
+    "q183_benford_first_digit",
+    """WITH t AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS v
+      |           FROM orders WHERE o_totalprice >= 1),
+      |c AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+      |        CAST(count(*) AS BIGINT) AS n
+      |      FROM t GROUP BY digit),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn FROM c)
+      |SELECT digit, n, round(n * 1.0 / tn, 6) AS observed_p,
+      |  round(log10(1 + 1.0 / digit), 6) AS benford_p,
+      |  round(abs(n * 1.0 / tn - log10(1 + 1.0 / digit)), 6) AS abs_dev
+      |FROM c, tot ORDER BY digit""".stripMargin
+  ) { (s, d) =>
+    val c = Tables.orders(s, d).filter(col("o_totalprice") >= 1)
+      .select(floor(col("o_totalprice")).as("v"))
+      .select(substring(col("v").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = c.agg(sum(col("n")).as("tn"))
+    c.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        round(col("n") * lit(1.0) / col("tn"), 6).as("observed_p"),
+        round(log10(lit(1) + lit(1.0) / col("digit")), 6).as("benford_p"),
+        round(abs(col("n") * lit(1.0) / col("tn")
+          - log10(lit(1) + lit(1.0) / col("digit"))), 6).as("abs_dev"))
+      .orderBy(col("digit"))
+  }
+
   val all: Seq[Q] = Seq(qOls, qChi2, qGini, qSeasonalAnomaly, qCumeDist,
-    qHigherMoments, qAbTest, qCorrWith, qRollingRegression)
+    qHigherMoments, qAbTest, qCorrWith, qRollingRegression,
+    qWinsorizedMean, qBenford)
 }

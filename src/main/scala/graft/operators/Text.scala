@@ -1080,11 +1080,58 @@ object Text {
       .orderBy(desc("n"), col("pair"))
   }
 
+  /** SCRIPT / CHARSET PROFILE (the companion to t56's n-gram language
+    * ID): per-document character-class composition — letter and digit
+    * ratios via strip-and-measure regexes (identical regex dialect in
+    * both engines) — classified into alpha/numeric/mixed by THRESHOLD,
+    * not argmax, so no tie-break can diverge; ratios round to 6 dp
+    * before any comparison. The production form swaps the ASCII classes
+    * for Unicode script blocks (\p{Han}, \p{Cyrillic}, …) in the same
+    * two regex calls. Map-only scan plus a (lang × class)-bounded hash
+    * aggregate — nothing here shuffles the corpus more than once. */
+  val qScriptProfile: Q = Q(
+    "t113_script_profile",
+    """WITH c AS (SELECT lang, CAST(length(text) AS BIGINT) AS len,
+      |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+      |      AS BIGINT) AS nl,
+      |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+      |      AS nd
+      |  FROM documents WHERE length(text) > 0),
+      |r AS (SELECT lang, round(nl * 1.0 / len, 6) AS lr,
+      |        round(nd * 1.0 / len, 6) AS dr FROM c),
+      |k AS (SELECT lang,
+      |        CASE WHEN lr >= 0.5 THEN 'alpha'
+      |             WHEN dr >= 0.2 THEN 'numeric'
+      |             ELSE 'mixed' END AS script_class, lr FROM r)
+      |SELECT lang, script_class, CAST(count(*) AS BIGINT) AS n_docs,
+      |  round(avg(lr), 4) AS avg_letter_ratio
+      |FROM k GROUP BY lang, script_class
+      |ORDER BY lang, script_class""".stripMargin
+  ) { (s, d) =>
+    val c = Tables.documents(s, d).filter(length(col("text")) > 0)
+      .select(col("lang"), length(col("text")).cast("long").as("len"),
+        length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+          .cast("long").as("nl"),
+        length(regexp_replace(col("text"), "[^0-9]", ""))
+          .cast("long").as("nd"))
+    val r = c.select(col("lang"),
+      round(col("nl") * lit(1.0) / col("len"), 6).as("lr"),
+      round(col("nd") * lit(1.0) / col("len"), 6).as("dr"))
+    r.withColumn("script_class",
+        when(col("lr") >= 0.5, lit("alpha"))
+          .when(col("dr") >= 0.2, lit("numeric"))
+          .otherwise(lit("mixed")))
+      .groupBy(col("lang"), col("script_class"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("lr")), 4).as("avg_letter_ratio"))
+      .orderBy(col("lang"), col("script_class"))
+  }
+
   val all: Seq[Q] = Seq(qTokenCounts, qLangStats, qExactDedup, qDedupKeepFirst,
     qQuality, qNgramJaccard, qTfIdf, qLangId, qFingerprint, qRegexTokens,
     qPipelineClean, qHeavyHitters, qDecontaminate, qRepetition,
     qCmsHeavyHitters, qBigramCounts, qTokenEntropy, qSegmentDedup,
     qCrossCorpusDedup, qDecontaminateExcise, qCurationFunnel, qContainment,
     qFertility, qDedupWeights, qShingleNovelty, qSourceOverlap,
-    qQualityDupCalibration, qDatasetCard, qBpeMergeStep)
+    qQualityDupCalibration, qDatasetCard, qBpeMergeStep, qScriptProfile)
 }

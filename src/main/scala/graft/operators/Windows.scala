@@ -655,9 +655,48 @@ object Windows {
       .orderBy(desc("n_missing"), col("gap_start"))
   }
 
+  /** TOP-N PLUS "OTHERS" ROLLUP — the reporting pattern behind every
+    * "top 3 accounts + everyone else" dashboard: per event type, the
+    * three highest-spending users stay named and the long tail collapses
+    * into one OTHERS row. Ranking happens on the per-(type, user)
+    * AGGREGATE (|users|×|types| rows, already ≪ corpus after one
+    * map-side-combined shuffle), and per-user totals are rounded to 6 dp
+    * BEFORE ranking so fp sum association can't flip rank 3 vs 4 between
+    * engines. The per-type window holds |users| rows — at extreme user
+    * cardinality the q121 bounded-heap aggregator is the swap-in for the
+    * named side; the OTHERS side is a plain re-aggregate either way. */
+  val qTopNOthers: Q = Q(
+    "q181_topn_others",
+    """WITH u AS (SELECT event_type, user_id, round(sum(value), 6) AS total
+      |           FROM events GROUP BY event_type, user_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+      |        ORDER BY total DESC, user_id) AS rk FROM u)
+      |SELECT event_type,
+      |  CASE WHEN rk <= 3 THEN CAST(user_id AS VARCHAR) ELSE 'OTHERS' END
+      |    AS who,
+      |  round(sum(total), 4) AS total_value,
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM r GROUP BY event_type, who
+      |ORDER BY event_type, n_users, total_value DESC, who""".stripMargin
+  ) { (s, d) =>
+    val u = Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(round(sum(col("value")), 6).as("total"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(desc("total"), col("user_id"))
+    u.withColumn("rk", row_number().over(w))
+      .withColumn("who", when(col("rk") <= 3,
+        col("user_id").cast("string")).otherwise(lit("OTHERS")))
+      .groupBy(col("event_type"), col("who"))
+      .agg(round(sum(col("total")), 4).as("total_value"),
+        count(lit(1)).as("n_users"))
+      .orderBy(col("event_type"), col("n_users"), desc("total_value"),
+        col("who"))
+  }
+
   val all: Seq[Q] = Seq(qTopkPerGroup, qRanks, qCumsum, qLagLead,
     qRollingTime, qRollingRows, qCumMinMaxProd, qFill, qRollingMedian,
     qAutocorr, qInterpolate, qPctChange, qCumcount, qExpanding,
     qMergeOrdered, qGroupPctRank, qRollingCorr, qRankAverage,
-    qParetoFrontier, qSequenceGaps)
+    qParetoFrontier, qSequenceGaps, qTopNOthers)
 }
