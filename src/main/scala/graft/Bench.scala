@@ -53,11 +53,16 @@ object Bench {
     // with "locally checkpointed ... cannot be recomputed" warnings in
     // the tail). After each query, drop every persistent RDD the query
     // created, keeping only the pinned fixture caches; each timing then
-    // starts from the same block-manager state.
+    // starts from the same block-manager state. BLOCKING unpersist: the
+    // r7 bench still showed warm>cold inversions (q9 1.46→3.06 s with
+    // unchanged plans) because an async unpersist lets block removal
+    // land inside the NEXT query's timed region; the sweep itself is
+    // untimed, so paying the wait here is free and each timing starts
+    // with removal actually finished.
     val sc = spark.sparkContext
     val pinned = sc.getPersistentRDDs.keySet
     def sweep(): Unit = sc.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!pinned.contains(id)) rdd.unpersist(blocking = false)
+      if (!pinned.contains(id)) rdd.unpersist(blocking = true)
     }
 
     // Deterministic execution order (sorted by name) for stable runs.

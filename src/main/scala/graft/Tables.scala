@@ -24,18 +24,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * by default. Read nanos as raw Long (legacy flag) and truncate to µs —
-    * the same truncation DuckDB applies when casting TIMESTAMP_NS, so both
-    * engines see identical µs values (FIXTURES.md parity note). Integer
-    * `div` (not `/`) because ns-epoch ≈ 1.7e18 exceeds double precision. */
+  /** `events.ts` has shipped as three parquet physical types across fixture
+    * generations, so the loader normalizes all of them to session-TZ
+    * TIMESTAMP (the session is pinned UTC, matching DuckDB's naive read):
+    *   - TIMESTAMP(NANOS): read as raw Long (legacy flag) and truncate to
+    *     µs — the same truncation DuckDB applies — using integer `div`
+    *     because ns-epoch ≈ 1.7e18 exceeds double precision;
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 reads this as
+    *     TIMESTAMP_NTZ; cast to TIMESTAMP — under the UTC session the µs
+    *     values are bit-identical, and downstream `unix_micros`/LTZ-only
+    *     functions analyze;
+    *   - TIMESTAMP(MICROS, adjusted): already LTZ, passes through. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

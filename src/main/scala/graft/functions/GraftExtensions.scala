@@ -95,6 +95,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_might_contain"),
       (exprs: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bucket"),
+      new ExpressionInfo(classOf[BandBucket].getName, "graft_bucket"),
+      (exprs: Seq[Expression]) => BandBucket(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => ExistsOverSizeFilter)
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
   }

@@ -156,6 +156,98 @@ case class StringPolyHash(child: Expression, baseE: Expression, modE: Expression
     copy(child = f, baseE = s, modE = t)
 }
 
+/** Codegen'd band lookup for the banded-window decomposition
+  * (Scale.bucketsFromEdges): bucket(x) = #edges ≤ x over a SORTED
+  * literal edge array, found by binary search. The Column-expression
+  * form this replaces was a sum of |edges| chained `when`s — a 63-branch
+  * chain evaluated per row per consumer, which profiled as the dominant
+  * cost of every banding query (q174: ~0.7 s per pass over 600k cached
+  * rows at sf0.1 vs ~0.25 s for the bare scan). Binary search does
+  * ⌈log₂ 64⌉ = 6 compares in a tight loop inside whole-stage codegen.
+  *
+  * Null semantics: null x → null (callers coalesce to band 0, where
+  * NULLS FIRST ordering puts null metrics). The edge array must be a
+  * foldable literal, sorted ascending and distinct — exactly what
+  * Scale.quantileEdges emits; checked at analysis time. */
+case class BandBucket(child: Expression, edgesE: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = child
+  override def right: Expression = edgesE
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val isDoubleArr = edgesE.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (child.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_bucket expects a double metric, got ${child.dataType.simpleString}")
+    else if (!edgesE.foldable || !isDoubleArr)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_bucket expects a literal array<double> of edges")
+    else {
+      val v = edgesE.eval(null)
+      if (v == null) TypeCheckResult.TypeCheckFailure("graft_bucket edges must be non-null")
+      else {
+        val ad = v.asInstanceOf[ArrayData]
+        if ((0 until ad.numElements()).exists(ad.isNullAt))
+          TypeCheckResult.TypeCheckFailure("graft_bucket edges must not contain nulls")
+        else {
+          val arr = ad.toDoubleArray()
+          val sortedDistinct = arr.indices.drop(1).forall(i => arr(i - 1) < arr(i))
+          if (sortedDistinct) TypeCheckResult.TypeCheckSuccess
+          else TypeCheckResult.TypeCheckFailure(
+            "graft_bucket edges must be sorted ascending and distinct")
+        }
+      }
+    }
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bucket"
+
+  // upper-bound binary search: #edges e with e <= x
+  private def search(edges: Array[Double], x: Double): Long = {
+    var lo = 0
+    var hi = edges.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (edges(mid) <= x) lo = mid + 1 else hi = mid
+    }
+    lo.toLong
+  }
+
+  @transient private lazy val edgeArr: Array[Double] =
+    edgesE.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+
+  override protected def nullSafeEval(x: Any, e: Any): Any =
+    search(edgeArr, x.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // hoist the literal edges into a per-plan field: the generated loop
+    // then searches a primitive double[], not ArrayData getters
+    val edgesRef = ctx.addReferenceObj("graftBucketEdges", edgeArr, "double[]")
+    nullSafeCodeGen(ctx, ev, (x, _) => {
+      val lo = ctx.freshName("lo")
+      val hi = ctx.freshName("hi")
+      val mid = ctx.freshName("mid")
+      s"""
+         |int $lo = 0;
+         |int $hi = $edgesRef.length;
+         |while ($lo < $hi) {
+         |  int $mid = ($lo + $hi) >>> 1;
+         |  if ($edgesRef[$mid] <= $x) { $lo = $mid + 1; } else { $hi = $mid; }
+         |}
+         |${ev.value} = (long) $lo;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BandBucket =
+    copy(child = newLeft, edgesE = newRight)
+}
+
 /** Session registration for graft's custom Catalyst expressions (the
   * FunctionRegistry path is the supported Spark 4 way to hand an
   * Expression to the Column API — `call_function` resolves it). */
@@ -187,6 +279,10 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(
         "graft_polyhash",
         exprs => StringPolyHash(exprs(0), exprs(1), exprs(2)),
+        "scala_udf")
+      registry.createOrReplaceTempFunction(
+        "graft_bucket",
+        exprs => BandBucket(exprs(0), exprs(1)),
         "scala_udf")
     }
   }

@@ -587,14 +587,20 @@ object Aggregates {
     * Spark plan computes the SAME running weight banded — l_returnflag
     * has 3 values, so a per-group window would put a third of a 100 TB
     * corpus in one partition. Instead: quantile-band x (≤64 data-derived
-    * bands), run the window per (group, band), and offset each band by
-    * the summed weight of earlier bands (a groups×bands-row table) —
-    * `globalRowNumber`'s decomposition generalized from counts to
-    * weights. Banding is EXACT here, not just equivalent-in-the-limit:
-    * quantities are integral, so partial sums are the same numbers under
-    * any association and the threshold compare cannot flip on fp
-    * rounding. Tie rows share an x, so which tie crosses the threshold
-    * cannot change the filtered MIN. */
+    * bands), aggregate per-(group, band) weights into a groups×bands-row
+    * table, locate each group's THRESHOLD band (the one whose cumulative
+    * weight crosses half the total — a window over ≤192 rows), and run
+    * the running-sum window only over rows of that single band
+    * (≈ N/bands rows; raise the band count to shrink the partition at
+    * scale). The r7 form windowed EVERY band and offset-joined — correct,
+    * but it sorted the whole table and needed a checkpoint to stop three
+    * consumers re-scanning (4.9 s warm, registry max); locating the
+    * threshold band first windows 1/64th of the data and nothing is
+    * materialized. Banding is EXACT, not just equivalent-in-the-limit:
+    * by monotonicity the global threshold row lies in the threshold band,
+    * quantities are integral so partial sums are the same numbers under
+    * any association, and tie rows share an x, so which tie crosses the
+    * threshold cannot change the filtered MIN. */
   val qWeightedMedian: Q = Q(
     "q174_weighted_median",
     """WITH c AS (SELECT l_returnflag AS k, l_extendedprice AS x,
@@ -614,19 +620,27 @@ object Aggregates {
     val edges = graft.operators.Scale.quantileEdges(li, Seq(col("x")), 64).head
     val withB = li.withColumn("_b",
       graft.operators.Scale.bucketsFromEdges(col("x"), edges))
-    val wLoc = Window.partitionBy(col("k"), col("_b"))
-      .orderBy(col("x"), col("l_orderkey"), col("l_linenumber"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = withB.withColumn("_cwl", sum(col("wt")).over(wLoc))
+    // groups×bands weight table (≤192 rows) → cumulative offsets and
+    // totals are a broadcast-sized window, then pick the threshold band
     val wOff = Window.partitionBy(col("k")).orderBy(col("_b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val off = withB.groupBy(col("k"), col("_b")).agg(sum(col("wt")).as("_bw"))
+    val cum = withB.groupBy(col("k"), col("_b")).agg(sum(col("wt")).as("_bw"))
       .withColumn("_off", coalesce(sum(col("_bw")).over(wOff), lit(0.0)))
-      .select(col("k").as("_ok"), col("_b").as("_ob"), col("_off"))
-    val tot = withB.groupBy(col("k").as("_tk")).agg(sum(col("wt")).as("tot"))
-    local.join(broadcast(off), col("k") === col("_ok") && col("_b") === col("_ob"))
-      .join(broadcast(tot), col("k") === col("_tk"))
-      .filter(col("_off") + col("_cwl") >= col("tot") / 2)
+      .withColumn("tot", sum(col("_bw")).over(Window.partitionBy(col("k"))))
+    val thr = cum.filter(col("_off") + col("_bw") >= col("tot") / 2)
+      .groupBy(col("k"))
+      .agg(min_by(struct(col("_b"), col("_off"), col("tot")), col("_b")).as("s"))
+      .select(col("k").as("_tk"), col("s._b").as("_tb"),
+        col("s._off").as("_toff"), col("s.tot").as("tot"))
+    // second scan touches only the threshold band's rows; the window
+    // partition is one band per group
+    val wLoc = Window.partitionBy(col("k"))
+      .orderBy(col("x"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB.join(broadcast(thr),
+        col("k") === col("_tk") && col("_b") === col("_tb"))
+      .withColumn("_cwl", sum(col("wt")).over(wLoc))
+      .filter(col("_toff") + col("_cwl") >= col("tot") / 2)
       .groupBy(col("k"))
       .agg(round(min(col("x")), 2).as("weighted_median"),
         round(max(col("tot")), 2).as("total_weight"))

@@ -511,13 +511,17 @@ object Joins {
 
   /** MARKET-BASKET PAIR COUNTS (co-occurrence mining, the A-priori first
     * pass): parts purchased together in the same order. The pair space
-    * never materializes globally — the self-join is an EQUI-join on
-    * l_orderkey, so fan-out is per-basket and bounded by (basket size)²
+    * never materializes globally: orders collapse to per-basket part
+    * SETS (`collect_set` — partial aggregation dedups map-side, one
+    * shuffle on l_orderkey), then the ordered pairs expand INSIDE each
+    * basket row with codegen'd array higher-order functions — sort the
+    * set once, pair each element with its strict suffix, so `pa < pb`
+    * holds by construction and fan-out is bounded by (basket size)²
     * (TPC-H baskets are ≤ 7 lines; a 100 TB pipeline with pathological
-    * baskets adds a per-basket line cap before the join — one window on
-    * the already-shuffled key). `a < b` halves the pairs and fixes
-    * orientation; counts then hash-aggregate on the pair key with
-    * map-side combine. */
+    * baskets adds a `slice` cap on the sorted array first). Counts then
+    * hash-aggregate on the pair key with map-side combine. The r7 form
+    * self-joined a distinct item list — same semantics, but 3 exchanges
+    * and a double scan where this takes 2 and one. */
   val qMarketBasket: Q = Q(
     "q180_market_basket",
     """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -528,14 +532,16 @@ object Joins {
       |FROM p GROUP BY pa, pb
       |ORDER BY n_baskets DESC, pa, pb LIMIT 20""".stripMargin
   ) { (s, d) =>
-    val items = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val a = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
-    val b = items.select(col("l_orderkey"), col("l_partkey").as("pb"))
-    a.join(b, Seq("l_orderkey")).filter(col("pa") < col("pb"))
+    val baskets = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+    val pairs = baskets.select(explode(flatten(transform(col("parts"),
+      (x, i) => transform(
+        slice(col("parts"), i + lit(2), size(col("parts"))),
+        y => struct(x.as("pa"), y.as("pb")))))).as("p"))
+    pairs.select(col("p.pa"), col("p.pb"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_baskets"))
       .orderBy(desc("n_baskets"), col("pa"), col("pb")).limit(20)
-      .orderBy(desc("n_baskets"), col("pa"), col("pb"))
   }
 
   val all: Seq[Q] = Seq(q3ShippingPriority, qBroadcastDims, qLeftOuter,

@@ -165,11 +165,17 @@ object Scale {
 
   /** Monotone band expression from precomputed edges:
     * bucket(x) = #edges ≤ x (NULL metrics land in band 0, where NULLS
-    * FIRST ordering puts them). */
+    * FIRST ordering puts them). Evaluates as the codegen'd binary-search
+    * [[graft.functions.BandBucket]] — the earlier sum-of-64-`when`s
+    * chain was the dominant per-row cost of every banding query. */
   def bucketsFromEdges(metric: Column, edges: Array[Double]): Column =
     if (edges.isEmpty) lit(0L)
-    else edges.map(e => when(metric.cast("double") >= lit(e), 1L).otherwise(0L))
-      .reduce(_ + _)
+    else coalesce(
+      // typedlit, not lit: lit(Array) builds a CreateArray of element
+      // literals, which is not foldable — typedlit emits one array Literal
+      call_function("graft_bucket", metric.cast("double"),
+        typedlit[Seq[Double]](edges.toIndexedSeq)),
+      lit(0L))
 
   /** Scale-safe global dense_rank over a BANDED key (distinct-value count
     * must be modest — banded/rounded keys, categories; document the bound

@@ -387,4 +387,44 @@ class SourcesSpec extends AnyFunSuite {
       .agg(expr("bit_xor(h)"), count(lit(1))).collect()(0)
     assert(a == b)
   }
+
+  test("events loader matrix: ns-as-long, µs-NTZ, and µs-LTZ fixtures yield identical µs values") {
+    // The driver has regenerated events.parquet with three different
+    // physical timestamp encodings across rounds (r7: timestamp[ns] →
+    // timestamp[us]/NTZ, which silently broke 14 queries). This pins
+    // Tables.events' normalization: whatever the writer produced, the
+    // loaded `ts` must be session-TZ TIMESTAMP with the same µs values.
+    val micros = Seq(0L, 1L, 1700000000000000L, 1700000123456789L)
+    def load(dir: String): Seq[Long] =
+      Tables.events(spark, dir)
+        .select(unix_micros(col("ts"))).collect().map(_.getLong(0)).toSeq.sorted
+    def tsType(dir: String) = Tables.events(spark, dir).schema("ts").dataType
+    // (a) ns-as-long: raw int64 column named ts, ns-epoch values (the
+    // legacy TIMESTAMP(NANOS) fixture reads as LongType under the
+    // nanosAsLong flag — a plain int64 takes the identical loader branch)
+    val nsDir = tmp("graft_ev_ns")
+    spark.createDataFrame(micros.map(u => Tuple1(u * 1000L + 999L)))
+      .toDF("ts").write.mode("overwrite").parquet(s"$nsDir/events.parquet")
+    // (b) µs-NTZ: TIMESTAMP_NTZ column → parquet TIMESTAMP(MICROS,
+    // isAdjustedToUTC=false), the r7 regenerated-fixture shape
+    val ntzDir = tmp("graft_ev_ntz")
+    spark.createDataFrame(micros.map(Tuple1(_))).toDF("us")
+      .select(expr("cast(timestamp_micros(us) as timestamp_ntz)").as("ts"))
+      .write.mode("overwrite").parquet(s"$ntzDir/events.parquet")
+    // (c) µs-LTZ: plain TIMESTAMP → TIMESTAMP(MICROS, adjusted), the
+    // pass-through case
+    val ltzDir = tmp("graft_ev_ltz")
+    spark.createDataFrame(micros.map(Tuple1(_))).toDF("us")
+      .select(timestamp_micros(col("us")).as("ts"))
+      .write.mode("overwrite").parquet(s"$ltzDir/events.parquet")
+    for (dir <- Seq(nsDir, ntzDir, ltzDir))
+      assert(tsType(dir) == org.apache.spark.sql.types.TimestampType,
+        s"$dir loaded as ${tsType(dir)}")
+    assert(load(nsDir) == micros.sorted, "ns branch must truncate to µs")
+    assert(load(ntzDir) == micros.sorted, "NTZ branch must preserve µs bit-exact")
+    assert(load(ltzDir) == micros.sorted, "LTZ passthrough must preserve µs")
+    // and the real fixture (whatever encoding this round shipped) loads
+    // as TIMESTAMP too — LTZ-only functions must analyze
+    assert(tsType(TestSession.sf) == org.apache.spark.sql.types.TimestampType)
+  }
 }
