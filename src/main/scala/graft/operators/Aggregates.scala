@@ -677,10 +677,39 @@ object Aggregates {
       .orderBy(col("event_type"))
   }
 
+  /** MERGEABLE DISTINCT-COUNT SKETCHES (the incremental companion to
+    * q176's sum/count partial merge — the algebra that makes DISTINCT
+    * incrementally maintainable, which plain countDistinct is not):
+    * per-day HyperLogLog sketches (Spark's Apache DataSketches HLL
+    * surface) merged with hll_union_agg, against the whole-table sketch
+    * and the exact count. At 100 TB the per-day sketches are a few-KB
+    * stored column per partition; "distinct users this quarter" is then
+    * a union of 90 stored sketches, never a rescan. The output pins the
+    * invariant mechanically: union-of-partials must equal the
+    * whole-table sketch estimate EXACTLY (same sketch state, same
+    * registers), while rel_err vs exact stays inside the sketch's
+    * error bound (DedupSpec asserts both; engine-specific sketch ⇒ no
+    * DuckDB oracle). */
+  val qHllMerge: Q = Q.noOracle("q188_hll_partition_merge") { (s, d) =>
+    val ev = Tables.events(s, d)
+    val daily = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_est"),
+      count(lit(1)).as("n_days"))
+    val whole = ev.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("whole_est"),
+      countDistinct(col("user_id")).as("exact"))
+    merged.crossJoin(whole)
+      .select(col("n_days"), col("merged_est"), col("whole_est"), col("exact"),
+        round(abs(col("merged_est") - col("exact")) / col("exact"), 4)
+          .as("rel_err"))
+  }
+
   val all: Seq[Q] = Seq(qStats, qCountDistinct, qApproxDistinct, qValueCounts,
     qApproxQuantiles,
     qPivot, qRollup, qCube, qQuantiles, qCorr, qMinMaxBy, qGlobalAgg, qDescribe,
     qGroupTransform, qBinning, qQcut, qGroupMode, qQcutPerGroup, qWeightedStats,
     qPivotMultiAgg, qWinsorize, qPivotMargins, qWeightedMedian,
-    qIncrementalAggMerge)
+    qIncrementalAggMerge, qHllMerge)
 }

@@ -544,8 +544,71 @@ object Joins {
       .orderBy(desc("n_baskets"), col("pa"), col("pb")).limit(20)
   }
 
+  /** SCD TYPE-1 UPSERT (apply a changelog to a snapshot — the warehouse
+    * MERGE INTO shape, and the complement of q153's SCD2 interval
+    * build): base state = latest (value, ts) per (user, event_type)
+    * from the history slice, delta = the same from the incoming slice;
+    * the merge keeps delta where present, carries base otherwise, and
+    * tags each key inserted / updated / carried. Both sides reduce to
+    * key-grain BEFORE the full-outer join (windows partitioned by the
+    * key, never global), so the join is state-sized, not event-sized —
+    * at 100 TB the base side is yesterday's compacted state table and
+    * only the delta rescans raw data. Tie-break on event_id makes
+    * "latest" total, so the upsert is deterministic under equal
+    * timestamps. Output is the per-change-type ledger; the hash compare
+    * proves which keys each class captured and the merged values. */
+  val qScd1Upsert: Q = Q(
+    "q185_scd1_upsert",
+    """WITH base AS (
+      |  SELECT user_id, event_type, value, ts FROM (
+      |    SELECT user_id, event_type, value, ts,
+      |           row_number() OVER (PARTITION BY user_id, event_type
+      |             ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE day(ts) <= 2) WHERE rn = 1),
+      |delta AS (
+      |  SELECT user_id, event_type, value, ts FROM (
+      |    SELECT user_id, event_type, value, ts,
+      |           row_number() OVER (PARTITION BY user_id, event_type
+      |             ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE day(ts) >= 3) WHERE rn = 1)
+      |SELECT CASE WHEN d.user_id IS NULL THEN 'carried'
+      |            WHEN b.user_id IS NULL THEN 'inserted'
+      |            ELSE 'updated' END AS change,
+      |       CAST(count(*) AS BIGINT) AS n_keys,
+      |       round(sum(coalesce(d.value, b.value)), 2) AS total_value,
+      |       max(coalesce(d.ts, b.ts)) AS latest_ts
+      |FROM base b FULL OUTER JOIN delta d
+      |  ON b.user_id = d.user_id AND b.event_type = d.event_type
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    def latest(df: org.apache.spark.sql.DataFrame, pfx: String)
+        : org.apache.spark.sql.DataFrame = {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(desc("ts"), desc("event_id"))
+      df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col("user_id").as(s"${pfx}_uid"),
+          col("event_type").as(s"${pfx}_et"),
+          col("value").as(s"${pfx}_value"), col("ts").as(s"${pfx}_ts"))
+    }
+    val ev = Tables.events(s, d)
+    val base = latest(ev.filter(dayofmonth(col("ts")) <= 2), "b")
+    val delta = latest(ev.filter(dayofmonth(col("ts")) >= 3), "d")
+    base.join(delta,
+        col("b_uid") === col("d_uid") && col("b_et") === col("d_et"), "full_outer")
+      .withColumn("change",
+        when(col("d_uid").isNull, "carried")
+          .when(col("b_uid").isNull, "inserted")
+          .otherwise("updated"))
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n_keys"),
+        round(sum(coalesce(col("d_value"), col("b_value"))), 2).as("total_value"),
+        max(coalesce(col("d_ts"), col("b_ts"))).as("latest_ts"))
+      .orderBy(col("change"))
+  }
+
   val all: Seq[Q] = Seq(q3ShippingPriority, qBroadcastDims, qLeftOuter,
     qFullOuter, qSemiAnti, qCrossTheta, qSelfJoin, qRightOuter, qCombineFirst,
     qMergeIndicator, qIntervalOverlap, qSnapshotDiff, qDeleteCascade,
-    qLocalSupplierRevenue, qMarketBasket)
+    qLocalSupplierRevenue, qMarketBasket, qScd1Upsert)
 }

@@ -397,7 +397,51 @@ object Multimodal {
       .orderBy(col("bin_id"))
   }
 
+  /** CROSS-DOCUMENT FRAME DEDUP (the media analog of t51's exact text
+    * dedup: identical frames — intro cards, logos, black frames —
+    * recur across videos and waste decode + training budget): frames
+    * hash by content (sha256 over the payload chunk, the m74 frame
+    * stream), duplicates group on the hash, and each duplicate class
+    * reports its copy count, how many distinct documents share it, and
+    * the keep-first representative (min doc). The groupBy key is the
+    * 64-hex digest — uniformly distributed, so the shuffle cannot skew
+    * regardless of how hot one logo frame is; payload bytes never
+    * shuffle (only doc_id + digest leave the map side after the
+    * projection). Top-50 duplicate classes by copy count. */
+  val qFrameDedup: Q = Q(
+    "m80_frame_hash_dedup",
+    """WITH idx AS (
+      |  SELECT doc_id, text,
+      |         unnest(range(0, CAST(ceil(length(text) / 16.0) AS BIGINT))) AS frame_idx
+      |  FROM documents WHERE doc_id < 200 AND length(text) > 0),
+      |f AS (SELECT doc_id,
+      |        sha256(substr(text, CAST(frame_idx * 16 + 1 AS BIGINT), 16)) AS frame_sha
+      |      FROM idx)
+      |SELECT frame_sha, CAST(count(*) AS BIGINT) AS n_copies,
+      |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |       min(doc_id) AS first_doc
+      |FROM f GROUP BY frame_sha HAVING count(*) > 1
+      |ORDER BY n_copies DESC, frame_sha LIMIT 50""".stripMargin
+  ) { (s, d) =>
+    val bin = col("text").cast("binary")
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 200 && length(col("text")) > 0)
+      .select(col("doc_id"), bin.as("p"),
+        ((length(bin) + 15) / 16).cast("long").as("nf"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("nf") - 1)).as("frame_idx"), col("p"))
+      .select(col("doc_id"),
+        sha2(substring(col("p"), (col("frame_idx") * 16 + 1).cast("int"),
+          lit(16)), 256).as("frame_sha"))
+      .groupBy(col("frame_sha"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_copies") > 1)
+      .orderBy(desc("n_copies"), col("frame_sha")).limit(50)
+  }
+
   val all: Seq[Q] = Seq(qBinaryMeta, qMediaFeatures, qMixedJoin, qFrameExplode,
     qPatchGrid, qKeyframeSample, qSceneChange, qAvSyncDrift,
-    qModalTokenBudget)
+    qModalTokenBudget, qFrameDedup)
 }

@@ -223,6 +223,48 @@ object ScalarTours {
       .orderBy(col("flag"))
   }
 
+  /** TIMESTAMP_NTZ-native datetime family. Tz-NAIVE timestamps are the
+    * pandas/Dask DEFAULT (`pd.to_datetime` yields naive values; the
+    * deployed image provisions exactly that stack,
+    * dask_ssh_docker/__init__.py:307), and the regenerated fixture
+    * ships `events.ts` as parquet µs-NTZ — so naive datetimes are a
+    * first-class engine type here, not just a loader normalization
+    * (the r7 lesson). The tour re-derives the NTZ reading
+    * (`cast(ts as timestamp_ntz)` under the pinned-UTC session is
+    * bit-identical to DuckDB's naive read) and runs the accessor
+    * family DIRECTLY on TIMESTAMP_NTZ inputs: truncation, field
+    * extraction, interval arithmetic, timestampdiff — plus the
+    * naive→instant bridge (`cast` back under UTC) that pandas
+    * `tz_localize('UTC')` performs. All codegen'd built-ins; NTZ stays
+    * NTZ through the plan (day_ntz/plus90m keep the type). */
+  val qNtzTour: Q = Q(
+    "q184_ntz_datetime_family",
+    """SELECT event_id,
+      |  ts AS ts_ntz,
+      |  date_trunc('day', ts) AS day_ntz,
+      |  hour(ts) AS hr,
+      |  dayofweek(ts) AS dow,
+      |  weekofyear(ts) AS wk,
+      |  ts + INTERVAL 90 MINUTE AS plus90m,
+      |  date_diff('minute', date_trunc('day', ts), ts) AS min_into_day,
+      |  epoch_us(ts) AS epoch_us_utc
+      |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin
+  ) { (s, d) =>
+    val ntz = col("ts").cast("timestamp_ntz")
+    Tables.events(s, d).filter(col("event_id") < 200)
+      .withColumn("ts_ntz", ntz)
+      .select(col("event_id"), col("ts_ntz"),
+        date_trunc("day", col("ts_ntz")).as("day_ntz"),
+        hour(col("ts_ntz")).cast("long").as("hr"),
+        (dayofweek(col("ts_ntz")) - 1).cast("long").as("dow"),
+        weekofyear(col("ts_ntz")).cast("long").as("wk"),
+        (col("ts_ntz") + expr("INTERVAL 90 MINUTES")).as("plus90m"),
+        expr("timestampdiff(MINUTE, date_trunc('day', ts_ntz), ts_ntz)")
+          .cast("long").as("min_into_day"),
+        unix_micros(col("ts_ntz").cast("timestamp")).as("epoch_us_utc"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[Q] = Seq(qStrings, qDates, qMath, qConditional, qPredicates,
-    qCasts, qNaFamily)
+    qCasts, qNaFamily, qNtzTour)
 }

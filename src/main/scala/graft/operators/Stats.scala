@@ -428,7 +428,61 @@ object Stats {
       .orderBy(col("digit"))
   }
 
+  /** KEY-SKEW PROFILE (the shuffle-planning diagnostic run BEFORE
+    * choosing a join/agg strategy at scale): per-key row counts for a
+    * prospective shuffle key, the 10 hottest keys with their share of
+    * the table, and each key's heat relative to the mean key (the
+    * "how many reducers does my hottest key need" number that decides
+    * between a plain shuffle, AQE skew split, and salting). One hash
+    * aggregate builds the key table; totals ride a broadcast 1-row
+    * cross join; the top-10 is TakeOrderedAndProject, so nothing
+    * key-cardinality-sized is ever sorted globally. */
+  val qKeySkewProfile: Q = Q(
+    "q186_key_skew_profile",
+    """WITH k AS (SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS n
+      |           FROM lineitem GROUP BY 1),
+      |t AS (SELECT sum(n) AS tot, count(*) AS n_keys FROM k)
+      |SELECT key, n,
+      |       round(n * 1.0 / tot, 6) AS share,
+      |       round(n * n_keys * 1.0 / tot, 2) AS x_mean_key
+      |FROM k, t ORDER BY n DESC, key LIMIT 10""".stripMargin
+  ) { (s, d) =>
+    val k = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey").as("key")).agg(count(lit(1)).as("n"))
+    val t = k.agg(sum(col("n")).as("tot"), count(lit(1)).as("n_keys"))
+    k.crossJoin(broadcast(t))
+      .select(col("key"), col("n"),
+        round(col("n") * lit(1.0) / col("tot"), 6).as("share"),
+        round(col("n") * col("n_keys") * lit(1.0) / col("tot"), 2).as("x_mean_key"))
+      .orderBy(desc("n"), col("key")).limit(10)
+  }
+
+  /** PER-HOUR EXACT PERCENTILE BANDS (the ops-dashboard p50/p95/p99
+    * latency table): one hash aggregate per hour-of-day bucket with
+    * Spark's exact interpolating `percentile` — same continuous
+    * definition as DuckDB's quantile_cont, so the hash compare pins the
+    * interpolation arithmetic, not just the bucketing. 24 output rows;
+    * the aggregate is two-phase (map-side partials collect per-bucket
+    * value lists only at reduce — at 100 TB swap in percentile_approx,
+    * the q82-tested sketch, when exactness can yield). */
+  val qPercentileBands: Q = Q(
+    "q187_hourly_percentile_bands",
+    """SELECT hour(ts) AS hr, CAST(count(*) AS BIGINT) AS n,
+      |       round(quantile_cont(value, 0.5), 6) AS p50,
+      |       round(quantile_cont(value, 0.95), 6) AS p95,
+      |       round(quantile_cont(value, 0.99), 6) AS p99
+      |FROM events GROUP BY 1 ORDER BY hr""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(hour(col("ts")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5D)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95D)"), 6).as("p95"),
+        round(expr("percentile(value, 0.99D)"), 6).as("p99"))
+      .orderBy(col("hr"))
+  }
+
   val all: Seq[Q] = Seq(qOls, qChi2, qGini, qSeasonalAnomaly, qCumeDist,
     qHigherMoments, qAbTest, qCorrWith, qRollingRegression,
-    qWinsorizedMean, qBenford)
+    qWinsorizedMean, qBenford, qKeySkewProfile, qPercentileBands)
 }

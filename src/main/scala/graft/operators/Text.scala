@@ -1127,11 +1127,68 @@ object Text {
       .orderBy(col("lang"), col("script_class"))
   }
 
+  /** DISTINCTIVE VOCABULARY PER SOURCE (Monroe et al's "Fightin' Words"
+    * log-odds-ratio with add-0.5 smoothing — the corpus-comparison pass
+    * that answers "what does THIS source say that the rest don't",
+    * which raw TF-IDF (t55) can't: tf-idf rewards rarity, log-odds
+    * z-scores reward DISPROPORTION and discount low-count noise by the
+    * variance term). For token w in source s vs the rest of the corpus:
+    * δ = ln((k_sw+.5)/(n_s−k_sw+.5)) − ln((k_w−k_sw+.5)/(N−n_s−k_w+k_sw+.5)),
+    * z = δ/√(1/(k_sw+.5) + 1/(k_w−k_sw+.5)); top-3 per source by z.
+    * One corpus scan builds the (source, token) counts; token totals and
+    * source totals are RE-aggregations of that table (never a rescan);
+    * the rest-of-corpus side is derived by subtraction, so no
+    * anti-join; per-source top-3 is a window over the source's own
+    * vocabulary. */
+  val qDistinctiveTerms: Q = Q(
+    "t114_distinctive_terms",
+    """WITH st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS k_sw
+      |            FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+      |                  FROM documents)
+      |            GROUP BY source, tok),
+      |tw AS (SELECT tok, sum(k_sw) AS k_w FROM st GROUP BY tok),
+      |sw AS (SELECT source, sum(k_sw) AS n_s FROM st GROUP BY source),
+      |g AS (SELECT sum(k_sw) AS n FROM st),
+      |z AS (SELECT st.source, st.tok, st.k_sw,
+      |        (ln((st.k_sw + 0.5) / (sw.n_s - st.k_sw + 0.5))
+      |         - ln((tw.k_w - st.k_sw + 0.5)
+      |              / (g.n - sw.n_s - tw.k_w + st.k_sw + 0.5)))
+      |        / sqrt(1.0 / (st.k_sw + 0.5) + 1.0 / (tw.k_w - st.k_sw + 0.5))
+      |          AS zs
+      |      FROM st JOIN tw USING (tok) JOIN sw USING (source) CROSS JOIN g)
+      |SELECT source, tok, k_sw, round(zs, 6) AS z_score
+      |FROM (SELECT *, row_number() OVER (PARTITION BY source
+      |        ORDER BY zs DESC, tok) AS rn FROM z) t
+      |WHERE rn <= 3 ORDER BY source, z_score DESC, tok""".stripMargin
+  ) { (s, d) =>
+    val st = Tables.documents(s, d)
+      .select(col("source"), explode(tokens).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("k_sw"))
+    val tw = st.groupBy(col("tok")).agg(sum(col("k_sw")).as("k_w"))
+    val sw = st.groupBy(col("source")).agg(sum(col("k_sw")).as("n_s"))
+    val g = st.agg(sum(col("k_sw")).as("n"))
+    val z = st.join(tw, Seq("tok"))
+      .join(broadcast(sw), Seq("source"))
+      .crossJoin(broadcast(g))
+      .withColumn("zs",
+        (log((col("k_sw") + 0.5) / (col("n_s") - col("k_sw") + 0.5))
+          - log((col("k_w") - col("k_sw") + 0.5)
+            / (col("n") - col("n_s") - col("k_w") + col("k_sw") + 0.5)))
+          / sqrt(lit(1.0) / (col("k_sw") + 0.5)
+            + lit(1.0) / (col("k_w") - col("k_sw") + 0.5)))
+    val w = Window.partitionBy(col("source")).orderBy(desc("zs"), col("tok"))
+    z.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("source"), col("tok"), col("k_sw"),
+        round(col("zs"), 6).as("z_score"))
+      .orderBy(col("source"), desc("z_score"), col("tok"))
+  }
+
   val all: Seq[Q] = Seq(qTokenCounts, qLangStats, qExactDedup, qDedupKeepFirst,
     qQuality, qNgramJaccard, qTfIdf, qLangId, qFingerprint, qRegexTokens,
     qPipelineClean, qHeavyHitters, qDecontaminate, qRepetition,
     qCmsHeavyHitters, qBigramCounts, qTokenEntropy, qSegmentDedup,
     qCrossCorpusDedup, qDecontaminateExcise, qCurationFunnel, qContainment,
     qFertility, qDedupWeights, qShingleNovelty, qSourceOverlap,
-    qQualityDupCalibration, qDatasetCard, qBpeMergeStep, qScriptProfile)
+    qQualityDupCalibration, qDatasetCard, qBpeMergeStep, qScriptProfile,
+    qDistinctiveTerms)
 }

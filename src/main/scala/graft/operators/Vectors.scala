@@ -1628,11 +1628,79 @@ object Vectors {
       .orderBy(col("probe_id"), col("mmr_rank"))
   }
 
+  /** LABEL-MARGIN AUDIT (label-noise / boundary-vector detection — the
+    * data-quality pass run before training on labeled embeddings): each
+    * vector's cosine to its OWN label centroid minus its best cosine to
+    * any OTHER centroid; the 20 smallest margins are the mislabel /
+    * boundary candidates a curation pipeline routes to review. One
+    * corpus pass builds the |labels|-row centroid table (the v82
+    * posexplode partial-agg shape), centroids broadcast back onto one
+    * candidate scan, and the per-vector argmax window is bounded by
+    * |labels| — nothing pairwise, nothing label-cardinality-sorted
+    * globally. Centroid components and sims round to 6 BEFORE the
+    * argmax/margin (the v87 discipline) so both engines pick identical
+    * nearest-other labels. */
+  val qLabelMarginAudit: Q = Q(
+    "v88_label_margin_audit",
+    s"""WITH p AS (SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+       |             CAST(embedding[i] AS DOUBLE) AS x
+       |           FROM embeddings, range(1, 65) r(i)),
+       |c AS (SELECT label, dim, round(avg(x), 6) AS v FROM p GROUP BY label, dim),
+       |vec AS (SELECT label, list(v ORDER BY dim) AS e FROM c GROUP BY label),
+       |v AS ($duckNormed),
+       |scored AS (
+       |  SELECT v.vec_id, v.label, c.label AS clabel,
+       |         round(${VectorOps.duckDot("v.embedding", "c.e")} /
+       |               (v.nrm * sqrt(list_sum([x * x FOR x IN c.e]))), 6) AS sim
+       |  FROM v, vec c),
+       |own AS (SELECT vec_id, label AS own_label, sim AS own_sim
+       |        FROM scored WHERE label = clabel),
+       |other AS (SELECT vec_id, clabel AS nearest_other, sim AS other_sim,
+       |                 row_number() OVER (PARTITION BY vec_id
+       |                   ORDER BY sim DESC, clabel) AS rn
+       |          FROM scored WHERE label <> clabel)
+       |SELECT o.vec_id, w.own_label, o.nearest_other, w.own_sim, o.other_sim,
+       |       round(w.own_sim - o.other_sim, 6) AS margin
+       |FROM other o JOIN own w ON o.vec_id = w.vec_id WHERE o.rn = 1
+       |ORDER BY margin, o.vec_id LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    def sq(a: org.apache.spark.sql.Column) =
+      aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x)
+    val cent = Tables.embeddings(s, d)
+      .select(col("label"),
+        posexplode(transform(col("embedding"), x => x.cast("double")))
+          .as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("x")), 6).as("v"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("v")))),
+        sv => sv.getField("v")).as("e"))
+      .select(col("label").as("clabel"), col("e"), sqrt(sq(col("e"))).as("cnrm"))
+    val scored = withNorm(Tables.embeddings(s, d))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        round(VectorOps.dot(col("embedding"), col("e"))
+          / (col("nrm") * col("cnrm")), 6).as("sim"))
+    val own = scored.filter(col("label") === col("clabel"))
+      .select(col("vec_id").as("o_vid"), col("label").as("own_label"),
+        col("sim").as("own_sim"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(desc("sim"), col("clabel"))
+    scored.filter(col("label") =!= col("clabel"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("clabel").as("nearest_other"),
+        col("sim").as("other_sim"))
+      .join(own, col("vec_id") === col("o_vid"))
+      .select(col("vec_id"), col("own_label"), col("nearest_other"),
+        col("own_sim"), col("other_sim"),
+        round(col("own_sim") - col("other_sim"), 6).as("margin"))
+      .orderBy(col("margin"), col("vec_id")).limit(20)
+  }
+
   val all: Seq[Q] = Seq(qCosineTopK, qKnnVote, qNormStats, qPairTopK,
     qLshAnn, qIvfAnn, qKmeansStep, qKmeansLloyd, qSemanticDedup,
     qMatmulProject, qGramMatrix, qKmeansUnrolled, qAxisReduce,
     qInt8Quantize, qMatryoshkaTopK, qPqAnn, qStandardizeDims,
     qPowerIteration, qHardNegatives, qNormOutliers, qIvfPq, qCentroidSim,
     qPqAppend, qEmbeddingPooling, qAnnRecallAudit, qIvfProbeSweep,
-    qBinaryHammingTopK, qMmrRerank)
+    qBinaryHammingTopK, qMmrRerank, qLabelMarginAudit)
 }

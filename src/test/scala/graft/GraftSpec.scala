@@ -533,6 +533,19 @@ class DedupSpec extends AnyFunSuite {
       s"unexpected failure: ${ex.getMessage}")
   }
 
+  test("q188 HLL: union of per-day sketches == whole-table sketch, rel_err within bound") {
+    val r = operators.Aggregates.qHllMerge.fn(spark, sf).head
+    val (merged, whole, exact) = (r.getAs[Long]("merged_est"),
+      r.getAs[Long]("whole_est"), r.getAs[Long]("exact"))
+    // mergeability is exact: unioning the per-partition sketch states
+    // must reconstruct the whole-table sketch, not just approximate it
+    assert(merged == whole, s"union-of-partials $merged != whole-sketch $whole")
+    // lgConfigK=12 default → standard error ~1.6%; 5% is a safe bound
+    assert(math.abs(merged - exact).toDouble / exact <= 0.05,
+      s"estimate $merged vs exact $exact")
+    assert(r.getAs[Long]("n_days") > 1, "fixture must span multiple days")
+  }
+
   test("m76 keyframes are exactly the frame_idx % 4 == 0 subset of m74") {
     val kf = operators.Multimodal.qKeyframeSample.fn(spark, TestSession.sf)
       .select(col("doc_id"), col("frame_idx"), col("kf_rank"), col("frame_sha"))
