@@ -1183,6 +1183,54 @@ object Text {
       .orderBy(col("source"), desc("z_score"), col("tok"))
   }
 
+  /** SKIP-GRAM WINDOW CO-OCCURRENCE (the word2vec / GloVe preprocessing
+    * counts: unordered token pairs within a ±2 window — wider context
+    * than t74's adjacent bigrams, and the raw input PMI/embedding
+    * trainers consume). The window pairing NEVER self-joins the
+    * position table (the naive |pos−pos'|≤2 join): each token instead
+    * pairs with its lead(1) and lead(2) inside one per-document window
+    * over the position explode — every in-window pair is generated
+    * exactly once, fan-out is a flat 2× per token, and the window
+    * partition is one document (doc-length-bounded, the t76 chunking
+    * bound). Pairs canonicalize unordered via least/greatest, then one
+    * map-side-combining count. Top-20. */
+  val qSkipgramCooc: Q = Q(
+    "t115_skipgram_cooccurrence",
+    """WITH pos AS (
+      |  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS tok
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+      |led AS (
+      |  SELECT doc_id, tok,
+      |         lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+      |         lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+      |  FROM pos),
+      |pairs AS (
+      |  SELECT least(tok, t1) AS wa, greatest(tok, t1) AS wb
+      |  FROM led WHERE t1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT least(tok, t2) AS wa, greatest(tok, t2) AS wb
+      |  FROM led WHERE t2 IS NOT NULL)
+      |SELECT wa, wb, CAST(count(*) AS BIGINT) AS n_cooc
+      |FROM pairs GROUP BY wa, wb
+      |ORDER BY n_cooc DESC, wa, wb LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val led = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("tok"),
+        lead(col("tok"), 1).over(w).as("t1"),
+        lead(col("tok"), 2).over(w).as("t2"))
+    val p1 = led.filter(col("t1").isNotNull)
+      .select(least(col("tok"), col("t1")).as("wa"),
+        greatest(col("tok"), col("t1")).as("wb"))
+    val p2 = led.filter(col("t2").isNotNull)
+      .select(least(col("tok"), col("t2")).as("wa"),
+        greatest(col("tok"), col("t2")).as("wb"))
+    p1.unionAll(p2)
+      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("n_cooc"))
+      .orderBy(desc("n_cooc"), col("wa"), col("wb")).limit(20)
+  }
+
   val all: Seq[Q] = Seq(qTokenCounts, qLangStats, qExactDedup, qDedupKeepFirst,
     qQuality, qNgramJaccard, qTfIdf, qLangId, qFingerprint, qRegexTokens,
     qPipelineClean, qHeavyHitters, qDecontaminate, qRepetition,
@@ -1190,5 +1238,5 @@ object Text {
     qCrossCorpusDedup, qDecontaminateExcise, qCurationFunnel, qContainment,
     qFertility, qDedupWeights, qShingleNovelty, qSourceOverlap,
     qQualityDupCalibration, qDatasetCard, qBpeMergeStep, qScriptProfile,
-    qDistinctiveTerms)
+    qDistinctiveTerms, qSkipgramCooc)
 }

@@ -694,9 +694,64 @@ object Windows {
         col("who"))
   }
 
+  /** INTERVAL COVERAGE (union of overlapping intervals — the "how much
+    * wall-clock was this user actually active" measure that plain
+    * event counts and q45's gap sessionization both miss): each event
+    * opens a 10-minute activity interval; overlapping intervals merge,
+    * and the user's coverage is the summed length of the merged
+    * islands. Gaps-and-islands via running MAX of interval ends per
+    * user (ordered by start): a row opens a NEW island iff its start
+    * exceeds every earlier end; island id = running count of openers;
+    * covered = Σ per island (max end − island start). Everything is
+    * user-keyed windows — micros arithmetic on longs, no interval
+    * self-join, no per-user cross product (the naive overlap test is
+    * O(n²) per user; this is O(n log n) sort-bounded). */
+  val qIntervalCoverage: Q = Q(
+    "q189_interval_coverage",
+    """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+      |             epoch_us(ts) + 600000000 AS e
+      |            FROM events),
+      |m AS (SELECT user_id, s, e,
+      |        max(e) OVER (PARTITION BY user_id ORDER BY s, e
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      |      FROM iv),
+      |isl AS (SELECT user_id, s, e,
+      |          CAST(sum(CASE WHEN prev_max IS NULL OR s > prev_max
+      |            THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+      |            ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |            CURRENT ROW) AS BIGINT) AS island
+      |        FROM m)
+      |SELECT user_id, CAST(count(DISTINCT island) AS BIGINT) AS n_islands,
+      |       sum(len) // 60000000 AS covered_min
+      |FROM (SELECT user_id, island, max(e) - min(s) AS len
+      |      FROM isl GROUP BY user_id, island)
+      |GROUP BY user_id ORDER BY user_id LIMIT 100""".stripMargin
+  ) { (s, d) =>
+    val iv = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + 600000000L).as("e"))
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv.withColumn("prev_max", max(col("e")).over(wPrev))
+      .withColumn("island",
+        sum(when(col("prev_max").isNull || col("s") > col("prev_max"), 1L)
+          .otherwise(0L)).over(wRun))
+      .groupBy(col("user_id"), col("island"))
+      .agg((max(col("e")) - min(col("s"))).as("len"))
+      .groupBy(col("user_id"))
+      // integer `div`, not `/`: both engines' float division + int cast
+      // disagree on rounding (DuckDB rounds, Spark truncates); // and
+      // div are exact on longs
+      .agg(countDistinct(col("island")).as("n_islands"),
+        expr("sum(len) div 60000000").as("covered_min"))
+      .orderBy(col("user_id")).limit(100)
+  }
+
   val all: Seq[Q] = Seq(qTopkPerGroup, qRanks, qCumsum, qLagLead,
     qRollingTime, qRollingRows, qCumMinMaxProd, qFill, qRollingMedian,
     qAutocorr, qInterpolate, qPctChange, qCumcount, qExpanding,
     qMergeOrdered, qGroupPctRank, qRollingCorr, qRankAverage,
-    qParetoFrontier, qSequenceGaps, qTopNOthers)
+    qParetoFrontier, qSequenceGaps, qTopNOthers, qIntervalCoverage)
 }

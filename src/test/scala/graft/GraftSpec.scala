@@ -274,27 +274,6 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall@3 = $recall (${exact.size} exact pairs)")
   }
 
-  test("v84 recall audit: per-probe recall in [0,1], mean >= 0.6 (matches the PQ recall bound)") {
-    val rows = operators.Vectors.qAnnRecallAudit.fn(spark, sf)
-      .collect().map(r => r.getLong(0) -> r.getDouble(1))
-    assert(rows.length == 10)
-    rows.foreach { case (p, r) =>
-      assert(r >= 0.0 && r <= 1.0, s"probe $p recall $r out of range") }
-    val mean = rows.map(_._2).sum / rows.length
-    assert(mean >= 0.6, s"mean recall@10 = $mean")
-  }
-
-  test("v85 probe sweep: recall non-decreasing in n_cells, all in [0,1]") {
-    val rows = operators.Vectors.qIvfProbeSweep.fn(spark, sf)
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)
-    assert(rows.map(_._1).toSeq == Seq(1, 2, 3))
-    rows.foreach { case (c, r) =>
-      assert(r >= 0.0 && r <= 1.0, s"n_cells $c recall $r out of range") }
-    val rs = rows.map(_._2)
-    assert(rs.zip(rs.tail).forall { case (a, b) => a <= b + 1e-9 },
-      s"recall not monotone: ${rs.mkString(",")}")
-  }
-
   test("IVF ANN: every result comes from one of the probe's 2 chosen clusters") {
     val labels = Tables.embeddings(spark, sf)
       .select("vec_id", "label").collect()

@@ -211,4 +211,29 @@ class VecDimSpec extends AnyFunSuite {
     val eConf = intercept[IllegalArgumentException](VecConf.dim(s))
     assert(eConf.getMessage.contains(VecConf.DimKey) && eConf.getMessage.contains("64d"))
   }
+
+  // The ANN serving-quality dashboards (v84/v85) are attested HERE, in a
+  // file separate from the big fixture suites, per the r7 directive: one
+  // aborting suite elsewhere must not silently drop their coverage.
+
+  test("v84 recall audit: per-probe recall in [0,1], mean >= 0.6 (matches the PQ recall bound)") {
+    val rows = operators.Vectors.qAnnRecallAudit.fn(TestSession.spark, TestSession.sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(rows.length == 10)
+    rows.foreach { case (p, r) =>
+      assert(r >= 0.0 && r <= 1.0, s"probe $p recall $r out of range") }
+    val mean = rows.map(_._2).sum / rows.length
+    assert(mean >= 0.6, s"mean recall@10 = $mean")
+  }
+
+  test("v85 probe sweep: recall non-decreasing in n_cells, all in [0,1]") {
+    val rows = operators.Vectors.qIvfProbeSweep.fn(TestSession.spark, TestSession.sf)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3))
+    rows.foreach { case (c, r) =>
+      assert(r >= 0.0 && r <= 1.0, s"n_cells $c recall $r out of range") }
+    val rs = rows.map(_._2)
+    assert(rs.zip(rs.tail).forall { case (a, b) => a <= b + 1e-9 },
+      s"recall not monotone: ${rs.mkString(",")}")
+  }
 }
