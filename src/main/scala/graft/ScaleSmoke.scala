@@ -481,6 +481,74 @@ object ScaleSmoke {
         .select(col("tok"), (lit(1.0) / col("nn")).as("r"))
       step(step(r0)).count()
     }
+    time("weighted median bands (q174)", nEvents) {
+      // ROUND-8 production shape: quantile-band the metric, find each
+      // group's THRESHOLD band on the groups×bands table (≤ 5×64 rows),
+      // window only that band's rows (≈ nEvents/64) — no full-table
+      // sort, no checkpoint; binary-search graft_bucket banding
+      import org.apache.spark.sql.expressions.Window
+      val li = ev.select(col("event_type").as("k"), col("value").as("x"),
+        (col("event_id") % 50 + 1).cast("double").as("wt"), col("event_id"))
+      val edges = operators.Scale.quantileEdges(li, Seq(col("x")), 64).head
+      val withB = li.withColumn("_b",
+        operators.Scale.bucketsFromEdges(col("x"), edges))
+      val wOff = Window.partitionBy(col("k")).orderBy(col("_b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = withB.groupBy(col("k"), col("_b")).agg(sum(col("wt")).as("_bw"))
+        .withColumn("_off", coalesce(sum(col("_bw")).over(wOff), lit(0.0)))
+        .withColumn("tot", sum(col("_bw")).over(Window.partitionBy(col("k"))))
+      val thr = cum.filter(col("_off") + col("_bw") >= col("tot") / 2)
+        .groupBy(col("k"))
+        .agg(min_by(struct(col("_b"), col("_off"), col("tot")), col("_b")).as("s"))
+        .select(col("k").as("_tk"), col("s._b").as("_tb"),
+          col("s._off").as("_toff"), col("s.tot").as("tot"))
+      val wLoc = Window.partitionBy(col("k"))
+        .orderBy(col("x"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      withB.join(broadcast(thr),
+          col("k") === col("_tk") && col("_b") === col("_tb"))
+        .withColumn("_cwl", sum(col("wt")).over(wLoc))
+        .filter(col("_toff") + col("_cwl") >= col("tot") / 2)
+        .groupBy(col("k")).agg(min(col("x"))).count()
+    }
+    time("interval coverage (q189)", nEvents) {
+      // gaps-and-islands union of 100k users' overlapping intervals:
+      // two user-keyed windows + two aggregates, O(n log n) sort-bounded
+      import org.apache.spark.sql.expressions.Window
+      val iv = ev.select(col("user_id"), col("ts").cast("long").as("s"),
+        (col("ts").cast("long") + 600L).as("e"))
+      val wPrev = Window.partitionBy(col("user_id")).orderBy(col("s"), col("e"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy(col("user_id")).orderBy(col("s"), col("e"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      iv.withColumn("pm", max(col("e")).over(wPrev))
+        .withColumn("isl",
+          sum(when(col("pm").isNull || col("s") > col("pm"), 1L)
+            .otherwise(0L)).over(wRun))
+        .groupBy(col("user_id"), col("isl"))
+        .agg((max(col("e")) - min(col("s"))).as("len"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("len"))).count()
+    }
+    time("skipgram cooccur (t115 shape)", nDocs) {
+      // lead(1)/lead(2) pairing inside per-doc windows — flat 2× fan-out
+      // over ~24M token positions, never a position self-join
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val led = docs.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("tok"),
+          lead(col("tok"), 1).over(w).as("t1"),
+          lead(col("tok"), 2).over(w).as("t2"))
+      val p1 = led.filter(col("t1").isNotNull)
+        .select(least(col("tok"), col("t1")).as("wa"),
+          greatest(col("tok"), col("t1")).as("wb"))
+      val p2 = led.filter(col("t2").isNotNull)
+        .select(least(col("tok"), col("t2")).as("wa"),
+          greatest(col("tok"), col("t2")).as("wb"))
+      p1.unionAll(p2).groupBy(col("wa"), col("wb"))
+        .agg(count(lit(1))).count()
+    }
     time("rolling distinct actives (q147 shape)", nEvents) {
       // WAU shape on 10-min buckets (the synthetic span is hours, not
       // days): each distinct (user, bucket) explodes to the 7 windows it

@@ -254,7 +254,10 @@ object ScalarTours {
     Tables.events(s, d).filter(col("event_id") < 200)
       .withColumn("ts_ntz", ntz)
       .select(col("event_id"), col("ts_ntz"),
-        date_trunc("day", col("ts_ntz")).as("day_ntz"),
+        // date_trunc is the one family member that widens NTZ → LTZ
+        // (SPARK date_trunc returns TIMESTAMP); cast back at the
+        // boundary — identity on wall values under the UTC session
+        date_trunc("day", col("ts_ntz")).cast("timestamp_ntz").as("day_ntz"),
         hour(col("ts_ntz")).cast("long").as("hr"),
         (dayofweek(col("ts_ntz")) - 1).cast("long").as("dow"),
         weekofyear(col("ts_ntz")).cast("long").as("wk"),

@@ -434,6 +434,27 @@ class PlanSpec extends AnyFunSuite {
     assert(bcast.contains("BroadcastHashJoin"), bcast.take(300))
   }
 
+  test("q186: skew profile plans as TakeOrderedAndProject over a partial aggregate") {
+    val p = plan("q186_key_skew_profile")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+    assert(p.contains("partial_"), "per-key counts must map-side combine")
+  }
+
+  test("t115: skip-gram pairing is join-free (lead windows, not a position self-join)") {
+    val qe = SparkEntry.queries("t115_skipgram_cooccurrence")(spark, sf).queryExecution
+    val joins = qe.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, joins.map(_.nodeName).mkString(","))
+  }
+
+  test("q184: NTZ stays NTZ through the plan (naive datetimes are a first-class type)") {
+    import org.apache.spark.sql.types.TimestampNTZType
+    val sch = SparkEntry.queries("q184_ntz_datetime_family")(spark, sf).schema
+    for (c <- Seq("ts_ntz", "day_ntz", "plus90m"))
+      assert(sch(c).dataType == TimestampNTZType, s"$c: ${sch(c).dataType}")
+  }
+
   test("global audit: no stray cartesian product or unpartitioned window in ANY query") {
     // Every registered query's physical plan, one sweep: the two
     // classic scale-killers must only appear where a bounded input
