@@ -1231,6 +1231,48 @@ object Text {
       .orderBy(desc("n_cooc"), col("wa"), col("wb")).limit(20)
   }
 
+  /** LENGTH-BUCKET PADDING WASTE (the batch-shape decision for training:
+    * fixed-shape batches pad every sequence to its bucket ceiling, and
+    * the bucket boundaries decide how much compute is spent on pad
+    * tokens vs the t67 concat-and-chunk packing that wastes none).
+    * Each doc's token count maps to the smallest ceiling in
+    * {32, 64, 128, 256} (longer docs truncate to 256 — the cap is a
+    * modeling choice surfaced as its own bucket row); per bucket:
+    * docs, real tokens, padded tokens, efficiency = real/padded. Pure
+    * map arithmetic + one hash aggregate — the cheapest query in the
+    * curation family, and the one that justifies t67's existence
+    * quantitatively. */
+  val qPaddingWaste: Q = Q(
+    "t116_padding_waste",
+    """WITH n AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      |           FROM documents),
+      |b AS (SELECT nt,
+      |        CASE WHEN nt <= 32 THEN 32 WHEN nt <= 64 THEN 64
+      |             WHEN nt <= 128 THEN 128 ELSE 256 END AS bucket,
+      |        CASE WHEN nt > 256 THEN 256 ELSE nt END AS kept
+      |      FROM n)
+      |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(kept) AS BIGINT) AS real_tokens,
+      |       CAST(sum(bucket) AS BIGINT) AS padded_tokens,
+      |       round(sum(kept) * 1.0 / sum(bucket), 6) AS efficiency
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+  ) { (s, d) =>
+    val nt = size(tokens).cast("long")
+    Tables.documents(s, d)
+      .select(nt.as("nt"))
+      .select(col("nt"),
+        when(col("nt") <= 32, 32L).when(col("nt") <= 64, 64L)
+          .when(col("nt") <= 128, 128L).otherwise(256L).as("bucket"),
+        when(col("nt") > 256, 256L).otherwise(col("nt")).as("kept"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("real_tokens"),
+        sum(col("bucket")).as("padded_tokens"),
+        round(sum(col("kept")) * lit(1.0) / sum(col("bucket")), 6)
+          .as("efficiency"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[Q] = Seq(qTokenCounts, qLangStats, qExactDedup, qDedupKeepFirst,
     qQuality, qNgramJaccard, qTfIdf, qLangId, qFingerprint, qRegexTokens,
     qPipelineClean, qHeavyHitters, qDecontaminate, qRepetition,
@@ -1238,5 +1280,5 @@ object Text {
     qCrossCorpusDedup, qDecontaminateExcise, qCurationFunnel, qContainment,
     qFertility, qDedupWeights, qShingleNovelty, qSourceOverlap,
     qQualityDupCalibration, qDatasetCard, qBpeMergeStep, qScriptProfile,
-    qDistinctiveTerms, qSkipgramCooc)
+    qDistinctiveTerms, qSkipgramCooc, qPaddingWaste)
 }

@@ -114,6 +114,19 @@ object StreamingOps {
         col("purchase_ts"), col("click_id"), col("click_ts"))
   }
 
+  /** Stream-STATIC enrichment join (the third join regime next to
+    * stream-stream above and batch-batch everywhere else): a streaming
+    * fact joined to a bounded dimension frame. The static side needs no
+    * watermark and holds no join state — Spark re-plans it per
+    * micro-batch, which is exactly the "slowly changing dim table
+    * refreshed between batches" deployment shape; broadcast keeps the
+    * stream side shuffle-free. Works identically on batch frames. */
+  def enrichWithDim(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(
+        org.apache.spark.sql.functions.broadcast(userDim), Seq("user_id"))
+      .groupBy(col("tier"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class UserCount(user_id: Long, n_events: Long, total_value: Double)

@@ -103,6 +103,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.select("event_id").distinct().count() == rows.size)
   }
 
+  test("stream-static enrichment join == batch join (dim re-read per micro-batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[Ev]
+    // bounded dim: user tier derived deterministically from the fixture
+    val dim = Tables.events(spark, sf).select("user_id").distinct()
+      .withColumn("tier", concat(lit("t"), col("user_id") % 3))
+    val stream = MemoryStream[Ev]
+    stream.addData(eventRows())
+    val got = runToMemory(
+      StreamingOps.enrichWithDim(stream.toDF(), dim),
+      "enrich_out", OutputMode.Complete())
+    val want = StreamingOps.enrichWithDim(Tables.events(spark, sf), dim)
+    assert(sortedRows(got) == sortedRows(want))
+    assert(got.count() > 0)
+  }
+
   test("flatMapGroupsWithState running counts converge to batch groupBy") {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = Encoders.product[Ev]
