@@ -9,6 +9,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * so loaders stay bare `spark.read.parquet` — at 100 TB the same call reads
   * a partitioned directory tree and gets partition pruning for free.
   *
+  * Timestamp-type contract: `events.ts` is an EVENT INSTANT and is
+  * normalized to session-TZ TIMESTAMP whatever physical encoding the
+  * fixture ships (see [[events]] — the r7 regeneration changed it under
+  * us). `lineitem.l_shipdate` / `orders.o_orderdate` are CALENDAR dates
+  * and stay as read (µs-NTZ in the current fixture — pandas' naive
+  * default); every consumer uses comparisons and date-part functions,
+  * which NTZ supports, and SourcesSpec's fixture-contract test pins
+  * that these columns load and analyze so a future encoding change
+  * fails one named test instead of a query sweep.
+  *
   * Replaces the reference's data access: user scripts received a cluster handle and loaded data themselves (bin/dask-ssh-docker:77-99); here the fixture tables are the corpus (repo TESTDATA.md).
   */
 object Tables {

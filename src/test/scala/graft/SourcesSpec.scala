@@ -427,4 +427,27 @@ class SourcesSpec extends AnyFunSuite {
     // as TIMESTAMP too — LTZ-only functions must analyze
     assert(tsType(TestSession.sf) == org.apache.spark.sql.types.TimestampType)
   }
+
+  test("fixture timestamp contract: calendar-date columns load and date functions analyze") {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    // l_shipdate / o_orderdate are CALENDAR dates (Tables scaladoc):
+    // either timestamp family is acceptable, but they must load without
+    // the nanosAsLong escape hatch and support date-part extraction +
+    // literal comparison — the full surface their consumers use. A
+    // fixture regeneration that breaks this fails HERE by name, not as
+    // an analysis-error sweep across the registry (the r7 events.ts
+    // lesson, applied to the other timestamp columns).
+    val cols = Seq(
+      Tables.lineitem(spark, TestSession.sf) -> "l_shipdate",
+      Tables.orders(spark, TestSession.sf) -> "o_orderdate")
+    for ((df, c) <- cols) {
+      val dt = df.schema(c).dataType
+      assert(dt == TimestampType || dt == TimestampNTZType, s"$c: $dt")
+      val n = df.filter(col(c) >= lit("1995-01-01").cast("timestamp"))
+        .select(year(col(c)).as("y"), quarter(col(c)).as("q"),
+          col(c).cast("date").as("d"))
+        .count()
+      assert(n > 0, s"$c: comparison + extraction yielded no rows")
+    }
+  }
 }
