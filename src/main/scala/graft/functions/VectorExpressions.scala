@@ -206,8 +206,14 @@ case class BandBucket(child: Expression, edgesE: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_bucket"
 
-  // upper-bound binary search: #edges e with e <= x
+  // upper-bound binary search: #edges e with e <= x. NaN takes the TOP
+  // band: Spark SQL comparison semantics order NaN greater than every
+  // numeric (the when-chain form this replaces evaluated NaN >= e as
+  // true), and a NULLS FIRST / NaN-last window ordering needs the band
+  // assignment to agree — Java's NaN-poisoned <= would send it to band
+  // 0, the opposite end (caught by the PropertySpec banding law).
   private def search(edges: Array[Double], x: Double): Long = {
+    if (java.lang.Double.isNaN(x)) return edges.length.toLong
     var lo = 0
     var hi = edges.length
     while (lo < hi) {
@@ -234,9 +240,13 @@ case class BandBucket(child: Expression, edgesE: Expression)
       s"""
          |int $lo = 0;
          |int $hi = $edgesRef.length;
-         |while ($lo < $hi) {
-         |  int $mid = ($lo + $hi) >>> 1;
-         |  if ($edgesRef[$mid] <= $x) { $lo = $mid + 1; } else { $hi = $mid; }
+         |if (Double.isNaN($x)) {
+         |  $lo = $hi; // Spark orders NaN above all numerics: top band
+         |} else {
+         |  while ($lo < $hi) {
+         |    int $mid = ($lo + $hi) >>> 1;
+         |    if ($edgesRef[$mid] <= $x) { $lo = $mid + 1; } else { $hi = $mid; }
+         |  }
          |}
          |${ev.value} = (long) $lo;
        """.stripMargin

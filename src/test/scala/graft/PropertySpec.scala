@@ -250,4 +250,41 @@ class PropertySpec extends AnyFunSuite {
         assert(sizes.values.max - sizes.values.min <= 1, s"n=$n k=$k sizes=$sizes")
     }
   }
+
+  test("graft_bucket binary search == the sum-of-whens banding chain, any edges/values") {
+    // bucketsFromEdges swapped its implementation in round 8 (codegen'd
+    // binary search replacing a 64-branch when-chain); this law pins the
+    // two forms equal over random edge sets and adversarial values —
+    // nulls (band 0), NaN (band 0), ±∞, and values exactly ON an edge
+    // (counted into the higher band, `<=` semantics on both paths).
+    val edgesGen = Gen.chooseNum(0, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-1000.0, 1000.0)).map(_.distinct.sorted.toArray))
+    forAllSeeded(edgesGen, seeds = 8) { edges =>
+      import scala.jdk.CollectionConverters._
+      val vals: Seq[java.lang.Double] =
+        Seq[java.lang.Double](null, Double.NaN, Double.NegativeInfinity,
+          Double.PositiveInfinity, -1e9, 1e9) ++
+          edges.take(5).map(e => java.lang.Double.valueOf(e)) ++       // exactly on edges
+          edges.take(5).map(e => java.lang.Double.valueOf(e - 1e-9)) ++
+          (1 to 50).map(i => java.lang.Double.valueOf(i * 37.7 - 900))
+      val df = spark.createDataFrame(
+        vals.map(v => org.apache.spark.sql.Row(v)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("x",
+            org.apache.spark.sql.types.DoubleType))))
+      val legacy = // the pre-r8 reference formulation, inlined
+        if (edges.isEmpty) lit(0L)
+        else edges.map(e => when(col("x") >= lit(e), 1L).otherwise(0L))
+          .reduce(_ + _)
+      val rows = df.select(
+          operators.Scale.bucketsFromEdges(col("x"), edges).as("got"),
+          legacy.as("want"), col("x"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getLong(0) == r.getLong(1),
+          s"x=${r.get(2)} edges=${edges.take(8).mkString(",")}: " +
+            s"got ${r.getLong(0)}, want ${r.getLong(1)}")
+      }
+    }
+  }
 }
