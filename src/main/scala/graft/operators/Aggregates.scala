@@ -706,10 +706,28 @@ object Aggregates {
           .as("rel_err"))
   }
 
+  /** ADAPTIVE HISTOGRAM (Ben-Haim/Tom-Tov streaming histogram — Spark's
+    * `histogram_numeric`): data-placed bin centers from one pass, the
+    * third histogram regime next to q99's fixed-width bins and q100's
+    * quantile bins — right when the distribution's shape is unknown up
+    * front (long tails collapse to few wide bins, dense regions get
+    * narrow ones). Sketch merges are order-sensitive (centers shift
+    * slightly with partial-merge order), so no DuckDB oracle; the
+    * stable invariants — bin count, counts summing to the table total,
+    * centers inside [min, max] and strictly increasing — are
+    * DedupSpec-pinned. */
+  val qAdaptiveHistogram: Q = Q.noOracle("q190_adaptive_histogram") { (s, d) =>
+    Tables.events(s, d)
+      .agg(expr("histogram_numeric(value, 8)").as("h"))
+      .select(posexplode(col("h")).as(Seq("bin", "b")))
+      .select(col("bin"), col("b.x").as("center"), col("b.y").as("height"))
+      .orderBy(col("bin"))
+  }
+
   val all: Seq[Q] = Seq(qStats, qCountDistinct, qApproxDistinct, qValueCounts,
     qApproxQuantiles,
     qPivot, qRollup, qCube, qQuantiles, qCorr, qMinMaxBy, qGlobalAgg, qDescribe,
     qGroupTransform, qBinning, qQcut, qGroupMode, qQcutPerGroup, qWeightedStats,
     qPivotMultiAgg, qWinsorize, qPivotMargins, qWeightedMedian,
-    qIncrementalAggMerge, qHllMerge)
+    qIncrementalAggMerge, qHllMerge, qAdaptiveHistogram)
 }

@@ -1696,11 +1696,55 @@ object Vectors {
       .orderBy(col("margin"), col("vec_id")).limit(20)
   }
 
+  /** SEMANTIC-DEDUP THRESHOLD CALIBRATION (the sweep run BEFORE
+    * committing to v69's τ: how many pairs and how many documents does
+    * each candidate threshold prune?). One within-cluster pair scan
+    * (v69's bound — Σ|cluster|², never corpus-wide) computes rounded
+    * sims ONCE; the 4-row threshold table broadcast-crosses onto the
+    * pair set and each threshold aggregates its own pair count and
+    * keep-first-flagged doc count. The dedup-rate-vs-τ curve is the
+    * calibration dashboard: pick τ where the curve's knee sits.
+    * Rounding to 6 before the >= compare pins boundary pairs to the
+    * same side in both engines. */
+  val qDedupThresholdSweep: Q = Q(
+    "v89_dedup_threshold_sweep",
+    s"""WITH v AS ($duckNormed),
+       |pr AS (SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+       |         round(${VectorOps.duckDot("a.embedding", "b.embedding")}
+       |           / (a.nrm * b.nrm), 6) AS sim
+       |       FROM v a JOIN v b ON a.label = b.label AND b.vec_id < a.vec_id),
+       |t AS (SELECT unnest([0.25, 0.30, 0.35, 0.40]) AS thr)
+       |SELECT thr, CAST(count(*) FILTER (WHERE sim >= thr) AS BIGINT) AS n_pairs,
+       |       CAST(count(DISTINCT CASE WHEN sim >= thr THEN a_id END) AS BIGINT)
+       |         AS n_docs_pruned
+       |FROM pr CROSS JOIN t GROUP BY thr ORDER BY thr""".stripMargin
+  ) { (s, d) =>
+    val v = withNorm(Tables.embeddings(s, d))
+    val a = v.select(col("label"), col("vec_id").as("a_id"),
+      col("embedding").as("ae"), col("nrm").as("an"))
+    val b = v.select(col("label"), col("vec_id").as("b_id"),
+      col("embedding").as("be"), col("nrm").as("bn"))
+    val pairs = a.join(b, Seq("label"))
+      .filter(col("b_id") < col("a_id"))
+      .select(col("a_id"),
+        round(VectorOps.cosineFromNorms(
+          VectorOps.dot(col("ae"), col("be")), col("an"), col("bn")), 6)
+          .as("sim"))
+    import s.implicits._
+    val thresholds = Seq(0.25, 0.30, 0.35, 0.40).toDF("thr")
+    pairs.crossJoin(broadcast(thresholds))
+      .groupBy(col("thr"))
+      .agg(count(when(col("sim") >= col("thr"), 1)).as("n_pairs"),
+        countDistinct(when(col("sim") >= col("thr"), col("a_id")))
+          .as("n_docs_pruned"))
+      .orderBy(col("thr"))
+  }
+
   val all: Seq[Q] = Seq(qCosineTopK, qKnnVote, qNormStats, qPairTopK,
     qLshAnn, qIvfAnn, qKmeansStep, qKmeansLloyd, qSemanticDedup,
     qMatmulProject, qGramMatrix, qKmeansUnrolled, qAxisReduce,
     qInt8Quantize, qMatryoshkaTopK, qPqAnn, qStandardizeDims,
     qPowerIteration, qHardNegatives, qNormOutliers, qIvfPq, qCentroidSim,
     qPqAppend, qEmbeddingPooling, qAnnRecallAudit, qIvfProbeSweep,
-    qBinaryHammingTopK, qMmrRerank, qLabelMarginAudit)
+    qBinaryHammingTopK, qMmrRerank, qLabelMarginAudit, qDedupThresholdSweep)
 }

@@ -525,6 +525,20 @@ class DedupSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_days") > 1, "fixture must span multiple days")
   }
 
+  test("q190 adaptive histogram: 8 increasing in-range centers, heights sum to the row count") {
+    val rows = operators.Aggregates.qAdaptiveHistogram.fn(spark, sf).collect()
+    assert(rows.length == 8)
+    val centers = rows.map(_.getAs[Double]("center"))
+    assert(centers.zip(centers.tail).forall { case (a, b) => a < b },
+      s"centers not increasing: ${centers.mkString(",")}")
+    val stats = Tables.events(spark, sf)
+      .agg(min(col("value")), max(col("value")), count(col("value"))).head
+    val (lo, hi, n) = (stats.getDouble(0), stats.getDouble(1), stats.getLong(2))
+    centers.foreach(c => assert(c >= lo && c <= hi, s"center $c outside [$lo,$hi]"))
+    val total = rows.map(_.getAs[Double]("height")).sum
+    assert(math.abs(total - n) < 1e-6, s"heights sum $total != $n rows")
+  }
+
   test("m76 keyframes are exactly the frame_idx % 4 == 0 subset of m74") {
     val kf = operators.Multimodal.qKeyframeSample.fn(spark, TestSession.sf)
       .select(col("doc_id"), col("frame_idx"), col("kf_rank"), col("frame_sha"))
