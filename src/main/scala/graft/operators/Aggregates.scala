@@ -724,10 +724,63 @@ object Aggregates {
       .orderBy(col("bin"))
   }
 
+  /** ORDERED STRING AGGREGATION (SQL string_agg / pandas
+    * `groupby.agg(','.join)` with a DETERMINISTIC element order —
+    * without the ORDER BY the result is partition-order garbage):
+    * Spark has no ordered listagg, so the plan collects
+    * (sort-key, value) structs, `array_sort`s the bounded per-group
+    * array (struct compare = lexicographic, sort key first), projects
+    * the values and joins. Group sizes here are nation-bounded
+    * (≤ ~100 suppliers); the scaladoc contract for 100 TB is the same
+    * as collect_list's everywhere else — only on bounded groups. */
+  val qOrderedStringAgg: Q = Q(
+    "q191_ordered_string_agg",
+    """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+      |       string_agg(s_name, ',' ORDER BY s_name) AS roster
+      |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+  ) { (s, d) =>
+    Tables.supplier(s, d)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        array_join(array_sort(collect_list(col("s_name"))), ",").as("roster"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  /** CUMULATIVE DISTINCT REACH (running "users ever seen" by day — the
+    * audience-growth curve; the cumulative complement of q164's
+    * new/retained/churned accounting). Naive spelling is a running
+    * COUNT(DISTINCT) — unbounded state per day; the scale form
+    * attributes each user to their FIRST day (one groupBy), counts new
+    * users per day, and runs one cumulative sum over the O(calendar
+    * days) aggregate series — the q125 bound: the global window sees
+    * days, never users. */
+  val qCumulativeReach: Q = Q(
+    "q192_cumulative_reach",
+    """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS d
+      |           FROM events GROUP BY user_id),
+      |daily AS (SELECT d, CAST(count(*) AS BIGINT) AS new_users
+      |          FROM f GROUP BY d)
+      |SELECT d, new_users,
+      |       CAST(sum(new_users) OVER (ORDER BY d
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS users_ever
+      |FROM daily ORDER BY d""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy(col("user_id")).agg(min(col("ts").cast("date")).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("new_users"))
+    daily.withColumn("users_ever",
+        sum(col("new_users")).over(Window.orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("d"))
+  }
+
   val all: Seq[Q] = Seq(qStats, qCountDistinct, qApproxDistinct, qValueCounts,
     qApproxQuantiles,
     qPivot, qRollup, qCube, qQuantiles, qCorr, qMinMaxBy, qGlobalAgg, qDescribe,
     qGroupTransform, qBinning, qQcut, qGroupMode, qQcutPerGroup, qWeightedStats,
     qPivotMultiAgg, qWinsorize, qPivotMargins, qWeightedMedian,
-    qIncrementalAggMerge, qHllMerge, qAdaptiveHistogram)
+    qIncrementalAggMerge, qHllMerge, qAdaptiveHistogram, qOrderedStringAgg,
+    qCumulativeReach)
 }

@@ -465,7 +465,9 @@ class PlanSpec extends AnyFunSuite {
     val globalWindowOk = Set(
       // per-day AGGREGATE series: row count is O(calendar days) at any
       // corpus size — the aggregation is the bound (cf. q8's 25-row side)
-      "q125_merge_ordered"
+      "q125_merge_ordered",
+      // same bound: cumulative sum over the daily new-user aggregate
+      "q192_cumulative_reach"
     )
     // Iterative queries run their loop eagerly on fn() and return a
     // frame over a localCheckpoint'd RDD, so their returned plan is a
