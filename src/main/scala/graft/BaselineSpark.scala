@@ -19,6 +19,10 @@ object BaselineSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // events.ts may ship as parquet TIMESTAMP(NANOS); the loader's
+      // Long branch (Tables.events) needs this read flag, set once at
+      // session construction so loaders stay pure (r8 advisory).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()

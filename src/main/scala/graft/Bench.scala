@@ -25,12 +25,34 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Iterative queries cut lineage via Scale.cut. Under the bench,
+    // route those cuts to RELIABLE disk checkpoints instead of the
+    // localCheckpoint default: localCheckpoint persists its blocks in
+    // the unified-memory block manager, where they (a) crowd execution
+    // memory INSIDE the owning query's own timed region and (b) emit
+    // "cannot be recomputed after unpersisting" warnings at sweep time
+    // that read like eviction pathology in the driver's bench tail
+    // (r8 verdict: t105 17.97 s warm vs 2.50 s cold with exactly those
+    // warnings in the tail, localCheckpoint debris the prime suspect).
+    // Disk-backed cuts take block-manager occupancy out of the
+    // equation entirely — what remains on an inverted timing is the
+    // machine, and the sentinel fields below make that visible.
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft_bench_ckpt").toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // events.ts may ship as parquet TIMESTAMP(NANOS); the loader's
+      // Long branch (Tables.events) needs this read flag, set once at
+      // session construction so loaders stay pure (r8 advisory).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config(graft.operators.Scale.CheckpointDirKey, ckptDir)
+      // reap superseded checkpoint files when their RDDs are GC'd, so
+      // 4 passes × ~6 cutting queries don't accumulate on disk mid-run
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM once (classloading, parquet reader, codegen infra)
@@ -44,74 +66,123 @@ object Bench {
     } catch { case NonFatal(_) => () } // bad sfDir → queries report -1 below
     // (NonFatal: an OOM during warm-up must surface, not read as "all failed")
 
-    // Timing isolation: iterative queries cut lineage via localCheckpoint
-    // (Scale.cut), and those RDDs stay persisted in the context after the
-    // query's action returns. Left alone, ~250 queries × 4 passes of
-    // debris stack up in the block manager until memory pressure evicts
-    // blocks DURING later timings — r6's bench showed a warm pass slower
-    // than cold for exactly this reason (t97, 5.6 s warm vs 2.8 s cold,
-    // with "locally checkpointed ... cannot be recomputed" warnings in
-    // the tail). After each query, drop every persistent RDD the query
-    // created, keeping only the pinned fixture caches; each timing then
-    // starts from the same block-manager state. BLOCKING unpersist: the
-    // r7 bench still showed warm>cold inversions (q9 1.46→3.06 s with
+    // Environment sentinel (r8 directive): every r5–r8 round that ran
+    // on a contended box re-litigated "is the inversion the plan or the
+    // machine?" from scratch. Record, per query per pass, the 1-minute
+    // load average at timing start, the GC milliseconds spent INSIDE
+    // the timed region, and block-manager storage occupancy before and
+    // after — the artifact itself then decides the dispute: a 7× warm
+    // inversion with load≈40 or gc_ms≈15000 is the machine; one with
+    // load≈8 and flat gc is the plan.
+    def loadAvg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ")(0).toDouble
+      catch { case NonFatal(_) => -1.0 }
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    val sc = spark.sparkContext
+    def bmUsedMb(): Long =
+      sc.getExecutorMemoryStatus.values
+        .map { case (max, remaining) => max - remaining }.sum >> 20
+
+    // Timing isolation: after each query, drop every persistent RDD the
+    // query created, keeping only the pinned fixture caches; each timing
+    // then starts from the same block-manager state. BLOCKING unpersist:
+    // the r7 bench showed warm>cold inversions (q9 1.46→3.06 s with
     // unchanged plans) because an async unpersist lets block removal
     // land inside the NEXT query's timed region; the sweep itself is
     // untimed, so paying the wait here is free and each timing starts
-    // with removal actually finished.
-    val sc = spark.sparkContext
+    // with removal actually finished. (With cuts routed to disk above,
+    // the sweep's job shrinks to any explicit .cache() an operator
+    // takes out — and the block manager holds fixtures + at most one
+    // query's working set at any instant.)
     val pinned = sc.getPersistentRDDs.keySet
     def sweep(): Unit = sc.getPersistentRDDs.foreach { case (id, rdd) =>
       if (!pinned.contains(id)) rdd.unpersist(blocking = true)
     }
 
+    final case class Sample(sec: Double, load: Double, gc: Long,
+        bm0: Long, bm1: Long)
     // Deterministic execution order (sorted by name) for stable runs.
-    def pass(): Seq[(String, Double)] =
+    def pass(): Seq[(String, Sample)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val (la, g0, b0) = (loadAvg(), gcMs(), bmUsedMb())
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case NonFatal(_) => false }
         val sec = (System.nanoTime() - t0) / 1e9
+        val s = Sample(if (ok) sec else -1.0, la, gcMs() - g0, b0, bmUsedMb())
         sweep() // untimed: cleanup is bench overhead, not query cost
-        name -> (if (ok) sec else -1.0)
+        name -> s
       }
+    val loadStart = loadAvg()
     val cold = pass()
     val warms = Seq(pass(), pass(), pass())
+    val loadEnd = loadAvg()
     // a query that failed in any pass is -1 per-query AND excluded from
     // both totals, so "value" always equals the sum of the positive
     // per-query entries it reports
     def median3(xs: Seq[Double]): Double = xs.sorted.apply(1)
-    val merged = cold.indices.map { i =>
-      val (k, c) = cold(i)
-      val ws = warms.map(_(i)._2)
-      k -> (if (c < 0 || ws.exists(_ < 0)) (-1.0, -1.0) else (c, median3(ws)))
-    }
-    def total(pick: ((Double, Double)) => Double) =
-      merged.map(kv => pick(kv._2)).filter(_ >= 0).sum
     def fmt(v: Double) = // Locale.ROOT: a comma-decimal default locale
       // would emit "0,123" and re-break the JSON line this fixes
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // Full per-query detail (all ~120 queries, cold + warm) goes to a
-    // file: the driver's stdout capture keeps only the LAST 2000 chars,
-    // so a single JSON line carrying every query never survives intact
-    // (BENCH_r1..r3 all show "parsed": null for exactly this reason).
-    val detail = merged.map { case (k, (c, w)) =>
-      s"\"" + k + "\":{\"cold\":" + fmt(c) + ",\"warm\":" + fmt(w) + "}"
+    def fmt1(v: Double) =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val merged = cold.indices.map { i =>
+      val (k, c) = cold(i)
+      val ws = warms.map(_(i)._2)
+      val all = c +: ws // cold + 3 warm samples, pass order
+      val (cSec, wSec) =
+        if (c.sec < 0 || ws.exists(_.sec < 0)) (-1.0, -1.0)
+        else (c.sec, median3(ws.map(_.sec)))
+      (k, cSec, wSec, all)
+    }
+    def total(pick: ((String, Double, Double, Seq[Sample])) => Double) =
+      merged.map(pick).filter(_ >= 0).sum
+    // Full per-query detail (all queries, cold + warm + per-pass
+    // sentinel arrays) goes to a file: the driver's stdout capture
+    // keeps only the LAST 2000 chars, so a single JSON line carrying
+    // every query never survives intact (BENCH_r1..r3 all show
+    // "parsed": null for exactly this reason).
+    val detail = merged.map { case (k, c, w, all) =>
+      val secs = all.map(s => fmt(s.sec)).mkString("[", ",", "]")
+      val loads = all.map(s => fmt1(s.load)).mkString("[", ",", "]")
+      val gcs = all.map(_.gc.toString).mkString("[", ",", "]")
+      val bm0 = all.map(_.bm0.toString).mkString("[", ",", "]")
+      val bm1 = all.map(_.bm1.toString).mkString("[", ",", "]")
+      s"\"" + k + "\":{\"cold\":" + fmt(c) + ",\"warm\":" + fmt(w) +
+        ",\"sec\":" + secs + ",\"load\":" + loads + ",\"gc_ms\":" + gcs +
+        ",\"bm0_mb\":" + bm0 + ",\"bm1_mb\":" + bm1 + "}"
     }.mkString("{", ",", "}")
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
     java.nio.file.Files.write(detailPath,
-      s"""{"sf":"$sfDir","warm_stat":"median_of_3","queries":$detail}""".getBytes("UTF-8"))
+      (s"""{"sf":"$sfDir","warm_stat":"median_of_3","cpus":$cpus,""" +
+        s""""load_start":${fmt1(loadStart)},"load_end":${fmt1(loadEnd)},""" +
+        s""""ckpt":"reliable_disk","queries":$detail}""").getBytes("UTF-8"))
     // Final stdout line stays compact (< ~700 chars): totals + the
     // BASELINE.md §3 anchor queries, so it parses from a 2000-char tail.
     val anchors = Seq("q1_pricing_summary", "q3_join3_revenue_top10",
       "q21_window_topk_per_customer", "q43_tumbling_1h", "q11_count_distinct",
       "t49_token_counts", "t51_exact_dedup_stats", "v61_cosine_topk")
-    val byName = merged.toMap
-    val qs = anchors.flatMap(a => byName.get(a).map(v => s"\"" + a + "\":" + fmt(v._2)))
+    val byName = merged.map(m => m._1 -> m._3).toMap
+    val qs = anchors.flatMap(a => byName.get(a).map(v => s"\"" + a + "\":" + fmt(v)))
       .mkString("{", ",", "}")
-    val nFail = merged.count(_._2._2 < 0)
-    println(s"""{"metric":"total","value":${fmt(total(_._2))},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${fmt(total(_._1))},"passes":4,"warm_stat":"median_of_3","n_queries":${merged.size},"n_failed":$nFail,"detail":"BENCH_DETAIL.json"}""")
+    val nFail = merged.count(_._3 < 0)
+    println(s"""{"metric":"total","value":${fmt(total(_._3))},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${fmt(total(_._2))},"passes":4,"warm_stat":"median_of_3","n_queries":${merged.size},"n_failed":$nFail,"load_start":${fmt1(loadStart)},"load_end":${fmt1(loadEnd)},"detail":"BENCH_DETAIL.json"}""")
     spark.stop()
+    // best-effort: the checkpoint temp dir is a few hundred MB of
+    // superseded cut files; remove it so repeated runs don't pile up
+    try {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get(ckptDir)
+      Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    } catch { case NonFatal(_) => () }
   }
 }

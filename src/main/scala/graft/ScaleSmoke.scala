@@ -24,6 +24,10 @@ object ScaleSmoke {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // events.ts may ship as parquet TIMESTAMP(NANOS); the loader's
+      // Long branch (Tables.events) needs this read flag, set once at
+      // session construction so loaders stay pure (r8 advisory).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // NOTE: driver heap cannot be set here (JVM already running under
       // sbt); size it via the sbt/spark-submit JVM options if needed
       .getOrCreate()

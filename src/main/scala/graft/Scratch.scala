@@ -14,6 +14,10 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // events.ts may ship as parquet TIMESTAMP(NANOS); the loader's
+      // Long branch (Tables.events) needs this read flag, set once at
+      // session construction so loaders stay pure (r8 advisory).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time[T](label: String)(f: => T): T = {

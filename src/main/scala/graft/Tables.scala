@@ -48,7 +48,9 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NANOS branch needs spark.sql.legacy.parquet.nanosAsLong=true,
+    // set at session construction (every graft session builder does) —
+    // a loader must not mutate session conf per call (r8 advisory).
     val raw = t(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>

@@ -47,11 +47,28 @@ object Aggregates {
       .orderBy(col("event_type"))
   }
 
-  /** HyperLogLog distinct (dask `nunique_approx()`): engine-specific sketch
-    * → no SQL oracle; ScalaTest bounds it against the exact count. */
-  val qApproxDistinct: Q = Q.noOracle("q12_approx_count_distinct") { (s, d) =>
+  /** HyperLogLog distinct (dask `nunique_approx()`): the sketch estimate
+    * is engine-specific, so the RAW estimate can't hash-match DuckDB —
+    * but the estimate's tolerance against the exact count CAN, and does
+    * (r8 directive #6): the registered form emits the exact per-type
+    * distinct count (identical in any engine) plus a flag pinning the
+    * HLL++ estimate within 5σ of it (rsd=0.02 → 10%; the sketch is
+    * deterministic for fixed data, so the flag is stable run-to-run).
+    * At 100 TB only the approx side is the production path — the exact
+    * side here is the audit, the same pairing v84 uses for ANN recall. */
+  val qApproxDistinct: Q = Q(
+    "q12_approx_count_distinct",
+    """SELECT event_type,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+      |       true AS approx_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
     Tables.events(s, d).groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
+      .agg(countDistinct(col("user_id")).as("n_users_exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx"))
+      .select(col("event_type"), col("n_users_exact"),
+        (abs(col("approx") - col("n_users_exact")) <=
+          col("n_users_exact") * lit(0.10)).as("approx_ok"))
       .orderBy(col("event_type"))
   }
 
@@ -269,14 +286,37 @@ object Aggregates {
       countDistinct(col("o_custkey")).as("n_customers"))
   }
 
-  /** Approximate percentiles (t-digest-style sketch — the dask `quantile`
-    * default; engine-specific → no SQL oracle, ScalaTest bounds it
-    * against the exact percentiles of q17). */
-  val qApproxQuantiles: Q = Q.noOracle("q82_percentile_approx") { (s, d) =>
+  /** Approximate percentiles (Greenwald-Khanna sketch — the dask
+    * `quantile` default): the sketch value is engine-specific, so the
+    * raw approx can't hash-match DuckDB — but its rank-error contract
+    * CAN (r8 directive #6): accuracy=1000 bounds rank error to n/1000,
+    * so the approx p50/p99 must land between the exact percentiles at
+    * p∓0.02 / p∓0.005 — a 20–5× slack over the guarantee. The
+    * registered form emits the EXACT interpolated percentiles (which
+    * both engines compute identically, q17's pattern) plus the
+    * containment flags; the sketch is deterministic for fixed data so
+    * the flags are stable. */
+  val qApproxQuantiles: Q = Q(
+    "q82_percentile_approx",
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.50), 4) AS p50_exact,
+      |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_exact,
+      |  true AS p50_ok, true AS p99_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, d) =>
     Tables.lineitem(s, d).groupBy(col("l_returnflag"))
       .agg(
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
-        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_approx"))
+        round(percentile(col("l_extendedprice"), lit(0.50)), 4).as("p50_exact"),
+        round(percentile(col("l_extendedprice"), lit(0.99)), 4).as("p99_exact"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("a50"),
+        percentile(col("l_extendedprice"), lit(0.48)).as("lo50"),
+        percentile(col("l_extendedprice"), lit(0.52)).as("hi50"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("a99"),
+        percentile(col("l_extendedprice"), lit(0.985)).as("lo99"),
+        percentile(col("l_extendedprice"), lit(0.995)).as("hi99"))
+      .select(col("l_returnflag"), col("p50_exact"), col("p99_exact"),
+        col("a50").between(col("lo50"), col("hi50")).as("p50_ok"),
+        col("a99").between(col("lo99"), col("hi99")).as("p99_ok"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -711,17 +751,44 @@ object Aggregates {
     * third histogram regime next to q99's fixed-width bins and q100's
     * quantile bins — right when the distribution's shape is unknown up
     * front (long tails collapse to few wide bins, dense regions get
-    * narrow ones). Sketch merges are order-sensitive (centers shift
-    * slightly with partial-merge order), so no DuckDB oracle; the
-    * stable invariants — bin count, counts summing to the table total,
-    * centers inside [min, max] and strictly increasing — are
-    * DedupSpec-pinned. */
-  val qAdaptiveHistogram: Q = Q.noOracle("q190_adaptive_histogram") { (s, d) =>
+    * narrow ones). Raw bins for the spec / exploration. */
+  private[graft] def adaptiveHistBins(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
     Tables.events(s, d)
       .agg(expr("histogram_numeric(value, 8)").as("h"))
       .select(posexplode(col("h")).as(Seq("bin", "b")))
       .select(col("bin"), col("b.x").as("center"), col("b.y").as("height"))
       .orderBy(col("bin"))
+
+  /** Registered form: sketch merges are order-sensitive (centers shift
+    * slightly with partial-merge order), so the raw bins can't hash-
+    * match another engine — but the sketch's EXACT invariants can, and
+    * DO get a full DuckDB oracle (r8 directive #6): bin count (8 — the
+    * fixture has ≥8 distinct values), heights summing to the non-null
+    * row count (mass conservation is exact: heights are integer-valued
+    * doubles, merges only add them), centers inside the exact [min,max]
+    * envelope, and strictly increasing. The raw-bin shape stays pinned
+    * in GraftSpec. The 8-row single-partition window is on the SKETCH
+    * output, not the data — scale-safe. */
+  val qAdaptiveHistogram: Q = Q(
+    "q190_adaptive_histogram",
+    """SELECT CAST(8 AS BIGINT) AS n_bins,
+      |       CAST(count(value) AS BIGINT) AS total_count,
+      |       true AS centers_in_range, true AS centers_increasing
+      |FROM events""".stripMargin
+  ) { (s, d) =>
+    val bins = adaptiveHistBins(s, d)
+    val env = Tables.events(s, d)
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+    bins.withColumn("prev", lag(col("center"), 1).over(w))
+      .crossJoin(broadcast(env))
+      .agg(count(lit(1)).as("n_bins"),
+        round(sum(col("height"))).cast("long").as("total_count"),
+        min(col("center") >= col("lo") && col("center") <= col("hi"))
+          .as("centers_in_range"),
+        min(col("prev").isNull || col("prev") < col("center"))
+          .as("centers_increasing"))
   }
 
   /** ORDERED STRING AGGREGATION (SQL string_agg / pandas

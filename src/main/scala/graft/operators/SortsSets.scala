@@ -128,24 +128,62 @@ object SortsSets {
       .orderBy(col("o_custkey"), col("o_orderpriority"))
   }
 
-  /** Bernoulli sample (dask `df.sample(frac=)`): seeded and deterministic
-    * within Spark but not reproducible in another engine → no SQL oracle;
-    * ScalaTest bounds the fraction. */
-  val qSample: Q = Q.noOracle("q34_sample") { (s, d) =>
-    Tables.lineitem(s, d).sample(withReplacement = false, 0.01, seed = 42)
-      .agg(count(lit(1)).as("n_sampled"))
+  /** Bernoulli sample (dask `df.sample(frac=)`): the seeded draw is
+    * engine-specific, so the sampled COUNT can't hash-match DuckDB —
+    * but the binomial contract can (r8 directive #6): the registered
+    * form emits the exact table total plus a flag pinning the realized
+    * count inside [0.005, 0.015]·n (expected 0.01·n; the band is >10σ
+    * at the sf0.01 verify scale, and the seeded draw is deterministic
+    * for fixed data, so the flag is stable). ScalaTest keeps the
+    * tighter per-run fraction bound. */
+  val qSample: Q = Q(
+    "q34_sample",
+    """SELECT CAST(count(*) AS BIGINT) AS n_total, true AS sample_in_bounds
+      |FROM lineitem""".stripMargin
+  ) { (s, d) =>
+    val base = Tables.lineitem(s, d)
+    val tot = base.agg(count(lit(1)).as("n_total"))
+    val sm = base.sample(withReplacement = false, 0.01, seed = 42)
+      .agg(count(lit(1)).as("n_s"))
+    tot.crossJoin(broadcast(sm))
+      .select(col("n_total"),
+        (col("n_s") >= col("n_total") * lit(0.005) &&
+          col("n_s") <= col("n_total") * lit(0.015)).as("sample_in_bounds"))
   }
 
   /** Stratified sample (dask/pandas `groupby.sample` / Spark `sampleBy`):
     * per-stratum Bernoulli fractions — the class-balancing shape a
-    * training-data pipeline uses to downsample dominant classes. Seeded
-    * and engine-specific → no SQL oracle; ScalaTest bounds each stratum's
-    * realized fraction. */
-  val qStratifiedSample: Q = Q.noOracle("q94_stratified_sample") { (s, d) =>
+    * training-data pipeline uses to downsample dominant classes. The
+    * seeded draws are engine-specific, so realized counts can't hash-
+    * match DuckDB — but each stratum's binomial contract can (r8
+    * directive #6): the registered form emits per-stratum exact totals
+    * and target fractions plus a flag pinning the realized fraction
+    * inside [0.6f, 1.4f] (exactly f for the keep-all strata: Spark's
+    * f≥1.0 path is a pass-through, no draw). ScalaTest keeps the
+    * tighter per-stratum bound. */
+  val qStratifiedSample: Q = Q(
+    "q94_stratified_sample",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_stratum,
+      |       CAST(CASE event_type WHEN 'purchase' THEN 0.5
+      |            WHEN 'signup' THEN 1.0 WHEN 'error' THEN 1.0
+      |            ELSE 0.05 END AS DOUBLE) AS target_frac,
+      |       true AS frac_in_bounds
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
     val fractions = Map("click" -> 0.05, "view" -> 0.05, "purchase" -> 0.5,
       "signup" -> 1.0, "error" -> 1.0)
-    Tables.events(s, d).stat.sampleBy("event_type", fractions, 42L)
-      .groupBy(col("event_type")).agg(count(lit(1)).as("n_sampled"))
+    val ev = Tables.events(s, d)
+    val sampled = ev.stat.sampleBy("event_type", fractions, 42L)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_s"))
+    val frac = typedLit(fractions)(col("event_type"))
+    ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_stratum"))
+      .join(sampled, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_stratum"),
+        frac.as("target_frac"),
+        when(frac >= 1.0, col("n_s") === col("n_stratum"))
+          .otherwise(col("n_s") >= col("n_stratum") * frac * 0.6 &&
+            col("n_s") <= col("n_stratum") * frac * 1.4)
+          .as("frac_in_bounds"))
       .orderBy(col("event_type"))
   }
 

@@ -722,7 +722,7 @@ object Windows {
       |            CURRENT ROW) AS BIGINT) AS island
       |        FROM m)
       |SELECT user_id, CAST(count(DISTINCT island) AS BIGINT) AS n_islands,
-      |       sum(len) // 60000000 AS covered_min
+      |       CAST(sum(len) // 60000000 AS BIGINT) AS covered_min
       |FROM (SELECT user_id, island, max(e) - min(s) AS len
       |      FROM isl GROUP BY user_id, island)
       |GROUP BY user_id ORDER BY user_id LIMIT 100""".stripMargin
@@ -743,7 +743,9 @@ object Windows {
       .groupBy(col("user_id"))
       // integer `div`, not `/`: both engines' float division + int cast
       // disagree on rounding (DuckDB rounds, Spark truncates); // and
-      // div are exact on longs
+      // div are exact on longs. The oracle also CASTs the quotient back
+      // to BIGINT — DuckDB's sum(BIGINT) widens to HUGEINT, so without
+      // it the hash compare sees decimal vs long on identical values.
       .agg(countDistinct(col("island")).as("n_islands"),
         expr("sum(len) div 60000000").as("covered_min"))
       .orderBy(col("user_id")).limit(100)

@@ -14,6 +14,10 @@ object TestSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // events.ts may ship as parquet TIMESTAMP(NANOS); the loader's
+      // Long branch (Tables.events) needs this read flag, set once at
+      // session construction so loaders stay pure (r8 advisory).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
@@ -526,7 +530,7 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("q190 adaptive histogram: 8 increasing in-range centers, heights sum to the row count") {
-    val rows = operators.Aggregates.qAdaptiveHistogram.fn(spark, sf).collect()
+    val rows = operators.Aggregates.adaptiveHistBins(spark, sf).collect()
     assert(rows.length == 8)
     val centers = rows.map(_.getAs[Double]("center"))
     assert(centers.zip(centers.tail).forall { case (a, b) => a < b },

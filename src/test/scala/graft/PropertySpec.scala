@@ -255,7 +255,9 @@ class PropertySpec extends AnyFunSuite {
     // bucketsFromEdges swapped its implementation in round 8 (codegen'd
     // binary search replacing a 64-branch when-chain); this law pins the
     // two forms equal over random edge sets and adversarial values —
-    // nulls (band 0), NaN (band 0), ±∞, and values exactly ON an edge
+    // nulls (band 0), NaN (top band — Spark orders NaN above all
+    // numerics, so both paths assign it edges.length), ±∞, and values
+    // exactly ON an edge
     // (counted into the higher band, `<=` semantics on both paths).
     val edgesGen = Gen.chooseNum(0, 64).flatMap(n =>
       Gen.listOfN(n, Gen.choose(-1000.0, 1000.0)).map(_.distinct.sorted.toArray))

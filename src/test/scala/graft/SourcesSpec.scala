@@ -440,28 +440,36 @@ class SourcesSpec extends AnyFunSuite {
       .select("l_orderkey", "l_quantity", "l_extendedprice")
     spark.sql("DROP TABLE IF EXISTS graft_orders_b")
     spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
-    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("graft_orders_b")
-    l.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("graft_lineitem_b")
-    val joined = spark.table("graft_lineitem_b")
-      .join(spark.table("graft_orders_b"),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_orderkey"))
-      .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("rev"))
-    val exchanges = joined.queryExecution.executedPlan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    try {
+      o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_orders_b")
+      l.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_lineitem_b")
+      val joined = spark.table("graft_lineitem_b")
+        .join(spark.table("graft_orders_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("rev"))
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // the join itself must be exchange-free; the groupBy on the same
+      // key also rides the bucket distribution, so NO exchange anywhere
+      assert(exchanges.isEmpty,
+        s"expected bucket-co-located plan, found ${exchanges.size} exchange(s)")
+      // and it still computes the right thing
+      val want = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("rev"))
+      assert(joined.exceptAll(want).count() == 0 &&
+        want.exceptAll(joined).count() == 0)
+    } finally {
+      // leave no warehouse state behind (r8 advisory): the managed
+      // tables' files live under the suite's temp warehouse dir, but
+      // the catalog entries would survive into any session reusing it
+      spark.sql("DROP TABLE IF EXISTS graft_orders_b")
+      spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
     }
-    // the join itself must be exchange-free; the groupBy on the same
-    // key also rides the bucket distribution, so NO exchange anywhere
-    assert(exchanges.isEmpty,
-      s"expected bucket-co-located plan, found ${exchanges.size} exchange(s)")
-    // and it still computes the right thing
-    val want = l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_orderkey"))
-      .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("rev"))
-    assert(joined.exceptAll(want).count() == 0 &&
-      want.exceptAll(joined).count() == 0)
   }
 
   test("fixture timestamp contract: calendar-date columns load and date functions analyze") {
