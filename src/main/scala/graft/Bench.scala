@@ -24,7 +24,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").trim.toInt
     // Iterative queries cut lineage via Scale.cut. Under the bench,
     // route those cuts to RELIABLE disk checkpoints instead of the
     // localCheckpoint default: localCheckpoint persists its blocks in

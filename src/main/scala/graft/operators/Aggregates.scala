@@ -728,9 +728,15 @@ object Aggregates {
     * invariant mechanically: union-of-partials must equal the
     * whole-table sketch estimate EXACTLY (same sketch state, same
     * registers), while rel_err vs exact stays inside the sketch's
-    * error bound (DedupSpec asserts both; engine-specific sketch ⇒ no
-    * DuckDB oracle). */
-  val qHllMerge: Q = Q.noOracle("q188_hll_partition_merge") { (s, d) =>
+    * error bound. Registered form (r10, extending the r9 invariant-
+    * oracle pattern): the sketch VALUES are engine-specific, the
+    * contract isn't — n_days and the exact distinct count replay in
+    * DuckDB, `merged_eq_whole` pins mergeability exactly, and the
+    * sketch estimate must sit within ±10% of exact (HLL_4 at default
+    * lgK=12 is ~1.6% σ — the band is >6σ). DedupSpec keeps the raw
+    * estimate shape. */
+  private[graft] def hllMergeRaw(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val ev = Tables.events(s, d)
     val daily = ev.groupBy(to_date(col("ts")).as("day"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
@@ -741,9 +747,20 @@ object Aggregates {
       hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("whole_est"),
       countDistinct(col("user_id")).as("exact"))
     merged.crossJoin(whole)
-      .select(col("n_days"), col("merged_est"), col("whole_est"), col("exact"),
-        round(abs(col("merged_est") - col("exact")) / col("exact"), 4)
-          .as("rel_err"))
+  }
+
+  val qHllMerge: Q = Q(
+    "q188_hll_partition_merge",
+    """SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact,
+      |       true AS merged_eq_whole, true AS rel_err_ok
+      |FROM events""".stripMargin
+  ) { (s, d) =>
+    hllMergeRaw(s, d)
+      .select(col("n_days"), col("exact"),
+        (col("merged_est") === col("whole_est")).as("merged_eq_whole"),
+        (abs(col("merged_est") - col("exact")) / col("exact") <= 0.1)
+          .as("rel_err_ok"))
   }
 
   /** ADAPTIVE HISTOGRAM (Ben-Haim/Tom-Tov streaming histogram — Spark's

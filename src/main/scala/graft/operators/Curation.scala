@@ -232,13 +232,37 @@ object Curation {
 
   private val bloomViewSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
-  val qBloomIncremental: Q = Q.noOracle("t73_bloom_incremental_dedup") { (s, d) =>
+  /** Registered t73 (r10 invariant-oracle conversion): the Bloom BITS
+    * are engine-specific, but the gate's contract replays in DuckDB —
+    * incoming batch size and its TRUE duplicate count are exact, the
+    * zero-false-negative guarantee is a theorem (every true dup must be
+    * flagged), and the flagged count is capped at true-dups + 10% of
+    * the batch + 1 (the CurationSpec FP bound, far under the filter's
+    * design rate). */
+  val qBloomIncremental: Q = Q(
+    "t73_bloom_incremental_dedup",
+    """SELECT CAST(count(*) AS BIGINT) AS n_incoming,
+      |       CAST(count(*) FILTER (WHERE text IN
+      |         (SELECT text FROM documents WHERE doc_id % 2 = 0))
+      |         AS BIGINT) AS n_true_dups,
+      |       true AS no_false_negatives, true AS fp_bounded
+      |FROM documents WHERE doc_id % 2 = 1""".stripMargin
+  ) { (s, d) =>
     val docs = Tables.documents(s, d)
     val existing = docs.filter(col("doc_id") % 2 === 0)
     val incoming = docs.filter(col("doc_id") % 2 === 1)
+    val dup = incoming
+      .join(existing.select(col("text")).distinct(), Seq("text"), "left_semi")
+      .select(col("doc_id")).withColumn("is_dup", lit(true))
     bloomIncrementalDedup(existing, incoming)
-      .groupBy(col("maybe_dup")).agg(count(lit(1)).as("n"))
-      .orderBy(col("maybe_dup"))
+      .join(dup, Seq("doc_id"), "left")
+      .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
+      .agg(count(lit(1)).as("n_incoming"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_true_dups"),
+        min(!col("is_dup") || col("maybe_dup")).as("no_false_negatives"),
+        (sum(when(col("maybe_dup"), 1L).otherwise(0L)) <=
+          sum(when(col("is_dup"), 1L).otherwise(0L))
+            + count(lit(1)) * 0.1 + 1).as("fp_bounded"))
   }
 
   /** C4-style boilerplate detection: a trigram shingle that appears in

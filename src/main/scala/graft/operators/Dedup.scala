@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
@@ -52,8 +52,11 @@ object Dedup {
   }
 
   /** MinHash + LSH near-dup candidate pairs with estimated Jaccard
-    * (fraction of agreeing signature components) >= 0.5. */
-  val qMinHashLsh: Q = Q.noOracle("t58_minhash_lsh_pairs") { (s, d) =>
+    * (fraction of agreeing signature components) >= 0.5. Raw pair frame
+    * — GraftSpec's recall/precision tests drive this; the registered
+    * t58 projects its invariant contract. */
+  private[graft] def minHashLshRaw(s: SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val sigs = signatures(Text.shingled(Tables.documents(s, d)))
       .withColumn("sig", array((0 until NumHashes).map(i => col(s"h$i")): _*))
     val banded = sigs.select(col("doc_id"), col("sig"),
@@ -73,6 +76,41 @@ object Dedup {
       .distinct()
       .filter(col("est_jaccard") >= 0.5)
       .orderBy(col("da"), col("db"))
+  }
+
+  /** Registered t58 (r10, extending the r9 invariant-oracle pattern):
+    * xxhash64 makes the candidate pairs engine-specific, but the LSH
+    * RECALL FLOOR on exact duplicates is a theorem DuckDB can anchor —
+    * identical texts have identical shingle sets, hence identical
+    * signatures, hence collide in EVERY band with est_jaccard exactly
+    * 1.0 ≥ 0.5. The oracle replays the exact-dup pair count; the flags
+    * pin that every such pair was emitted, estimates sit in [0,1], and
+    * pairs are canonically ordered. Recall ≥ 0.85 vs exact Jaccard +
+    * zero-false-positive stay in GraftSpec. */
+  val qMinHashLsh: Q = Q(
+    "t58_minhash_lsh_pairs",
+    """SELECT CAST((SELECT count(*) FROM documents a JOIN documents b
+      |         ON a.text = b.text AND a.doc_id < b.doc_id) AS BIGINT)
+      |         AS n_exact_dup_pairs,
+      |       true AS exact_dups_found, true AS est_in_unit,
+      |       true AS pairs_ordered""".stripMargin
+  ) { (s, d) =>
+    val pairs = Scale.cut(minHashLshRaw(s, d), eager = true)
+    val docs = Tables.documents(s, d)
+    val exactPairs = docs.select(col("doc_id").as("da"), col("text"))
+      .join(docs.select(col("doc_id").as("db"), col("text")), Seq("text"))
+      .filter(col("da") < col("db")).select(col("da"), col("db"))
+    val found = exactPairs
+      .join(pairs.select(col("da"), col("db")).withColumn("f", lit(true)),
+        Seq("da", "db"), "left")
+      .agg(count(lit(1)).as("n_exact_dup_pairs"),
+        coalesce(min(coalesce(col("f"), lit(false))), lit(true))
+          .as("exact_dups_found"))
+    val flags = pairs.agg(
+      coalesce(min(col("est_jaccard") >= 0.0 && col("est_jaccard") <= 1.0),
+        lit(true)).as("est_in_unit"),
+      coalesce(min(col("da") < col("db")), lit(true)).as("pairs_ordered"))
+    found.crossJoin(broadcast(flags))
   }
 
   /** SimHash: 64-bit locality-sensitive fingerprint folded from token
@@ -105,20 +143,43 @@ object Dedup {
   def simhash(tokenHash: Column): Column =
     udaf(SimHashAgg, Encoders.scalaLong)(tokenHash)
 
-  /** Per-doc 64-bit SimHash fingerprints. */
-  val qSimHash: Q = Q.noOracle("t59_simhash") { (s, d) =>
+  /** Per-doc 64-bit SimHash fingerprints (raw frame — t60 and the
+    * GraftSpec hamming test drive this). */
+  private[graft] def simHashRaw(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"))
       .agg(simhash(xxhash64(col("tok"))).as("simhash"))
       .orderBy(col("doc_id"))
+
+  /** Registered t59 (r10 invariant-oracle conversion): the fingerprint
+    * BITS are engine-specific (xxhash64), but the determinism contract
+    * isn't — one fingerprint per doc (n_docs exact) and identical texts
+    * MUST collapse to identical fingerprints (same token multiset ⇒
+    * same per-bit vote sums). n_distinct_texts replays exactly in
+    * DuckDB; the near-dup hamming behavior stays in GraftSpec. */
+  val qSimHash: Q = Q(
+    "t59_simhash",
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+      |       true AS dup_texts_same_simhash
+      |FROM documents""".stripMargin
+  ) { (s, d) =>
+    simHashRaw(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("text")),
+        Seq("doc_id"))
+      .groupBy(col("text"))
+      .agg(count(lit(1)).as("nd"), count_distinct(col("simhash")).as("nsh"))
+      .agg(sum(col("nd")).as("n_docs"),
+        count(lit(1)).as("n_distinct_texts"),
+        min(col("nsh") === 1).as("dup_texts_same_simhash"))
   }
 
   /** SimHash near-dup pairs: candidates share one of four 16-bit chunks
     * (finds every pair with hamming<=3; recall decays above), kept when
     * hamming <= 8. */
-  val qSimHashPairs: Q = Q.noOracle("t60_simhash_pairs") { (s, d) =>
-    val sims = qSimHash.fn(s, d)
+  private[graft] def simHashPairsRaw(s: SparkSession, d: String): DataFrame = {
+    val sims = simHashRaw(s, d)
     val chunked = sims.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), 16 * c).bitwiseAND(lit(0xFFFFL))): _*))
@@ -133,6 +194,39 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= 8)
       .orderBy(col("da"), col("db"))
+  }
+
+  /** Registered t60 (r10 invariant-oracle conversion, t58's pattern):
+    * identical texts have identical simhash, so every exact-dup pair
+    * shares all four chunks and surfaces at hamming exactly 0 — the
+    * recall floor DuckDB anchors via the exact-dup pair count. Flags
+    * additionally pin the emitted hamming range (0..8 by the filter,
+    * checked against the data) and canonical ordering. */
+  val qSimHashPairs: Q = Q(
+    "t60_simhash_pairs",
+    """SELECT CAST((SELECT count(*) FROM documents a JOIN documents b
+      |         ON a.text = b.text AND a.doc_id < b.doc_id) AS BIGINT)
+      |         AS n_exact_dup_pairs,
+      |       true AS exact_dups_at_h0, true AS hamming_in_range,
+      |       true AS pairs_ordered""".stripMargin
+  ) { (s, d) =>
+    val pairs = Scale.cut(simHashPairsRaw(s, d), eager = true)
+    val docs = Tables.documents(s, d)
+    val exactPairs = docs.select(col("doc_id").as("da"), col("text"))
+      .join(docs.select(col("doc_id").as("db"), col("text")), Seq("text"))
+      .filter(col("da") < col("db")).select(col("da"), col("db"))
+    val found = exactPairs
+      .join(pairs.withColumn("f", col("hamming") === 0)
+          .select(col("da"), col("db"), col("f")),
+        Seq("da", "db"), "left")
+      .agg(count(lit(1)).as("n_exact_dup_pairs"),
+        coalesce(min(coalesce(col("f"), lit(false))), lit(true))
+          .as("exact_dups_at_h0"))
+    val flags = pairs.agg(
+      coalesce(min(col("hamming") >= 0 && col("hamming") <= 8), lit(true))
+        .as("hamming_in_range"),
+      coalesce(min(col("da") < col("db")), lit(true)).as("pairs_ordered"))
+    found.crossJoin(broadcast(flags))
   }
 
   /** Connected components over an undirected edge list `(da, db)` by

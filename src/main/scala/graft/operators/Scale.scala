@@ -52,7 +52,19 @@ object Scale {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
         if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-        df.checkpoint(eager)
+        // Reliable checkpoint materializes the RDD in a SECOND job when
+        // writing the files — without a persist the whole round lineage
+        // recomputes (2× compute per iteration). Persist DISK_ONLY first
+        // so the checkpoint write reads the cached blocks, then drop the
+        // cache (the checkpoint files now back the frame). This forces
+        // EAGER even when the caller asked for lazy: a deferred reliable
+        // checkpoint would have to keep the pre-cut frame cached until
+        // some unknowable later action, leaking one DISK_ONLY copy per
+        // loop round — one up-front count is the cheaper contract.
+        val cached = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        val cut = cached.checkpoint(eager = true)
+        cached.unpersist(false)
+        cut
       case None => df.localCheckpoint(eager)
     }
 

@@ -175,16 +175,49 @@ object SortsSets {
     val ev = Tables.events(s, d)
     val sampled = ev.stat.sampleBy("event_type", fractions, 42L)
       .groupBy(col("event_type")).agg(count(lit(1)).as("n_s"))
-    val frac = typedLit(fractions)(col("event_type"))
+    val frac = element_at(typedLit(fractions), col("event_type"))
+    // Binomial band derived from stratum size: |n_s − n·f| ≤ 5·σ where
+    // σ = sqrt(n·f·(1−f)) — ~5-sigma for every stratum regardless of f,
+    // so a fixture regeneration can't plausibly flip the flag (unlike a
+    // fixed ±40% band, which is only ~2σ for the f=0.05 strata at sf0.01).
+    val sigma = sqrt(col("n_stratum") * frac * (lit(1.0) - frac))
     ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_stratum"))
       .join(sampled, Seq("event_type"), "left")
       .select(col("event_type"), col("n_stratum"),
         frac.as("target_frac"),
         when(frac >= 1.0, col("n_s") === col("n_stratum"))
-          .otherwise(col("n_s") >= col("n_stratum") * frac * 0.6 &&
-            col("n_s") <= col("n_stratum") * frac * 1.4)
+          .otherwise(
+            abs(col("n_s") - col("n_stratum") * frac) <= sigma * 5.0)
           .as("frac_in_bounds"))
       .orderBy(col("event_type"))
+  }
+
+  /** Poisson sample (dask `df.sample(frac=, replace=True)`): with-
+    * replacement draws are per-row Poisson(f) multiplicities, so the
+    * realized count is Poisson(n·f) — engine-specific like q34, and
+    * oracled the same way (r8 directive #6): exact total + a flag
+    * pinning the realized count inside ±5·sqrt(n·f) of n·f (5σ for a
+    * Poisson), plus the structural replacement invariant the
+    * no-replacement path can't produce: distinct source rows ≤ drawn
+    * rows (repeats allowed) and ≤ n. */
+  val qSampleReplace: Q = Q(
+    "q193_sample_replacement",
+    """SELECT CAST(count(*) AS BIGINT) AS n_total, true AS sample_in_bounds,
+      |       true AS distinct_le_drawn
+      |FROM lineitem""".stripMargin
+  ) { (s, d) =>
+    val base = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"))
+    val tot = base.agg(count(lit(1)).as("n_total"))
+    val sm = base.sample(withReplacement = true, 0.01, seed = 42)
+      .agg(count(lit(1)).as("n_s"),
+        count_distinct(col("l_orderkey"), col("l_linenumber")).as("n_d"))
+    tot.crossJoin(broadcast(sm))
+      .select(col("n_total"),
+        (abs(col("n_s") - col("n_total") * lit(0.01)) <=
+          sqrt(col("n_total") * lit(0.01)) * 5.0).as("sample_in_bounds"),
+        (col("n_d") <= col("n_s") && col("n_d") <= col("n_total"))
+          .as("distinct_le_drawn"))
   }
 
   /** `df.tail(n)` (dask: last n rows of the final partition). Dask's tail
@@ -310,6 +343,7 @@ object SortsSets {
   }
 
   val all: Seq[Q] = Seq(qTopK, qMultiSort, qUnionAll, qIntersect, qExcept,
-    qDistinct, qKeepFirst, qSample, qStratifiedSample, qTail, qConcatByName,
+    qDistinct, qKeepFirst, qSample, qStratifiedSample, qSampleReplace,
+    qTail, qConcatByName,
     qDuplicatedFlag, qClipNsmallest, qNthPerGroup)
 }

@@ -955,9 +955,15 @@ object Text {
       |ORDER BY src_a, src_b""".stripMargin
   ) { (s, d) =>
     val docs = Tables.documents(s, d)
+    // The distinct (source, shingle) frame feeds THREE consumers (per-
+    // source totals + both sides of the self-join); without a persist the
+    // tokenize→shingle→distinct pipeline runs three times. The frame is
+    // sources-deduped (far smaller than the corpus), so MEMORY_AND_DISK
+    // is safe at any SF.
     val sh = shingled(docs)
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .select(col("source"), col("s")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("source").as("src_a"), col("s"))
     val b = sh.select(col("source").as("src_b"), col("s"))

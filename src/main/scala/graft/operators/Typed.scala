@@ -432,8 +432,26 @@ object Typed {
       }.toDF()
   }
 
-  val qCompressionRatio: Q = Q.noOracle("t92_compression_ratio") { (s, d) =>
-    compressionRatio(Tables.documents(s, d)).orderBy(col("doc_id"))
+  /** Registered t92 (r10 invariant-oracle conversion): deflate output
+    * is engine-specific, but the corpus accounting replays in DuckDB —
+    * doc count and total raw UTF-8 bytes are exact (strlen ≡ Spark
+    * octet_length), and every ratio must sit in the (0, 1.5] band the
+    * GraftSpec separation test pins on this fixture, consistent with
+    * its own comp/raw quotient. */
+  val qCompressionRatio: Q = Q(
+    "t92_compression_ratio",
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(strlen(text)) AS BIGINT) AS total_raw_bytes,
+      |       true AS ratios_in_band, true AS ratios_consistent
+      |FROM documents""".stripMargin
+  ) { (s, d) =>
+    compressionRatio(Tables.documents(s, d))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("total_raw_bytes"),
+        min(col("ratio") > 0.0 && col("ratio") <= 1.5).as("ratios_in_band"),
+        min(col("n_bytes") === 0 ||
+          abs(col("ratio") - col("n_compressed") / col("n_bytes")) < 1e-6)
+          .as("ratios_consistent"))
   }
 
   val all: Seq[Q] = Seq(qFlatMapGroups, qMapPartitions, qStableMean,

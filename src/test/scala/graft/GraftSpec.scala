@@ -74,7 +74,7 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
   test("minhash LSH recall >= 0.85 vs exact 3-gram jaccard pairs, no false positives at est>=0.5") {
-    val got = operators.Dedup.qMinHashLsh.fn(spark, sf)
+    val got = operators.Dedup.minHashLshRaw(spark, sf)
       .select("da", "db").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exactPairs.nonEmpty, "ground truth must be non-trivial")
@@ -94,7 +94,7 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("simhash: near-dup docs have small hamming distance") {
-    val sims = operators.Dedup.qSimHash.fn(spark, sf)
+    val sims = operators.Dedup.simHashRaw(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val hams = exactPairs.toSeq.map { case (a, b) =>
       java.lang.Long.bitCount(sims(a) ^ sims(b))
@@ -166,9 +166,17 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("sample returns a plausible Bernoulli fraction") {
-    val n = operators.SortsSets.qSample.fn(spark, sf).head.getLong(0)
+    // tighter per-run band than the registered binomial contract: the
+    // draw itself, not just the q34 flag
+    val n = Tables.lineitem(spark, sf)
+      .sample(withReplacement = false, 0.01, seed = 42).count()
     // 6000 rows at 1% → expect ~60, allow wide deterministic-seed band
     assert(n > 20 && n < 140, s"sampled $n")
+    val r = operators.SortsSets.qSample.fn(spark, sf).head
+    assert(r.getAs[Boolean]("sample_in_bounds"), "q34 contract flag")
+    val rr = operators.SortsSets.qSampleReplace.fn(spark, sf).head
+    assert(rr.getAs[Boolean]("sample_in_bounds"), "q193 Poisson band flag")
+    assert(rr.getAs[Boolean]("distinct_le_drawn"), "q193 replacement flag")
   }
 
   test("global rank helpers keep null keys and rank them first (NULLS FIRST)") {
@@ -213,8 +221,16 @@ class DedupSpec extends AnyFunSuite {
   test("stratified sample respects per-stratum fractions") {
     val full = Tables.events(spark, sf).groupBy("event_type").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val sampled = operators.SortsSets.qStratifiedSample.fn(spark, sf)
+    val fractions = Map("click" -> 0.05, "view" -> 0.05,
+      "purchase" -> 0.5, "signup" -> 1.0, "error" -> 1.0)
+    val sampled = Tables.events(spark, sf)
+      .stat.sampleBy("event_type", fractions, 42L)
+      .groupBy("event_type").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // and every registered q94 contract flag holds
+    operators.SortsSets.qStratifiedSample.fn(spark, sf).collect().foreach {
+      r => assert(r.getAs[Boolean]("frac_in_bounds"),
+        s"q94 flag false for ${r.getString(0)}") }
     // fraction-1.0 strata keep every row
     assert(sampled("signup") == full("signup"))
     assert(sampled("error") == full("error"))
@@ -243,7 +259,7 @@ class DedupSpec extends AnyFunSuite {
       .filter(col("rn") === 1)
       .select("probe_id", "sim").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val ann = operators.Vectors.qLshAnn.fn(spark, sf)
+    val ann = operators.Vectors.lshAnnRaw(spark, sf)
       .select("probe_id", "cand_id", "sim").collect()
     assert(ann.nonEmpty, "LSH buckets must yield some candidates")
     ann.foreach { r =>
@@ -271,7 +287,7 @@ class DedupSpec extends AnyFunSuite {
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
       .select("probe_id", "cand_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ann = operators.Vectors.qLshAnn.fn(spark, sf)
+    val ann = operators.Vectors.lshAnnRaw(spark, sf)
       .select("probe_id", "cand_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & ann).size.toDouble / exact.size
@@ -314,7 +330,7 @@ class DedupSpec extends AnyFunSuite {
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
       .select("probe_id", "cand_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ann = operators.Vectors.qPqAnn.fn(spark, sf)
+    val ann = operators.Vectors.pqAnnRaw(spark, sf)
       .select("probe_id", "cand_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & ann).size.toDouble / exact.size
@@ -448,9 +464,11 @@ class DedupSpec extends AnyFunSuite {
     assert(rows(0L) < 0.1, s"repetitive text ratio ${rows(0L)} not << 1")
     assert(rows(1L) > 0.5, s"high-entropy ratio ${rows(1L)} unexpectedly low")
     // corpus run: ratios in a sane band and stable across reruns
-    val corpus = operators.Typed.qCompressionRatio.fn(spark, TestSession.sf)
+    val corpus = operators.Typed.compressionRatio(
+      Tables.documents(spark, TestSession.sf))
     val a = corpus.collect().map(_.toString).sorted.toSeq
-    val b = operators.Typed.qCompressionRatio.fn(spark, TestSession.sf)
+    val b = operators.Typed.compressionRatio(
+        Tables.documents(spark, TestSession.sf))
       .collect().map(_.toString).sorted.toSeq
     assert(a == b)
     corpus.collect().foreach { r =>
@@ -517,7 +535,7 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("q188 HLL: union of per-day sketches == whole-table sketch, rel_err within bound") {
-    val r = operators.Aggregates.qHllMerge.fn(spark, sf).head
+    val r = operators.Aggregates.hllMergeRaw(spark, sf).head
     val (merged, whole, exact) = (r.getAs[Long]("merged_est"),
       r.getAs[Long]("whole_est"), r.getAs[Long]("exact"))
     // mergeability is exact: unioning the per-partition sketch states

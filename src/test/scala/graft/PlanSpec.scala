@@ -467,7 +467,14 @@ class PlanSpec extends AnyFunSuite {
       // corpus size — the aggregation is the bound (cf. q8's 25-row side)
       "q125_merge_ordered",
       // same bound: cumulative sum over the daily new-user aggregate
-      "q192_cumulative_reach"
+      "q192_cumulative_reach",
+      // monotone-curve flag over the 3-row (one per n_cells) sweep
+      // aggregate: the window input is 3 rows by construction
+      "v85_ivf_probe_sweep",
+      // centers-increasing flag over the 8-row histogram_numeric sketch
+      // output: the window is on the SKETCH, not the data (r9 note at
+      // Aggregates.qAdaptiveHistogram)
+      "q190_adaptive_histogram"
     )
     // Iterative queries run their loop eagerly on fn() and return a
     // frame over a localCheckpoint'd RDD, so their returned plan is a

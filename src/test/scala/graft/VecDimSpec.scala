@@ -217,7 +217,7 @@ class VecDimSpec extends AnyFunSuite {
   // aborting suite elsewhere must not silently drop their coverage.
 
   test("v84 recall audit: per-probe recall in [0,1], mean >= 0.6 (matches the PQ recall bound)") {
-    val rows = operators.Vectors.qAnnRecallAudit.fn(TestSession.spark, TestSession.sf)
+    val rows = operators.Vectors.annRecallAuditRaw(TestSession.spark, TestSession.sf)
       .collect().map(r => r.getLong(0) -> r.getDouble(1))
     assert(rows.length == 10)
     rows.foreach { case (p, r) =>
@@ -227,7 +227,7 @@ class VecDimSpec extends AnyFunSuite {
   }
 
   test("v85 probe sweep: recall non-decreasing in n_cells, all in [0,1]") {
-    val rows = operators.Vectors.qIvfProbeSweep.fn(TestSession.spark, TestSession.sf)
+    val rows = operators.Vectors.ivfProbeSweepRaw(TestSession.spark, TestSession.sf)
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)
     assert(rows.map(_._1).toSeq == Seq(1, 2, 3))
     rows.foreach { case (c, r) =>
