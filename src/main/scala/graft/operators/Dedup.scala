@@ -267,7 +267,7 @@ object Dedup {
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl")),
         eager = false) // lazy: first use below materializes it
       val sumLbl = Option(next.agg(sum(col("lbl").cast("decimal(38,0)")))
-        .head.getDecimal(0)).map(_.stripTrailingZeros()).orNull
+        .head().getDecimal(0)).map(_.stripTrailingZeros()).orNull
       // null sum ⇔ no labeled nodes (empty edge list): trivially converged
       converged = sumLbl == null ||
         prevSum.exists(p => p != null && p.compareTo(sumLbl) == 0)
@@ -337,7 +337,7 @@ object Dedup {
       val r = e.agg(count(lit(1)),
         sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
         sum(xxhash64(lit("graft-cc-seed2"), col("src"), col("dst"))
-          .cast("decimal(38,0)"))).head
+          .cast("decimal(38,0)"))).head()
       def d(i: Int) = Option(r.getDecimal(i)).map(_.stripTrailingZeros()).orNull
       (r.getLong(0), d(1), d(2))
     }

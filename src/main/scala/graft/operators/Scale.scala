@@ -86,7 +86,7 @@ object Scale {
     // harmless (a salt is only a spreading device; the merge is
     // associative).
     val salted = df.withColumn("_salt",
-      pmod(xxhash64(df.columns.map(col) :+ monotonically_increasing_id(): _*),
+      pmod(xxhash64((df.columns.map(col) :+ monotonically_increasing_id()).toIndexedSeq: _*),
         lit(SaltBuckets.toLong)))
     salted
       .groupBy(key.as("k"), col("_salt"))

@@ -389,7 +389,7 @@ object Vectors {
           .select(col("vec_id"), col("cid"), col("d2"), col("e")),
         eager = false) // lazy: the probe below materializes it
       val r = asg.agg(sum(col("d2")),
-        sum(xxhash64(col("vec_id"), col("cid")).cast("decimal(38,0)"))).head
+        sum(xxhash64(col("vec_id"), col("cid")).cast("decimal(38,0)"))).head()
       val fp = Option(r.getDecimal(1)).map(_.stripTrailingZeros()).orNull
       inertias :+= r.getDouble(0)
       // the probe materialized this round's asg, so the PREVIOUS round's
@@ -834,7 +834,7 @@ object Vectors {
     val tag = java.lang.Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(corpus))
     val fpr = emb.agg(count(lit(1)).cast("long"),
-      max(col("vec_id")).cast("long")).head
+      max(col("vec_id")).cast("long")).head()
     val fp = s"${fpr.getLong(0)}x${if (fpr.isNullAt(1)) -1L else fpr.getLong(1)}"
     s"emb_${tag}_${fp}_d${g.dim}s${g.pqSubDim}c${g.pqCent}r$rounds"
   }
@@ -948,8 +948,8 @@ object Vectors {
       val g = geom.getOrElse(VecConf.geom(s))
       val cb = s.read.parquet(s"$dir/codebook")
       val assigned = Scale.cut(pqAssign(pqSubvectors(newEmb, g), cb), eager = true)
-      val newErr = assigned.agg(avg(col("d2"))).head.getDouble(0)
-      val trainErr = s.read.parquet(s"$dir/stats").head.getAs[Double]("mean_qerr")
+      val newErr = assigned.agg(avg(col("d2"))).head().getDouble(0)
+      val trainErr = s.read.parquet(s"$dir/stats").head().getAs[Double]("mean_qerr")
       val drift =
         if (trainErr > 0) newErr / trainErr
         else if (newErr <= 0) 1.0 else Double.PositiveInfinity

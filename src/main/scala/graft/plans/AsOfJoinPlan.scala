@@ -253,6 +253,6 @@ object AsOf {
         when(col(onCol).isNull || col(leftTsCol).isNull,
           lit(null).cast("timestamp"))
           .otherwise(coalesce(col(inb), col(carry))))
-      .select(lhs.columns.map(col) :+ col(outName): _*)
+      .select((lhs.columns.map(col) :+ col(outName)).toIndexedSeq: _*)
   }
 }
