@@ -354,49 +354,57 @@ object Vectors {
 
   /** Full Lloyd's k-means over the embedding column — the semantic-
     * clustering primitive (cluster-then-sample curation, IVF coarse
-    * quantizer training). Fully relational like the CC loops: centroids
-    * stay a k-row DataFrame (broadcast each round, never larger), the
-    * E-step is one scan + k-way argmin, the M-step a posexplode mean
-    * (v66's centroid shape), and each round materializes through ONE
-    * distributed action that also carries the convergence probe
-    * (assignment-set fingerprint, Dedup's discipline). Squared-L2
-    * assignment + mean update ⇒ inertia is provably non-increasing
-    * (GraftSpec asserts it). Engine-specific hashing → no SQL oracle;
-    * v67 oracle-pins the single-step semantics. */
+    * quantizer training). Centroid state is O(k·dim) doubles, so it
+    * lives on the DRIVER between rounds (the classic broadcast-loop
+    * pattern): each round re-injects it as a literal k-row frame, which
+    * keeps the E-step's lineage permanently flat — scan(v) ⋈
+    * broadcast(k literals) — with no per-round checkpoint, no growing
+    * plan, and no block-manager debris. The per-round M-step mean is
+    * still computed DISTRIBUTED (posexplode → per-(cid,dim) avg, v66's
+    * centroid shape); only the k-row result ships back. The assignment
+    * frame persists (MEMORY_AND_DISK) for its two readers — the
+    * convergence probe (inertia + assignment-set fingerprint, Dedup's
+    * discipline) and the M-step. Squared-L2 assignment + mean update ⇒
+    * inertia is provably non-increasing (GraftSpec asserts it).
+    * Engine-specific hashing → no SQL oracle; v67 oracle-pins the
+    * single-step semantics. */
   def kmeansLloyd(emb: DataFrame, seedIds: Seq[Long],
       maxIter: Int = 10,
       centroidScale: Option[Int] = None): (DataFrame, Seq[Double]) = {
+    val sess = emb.sparkSession
+    import sess.implicits._
     val v = Scale.cut(emb.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("e"))
       .withColumn("sq", VectorOps.dot(col("e"), col("e"))),
       eager = true) // fixed across rounds: cut re-scan lineage
-    var cent = v.filter(col("vec_id").isin(seedIds: _*))
-      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    var cent: Seq[(Long, Seq[Double])] =
+      v.filter(col("vec_id").isin(seedIds: _*))
+        .select(col("vec_id"), col("e")).collect().toSeq
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1)
     var inertias = Vector.empty[Double]
     var prevFp: java.math.BigDecimal = null
     var asg: DataFrame = null
-    var prevAsg: DataFrame = null
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val centSq = cent.withColumn("csq", VectorOps.dot(col("ce"), col("ce")))
+      val centSq = cent.toDF("cid", "ce")
+        .withColumn("csq", VectorOps.dot(col("ce"), col("ce")))
       val pc = v.crossJoin(broadcast(centSq))
         .withColumn("d2",
           col("sq") + col("csq") - lit(2.0) * VectorOps.dot(col("e"), col("ce")))
       val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
-      asg = Scale.cut(
-        pc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("vec_id"), col("cid"), col("d2"), col("e")),
-        eager = false) // lazy: the probe below materializes it
+      val prevAsg = asg
+      asg = pc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("d2"), col("e"))
+        .persist() // MEMORY_AND_DISK: probe + M-step both read it
       val r = asg.agg(sum(col("d2")),
         sum(xxhash64(col("vec_id"), col("cid")).cast("decimal(38,0)"))).head()
       val fp = Option(r.getDecimal(1)).map(_.stripTrailingZeros()).orNull
       inertias :+= r.getDouble(0)
-      // the probe materialized this round's asg, so the PREVIOUS round's
-      // checkpoint blocks (read through cent during that action) are now
-      // dead — release them instead of pinning one copy per round
-      if (prevAsg != null) Scale.dropCheckpoint(prevAsg)
-      prevAsg = asg
+      // the probe materialized this round's asg; the previous round's
+      // cached copy is now dead — release it instead of pinning one per
+      // round
+      if (prevAsg != null) prevAsg.unpersist(false)
       // unchanged assignment ⇒ identical M-step ⇒ fixpoint
       converged = prevFp != null && fp != null && prevFp.compareTo(fp) == 0
       prevFp = fp
@@ -412,10 +420,12 @@ object Vectors {
           .groupBy(col("cid"))
           .agg(array_sort(collect_list(struct(col("dim0"), col("cx")))).as("p"))
           .select(col("cid"), transform(col("p"), p => p("cx")).as("ce"))
+          .collect().toSeq
+          .map(r2 => r2.getLong(0) -> r2.getSeq[Double](1)).sortBy(_._1)
       }
       iter += 1
     }
-    Scale.dropCheckpoint(v) // the returned asg is checkpointed, v is dead
+    Scale.dropCheckpoint(v) // asg is fully cached (spill-backed), v is dead
     (asg, inertias)
   }
 
@@ -755,37 +765,41 @@ object Vectors {
   def pqEncode(emb: DataFrame, rounds: Int = 3,
       geom: Option[VecGeom] = None): (DataFrame, DataFrame) = {
     val sess = emb.sparkSession
+    import sess.implicits._
     val g = geom.getOrElse(VecConf.geom(sess))
-    val subs = g.pqSubs
-    val subDim = g.pqSubDim
     val nCent = g.pqCent
     val sv = Scale.cut(pqSubvectors(emb, g), eager = true)
+    // Codebook state is subs×nCent×subDim doubles (fixture: 16×16×4 =
+    // 1 Ki) — driver-held between rounds like kmeansLloyd's centroids:
+    // each round re-injects it as a literal frame, so every E-step plan
+    // is scan(sv) ⋈ broadcast(codebook literals) — flat lineage, no
+    // per-round checkpoint. The M-step mean stays distributed; only the
+    // 256-row codebook ships back.
+    def collectCb(df: DataFrame): Seq[(Int, Int, Seq[Double])] =
+      df.collect().toSeq
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        .sortBy(t => (t._1, t._2))
+    def cbDf(cb: Seq[(Int, Int, Seq[Double])]): DataFrame =
+      cb.toDF("sub", "cid", "cv")
     // deterministic init: subvectors of the first nCent vectors
-    var cent = sv.filter(col("vec_id") < nCent)
-      .select(col("sub"), col("vec_id").cast("int").as("cid"), col("sv").as("cv"))
-    var prevCent: DataFrame = null
+    var cent = collectCb(sv.filter(col("vec_id") < nCent)
+      .select(col("sub"), col("vec_id").cast("int").as("cid"), col("sv").as("cv")))
     def assign(cb: DataFrame): DataFrame = pqAssign(sv, cb)
     for (_ <- 1 to rounds) {
-      val next = assign(cent)
+      cent = collectCb(assign(cbDf(cent))
         .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("dim0", "x")))
         .groupBy(col("sub"), col("cid"), col("dim0")).agg(avg(col("x")).as("cx"))
         .groupBy(col("sub"), col("cid"))
         .agg(array_sort(collect_list(struct(col("dim0"), col("cx")))).as("p"))
-        .select(col("sub"), col("cid"), transform(col("p"), p => p("cx")).as("cv"))
-      // one action per round on a 128-row frame: truncates the E/M
-      // lineage so round plans don't nest (the CC/k-means discipline).
-      // The eager cut reads the PREVIOUS round's checkpoint — release it
-      // only after this round is materialized.
-      cent = Scale.cut(next, eager = true)
-      if (prevCent != null) Scale.dropCheckpoint(prevCent)
-      prevCent = cent
+        .select(col("sub"), col("cid"), transform(col("p"), p => p("cx")).as("cv")))
     }
+    val centDf = cbDf(cent)
     // materialize the codes BEFORE releasing sv: the final assignment
     // reads sv, and a lazy return would find its blocks gone
     val codes = Scale.cut(
-      assign(cent).select(col("vec_id"), col("sub"), col("cid")), eager = true)
+      assign(centDf).select(col("vec_id"), col("sub"), col("cid")), eager = true)
     Scale.dropCheckpoint(sv)
-    (codes, cent)
+    (codes, centDf)
   }
 
   /** (vec_id, sub, sv, ssq): each embedding split into the geometry's
