@@ -373,10 +373,14 @@ object Vectors {
       centroidScale: Option[Int] = None): (DataFrame, Seq[Double]) = {
     val sess = emb.sparkSession
     import sess.implicits._
-    val v = Scale.cut(emb.select(col("vec_id"),
+    // v's lineage is STATIC (scan + project — it never grows with the
+    // loop), so a plain persist beats a lineage cut: no checkpoint
+    // write, and an evicted or lost block recovers by rescanning the
+    // source instead of failing on truncated lineage.
+    val v = emb.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("e"))
-      .withColumn("sq", VectorOps.dot(col("e"), col("e"))),
-      eager = true) // fixed across rounds: cut re-scan lineage
+      .withColumn("sq", VectorOps.dot(col("e"), col("e")))
+      .persist()
     var cent: Seq[(Long, Seq[Double])] =
       v.filter(col("vec_id").isin(seedIds: _*))
         .select(col("vec_id"), col("e")).collect().toSeq
@@ -386,46 +390,59 @@ object Vectors {
     var asg: DataFrame = null
     var iter = 0
     var converged = false
+    // centroidScale: round M-step means to that many decimals — the
+    // engine-portability knob the unrolled differential (v72) needs
+    // (avg summation order differs across engines; rounded centroids
+    // make round-2 assignments bit-comparable). None = full precision.
+    val cx = centroidScale
+      .map(s0 => round(avg(col("x")), s0)).getOrElse(avg(col("x")))
     while (iter < maxIter && !converged) {
       val centSq = cent.toDF("cid", "ce")
         .withColumn("csq", VectorOps.dot(col("ce"), col("ce")))
       val pc = v.crossJoin(broadcast(centSq))
         .withColumn("d2",
           col("sq") + col("csq") - lit(2.0) * VectorOps.dot(col("e"), col("ce")))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+      // E-step argmin as a hash aggregate (min_by over the (d2, cid)
+      // struct order — ties break on cid like the former row_number
+      // window) instead of a sort window: partial aggregation combines
+      // map-side, so only one candidate row per (partition, vec_id)
+      // reaches the shuffle — at 100 TB that is a k-fold shuffle cut.
       val prevAsg = asg
-      asg = pc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"), col("d2"), col("e"))
-        .persist() // MEMORY_AND_DISK: probe + M-step both read it
-      val r = asg.agg(sum(col("d2")),
-        sum(xxhash64(col("vec_id"), col("cid")).cast("decimal(38,0)"))).head()
-      val fp = Option(r.getDecimal(1)).map(_.stripTrailingZeros()).orNull
-      inertias :+= r.getDouble(0)
-      // the probe materialized this round's asg; the previous round's
-      // cached copy is now dead — release it instead of pinning one per
-      // round
+      asg = pc.groupBy(col("vec_id"))
+        .agg(min_by(struct(col("cid"), col("d2"), col("e")),
+          struct(col("d2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"),
+          col("m.d2").as("d2"), col("m.e").as("e"))
+        .persist() // MEMORY_AND_DISK; the round's one action materializes it
+      // ONE distributed action per round: the per-(cid, dim) M-step mean
+      // with the convergence probe RIDING it — inertia (Σd2) and the
+      // assignment-set fingerprint (Σ xxhash64(vec_id, cid), exact
+      // integer arithmetic in decimal(38,0)) gated to the dim-0 slice of
+      // the posexplode so each asg row contributes exactly once. Only
+      // k×dim rows ship back; the driver folds the partials.
+      val mrows = asg.select(col("cid"), col("d2"),
+          xxhash64(col("vec_id"), col("cid")).cast("decimal(38,0)").as("h"),
+          posexplode(col("e")).as(Seq("dim0", "x")))
+        .groupBy(col("cid"), col("dim0"))
+        .agg(cx.as("cx"),
+          sum(when(col("dim0") === 0, col("d2"))).as("pd2"),
+          sum(when(col("dim0") === 0, col("h"))).as("ph"))
+        .collect().toSeq
       if (prevAsg != null) prevAsg.unpersist(false)
+      val probeRows = mrows.filter(_.getInt(1) == 0)
+      inertias :+= probeRows.map(_.getDouble(3)).sum
+      val fp = probeRows.map(_.getDecimal(4)).filter(_ != null)
+        .reduceOption((a, b) => a.add(b)).map(_.stripTrailingZeros()).orNull
       // unchanged assignment ⇒ identical M-step ⇒ fixpoint
       converged = prevFp != null && fp != null && prevFp.compareTo(fp) == 0
       prevFp = fp
-      if (!converged) {
-        // centroidScale: round M-step means to that many decimals — the
-        // engine-portability knob the unrolled differential (v72) needs
-        // (avg summation order differs across engines; rounded centroids
-        // make round-2 assignments bit-comparable). None = full precision.
-        val cx = centroidScale
-          .map(s0 => round(avg(col("x")), s0)).getOrElse(avg(col("x")))
-        cent = asg.select(col("cid"), posexplode(col("e")).as(Seq("dim0", "x")))
-          .groupBy(col("cid"), col("dim0")).agg(cx.as("cx"))
-          .groupBy(col("cid"))
-          .agg(array_sort(collect_list(struct(col("dim0"), col("cx")))).as("p"))
-          .select(col("cid"), transform(col("p"), p => p("cx")).as("ce"))
-          .collect().toSeq
-          .map(r2 => r2.getLong(0) -> r2.getSeq[Double](1)).sortBy(_._1)
-      }
+      if (!converged)
+        cent = mrows.groupBy(_.getLong(0)).view
+          .mapValues(rs => rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+          .toSeq.map { case (cid, ce) => cid -> ce }.sortBy(_._1)
       iter += 1
     }
-    Scale.dropCheckpoint(v) // asg is fully cached (spill-backed), v is dead
+    v.unpersist(false) // asg is fully cached; v recovers via lineage if needed
     (asg, inertias)
   }
 
@@ -768,7 +785,9 @@ object Vectors {
     import sess.implicits._
     val g = geom.getOrElse(VecConf.geom(sess))
     val nCent = g.pqCent
-    val sv = Scale.cut(pqSubvectors(emb, g), eager = true)
+    // sv's lineage is static (scan + posexplode — never grows with the
+    // loop): persist, don't checkpoint (same reasoning as kmeansLloyd).
+    val sv = pqSubvectors(emb, g).persist()
     // Codebook state is subs×nCent×subDim doubles (fixture: 16×16×4 =
     // 1 Ki) — driver-held between rounds like kmeansLloyd's centroids:
     // each round re-injects it as a literal frame, so every E-step plan
@@ -794,11 +813,13 @@ object Vectors {
         .select(col("sub"), col("cid"), transform(col("p"), p => p("cx")).as("cv")))
     }
     val centDf = cbDf(cent)
-    // materialize the codes BEFORE releasing sv: the final assignment
-    // reads sv, and a lazy return would find its blocks gone
-    val codes = Scale.cut(
-      assign(centDf).select(col("vec_id"), col("sub"), col("cid")), eager = true)
-    Scale.dropCheckpoint(sv)
+    // materialize the codes BEFORE releasing sv (the final assignment
+    // reads sv); codes' own lineage is flat (sv scan ⋈ literal codebook)
+    // so a persist is self-sufficient and failure-recoverable
+    val codes = assign(centDf)
+      .select(col("vec_id"), col("sub"), col("cid")).persist()
+    codes.count()
+    sv.unpersist(false)
     (codes, centDf)
   }
 

@@ -477,11 +477,13 @@ class PlanSpec extends AnyFunSuite {
       "q190_adaptive_histogram"
     )
     // Iterative queries run their loop eagerly on fn() and return a
-    // frame over a localCheckpoint'd RDD, so their returned plan is a
+    // frame over a cached/checkpointed RDD, so their returned plan is a
     // truncated scan — sweeping them here would both claim coverage the
     // audit can't deliver and execute multi-round jobs in a plan-only
     // test. Their per-round shapes are locked separately: v67 pins the
-    // kmeans E-step, t63/t71's round bodies are groupBy/join-only
+    // kmeans E-step broadcast (v68's loop E-step is the same broadcast
+    // with the argmin as a partial-aggregating min_by instead of a
+    // window, r10), t63/t71's round bodies are groupBy/join-only
     // (DedupSpec + the CC property tests drive them).
     val iterative = Set("v68_kmeans_lloyd", "t63_dedup_clusters",
       "t71_dedup_clusters_star", "v76_pq_ann", "t83_neardup_pipeline")
