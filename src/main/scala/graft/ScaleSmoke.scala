@@ -163,12 +163,16 @@ object ScaleSmoke {
         .groupBy(col("maybe_dup")).agg(count(lit(1))).count()
     }
     time("boilerplate ngrams (t75)", nDocs) {
+      // persist: shx feeds freq + the join's left side (the t75/t106
+      // shared-frame discipline — without it the explode runs twice)
       val shx = operators.Text.shingled(docs)
-      val freq = shx.groupBy(col("s")).agg(count(lit(1)).as("nd"))
-      shx.join(freq, Seq("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = shx.join(shx.groupBy(col("s")).agg(count(lit(1)).as("nd")), Seq("s"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_sh"), count(when(col("nd") >= 5, 1)).as("n_common"))
         .count()
+      shx.unpersist(false)
+      n
     }
     time("doc chunking (t76 shape)", nDocs) {
       val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))

@@ -292,7 +292,13 @@ object Curation {
       |       round(n_common * 1.0 / n_shingles, 6) AS boilerplate_frac
       |FROM per ORDER BY boilerplate_frac DESC, doc_id LIMIT 20""".stripMargin
   ) { (s, d) =>
+    // shx feeds both the frequency table and the join's left side;
+    // without a persist the tokenize→shingle→distinct explode runs
+    // twice (the t106 lesson — the two exchanges hash the same key but
+    // have different children, so Spark can't reuse them). The frame is
+    // per-doc-deduped shingles; MEMORY_AND_DISK spills, never recomputes.
     val shx = Text.shingled(Tables.documents(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = shx.groupBy(col("s")).agg(count(lit(1)).as("nd"))
     shx.join(freq, Seq("s"))
       .groupBy(col("doc_id"))

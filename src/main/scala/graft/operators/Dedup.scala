@@ -59,11 +59,15 @@ object Dedup {
       d: String): org.apache.spark.sql.DataFrame = {
     val sigs = signatures(Text.shingled(Tables.documents(s, d)))
       .withColumn("sig", array((0 until NumHashes).map(i => col(s"h$i")): _*))
+    // banded feeds BOTH self-join sides: without a persist the whole
+    // shingle→signature→band pipeline (the expensive explode + 32-way
+    // min agg) runs twice. Doc-level rows (docs × bands), spill-backed.
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until NumBands).map { b =>
         xxhash64((b * RowsPerBand until (b + 1) * RowsPerBand)
           .map(i => col(s"h$i")): _*)
       }: _*)).as(Seq("band", "bh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col("doc_id").as("da"), col("sig").as("siga"),
       col("band"), col("bh"))
     val b = banded.select(col("doc_id").as("db"), col("sig").as("sigb"),
@@ -180,10 +184,13 @@ object Dedup {
     * hamming <= 8. */
   private[graft] def simHashPairsRaw(s: SparkSession, d: String): DataFrame = {
     val sims = simHashRaw(s, d)
+    // chunked feeds both self-join sides — persist, or the simhash
+    // aggregation (explode + 64-bit vote UDAF) runs twice.
     val chunked = sims.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), 16 * c).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("chunk", "cv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = chunked.select(col("doc_id").as("da"), col("simhash").as("sa"),
       col("chunk"), col("cv"))
     val b = chunked.select(col("doc_id").as("db"), col("simhash").as("sb"),

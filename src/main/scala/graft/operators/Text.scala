@@ -183,7 +183,10 @@ object Text {
     * integer arithmetic: i*den >= (na+nb-i)*num). Shared by the t54
     * oracle query (1/2) and the LSH precision test (7/20). */
   def jaccardPairs(docs: DataFrame, num: Int, den: Int): DataFrame = {
+    // shx feeds sizes + both self-join sides (3 consumers) — persist,
+    // or the tokenize→shingle→distinct explode runs three times.
     val shx = shingled(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = shx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // distinct per-side names: a self-join on the SAME attribute makes
     // Spark warn + fall back to dataset-id disambiguation — works, but
@@ -388,7 +391,10 @@ object Text {
       |FROM train JOIN bench USING (s)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
+    // shx splits into bench + train branches — persist, or the shingle
+    // explode runs once per branch.
     val shx = shingled(Tables.documents(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bench = shx.filter(col("doc_id") < 50).select(col("s")).distinct()
     val train = shx.filter(col("doc_id") >= 50)
     train.join(broadcast(bench), Seq("s"))
@@ -773,6 +779,7 @@ object Text {
       col("q_pass") &&
         col("doc_id") === min(when(col("q_pass"), col("doc_id"))).over(wText))
     val shx = shingled(Tables.documents(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // bench + contam branches share it
     val bench = shx.filter(col("doc_id") < 50).select(col("s")).distinct()
     val contam = shx.filter(col("doc_id") >= 50)
       .join(broadcast(bench), Seq("s"))
@@ -819,6 +826,7 @@ object Text {
       |ORDER BY da, db""".stripMargin
   ) { (s, d) =>
     val shx = shingled(Tables.documents(s, d).filter(col("doc_id") < 300))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // sizes + both self-join sides share it
     val sizes = shx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = shx.select(col("doc_id").as("da"), col("s").as("sa"))
     val b = shx.select(col("doc_id").as("db"), col("s").as("sb"))
@@ -917,6 +925,7 @@ object Text {
       |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
   ) { (s, d) =>
     val shx = shingled(Tables.documents(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // first-doc table + join left side share it
     val own = shx.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
     shx.join(own, "s")
       .groupBy(col("doc_id"))
