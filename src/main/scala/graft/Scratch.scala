@@ -25,9 +25,13 @@ object Scratch {
       println(f"[time] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
     }
     val names = if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted else args.toSeq
+    val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
     for (n <- names; fn = SparkEntry.queries(n)) {
-      time(s"$n cold")(fn(spark, sfDir).count())
-      time(s"$n warm")(fn(spark, sfDir).count())
+      if (explain) fn(spark, sfDir).explain("formatted")
+      else {
+        time(s"$n cold")(fn(spark, sfDir).count())
+        time(s"$n warm")(fn(spark, sfDir).count())
+      }
     }
     spark.stop()
   }
