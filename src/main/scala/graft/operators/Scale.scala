@@ -29,20 +29,9 @@ object Scale {
     // parent checkpoint other rounds still read. A checkpointed frame's
     // plan root IS the LogicalRDD; anything else is a no-op.
     df.queryExecution.analyzed match {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(false)
-        // release the DISK_ONLY staging cache of a lazy reliable cut
-        // (see cut): dropCheckpoint is the round's cleanup hook, and by
-        // the time a loop drops round k, round k's files are written
-        Option(lazyCutCaches.remove(l.rdd)).foreach(_.unpersist(false))
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
       case _ => ()
     }
-
-  /** Staging caches of in-flight lazy reliable cuts, keyed by the cut
-    * frame's RDD (weak keys: if the cut frame is GC'd unread, the entry
-    * goes with it and the context cleaner reaps the cache). */
-  private val lazyCutCaches = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[org.apache.spark.rdd.RDD[_], DataFrame]())
 
   /** Session conf key: when set (to an HDFS/S3/posix path), iterative
     * loops cut lineage via RELIABLE checkpoints in that directory
@@ -66,35 +55,16 @@ object Scale {
         // Reliable checkpoint materializes the RDD in a SECOND job when
         // writing the files — without a persist the whole round lineage
         // recomputes (2× compute per iteration). Persist DISK_ONLY first
-        // so the checkpoint write reads the cached blocks.
+        // so the checkpoint write reads the cached blocks, then drop the
+        // cache (the checkpoint files now back the frame). This forces
+        // EAGER even when the caller asked for lazy: a deferred reliable
+        // checkpoint would have to keep the pre-cut frame cached until
+        // some unknowable later action, leaking one DISK_ONLY copy per
+        // loop round — one up-front count is the cheaper contract.
         val cached = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-        if (eager) {
-          // compute+cache job, then the write job reads the cache; the
-          // staging cache is droppable immediately (files now back it)
-          val cut = cached.checkpoint(eager = true)
-          cached.unpersist(false)
-          cut
-        } else {
-          // Lazy reliable cut (the CC loops' shape — cut then probe):
-          // the caller's immediately-following FULL-SCAN action computes
-          // the marked RDD through the cache, and Spark's post-job
-          // checkpoint hook writes the files from those cached blocks —
-          // two jobs per round instead of eager's three (count, write,
-          // probe). The staging cache must outlive the write, so it is
-          // registered for release at the caller's dropCheckpoint (each
-          // loop drops round k−1 after round k's probe — the same
-          // one-extra-round lifetime the checkpoint blocks already had).
-          // Contract: only use lazy when a full-scan action follows
-          // promptly; a partial action (limit/isEmpty) leaves the write
-          // job recomputing the uncached partitions from full lineage.
-          val cut = cached.checkpoint(eager = false)
-          cut.queryExecution.analyzed match {
-            case l: org.apache.spark.sql.execution.LogicalRDD =>
-              lazyCutCaches.put(l.rdd, cached)
-            case _ => cached.unpersist(false) // unexpected root: fail safe
-          }
-          cut
-        }
+        val cut = cached.checkpoint(eager = true)
+        cached.unpersist(false)
+        cut
       case None => df.localCheckpoint(eager)
     }
 
