@@ -19,6 +19,12 @@ object Scratch {
       // session construction so loaders stay pure (r8 advisory).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
+    // SPARK_GRAFT_RELIABLE=1 → route Scale.cut to reliable disk
+    // checkpoints (the Bench/Verify mode) for A/B plan-cost isolation
+    if (sys.env.get("SPARK_GRAFT_RELIABLE").contains("1")) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_scratch_ckpt")
+      spark.conf.set(graft.operators.Scale.CheckpointDirKey, dir.toString)
+    }
     spark.sparkContext.setLogLevel("WARN")
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
