@@ -37,8 +37,10 @@ object Bench {
     // Disk-backed cuts take block-manager occupancy out of the
     // equation entirely — what remains on an inverted timing is the
     // machine, and the sentinel fields below make that visible.
-    val ckptDir = java.nio.file.Files
-      .createTempDirectory("graft_bench_ckpt").toString
+    // tmpfs-preferring dir (see Scale.harnessCheckpointDir): checkpoint
+    // writeback on the fixture disk perturbs queries that never
+    // checkpoint.
+    val ckptDir = graft.operators.Scale.harnessCheckpointDir()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -100,8 +102,19 @@ object Bench {
     // takes out — and the block manager holds fixtures + at most one
     // query's working set at any instant.)
     val pinned = sc.getPersistentRDDs.keySet
-    def sweep(): Unit = sc.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!pinned.contains(id)) rdd.unpersist(blocking = true)
+    def sweep(): Unit = {
+      // Dataset-level first (Scale.pin registry): removes the
+      // CacheManager ENTRY along with the blocks. The RDD-level pass
+      // below alone would leave the entry behind, and the next pass's
+      // identical plan would substitute a stale InMemoryRelation whose
+      // storage level was zeroed — every consumer then recomputes the
+      // lineage AND rebuilds columnar batches with no reuse (the r10
+      // t54 warm>cold inversion).
+      graft.operators.Scale.releasePins()
+      // RDD-level backstop for anything persisted outside the registry.
+      sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!pinned.contains(id)) rdd.unpersist(blocking = true)
+      }
     }
 
     final case class Sample(sec: Double, load: Double, gc: Long,
@@ -163,7 +176,8 @@ object Bench {
     java.nio.file.Files.write(detailPath,
       (s"""{"sf":"$sfDir","warm_stat":"median_of_3","cpus":$cpus,""" +
         s""""load_start":${fmt1(loadStart)},"load_end":${fmt1(loadEnd)},""" +
-        s""""ckpt":"reliable_disk","queries":$detail}""").getBytes("UTF-8"))
+        s""""ckpt":"reliable_disk","ckpt_dir":"$ckptDir",""" +
+        s""""queries":$detail}""").getBytes("UTF-8"))
     // Final stdout line stays compact (< ~700 chars): totals + the
     // BASELINE.md §3 anchor queries, so it parses from a 2000-char tail.
     val anchors = Seq("q1_pricing_summary", "q3_join3_revenue_top10",

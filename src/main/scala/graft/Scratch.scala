@@ -22,8 +22,8 @@ object Scratch {
     // SPARK_GRAFT_RELIABLE=1 → route Scale.cut to reliable disk
     // checkpoints (the Bench/Verify mode) for A/B plan-cost isolation
     if (sys.env.get("SPARK_GRAFT_RELIABLE").contains("1")) {
-      val dir = java.nio.file.Files.createTempDirectory("graft_scratch_ckpt")
-      spark.conf.set(graft.operators.Scale.CheckpointDirKey, dir.toString)
+      val dir = graft.operators.Scale.harnessCheckpointDir()
+      spark.conf.set(graft.operators.Scale.CheckpointDirKey, dir)
     }
     spark.sparkContext.setLogLevel("WARN")
     def time[T](label: String)(f: => T): T = {

@@ -14,7 +14,7 @@ object Verify {
     // warnings at sweep/stop time that read like eviction pathology in
     // the driver's verify tail (r8/r9 verdicts), and disk-backed cuts
     // keep executor memory for the queries themselves.
-    val ckptDir = Files.createTempDirectory("graft_verify_ckpt").toString
+    val ckptDir = graft.operators.Scale.harnessCheckpointDir()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -38,6 +38,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Release operator-pinned frames between queries so 278 dumps
+      // don't accumulate cached blocks + CacheManager entries.
+      graft.operators.Scale.releasePins()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -298,7 +298,7 @@ object Curation {
     // have different children, so Spark can't reuse them). The frame is
     // per-doc-deduped shingles; MEMORY_AND_DISK spills, never recomputes.
     val shx = Text.shingled(Tables.documents(s, d))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Scale.pin(_))
     val freq = shx.groupBy(col("s")).agg(count(lit(1)).as("nd"))
     shx.join(freq, Seq("s"))
       .groupBy(col("doc_id"))

@@ -67,7 +67,7 @@ object Dedup {
         xxhash64((b * RowsPerBand until (b + 1) * RowsPerBand)
           .map(i => col(s"h$i")): _*)
       }: _*)).as(Seq("band", "bh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Scale.pin(_))
     val a = banded.select(col("doc_id").as("da"), col("sig").as("siga"),
       col("band"), col("bh"))
     val b = banded.select(col("doc_id").as("db"), col("sig").as("sigb"),
@@ -190,7 +190,7 @@ object Dedup {
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), 16 * c).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("chunk", "cv")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Scale.pin(_))
     val a = chunked.select(col("doc_id").as("da"), col("simhash").as("sa"),
       col("chunk"), col("cv"))
     val b = chunked.select(col("doc_id").as("db"), col("simhash").as("sb"),

@@ -38,6 +38,63 @@ object Scale {
     * instead of `localCheckpoint`. */
   val CheckpointDirKey = "spark.graft.checkpoint.dir"
 
+  /** Fresh checkpoint directory for the harness (Bench/Verify/Scratch).
+    * Preference: $SPARK_GRAFT_CKPT_BASE, else /dev/shm (tmpfs) when
+    * writable, else java.io.tmpdir. On a real cluster the reliable
+    * checkpoint store (HDFS/S3) is a SEPARATE service from the data
+    * volumes; locally, routing checkpoint writes to the same disk the
+    * parquet fixtures live on adds kernel-writeback contention to
+    * queries that never touch a checkpoint (r10 bench: alternating
+    * slow passes in the name-sorted tail). tmpfs reproduces the
+    * production separation while keeping the reliable-checkpoint code
+    * path (file write + second job) intact. */
+  def harnessCheckpointDir(): String = {
+    val base = sys.env.get("SPARK_GRAFT_CKPT_BASE").filter(_.nonEmpty)
+      .orElse(Some("/dev/shm").filter(p =>
+        java.nio.file.Files.isWritable(java.nio.file.Paths.get(p))))
+      .getOrElse(sys.props("java.io.tmpdir"))
+    java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(base), "graft_ckpt")
+      .toString
+  }
+
+  /** Registry of operator-persisted frames that outlive their operator
+    * (shared-frame persists: a self-join's both sides, a loop's final
+    * assignment). The harness (Bench/Verify sweeps) releases them at
+    * DATASET level via [[releasePins]] — an RDD-level sweep
+    * (`sc.getPersistentRDDs` + `rdd.unpersist`) drops the blocks but
+    * leaves the CacheManager ENTRY behind, so the next run of the same
+    * query plan substitutes a stale InMemoryRelation whose storage
+    * level was zeroed: every consumer then recomputes the full lineage
+    * AND rebuilds columnar batches with no reuse (r10 bench: t54 warm
+    * 1.57 s vs cold 1.09 s from exactly this — "Asked to cache already
+    * cached data" warnings in the tail are its signature). */
+  private val pins = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Persist `df` and register it for harness release. Operators use
+    * this for shared frames they never unpersist themselves; transient
+    * persists that are dropped in-operator (a loop's superseded round)
+    * stay direct `.persist`/`.unpersist` calls. */
+  private[graft] def pin(df: DataFrame,
+      level: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val p = df.persist(level)
+    pins.add(p)
+    p
+  }
+
+  /** Unpersist every pinned frame, blocking, Dataset-level (removes the
+    * CacheManager entry AND its blocks — see [[pin]]). Idempotent:
+    * unpersisting an already-released frame is a no-op. */
+  def releasePins(): Unit = {
+    var d = pins.poll()
+    while (d != null) {
+      try d.unpersist(blocking = true)
+      catch { case scala.util.control.NonFatal(_) => () }
+      d = pins.poll()
+    }
+  }
+
   /** Round-boundary lineage cut for the iterative operators (CC,
     * k-means). Default `localCheckpoint`: executor-storage-backed,
     * zero-config, right for local[*] — but lineage is truncated, so on

@@ -186,7 +186,7 @@ object Text {
     // shx feeds sizes + both self-join sides (3 consumers) — persist,
     // or the tokenize→shingle→distinct explode runs three times.
     val shx = shingled(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Scale.pin(_))
     val sizes = shx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // distinct per-side names: a self-join on the SAME attribute makes
     // Spark warn + fall back to dataset-id disambiguation — works, but
@@ -394,7 +394,7 @@ object Text {
     // shx splits into bench + train branches — persist, or the shingle
     // explode runs once per branch.
     val shx = shingled(Tables.documents(s, d))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Scale.pin(_))
     val bench = shx.filter(col("doc_id") < 50).select(col("s")).distinct()
     val train = shx.filter(col("doc_id") >= 50)
     train.join(broadcast(bench), Seq("s"))
@@ -779,7 +779,7 @@ object Text {
       col("q_pass") &&
         col("doc_id") === min(when(col("q_pass"), col("doc_id"))).over(wText))
     val shx = shingled(Tables.documents(s, d))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // bench + contam branches share it
+      .transform(Scale.pin(_)) // bench + contam branches share it
     val bench = shx.filter(col("doc_id") < 50).select(col("s")).distinct()
     val contam = shx.filter(col("doc_id") >= 50)
       .join(broadcast(bench), Seq("s"))
@@ -826,7 +826,7 @@ object Text {
       |ORDER BY da, db""".stripMargin
   ) { (s, d) =>
     val shx = shingled(Tables.documents(s, d).filter(col("doc_id") < 300))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // sizes + both self-join sides share it
+      .transform(Scale.pin(_)) // sizes + both self-join sides share it
     val sizes = shx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = shx.select(col("doc_id").as("da"), col("s").as("sa"))
     val b = shx.select(col("doc_id").as("db"), col("s").as("sb"))
@@ -925,7 +925,7 @@ object Text {
       |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
   ) { (s, d) =>
     val shx = shingled(Tables.documents(s, d))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // first-doc table + join left side share it
+      .transform(Scale.pin(_)) // first-doc table + join left side share it
     val own = shx.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
     shx.join(own, "s")
       .groupBy(col("doc_id"))
@@ -972,7 +972,7 @@ object Text {
     val sh = shingled(docs)
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .select(col("source"), col("s")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Scale.pin(_))
     val tot = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("source").as("src_a"), col("s"))
     val b = sh.select(col("source").as("src_b"), col("s"))

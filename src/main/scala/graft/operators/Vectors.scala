@@ -413,7 +413,9 @@ object Vectors {
           struct(col("d2"), col("cid"))).as("m"))
         .select(col("vec_id"), col("m.cid").as("cid"),
           col("m.d2").as("d2"), col("m.e").as("e"))
-        .persist() // MEMORY_AND_DISK; the round's one action materializes it
+        .transform(Scale.pin(_)) // MEMORY_AND_DISK; the round's one action
+      // materializes it; superseded rounds unpersist below, the final
+      // round's frame is released by the harness sweep (Scale.pin)
       // ONE distributed action per round: the per-(cid, dim) M-step mean
       // with the convergence probe RIDING it — inertia (Σd2) and the
       // assignment-set fingerprint (Σ xxhash64(vec_id, cid), exact
@@ -817,7 +819,7 @@ object Vectors {
     // reads sv); codes' own lineage is flat (sv scan ⋈ literal codebook)
     // so a persist is self-sufficient and failure-recoverable
     val codes = assign(centDf)
-      .select(col("vec_id"), col("sub"), col("cid")).persist()
+      .select(col("vec_id"), col("sub"), col("cid")).transform(Scale.pin(_))
     codes.count()
     sv.unpersist(false)
     (codes, centDf)

@@ -592,3 +592,43 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Harness cache-hygiene contract: Scale.pin / Scale.releasePins.
+  *
+  * The bench/verify sweeps must release operator-pinned frames at the
+  * DATASET level — an RDD-level unpersist drops the blocks but leaves
+  * the CacheManager entry, and the next run of the same plan then
+  * substitutes a storage-level-NONE InMemoryRelation that recomputes
+  * its lineage per consumer with no reuse (the r10 t54 warm>cold
+  * inversion). */
+class PinSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSession.spark
+  import org.apache.spark.storage.StorageLevel
+
+  test("pin caches; releasePins removes blocks AND the CacheManager entry") {
+    graft.operators.Scale.releasePins() // clean slate
+    val df = spark.range(1000).selectExpr("id", "id * 2 AS v")
+      .transform(graft.operators.Scale.pin(_))
+    assert(df.storageLevel != StorageLevel.NONE) // entry registered
+    df.count() // materialize blocks
+    graft.operators.Scale.releasePins()
+    // Dataset-level release: the entry is gone, not just the blocks —
+    // a FRESH frame with the identical plan must not resolve to a
+    // cached relation.
+    assert(df.storageLevel == StorageLevel.NONE)
+    val fresh = spark.range(1000).selectExpr("id", "id * 2 AS v")
+    assert(fresh.storageLevel == StorageLevel.NONE)
+    assert(fresh.queryExecution.withCachedData.collectFirst {
+      case i: org.apache.spark.sql.execution.columnar.InMemoryRelation => i
+    }.isEmpty)
+  }
+
+  test("releasePins is idempotent and tolerates double-unpersist") {
+    val df = spark.range(10).toDF("id").transform(graft.operators.Scale.pin(_))
+    df.count()
+    df.unpersist(blocking = true) // operator-side early release
+    graft.operators.Scale.releasePins() // must be a no-op, not a throw
+    graft.operators.Scale.releasePins()
+    assert(df.storageLevel == StorageLevel.NONE)
+  }
+}
