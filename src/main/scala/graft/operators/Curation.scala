@@ -201,6 +201,92 @@ object Curation {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** Group-aware (entity-level) train/val/test split — the leakage
+    * guard q104's row-level split can't give: when rows of one entity
+    * (a user's events, a patient's records) land in different splits,
+    * the model trains on the test entities. Assigning the split from a
+    * hash of the GROUP key makes membership a pure row-local function
+    * of user_id — every row of a user lands in one split, with no join
+    * against a user table and no shuffle beyond the output aggregate.
+    * Same engine-portable md5 bucket as q104. The emitted leak_free
+    * flag replays the guarantee: Σ per-split distinct users equals
+    * global distinct users ⟺ no user appears in two splits. */
+  val qGroupSplit: Q = Q(
+    "q194_group_split",
+    """WITH b AS (SELECT user_id,
+      |    (ascii(substr(md5('graft-gsplit-11:' || CAST(user_id AS VARCHAR)), 1, 1)) * 131
+      |     + ascii(substr(md5('graft-gsplit-11:' || CAST(user_id AS VARCHAR)), 2, 1))) % 100
+      |      AS bkt
+      |  FROM events),
+      |s AS (SELECT CASE WHEN bkt < 80 THEN 'train'
+      |             WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split, user_id
+      |      FROM b),
+      |grid AS (SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+      |                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |         FROM s GROUP BY split),
+      |tot AS (SELECT count(DISTINCT user_id) AS g FROM b),
+      |acr AS (SELECT sum(n_users) AS su FROM grid)
+      |SELECT grid.split, grid.n_events, grid.n_users,
+      |       (acr.su = tot.g) AS leak_free
+      |FROM grid CROSS JOIN tot CROSS JOIN acr
+      |ORDER BY split""".stripMargin
+  ) { (s, d) =>
+    val k = md5(concat(lit("graft-gsplit-11:"), col("user_id").cast("string")))
+    val ev = Tables.events(s, d)
+      .withColumn("bkt",
+        (ascii(substring(k, 1, 1)) * 131 + ascii(substring(k, 2, 1))) % 100)
+      .withColumn("split",
+        when(col("bkt") < 80, "train").when(col("bkt") < 90, "val")
+          .otherwise("test"))
+    val grid = ev.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+    val tot = ev.agg(countDistinct(col("user_id")).as("g"))
+    val acr = grid.agg(sum(col("n_users")).as("su"))
+    grid.crossJoin(broadcast(tot)).crossJoin(broadcast(acr))
+      .select(col("split"), col("n_events"), col("n_users"),
+        (col("su") === col("g")).as("leak_free"))
+      .orderBy(col("split"))
+  }
+
+  /** Chronological split (train on the past, evaluate on the future) —
+    * the temporal leakage axis q166's point-in-time join guards per
+    * feature, applied to the dataset carve itself: a random split of
+    * time-series data lets the model memorize the future. The boundary
+    * is the data-derived 80th-percentile timestamp, floored to the
+    * millisecond so the interpolated value is bit-identical across
+    * engines. Exact `percentile` is the semantics contract (one
+    * all-values sort buffer — the q82-documented swap to
+    * percentile_approx / Scale.quantileEdges applies at 100 TB); the
+    * split itself is a row-local comparison against the broadcast
+    * boundary. The per-split (min_us, max_us) columns carry the
+    * no-future-leak evidence: max(train) <= min(test). */
+  val qTemporalSplit: Q = Q(
+    "q195_temporal_split",
+    """WITH b AS (SELECT CAST(floor(quantile_cont(epoch_us(ts), 0.8) / 1000)
+      |                    AS BIGINT) * 1000 AS cut_us FROM events),
+      |e AS (SELECT epoch_us(ts) AS us, user_id FROM events)
+      |SELECT CASE WHEN e.us <= b.cut_us THEN 'train' ELSE 'test' END AS split,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |       min(e.us) AS min_us, max(e.us) AS max_us
+      |FROM e CROSS JOIN b GROUP BY split ORDER BY split""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(unix_micros(col("ts")).as("us"), col("user_id"))
+    val cut = ev.agg(
+      (floor(expr("percentile(us, 0.8)") / 1000).cast("long") * lit(1000L))
+        .as("cut_us"))
+    ev.crossJoin(broadcast(cut))
+      .withColumn("split",
+        when(col("us") <= col("cut_us"), "train").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("us")).as("min_us"), max(col("us")).as("max_us"))
+      .orderBy(col("split"))
+  }
+
   /** Incremental (append-only) dedup gate — the 100 TB ingest shape: the
     * EXISTING corpus's content hashes fold into a Bloom filter (one
     * aggregate, mergeable across partitions), and each INCOMING doc
@@ -564,5 +650,6 @@ object Curation {
   val all: Seq[Q] = Seq(qContextPacking, qUnigramLogprob, qPiiRedaction,
     qSeededShuffle, qHashSplit, qHashSamplePerGroup, qBloomIncremental,
     qBoilerplateNgrams, qDocChunking, qDataMixing, qSeqlenHistogram,
-    qSourceDiversity, qWeightedSample, qTemperatureMixing, qFeatureHashing)
+    qSourceDiversity, qWeightedSample, qTemperatureMixing, qFeatureHashing,
+    qGroupSplit, qTemporalSplit)
 }

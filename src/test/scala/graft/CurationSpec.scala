@@ -160,4 +160,33 @@ class CurationSpec extends AnyFunSuite {
         s"${q.name} plan moves data to a single partition:\n$plan")
     }
   }
+
+  test("q194: split is a pure function of user_id — every user in exactly one split") {
+    import org.apache.spark.sql.functions._
+    // stronger per-user form of the emitted leak_free aggregate
+    val k = md5(concat(lit("graft-gsplit-11:"), col("user_id").cast("string")))
+    val perUser = Tables.events(spark, sf)
+      .withColumn("bkt",
+        (ascii(substring(k, 1, 1)) * 131 + ascii(substring(k, 2, 1))) % 100)
+      .withColumn("split",
+        when(col("bkt") < 80, "train").when(col("bkt") < 90, "val")
+          .otherwise("test"))
+      .groupBy(col("user_id")).agg(countDistinct(col("split")).as("ns"))
+    assert(perUser.agg(max(col("ns"))).head.getLong(0) == 1L)
+    // and the registered output's own flag holds
+    val rows = operators.Curation.qGroupSplit.fn(spark, sf).collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Boolean]("leak_free")))
+  }
+
+  test("q195: chronological split has no future leakage (train strictly before test)") {
+    val rows = operators.Curation.qTemporalSplit.fn(spark, sf).collect()
+      .map(r => r.getAs[String]("split") ->
+        (r.getAs[Long]("min_us"), r.getAs[Long]("max_us"), r.getAs[Long]("n_events")))
+      .toMap
+    assert(rows.keySet == Set("train", "test"))
+    assert(rows("train")._2 <= rows("test")._1) // max(train) <= min(test)
+    // the 80th-percentile boundary puts ~80% of events in train
+    val n = rows("train")._3 + rows("test")._3
+    assert(math.abs(rows("train")._3.toDouble / n - 0.8) < 0.02)
+  }
 }
