@@ -201,6 +201,34 @@ object Curation {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** Fixed-k uniform sample — reservoir sampling's deterministic,
+    * distributed equivalent: the k rows with the smallest
+    * md5(seed ‖ id) are a uniform without-replacement draw of size k
+    * (a random permutation's prefix), stable under reruns, appends of
+    * later shards re-draw fairly, and membership is engine-portable
+    * (unlike q34's engine-seeded Bernoulli, this hash-rank form hash-
+    * matches DuckDB row-for-row). Spark plans orderBy+limit as
+    * TakeOrderedAndProject: each partition keeps a local k-heap and
+    * only k rows per partition reach the driver-side merge — no global
+    * sort, no shuffle of non-winners, the same cost at any corpus size
+    * (PlanSpec asserts the operator). */
+  val qFixedKSample: Q = Q(
+    "q196_fixed_k_sample",
+    """SELECT doc_id FROM (
+      |  SELECT doc_id FROM documents
+      |  ORDER BY md5('graft-resk-5:' || CAST(doc_id AS VARCHAR)), doc_id
+      |  LIMIT 100) t
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat(lit("graft-resk-5:"), col("doc_id").cast("string"))).as("_k"))
+      .orderBy(col("_k"), col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Group-aware (entity-level) train/val/test split — the leakage
     * guard q104's row-level split can't give: when rows of one entity
     * (a user's events, a patient's records) land in different splits,
@@ -651,5 +679,5 @@ object Curation {
     qSeededShuffle, qHashSplit, qHashSamplePerGroup, qBloomIncremental,
     qBoilerplateNgrams, qDocChunking, qDataMixing, qSeqlenHistogram,
     qSourceDiversity, qWeightedSample, qTemperatureMixing, qFeatureHashing,
-    qGroupSplit, qTemporalSplit)
+    qGroupSplit, qTemporalSplit, qFixedKSample)
 }

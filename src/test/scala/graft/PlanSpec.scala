@@ -37,6 +37,12 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q27_topk_orders").contains("TakeOrderedAndProject"))
   }
 
+  test("q196: fixed-k hash sample plans as TakeOrderedAndProject (no global sort)") {
+    // the reservoir-equivalent draw must be a per-partition k-heap +
+    // driver merge; a global Sort would shuffle the whole corpus
+    assert(plan("q196_fixed_k_sample").contains("TakeOrderedAndProject"))
+  }
+
   test("v61: cosine scoring uses the codegen graft_dot expression") {
     assert(plan("v61_cosine_topk").contains("graft_dot"))
   }
