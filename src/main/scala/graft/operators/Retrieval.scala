@@ -588,7 +588,95 @@ object Retrieval {
       .orderBy(desc("burstiness"), col("term"))
   }
 
+  /** Known-item retrieval eval (MRR@10 / NDCG@10 / recall@10): the
+    * standard self-supervised smoke test of a retrieval stack — a query
+    * generated FROM document d (its first 8 distinct tokens) must
+    * retrieve d; the rank of d under BM25 yields reciprocal rank and
+    * single-relevant NDCG per query. Scale shape: candidates are only
+    * the docs sharing a query term (postings-bounded, the search-engine
+    * shape — term filter BEFORE the tf groupBy); the known item's rank
+    * is 1 + count(strictly-better candidates) via a 20-row broadcast
+    * join — NO per-query window sort of the candidate set. Scores are
+    * rounded to 6 decimals BEFORE the rank comparison so float
+    * summation order can't flip a tie across engines. The scored frame
+    * feeds both the known-score side and the rank count — Scale.pin. */
+  val qKnownItemEval: Q = Q(
+    "t117_known_item_eval",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |              FROM documents),
+      |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+      |       FROM toks GROUP BY doc_id),
+      |stats AS (SELECT avg(dl * 1.0) AS avgdl, CAST(count(*) AS BIGINT) AS n
+      |          FROM dl),
+      |qt AS (SELECT DISTINCT doc_id AS qid,
+      |              unnest(string_split(text, ' ')[1:8]) AS tok
+      |       FROM documents WHERE doc_id < 20),
+      |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks
+      |       WHERE tok IN (SELECT tok FROM qt) GROUP BY doc_id, tok),
+      |df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |       FROM tf GROUP BY tok),
+      |scored AS (
+      |  SELECT qt.qid, tf.doc_id,
+      |    round(sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+      |        * (tf.tf * 2.2)
+      |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 6) AS score
+      |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) JOIN qt USING (tok)
+      |       CROSS JOIN stats
+      |  GROUP BY qt.qid, tf.doc_id),
+      |known AS (SELECT qid, score AS ks FROM scored WHERE doc_id = qid),
+      |rnk AS (SELECT s.qid, CAST(1 + sum(CASE WHEN s.score > k.ks
+      |            OR (s.score = k.ks AND s.doc_id < s.qid) THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS rank_known
+      |        FROM scored s JOIN known k USING (qid) GROUP BY s.qid)
+      |SELECT qid, rank_known,
+      |  CASE WHEN rank_known <= 10
+      |       THEN round(1.0 / rank_known, 6) ELSE 0.0 END AS rr_at_10,
+      |  CASE WHEN rank_known <= 10
+      |       THEN round(ln(2.0) / ln(rank_known + 1.0), 6) ELSE 0.0
+      |       END AS ndcg_at_10,
+      |  rank_known <= 10 AS in_top10
+      |FROM rnk ORDER BY qid""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"), explode(tokens).as("tok"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(avg(col("dl") * lit(1.0)).as("avgdl"),
+      count(lit(1)).as("n"))
+    val qt = docs.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("qid"), explode(slice(tokens, 1, 8)).as("tok"))
+      .distinct()
+    val tf = toks.join(broadcast(qt.select(col("tok")).distinct()), Seq("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    val idf = log(lit(1) +
+      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val term = idf * (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val scored = tf.join(broadcast(dfT), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qt), Seq("tok"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(round(sum(term), 6).as("score"))
+      .transform(Scale.pin(_))
+    val known = scored.filter(col("doc_id") === col("qid"))
+      .select(col("qid"), col("score").as("ks"))
+    scored.join(broadcast(known), Seq("qid"))
+      .groupBy(col("qid"))
+      .agg((lit(1L) + sum(when(col("score") > col("ks") ||
+          (col("score") === col("ks") && col("doc_id") < col("qid")), 1L)
+        .otherwise(0L))).as("rank_known"))
+      .select(col("qid"), col("rank_known"),
+        when(col("rank_known") <= 10,
+          round(lit(1.0) / col("rank_known"), 6)).otherwise(0.0).as("rr_at_10"),
+        when(col("rank_known") <= 10,
+          round(lit(math.log(2.0)) / log(col("rank_known") + lit(1.0)), 6))
+          .otherwise(0.0).as("ndcg_at_10"),
+        (col("rank_known") <= 10).as("in_top10"))
+      .orderBy(col("qid"))
+  }
+
   val all: Seq[Q] = Seq(qBm25, qBigramBackoff, qZipfRankFreq, qTfIdfCosinePairs,
     qBigramOov, qPmiCollocations, qKlDrift, qVocabCoverage, qTokenPageRank,
-    qTokenGraphTriangles, qTermBurstiness)
+    qTokenGraphTriangles, qTermBurstiness, qKnownItemEval)
 }
