@@ -115,6 +115,13 @@ object Bench {
       sc.getPersistentRDDs.foreach { case (id, rdd) =>
         if (!pinned.contains(id)) rdd.unpersist(blocking = true)
       }
+      // Deterministically reap finished checkpoints: the reference-
+      // tracking cleaner deletes rdd-* dirs only when the JVM happens
+      // to GC the RDD reference, so files (on tmpfs: memory) accumulate
+      // until a late-run GC — the pass-4 slowdowns in the CC family
+      // tracked exactly this. Post-sweep nothing can read an old
+      // checkpoint again, so an eager delete is safe.
+      graft.operators.Scale.reapCheckpoints(spark)
     }
 
     final case class Sample(sec: Double, load: Double, gc: Long,

@@ -38,9 +38,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // Release operator-pinned frames between queries so 278 dumps
-      // don't accumulate cached blocks + CacheManager entries.
+      // Release operator-pinned frames between queries so hundreds of
+      // dumps don't accumulate cached blocks + CacheManager entries,
+      // and eagerly reap finished checkpoint payloads (on a tmpfs
+      // checkpoint dir these are memory).
       graft.operators.Scale.releasePins()
+      graft.operators.Scale.reapCheckpoints(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -58,6 +58,26 @@ object Scale {
       .toString
   }
 
+  /** Delete every finished reliable-checkpoint payload (the `rdd-*`
+    * dirs under the session's checkpoint dir). Harness hook, called
+    * AFTER a sweep has released all cached/pinned frames: at that point
+    * no live plan can read an old checkpoint, so an eager delete is
+    * safe — and deterministic, unlike
+    * `spark.cleaner.referenceTracking.cleanCheckpoints`, which only
+    * fires when the JVM happens to GC the RDD reference (files — on a
+    * tmpfs checkpoint dir, memory — accumulate until a late-run GC). */
+  def reapCheckpoints(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.getCheckpointDir.foreach { dir =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p))
+          fs.listStatus(p).iterator
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("rdd-"))
+            .foreach(st => fs.delete(st.getPath, true))
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+
   /** Registry of operator-persisted frames that outlive their operator
     * (shared-frame persists: a self-join's both sides, a loop's final
     * assignment). The harness (Bench/Verify sweeps) releases them at

@@ -629,6 +629,34 @@ class PinSpec extends org.scalatest.funsuite.AnyFunSuite {
     }.isEmpty)
   }
 
+  test("reapCheckpoints deletes finished rdd-* payloads under the checkpoint dir") {
+    val dir = graft.operators.Scale.harnessCheckpointDir()
+    // route Scale.cut to the reliable branch (cut installs the dir on sc)
+    spark.conf.set(graft.operators.Scale.CheckpointDirKey, dir)
+    try {
+      val cut = graft.operators.Scale.cut(
+        spark.range(1000).toDF("id"), eager = true)
+      assert(cut.count() == 1000L)
+      val ckptRoot = new org.apache.hadoop.fs.Path(
+        spark.sparkContext.getCheckpointDir.get)
+      val fs = ckptRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def rddDirs() = fs.listStatus(ckptRoot)
+        .count(st => st.isDirectory && st.getPath.getName.startsWith("rdd-"))
+      assert(rddDirs() >= 1) // the cut wrote a payload
+      graft.operators.Scale.reapCheckpoints(spark)
+      assert(rddDirs() == 0)
+    } finally {
+      // the session is shared: other suites must keep the
+      // localCheckpoint default
+      spark.conf.unset(graft.operators.Scale.CheckpointDirKey)
+      val p = java.nio.file.Paths.get(dir)
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("releasePins is idempotent and tolerates double-unpersist") {
     val df = spark.range(10).toDF("id").transform(graft.operators.Scale.pin(_))
     df.count()
