@@ -183,7 +183,8 @@ object Bench {
     java.nio.file.Files.write(detailPath,
       (s"""{"sf":"$sfDir","warm_stat":"median_of_3","cpus":$cpus,""" +
         s""""load_start":${fmt1(loadStart)},"load_end":${fmt1(loadEnd)},""" +
-        s""""ckpt":"reliable_disk","ckpt_dir":"$ckptDir",""" +
+        s""""ckpt":"reliable_disk","ckpt_dir":"${
+          ckptDir.replace("\\", "\\\\").replace("\"", "\\\"")}",""" +
         s""""queries":$detail}""").getBytes("UTF-8"))
     // Final stdout line stays compact (< ~700 chars): totals + the
     // BASELINE.md §3 anchor queries, so it parses from a 2000-char tail.

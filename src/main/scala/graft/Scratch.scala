@@ -21,10 +21,11 @@ object Scratch {
       .getOrCreate()
     // SPARK_GRAFT_RELIABLE=1 → route Scale.cut to reliable disk
     // checkpoints (the Bench/Verify mode) for A/B plan-cost isolation
-    if (sys.env.get("SPARK_GRAFT_RELIABLE").contains("1")) {
+    val ckptDir = if (sys.env.get("SPARK_GRAFT_RELIABLE").contains("1")) {
       val dir = graft.operators.Scale.harnessCheckpointDir()
       spark.conf.set(graft.operators.Scale.CheckpointDirKey, dir)
-    }
+      Some(dir)
+    } else None
     spark.sparkContext.setLogLevel("WARN")
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
@@ -38,7 +39,20 @@ object Scratch {
         time(s"$n cold")(fn(spark, sfDir).count())
         time(s"$n warm")(fn(spark, sfDir).count())
       }
+      // same hygiene as Bench/Verify: release pinned frames and reap
+      // finished checkpoint payloads (on tmpfs these are memory — a
+      // full sweep would otherwise hold every query's payloads at once)
+      graft.operators.Scale.releasePins()
+      graft.operators.Scale.reapCheckpoints(spark)
     }
     spark.stop()
+    // the checkpoint dir outlives the JVM (tmpfs = RAM) — remove it
+    ckptDir.foreach { d =>
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 }

@@ -638,7 +638,11 @@ object Retrieval {
       |FROM rnk ORDER BY qid""".stripMargin
   ) { (s, d) =>
     val docs = Tables.documents(s, d)
+    // toks feeds the doc-length branch AND the postings branch —
+    // shared-frame discipline (r10): pin, or the corpus tokenize +
+    // explode runs once per consumer.
     val toks = docs.select(col("doc_id"), explode(tokens).as("tok"))
+      .transform(Scale.pin(_))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val stats = dl.agg(avg(col("dl") * lit(1.0)).as("avgdl"),
       count(lit(1)).as("n"))

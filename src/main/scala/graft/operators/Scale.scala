@@ -38,6 +38,10 @@ object Scale {
     * instead of `localCheckpoint`. */
   val CheckpointDirKey = "spark.graft.checkpoint.dir"
 
+  /** The base dir most recently installed on the SparkContext by
+    * [[cut]] (see the install logic there). */
+  @volatile private var installedCkptBase: Option[String] = None
+
   /** Fresh checkpoint directory for the harness (Bench/Verify/Scratch).
     * Preference: $SPARK_GRAFT_CKPT_BASE, else /dev/shm (tmpfs) when
     * writable, else java.io.tmpdir. On a real cluster the reliable
@@ -128,7 +132,18 @@ object Scale {
     df.sparkSession.conf.getOption(CheckpointDirKey).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        // Track the installed BASE dir ourselves: sc.getCheckpointDir
+        // returns the uuid SUBDIR setCheckpointDir created, so it can
+        // never compare equal to the configured base — an is-empty
+        // guard alone would silently keep writing into the first base
+        // ever installed after a conf change (and makes any two suites
+        // that configure different dirs order-dependent).
+        Scale.synchronized {
+          if (!installedCkptBase.contains(dir)) {
+            sc.setCheckpointDir(dir)
+            installedCkptBase = Some(dir)
+          }
+        }
         // Reliable checkpoint materializes the RDD in a SECOND job when
         // writing the files — without a persist the whole round lineage
         // recomputes (2× compute per iteration). Persist DISK_ONLY first
