@@ -31,7 +31,7 @@ def norm(v):
     return v
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=()):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -41,6 +41,8 @@ def main(sf_dir, out_dir):
 
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
+        if only and name not in only:
+            continue
         try:
             oracle = con.execute(sql).fetchdf()
         except Exception as e:
@@ -84,4 +86,4 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], set(sys.argv[3:])))

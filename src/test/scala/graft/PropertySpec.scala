@@ -193,6 +193,24 @@ class PropertySpec extends AnyFunSuite {
     assert(got.length == 120 && got.forall(_._2 == 0L))
   }
 
+  test("registered CC is diameter-safe: min-label escalates to star past the cap") {
+    // the REGISTERED path (t63/t83 call connectedComponents with
+    // defaults) must finish on a diameter-119 chain: min-label burns its
+    // round budget, then escalates to star contraction and still returns
+    // exact min-id labels. A tiny cap (3) forces the escalation fast.
+    val chain = (0L until 119L).map(i => (i, i + 1))
+    val edges = spark.createDataFrame(chain).toDF("da", "db")
+    val got = operators.Dedup.connectedComponents(edges, maxIter = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 120 && got.forall(_._2 == 0L))
+    // opting out of the fallback keeps the loud round-cap contract
+    val ex = intercept[IllegalStateException] {
+      operators.Dedup.connectedComponents(edges, maxIter = 3,
+        fallbackToStar = false).collect()
+    }
+    assert(ex.getMessage.contains("no fixpoint"))
+  }
+
   test("iterative loops use a reliable checkpoint dir when configured") {
     // spark.graft.checkpoint.dir routes Scale.cut to Dataset.checkpoint
     // (fault-tolerant files) instead of localCheckpoint — the cluster
