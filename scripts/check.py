@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
 """Local differential check mimicking the driver's DuckDB oracle compare.
 
-Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [--json OUT] [only...]
+
+--json OUT additionally writes a driver-style per-query JSON record
+(rows_match / schema_match / hash_match / row counts / err) to OUT.
 
 Reads each <verifyOutDir>/<name>/ parquet (Spark result) and runs the
 matching SQL from oracle_sql.json in DuckDB over the same sfDir tables,
@@ -31,7 +34,7 @@ def norm(v):
     return v
 
 
-def main(sf_dir, out_dir, only=()):
+def main(sf_dir, out_dir, only=(), json_out=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -40,6 +43,13 @@ def main(sf_dir, out_dir, only=()):
         oracles = json.load(f)
 
     n_pass = n_fail = 0
+    results = {}
+
+    def record(name, rows_match, schema_match, hash_match, s_rows, o_rows, err):
+        results[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                         "hash_match": hash_match, "spark_rows": s_rows,
+                         "oracle_rows": o_rows, "err": err}
+
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue
@@ -47,6 +57,7 @@ def main(sf_dir, out_dir, only=()):
             oracle = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            record(name, False, False, False, None, None, f"oracle SQL error: {e}")
             n_fail += 1
             continue
         try:
@@ -54,17 +65,21 @@ def main(sf_dir, out_dir, only=()):
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
         except Exception as e:
             print(f"FAIL {name}: spark result missing/unreadable: {e}")
+            record(name, False, False, False, None, len(oracle),
+                   f"spark result missing/unreadable: {e}")
             n_fail += 1
             continue
         ocols, gcols = sorted(oracle.columns), sorted(got.columns)
         if ocols != gcols:
             print(f"FAIL {name}: schema mismatch spark={gcols} oracle={ocols}")
+            record(name, None, False, False, len(got), len(oracle), None)
             n_fail += 1
             continue
         o = oracle[ocols]
         g = got[gcols]
         if len(o) != len(g):
             print(f"FAIL {name}: rowcount spark={len(g)} oracle={len(o)}")
+            record(name, False, True, False, len(g), len(o), None)
             n_fail += 1
             continue
         orows = sorted([tuple(norm(v) for v in r) for r in o.itertuples(index=False)],
@@ -73,6 +88,7 @@ def main(sf_dir, out_dir, only=()):
                        key=repr)
         if orows == grows:
             print(f"PASS {name} ({len(g)} rows)")
+            record(name, True, True, True, len(g), len(o), None)
             n_pass += 1
         else:
             bad = [(a, b) for a, b in zip(grows, orows) if a != b][:3]
@@ -80,10 +96,20 @@ def main(sf_dir, out_dir, only=()):
             for a, b in bad:
                 print(f"  spark : {a}")
                 print(f"  oracle: {b}")
+            record(name, True, True, False, len(g), len(o), None)
             n_fail += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=2, sort_keys=True)
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2], set(sys.argv[3:])))
+    argv = sys.argv[3:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sys.exit(main(sys.argv[1], sys.argv[2], set(argv), json_out))

@@ -725,16 +725,22 @@ object Aggregates {
     * and the exact count. At 100 TB the per-day sketches are a few-KB
     * stored column per partition; "distinct users this quarter" is then
     * a union of 90 stored sketches, never a rescan. The output pins the
-    * invariant mechanically: union-of-partials must equal the
-    * whole-table sketch estimate EXACTLY (same sketch state, same
-    * registers), while rel_err vs exact stays inside the sketch's
-    * error bound. Registered form (r10, extending the r9 invariant-
-    * oracle pattern): the sketch VALUES are engine-specific, the
-    * contract isn't — n_days and the exact distinct count replay in
-    * DuckDB, `merged_eq_whole` pins mergeability exactly, and the
-    * sketch estimate must sit within ±10% of exact (HLL_4 at default
-    * lgK=12 is ~1.6% σ — the band is >6σ). DedupSpec keeps the raw
-    * estimate shape. */
+    * invariant mechanically: union-of-partials must land within the
+    * sketch's error band of the whole-table sketch, while rel_err vs
+    * exact stays inside the sketch's error bound. NOT pinned as exact
+    * register equality — the r10 claim "union == direct sketch" held
+    * only in sparse mode: the round-11 sf0.1 sweep showed DataSketches
+    * HLL_4 union (which routes through an HLL_8 gadget and downgrades)
+    * legitimately producing a slightly different estimate than the
+    * directly-built sketch once past the sparse→dense transition
+    * (observed at 1500 distincts; equal at sf0.01's ~500). The honest
+    * mergeability contract is estimate-equivalence within the error
+    * band, which is what incremental maintenance needs. Registered form
+    * (r10/r11 invariant-oracle pattern): n_days and the exact distinct
+    * count replay in DuckDB, `merged_within_err` pins union≈whole at
+    * ±2% (>1σ of the ~1.6% lgK=12 σ applied to BOTH estimates' common
+    * base), and the sketch estimate must sit within ±10% of exact.
+    * DedupSpec keeps the raw estimate shape. */
   private[graft] def hllMergeRaw(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val ev = Tables.events(s, d)
@@ -753,12 +759,14 @@ object Aggregates {
     "q188_hll_partition_merge",
     """SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
       |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact,
-      |       true AS merged_eq_whole, true AS rel_err_ok
+      |       true AS merged_within_err, true AS rel_err_ok
       |FROM events""".stripMargin
   ) { (s, d) =>
     hllMergeRaw(s, d)
       .select(col("n_days"), col("exact"),
-        (col("merged_est") === col("whole_est")).as("merged_eq_whole"),
+        (abs(col("merged_est") - col("whole_est"))
+          <= greatest(col("whole_est") * 0.02, lit(1.0)))
+          .as("merged_within_err"),
         (abs(col("merged_est") - col("exact")) / col("exact") <= 0.1)
           .as("rel_err_ok"))
   }

@@ -541,8 +541,30 @@ object Events {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
+  /** LEFT OUTER stream-stream join, BATCH TWIN (round 11, q197's outer
+    * sibling — the "abandoned click" audit: every click, null-padded
+    * when no purchase followed within the hour). The outer form is a
+    * distinct streaming semantics surface: null rows emit only when the
+    * joint watermark proves no match can still arrive (StreamingSpec
+    * drives that with a watermark-advancing flush batch); the batch
+    * plan is a plain left outer interval join DuckDB replays exactly. */
+  val qStreamStreamLeftJoin: Q = Q(
+    "q198_stream_stream_left_join",
+    """SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+      |       p.event_id AS purchase_id, p.ts AS purchase_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id AND p.ts >= c.ts
+      | AND p.ts <= c.ts + INTERVAL 1 HOUR
+      |ORDER BY click_id, purchase_id""".stripMargin
+  ) { (s, d) =>
+    graft.streaming.StreamingOps.clickWithPurchaseOuter(Tables.events(s, d))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   val all: Seq[Q] = Seq(qJsonStruct, qJsonMap, qTumbling, qSliding,
     qSessionize, qAsOfJoin, qAsOfTolerance, qAsOfDirections, qAsOfNative,
     qArrayHof, qAsOfMultiKey, qResampleDaily, qCrosstab, qUpsampleFfill,
-    qOhlcWeekly, qAsOfStrict, qAsOfSalted, qStreamStreamJoin)
+    qOhlcWeekly, qAsOfStrict, qAsOfSalted, qStreamStreamJoin,
+    qStreamStreamLeftJoin)
 }

@@ -714,16 +714,25 @@ object Vectors {
         when(col("scale") === 0, lit(0L)).otherwise(
           greatest(lit(-127L), least(lit(127L),
             floor(x / col("scale") + 0.5))))))
-    base.select(col("vec_id"),
-        array_min(col("qs")).as("qmin"), array_max(col("qs")).as("qmax"),
-        aggregate(col("qs"), lit(0L), (acc, x) => acc + x).as("qsum"),
-        round(col("scale"), 9).as("scale"),
+    // rmse is computed in its OWN projection, before the output select
+    // aliases round(scale, 9) to the same name "scale": Spark 4.1's
+    // lateral-alias resolution binds a column reference INSIDE a
+    // higher-order-function lambda to a same-named sibling alias (plain
+    // references correctly prefer the child), so an inline rmse would
+    // silently use the 9-decimal-ROUNDED scale — caught by the sf0.1
+    // differential sweep as a last-decimal mismatch on boundary rows
+    // (round-11 finding; hazard pinned in PropertySpec).
+    base
+      .withColumn("rmse",
         // divisor derived from the vector's own length — dim-agnostic
         round(sqrt(aggregate(
           zip_with(col("e"), col("qs"), (x, qv) =>
             (x - qv * col("scale")) * (x - qv * col("scale"))),
-          lit(0.0), (acc, x) => acc + x) / size(col("e")).cast("double")), 6)
-          .as("rmse"))
+          lit(0.0), (acc, x) => acc + x) / size(col("e")).cast("double")), 6))
+      .select(col("vec_id"),
+        array_min(col("qs")).as("qmin"), array_max(col("qs")).as("qmax"),
+        aggregate(col("qs"), lit(0L), (acc, x) => acc + x).as("qsum"),
+        round(col("scale"), 9).as("scale"), col("rmse"))
       .orderBy(col("vec_id"))
   }
 

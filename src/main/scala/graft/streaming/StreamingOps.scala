@@ -114,6 +114,34 @@ object StreamingOps {
         col("purchase_ts"), col("click_id"), col("click_ts"))
   }
 
+  /** Stream-stream LEFT OUTER join with watermarked time bound — the
+    * "abandoned click" shape: every click padded with the purchase that
+    * followed it within the hour, or nulls when none did. A DISTINCT
+    * streaming surface from the inner form: matched rows emit promptly,
+    * but a null-padded row can only emit once the joint watermark (min
+    * of both sides) passes the click's join window — the proof that no
+    * matching purchase can still arrive — so results trail the inner
+    * join by up to watermark + interval. State is the same bounded
+    * one-horizon-per-side shape. On batch frames the watermarks are
+    * no-ops and this is a plain left outer interval join. */
+  def clickWithPurchaseOuter(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "2 hours")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("click_id"), col("c_user").as("user_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"))
+  }
+
   /** Stream-STATIC enrichment join (the third join regime next to
     * stream-stream above and batch-batch everywhere else): a streaming
     * fact joined to a bounded dimension frame. The static side needs no

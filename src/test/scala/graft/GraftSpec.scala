@@ -557,13 +557,17 @@ class DedupSpec extends AnyFunSuite {
       s"unexpected failure: ${ex.getMessage}")
   }
 
-  test("q188 HLL: union of per-day sketches == whole-table sketch, rel_err within bound") {
+  test("q188 HLL: union of per-day sketches ≈ whole-table sketch, rel_err within bound") {
     val r = operators.Aggregates.hllMergeRaw(spark, sf).head
     val (merged, whole, exact) = (r.getAs[Long]("merged_est"),
       r.getAs[Long]("whole_est"), r.getAs[Long]("exact"))
-    // mergeability is exact: unioning the per-partition sketch states
-    // must reconstruct the whole-table sketch, not just approximate it
-    assert(merged == whole, s"union-of-partials $merged != whole-sketch $whole")
+    // mergeability is estimate-equivalence within the sketch's error
+    // band, NOT register equality: DataSketches HLL_4 union routes
+    // through an HLL_8 gadget and may legitimately differ from the
+    // directly-built sketch past the sparse→dense transition (the
+    // round-11 sf0.1 finding — exact equality held only in sparse mode)
+    assert(math.abs(merged - whole).toDouble <= math.max(whole * 0.02, 1.0),
+      s"union-of-partials $merged vs whole-sketch $whole outside 2%")
     // lgConfigK=12 default → standard error ~1.6%; 5% is a safe bound
     assert(math.abs(merged - exact).toDouble / exact <= 0.05,
       s"estimate $merged vs exact $exact")

@@ -211,6 +211,28 @@ class PropertySpec extends AnyFunSuite {
     assert(ex.getMessage.contains("no fixpoint"))
   }
 
+  test("lambda lateral-alias capture: HOF lambdas bind same-named sibling aliases") {
+    // The v74 round-11 bug class, pinned so an engine behavior change
+    // fails a named test: in ONE select, a column reference INSIDE a
+    // higher-order-function lambda resolves to a same-named SIBLING
+    // alias (lateral column alias), while a plain reference correctly
+    // prefers the child column. Operator discipline: never alias a
+    // transformed column to its child's name in a select whose siblings
+    // reference that name inside a lambda — compute the lambda
+    // expression in its own projection first (see qInt8Quantize).
+    import org.apache.spark.sql.functions.{aggregate => sqlAggregate}
+    val df = spark.createDataFrame(Seq(Tuple1(1.0))).toDF("x")
+    val hof = df.select((col("x") * 2).as("x"),
+      sqlAggregate(array(lit(0.0)), lit(0.0), (acc, _) => acc + col("x")).as("y"))
+      .collect()(0)
+    assert(hof.getDouble(1) == 2.0, // the capture: child-x would give 1.0
+      s"lambda outer-ref resolution changed: got ${hof.getDouble(1)}")
+    val plain = df.select((col("x") * 2).as("x"), (col("x") + 0).as("y"))
+      .collect()(0)
+    assert(plain.getDouble(1) == 1.0, // plain refs prefer the child
+      s"plain-ref resolution changed: got ${plain.getDouble(1)}")
+  }
+
   test("iterative loops use a reliable checkpoint dir when configured") {
     // spark.graft.checkpoint.dir routes Scale.cut to Dataset.checkpoint
     // (fault-tolerant files) instead of localCheckpoint — the cluster

@@ -196,6 +196,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(got) == sortedRows(want))
   }
 
+  test("stream-stream LEFT OUTER join: null rows emit once the watermark closes the window") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[Ev]
+    val rows = eventRows()
+    val maxTs = rows.map(_.ts.getTime).max
+    val flushTs = new java.sql.Timestamp(maxTs + 10L * 24 * 3600 * 1000)
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps.clickWithPurchaseOuter(stream.toDF())
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("ssleft_out").start()
+    stream.addData(rows)
+    q.processAllAvailable()
+    // outer-join null rows can only emit once the JOINT watermark (min
+    // of both sides) proves no match can still arrive. Watermarks update
+    // at end-of-batch, so feed one far-future sentinel per side: both
+    // side watermarks jump past every real click's join window, and the
+    // no-data micro-batch that follows evicts the unmatched state as
+    // null-padded rows. Sentinels use negative ids (the fixture's are
+    // >= 0) and are excluded from the comparison.
+    stream.addData(Seq(
+      Ev(-1L, flushTs, 999999991L, "click", 0.0),
+      Ev(-2L, flushTs, 999999992L, "purchase", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssleft_out").filter(col("click_id") >= 0)
+    val want = StreamingOps.clickWithPurchaseOuter(Tables.events(spark, sf))
+    assert(got.filter(col("purchase_id").isNull).count() > 0,
+      "some clicks must be unmatched (null-padded)")
+    assert(sortedRows(got) == sortedRows(want))
+  }
+
   test("foreachBatch sink: programmable sink sees every row exactly once") {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = Encoders.product[Ev]
