@@ -37,6 +37,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q27_topk_orders").contains("TakeOrderedAndProject"))
   }
 
+  test("q197/q198: event_type filter reaches the parquet scan on both join sides") {
+    // the stream-stream twins' batch plans must scan only the click and
+    // purchase slices (EqualTo pushed), never the whole events table —
+    // at 100 TB the 3/5 of events that are neither type must die at the
+    // scan, and the residual time-band predicate rides the user-id join
+    for (q <- Seq("q197_stream_stream_join", "q198_stream_stream_left_join")) {
+      val p = plan(q)
+      assert(p.contains("EqualTo(event_type,purchase)"), s"$q: ${p.take(600)}")
+      assert(p.contains("EqualTo(event_type,click)"), s"$q: ${p.take(600)}")
+    }
+  }
+
   test("q196: fixed-k hash sample plans as TakeOrderedAndProject (no global sort)") {
     // the reservoir-equivalent draw must be a per-partition k-heap +
     // driver merge; a global Sort would shuffle the whole corpus
