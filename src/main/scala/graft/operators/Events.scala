@@ -562,9 +562,66 @@ object Events {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** INCREMENTAL JOIN MAINTENANCE (round 11 — q176's partial-merge
+    * algebra extended from aggregates to joins, the materialized-view
+    * delta rule Δ(P⋈C) = ΔP⋈C ∪ P_old⋈ΔC ∪ ΔP⋈ΔC): the q197 interval
+    * join (purchase ⋈ same-user click within the preceding hour)
+    * maintained across a day-15 ingest boundary instead of recomputed.
+    * Because each event lands in exactly one slice of the contiguous
+    * time split, the four terms partition the full join EXACTLY — which
+    * is what the oracle (the direct full recompute) checks.
+    *
+    * The scale discipline the time window buys, made explicit in the
+    * plan: (a) the P_old⋈ΔC term is EMPTY by construction — a click
+    * after the boundary cannot precede a purchase before it — so it is
+    * dropped, not computed; (b) ΔP⋈C_old needs only the final
+    * join-horizon sliver of the old side (clicks within 1h of the
+    * boundary: dayofmonth ≥ 14 here, a partition-prune in a day-
+    * partitioned store), never a rescan of the full click history. At
+    * 100 TB/day the maintained result ingests a day by joining two
+    * day-sized deltas plus one 1-hour boundary sliver — the stored
+    * P_old⋈C_old term is reused as-is (recomputed here only because the
+    * fixture has no stored state; its cost is NOT part of the
+    * maintenance claim). */
+  val qIncrementalJoinMerge: Q = Q(
+    "q199_incremental_join_merge",
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+      |FROM events p JOIN events c ON p.user_id = c.user_id
+      |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+      |ORDER BY purchase_id, click_id""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    def side(tpe: String, idOut: String, tsOut: String) =
+      ev.filter(col("event_type") === tpe)
+        .select(col("user_id"), col("event_id").as(idOut), col("ts").as(tsOut))
+    val p = side("purchase", "purchase_id", "p_ts")
+    val c = side("click", "click_id", "c_ts")
+    val (pOld, pNew) = (p.filter(dayofmonth(col("p_ts")) < 15),
+      p.filter(dayofmonth(col("p_ts")) >= 15))
+    val cOld = c.filter(dayofmonth(col("c_ts")) < 15)
+    val cNew = c.filter(dayofmonth(col("c_ts")) >= 15)
+    // the boundary sliver of the old click history: only clicks within
+    // the 1h join horizon of the boundary can pair with a new purchase
+    // (c_ts >= p_ts - 1h and p_ts >= day-15 ⇒ c_ts >= day-14 23:00)
+    val cOldHorizon = cOld.filter(dayofmonth(col("c_ts")) >= 14)
+    def joined(ps: org.apache.spark.sql.DataFrame,
+        cs: org.apache.spark.sql.DataFrame) =
+      ps.join(cs, Seq("user_id"))
+        .filter(col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+        .select(col("purchase_id"), col("click_id"), col("user_id"))
+    val stored = joined(pOld, cOld) // = the STORED result in production
+    val d1 = joined(pNew, cOldHorizon) // boundary sliver only
+    val d3 = joined(pNew, cNew)
+    // P_old⋈ΔC omitted: provably empty (see scaladoc)
+    stored.unionByName(d1).unionByName(d3)
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
   val all: Seq[Q] = Seq(qJsonStruct, qJsonMap, qTumbling, qSliding,
     qSessionize, qAsOfJoin, qAsOfTolerance, qAsOfDirections, qAsOfNative,
     qArrayHof, qAsOfMultiKey, qResampleDaily, qCrosstab, qUpsampleFfill,
     qOhlcWeekly, qAsOfStrict, qAsOfSalted, qStreamStreamJoin,
-    qStreamStreamLeftJoin)
+    qStreamStreamLeftJoin, qIncrementalJoinMerge)
 }

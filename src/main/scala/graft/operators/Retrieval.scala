@@ -680,7 +680,135 @@ object Retrieval {
       .orderBy(col("qid"))
   }
 
+  /** Reciprocal-rank fusion of lexical (BM25) and semantic (embedding
+    * cosine) retrieval — hybrid search, the production default for RAG
+    * and training-data retrieval (Cormack et al. 2009: rrf(d) =
+    * Σ_lists 1/(k + rank_l(d)), k = 60): rank fusion needs no score
+    * calibration between the incomparable BM25 and cosine scales, which
+    * is exactly why it won. Queries are 10 probe documents (their first
+    * 8 distinct tokens lexically; their paired embedding — doc_id ≡
+    * vec_id — semantically); each side contributes its top-20, fused to
+    * a top-10 per query.
+    *
+    * Scale shape: the lexical side is postings-bounded (query-term
+    * broadcast filter BEFORE the tf groupBy — t84's discipline); the
+    * semantic side is the v61 broadcast-probe × codegen-dot scan (the
+    * brute baseline; v65/v66/v76 ANN shortlists are the 100 TB path and
+    * slot in unchanged because RRF only consumes RANKS). Per-query
+    * windows rank candidate lists that are already top-20-bounded per
+    * side; scores are rounded to 6 decimals BEFORE ranking (t117's
+    * cross-engine tie discipline) and every rank breaks ties on doc_id.
+    * The fused score sums two identically-computed doubles in fixed
+    * order → bit-identical across engines. */
+  val qRrfFusion: Q = Q(
+    "t118_rrf_fusion",
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |              FROM documents),
+       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       |       FROM toks GROUP BY doc_id),
+       |stats AS (SELECT avg(dl * 1.0) AS avgdl, CAST(count(*) AS BIGINT) AS n
+       |          FROM dl),
+       |qt AS (SELECT DISTINCT doc_id AS qid,
+       |              unnest(string_split(text, ' ')[1:8]) AS tok
+       |       FROM documents WHERE doc_id < 10),
+       |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks
+       |       WHERE tok IN (SELECT tok FROM qt) GROUP BY doc_id, tok),
+       |df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |       FROM tf GROUP BY tok),
+       |lex AS (
+       |  SELECT qt.qid, tf.doc_id,
+       |    round(sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+       |        * (tf.tf * 2.2)
+       |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 6) AS score
+       |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) JOIN qt USING (tok)
+       |       CROSS JOIN stats
+       |  WHERE tf.doc_id <> qt.qid
+       |  GROUP BY qt.qid, tf.doc_id),
+       |lexr AS (SELECT qid, doc_id, lrank FROM (
+       |  SELECT qid, doc_id, CAST(row_number() OVER (PARTITION BY qid
+       |           ORDER BY score DESC, doc_id) AS BIGINT) AS lrank FROM lex) t
+       |  WHERE lrank <= 20),
+       |v AS (SELECT vec_id, embedding,
+       |        ${graft.functions.VectorOps.duckNorm("embedding")} AS nrm
+       |      FROM embeddings),
+       |probes AS (SELECT * FROM v WHERE vec_id < 10),
+       |sem AS (SELECT p.vec_id AS qid, c.vec_id AS doc_id,
+       |          round(${graft.functions.VectorOps.duckDot("p.embedding", "c.embedding")}
+       |                / (p.nrm * c.nrm), 6) AS sim
+       |        FROM probes p JOIN v c ON c.vec_id <> p.vec_id),
+       |semr AS (SELECT qid, doc_id, srank FROM (
+       |  SELECT qid, doc_id, CAST(row_number() OVER (PARTITION BY qid
+       |           ORDER BY sim DESC, doc_id) AS BIGINT) AS srank FROM sem) t
+       |  WHERE srank <= 20),
+       |fused AS (
+       |  SELECT coalesce(l.qid, s.qid) AS qid,
+       |         coalesce(l.doc_id, s.doc_id) AS doc_id, l.lrank, s.srank,
+       |         coalesce(1.0 / CAST(60 + l.lrank AS DOUBLE), 0.0)
+       |           + coalesce(1.0 / CAST(60 + s.srank AS DOUBLE), 0.0) AS rrf
+       |  FROM lexr l FULL JOIN semr s
+       |    ON l.qid = s.qid AND l.doc_id = s.doc_id)
+       |SELECT qid, doc_id, lrank, srank, round(rrf, 9) AS rrf, rank
+       |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |        ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank FROM fused) t
+       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorOps
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"), explode(tokens).as("tok"))
+      .transform(Scale.pin(_))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(avg(col("dl") * lit(1.0)).as("avgdl"),
+      count(lit(1)).as("n"))
+    val qt = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("qid"), explode(slice(tokens, 1, 8)).as("tok"))
+      .distinct()
+    val tf = toks.join(broadcast(qt.select(col("tok")).distinct()), Seq("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    val idf = log(lit(1) +
+      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val term = idf * (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val lex = tf.join(broadcast(dfT), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qt), Seq("tok"))
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(round(sum(term), 6).as("score"))
+    val wl = Window.partitionBy(col("qid")).orderBy(desc("score"), col("doc_id"))
+    val lexr = lex.withColumn("lrank", row_number().over(wl).cast("long"))
+      .filter(col("lrank") <= 20)
+      .select(col("qid"), col("doc_id"), col("lrank"))
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.norm(col("embedding")).as("nrm"))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("pe"),
+        col("nrm").as("pn"))
+    val cands = emb.select(col("vec_id").as("doc_id"),
+      col("embedding").as("ce"), col("nrm").as("cn"))
+    val sem = cands.join(broadcast(probes), col("doc_id") =!= col("qid"))
+      .withColumn("sim", round(VectorOps.cosineFromNorms(
+        VectorOps.dot(col("pe"), col("ce")), col("pn"), col("cn")), 6))
+    val ws = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("doc_id"))
+    val semr = sem.withColumn("srank", row_number().over(ws).cast("long"))
+      .filter(col("srank") <= 20)
+      .select(col("qid"), col("doc_id"), col("srank"))
+    val fused = lexr.join(semr, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60L) + col("lrank")).cast("double"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60L) + col("srank")).cast("double"), lit(0.0)))
+    val wf = Window.partitionBy(col("qid")).orderBy(desc("rrf"), col("doc_id"))
+    fused.withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("doc_id"), col("lrank"), col("srank"),
+        round(col("rrf"), 9).as("rrf"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(qBm25, qBigramBackoff, qZipfRankFreq, qTfIdfCosinePairs,
     qBigramOov, qPmiCollocations, qKlDrift, qVocabCoverage, qTokenPageRank,
-    qTokenGraphTriangles, qTermBurstiness, qKnownItemEval)
+    qTokenGraphTriangles, qTermBurstiness, qKnownItemEval, qRrfFusion)
 }
