@@ -482,7 +482,103 @@ object Stats {
       .orderBy(col("hr"))
   }
 
+  /** PSI FEATURE-DRIFT MONITOR (round 11 — population stability index,
+    * the standard production ML drift metric; the numeric-feature
+    * sibling of t95's token-distribution KL drift): `value` binned by
+    * the EXPECTED slice's own deciles (days < 15), the ACTUAL slice
+    * (days ≥ 15) scored against them — psi = Σ (aᵢ − eᵢ)·ln(aᵢ/eᵢ)
+    * with +0.5/+5 Laplace smoothing so an empty bin stays finite.
+    * Industry reading: psi < 0.1 stable, > 0.2 drifted (the emitted
+    * flag).
+    *
+    * Cross-engine discipline (this round's v74 lesson applied forward):
+    * per-bin terms are bit-identical on both engines (integer counts →
+    * identical double arithmetic, no summation), but the TOTAL sums 10
+    * doubles whose order the engines need not share — so each rounded
+    * term is cast to DECIMAL(18,6) first and summed exactly
+    * (order-independent), then surfaced as DOUBLE. Decile edges use the
+    * exact interpolating percentile whose quantile_cont parity q187
+    * pins; percentile_approx is the documented 100 TB swap. Scale
+    * shape: two slice scans + two 10-group hash aggregates; everything
+    * downstream is 10-row arithmetic on broadcast frames. */
+  val qPsiDrift: Q = Q(
+    "q200_psi_drift",
+    """WITH ex AS (SELECT value FROM events WHERE day(ts) < 15),
+      |act AS (SELECT value FROM events WHERE day(ts) >= 15),
+      |ed AS (SELECT quantile_cont(value,
+      |         [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS ed FROM ex),
+      |eb AS (SELECT 1 + CAST(value > ed[1] AS INT) + CAST(value > ed[2] AS INT)
+      |         + CAST(value > ed[3] AS INT) + CAST(value > ed[4] AS INT)
+      |         + CAST(value > ed[5] AS INT) + CAST(value > ed[6] AS INT)
+      |         + CAST(value > ed[7] AS INT) + CAST(value > ed[8] AS INT)
+      |         + CAST(value > ed[9] AS INT) AS bin FROM ex, ed),
+      |ab AS (SELECT 1 + CAST(value > ed[1] AS INT) + CAST(value > ed[2] AS INT)
+      |         + CAST(value > ed[3] AS INT) + CAST(value > ed[4] AS INT)
+      |         + CAST(value > ed[5] AS INT) + CAST(value > ed[6] AS INT)
+      |         + CAST(value > ed[7] AS INT) + CAST(value > ed[8] AS INT)
+      |         + CAST(value > ed[9] AS INT) AS bin FROM act, ed),
+      |ec AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_exp FROM eb GROUP BY bin),
+      |ac AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_act FROM ab GROUP BY bin),
+      |tot AS (SELECT (SELECT count(*) FROM ex) AS tot_e,
+      |               (SELECT count(*) FROM act) AS tot_a),
+      |grid AS (SELECT CAST(r.range AS BIGINT) AS bin FROM range(1, 11) r),
+      |terms AS (
+      |  SELECT g.bin, coalesce(ec.n_exp, 0) AS n_exp,
+      |         coalesce(ac.n_act, 0) AS n_act,
+      |         (CAST(coalesce(ec.n_exp, 0) AS DOUBLE) + 0.5)
+      |           / (CAST(tot.tot_e AS DOUBLE) + 5.0) AS es,
+      |         (CAST(coalesce(ac.n_act, 0) AS DOUBLE) + 0.5)
+      |           / (CAST(tot.tot_a AS DOUBLE) + 5.0) AS asx
+      |  FROM grid g LEFT JOIN ec ON g.bin = ec.bin
+      |       LEFT JOIN ac ON g.bin = ac.bin CROSS JOIN tot),
+      |t2 AS (SELECT bin, n_exp, n_act, round(es, 6) AS exp_share,
+      |         round(asx, 6) AS act_share,
+      |         round((asx - es) * ln(asx / es), 6) AS psi_term
+      |       FROM terms),
+      |ttl AS (SELECT CAST(sum(CAST(psi_term AS DECIMAL(18, 6))) AS DOUBLE)
+      |          AS psi FROM t2)
+      |SELECT bin, n_exp, n_act, exp_share, act_share, psi_term,
+      |       ttl.psi, ttl.psi > 0.2 AS drifted
+      |FROM t2 CROSS JOIN ttl ORDER BY bin""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("value"), dayofmonth(col("ts")).as("dd"))
+    val ex = ev.filter(col("dd") < 15).select(col("value"))
+    val act = ev.filter(col("dd") >= 15).select(col("value"))
+    val edges = ex.agg(expr(
+      "percentile(value, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
+      .as("ed"))
+    def binned(df: org.apache.spark.sql.DataFrame) =
+      df.crossJoin(broadcast(edges))
+        .select((lit(1) + (1 to 9).map(i =>
+          (col("value") > element_at(col("ed"), i)).cast("int"))
+          .reduce(_ + _)).cast("long").as("bin"))
+    val ec = binned(ex).groupBy(col("bin")).agg(count(lit(1)).as("n_exp"))
+    val ac = binned(act).groupBy(col("bin")).agg(count(lit(1)).as("n_act"))
+    val tot = ex.agg(count(lit(1)).as("tot_e"))
+      .crossJoin(act.agg(count(lit(1)).as("tot_a")))
+    val grid = s.range(1, 11).select(col("id").as("bin"))
+    val es = (coalesce(col("n_exp"), lit(0L)).cast("double") + 0.5) /
+      (col("tot_e").cast("double") + 5.0)
+    val asx = (coalesce(col("n_act"), lit(0L)).cast("double") + 0.5) /
+      (col("tot_a").cast("double") + 5.0)
+    val terms = grid.join(ec, Seq("bin"), "left").join(ac, Seq("bin"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("bin"),
+        coalesce(col("n_exp"), lit(0L)).as("n_exp"),
+        coalesce(col("n_act"), lit(0L)).as("n_act"),
+        round(es, 6).as("exp_share"), round(asx, 6).as("act_share"),
+        round((asx - es) * log(asx / es), 6).as("psi_term"))
+    val ttl = terms.agg(
+      sum(col("psi_term").cast("decimal(18,6)")).cast("double").as("psi"))
+    terms.crossJoin(broadcast(ttl))
+      .select(col("bin"), col("n_exp"), col("n_act"), col("exp_share"),
+        col("act_share"), col("psi_term"), col("psi"),
+        (col("psi") > 0.2).as("drifted"))
+      .orderBy(col("bin"))
+  }
+
   val all: Seq[Q] = Seq(qOls, qChi2, qGini, qSeasonalAnomaly, qCumeDist,
     qHigherMoments, qAbTest, qCorrWith, qRollingRegression,
-    qWinsorizedMean, qBenford, qKeySkewProfile, qPercentileBands)
+    qWinsorizedMean, qBenford, qKeySkewProfile, qPercentileBands, qPsiDrift)
 }

@@ -902,20 +902,94 @@ object Vectors {
       .getFileSystem(s.sparkContext.hadoopConfiguration))
   }
 
-  /** The serving read of an index's code store: the base training codes
+  /** The serving read of an index's code store: the CURRENT base
+    * segment — the original training `codes` dir, or the compacted
+    * version the `_codes_current` pointer names ([[pqIndexCompact]]) —
     * plus every COMMITTED appended batch ([[pqIndexAppend]]'s
     * `codes_append_*` subdirs whose drift marker — written last — is
-    * present). A torn append (crash between the parquet commit and the
-    * marker) is invisible to readers and idempotently rewritten on
-    * retry. */
+    * present) that the pointer has not already absorbed. A torn append
+    * (crash between the parquet commit and the marker) is invisible to
+    * readers and idempotently rewritten on retry; a missing pointer
+    * falls back to the pre-compaction view, which is also consistent
+    * (the pointer swap deletes absorbed segments only AFTER the pointer
+    * lands). */
   private def pqIndexCodes(s: SparkSession, dir: String,
       fs: org.apache.hadoop.fs.FileSystem): DataFrame = {
-    val base = s.read.parquet(s"$dir/codes")
-    val batches = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+    val (baseDir, absorbed) = pqIndexCurrent(s, dir, fs)
+    val base = s.read.parquet(baseDir)
+    pqIndexAppendDirs(dir, fs, absorbed)
+      .foldLeft(base)((acc, p) => acc.unionByName(s.read.parquet(p.toString)))
+  }
+
+  /** Resolve the current base segment + the batch ids it absorbed. */
+  private def pqIndexCurrent(s: SparkSession, dir: String,
+      fs: org.apache.hadoop.fs.FileSystem): (String, Set[String]) = {
+    val ptr = new org.apache.hadoop.fs.Path(s"$dir/_codes_current")
+    if (fs.exists(ptr)) {
+      val in = fs.open(ptr)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .map(_.trim).filter(_.nonEmpty).toList
+        finally in.close()
+      (s"$dir/${lines.head}", lines.tail.toSet)
+    } else (s"$dir/codes", Set.empty[String])
+  }
+
+  /** Committed, not-yet-absorbed append segment dirs. */
+  private def pqIndexAppendDirs(dir: String,
+      fs: org.apache.hadoop.fs.FileSystem,
+      absorbed: Set[String]): Seq[org.apache.hadoop.fs.Path] =
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
       .map(_.getPath).filter(_.getName.startsWith("codes_append_"))
       .filter(p => fs.exists(new org.apache.hadoop.fs.Path(
         s"$dir/_drift_${p.getName.stripPrefix("codes_append_")}")))
-    batches.foldLeft(base)((acc, p) => acc.unionByName(s.read.parquet(p.toString)))
+      .filterNot(p => absorbed(p.getName.stripPrefix("codes_append_")))
+
+  /** SEGMENT COMPACTION for a persisted PQ index (round 11 — the ops
+    * step the append path creates a need for: after N ingest batches
+    * the serving read unions N+1 parquet segments, and at 100 TB/day
+    * that is hundreds of small-file scans per query). Rewrites the
+    * current view (base + committed appends) into ONE new
+    * `codes_v_<id>` segment and commits it via the `_codes_current`
+    * POINTER FILE — the lakehouse version-pointer pattern: readers
+    * resolve the pointer (or fall back to the pre-compaction layout),
+    * so every instant shows a consistent view:
+    *  - before the pointer rename: old base + appends (old view);
+    *  - after: the compacted segment (+ any append that committed
+    *    DURING compaction — its id is not in the absorbed list, so it
+    *    unions in; no append is ever double-counted or lost);
+    *  - absorbed append dirs are deleted only after the pointer lands,
+    *    and exactly-once markers are KEPT so an absorbed batchId can
+    *    never be re-appended.
+    * The pointer swap is write-tmp → delete → rename; in the tiny
+    * missing-pointer window readers fall back to the old layout, which
+    * is still complete. Returns the compacted segment's row count. */
+  def pqIndexCompact(s: SparkSession, key: String): Long = {
+    val (dir, fs) = pqIndexFs(s, key)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes/_SUCCESS")),
+      s"pqIndexCompact: no index at $dir — run pqIndex first")
+    val (oldBase, oldAbsorbed) = pqIndexCurrent(s, dir, fs)
+    val newlyAbsorbed = pqIndexAppendDirs(dir, fs, oldAbsorbed)
+      .map(_.getName.stripPrefix("codes_append_"))
+    val vid = s"codes_v_${java.util.UUID.randomUUID().toString.take(8)}"
+    pqIndexCodes(s, dir, fs).write.mode("overwrite").parquet(s"$dir/$vid")
+    val n = s.read.parquet(s"$dir/$vid").count()
+    val ptrTxt = (vid +: (oldAbsorbed ++ newlyAbsorbed).toSeq.sorted)
+      .mkString("\n")
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$dir/_codes_current.tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(ptrTxt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val ptr = new org.apache.hadoop.fs.Path(s"$dir/_codes_current")
+    fs.delete(ptr, false)
+    require(fs.rename(tmp, ptr), s"pqIndexCompact: pointer rename failed in $dir")
+    // post-commit cleanup: absorbed segments and the superseded version
+    newlyAbsorbed.foreach(id =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/codes_append_$id"), true))
+    if (oldBase != s"$dir/codes")
+      fs.delete(new org.apache.hadoop.fs.Path(oldBase), true)
+    n
   }
 
   /** Train-once / serve-many PQ index (VERDICT r5 #3 — the 100 TB
@@ -1544,6 +1618,64 @@ object Vectors {
         (lit(drift) >= 0.2 && lit(drift) <= 5.0).as("drift_ok"))
   }
 
+  /** Index SEGMENT COMPACTION as a first-class query (round 11 — the
+    * ops closure of the v83 ingest path): train on 80%, append the
+    * remaining 20% as TWO committed batches (3 serving segments), then
+    * [[pqIndexCompact]] to one versioned segment behind the
+    * `_codes_current` pointer. The contract a compaction must honor is
+    * replayed exactly by DuckDB: every corpus vector indexed before AND
+    * after (n_indexed), both appends absorbed (n_appended), exactly ONE
+    * reader-visible segment afterwards, the code multiset preserved
+    * row-for-row, and — the serving invariant — the ADC top-10 per
+    * probe IDENTICAL before vs after (compaction must be a no-op for
+    * queries). The before-view is snapshotted via [[Scale.cut]] since
+    * compaction deletes the absorbed segment files it was read from.
+    * Engine-trained codebooks keep cand_ids engine-specific; pointer
+    * crash-window semantics are documented on [[pqIndexCompact]]. */
+  val qPqCompact: Q = Q(
+    "v90_pq_index_compact",
+    """SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_indexed,
+      |       CAST((SELECT count(*) FROM embeddings WHERE vec_id % 5 = 0)
+      |         AS BIGINT) AS n_appended,
+      |       CAST(1 AS BIGINT) AS n_segments_after,
+      |       true AS serving_unchanged, true AS codes_preserved""".stripMargin
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val trainEmb = emb.filter(col("vec_id") % 5 =!= 0)
+    val key = pqIndexKey(s, d + "#v90", 2, trainEmb)
+    val (_, cent) = pqIndex(trainEmb, key, rounds = 2)
+    pqIndexAppend(emb.filter(col("vec_id") % 10 === 0), key, "seg-a")
+    pqIndexAppend(emb.filter(col("vec_id") % 10 === 5), key, "seg-b")
+    val (dir, fs) = pqIndexFs(s, key)
+    // snapshot the pre-compaction view: cut = materialized, so the plan
+    // survives the deletion of the files it was read from
+    val before = Scale.cut(pqIndexCodes(s, dir, fs), eager = true)
+    val beforeTop = Scale.cut(
+      pqAdcTopKFrom(emb, before, cent, nProbes = 10, k = 10)
+        .select(col("probe_id"), col("rn"), col("cand_id")), eager = true)
+    pqIndexCompact(s, key)
+    val after = pqIndexCodes(s, dir, fs)
+    val afterTop = pqAdcTopKFrom(emb, after, cent, nProbes = 10, k = 10)
+      .select(col("probe_id"), col("rn"), col("cand_id").as("cand_after"))
+    val servCmp = beforeTop.join(afterTop, Seq("probe_id", "rn"), "full_outer")
+      .agg(coalesce(min(col("cand_id").isNotNull && col("cand_after").isNotNull
+        && col("cand_id") === col("cand_after")), lit(true))
+        .as("serving_unchanged"))
+    val nSegments =
+      1L + pqIndexAppendDirs(dir, fs, pqIndexCurrent(s, dir, fs)._2).size
+    val beforeCnt = before.agg(count(lit(1)).as("n_before"))
+    val ledger = after.agg(
+      count_distinct(col("vec_id")).as("n_indexed"),
+      count_distinct(when(col("vec_id") % 5 === 0, col("vec_id")))
+        .as("n_appended"),
+      count(lit(1)).as("n_after"))
+    ledger.crossJoin(broadcast(beforeCnt)).crossJoin(broadcast(servCmp))
+      .select(col("n_indexed"), col("n_appended"),
+        lit(nSegments).cast("long").as("n_segments_after"),
+        col("serving_unchanged"),
+        (col("n_after") === col("n_before")).as("codes_preserved"))
+  }
+
   /** Token-embedding lookup + MEAN POOLING to document vectors (the
     * embedding-table pattern every doc-embedding pipeline runs: token →
     * dictionary id → embedding row → per-doc average). The dictionary
@@ -1999,5 +2131,6 @@ object Vectors {
     qInt8Quantize, qMatryoshkaTopK, qPqAnn, qStandardizeDims,
     qPowerIteration, qHardNegatives, qNormOutliers, qIvfPq, qCentroidSim,
     qPqAppend, qEmbeddingPooling, qAnnRecallAudit, qIvfProbeSweep,
-    qBinaryHammingTopK, qMmrRerank, qLabelMarginAudit, qDedupThresholdSweep)
+    qBinaryHammingTopK, qMmrRerank, qLabelMarginAudit, qDedupThresholdSweep,
+    qPqCompact)
 }

@@ -161,6 +161,47 @@ class VecDimSpec extends AnyFunSuite {
     } finally s128.conf.unset(operators.Vectors.PqIndexDirKey)
   }
 
+  test("pqIndexCompact: one segment after, serving multiset preserved, exactly-once survives") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_compact").toString
+    s128.conf.set(operators.Vectors.PqIndexDirKey, dir)
+    try {
+      val train = emb128.filter(col("vec_id") < 200)
+      val b1 = emb128.filter(col("vec_id") >= 200 && col("vec_id") < 250)
+      val b2 = emb128.filter(col("vec_id") >= 250)
+      operators.Vectors.pqIndex(train, "tcomp", rounds = 1)
+      operators.Vectors.pqIndexAppend(b1, "tcomp", "s1")
+      val d2before = operators.Vectors.pqIndexAppend(b2, "tcomp", "s2")
+      val viewBefore = operators.Vectors.pqIndex(train, "tcomp", rounds = 1)._1
+        .collect().map(_.mkString("|")).sorted
+      val n = operators.Vectors.pqIndexCompact(s128, "tcomp")
+      assert(n == N * 32, s"compacted $n rows")
+      // pointer resolves; absorbed append dirs are gone; codes identical
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "tcomp", "_codes_current")))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "tcomp", "codes_append_s1")))
+      val viewAfter = operators.Vectors.pqIndex(train, "tcomp", rounds = 1)._1
+        .collect().map(_.mkString("|")).sorted
+      assert(viewAfter.sameElements(viewBefore),
+        "compaction changed the served code multiset")
+      // exactly-once ACROSS compaction: an absorbed batchId replays as a
+      // no-op (stored drift, no resurrected segment dir)
+      val d2replay = operators.Vectors.pqIndexAppend(b2, "tcomp", "s2")
+      assert(math.abs(d2replay - d2before) < 1e-12)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "tcomp", "codes_append_s2")))
+      // a NEW post-compaction append unions into the compacted view
+      val fresh = b1.withColumn("vec_id", col("vec_id") + lit(5000L))
+      operators.Vectors.pqIndexAppend(fresh, "tcomp", "s3")
+      val n3 = operators.Vectors.pqIndex(train, "tcomp", rounds = 1)._1.count()
+      assert(n3 == (N + 50L) * 32)
+      // second compaction absorbs it too and stays idempotent
+      assert(operators.Vectors.pqIndexCompact(s128, "tcomp") == (N + 50L) * 32)
+      assert(operators.Vectors.pqIndex(train, "tcomp", rounds = 1)._1.count()
+        == (N + 50L) * 32)
+    } finally s128.conf.unset(operators.Vectors.PqIndexDirKey)
+  }
+
   test("pqIndexAppend drift re-check flags a shifted ingest distribution") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pq_drift").toString
     s128.conf.set(operators.Vectors.PqIndexDirKey, dir)
