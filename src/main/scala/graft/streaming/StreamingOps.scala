@@ -3,8 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{
-  GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig,
-  TimeMode, TimerValues, ValueState
+  ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState
 }
 
 /** Structured Streaming surface (SURVEY.md §2.2 "Streaming"): the same
@@ -263,6 +263,76 @@ object StreamingOps {
     events.groupByKey(_.user_id)
       .transformWithState(new GrowthLedgerProcessor,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  case class SessState(start_us: Long, last_us: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long)
+
+  /** EVENT-TIME TIMER processor (the last untouched corner of the
+    * Spark 4 `transformWithState` API after value state: registerTimer /
+    * handleExpiredTimer): per-user idle-session finalization. Each batch
+    * folds its rows into (start, last, n) session state — a gap > 30 min
+    * WITHIN a batch finalizes inline — and (re)arms one event-time timer
+    * at last + 30 min; when the joint WATERMARK passes that instant, the
+    * engine calls [[handleExpiredTimer]], which emits the finalized
+    * session and clears state. This is the only way a streaming job can
+    * emit "the session ENDED" — silence is not an event, timers turn it
+    * into one; state is one 24-byte record + one timer per live user.
+    * Cross-batch contract: chronological chunks (the funnel/ledger
+    * contract) — the 1h watermark delay means a session's idle timer
+    * cannot fire while an in-gap event could still legally arrive.
+    * Output timestamps are epoch µs (engine-exact; the batch twin
+    * compares on the same integers). */
+  class IdleSessionProcessor extends StatefulProcessor[Long, Ev, SessionOut] {
+    @transient private var state: ValueState[SessState] = _
+    private val GapUs = 30L * 60 * 1000000
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessState]("sess",
+        Encoders.product[SessState], TTLConfig.NONE)
+    private def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        timers: TimerValues): Iterator[SessionOut] = {
+      val out = Vector.newBuilder[SessionOut]
+      var st = Option(state.get())
+      rows.toVector.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+        val us = micros(e.ts)
+        st match {
+          case Some(s0) if us - s0.last_us <= GapUs =>
+            st = Some(s0.copy(last_us = math.max(us, s0.last_us), n = s0.n + 1))
+          case Some(s0) => // in-batch gap: finalize inline, open the next
+            out += SessionOut(user, s0.start_us, s0.last_us, s0.n)
+            st = Some(SessState(us, us, 1))
+          case None => st = Some(SessState(us, us, 1))
+        }
+      }
+      st.foreach { s0 =>
+        state.update(s0)
+        // exactly one armed timer per user: replace any stale one with
+        // the idle deadline of the CURRENT session tail
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+        getHandle.registerTimer(s0.last_us / 1000 + GapUs / 1000)
+      }
+      out.result().iterator
+    }
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionOut] = {
+      val fin = Option(state.get())
+        .map(s0 => SessionOut(user, s0.start_us, s0.last_us, s0.n))
+      state.clear()
+      fin.iterator
+    }
+  }
+
+  /** transformWithState idle sessions (TimeMode.EventTime: watermark-
+    * driven timers; input must carry a watermark). */
+  def idleSessionsTws(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .transformWithState(new IdleSessionProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   case class FunnelProgress(user_id: Long, stage: Int, stage_ts_us: Long)

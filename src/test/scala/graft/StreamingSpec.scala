@@ -184,6 +184,67 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("event-time timers: idle-session finalization == batch lag-islands sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[Ev]
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = eventRows().sortBy(e => (e.ts.getTime, e.event_id))
+      val (first, second) = rows.splitAt(rows.size / 2)
+      val maxTs = rows.map(_.ts.getTime).max
+      val flush = Ev(-1L, new java.sql.Timestamp(maxTs + 10L * 24 * 3600 * 1000),
+        999999999L, "click", 0.0)
+      val stream = MemoryStream[Ev]
+      val q = StreamingOps.idleSessionsTws(stream.toDS()).toDF()
+        .writeStream.outputMode(OutputMode.Append()).format("memory")
+        .queryName("idle_sess_out").start()
+      stream.addData(first)
+      q.processAllAvailable()
+      stream.addData(second)
+      q.processAllAvailable()
+      // the flush event advances the watermark 10 days past every idle
+      // deadline, so every live session's timer fires and finalizes it
+      // (the flush user's own just-opened session stays live — excluded)
+      stream.addData(Seq(flush))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("idle_sess_out")
+        .filter(col("user_id") =!= 999999999L)
+        .select(col("user_id"), col("session_start_us"),
+          col("session_end_us"), col("n_events"))
+        .collect().map(_.toString).sorted.toSeq
+      // batch truth: 30-min-gap lag-islands sessions per user
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(spark, sf)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = ev
+        .withColumn("prev", lag(col("us"), 1).over(wOrd))
+        .withColumn("isl", sum(
+          when(col("prev").isNull || col("us") - col("prev") > 30L * 60 * 1000000,
+            1L).otherwise(0L)).over(wRun))
+        .groupBy(col("user_id"), col("isl"))
+        .agg(min(col("us")).as("session_start_us"),
+          max(col("us")).as("session_end_us"), count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_start_us"),
+          col("session_end_us"), col("n_events"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(got.nonEmpty && got == want)
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream join == batch join with the same time bound") {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = Encoders.product[Ev]
