@@ -675,9 +675,57 @@ object Curation {
       .orderBy(col("slot"))
   }
 
+  /** GROUP-AWARE K-FOLD CROSS-VALIDATION assignment (round 11 — the
+    * k-way generalization of q194's single train/val/test carve, the
+    * fold layout hyperparameter search and OOF-prediction pipelines
+    * run on): fold = seeded md5 bucket of the GROUP key mod 5, so
+    * every event of a user lands in exactly one fold with no join and
+    * no shuffle beyond the output aggregate, and fold membership is
+    * stable under reruns, appends, and repartitioning (the q104
+    * determinism contract). Each fold row carries its own leakage
+    * evidence: Σ per-fold distinct users == global distinct users ⟺
+    * no user straddles folds, and a ±40% balance band around the ideal
+    * 1/k user share flags a broken hash. */
+  val qKfoldAssignment: Q = Q(
+    "q201_kfold_assignment",
+    """WITH b AS (SELECT user_id,
+      |    (ascii(substr(md5('graft-kfold-13:' || CAST(user_id AS VARCHAR)), 1, 1)) * 131
+      |     + ascii(substr(md5('graft-kfold-13:' || CAST(user_id AS VARCHAR)), 2, 1))) % 5
+      |      AS fold
+      |  FROM events),
+      |grid AS (SELECT fold, CAST(count(*) AS BIGINT) AS n_events,
+      |                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |         FROM b GROUP BY fold),
+      |tot AS (SELECT count(DISTINCT user_id) AS g FROM b),
+      |acr AS (SELECT sum(n_users) AS su FROM grid)
+      |SELECT CAST(grid.fold AS BIGINT) AS fold, grid.n_events, grid.n_users,
+      |       (acr.su = tot.g) AS leak_free,
+      |       (grid.n_users * 5.0 BETWEEN tot.g * 0.6 AND tot.g * 1.4)
+      |         AS balanced
+      |FROM grid CROSS JOIN tot CROSS JOIN acr
+      |ORDER BY fold""".stripMargin
+  ) { (s, d) =>
+    val k = md5(concat(lit("graft-kfold-13:"), col("user_id").cast("string")))
+    val ev = Tables.events(s, d)
+      .withColumn("fold",
+        ((ascii(substring(k, 1, 1)) * 131 + ascii(substring(k, 2, 1))) % 5)
+          .cast("long"))
+    val grid = ev.groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+    val tot = ev.agg(countDistinct(col("user_id")).as("g"))
+    val acr = grid.agg(sum(col("n_users")).as("su"))
+    grid.crossJoin(broadcast(tot)).crossJoin(broadcast(acr))
+      .select(col("fold"), col("n_events"), col("n_users"),
+        (col("su") === col("g")).as("leak_free"),
+        (col("n_users") * 5.0 >= col("g") * 0.6 &&
+          col("n_users") * 5.0 <= col("g") * 1.4).as("balanced"))
+      .orderBy(col("fold"))
+  }
+
   val all: Seq[Q] = Seq(qContextPacking, qUnigramLogprob, qPiiRedaction,
     qSeededShuffle, qHashSplit, qHashSamplePerGroup, qBloomIncremental,
     qBoilerplateNgrams, qDocChunking, qDataMixing, qSeqlenHistogram,
     qSourceDiversity, qWeightedSample, qTemperatureMixing, qFeatureHashing,
-    qGroupSplit, qTemporalSplit, qFixedKSample)
+    qGroupSplit, qTemporalSplit, qFixedKSample, qKfoldAssignment)
 }

@@ -576,6 +576,86 @@ object Dedup {
       .orderBy(col("da"), col("db"))
   }
 
+  /** LSH PARAMETER TUNING CURVE (round 11 — the design step BEFORE
+    * running t58: choosing (bands, rows/band)): for a signature of 32
+    * hashes, each factorization b×r trades recall against candidate
+    * volume — a pair with true Jaccard j collides in ≥1 band with
+    * probability p = 1 − (1 − j^r)^b, and the S-curve's midpoint sits
+    * at s* ≈ (1/b)^(1/r). This query evaluates all four factorizations
+    * against the corpus's EXACT pair ground truth (the bounded t54
+    * frame): per config, the expected number of detected pairs and the
+    * count of confidently-detected (p ≥ 1/2) ones — the table you read
+    * to pick the banding for a target threshold, computed from data
+    * instead of folklore.
+    *
+    * Cross-engine exactness: j is the 6-rounded exact ratio (t54's
+    * parity); j^r and (1−j^r)^b are LEFT-ASSOCIATED multiplication
+    * chains generated identically into the Spark plan and the SQL (no
+    * libm `pow`, whose last-ulp behavior differs across runtimes); the
+    * per-pair p rounds to 6 before aggregation; and the expectation
+    * SUM runs in DECIMAL(18,6) — exact and order-independent (the v74
+    * discipline). The s* literal is computed once in Scala and embedded
+    * in both plans. Scale shape: one bounded exact-pair frame (pinned),
+    * four aggregate branches over it; at 100 TB the pair frame comes
+    * from a SAMPLE of corpora pairs — the tuning math is unchanged. */
+  val qLshTuningCurve: Q = {
+    val configs = Seq((4, 8), (8, 4), (16, 2), (32, 1))
+    def sStar(b: Int, r: Int): Double =
+      math.rint(math.pow(1.0 / b, 1.0 / r) * 1e6) / 1e6
+    def jrSql(r: Int) = "(" + List.fill(r)("j").mkString(" * ") + ")"
+    def missSql(b: Int, r: Int) =
+      List.fill(b)(s"(1 - ${jrSql(r)})").mkString(" * ")
+    val perConfig = configs.map { case (b, r) =>
+      val p = s"round(1 - ${missSql(b, r)}, 6)"
+      s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+         |       CAST(${sStar(b, r)} AS DOUBLE) AS s_threshold,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(sum(CAST($p AS DECIMAL(18, 6))) AS DOUBLE)
+         |         AS expected_detected,
+         |       CAST(count(*) FILTER (WHERE $p >= 0.5) AS BIGINT) AS n_confident
+         |FROM pairs""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    Q(
+      "t119_lsh_tuning_curve",
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+         |              FROM documents WHERE doc_id < 1000),
+         |sh AS (SELECT doc_id,
+         |         list_distinct(CASE WHEN len(t) >= 3
+         |           THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+         |           ELSE [] END) AS shset
+         |       FROM toks),
+         |shx AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+         |          FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY da, db),
+         |pairs AS (SELECT round(i * 1.0 / (sa.n + sb.n - i), 6) AS j
+         |          FROM inter JOIN sizes sa ON da = sa.doc_id
+         |                     JOIN sizes sb ON db = sb.doc_id)
+         |SELECT * FROM (
+         |$perConfig
+         |) ORDER BY bands""".stripMargin
+    ) { (s, d) =>
+      // all intersecting pairs (num=0: no threshold) — the ground truth
+      val pairs = Scale.pin(Text.jaccardPairs(
+          Tables.documents(s, d).filter(col("doc_id") < 1000), 0, 1)
+        .select(col("jaccard").as("j")))
+      def jrC(r: Int): Column = List.fill(r)(col("j")).reduce(_ * _)
+      def missC(b: Int, r: Int): Column =
+        List.fill(b)(lit(1) - jrC(r)).reduce(_ * _)
+      configs.map { case (b, r) =>
+        val p = round(lit(1) - missC(b, r), 6)
+        pairs.agg(count(lit(1)).as("n_pairs"),
+            sum(p.cast("decimal(18,6)")).cast("double").as("expected_detected"),
+            count(when(p >= 0.5, 1)).as("n_confident"))
+          .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+            lit(sStar(b, r)).as("s_threshold"), col("n_pairs"),
+            col("expected_detected"), col("n_confident"))
+      }.reduce(_ unionByName _).orderBy(col("bands"))
+    }
+  }
+
   val all: Seq[Q] = Seq(qMinHashLsh, qSimHash, qSimHashPairs, qDedupClusters,
-    qDedupClustersStar, qNearDupPipeline, qLevenshteinPairs, qFuzzyBlockedJoin)
+    qDedupClustersStar, qNearDupPipeline, qLevenshteinPairs, qFuzzyBlockedJoin,
+    qLshTuningCurve)
 }

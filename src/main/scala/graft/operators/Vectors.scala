@@ -2125,6 +2125,52 @@ object Vectors {
       .orderBy(col("thr"))
   }
 
+  /** SEEDED CONTRASTIVE NEGATIVE SAMPLING (round 11 — the random-
+    * negatives side of contrastive training data, pairing v79's HARD
+    * negatives: embedding models train on (anchor, positive, k
+    * negatives) and the negatives must be (a) from a different class
+    * and (b) reproducible across reruns/backfills or the training set
+    * silently shifts). Per anchor, candidates with a DIFFERENT label
+    * are ranked by a seeded md5 of (anchor, candidate) — the q104
+    * deterministic-draw contract, so the sample is a pure function of
+    * the ids — and the first 5 are the drawn negatives. Exact DuckDB
+    * value oracle (md5 and string ordering agree across engines).
+    * Scale shape: anchors broadcast onto one candidate scan; the
+    * per-anchor window ranks |corpus| candidates here — at 100 TB a
+    * Bernoulli pre-sample at p ≈ 3k/|corpus| in the same hash family
+    * bounds the ranked set first (identical discipline, documented
+    * here rather than spelled out on the 2k-row fixture). */
+  val qContrastiveNegatives: Q = Q(
+    "v91_contrastive_negatives",
+    """WITH a AS (SELECT vec_id AS anchor_id, label AS anchor_label
+      |           FROM embeddings WHERE vec_id < 20),
+      |c AS (SELECT vec_id AS neg_id, label AS neg_label FROM embeddings),
+      |r AS (SELECT anchor_id, anchor_label, neg_id, neg_label,
+      |        md5('graft-neg-7:' || CAST(anchor_id AS VARCHAR) || ':'
+      |            || CAST(neg_id AS VARCHAR)) AS h
+      |      FROM a JOIN c ON neg_label <> anchor_label)
+      |SELECT anchor_id, anchor_label, neg_id, neg_label, neg_rank,
+      |       true AS label_differs
+      |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id
+      |        ORDER BY h, neg_id) AS BIGINT) AS neg_rank FROM r) t
+      |WHERE neg_rank <= 5 ORDER BY anchor_id, neg_rank""".stripMargin
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val a = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"))
+    val c = emb.select(col("vec_id").as("neg_id"), col("label").as("neg_label"))
+    val r = c.join(broadcast(a), col("neg_label") =!= col("anchor_label"))
+      .withColumn("h", md5(concat(lit("graft-neg-7:"),
+        col("anchor_id").cast("string"), lit(":"), col("neg_id").cast("string"))))
+    val w = Window.partitionBy(col("anchor_id")).orderBy(col("h"), col("neg_id"))
+    r.withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= 5)
+      .select(col("anchor_id"), col("anchor_label"), col("neg_id"),
+        col("neg_label"), col("neg_rank"),
+        (col("neg_label") =!= col("anchor_label")).as("label_differs"))
+      .orderBy(col("anchor_id"), col("neg_rank"))
+  }
+
   val all: Seq[Q] = Seq(qCosineTopK, qKnnVote, qNormStats, qPairTopK,
     qLshAnn, qIvfAnn, qKmeansStep, qKmeansLloyd, qSemanticDedup,
     qMatmulProject, qGramMatrix, qKmeansUnrolled, qAxisReduce,
@@ -2132,5 +2178,5 @@ object Vectors {
     qPowerIteration, qHardNegatives, qNormOutliers, qIvfPq, qCentroidSim,
     qPqAppend, qEmbeddingPooling, qAnnRecallAudit, qIvfProbeSweep,
     qBinaryHammingTopK, qMmrRerank, qLabelMarginAudit, qDedupThresholdSweep,
-    qPqCompact)
+    qPqCompact, qContrastiveNegatives)
 }
