@@ -723,6 +723,56 @@ object Curation {
       .orderBy(col("fold"))
   }
 
+  /** TRAINING-SHARD EXPORT (round 11 — the pipeline's LAST step, after
+    * dedup/filter/pack: materialize the curated corpus as N balanced
+    * shards a training job streams): documents get t67's banded-cumsum
+    * packing-window assignment, whole WINDOWS hash to shards (a packed
+    * sequence must never straddle shards — the window is the training
+    * atom), rows land via ONE `repartition(nShards, shard)` shuffle +
+    * `partitionBy` layout, sorted within shards so readers see windows
+    * contiguously. Alongside the data a MANIFEST is computed by
+    * READING BACK what was written (the durability check, not a
+    * pre-write guess): per shard, docs/windows/token counts and an
+    * order-independent content fingerprint (Σ xxhash64(doc_id, text)
+    * in exact decimal) — what a training launcher validates before
+    * burning accelerator hours, and what makes two exports comparable
+    * without re-reading payloads. Returns the manifest frame; also
+    * writes it under `<dir>/_manifest` as json. */
+  def writePackedShards(docs: org.apache.spark.sql.DataFrame, outDir: String,
+      nShards: Int, seqTokens: Int = 1024): org.apache.spark.sql.DataFrame = {
+    require(nShards > 0, s"writePackedShards: nShards must be > 0, got $nShards")
+    val s = docs.sparkSession
+    val base = docs.select(col("doc_id"), col("text"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val banded = base.withColumn("_b", (col("doc_id") / 500).cast("long"))
+    val w = Window.partitionBy(col("_b")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = banded.withColumn("_local", sum(col("n_tokens")).over(w))
+    val counts = banded.groupBy(col("_b").as("_bc"))
+      .agg(sum(col("n_tokens")).as("_bn"))
+    val offs = Scale.bucketOffsets(counts, "_bc", "_bn", "_off")
+    local.join(broadcast(offs), col("_b") === col("_bc"))
+      .withColumn("window_id",
+        ((col("_off") + col("_local") - col("n_tokens")) / seqTokens)
+          .cast("long"))
+      .withColumn("shard", pmod(xxhash64(col("window_id")), lit(nShards.toLong)))
+      .select(col("doc_id"), col("text"), col("n_tokens"), col("window_id"),
+        col("shard"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("window_id"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    val manifest = s.read.parquet(outDir)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("window_id")).as("n_windows"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(xxhash64(col("doc_id"), col("text")).cast("decimal(38,0)"))
+          .cast("string").as("fingerprint"))
+      .orderBy(col("shard"))
+    manifest.coalesce(1).write.mode("overwrite").json(s"$outDir/_manifest")
+    manifest
+  }
+
   val all: Seq[Q] = Seq(qContextPacking, qUnigramLogprob, qPiiRedaction,
     qSeededShuffle, qHashSplit, qHashSamplePerGroup, qBloomIncremental,
     qBoilerplateNgrams, qDocChunking, qDataMixing, qSeqlenHistogram,

@@ -619,9 +619,55 @@ object Events {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
+  /** CDC CHANGELOG APPLY (round 11 — the missing member of the
+    * warehouse-maintenance family next to SCD1 upsert (q185), SCD2
+    * intervals (q153), snapshot diff (q142), and delete cascade (q172):
+    * replaying an ordered insert/update/delete stream into final table
+    * state, what a Debezium/binlog consumer does all day). The event
+    * stream doubles as the changelog: signup → I, error → D, everything
+    * else → U, ordered by (ts, event_id). Final state per key is decided
+    * by the LAST change — a trailing D deletes the row, a trailing I/U
+    * materializes it with that change's value (a D followed by a later I
+    * correctly resurrects). Scale shape: ONE partial-aggregating
+    * `max_by(struct(op, value), struct(ts, event_id))` hash aggregate —
+    * each partition ships one candidate per key, never a per-key window
+    * sort over the whole changelog (the oracle's row_number spelling is
+    * the semantic reference, not the plan). */
+  val qCdcApply: Q = Q(
+    "q202_cdc_apply",
+    """WITH ch AS (SELECT user_id, ts, event_id,
+      |    CASE WHEN event_type = 'signup' THEN 'I'
+      |         WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |    value FROM events),
+      |lastc AS (SELECT user_id, op, value FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) AS rn FROM ch) t
+      |  WHERE rn = 1),
+      |cnt AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_changes
+      |        FROM ch GROUP BY user_id)
+      |SELECT l.user_id, l.op AS last_op, round(l.value, 2) AS value,
+      |       c.n_changes
+      |FROM lastc l JOIN cnt c USING (user_id)
+      |WHERE l.op <> 'D' ORDER BY user_id""".stripMargin
+  ) { (s, d) =>
+    val ch = Tables.events(s, d).select(col("user_id"), col("ts"),
+      col("event_id"),
+      when(col("event_type") === "signup", "I")
+        .when(col("event_type") === "error", "D").otherwise("U").as("op"),
+      col("value"))
+    ch.groupBy(col("user_id"))
+      .agg(max_by(struct(col("op"), col("value")),
+        struct(col("ts"), col("event_id"))).as("m"),
+        count(lit(1)).as("n_changes"))
+      .filter(col("m.op") =!= "D")
+      .select(col("user_id"), col("m.op").as("last_op"),
+        round(col("m.value"), 2).as("value"), col("n_changes"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[Q] = Seq(qJsonStruct, qJsonMap, qTumbling, qSliding,
     qSessionize, qAsOfJoin, qAsOfTolerance, qAsOfDirections, qAsOfNative,
     qArrayHof, qAsOfMultiKey, qResampleDaily, qCrosstab, qUpsampleFfill,
     qOhlcWeekly, qAsOfStrict, qAsOfSalted, qStreamStreamJoin,
-    qStreamStreamLeftJoin, qIncrementalJoinMerge)
+    qStreamStreamLeftJoin, qIncrementalJoinMerge, qCdcApply)
 }
