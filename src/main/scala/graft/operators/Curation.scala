@@ -773,9 +773,55 @@ object Curation {
     manifest
   }
 
+  /** K-ANONYMITY AUDIT (round 11 — the compliance sibling of t69's PII
+    * redaction: redaction scrubs direct identifiers, k-anonymity
+    * measures whether QUASI-identifier combinations still single people
+    * out): every (lang, source, length-band) equivalence class with
+    * fewer than k = 5 members is a re-identification risk — its rows
+    * are distinguishable by attributes alone. Emits each risky class
+    * with its size plus corpus-level risk shares. One hash aggregate
+    * over the quasi tuple (map-side combined) + a broadcast 1-row
+    * total — the same plan at any corpus size; generalizing the bands
+    * until no risky class remains is the standard Mondrian-style
+    * mitigation loop a caller drives with this audit as its oracle. */
+  val qKAnonymityAudit: Q = Q(
+    "t120_k_anonymity_audit",
+    """WITH q AS (SELECT lang, source,
+      |             CAST(n_chars // 100 AS BIGINT) AS len_band,
+      |             CAST(count(*) AS BIGINT) AS n
+      |           FROM documents GROUP BY 1, 2, 3),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+      |               CAST(count(*) AS BIGINT) AS n_classes,
+      |               CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+      |                 AS n_risky_docs
+      |        FROM q)
+      |SELECT q.lang, q.source, q.len_band, q.n,
+      |       tot.n_classes, tot.n_risky_docs,
+      |       round(tot.n_risky_docs * 1.0 / tot.n_docs, 6) AS risky_share
+      |FROM q CROSS JOIN tot
+      |WHERE q.n < 5
+      |ORDER BY q.lang, q.source, q.len_band""".stripMargin
+  ) { (s, d) =>
+    val q = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"),
+        (col("n_chars") / 100).cast("long").as("len_band"))
+      .agg(count(lit(1)).as("n"))
+    val tot = q.agg(sum(col("n")).as("n_docs"),
+      count(lit(1)).as("n_classes"),
+      sum(when(col("n") < 5, col("n")).otherwise(0L)).as("n_risky_docs"))
+    q.filter(col("n") < 5)
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("len_band"), col("n"),
+        col("n_classes"), col("n_risky_docs"),
+        round(col("n_risky_docs") * lit(1.0) / col("n_docs"), 6)
+          .as("risky_share"))
+      .orderBy(col("lang"), col("source"), col("len_band"))
+  }
+
   val all: Seq[Q] = Seq(qContextPacking, qUnigramLogprob, qPiiRedaction,
     qSeededShuffle, qHashSplit, qHashSamplePerGroup, qBloomIncremental,
     qBoilerplateNgrams, qDocChunking, qDataMixing, qSeqlenHistogram,
     qSourceDiversity, qWeightedSample, qTemperatureMixing, qFeatureHashing,
-    qGroupSplit, qTemporalSplit, qFixedKSample, qKfoldAssignment)
+    qGroupSplit, qTemporalSplit, qFixedKSample, qKfoldAssignment,
+    qKAnonymityAudit)
 }
