@@ -618,6 +618,36 @@ object ScaleSmoke {
           min(col("us")).as("min_us"), max(col("us")).as("max_us"))
         .count()
     }
+    time("CDC changelog apply (q202 shape)", nEvents) {
+      // last-change-wins replay over 20M changes / 100k keys: ONE
+      // partial-aggregating max_by — a partition ships one candidate per
+      // key, never a per-key window sort of the changelog
+      val ch = ev.select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "t0", "I")
+          .when(col("event_type") === "t3", "D").otherwise("U").as("op"),
+        col("value"))
+      ch.groupBy(col("user_id"))
+        .agg(max_by(struct(col("op"), col("value")),
+          struct(col("ts"), col("event_id"))).as("m"),
+          count(lit(1)).as("n_changes"))
+        .filter(col("m.op") =!= "D").count()
+    }
+    time("PSI drift bins (q200 shape)", nEvents) {
+      // decile edges from the expected half (approx sketch pass), then
+      // two row-local binning scans + 10-group aggregates
+      val ex = ev.filter(col("event_id") % 2 === 0).select(col("value"))
+      val act = ev.filter(col("event_id") % 2 === 1).select(col("value"))
+      val edges = ex.agg(expr(
+        "approx_percentile(value, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D), 10000)")
+        .as("ed"))
+      def binned(df: org.apache.spark.sql.DataFrame) =
+        df.crossJoin(broadcast(edges))
+          .select((lit(1) + (1 to 9).map(i =>
+            (col("value") > element_at(col("ed"), i)).cast("int"))
+            .reduce(_ + _)).cast("long").as("bin"))
+      binned(ex).groupBy(col("bin")).agg(count(lit(1))).count() +
+        binned(act).groupBy(col("bin")).agg(count(lit(1))).count()
+    }
     time("rolling distinct actives (q147 shape)", nEvents) {
       // WAU shape on 10-min buckets (the synthetic span is hours, not
       // days): each distinct (user, bucket) explodes to the 7 windows it

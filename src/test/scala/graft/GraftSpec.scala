@@ -534,6 +534,27 @@ class DedupSpec extends AnyFunSuite {
       s"unexpected failure: ${ex.getMessage}")
   }
 
+  test("t119 LSH tuning: more bands is uniformly more sensitive (monotone curve)") {
+    // for a fixed 32-hash signature, p(j) = 1-(1-j^r)^b is pointwise
+    // non-decreasing in b when b*r is constant — so both the expected
+    // detections and the confident count must ascend with bands, and the
+    // S-curve midpoints s* must descend (shallower rows fire earlier)
+    val rows = operators.Dedup.qLshTuningCurve.fn(spark, TestSession.sf)
+      .collect().sortBy(_.getAs[Long]("bands"))
+    assert(rows.map(_.getAs[Long]("bands")).toSeq == Seq(4L, 8L, 16L, 32L))
+    val exp = rows.map(_.getAs[Double]("expected_detected"))
+    assert(exp.zip(exp.tail).forall { case (a, b) => a <= b + 1e-9 },
+      s"expected_detected not monotone: ${exp.mkString(",")}")
+    val conf = rows.map(_.getAs[Long]("n_confident"))
+    assert(conf.zip(conf.tail).forall { case (a, b) => a <= b },
+      s"n_confident not monotone: ${conf.mkString(",")}")
+    val thr = rows.map(_.getAs[Double]("s_threshold"))
+    assert(thr.zip(thr.tail).forall { case (a, b) => a > b },
+      s"s* not descending: ${thr.mkString(",")}")
+    // every config ranks the same ground-truth pair set
+    assert(rows.map(_.getAs[Long]("n_pairs")).distinct.length == 1)
+  }
+
   test("q191 orderedStringAgg: bounded groups pass, over-cap groups fail loudly") {
     val supplier = Tables.supplier(spark, TestSession.sf)
     // nation-bounded groups sit far under the default cap: clean result

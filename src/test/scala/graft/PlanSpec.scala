@@ -37,6 +37,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q27_topk_orders").contains("TakeOrderedAndProject"))
   }
 
+  test("q202: CDC apply is a two-phase aggregate (partial max_by), no changelog window") {
+    val p = plan("q202_cdc_apply")
+    assert(p.contains("partial_max_by") || p.contains("partial_"),
+      p.take(600))
+    assert(!p.contains("Window"), "CDC apply must not window-sort the changelog")
+  }
+
+  test("t118: RRF's semantic side broadcasts the probe set (no candidate shuffle join)") {
+    val p = plan("t118_rrf_fusion")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(600))
+  }
+
   test("q197/q198: event_type filter reaches the parquet scan on both join sides") {
     // the stream-stream twins' batch plans must scan only the click and
     // purchase slices (EqualTo pushed), never the whole events table —
