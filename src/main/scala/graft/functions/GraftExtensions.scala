@@ -99,6 +99,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_bucket"),
       new ExpressionInfo(classOf[BandBucket].getName, "graft_bucket"),
       (exprs: Seq[Expression]) => BandBucket(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_char_ngrams"),
+      new ExpressionInfo(classOf[CharNgrams].getName, "graft_char_ngrams"),
+      (exprs: Seq[Expression]) => CharNgrams(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => ExistsOverSizeFilter)
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
   }

@@ -261,6 +261,55 @@ case class BandBucket(child: Expression, edgesE: Expression)
 /** Session registration for graft's custom Catalyst expressions (the
   * FunctionRegistry path is the supported Spark 4 way to hand an
   * Expression to the Column API — `call_function` resolves it). */
+/** Character n-gram TABLE FUNCTION — a custom Catalyst GENERATOR (the
+  * one extension point the engine had not yet exercised next to scalar
+  * Expressions (DotProduct/BandBucket/StringPolyHash), the optimizer
+  * Rule, and the LogicalPlan+Strategy as-of plan): one output row per
+  * character n-gram of the input string, with its 0-based position.
+  * SQL-exposed as `graft_char_ngrams(str, n)` via LATERAL VIEW — the
+  * classic language-ID / fuzzy-blocking feature extractor, emitted
+  * row-wise so the downstream count-aggregate never materializes a
+  * per-row gram array (`transform`+`explode` builds the whole array
+  * first; a Generator streams it). `n` must be a foldable INT.
+  * Runs under GenerateExec via CodegenFallback — generators stream
+  * through codegen stages even when the generator itself is
+  * interpreted. */
+case class CharNgrams(child: Expression, nExpr: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.Generator
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def children: Seq[Expression] = Seq(child, nExpr)
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("gram", StringType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_char_ngrams: first argument must be STRING")
+    else if (nExpr.dataType != IntegerType || !nExpr.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_char_ngrams: n must be a foldable INT")
+    else TypeCheckResult.TypeCheckSuccess
+  @transient private lazy val n: Int = nExpr.eval(null).asInstanceOf[Int]
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+      : IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val v = child.eval(input)
+    if (v == null || n <= 0) Nil
+    else {
+      val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      if (s.length < n) Nil
+      else (0 to s.length - n).iterator.map { i =>
+        org.apache.spark.sql.catalyst.InternalRow(i,
+          org.apache.spark.unsafe.types.UTF8String
+            .fromString(s.substring(i, i + n)))
+      }
+    }
+  }
+  override def prettyName: String = "graft_char_ngrams"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), nExpr = newChildren(1))
+}
+
 object GraftFunctions {
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.classic.ClassicConversions._
@@ -293,6 +342,10 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(
         "graft_bucket",
         exprs => BandBucket(exprs(0), exprs(1)),
+        "scala_udf")
+      registry.createOrReplaceTempFunction(
+        "graft_char_ngrams",
+        exprs => CharNgrams(exprs(0), exprs(1)),
         "scala_udf")
     }
   }

@@ -1288,6 +1288,53 @@ object Text {
       .orderBy(col("bucket"))
   }
 
+  private val t121ViewSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** CHARACTER-N-GRAM LANGUAGE PROFILE through the custom SQL TABLE
+    * FUNCTION (round 11 — [[graft.functions.CharNgrams]], a Catalyst
+    * `Generator` registered as `graft_char_ngrams` and invoked from SQL
+    * text via LATERAL VIEW: the extension point the engine had not yet
+    * exercised next to scalar Expressions, the optimizer Rule, and the
+    * native as-of plan). Character trigrams over each doc's first 64
+    * chars are THE classic language-ID feature family (word-free, so
+    * they survive unsegmented scripts); the profile is each language's
+    * top-5 trigrams. The Generator streams one row per gram into the
+    * count aggregate — no per-row gram ARRAY is ever materialized
+    * (`transform`+`explode` builds the array first; at a 64-char cap
+    * that is 62 strings per row of allocation the Generator avoids).
+    * Per-lang top-5 via a |langs|-partitioned window over the
+    * |distinct grams| count table — aggregate-then-rank, never a rank
+    * over raw gram rows. */
+  val qCharNgramProfile: Q = Q(
+    "t121_char_ngram_profile",
+    """WITH s AS (SELECT lang, substr(text, 1, 64) AS p FROM documents),
+      |g AS (SELECT lang,
+      |        unnest([substr(p, CAST(i AS INT), 3)
+      |                FOR i IN range(1, len(p) - 1)]) AS gram
+      |      FROM s),
+      |c AS (SELECT lang, gram, CAST(count(*) AS BIGINT) AS n
+      |      FROM g GROUP BY 1, 2)
+      |SELECT lang, gram, n, rk FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY lang
+      |    ORDER BY n DESC, gram) AS BIGINT) AS rk FROM c) t
+      |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin
+  ) { (s, d) =>
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val view = s"graft_docs_t121_${t121ViewSeq.incrementAndGet()}"
+    Tables.documents(s, d).createOrReplaceTempView(view)
+    try s.sql(
+      s"""SELECT lang, gram, n, rk FROM (
+         |  SELECT lang, gram, n, CAST(row_number() OVER (PARTITION BY lang
+         |    ORDER BY n DESC, gram) AS BIGINT) AS rk
+         |  FROM (SELECT lang, gram, count(*) AS n
+         |        FROM $view
+         |        LATERAL VIEW graft_char_ngrams(substring(text, 1, 64), 3) g
+         |          AS pos, gram
+         |        GROUP BY lang, gram) c) t
+         |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin)
+    finally s.catalog.dropTempView(view)
+  }
+
   val all: Seq[Q] = Seq(qTokenCounts, qLangStats, qExactDedup, qDedupKeepFirst,
     qQuality, qNgramJaccard, qTfIdf, qLangId, qFingerprint, qRegexTokens,
     qPipelineClean, qHeavyHitters, qDecontaminate, qRepetition,
@@ -1295,5 +1342,5 @@ object Text {
     qCrossCorpusDedup, qDecontaminateExcise, qCurationFunnel, qContainment,
     qFertility, qDedupWeights, qShingleNovelty, qSourceOverlap,
     qQualityDupCalibration, qDatasetCard, qBpeMergeStep, qScriptProfile,
-    qDistinctiveTerms, qSkipgramCooc, qPaddingWaste)
+    qDistinctiveTerms, qSkipgramCooc, qPaddingWaste, qCharNgramProfile)
 }

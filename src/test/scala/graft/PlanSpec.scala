@@ -37,6 +37,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q27_topk_orders").contains("TakeOrderedAndProject"))
   }
 
+  test("t121: the custom SQL table function plans as a Generate node") {
+    // graft_char_ngrams is a Catalyst Generator invoked from SQL text
+    // (LATERAL VIEW) — the plan must stream grams through GenerateExec,
+    // not materialize per-row arrays
+    val p = plan("t121_char_ngram_profile")
+    assert(p.contains("Generate graft_char_ngrams"), p.take(800))
+  }
+
   test("q202: CDC apply is a two-phase aggregate (partial max_by), no changelog window") {
     val p = plan("q202_cdc_apply")
     assert(p.contains("partial_max_by") || p.contains("partial_"),
