@@ -98,6 +98,9 @@ def main(sf_dir, out_dir, only=(), json_out=None):
                 print(f"  oracle: {b}")
             record(name, True, True, False, len(g), len(o), None)
             n_fail += 1
+    if only and n_pass + n_fail == 0:
+        print(f"ERROR: no oracle entry matched the requested names: {sorted(only)}")
+        n_fail = 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
     if json_out:
         with open(json_out, "w") as f:
@@ -110,6 +113,8 @@ if __name__ == "__main__":
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.exit("usage: check.py <sfDir> <outDir> [--json OUT] [only...]")
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     sys.exit(main(sys.argv[1], sys.argv[2], set(argv), json_out))

@@ -295,12 +295,17 @@ case class CharNgrams(child: Expression, nExpr: Expression)
     val v = child.eval(input)
     if (v == null || n <= 0) Nil
     else {
-      val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
-      if (s.length < n) Nil
-      else (0 to s.length - n).iterator.map { i =>
+      // CODEPOINT grams, not UTF-16 code units: String.substring would
+      // split surrogate pairs on astral text (emoji, rare CJK) and count
+      // differently than DuckDB's character-based substr/len — the
+      // oracle-parity unit is the codepoint (r11 review finding)
+      val cps = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toString.codePoints().toArray
+      if (cps.length < n) Nil
+      else (0 to cps.length - n).iterator.map { i =>
         org.apache.spark.sql.catalyst.InternalRow(i,
           org.apache.spark.unsafe.types.UTF8String
-            .fromString(s.substring(i, i + n)))
+            .fromString(new String(cps, i, n)))
       }
     }
   }

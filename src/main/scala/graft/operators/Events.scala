@@ -569,15 +569,18 @@ object Events {
     * maintained across a day-15 ingest boundary instead of recomputed.
     * Because each event lands in exactly one slice of the contiguous
     * time split, the four terms partition the full join EXACTLY — which
-    * is what the oracle (the direct full recompute) checks.
+    * is what the oracle (the direct full recompute) checks. The
+    * boundary is a TIMESTAMP literal (monotone in event time — a
+    * dayofmonth split would break both proofs below on any corpus
+    * spanning a month boundary; r11 review finding).
     *
     * The scale discipline the time window buys, made explicit in the
     * plan: (a) the P_old⋈ΔC term is EMPTY by construction — a click
-    * after the boundary cannot precede a purchase before it — so it is
-    * dropped, not computed; (b) ΔP⋈C_old needs only the final
-    * join-horizon sliver of the old side (clicks within 1h of the
-    * boundary: dayofmonth ≥ 14 here, a partition-prune in a day-
-    * partitioned store), never a rescan of the full click history. At
+    * at-or-after the boundary cannot precede a purchase before it — so
+    * it is dropped, not computed; (b) ΔP⋈C_old needs only the final
+    * join-horizon sliver of the old side (clicks within 1h before the
+    * boundary — a partition-prune in a time-partitioned store), never
+    * a rescan of the full click history. At
     * 100 TB/day the maintained result ingests a day by joining two
     * day-sized deltas plus one 1-hour boundary sliver — the stored
     * P_old⋈C_old term is reused as-is (recomputed here only because the
@@ -597,14 +600,14 @@ object Events {
         .select(col("user_id"), col("event_id").as(idOut), col("ts").as(tsOut))
     val p = side("purchase", "purchase_id", "p_ts")
     val c = side("click", "click_id", "c_ts")
-    val (pOld, pNew) = (p.filter(dayofmonth(col("p_ts")) < 15),
-      p.filter(dayofmonth(col("p_ts")) >= 15))
-    val cOld = c.filter(dayofmonth(col("c_ts")) < 15)
-    val cNew = c.filter(dayofmonth(col("c_ts")) >= 15)
+    val b = lit("2024-01-15 00:00:00").cast("timestamp")
+    val (pOld, pNew) = (p.filter(col("p_ts") < b), p.filter(col("p_ts") >= b))
+    val cOld = c.filter(col("c_ts") < b)
+    val cNew = c.filter(col("c_ts") >= b)
     // the boundary sliver of the old click history: only clicks within
     // the 1h join horizon of the boundary can pair with a new purchase
-    // (c_ts >= p_ts - 1h and p_ts >= day-15 ⇒ c_ts >= day-14 23:00)
-    val cOldHorizon = cOld.filter(dayofmonth(col("c_ts")) >= 14)
+    // (c_ts >= p_ts - 1h and p_ts >= b ⇒ c_ts >= b - 1h)
+    val cOldHorizon = cOld.filter(col("c_ts") >= b - expr("INTERVAL 1 HOUR"))
     def joined(ps: org.apache.spark.sql.DataFrame,
         cs: org.apache.spark.sql.DataFrame) =
       ps.join(cs, Seq("user_id"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -25,6 +26,35 @@ import graft.{Q, Tables}
 object Retrieval {
 
   private def tokens = split(col("text"), " ")
+
+  /** Okapi BM25 (k1 = 1.2, b = 0.75) per-(doc, term) contribution — ONE
+    * definition feeding every BM25 consumer (t84 / t117 / t118) so the
+    * formula can never silently diverge between them (r11 review).
+    * Expects columns tf / df / dl / avgdl / n in scope. */
+  private def bm25Term: Column = {
+    val idf = log(lit(1) +
+      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    idf * (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+  }
+
+  /** BM25 score aggregate, ORDER-INDEPENDENT across engines (the v74 /
+    * q200 decimal discipline — scores feed RANKS in t84/t117/t118, so a
+    * last-ulp difference in a double sum's engine-specific addition
+    * order could flip a 6-decimal rounding boundary and cascade into
+    * top-k membership): each per-term contribution is a deterministic
+    * per-row scalar on both engines, rounded to 9 decimals and summed
+    * EXACTLY in DECIMAL(28,9), then surfaced as the 6-rounded score. */
+  private def bm25Score: Column =
+    round(sum(round(bm25Term, 9).cast("decimal(28,9)")).cast("double"), 6)
+
+  /** The same two definitions for the DuckDB oracle (alias names match
+    * the shared CTE shape: tf/df/dl/stats). */
+  private val bm25TermSql: String =
+    "ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) " +
+      "/ (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))"
+  private def bm25ScoreSql: String =
+    s"round(CAST(sum(CAST(round($bm25TermSql, 9) AS DECIMAL(28, 9))) AS DOUBLE), 6)"
 
   /** (doc_id, source, ts) with the <2-token guard: Spark's `sequence`
     * DESCENDS when stop < start, so short docs must be cut before the
@@ -52,25 +82,23 @@ object Retrieval {
     * never a global sort materialization. */
   val qBm25: Q = Q(
     "t84_bm25_topk",
-    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-      |              FROM documents),
-      |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
-      |       FROM toks GROUP BY doc_id),
-      |stats AS (SELECT avg(dl * 1.0) AS avgdl, CAST(count(*) AS BIGINT) AS n
-      |          FROM dl),
-      |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks
-      |       WHERE tok IN ('spark', 'query', 'join') GROUP BY doc_id, tok),
-      |df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-      |       FROM tf GROUP BY tok),
-      |scored AS (
-      |  SELECT tf.doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-      |    sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
-      |        * (tf.tf * 2.2)
-      |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS score
-      |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
-      |  GROUP BY tf.doc_id)
-      |SELECT doc_id, n_terms, round(score, 6) AS bm25
-      |FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |              FROM documents),
+       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       |       FROM toks GROUP BY doc_id),
+       |stats AS (SELECT avg(dl * 1.0) AS avgdl, CAST(count(*) AS BIGINT) AS n
+       |          FROM dl),
+       |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks
+       |       WHERE tok IN ('spark', 'query', 'join') GROUP BY doc_id, tok),
+       |df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |       FROM tf GROUP BY tok),
+       |scored AS (
+       |  SELECT tf.doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |    $bm25ScoreSql AS bm25
+       |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+       |  GROUP BY tf.doc_id)
+       |SELECT doc_id, n_terms, bm25
+       |FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
   ) { (s, d) =>
     val toks = Tables.documents(s, d).select(col("doc_id"), explode(tokens).as("tok"))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
@@ -79,15 +107,11 @@ object Retrieval {
     val tf = toks.filter(col("tok").isin("spark", "query", "join"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
-    val idf = log(lit(1) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val term = idf * (col("tf") * lit(2.2)) /
-      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
     tf.join(broadcast(df), Seq("tok"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_terms"), sum(term).as("score"))
-      .select(col("doc_id"), col("n_terms"), round(col("score"), 6).as("bm25"))
+      .agg(count(lit(1)).as("n_terms"), bm25Score.as("bm25"))
       .orderBy(desc("bm25"), col("doc_id"))
       .limit(10)
   }
@@ -617,9 +641,7 @@ object Retrieval {
       |       FROM tf GROUP BY tok),
       |scored AS (
       |  SELECT qt.qid, tf.doc_id,
-      |    round(sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
-      |        * (tf.tf * 2.2)
-      |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 6) AS score
+      |    BM25SCORE AS score
       |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) JOIN qt USING (tok)
       |       CROSS JOIN stats
       |  GROUP BY qt.qid, tf.doc_id),
@@ -636,6 +658,7 @@ object Retrieval {
       |       END AS ndcg_at_10,
       |  rank_known <= 10 AS in_top10
       |FROM rnk ORDER BY qid""".stripMargin
+      .replace("BM25SCORE", bm25ScoreSql)
   ) { (s, d) =>
     val docs = Tables.documents(s, d)
     // toks feeds the doc-length branch AND the postings branch —
@@ -652,16 +675,12 @@ object Retrieval {
     val tf = toks.join(broadcast(qt.select(col("tok")).distinct()), Seq("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
-    val idf = log(lit(1) +
-      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val term = idf * (col("tf") * lit(2.2)) /
-      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
     val scored = tf.join(broadcast(dfT), Seq("tok"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .join(broadcast(qt), Seq("tok"))
       .groupBy(col("qid"), col("doc_id"))
-      .agg(round(sum(term), 6).as("score"))
+      .agg(bm25Score.as("score"))
       .transform(Scale.pin(_))
     val known = scored.filter(col("doc_id") === col("qid"))
       .select(col("qid"), col("score").as("ks"))
@@ -717,9 +736,7 @@ object Retrieval {
        |       FROM tf GROUP BY tok),
        |lex AS (
        |  SELECT qt.qid, tf.doc_id,
-       |    round(sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
-       |        * (tf.tf * 2.2)
-       |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 6) AS score
+       |    $bm25ScoreSql AS score
        |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) JOIN qt USING (tok)
        |       CROSS JOIN stats
        |  WHERE tf.doc_id <> qt.qid
@@ -766,17 +783,13 @@ object Retrieval {
     val tf = toks.join(broadcast(qt.select(col("tok")).distinct()), Seq("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
-    val idf = log(lit(1) +
-      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val term = idf * (col("tf") * lit(2.2)) /
-      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
     val lex = tf.join(broadcast(dfT), Seq("tok"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .join(broadcast(qt), Seq("tok"))
       .filter(col("doc_id") =!= col("qid"))
       .groupBy(col("qid"), col("doc_id"))
-      .agg(round(sum(term), 6).as("score"))
+      .agg(bm25Score.as("score"))
     val wl = Window.partitionBy(col("qid")).orderBy(desc("score"), col("doc_id"))
     val lexr = lex.withColumn("lrank", row_number().over(wl).cast("long"))
       .filter(col("lrank") <= 20)

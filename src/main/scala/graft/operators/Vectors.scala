@@ -954,25 +954,36 @@ object Vectors {
     * POINTER FILE — the lakehouse version-pointer pattern: readers
     * resolve the pointer (or fall back to the pre-compaction layout),
     * so every instant shows a consistent view:
-    *  - before the pointer rename: old base + appends (old view);
+    *  - before the pointer swap: old base + appends (old view);
     *  - after: the compacted segment (+ any append that committed
-    *    DURING compaction — its id is not in the absorbed list, so it
-    *    unions in; no append is ever double-counted or lost);
+    *    DURING compaction — the absorbed set and the compacted data
+    *    come from ONE directory listing, so a later-committing append
+    *    is in neither and unions in; no append is ever double-counted
+    *    or lost);
     *  - absorbed append dirs are deleted only after the pointer lands,
     *    and exactly-once markers are KEPT so an absorbed batchId can
     *    never be re-appended.
-    * The pointer swap is write-tmp → delete → rename; in the tiny
-    * missing-pointer window readers fall back to the old layout, which
-    * is still complete. Returns the compacted segment's row count. */
+    * The pointer swap is write-tmp → FileContext.rename(OVERWRITE) —
+    * atomic on posix and HDFS, so readers see either the old pointer or
+    * the new one, never a missing pointer. (The no-pointer fallback to
+    * the original `codes` layout exists only for indexes that have
+    * never been compacted; after the first compaction the pointer is
+    * the single source of truth and is only ever atomically replaced.)
+    * Returns the compacted segment's row count. */
   def pqIndexCompact(s: SparkSession, key: String): Long = {
     val (dir, fs) = pqIndexFs(s, key)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes/_SUCCESS")),
       s"pqIndexCompact: no index at $dir — run pqIndex first")
     val (oldBase, oldAbsorbed) = pqIndexCurrent(s, dir, fs)
-    val newlyAbsorbed = pqIndexAppendDirs(dir, fs, oldAbsorbed)
-      .map(_.getName.stripPrefix("codes_append_"))
+    // ONE listing decides both what the compacted segment contains and
+    // what the pointer marks absorbed — a second listing could include
+    // an append that committed in between, double-counting it forever
+    val absorbDirs = pqIndexAppendDirs(dir, fs, oldAbsorbed)
+    val newlyAbsorbed = absorbDirs.map(_.getName.stripPrefix("codes_append_"))
     val vid = s"codes_v_${java.util.UUID.randomUUID().toString.take(8)}"
-    pqIndexCodes(s, dir, fs).write.mode("overwrite").parquet(s"$dir/$vid")
+    absorbDirs.foldLeft(s.read.parquet(oldBase))(
+        (acc, p) => acc.unionByName(s.read.parquet(p.toString)))
+      .write.mode("overwrite").parquet(s"$dir/$vid")
     val n = s.read.parquet(s"$dir/$vid").count()
     val ptrTxt = (vid +: (oldAbsorbed ++ newlyAbsorbed).toSeq.sorted)
       .mkString("\n")
@@ -982,8 +993,12 @@ object Vectors {
     try out.write(ptrTxt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val ptr = new org.apache.hadoop.fs.Path(s"$dir/_codes_current")
-    fs.delete(ptr, false)
-    require(fs.rename(tmp, ptr), s"pqIndexCompact: pointer rename failed in $dir")
+    // atomic overwrite-rename: FileContext (unlike FileSystem.rename)
+    // supports Rename.OVERWRITE, so the pointer never transiently
+    // disappears — the crash window a delete-then-rename would open
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(ptr.toUri, s.sparkContext.hadoopConfiguration)
+      .rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     // post-commit cleanup: absorbed segments and the superseded version
     newlyAbsorbed.foreach(id =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/codes_append_$id"), true))
