@@ -3,8 +3,13 @@
 
 Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [--json OUT] [only...]
 
---json OUT additionally writes a driver-style per-query JSON record
-(rows_match / schema_match / hash_match / row counts / err) to OUT.
+--json OUT additionally writes a driver-style per-query JSON record to
+OUT. Field semantics (matching the driver's CORRECTNESS_*.json):
+rows_match = row VALUES equal (not merely counts — a value mismatch
+sets it False), schema_match = sorted column names equal, hash_match =
+rows_match AND schema_match; counts_match (local extra) = row counts
+equal, so a value-only mismatch is distinguishable from a cardinality
+mismatch when diffing artifacts.
 
 Reads each <verifyOutDir>/<name>/ parquet (Spark result) and runs the
 matching SQL from oracle_sql.json in DuckDB over the same sfDir tables,
@@ -47,7 +52,9 @@ def main(sf_dir, out_dir, only=(), json_out=None):
 
     def record(name, rows_match, schema_match, hash_match, s_rows, o_rows, err):
         results[name] = {"rows_match": rows_match, "schema_match": schema_match,
-                         "hash_match": hash_match, "spark_rows": s_rows,
+                         "hash_match": hash_match,
+                         "counts_match": s_rows is not None and s_rows == o_rows,
+                         "spark_rows": s_rows,
                          "oracle_rows": o_rows, "err": err}
 
     for name, sql in sorted(oracles.items()):
@@ -96,7 +103,7 @@ def main(sf_dir, out_dir, only=(), json_out=None):
             for a, b in bad:
                 print(f"  spark : {a}")
                 print(f"  oracle: {b}")
-            record(name, True, True, False, len(g), len(o), None)
+            record(name, False, True, False, len(g), len(o), None)
             n_fail += 1
     if only and n_pass + n_fail == 0:
         print(f"ERROR: no oracle entry matched the requested names: {sorted(only)}")

@@ -485,8 +485,12 @@ object Stats {
   /** PSI FEATURE-DRIFT MONITOR (round 11 — population stability index,
     * the standard production ML drift metric; the numeric-feature
     * sibling of t95's token-distribution KL drift): `value` binned by
-    * the EXPECTED slice's own deciles (days < 15), the ACTUAL slice
-    * (days ≥ 15) scored against them — psi = Σ (aᵢ − eᵢ)·ln(aᵢ/eᵢ)
+    * the EXPECTED slice's own deciles (events before the boundary
+    * TIMESTAMP literal — monotone in event time, so the baseline stays
+    * a contiguous period on any multi-month corpus; a dayofmonth split
+    * would interleave time periods and corrupt the drift semantics,
+    * the exact hazard q199's r11 review fix removed), the ACTUAL slice
+    * (at-or-after the boundary) scored against them — psi = Σ (aᵢ − eᵢ)·ln(aᵢ/eᵢ)
     * with +0.5/+5 Laplace smoothing so an empty bin stays finite.
     * Industry reading: psi < 0.1 stable, > 0.2 drifted (the emitted
     * flag).
@@ -503,8 +507,8 @@ object Stats {
     * downstream is 10-row arithmetic on broadcast frames. */
   val qPsiDrift: Q = Q(
     "q200_psi_drift",
-    """WITH ex AS (SELECT value FROM events WHERE day(ts) < 15),
-      |act AS (SELECT value FROM events WHERE day(ts) >= 15),
+    """WITH ex AS (SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-15'),
+      |act AS (SELECT value FROM events WHERE ts >= TIMESTAMP '2024-01-15'),
       |ed AS (SELECT quantile_cont(value,
       |         [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS ed FROM ex),
       |eb AS (SELECT 1 + CAST(value > ed[1] AS INT) + CAST(value > ed[2] AS INT)
@@ -541,10 +545,10 @@ object Stats {
       |       ttl.psi, ttl.psi > 0.2 AS drifted
       |FROM t2 CROSS JOIN ttl ORDER BY bin""".stripMargin
   ) { (s, d) =>
-    val ev = Tables.events(s, d)
-      .select(col("value"), dayofmonth(col("ts")).as("dd"))
-    val ex = ev.filter(col("dd") < 15).select(col("value"))
-    val act = ev.filter(col("dd") >= 15).select(col("value"))
+    val b = lit("2024-01-15 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, d).select(col("value"), col("ts"))
+    val ex = ev.filter(col("ts") < b).select(col("value"))
+    val act = ev.filter(col("ts") >= b).select(col("value"))
     val edges = ex.agg(expr(
       "percentile(value, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
       .as("ed"))

@@ -912,7 +912,11 @@ object Vectors {
     * readers and idempotently rewritten on retry; a missing pointer
     * falls back to the pre-compaction view, which is also consistent
     * (the pointer swap deletes absorbed segments only AFTER the pointer
-    * lands). */
+    * lands) — UNLESS the index has ever been compacted (the
+    * `_compacted` sentinel): then the original `codes` segment was
+    * emptied and the absorbed appends deleted, so the fallback would
+    * silently serve an incomplete index; it fails loudly instead
+    * (r11 advisory). */
   private def pqIndexCodes(s: SparkSession, dir: String,
       fs: org.apache.hadoop.fs.FileSystem): DataFrame = {
     val (baseDir, absorbed) = pqIndexCurrent(s, dir, fs)
@@ -932,7 +936,20 @@ object Vectors {
           .map(_.trim).filter(_.nonEmpty).toList
         finally in.close()
       (s"$dir/${lines.head}", lines.tail.toSet)
-    } else (s"$dir/codes", Set.empty[String])
+    } else {
+      // no pointer: legal only for a never-compacted index. After the
+      // first compaction the original codes segment is emptied and the
+      // absorbed append dirs deleted, so falling back here would serve
+      // an incomplete index with no error — the `_compacted` sentinel
+      // (written with the first compaction's cleanup) turns that into
+      // a loud failure (r11 advisory).
+      require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_compacted")),
+        s"PQ index at $dir: _codes_current pointer missing but the index " +
+          "has been compacted — refusing the stale pre-compaction " +
+          "fallback (the original codes segment no longer holds the " +
+          "absorbed appends); restore the pointer or rebuild the index")
+      (s"$dir/codes", Set.empty[String])
+    }
   }
 
   /** Committed, not-yet-absorbed append segment dirs. */
@@ -968,7 +985,9 @@ object Vectors {
     * the new one, never a missing pointer. (The no-pointer fallback to
     * the original `codes` layout exists only for indexes that have
     * never been compacted; after the first compaction the pointer is
-    * the single source of truth and is only ever atomically replaced.)
+    * the single source of truth — the original segment is emptied, the
+    * `_compacted` sentinel lands, and [[pqIndexCurrent]] refuses the
+    * fallback loudly rather than ever serving the stale layout.)
     * Returns the compacted segment's row count. */
   def pqIndexCompact(s: SparkSession, key: String): Long = {
     val (dir, fs) = pqIndexFs(s, key)
@@ -999,11 +1018,29 @@ object Vectors {
     org.apache.hadoop.fs.FileContext
       .getFileContext(ptr.toUri, s.sparkContext.hadoopConfiguration)
       .rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    // post-commit cleanup: absorbed segments and the superseded version
+    // post-commit cleanup, all idempotent (a crash mid-cleanup is
+    // repaired by the next compaction re-running this block):
+    // 1. absorbed append segments — their exactly-once markers stay;
     newlyAbsorbed.foreach(id =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/codes_append_$id"), true))
-    if (oldBase != s"$dir/codes")
-      fs.delete(new org.apache.hadoop.fs.Path(oldBase), true)
+    // 2. every versioned segment the pointer does not name — the
+    //    superseded base AND any orphan a compaction that crashed
+    //    before its pointer swap left behind (single concurrent
+    //    compactor assumed, the standard lakehouse compaction-job
+    //    contract; appends/reads stay fully concurrent);
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("codes_v_") && p.getName != vid)
+      .foreach(p => fs.delete(p, true))
+    // 3. the original codes segment's data is now duplicated in the
+    //    compacted segment — empty it (keeping _SUCCESS as the
+    //    index-exists sentinel the require()s check) and write the
+    //    `_compacted` sentinel that makes the no-pointer fallback fail
+    //    loudly instead of serving this stale view (r11 advisory)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/codes")).toSeq
+      .map(_.getPath).filter(_.getName != "_SUCCESS")
+      .foreach(p => fs.delete(p, true))
+    val compactedSentinel = new org.apache.hadoop.fs.Path(s"$dir/_compacted")
+    if (!fs.exists(compactedSentinel)) fs.create(compactedSentinel, true).close()
     n
   }
 

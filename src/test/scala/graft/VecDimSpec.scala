@@ -202,6 +202,83 @@ class VecDimSpec extends AnyFunSuite {
     } finally s128.conf.unset(operators.Vectors.PqIndexDirKey)
   }
 
+  test("pqIndexCompact crash window: orphan segment (crash before pointer swap) is invisible; re-run converges and sweeps it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_crash1").toString
+    s128.conf.set(operators.Vectors.PqIndexDirKey, dir)
+    try {
+      val train = emb128.filter(col("vec_id") < 200)
+      val b1 = emb128.filter(col("vec_id") >= 200)
+      operators.Vectors.pqIndex(train, "tcr1", rounds = 1)
+      operators.Vectors.pqIndexAppend(b1, "tcr1", "s1")
+      val viewBefore = operators.Vectors.pqIndex(train, "tcr1", rounds = 1)._1
+        .collect().map(_.mkString("|")).sorted
+      // simulate a compaction that crashed AFTER writing its versioned
+      // segment but BEFORE the pointer rename: a codes_v_* dir exists,
+      // no _codes_current, no _compacted sentinel (cleanup never ran)
+      s128.read.parquet(s"$dir/tcr1/codes").limit(5)
+        .write.parquet(s"$dir/tcr1/codes_v_orphan00")
+      // serving must still read the OLD view (base + committed append);
+      // the uncommitted segment is invisible
+      val viewCrashed = operators.Vectors.pqIndex(train, "tcr1", rounds = 1)._1
+        .collect().map(_.mkString("|")).sorted
+      assert(viewCrashed.sameElements(viewBefore),
+        "orphan segment leaked into serving before its pointer landed")
+      // a compaction re-run converges: pointer lands, orphan swept
+      assert(operators.Vectors.pqIndexCompact(s128, "tcr1") == N * 32)
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "tcr1", "_codes_current")))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "tcr1", "codes_v_orphan00")))
+      val viewAfter = operators.Vectors.pqIndex(train, "tcr1", rounds = 1)._1
+        .collect().map(_.mkString("|")).sorted
+      assert(viewAfter.sameElements(viewBefore))
+    } finally s128.conf.unset(operators.Vectors.PqIndexDirKey)
+  }
+
+  test("pqIndexAppend crash window: torn append (codes, no marker) is invisible; the retry rewrites and commits") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_crash2").toString
+    s128.conf.set(operators.Vectors.PqIndexDirKey, dir)
+    try {
+      val train = emb128.filter(col("vec_id") < 200)
+      val b1 = emb128.filter(col("vec_id") >= 200)
+      operators.Vectors.pqIndex(train, "tcr2", rounds = 1)
+      // simulate the documented torn state — codes landed, the
+      // (written-last) drift marker did not — by deleting the marker
+      operators.Vectors.pqIndexAppend(b1, "tcr2", "s1")
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(dir, "tcr2", "_drift_s1"))
+      assert(operators.Vectors.pqIndex(train, "tcr2", rounds = 1)._1.count()
+        == 200L * 32, "torn append leaked into serving without its marker")
+      // the ingest retry rewrites the segment idempotently and commits
+      val drift = operators.Vectors.pqIndexAppend(b1, "tcr2", "s1")
+      assert(drift > 0.0 && java.lang.Double.isFinite(drift))
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "tcr2", "_drift_s1")))
+      assert(operators.Vectors.pqIndex(train, "tcr2", rounds = 1)._1.count()
+        == N * 32)
+    } finally s128.conf.unset(operators.Vectors.PqIndexDirKey)
+  }
+
+  test("lost _codes_current after compaction fails loudly (no stale fallback)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_crash3").toString
+    s128.conf.set(operators.Vectors.PqIndexDirKey, dir)
+    try {
+      val train = emb128.filter(col("vec_id") < 200)
+      operators.Vectors.pqIndex(train, "tcr3", rounds = 1)
+      operators.Vectors.pqIndexAppend(
+        emb128.filter(col("vec_id") >= 200), "tcr3", "s1")
+      operators.Vectors.pqIndexCompact(s128, "tcr3")
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(dir, "tcr3", "_codes_current"))
+      // the pre-compaction fallback would silently drop the absorbed
+      // append — it must refuse instead (r11 advisory)
+      val e = intercept[IllegalArgumentException] {
+        operators.Vectors.pqIndex(train, "tcr3", rounds = 1)._1.count()
+      }
+      assert(e.getMessage.contains("_codes_current"), e.getMessage)
+    } finally s128.conf.unset(operators.Vectors.PqIndexDirKey)
+  }
+
   test("pqIndexAppend drift re-check flags a shifted ingest distribution") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pq_drift").toString
     s128.conf.set(operators.Vectors.PqIndexDirKey, dir)
