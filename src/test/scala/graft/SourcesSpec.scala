@@ -259,6 +259,57 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("DSv2 custom source: filter pushdown reaches the scan and prunes input partitions") {
+    val df = spark.read.format("graft.sources.DetRangeSource")
+      .option("rows", 100000).option("slices", 8).load()
+      .filter(col("id") >= 20000 && col("id") < 30000)
+      .select(col("bucket"))
+    // the V2 scan's description carries the absorbed id range — the
+    // predicate reached the source, it is not a post-scan Filter
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("DetRangeScan [20000, 30000)"), p.take(1200))
+    // and the planned splits cover ONLY the surviving range (the V2
+    // analog of partition pruning): 8 slices over 10k ids, all inside
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    val parts = scans.head.scan.toBatch.planInputPartitions()
+    assert(parts.length == 8, s"${parts.length} partitions")
+    val bounds = parts.map(_.asInstanceOf[graft.sources.DetRangePartition])
+    assert(bounds.forall(b => b.lo >= 20000 && b.hi <= 30000))
+    assert(bounds.map(b => b.hi - b.lo).sum == 10000L)
+    assert(df.count() == 10000L)
+  }
+
+  test("DSv2 custom source: column pruning — unprojected columns never materialize") {
+    val df = spark.read.format("graft.sources.DetRangeSource")
+      .option("rows", 1000).load()
+      .select(col("bucket"), col("kscore"))
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    val read = scans.head.scan.readSchema().fieldNames.toSeq
+    assert(read.sorted == Seq("bucket", "kscore"),
+      s"read schema not pruned: $read")
+    // a residual (non-id) predicate stays Spark-side and still filters
+    val n = spark.read.format("graft.sources.DetRangeSource")
+      .option("rows", 1000).load()
+      .filter(col("bucket") === 3).count()
+    assert(n == 63L) // ids 3, 19, ..., 995: ceil((1000-3)/16)
+  }
+
+  test("DSv2 custom source: values match the spark.range twin on every column") {
+    val viaSource = spark.read.format("graft.sources.DetRangeSource")
+      .option("rows", 1000).option("slices", 3).load()
+    val twin = spark.range(1000).select(col("id"),
+      (col("id") % 16).cast("int").as("bucket"),
+      ((col("id") * 31) % 997).cast("int").as("kscore"),
+      (((col("id") * 31) % 997).cast("double") / 997.0).as("score"),
+      concat(lit("doc_"), (col("id") % 1000).cast("string")).as("doc_id"))
+    assert(viaSource.exceptAll(twin).count() == 0)
+    assert(twin.exceptAll(viaSource).count() == 0)
+  }
+
   test("operators behave on empty inputs (filter-to-nothing upstream)") {
     val empty = Tables.orders(spark, sf).filter(col("o_orderkey") < 0)
     assert(empty.groupBy("o_orderstatus").count().count() == 0)
