@@ -243,4 +243,63 @@ class CurationSpec extends AnyFunSuite {
     assert(frac >= 0.7 && frac <= 0.95,
       s"train fraction $frac outside [0.7, 0.95]")
   }
+
+  test("kAnonGeneralize terminates on adversarial QI data (every class unique until full suppression)") {
+    // worst case for the ladder: every row its own (lang, source, band)
+    // class, and lang/source stay unique at EVERY partial level — only
+    // full suppression (level 6) can satisfy k
+    val adversarial = spark.range(40).select(
+      concat(lit("l"), col("id")).as("lang"),
+      concat(lit("s"), col("id")).as("source"),
+      (col("id") * 100000).as("n_chars"))
+    val (lv, classes) = operators.Curation.kAnonGeneralize(adversarial, 5)
+    assert(lv == 6, s"expected full suppression, stopped at level $lv")
+    val rows = classes.collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("cn") == 40L)
+  }
+
+  test("kAnonGeneralize stops at the first satisfying level and every class reaches k") {
+    // 3 langs x 2 sources, 10 rows each, n_chars constant: level 0
+    // already has min class 10 >= 5 — the loop must not over-generalize
+    val easy = spark.range(60).select(
+      concat(lit("l"), col("id") % 3).as("lang"),
+      concat(lit("s"), col("id") % 2).as("source"),
+      lit(250L).as("n_chars"))
+    val (lv, classes) = operators.Curation.kAnonGeneralize(easy, 5)
+    assert(lv == 0, s"over-generalized to level $lv")
+    val cns = classes.collect().map(_.getAs[Long]("cn"))
+    assert(cns.length == 6 && cns.forall(_ >= 5))
+  }
+
+  test("kAnonGeneralize fails loudly when the corpus is smaller than k") {
+    val tiny = spark.range(3).select(lit("en").as("lang"),
+      lit("web").as("source"), lit(100L).as("n_chars"))
+    val e = intercept[IllegalStateException] {
+      operators.Curation.kAnonGeneralize(tiny, 5)
+    }
+    assert(e.getMessage.contains("fewer"), e.getMessage)
+  }
+
+  test("t122 ledger: info loss is monotone in level, chosen = least satisfied, t120 risk vanishes at the chosen level") {
+    val led = SparkEntry.queries("t122_kanon_generalize_ledger")(spark, sf)
+      .orderBy(col("level")).collect()
+    assert(led.length == 7)
+    val losses = led.map(_.getAs[Double]("info_loss"))
+    assert(losses.zip(losses.tail).forall { case (a, b) => a <= b },
+      s"info loss not monotone: ${losses.mkString(",")}")
+    assert(losses.head == 0.0 && losses.last == 1.0)
+    val chosen = led.filter(_.getAs[Boolean]("chosen"))
+    assert(chosen.length == 1)
+    val lv = chosen.head.getAs[Long]("level")
+    assert(led.filter(_.getAs[Long]("level") < lv)
+      .forall(!_.getAs[Boolean]("satisfied")))
+    assert(chosen.head.getAs[Boolean]("satisfied"))
+    assert(chosen.head.getAs[Long]("n_risky_docs") == 0L,
+      "chosen level still carries risky mass")
+    // and the generalized table agrees with the loop's level
+    val cls = SparkEntry.queries("t123_kanon_generalized_classes")(spark, sf)
+      .collect()
+    assert(cls.forall(_.getAs[Long]("level") == lv))
+    assert(cls.forall(_.getAs[Long]("n") >= 5L))
+  }
 }

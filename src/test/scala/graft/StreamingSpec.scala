@@ -245,6 +245,88 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("timer processor survives a kill+restart under RocksDB changelog checkpointing") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[Ev]
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    val prevChangelog = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    try {
+      val rows = eventRows().sortBy(e => (e.ts.getTime, e.event_id))
+      val (first, second) = rows.splitAt(rows.size / 2)
+      val maxTs = rows.map(_.ts.getTime).max
+      val flush = Ev(-1L, new java.sql.Timestamp(maxTs + 10L * 24 * 3600 * 1000),
+        999999999L, "click", 0.0)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_tws_ckpt").toString
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_tws_out").toString
+      val stream = MemoryStream[Ev]
+      // parquet sink: the one in-repo sink that SUPPORTS checkpoint
+      // recovery (the memory sink refuses to restart from a checkpoint)
+      def startQ() = StreamingOps.idleSessionsTws(stream.toDS()).toDF()
+        .writeStream.outputMode(OutputMode.Append()).format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt).start()
+      val q1 = startQ()
+      stream.addData(first)
+      q1.processAllAvailable()
+      // kill MID-STREAM: live sessions and their armed timers exist
+      // only in the RocksDB store + changelog at this instant
+      q1.stop()
+      val q2 = startQ()
+      stream.addData(second)
+      q2.processAllAvailable()
+      stream.addData(Seq(flush))
+      q2.processAllAvailable()
+      q2.stop()
+      // if state OR timers had been lost in the restart, sessions
+      // spanning the kill point would split and idle sessions opened
+      // before it would never finalize — the batch twin catches both
+      val got = spark.read.parquet(outDir)
+        .filter(col("user_id") =!= 999999999L)
+        .select(col("user_id"), col("session_start_us"),
+          col("session_end_us"), col("n_events"))
+        .collect().map(_.toString).sorted.toSeq
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(spark, sf)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = ev
+        .withColumn("prev", lag(col("us"), 1).over(wOrd))
+        .withColumn("isl", sum(
+          when(col("prev").isNull || col("us") - col("prev") > 30L * 60 * 1000000,
+            1L).otherwise(0L)).over(wRun))
+        .groupBy(col("user_id"), col("isl"))
+        .agg(min(col("us")).as("session_start_us"),
+          max(col("us")).as("session_end_us"), count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_start_us"),
+          col("session_end_us"), col("n_events"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(got.nonEmpty && got == want)
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevChangelog match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+      }
+    }
+  }
+
   test("stream-stream join == batch join with the same time bound") {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = Encoders.product[Ev]
