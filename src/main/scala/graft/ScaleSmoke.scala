@@ -43,6 +43,16 @@ object ScaleSmoke {
 
     val base = java.nio.file.Files.createTempDirectory("graft_smoke").toString
 
+    // synthetic tables are hundreds of MB per run: deleted at the end so
+    // repeated runs don't build disk pressure (which skews measurements)
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+
     // ---- synthetic events: skewed event_type (80% 'click'), 100k users
     spark.range(nEvents).select(
       col("id").as("event_id"),
@@ -55,16 +65,29 @@ object ScaleSmoke {
     val ev = spark.read.parquet(s"$base/events")
     ev.count() // warm FS cache / JIT before measuring
 
-    // ---- synthetic docs: ~10% exact-dup groups, 12-token texts
+    // ---- synthetic docs: ~10% exact-dup groups, 12-token texts.
+    // Written under the fixture's table name so Tables.documents()
+    // resolves this dir and REGISTERED queries can run on it directly
+    // (the round-12 t118 smoke below).
     spark.range(nDocs).select(
       col("id").as("doc_id"),
       concat_ws(" ", (0 until 12).map(i =>  // id div 10: 10-doc dup groups
         concat(lit(s"w$i"), pmod(xxhash64((col("id") / 10).cast("long") + i),
           lit(5000L)))): _*)
         .as("text"))
-      .write.mode("overwrite").parquet(s"$base/docs")
-    val docs = spark.read.parquet(s"$base/docs")
+      .write.mode("overwrite").parquet(s"$base/documents.parquet")
+    val docs = spark.read.parquet(s"$base/documents.parquet")
     docs.count()
+    // ---- synthetic 16-d embeddings, vec_id ≡ doc_id (the t118/v90
+    // smokes; dot/norm are conf-free array folds, so a narrow dim keeps
+    // generation cheap while candidate volume — the actual scale risk —
+    // stays at nDocs)
+    spark.range(nDocs).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)), i =>
+        (pmod(xxhash64(col("id") * 16 + i), lit(1000L)).cast("double")
+          / 500.0 - 1.0).cast("float")).as("embedding"))
+      .write.mode("overwrite").parquet(s"$base/embeddings.parquet")
+    spark.read.parquet(s"$base/embeddings.parquet").count()
 
     time("agg groupBy (q1 shape)", nEvents) {
       ev.groupBy(col("event_type"))
@@ -659,16 +682,39 @@ object ScaleSmoke {
         .dropDuplicates("user_id", "b2")
         .groupBy(col("b2")).agg(count(lit(1)).as("wau")).count()
     }
-    spark.stop()
-    // synthetic tables are hundreds of MB per run: delete so repeated
-    // runs don't build disk pressure (which skews the measurements)
-    def rmTree(p: java.nio.file.Path): Unit = {
-      import scala.jdk.CollectionConverters._
-      if (java.nio.file.Files.exists(p)) {
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+    // ---- round-12 serving-lifecycle smokes (VERDICT r11 task 6) ----
+    time("RRF hybrid fusion (t118)", nDocs) {
+      // the REGISTERED t118 function, unmodified, over this dir's 2M
+      // synthetic documents + embeddings (vec_id ≡ doc_id): lexical
+      // side postings-bounded by the 10 probes' terms, semantic side a
+      // broadcast-probe codegen-dot scan, rank-only fusion
+      SparkEntry.queries("t118_rrf_fusion")(spark, base).count()
     }
+    operators.Scale.releasePins() // t118 pins its token explode; untimed cleanup
+    locally {
+      // v90 segment compaction at nDocs vectors: train-once index (16-d
+      // geometry → 4 subspaces, nDocs×4 code rows), two committed 5%
+      // append segments, then ONE timed compaction — the honest cost is
+      // reading base+appends and writing the single compacted segment
+      // behind the atomic pointer swap
+      val pqDir = java.nio.file.Files
+        .createTempDirectory("graft_smoke_pq").toString
+      spark.conf.set(operators.Vectors.PqIndexDirKey, pqDir)
+      val g = Some(graft.functions.VecGeom(dim = 16))
+      val embAll = spark.read.parquet(s"$base/embeddings.parquet")
+      val train = embAll.filter(col("vec_id") % 20 =!= 0)
+      operators.Vectors.pqIndex(train, "smoke", rounds = 1, geom = g)
+      operators.Vectors.pqIndexAppend(
+        embAll.filter(col("vec_id") % 40 === 0), "smoke", "sa", geom = g)
+      operators.Vectors.pqIndexAppend(
+        embAll.filter(col("vec_id") % 40 === 20), "smoke", "sb", geom = g)
+      time("PQ index compact (v90)", nDocs * 4) { // rows = code rows
+        operators.Vectors.pqIndexCompact(spark, "smoke")
+      }
+      spark.conf.unset(operators.Vectors.PqIndexDirKey)
+      rmTree(java.nio.file.Paths.get(pqDir))
+    }
+    spark.stop()
     rmTree(java.nio.file.Paths.get(base))
   }
 }
