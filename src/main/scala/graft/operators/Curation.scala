@@ -882,10 +882,14 @@ object Curation {
     * generalization height — the Samarati/Mondrian loss proxy:
     * len_h/4, src_h, lang_h averaged), with the chosen level = the
     * least level whose smallest class reaches k = 5. The whole
-    * trajectory in one plan: all seven levels roll up from one shared
-    * finest-level aggregate (Catalyst reuses its exchange — the
-    * corpus shuffles once), so the "loop" costs one scan at any
-    * corpus size. */
+    * trajectory in one plan AND one corpus pass: the finest-level
+    * class aggregate feeds a single GROUPING SETS aggregate that
+    * computes all seven levels together (grouping_id → level), and the
+    * chosen level is a whole-frame min over the 7-row ledger — the
+    * corpus is scanned once, shuffled once, with no duplicated
+    * subtrees (a union of 7 roll-up branches would re-derive the
+    * corpus aggregate per branch: Catalyst does not merge identical
+    * aggregate subtrees, verified by explain in round 12). */
   val qKAnonLedger: Q = Q(
     "t122_kanon_generalize_ledger",
     """WITH q0 AS (SELECT lang, source, n_chars // 100 AS b, count(*) AS n
@@ -926,17 +930,40 @@ object Curation {
       |       mn >= 5 AS satisfied, level = sel.lv AS chosen
       |FROM led CROSS JOIN sel ORDER BY level""".stripMargin
   ) { (s, d) =>
+    // ONE corpus aggregate, then ONE grouping-sets pass over the tiny
+    // class table computes every ladder level together (7 separate
+    // roll-up branches would each re-derive q0 — Catalyst does not
+    // merge identical aggregate subtrees across a union); grouping_id
+    // identifies the level. The chosen level comes from a 7-row
+    // whole-frame window, so the ledger subtree is never duplicated.
+    import org.apache.spark.sql.expressions.Window
     val q0 = kAnonQ0(Tables.documents(s, d))
-    def statsAt(lv: Int) =
-      kAnonClassesAt(q0, lv).agg(count(lit(1)).as("n_classes"),
-          min(col("cn")).as("min_class_n"),
-          sum(when(col("cn") < 5, col("cn")).otherwise(0L)).as("n_risky_docs"))
-        .select(lit(lv.toLong).as("level"), col("n_classes"),
-          col("min_class_n"), col("n_risky_docs"))
-    val led = (0 to 6).map(statsAt).reduce(_ unionByName _)
-    val sel = led.filter(col("min_class_n") >= 5)
-      .agg(min(col("level")).as("lv"))
-    led.crossJoin(broadcast(sel))
+    val lv = q0.select(col("lang"), col("source"), col("b"),
+      (col("b") / 2).cast("long").as("b2"),
+      (col("b") / 4).cast("long").as("b4"),
+      (col("b") / 8).cast("long").as("b8"), col("n"))
+    val sets = Seq(
+      Seq(col("lang"), col("source"), col("b")), // L0 … gid 7
+      Seq(col("lang"), col("source"), col("b2")), // L1 … gid 11
+      Seq(col("lang"), col("source"), col("b4")), // L2 … gid 13
+      Seq(col("lang"), col("source"), col("b8")), // L3 … gid 14
+      Seq(col("lang"), col("source")), // L4 … gid 15
+      Seq(col("lang")), // L5 … gid 31
+      Seq()) // L6 … gid 63
+    val classes = lv.groupingSets(sets, col("lang"), col("source"),
+        col("b"), col("b2"), col("b4"), col("b8"))
+      .agg(sum(col("n")).as("cn"), grouping_id().as("gid"))
+      .withColumn("level",
+        when(col("gid") === 7, 0L).when(col("gid") === 11, 1L)
+          .when(col("gid") === 13, 2L).when(col("gid") === 14, 3L)
+          .when(col("gid") === 15, 4L).when(col("gid") === 31, 5L)
+          .otherwise(6L))
+    val led = classes.groupBy(col("level"))
+      .agg(count(lit(1)).as("n_classes"), min(col("cn")).as("min_class_n"),
+        sum(when(col("cn") < 5, col("cn")).otherwise(0L)).as("n_risky_docs"))
+    led.withColumn("lv",
+        min(when(col("min_class_n") >= 5, col("level")))
+          .over(Window.partitionBy())) // 7 rows by construction
       .select(col("level"),
         least(col("level"), lit(4L)).cast("int").as("len_h"),
         when(col("level") >= 5, 1).otherwise(0).cast("int").as("src_h"),

@@ -534,7 +534,10 @@ class PlanSpec extends AnyFunSuite {
       // centers-increasing flag over the 8-row histogram_numeric sketch
       // output: the window is on the SKETCH, not the data (r9 note at
       // Aggregates.qAdaptiveHistogram)
-      "q190_adaptive_histogram"
+      "q190_adaptive_histogram",
+      // chosen-level min over the 7-row generalization ledger: the
+      // window input is one row per ladder level by construction
+      "t122_kanon_generalize_ledger"
     )
     // Iterative queries run their loop eagerly on fn() and return a
     // frame over a cached/checkpointed RDD, so their returned plan is a
