@@ -137,5 +137,53 @@ object Subqueries {
         |FROM graft_sq_customer c ORDER BY c_custkey""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(qCorrScalarWhere, qExists, qNotIn, qSelectScalar)
+  /** Correlated LATERAL derived table with ORDER BY + LIMIT — the
+    * per-outer-row top-1 idiom (greatest order per customer). A naive
+    * engine re-runs the inner sort per customer; the decorrelated plan
+    * is ONE window rank over orders partitioned by the correlation key
+    * (exactly the q21 top-k-per-group shape, derived by the optimizer
+    * from SQL text instead of hand-written). */
+  val qLateralTop1: Q = Q(
+    "q208_lateral_top1",
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+      |ORDER BY c_custkey""".stripMargin
+  ) { (s, d) =>
+    sql(s, d,
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM graft_sq_customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM graft_sq_orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** UNcorrelated scalar subquery — the contrast case: with no outer
+    * reference there is nothing to decorrelate; the right plan keeps a
+    * Subquery node that executes ONCE and feeds the filter as a
+    * literal (PlanSpec pins exactly one such node — once-per-query is
+    * the efficient shape, per-outer-row is the bug). Threshold is a
+    * MAX (exact, no float summation) so the compare is deterministic
+    * on both engines. */
+  val qUncorrScalar: Q = Q(
+    "q209_uncorr_scalar_subquery",
+    """SELECT o_orderpriority, count(*) AS n_above
+      |FROM orders
+      |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders
+      |                      WHERE o_orderdate < TIMESTAMP '1995-03-01')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  ) { (s, d) =>
+    sql(s, d,
+      """SELECT o_orderpriority, count(*) AS n_above
+        |FROM graft_sq_orders
+        |WHERE o_totalprice > (SELECT max(o_totalprice) FROM graft_sq_orders
+        |                      WHERE o_orderdate < TIMESTAMP '1995-03-01')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(qCorrScalarWhere, qExists, qNotIn, qSelectScalar,
+    qLateralTop1, qUncorrScalar)
 }

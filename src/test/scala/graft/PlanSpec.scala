@@ -73,6 +73,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q208: correlated LATERAL top-1 decorrelates to a per-key window rank, no subquery") {
+    val p = plan("q208_lateral_top1")
+    assert(!p.contains("Subquery"),
+      "per-outer-row lateral re-execution survived:\n" + p.take(800))
+    val qe = SparkEntry.queries("q208_lateral_top1")(spark, sf).queryExecution
+    val wins = qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+      case g: org.apache.spark.sql.execution.window.WindowGroupLimitExec => g
+    }
+    assert(wins.nonEmpty, "expected a window-rank rewrite of the " +
+      "correlated LIMIT; got:\n" + p.take(800))
+  }
+
+  test("q209: UNcorrelated scalar subquery stays a once-executed Subquery (the efficient shape)") {
+    val p = plan("q209_uncorr_scalar_subquery")
+    assert(p.contains("Subquery"),
+      "one-shot scalar subquery should execute once as a Subquery node:\n" +
+        p.take(800))
+  }
+
   test("t118: RRF's semantic side broadcasts the probe set (no candidate shuffle join)") {
     val p = plan("t118_rrf_fusion")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
