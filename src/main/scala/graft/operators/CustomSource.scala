@@ -35,5 +35,23 @@ object CustomSource {
       .orderBy(col("bucket"))
   }
 
-  val all: Seq[Q] = Seq(qDsv2Pushdown)
+  /** Complete AGGREGATE pushdown (round 12 follow-on): global
+    * count/min/max over the id range are answered by the source in
+    * closed form — the plan's scan is a one-row `DetRangeAggScan`
+    * (SourcesSpec pins it), no row is ever generated or scanned. The
+    * V2 analog of answering aggregates from parquet footer stats. */
+  val qDsv2AggPushdown: Q = Q(
+    "q210_dsv2_agg_pushdown",
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |       min(id) AS min_id, max(id) AS max_id
+      |FROM range(20000, 30000) t(id)""".stripMargin
+  ) { (s, _) =>
+    s.read.format("graft.sources.DetRangeSource")
+      .option("rows", 100000).option("slices", 8).load()
+      .filter(col("id") >= 20000 && col("id") < 30000)
+      .agg(count(lit(1)).as("n"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+  }
+
+  val all: Seq[Q] = Seq(qDsv2Pushdown, qDsv2AggPushdown)
 }

@@ -6,8 +6,9 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -33,7 +34,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *    cover only the surviving id range, the V2 analog of parquet
   *    row-group/partition pruning (at 100 TB this is the difference
   *    between scanning a day and scanning the year); non-id predicates
-  *    are returned as residuals for Spark to evaluate.
+  *    are returned as residuals for Spark to evaluate;
+  *  - `SupportsPushDownLimit`: an exact limit caps the planned range —
+  *    no partitions over dead tail ranges (refused when a residual
+  *    filter must run first);
+  *  - `SupportsPushDownAggregates`: global COUNT/MIN(id)/MAX(id) are
+  *    answered in CLOSED FORM by a one-row scan — the V2 analog of
+  *    aggregates from parquet footer statistics (complete-or-nothing:
+  *    anything the source can't answer exactly falls back to the row
+  *    scan).
   *
   * Usage: `spark.read.format("graft.sources.DetRangeSource")
   *   .option("rows", n).option("slices", k).load()`
@@ -86,11 +95,15 @@ private[sources] class DetRangeTable(rows: Long, slices: Int)
 
 private[sources] class DetRangeScanBuilder(rows: Long, slices: Int)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
   private var required: StructType = DetRangeSource.schema
   private var lo: Long = 0L
   private var hi: Long = rows // exclusive
   private var pushed: Array[Filter] = Array.empty
+  private var hadResidual = false
+  private var limit: Option[Long] = None
+  private var aggFuncs: Seq[AggregateFunc] = Nil
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Spark hands the projected subset in projection order; an empty
@@ -120,21 +133,109 @@ private[sources] class DetRangeScanBuilder(rows: Long, slices: Int)
       case other => residual += other
     }
     pushed = accepted.toArray
+    hadResidual = residual.nonEmpty
     residual.toArray
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new DetRangeScan(lo, hi, slices, required, pushed)
+  /** Limit pushdown: EXACT — the scan caps its planned id range to the
+    * first `l` surviving rows, so no partition is ever planned over
+    * dead tail ranges. Refused when a residual (source-unevaluable)
+    * filter exists: the limit must apply AFTER that filter, which only
+    * Spark can run. */
+  override def pushLimit(l: Int): Boolean =
+    if (hadResidual) false
+    else { limit = Some(l.toLong); true }
+
+  private def isIdRef(
+      e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case f: NamedReference => f.fieldNames.toSeq == Seq("id")
+      case _ => false
+    }
+
+  /** COMPLETE aggregate pushdown: on a deterministic integer range,
+    * global COUNT(*) / COUNT(id) / MIN(id) / MAX(id) are CLOSED FORM —
+    * (hi−lo), lo, hi−1 — so the "scan" emits one precomputed row and
+    * reads nothing. The V2 analog of answering aggregates from parquet
+    * footer statistics: at 100 TB the difference between a metadata
+    * lookup and a full pass. Refused whenever correctness needs rows:
+    * residual filters, a pushed limit, GROUP BY, or any other agg. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    !hadResidual && limit.isEmpty && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case c: Count => !c.isDistinct && isIdRef(c.column) // id non-null
+        case m: Min => isIdRef(m.column)
+        case m: Max => isIdRef(m.column)
+        case _ => false
+      }
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    supportCompletePushDown(agg) && { // complete-or-nothing: a partial
+      aggFuncs = agg.aggregateExpressions.toSeq // push would still scan
+      true
+    }
+
+  override def build(): Scan =
+    if (aggFuncs.nonEmpty) new DetRangeAggScan(lo, hi, aggFuncs, pushed)
+    else {
+      val hiEff = limit.fold(hi)(l => math.min(hi, lo + l))
+      new DetRangeScan(lo, hiEff, slices, required, pushed, limit)
+    }
+}
+
+/** One-row closed-form scan for completely-pushed aggregates. */
+private[sources] class DetRangeAggScan(lo: Long, hi: Long,
+    funcs: Seq[AggregateFunc], pushed: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = StructType(funcs.zipWithIndex.map {
+    case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+    case (_: Count, i) => StructField(s"agg_$i", LongType, nullable = false)
+    case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"DetRangeAggScan [$lo, $hi) " +
+      s"PushedAggregates: ${funcs.map(_.describe).mkString("[", ", ", "]")} " +
+      s"PushedFilters: ${pushed.mkString("[", ", ", "]")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(DetRangePartition(lo, hi))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val fs = funcs // avoid serializing the Scan
+    new PartitionReaderFactory {
+      override def createReader(
+          partition: InputPartition): PartitionReader[InternalRow] = {
+        val p = partition.asInstanceOf[DetRangePartition]
+        val n = math.max(0L, p.hi - p.lo)
+        val row = InternalRow.fromSeq(fs.map {
+          case _: CountStar => n
+          case _: Count => n // count(id), id non-null
+          case _: Min => if (n > 0) p.lo else null
+          case _: Max => if (n > 0) p.hi - 1 else null
+          case other => throw new IllegalStateException(
+            s"unpushable aggregate reached the reader: ${other.describe}")
+        })
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = { val r = !emitted; emitted = true; r }
+          override def get(): InternalRow = row
+          override def close(): Unit = ()
+        }
+      }
+    }
+  }
 }
 
 private[sources] class DetRangeScan(lo: Long, hi: Long, slices: Int,
-    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
+    required: StructType, pushed: Array[Filter],
+    limit: Option[Long] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   // surfaced in explain() — what SourcesSpec greps for
   override def description(): String =
     s"DetRangeScan [$lo, $hi) slices=$slices " +
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")} " +
+      limit.fold("")(l => s"PushedLimit: $l ") +
       s"ReadSchema: ${required.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {

@@ -298,6 +298,46 @@ class SourcesSpec extends AnyFunSuite {
     assert(n == 63L) // ids 3, 19, ..., 995: ceil((1000-3)/16)
   }
 
+  test("DSv2 custom source: complete aggregate pushdown answers count/min/max in closed form") {
+    val df = spark.read.format("graft.sources.DetRangeSource")
+      .option("rows", 100000).load()
+      .filter(col("id") >= 20000 && col("id") < 30000)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("DetRangeAggScan"),
+      "aggregate did not push into the source:\n" + p.take(1200))
+    val r = df.head()
+    assert(r.getLong(0) == 10000L && r.getLong(1) == 20000L
+      && r.getLong(2) == 29999L, r.toString)
+    // a source-unanswerable aggregate (sum over a derived column) must
+    // fall back to the row scan and still be correct
+    val fallback = spark.read.format("graft.sources.DetRangeSource")
+      .option("rows", 1000).load()
+      .agg(sum(col("kscore").cast("long")).as("s"))
+    assert(!fallback.queryExecution.executedPlan.toString
+      .contains("DetRangeAggScan"))
+    val want = (0L until 1000L).map(id => (id * 31) % 997).sum
+    assert(fallback.head().getLong(0) == want)
+  }
+
+  test("DSv2 custom source: exact limit pushdown caps the planned range") {
+    val df = spark.read.format("graft.sources.DetRangeSource")
+      .option("rows", 100000).option("slices", 8).load()
+      .filter(col("id") >= 100).limit(7).select(col("id"))
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    if (scans.nonEmpty) { // limit reached the V2 scan
+      val parts = scans.head.scan.toBatch.planInputPartitions()
+        .map(_.asInstanceOf[graft.sources.DetRangePartition])
+      assert(parts.map(b => b.hi - b.lo).sum <= 7L,
+        s"planned span ${parts.mkString(",")} exceeds the pushed limit")
+    }
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq
+      == (100L until 107L).toSeq)
+  }
+
   test("DSv2 custom source: values match the spark.range twin on every column") {
     val viaSource = spark.read.format("graft.sources.DetRangeSource")
       .option("rows", 1000).option("slices", 3).load()
