@@ -82,10 +82,17 @@ object ScaleSmoke {
     // smokes; dot/norm are conf-free array folds, so a narrow dim keeps
     // generation cheap while candidate volume — the actual scale risk —
     // stays at nDocs)
+    // label: 10 classes with a per-class bias on component 0 so the v92
+    // probe has signal to learn (pure-hash components would make every
+    // class mean ~0 and the argmax a tie-break artifact)
     spark.range(nDocs).select(col("id").as("vec_id"),
-      transform(sequence(lit(0), lit(15)), i =>
-        (pmod(xxhash64(col("id") * 16 + i), lit(1000L)).cast("double")
-          / 500.0 - 1.0).cast("float")).as("embedding"))
+      pmod(xxhash64(col("id") + 7), lit(10L)).cast("int").as("label"))
+      .select(col("vec_id"), col("label"),
+        transform(sequence(lit(0), lit(15)), i =>
+          ((pmod(xxhash64(col("vec_id") * 16 + i), lit(1000L)).cast("double")
+            / 500.0 - 1.0)
+            + when(i === 0, col("label").cast("double") / 5.0)
+              .otherwise(lit(0.0))).cast("float")).as("embedding"))
       .write.mode("overwrite").parquet(s"$base/embeddings.parquet")
     spark.read.parquet(s"$base/embeddings.parquet").count()
 
@@ -691,6 +698,13 @@ object ScaleSmoke {
       SparkEntry.queries("t118_rrf_fusion")(spark, base).count()
     }
     operators.Scale.releasePins() // t118 pins its token explode; untimed cleanup
+    time("centroid classifier train+infer (v92)", nDocs) {
+      // the REGISTERED v92 function, unmodified: training is one
+      // partial-aggregating pass over nDocs×16 posexploded integer-micro
+      // components, the 10-row model re-enters as a broadcast, inference
+      // is a single corpus scan with the codegen-dot argmax
+      SparkEntry.queries("v92_centroid_classifier")(spark, base).count()
+    }
     locally {
       // v90 segment compaction at nDocs vectors: train-once index (16-d
       // geometry → 4 subspaces, nDocs×4 code rows), two committed 5%

@@ -20,7 +20,8 @@ object SparkEntry {
       operators.Reshape.all ++ operators.FunctionTours3.all ++
       operators.Curation.all ++ operators.Retrieval.all ++
       operators.Analytics.all ++ operators.Stats.all ++
-      operators.Subqueries.all ++ operators.CustomSource.all
+      operators.Subqueries.all ++ operators.CustomSource.all ++
+      operators.SqlSurface.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

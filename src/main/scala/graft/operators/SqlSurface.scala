@@ -1,0 +1,238 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.{Q, Tables}
+
+/** Spark 4 SQL-surface family (round 12): procedural SQL scripting and
+  * the VARIANT semi-structured type — the two headline SQL features a
+  * user of the deployed reference stack (dask `df.query`-style string
+  * queries; reference deployed lib per dask_ssh_docker/__init__.py:307)
+  * gains by arriving on Spark 4, each exercised end-to-end against a
+  * DuckDB value oracle.
+  *
+  *  - q211 drives BEGIN…END / DECLARE / SET / WHILE control flow: the
+  *    in-engine replacement for the driver-side python loop a dask user
+  *    writes around `compute()` (each round re-submitting a graph). The
+  *    loop body is a full aggregate query per iteration; the oracle
+  *    unrolls the same fixed-point as chained CTEs.
+  *  - q212 drives parse_json → VARIANT → typed-path extraction
+  *    (`variant_get`, `try_variant_get`, `schema_of_variant`): the
+  *    schema-on-read path for event payloads that at 100 TB replaces
+  *    "cast the whole JSON column to one rigid struct" — per-row typed
+  *    access with NULL-on-missing and loud-or-NULL type mismatches.
+  *
+  * Scale posture: q211's loop is O(iterations) FULL scans by design —
+  * the point of in-engine scripting is that each round is one
+  * map-side-combined aggregate (no driver collect between rounds beyond
+  * the scalar); q212 is a single streamed scan, the variant parse is a
+  * per-row scalar op inside codegen, and the roll-up is a 5-group
+  * aggregate.
+  */
+object SqlSurface {
+
+  /** PROCEDURAL SQL SCRIPTING (Spark 4 BEGIN…END): iterative outlier
+    * trim to a fixed point — each round recomputes the mean of
+    * `l_extendedprice` over rows at most 1.2× the previous round's
+    * mean, a 4-round DECLARE/WHILE loop with the per-round (mean, kept
+    * count) appended to an ARRAY<STRUCT> variable, posexploded as the
+    * result ledger.
+    *
+    * Cross-engine float parity: prices enter as exact integer pennies
+    * (`floor(price·100)` BIGINT), each round's mean is an EXACT integer
+    * sum cast to double and divided by the kept count — one
+    * deterministic division, no order-dependent double summation — so
+    * the ledger matches DuckDB's unrolled-CTE oracle bit-for-bit. The
+    * fixture dynamics are real: 4 distinct means (5.3e6 → 1.2e6
+    * pennies), strictly decreasing kept counts.
+    *
+    * The scripting conf is session-settable; set here so Verify/Bench
+    * sessions (which don't pre-enable it) run the query unchanged. */
+  val qSqlScriptingTrim: Q = Q(
+    "q211_sql_scripting_trim",
+    """WITH pr AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS p
+      |            FROM lineitem),
+      |i0 AS (SELECT CAST(sum(p) AS DOUBLE) / count(*) AS mu,
+      |              count(*) AS n_kept FROM pr),
+      |i1 AS (SELECT CAST(sum(p) AS DOUBLE) / count(*) AS mu,
+      |              count(*) AS n_kept FROM pr
+      |       WHERE p <= 1.2 * (SELECT mu FROM i0)),
+      |i2 AS (SELECT CAST(sum(p) AS DOUBLE) / count(*) AS mu,
+      |              count(*) AS n_kept FROM pr
+      |       WHERE p <= 1.2 * (SELECT mu FROM i1)),
+      |i3 AS (SELECT CAST(sum(p) AS DOUBLE) / count(*) AS mu,
+      |              count(*) AS n_kept FROM pr
+      |       WHERE p <= 1.2 * (SELECT mu FROM i2))
+      |SELECT 0 AS iter, mu AS mu_pennies, n_kept FROM i0
+      |UNION ALL SELECT 1, mu, n_kept FROM i1
+      |UNION ALL SELECT 2, mu, n_kept FROM i2
+      |UNION ALL SELECT 3, mu, n_kept FROM i3
+      |ORDER BY iter""".stripMargin
+  ) { (s, d) =>
+    s.conf.set("spark.sql.scripting.enabled", "true")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_scr_lineitem")
+    s.sql("""
+      |BEGIN
+      |  DECLARE cur STRUCT<mu: DOUBLE, n_kept: BIGINT>;
+      |  DECLARE hist ARRAY<STRUCT<mu: DOUBLE, n_kept: BIGINT>> DEFAULT ARRAY();
+      |  DECLARE it INT DEFAULT 0;
+      |  SET cur = (SELECT named_struct(
+      |               'mu', CAST(sum(p) AS DOUBLE) / count(*),
+      |               'n_kept', count(*))
+      |             FROM (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS p
+      |                   FROM graft_scr_lineitem));
+      |  SET hist = array_append(hist, cur);
+      |  WHILE it < 3 DO
+      |    SET cur = (SELECT named_struct(
+      |                 'mu', CAST(sum(p) AS DOUBLE) / count(*),
+      |                 'n_kept', count(*))
+      |               FROM (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS p
+      |                     FROM graft_scr_lineitem)
+      |               WHERE p <= 1.2 * cur.mu);
+      |    SET hist = array_append(hist, cur);
+      |    SET it = it + 1;
+      |  END WHILE;
+      |  SELECT pos AS iter, item.mu AS mu_pennies, item.n_kept AS n_kept
+      |  FROM (SELECT posexplode(hist) AS (pos, item)) ORDER BY iter;
+      |END""".stripMargin)
+  }
+
+  /** VARIANT SEMI-STRUCTURED TYPE (Spark 4): event payloads parsed once
+    * with `parse_json`, then accessed by typed path —
+    *  - `variant_get($.k, bigint/int)`: typed extraction feeding sums;
+    *  - a missing path returns NULL (n_missing counts it: 0 non-nulls);
+    *  - `try_variant_get` with an impossible target type (array<int>
+    *    from a scalar) yields NULL instead of failing (n_bad = 0);
+    *  - `schema_of_variant` pins the inferred per-row schema, and
+    *    n_schemas = 1 proves it is uniform across the corpus
+    *    (data-derived on the Spark side; the oracle states the pinned
+    *    literal — DuckDB has no variant inference to mirror);
+    *  - a NESTED variant built from typed columns round-trips through
+    *    to_json → parse_json → `$.m.v` double extraction exactly
+    *    (min/max are order-free; shortest-round-trip JSON doubles are
+    *    lossless on both engines).
+    *
+    * Scale note: at 100 TB the win over get_json_object is parse-once /
+    * extract-many and binary (shredded) storage; here every extraction
+    * is a codegen'd per-row scalar inside one streamed scan. */
+  val qVariantShred: Q = Q(
+    "q212_variant_shred",
+    """SELECT event_type,
+      |       count(*) AS n,
+      |       sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+      |       max(CAST(props->>'$.k' AS INT)) AS max_k,
+      |       CAST(count(props->>'$.missing') AS BIGINT) AS n_missing,
+      |       CAST(0 AS BIGINT) AS n_bad,
+      |       -- Spark's inferred variant schema, uniform across rows
+      |       -- (n_schemas proves uniformity data-derived on the Spark
+      |       -- side; DuckDB has no variant inference to mirror)
+      |       'OBJECT<k: BIGINT>' AS vschema,
+      |       CAST(1 AS BIGINT) AS n_schemas,
+      |       round(min(value), 6) AS min_v,
+      |       round(max(value), 6) AS max_v
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d).createOrReplaceTempView("graft_var_events")
+    s.sql("""
+      |SELECT event_type,
+      |       count(*) AS n,
+      |       sum(variant_get(v, '$.k', 'bigint')) AS sum_k,
+      |       max(variant_get(v, '$.k', 'int')) AS max_k,
+      |       count(variant_get(v, '$.missing', 'string')) AS n_missing,
+      |       count(try_variant_get(v, '$.k', 'array<int>')) AS n_bad,
+      |       min(schema_of_variant(v)) AS vschema,
+      |       CAST(count(DISTINCT schema_of_variant(v)) AS BIGINT) AS n_schemas,
+      |       round(min(variant_get(nv, '$.m.v', 'double')), 6) AS min_v,
+      |       round(max(variant_get(nv, '$.m.v', 'double')), 6) AS max_v
+      |FROM (SELECT event_type, parse_json(props) AS v,
+      |             parse_json(to_json(named_struct(
+      |               'm', named_struct('v', value)))) AS nv
+      |      FROM graft_var_events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  /** RECURSIVE CTE (Spark 4.1 WITH RECURSIVE): per-root reachability
+    * over the implicit binary tree on the dense orderkey domain
+    * (children 2k, 2k+1) — each recursion step is a REAL frontier join
+    * against the orders table (explode the candidate children, equi-join
+    * to keep the ones that exist), not driver-side arithmetic. From
+    * roots 1–4 the walk reaches 15k/8k/7k/4k keys in 11–13 levels and
+    * reports reach count, max depth, and the exact integer-pennies
+    * revenue of the reach set.
+    *
+    * This is the declarative twin of the hand-rolled iterative loops
+    * (t63/t71 connected components, v68 Lloyd): the engine owns the
+    * fixpoint. Scale shape: each level is one equi-join shuffle keyed on
+    * the child id with the frontier as the small side; depth is
+    * O(log |keys|) for this topology, and the level limit
+    * (spark.sql.cteRecursionLevelLimit) is the same loud-cap discipline
+    * as t63's escalation round cap. Exact value oracle: DuckDB runs the
+    * identical WITH RECURSIVE; sums are exact BIGINT pennies. */
+  val qRecursiveCte: Q = Q(
+    "q213_recursive_cte_reach",
+    """WITH RECURSIVE walk(root, k, depth) AS (
+      |  SELECT o_orderkey, o_orderkey, 0 FROM orders
+      |  WHERE o_orderkey BETWEEN 1 AND 4
+      |  UNION ALL
+      |  SELECT c.root, o.o_orderkey, c.depth + 1
+      |  FROM (SELECT w.root, unnest([w.k * 2, w.k * 2 + 1]) AS ck, w.depth
+      |        FROM walk w) c
+      |  JOIN orders o ON o.o_orderkey = c.ck)
+      |SELECT root, CAST(count(*) AS BIGINT) AS n_reach,
+      |       max(depth) AS max_depth,
+      |       CAST(sum(CAST(floor(ot * 100) AS BIGINT)) AS BIGINT) AS pennies
+      |FROM (SELECT w.root, w.depth, o.o_totalprice AS ot
+      |      FROM walk w JOIN orders o ON o.o_orderkey = w.k)
+      |GROUP BY root ORDER BY root""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("graft_rec_orders")
+    s.sql("""
+      |WITH RECURSIVE walk(root, k, depth) AS (
+      |  SELECT o_orderkey, o_orderkey, 0 FROM graft_rec_orders
+      |  WHERE o_orderkey BETWEEN 1 AND 4
+      |  UNION ALL
+      |  SELECT c.root, o.o_orderkey, c.depth + 1
+      |  FROM (SELECT root, explode(array(k * 2, k * 2 + 1)) AS ck, depth
+      |        FROM walk) c
+      |  JOIN graft_rec_orders o ON o.o_orderkey = c.ck)
+      |SELECT root, count(*) AS n_reach, max(depth) AS max_depth,
+      |       sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS pennies
+      |FROM walk w JOIN graft_rec_orders o ON o.o_orderkey = w.k
+      |GROUP BY root ORDER BY root""".stripMargin)
+  }
+
+  /** EXECUTE IMMEDIATE + SQL session variables (Spark 4): the
+    * injection-safe parameterized-statement surface — a quantity cap is
+    * computed INTO a session variable (`SET VAR` from a scalar
+    * subquery), then bound into a template via a `?` placeholder. The
+    * string template never concatenates a value, so a hostile filter
+    * value cannot alter the statement — the SQL-layer twin of
+    * `spark.sql(text, args)` named-parameter binding (GraftSpec asserts
+    * both binding styles return identical rows). Cap = max(quantity)/2
+    * is exact in double, so the filter boundary is engine-deterministic;
+    * revenue is exact integer pennies. */
+  val qExecuteImmediate: Q = Q(
+    "q214_execute_immediate",
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS pennies
+      |FROM lineitem
+      |WHERE l_quantity <= (SELECT max(l_quantity) / 2 FROM lineitem)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_ei_lineitem")
+    s.sql("DECLARE OR REPLACE VARIABLE graft_qty_cap DOUBLE")
+    s.sql("SET VAR graft_qty_cap = " +
+      "(SELECT max(l_quantity) / 2 FROM graft_ei_lineitem)")
+    s.sql("""
+      |EXECUTE IMMEDIATE
+      |  'SELECT l_returnflag, count(*) AS n,
+      |          sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS pennies
+      |   FROM graft_ei_lineitem WHERE l_quantity <= ?
+      |   GROUP BY l_returnflag ORDER BY l_returnflag'
+      |  USING graft_qty_cap""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(qSqlScriptingTrim, qVariantShred, qRecursiveCte,
+    qExecuteImmediate)
+}

