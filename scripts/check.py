@@ -78,8 +78,11 @@ def main(sf_dir, out_dir, only=(), json_out=None):
             continue
         ocols, gcols = sorted(oracle.columns), sorted(got.columns)
         if ocols != gcols:
+            # rows_match stays a boolean (the docstring contract): values
+            # were not verified equal, so it is False, not null
             print(f"FAIL {name}: schema mismatch spark={gcols} oracle={ocols}")
-            record(name, None, False, False, len(got), len(oracle), None)
+            record(name, False, False, False, len(got), len(oracle),
+                   "schema mismatch: values not compared")
             n_fail += 1
             continue
         o = oracle[ocols]

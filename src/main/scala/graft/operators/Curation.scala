@@ -850,10 +850,16 @@ object Curation {
 
   /** ITERATIVE QI-coarsening loop: walk the ladder until every
     * equivalence class reaches k, t63-style driver loop with a loud
-    * cap. Each round is one O(|classes|)-row probe on the pinned
-    * finest-level class table — the corpus itself is aggregated
+    * cap. Each round is one O(|classes|)-row probe on a cached
+    * finest-level class table — the PROBES aggregate the corpus
     * exactly once, whatever level the loop stops at (the kmeans
     * discipline: driver-held loop state, one tiny action per round).
+    * The cache is scoped to this call (persisted here, released in a
+    * finally — no registry entry, no caller release obligation; the
+    * round-12 self-review flagged the previous Scale.pin as a leak for
+    * direct API users), so the RETURNED table plans over a fresh class
+    * aggregate and re-derives it on materialization — one extra
+    * O(|classes|)-output pass, self-contained lifecycle.
     * The ladder's top level is the whole corpus in one class, so the
     * only unsatisfiable input is a corpus smaller than k — that (and
     * only that) throws, loudly, instead of emitting a table that
@@ -862,19 +868,21 @@ object Curation {
   def kAnonGeneralize(docs: org.apache.spark.sql.DataFrame,
       k: Int): (Int, org.apache.spark.sql.DataFrame) = {
     require(k >= 1, s"kAnonGeneralize: k must be >= 1, got $k")
-    val q0 = Scale.pin(kAnonQ0(docs))
-    val MaxLevel = 6
-    var lv = 0
-    while (lv <= MaxLevel) {
-      val row = kAnonClassesAt(q0, lv).agg(min(col("cn"))).head()
-      val minN = if (row.isNullAt(0)) 0L else row.getLong(0)
-      if (minN >= k) return (lv, kAnonClassesAt(q0, lv))
-      lv += 1
-    }
-    throw new IllegalStateException(
-      s"kAnonGeneralize: ladder exhausted at full suppression and the " +
-        s"single remaining class is still < k=$k — the corpus has fewer " +
-        "than k rows; no generalization can satisfy k-anonymity")
+    val q0 = kAnonQ0(docs).persist()
+    try {
+      val MaxLevel = 6
+      var lv = 0
+      while (lv <= MaxLevel) {
+        val row = kAnonClassesAt(q0, lv).agg(min(col("cn"))).head()
+        val minN = if (row.isNullAt(0)) 0L else row.getLong(0)
+        if (minN >= k) return (lv, kAnonClassesAt(kAnonQ0(docs), lv))
+        lv += 1
+      }
+      throw new IllegalStateException(
+        s"kAnonGeneralize: ladder exhausted at full suppression and the " +
+          s"single remaining class is still < k=$k — the corpus has fewer " +
+          "than k rows; no generalization can satisfy k-anonymity")
+    } finally q0.unpersist(blocking = false)
   }
 
   /** GENERALIZATION LEDGER: every ladder level's class count, smallest

@@ -119,7 +119,7 @@ object SqlSurface {
     "q212_variant_shred",
     """SELECT event_type,
       |       count(*) AS n,
-      |       sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+      |       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
       |       max(CAST(props->>'$.k' AS INT)) AS max_k,
       |       CAST(count(props->>'$.missing') AS BIGINT) AS n_missing,
       |       CAST(0 AS BIGINT) AS n_bad,

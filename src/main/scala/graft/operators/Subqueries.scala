@@ -60,11 +60,17 @@ object Subqueries {
     * correlated to each part's own average quantity. Float parity:
     * l_quantity is integral-valued (1..50) so the per-part avg's
     * partial sums are exact in double regardless of add order — the
-    * `< 0.2·avg` threshold compare is deterministic on both engines. */
+    * `< 0.2·avg` threshold compare is deterministic on both engines.
+    * Revenue sums in exact integer pennies (floor(price·100) BIGINT —
+    * the q211/q213 discipline) then re-enters double via ONE division:
+    * a raw round(sum(double), 2) would be accumulation-order-dependent
+    * and could flip a half-cent boundary between engines (round-12
+    * self-review finding). */
   val qCorrScalarWhere: Q = Q(
     "q203_corr_scalar_subquery",
     """SELECT p_brand, count(*) AS n_small_lots,
-      |       round(sum(l_extendedprice), 2) AS small_lot_revenue
+      |       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+      |         / 100 AS small_lot_revenue
       |FROM lineitem JOIN part ON p_partkey = l_partkey
       |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
       |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
@@ -72,7 +78,8 @@ object Subqueries {
   ) { (s, d) =>
     sql(s, d,
       """SELECT p_brand, count(*) AS n_small_lots,
-        |       round(sum(l_extendedprice), 2) AS small_lot_revenue
+        |       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+        |         / 100 AS small_lot_revenue
         |FROM graft_sq_lineitem JOIN graft_sq_part ON p_partkey = l_partkey
         |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
         |                    FROM graft_sq_lineitem l2

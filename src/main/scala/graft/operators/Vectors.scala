@@ -1027,7 +1027,17 @@ object Vectors {
     //    superseded base AND any orphan a compaction that crashed
     //    before its pointer swap left behind (single concurrent
     //    compactor assumed, the standard lakehouse compaction-job
-    //    contract; appends/reads stay fully concurrent);
+    //    contract). Appends stay fully concurrent (marker-committed
+    //    into their own dirs). Readers: one resolved THROUGH
+    //    pqIndexCurrent after any compaction binds to an immutable
+    //    versioned segment until the NEXT compaction's step-2 sweep —
+    //    the normal lakehouse read-vs-compact vacuum window; but a
+    //    plan scanning the ORIGINAL codes dir of a never-compacted
+    //    index (the no-pointer fallback) loses its files to step 3 of
+    //    the FIRST concurrent compaction and must re-resolve — no
+    //    snapshot isolation across that one transition (round-12
+    //    self-review; the registered v90 fn cuts its serving frames
+    //    eagerly for exactly this reason);
     fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq.map(_.getPath)
       .filter(p => p.getName.startsWith("codes_v_") && p.getName != vid)
       .foreach(p => fs.delete(p, true))
