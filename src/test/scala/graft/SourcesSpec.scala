@@ -451,6 +451,36 @@ class SourcesSpec extends AnyFunSuite {
     assert(survivors < expectRows) // the filter ran downstream of the metric point
   }
 
+  test("dynamic partition pruning: a runtime dim filter prunes fact partitions") {
+    // SURVEY §4 maps static + dynamic partition pruning; the fixtures
+    // are single files so DPP never fires in the registry — exercise it
+    // here on a partitioned rewrite: the fact side is partitioned by
+    // ship month, the dim filter (on a NON-join column) is only known
+    // at runtime, and the scan must carry a dynamicpruningexpression
+    // partition filter fed by the broadcast — at 100 TB this is the
+    // difference between scanning one month and scanning the year
+    val dir = tmp("graft_dpp")
+    Tables.lineitem(spark, TestSession.sf)
+      .withColumn("pmonth", month(col("l_shipdate")))
+      .write.mode("overwrite").partitionBy("pmonth").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    import spark.implicits._
+    // the dim must be a FILE relation: a LocalRelation folds the filter
+    // into its rows at plan time and the pruning rule no longer sees a
+    // selective predicate to derive the runtime filter from
+    val dimDir = tmp("graft_dpp_dim")
+    (1 to 12).map(m => (m, s"m$m")).toDF("m", "name")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = fact.join(broadcast(dim).filter(col("name") === "m3"),
+      col("pmonth") === col("m"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      "no DPP filter reached the partitioned scan:\n" + plan.take(1000))
+    // pruning must not change values: equals the direct partition filter
+    assert(joined.count() == fact.filter(col("pmonth") === 3).count())
+  }
+
   test("xml source: documents round-trip through the Spark 4 native XML format") {
     // the last mainstream text format (csv/json/text/binary/orc/jdbc are
     // covered above): write a documents slice as element-per-row XML,
