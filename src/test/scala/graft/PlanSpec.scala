@@ -121,6 +121,57 @@ class PlanSpec extends AnyFunSuite {
       "per-type roll-up not map-side combined")
   }
 
+  test("CBO: ANALYZE stats drive join reorder (small pair first, despite written order)") {
+    // SURVEY §4 maps CostBasedJoinReorder as "needs stats" — exercise
+    // the stats path end-to-end: catalog tables + ANALYZE ... FOR ALL
+    // COLUMNS, cbo + joinReorder on, a deliberately-bad written order
+    // (orders ⋈ customer first), and the optimizer must join the two
+    // SMALL relations (customer ⋈ nation) at the bottom instead. At
+    // 100 TB this is what saves the fact table from passing through
+    // two shuffles instead of one.
+    val conf = spark.conf
+    val saved = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.cbo.enabled", "true")
+      conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      Tables.nation(spark, sf).write.mode("overwrite").saveAsTable("cbo_nation")
+      Tables.customer(spark, sf).write.mode("overwrite").saveAsTable("cbo_customer")
+      Tables.orders(spark, sf).write.mode("overwrite").saveAsTable("cbo_orders")
+      for (t <- Seq("cbo_nation", "cbo_customer", "cbo_orders"))
+        spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+      val st = spark.table("cbo_orders").queryExecution.optimizedPlan.stats
+      assert(st.rowCount.isDefined && st.rowCount.get.toLong > 0,
+        "ANALYZE did not surface a rowCount into the optimizer")
+      val q = spark.sql(
+        """SELECT n_name, count(*) AS n FROM cbo_orders
+          |JOIN cbo_customer ON o_custkey = c_custkey
+          |JOIN cbo_nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name ORDER BY n_name""".stripMargin)
+      val joins = q.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      assert(joins.size == 2, s"expected 2 joins, got ${joins.size}")
+      // bottom-most join = last in collect order; its subtree must be
+      // the two small tables — orders joins LAST
+      val bottomLeaves = joins.last.collectLeaves().map(_.toString).mkString
+      assert(bottomLeaves.contains("cbo_customer") &&
+        bottomLeaves.contains("cbo_nation") && !bottomLeaves.contains("cbo_orders"),
+        "stats did not reorder the join (orders still at the bottom):\n" +
+          q.queryExecution.optimizedPlan.toString.take(1200))
+      // reorder must not change values: every order lands in exactly
+      // one nation bucket, so the grouped counts sum to |orders|
+      val total = q.agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
+      assert(total == Tables.orders(spark, sf).count(),
+        s"reordered join changed the row total: $total")
+    } finally {
+      for (t <- Seq("cbo_nation", "cbo_customer", "cbo_orders"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+      saved.foreach { case (k, v) =>
+        v.fold(conf.unset(k))(conf.set(k, _)) }
+    }
+  }
+
   test("q213: recursive CTE plans as UnionLoop with an equi-join per level") {
     // the engine-owned fixpoint: recursion must surface as the
     // UnionLoop/UnionLoopRef operator pair with the frontier-to-orders
