@@ -187,6 +187,28 @@ class PlanSpec extends AnyFunSuite {
       "level join degenerated to theta/cartesian:\n" + p.take(800))
   }
 
+  test("q213: the recursion level limit fails loudly, and the default clears the fixture depth") {
+    // the scaladoc names spark.sql.cteRecursionLevelLimit as the t63-style
+    // loud cap: a depth past the limit must ERROR, never silently truncate
+    // the reach set (a truncated closure would be a silent wrong answer)
+    val conf = spark.conf
+    val key = "spark.sql.cteRecursionLevelLimit"
+    val saved = conf.getOption(key)
+    try {
+      conf.set(key, "5") // fixture tree is 11+ levels deep
+      val e = intercept[Exception] {
+        SparkEntry.queries("q213_recursive_cte_reach")(spark, sf).count()
+      }
+      assert(e.getMessage.toLowerCase.contains("recursion") ||
+        e.getMessage.contains("level"), s"unexpected error: ${e.getMessage.take(200)}")
+    } finally saved.fold(conf.unset(key))(conf.set(key, _))
+    // and the default limit clears the fixture depth with the full closure
+    val reach1 = SparkEntry.queries("q213_recursive_cte_reach")(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("root") === 1)
+      .head.getAs[Long]("n_reach")
+    assert(reach1 == Tables.orders(spark, sf).count() - 1)
+  }
+
   test("t118: RRF's semantic side broadcasts the probe set (no candidate shuffle join)") {
     val p = plan("t118_rrf_fusion")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
