@@ -864,7 +864,18 @@ object Curation {
     * only unsatisfiable input is a corpus smaller than k — that (and
     * only that) throws, loudly, instead of emitting a table that
     * violates the k promise. Returns (chosen level, class table at
-    * that level). */
+    * that level).
+    *
+    * DETERMINISM REQUIREMENT (r12 advisory): the probes run against a
+    * persisted snapshot of `docs`' class aggregate, but the RETURNED
+    * table re-derives that aggregate from `docs` on materialization
+    * (the scoped-cache lifecycle above). `docs` must therefore be
+    * deterministic across re-evaluation — a parquet/table scan, not a
+    * non-seeded sample or an at-least-once stream — or the returned
+    * classes can disagree with the ≥k guarantee the probes verified.
+    * Every repo fixture satisfies this; callers passing arbitrary
+    * DataFrames own the contract (the same re-evaluation rule Spark
+    * itself assumes for any recomputed lineage). */
   def kAnonGeneralize(docs: org.apache.spark.sql.DataFrame,
       k: Int): (Int, org.apache.spark.sql.DataFrame) = {
     require(k >= 1, s"kAnonGeneralize: k must be >= 1, got $k")

@@ -53,5 +53,63 @@ object CustomSource {
         min(col("id")).as("min_id"), max(col("id")).as("max_id"))
   }
 
-  val all: Seq[Q] = Seq(qDsv2Pushdown, qDsv2AggPushdown)
+  /** STATISTICS-AWARE join (round 13 — `SupportsReportStatistics`):
+    * the source reports post-pushdown rowCount/sizeInBytes, so the
+    * filtered 500-row range is SEEN as tiny and the join against
+    * orders plans as a BroadcastHashJoin with the custom source on
+    * the build side (SourcesSpec pins the plan; without stats a V2
+    * scan reports the ∞ default and this would sort-merge). Exact
+    * integer pennies keep the oracle value-exact. */
+  val qDsv2StatsJoin: Q = Q(
+    "q215_dsv2_stats_join",
+    """SELECT CAST(t.id % 16 AS INT) AS bucket, count(*) AS n,
+      |       CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS pennies
+      |FROM range(100, 600) t(id)
+      |JOIN orders o ON o.o_orderkey = t.id
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+  ) { (s, d) =>
+    val dr = s.read.format("graft.sources.DetRangeSource")
+      .option("rows", 2000).option("slices", 8).load()
+      .filter(col("id") >= 100 && col("id") < 600)
+      .select(col("id"), col("bucket"))
+    dr.join(graft.Tables.orders(s, d), col("id") === col("o_orderkey"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("pennies"))
+      .orderBy(col("bucket"))
+  }
+
+  /** KEY-GROUPED scan correctness (round 13 —
+    * `SupportsReportPartitioning`): two keyed reads aggregated on the
+    * partition key and joined on it. Under
+    * `spark.sql.sources.v2.bucketing.enabled` this whole plan runs
+    * with ZERO shuffle exchanges — the storage-partitioned join
+    * (SourcesSpec pins the exchange-free plan; here the driver session
+    * runs it with default conf, where the same code is merely a
+    * correct 16-group join). DuckDB regenerates both sides from
+    * `range()`. */
+  val qDsv2Spj: Q = Q(
+    "q216_dsv2_keyed_join",
+    """WITH a AS (SELECT CAST(id % 16 AS INT) AS bucket,
+      |                  CAST(sum((id * 31) % 997) AS BIGINT) AS sum_ka
+      |           FROM range(20000) t(id) GROUP BY 1),
+      |     b AS (SELECT CAST(id % 16 AS INT) AS bucket, count(*) AS n_b,
+      |                  CAST(sum((id * 31) % 997) AS BIGINT) AS sum_kb
+      |           FROM range(10000) t(id) GROUP BY 1)
+      |SELECT a.bucket, a.sum_ka, b.n_b, b.sum_kb
+      |FROM a JOIN b USING (bucket) ORDER BY bucket""".stripMargin
+  ) { (s, _) =>
+    def keyed(rows: Int) = s.read.format("graft.sources.DetRangeSource")
+      .option("rows", rows).option("keyed", "true").load()
+    val a = keyed(20000).groupBy(col("bucket"))
+      .agg(sum(col("kscore").cast("long")).as("sum_ka"))
+    val b = keyed(10000).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_b"),
+        sum(col("kscore").cast("long")).as("sum_kb"))
+    a.join(b, Seq("bucket")).orderBy(col("bucket"))
+  }
+
+  val all: Seq[Q] = Seq(qDsv2Pushdown, qDsv2AggPushdown, qDsv2StatsJoin,
+    qDsv2Spj)
 }

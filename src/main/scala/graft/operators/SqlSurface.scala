@@ -46,8 +46,14 @@ object SqlSurface {
     * fixture dynamics are real: 4 distinct means (5.3e6 → 1.2e6
     * pennies), strictly decreasing kept counts.
     *
-    * The scripting conf is session-settable; set here so Verify/Bench
-    * sessions (which don't pre-enable it) run the query unchanged. */
+    * The scripting conf is session-settable; enabled here so
+    * Verify/Bench sessions (which don't pre-enable it) run the query
+    * unchanged, and RESTORED after the script returns — the script
+    * executes eagerly inside `s.sql` (each SET runs its aggregate
+    * action), so nothing downstream needs the flag, and leaving it set
+    * would leak per-call session-conf mutation into every subsequent
+    * query on the shared session (r12 advisory; the same hazard the r8
+    * advisory bans for loaders). */
   val qSqlScriptingTrim: Q = Q(
     "q211_sql_scripting_trim",
     """WITH pr AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS p
@@ -69,9 +75,11 @@ object SqlSurface {
       |UNION ALL SELECT 3, mu, n_kept FROM i3
       |ORDER BY iter""".stripMargin
   ) { (s, d) =>
+    val prevScripting = s.conf.getOption("spark.sql.scripting.enabled")
     s.conf.set("spark.sql.scripting.enabled", "true")
-    Tables.lineitem(s, d).createOrReplaceTempView("graft_scr_lineitem")
-    s.sql("""
+    try {
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_scr_lineitem")
+      s.sql("""
       |BEGIN
       |  DECLARE cur STRUCT<mu: DOUBLE, n_kept: BIGINT>;
       |  DECLARE hist ARRAY<STRUCT<mu: DOUBLE, n_kept: BIGINT>> DEFAULT ARRAY();
@@ -95,6 +103,10 @@ object SqlSurface {
       |  SELECT pos AS iter, item.mu AS mu_pennies, item.n_kept AS n_kept
       |  FROM (SELECT posexplode(hist) AS (pos, item)) ORDER BY iter;
       |END""".stripMargin)
+    } finally prevScripting match {
+      case Some(v) => s.conf.set("spark.sql.scripting.enabled", v)
+      case None => s.conf.unset("spark.sql.scripting.enabled")
+    }
   }
 
   /** VARIANT SEMI-STRUCTURED TYPE (Spark 4): event payloads parsed once
@@ -233,6 +245,66 @@ object SqlSurface {
       |  USING graft_qty_cap""".stripMargin)
   }
 
+  /** SQL-DEFINED SCALAR FUNCTION (Spark 4 `CREATE FUNCTION … RETURN
+    * expr` — VERDICT r12 missing #3, the last string-query surface):
+    * the discounted-pennies formula is declared ONCE as a temporary
+    * SQL UDF and invoked from query text. The analyzer INLINES the
+    * body into the calling plan — the aggregate runs over a plain
+    * codegen'd arithmetic expression, not a per-row function call or
+    * sub-plan (PlanSpec pins: no SQLFunction/ScalaUDF node survives
+    * analysis, floor lands inside the aggregate's child projection).
+    * That inlining is the whole scale story: a SQL UDF costs exactly
+    * what writing the expression inline costs, at any corpus size.
+    * Float parity: per-row `p * (1 - d) * 100` is identical IEEE
+    * arithmetic on both engines (same literal order), floored to
+    * exact integer pennies before the BIGINT sum. */
+  val qSqlUdfScalar: Q = Q(
+    "q217_sql_udf_scalar",
+    """SELECT l_returnflag, count(*) AS n,
+      |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+      |                     AS BIGINT)) AS BIGINT) AS disc_pennies
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_fn_lineitem")
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_pennies(
+            |  p DOUBLE, d DOUBLE) RETURNS BIGINT
+            |RETURN CAST(floor(p * (1 - d) * 100) AS BIGINT)""".stripMargin)
+    s.sql("""SELECT l_returnflag, count(*) AS n,
+            |       sum(graft_disc_pennies(l_extendedprice, l_discount))
+            |         AS disc_pennies
+            |FROM graft_fn_lineitem
+            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** SQL-DEFINED TABLE FUNCTION (Spark 4 `CREATE FUNCTION … RETURNS
+    * TABLE`): a parameterized relation — big orders above a price cap,
+    * projected to exact pennies — declared in SQL and invoked in the
+    * FROM clause like a table. The body (which queries a real table)
+    * is inlined as a sub-plan at invocation, so the aggregate above it
+    * optimizes THROUGH the function boundary: the filter lands on the
+    * orders scan, not on a materialized intermediate. The declared
+    * RETURNS TABLE schema is a contract — the body's columns coerce to
+    * it. DuckDB replays the inlined form exactly. */
+  val qSqlUdtf: Q = Q(
+    "q218_sql_udtf",
+    """SELECT o_custkey, count(*) AS n,
+      |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS pennies
+      |FROM orders WHERE o_totalprice > 450000.0
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("graft_fn_orders")
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_big_orders(
+            |  cap DOUBLE) RETURNS TABLE(o_custkey BIGINT, pennies BIGINT)
+            |RETURN SELECT o_custkey,
+            |              CAST(floor(o_totalprice * 100) AS BIGINT) AS pennies
+            |       FROM graft_fn_orders WHERE o_totalprice > cap""".stripMargin)
+    s.sql("""SELECT o_custkey, count(*) AS n,
+            |       sum(pennies) AS pennies
+            |FROM graft_big_orders(450000.0D)
+            |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qSqlScriptingTrim, qVariantShred, qRecursiveCte,
-    qExecuteImmediate)
+    qExecuteImmediate, qSqlUdfScalar, qSqlUdtf)
 }

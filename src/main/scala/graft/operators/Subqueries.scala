@@ -43,7 +43,14 @@ object Subqueries {
   /** Register the fixture views this family's SQL text names.
     * View names are prefixed `graft_sq_` so concurrent suites running
     * other SQL-text queries (q74, t121) can never swap a view under a
-    * running statement. */
+    * running statement. Within-family concurrency restriction (r12
+    * advisory): two concurrent runs of THIS family on one session with
+    * different data dirs race on the same view names (registration vs
+    * a running statement). The driver contract is sequential per
+    * session (Verify/Bench/ScalaTest all are), so this is a documented
+    * restriction, not a supported mode — callers needing concurrent
+    * same-family runs should use separate SparkSessions
+    * (`spark.newSession()` gives each its own temp-view catalog). */
   private def views(s: SparkSession, d: String): Unit = {
     Tables.lineitem(s, d).createOrReplaceTempView("graft_sq_lineitem")
     Tables.part(s, d).createOrReplaceTempView("graft_sq_part")

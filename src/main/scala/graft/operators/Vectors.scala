@@ -1023,24 +1023,39 @@ object Vectors {
     // 1. absorbed append segments — their exactly-once markers stay;
     newlyAbsorbed.foreach(id =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/codes_append_$id"), true))
-    // 2. every versioned segment the pointer does not name — the
-    //    superseded base AND any orphan a compaction that crashed
-    //    before its pointer swap left behind (single concurrent
-    //    compactor assumed, the standard lakehouse compaction-job
-    //    contract). Appends stay fully concurrent (marker-committed
-    //    into their own dirs). Readers: one resolved THROUGH
-    //    pqIndexCurrent after any compaction binds to an immutable
-    //    versioned segment until the NEXT compaction's step-2 sweep —
-    //    the normal lakehouse read-vs-compact vacuum window; but a
-    //    plan scanning the ORIGINAL codes dir of a never-compacted
-    //    index (the no-pointer fallback) loses its files to step 3 of
-    //    the FIRST concurrent compaction and must re-resolve — no
-    //    snapshot isolation across that one transition (round-12
-    //    self-review; the registered v90 fn cuts its serving frames
-    //    eagerly for exactly this reason);
-    fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq.map(_.getPath)
-      .filter(p => p.getName.startsWith("codes_v_") && p.getName != vid)
-      .foreach(p => fs.delete(p, true))
+    // 2. superseded versioned segments. Deleted: (a) the segment the
+    //    PREVIOUS pointer named — provably stale the instant the new
+    //    pointer lands; (b) any other non-current codes_v_* dir only
+    //    once it is older than a grace period — an orphan from a
+    //    compaction that crashed before its pointer swap. The grace
+    //    period (not "everything non-current") is what makes two
+    //    compactors racing merely wasteful instead of corrupting: the
+    //    r12 advisory's window was compactor A sweeping compactor B's
+    //    freshly written segment in the instant before B's pointer
+    //    rename, leaving B's _codes_current pointing at nothing. A
+    //    freshly written segment is by definition inside the grace
+    //    window, so it can never be swept; crashed-compaction orphans
+    //    age out and the NEXT compaction reclaims them. Appends stay
+    //    fully concurrent (marker-committed into their own dirs).
+    //    Readers: one resolved THROUGH pqIndexCurrent after any
+    //    compaction binds to an immutable versioned segment until a
+    //    LATER compaction's sweep finds it aged out — the normal
+    //    lakehouse read-vs-compact vacuum window; but a plan scanning
+    //    the ORIGINAL codes dir of a never-compacted index (the
+    //    no-pointer fallback) loses its files to step 3 of the FIRST
+    //    concurrent compaction and must re-resolve — no snapshot
+    //    isolation across that one transition (round-12 self-review;
+    //    the registered v90 fn cuts its serving frames eagerly for
+    //    exactly this reason);
+    val oldBaseName = new org.apache.hadoop.fs.Path(oldBase).getName
+    val graceMs = 60L * 60 * 1000 // 1h — far past any compaction's write
+    val sweepCutoff = System.currentTimeMillis() - graceMs
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .filter(st => st.getPath.getName.startsWith("codes_v_")
+        && st.getPath.getName != vid
+        && (st.getPath.getName == oldBaseName // the superseded base
+          || st.getModificationTime < sweepCutoff)) // aged-out orphan
+      .foreach(st => fs.delete(st.getPath, true))
     // 3. the original codes segment's data is now duplicated in the
     //    compacted segment — empty it (keeping _SUCCESS as the
     //    index-exists sentinel the require()s check) and write the

@@ -4,12 +4,15 @@ import java.util.{Map => JMap}
 
 import scala.collection.mutable.ArrayBuffer
 
+import java.util.OptionalLong
+
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -42,7 +45,20 @@ import org.apache.spark.unsafe.types.UTF8String
   *    answered in CLOSED FORM by a one-row scan — the V2 analog of
   *    aggregates from parquet footer statistics (complete-or-nothing:
   *    anything the source can't answer exactly falls back to the row
-  *    scan).
+  *    scan);
+  *  - `SupportsReportStatistics` (round 13): post-pushdown row count +
+  *    projected byte width, so CBO/AQE sees the source — a
+  *    filtered-to-small range broadcasts in a join instead of
+  *    defaulting to the ∞-size sort-merge side;
+  *  - `SupportsReportPartitioning` (round 13, `option("keyed","true")`):
+  *    KeyGroupedPartitioning on `bucket` with per-split partition keys
+  *    — the storage-partitioned-join surface: same-key joins and
+  *    aggregates plan with NO shuffle exchange under
+  *    `spark.sql.sources.v2.bucketing.enabled`;
+  *  - `SupportsRuntimeFiltering` (round 13): a DPP-style runtime `In`
+  *    filter on `id` narrows the planned range after the broadcast
+  *    side's keys are known — the custom-source twin of dynamic
+  *    partition pruning.
   *
   * Usage: `spark.read.format("graft.sources.DetRangeSource")
   *   .option("rows", n).option("slices", k).load()`
@@ -60,7 +76,8 @@ class DetRangeSource extends TableProvider {
       properties: JMap[String, String]): Table =
     new DetRangeTable(
       properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("slices", "8").toInt)
+      properties.getOrDefault("slices", "8").toInt,
+      properties.getOrDefault("keyed", "false").toBoolean)
 }
 
 object DetRangeSource {
@@ -70,6 +87,27 @@ object DetRangeSource {
     StructField("kscore", IntegerType, nullable = false),
     StructField("score", DoubleType, nullable = false),
     StructField("doc_id", StringType, nullable = false)))
+
+  val Buckets = 16 // bucket = id % 16 — the keyed mode's partition key
+
+  /** Per-row size estimate for [[SupportsReportStatistics]], from the
+    * projected fields only (pruning shrinks the reported size exactly
+    * like parquet column stats would). */
+  def rowBytes(fields: Seq[String]): Long =
+    math.max(1L, fields.map {
+      case "id" => 8L
+      case "bucket" => 4L
+      case "kscore" => 4L
+      case "score" => 8L
+      case "doc_id" => 12L
+      case _ => 8L
+    }.sum)
+
+  /** Rows each executed reader will generate, summed — test observability
+    * for runtime filtering: after a DPP/runtime `In` filter narrows the
+    * scan, the generated-row count must shrink to the surviving span
+    * (SourcesSpec reads the delta; one add per reader, not per row). */
+  val generatedRows = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Column value for row `id` — the single definition both the
     * reader and the tests share. */
@@ -83,17 +121,18 @@ object DetRangeSource {
   }
 }
 
-private[sources] class DetRangeTable(rows: Long, slices: Int)
+private[sources] class DetRangeTable(rows: Long, slices: Int, keyed: Boolean)
     extends Table with SupportsRead {
   override def name(): String = s"det_range($rows)"
   override def schema(): StructType = DetRangeSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DetRangeScanBuilder(rows, slices)
+    new DetRangeScanBuilder(rows, slices, keyed)
 }
 
-private[sources] class DetRangeScanBuilder(rows: Long, slices: Int)
+private[sources] class DetRangeScanBuilder(rows: Long, slices: Int,
+    keyed: Boolean)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownLimit with SupportsPushDownAggregates {
@@ -111,22 +150,45 @@ private[sources] class DetRangeScanBuilder(rows: Long, slices: Int)
     // zero-column rows
     required = requiredSchema
 
+  /** Extract the literal as a Long ONLY when it is an integral type.
+    * A non-integral Number (Double/Float/Decimal) must NOT be absorbed:
+    * `longValue` would truncate (id < 10.5 ≠ id < 10), and V2 pushed
+    * filters are never re-evaluated by Spark, so a truncated bound
+    * returns wrong rows silently. Catalyst's literal casting makes the
+    * non-integral case unreachable today; matching integral types only
+    * removes the silent dependency on that (r12 advisory). */
+  private def integralLit(v: Any): Option[Long] = v match {
+    case l: java.lang.Long => Some(l.longValue)
+    case i: java.lang.Integer => Some(i.longValue)
+    case s: java.lang.Short => Some(s.longValue)
+    case b: java.lang.Byte => Some(b.longValue)
+    case _ => None
+  }
+  /** Saturating +1 for the exclusive-bound adjustments: Long.MaxValue+1
+    * would overflow to MinValue and flip the bound's direction. At the
+    * saturated value the semantics stay a superset-or-exact: `id >
+    * MaxValue` prunes to the empty range (hi ≤ rows < MaxValue) and
+    * `id <= MaxValue` keeps hi unchanged — both exact. */
+  private def incSat(v: Long): Long =
+    if (v == Long.MaxValue) v else v + 1
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val residual = ArrayBuffer[Filter]()
     val accepted = ArrayBuffer[Filter]()
     filters.foreach {
-      // literal arrives boxed as whatever width Catalyst picked
-      // (Integer before the cast lands, Long after) — accept both
-      case f @ GreaterThanOrEqual("id", v: Number) =>
-        lo = math.max(lo, v.longValue); accepted += f
-      case f @ GreaterThan("id", v: Number) =>
-        lo = math.max(lo, v.longValue + 1); accepted += f
-      case f @ LessThan("id", v: Number) =>
-        hi = math.min(hi, v.longValue); accepted += f
-      case f @ LessThanOrEqual("id", v: Number) =>
-        hi = math.min(hi, v.longValue + 1); accepted += f
-      case f @ EqualTo("id", v: Number) =>
-        lo = math.max(lo, v.longValue); hi = math.min(hi, v.longValue + 1)
+      // literal arrives boxed as whatever integral width Catalyst
+      // picked (Integer before the cast lands, Long after); anything
+      // non-integral stays a residual Spark evaluates itself
+      case f @ GreaterThanOrEqual("id", IntegralLit(v)) =>
+        lo = math.max(lo, v); accepted += f
+      case f @ GreaterThan("id", IntegralLit(v)) =>
+        lo = math.max(lo, incSat(v)); accepted += f
+      case f @ LessThan("id", IntegralLit(v)) =>
+        hi = math.min(hi, v); accepted += f
+      case f @ LessThanOrEqual("id", IntegralLit(v)) =>
+        hi = math.min(hi, incSat(v)); accepted += f
+      case f @ EqualTo("id", IntegralLit(v)) =>
+        lo = math.max(lo, v); hi = math.min(hi, incSat(v))
         accepted += f
       case f @ IsNotNull(_) =>
         accepted += f // every column is non-null: a no-op push
@@ -136,6 +198,9 @@ private[sources] class DetRangeScanBuilder(rows: Long, slices: Int)
     hadResidual = residual.nonEmpty
     residual.toArray
   }
+  private object IntegralLit {
+    def unapply(v: Any): Option[Long] = integralLit(v)
+  }
   override def pushedFilters(): Array[Filter] = pushed
 
   /** Limit pushdown: EXACT — the scan caps its planned id range to the
@@ -144,8 +209,8 @@ private[sources] class DetRangeScanBuilder(rows: Long, slices: Int)
     * filter exists: the limit must apply AFTER that filter, which only
     * Spark can run. */
   override def pushLimit(l: Int): Boolean =
-    if (hadResidual) false
-    else { limit = Some(l.toLong); true }
+    if (hadResidual || keyed) false // keyed: bucket partitions must stay
+    else { limit = Some(l.toLong); true } // complete — no range cap
 
   private def isIdRef(
       e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
@@ -162,7 +227,8 @@ private[sources] class DetRangeScanBuilder(rows: Long, slices: Int)
     * lookup and a full pass. Refused whenever correctness needs rows:
     * residual filters, a pushed limit, GROUP BY, or any other agg. */
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    !hadResidual && limit.isEmpty && agg.groupByExpressions.isEmpty &&
+    !hadResidual && !keyed && limit.isEmpty &&
+      agg.groupByExpressions.isEmpty &&
       // a pruned-to-empty aggregation (e.g. count(*) OVER a global agg:
       // the parent references none of the inner outputs, so column
       // pruning empties the list) must fall back to the row scan —
@@ -184,6 +250,7 @@ private[sources] class DetRangeScanBuilder(rows: Long, slices: Int)
 
   override def build(): Scan =
     if (aggFuncs.nonEmpty) new DetRangeAggScan(lo, hi, aggFuncs, pushed)
+    else if (keyed) new DetRangeKeyedScan(lo, hi, required, pushed)
     else {
       val hiEff = limit.fold(hi)(l => math.min(hi, lo + l))
       new DetRangeScan(lo, hiEff, slices, required, pushed, limit)
@@ -231,27 +298,78 @@ private[sources] class DetRangeAggScan(lo: Long, hi: Long,
   }
 }
 
-private[sources] class DetRangeScan(lo: Long, hi: Long, slices: Int,
+private[sources] class DetRangeScan(lo: Long, hi0: Long, slices: Int,
     required: StructType, pushed: Array[Filter],
-    limit: Option[Long] = None) extends Scan with Batch {
+    limit: Option[Long] = None) extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeFiltering {
+  // runtime-narrowed bounds: [[filter]] tightens them monotonically, so
+  // re-execution of the same Scan instance is idempotent
+  private var rLo: Long = lo
+  private var rHi: Long = hi0
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   // surfaced in explain() — what SourcesSpec greps for
   override def description(): String =
-    s"DetRangeScan [$lo, $hi) slices=$slices " +
+    s"DetRangeScan [$lo, $hi0) slices=$slices " +
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")} " +
       limit.fold("")(l => s"PushedLimit: $l ") +
       s"ReadSchema: ${required.fieldNames.mkString(",")}"
 
+  /** POST-PUSHDOWN statistics (`SupportsReportStatistics`, round 13):
+    * exact row count + projected byte width of the surviving range.
+    * This is what lets CBO/AQE SEE the source — without it a V2 scan
+    * reports `spark.sql.defaultSizeInBytes` (effectively ∞) and a
+    * filtered-to-tiny custom source still plans as the big side of a
+    * sort-merge join; with it the filtered range broadcasts exactly
+    * like a filtered parquet scan with footer stats (SourcesSpec pins
+    * the BroadcastHashJoin; q215 is the registered oracled query
+    * through this path). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = math.max(0L, rHi - rLo)
+    override def numRows(): OptionalLong = OptionalLong.of(n)
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(
+      n * DetRangeSource.rowBytes(required.fieldNames.toSeq))
+  }
+
+  /** RUNTIME filtering (`SupportsRuntimeFiltering`, round 13): Spark
+    * hands the values of a DPP/runtime-filter subquery — the join keys
+    * the broadcast side actually contains — AFTER planning, and the
+    * scan narrows its planned range to [min, max] of the surviving
+    * keys before partitions are created. The V2 analog of dynamic
+    * partition pruning on a partitioned parquet table (r12 landed the
+    * DPP pin for file sources; this closes the custom-source side).
+    * Narrowing to the min/max ENVELOPE is a superset of the exact id
+    * set — safe, because the join above re-applies the equi-condition
+    * row-for-row; exactness here is a pruning quality question, not a
+    * correctness one. */
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("id"))
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("id", vs) if vs.nonEmpty =>
+      val longs = vs.flatMap {
+        case l: java.lang.Long => Some(l.longValue)
+        case i: java.lang.Integer => Some(i.longValue)
+        case s: java.lang.Short => Some(s.longValue)
+        case b: java.lang.Byte => Some(b.longValue)
+        case _ => None
+      }
+      if (longs.length == vs.length) { // all-integral: envelope is exact
+        rLo = math.max(rLo, longs.min)
+        rHi = math.min(rHi, if (longs.max == Long.MaxValue) Long.MaxValue
+          else longs.max + 1)
+      }
+    case _ => () // unsupported runtime filter: keep the full range
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(0L, hi - lo)
+    val n = math.max(0L, rHi - rLo)
     if (n == 0) return Array.empty
     // pushdown prunes partitions: splits cover ONLY the surviving
     // [lo, hi) — a full-table filter never fans out over dead ranges
     val k = math.max(1, math.min(slices.toLong, n)).toInt
     (0 until k).map { i =>
-      val a = lo + n * i / k
-      val b = lo + n * (i + 1) / k
+      val a = rLo + n * i / k
+      val b = rLo + n * (i + 1) / k
       DetRangePartition(a, b): InputPartition
     }.toArray
   }
@@ -260,16 +378,81 @@ private[sources] class DetRangeScan(lo: Long, hi: Long, slices: Int,
     new DetRangeReaderFactory(required.fieldNames)
 }
 
+/** KEY-GROUPED scan (`SupportsReportPartitioning`, round 13): one
+  * input partition per `bucket` value, each carrying its partition key
+  * (`HasPartitionKey`), with `outputPartitioning` reporting
+  * KeyGroupedPartitioning on `identity(bucket)`. Under
+  * `spark.sql.sources.v2.bucketing.enabled` this is the V2
+  * storage-partitioned-join surface: a join or aggregate keyed on
+  * `bucket` plans with NO shuffle exchange — the custom-source twin of
+  * the bucketed-table test in SourcesSpec, and the V2 analog of the
+  * divisions-aware merge the reference's deployed Dask API advertises
+  * (sorted-index merge, SURVEY §2.2). Filter pushdown on `id` still
+  * applies (readers skip dead ranges); limit/aggregate pushdown are
+  * refused in keyed mode because both would collapse the partition
+  * layout the mode exists to report. */
+private[sources] class DetRangeKeyedScan(lo: Long, hi: Long,
+    required: StructType, pushed: Array[Filter]) extends Scan with Batch
+    with SupportsReportPartitioning with SupportsReportStatistics {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"DetRangeKeyedScan [$lo, $hi) buckets=${DetRangeSource.Buckets} " +
+      s"PushedFilters: ${pushed.mkString("[", ", ", "]")} " +
+      s"ReadSchema: ${required.fieldNames.mkString(",")}"
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(Expressions.identity("bucket")), DetRangeSource.Buckets)
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = math.max(0L, hi - lo)
+    override def numRows(): OptionalLong = OptionalLong.of(n)
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(
+      n * DetRangeSource.rowBytes(required.fieldNames.toSeq))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    (0 until DetRangeSource.Buckets).map(b =>
+      DetRangeBucketPartition(b, lo, hi): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DetRangeReaderFactory(required.fieldNames)
+}
+
 private[graft] case class DetRangePartition(lo: Long, hi: Long)
     extends InputPartition // graft-visible: SourcesSpec asserts the bounds
+
+/** All ids ≡ `bucket` (mod 16) inside [lo, hi); `partitionKey` is what
+  * lets Spark co-locate two keyed scans' same-bucket splits. */
+private[graft] case class DetRangeBucketPartition(bucket: Int,
+    lo: Long, hi: Long) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket)
+  /** First id ≥ lo with id % 16 == bucket. */
+  def first: Long = {
+    val m = ((bucket - lo % 16) % 16 + 16) % 16
+    lo + m
+  }
+  def rowCount: Long =
+    if (first >= hi) 0L else (hi - 1 - first) / 16 + 1
+}
 
 private[sources] class DetRangeReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[DetRangePartition]
+    val (start, end, step) = partition match {
+      case p: DetRangePartition =>
+        DetRangeSource.generatedRows.addAndGet(math.max(0L, p.hi - p.lo))
+        (p.lo, p.hi, 1L)
+      case p: DetRangeBucketPartition =>
+        DetRangeSource.generatedRows.addAndGet(p.rowCount)
+        (p.first, p.hi, 16L)
+      case other => throw new IllegalStateException(
+        s"unknown partition type: $other")
+    }
     new PartitionReader[InternalRow] {
-      private var cur = p.lo - 1
-      override def next(): Boolean = { cur += 1; cur < p.hi }
+      private var cur = start - step
+      override def next(): Boolean = { cur += step; cur < end }
       override def get(): InternalRow =
         InternalRow.fromSeq(fields.toSeq.map(f => DetRangeSource.value(f, cur)))
       override def close(): Unit = ()
