@@ -705,6 +705,80 @@ object ScaleSmoke {
       // is a single corpus scan with the codegen-dot argmax
       SparkEntry.queries("v92_centroid_classifier")(spark, base).count()
     }
+    // ---- round-14 decorrelation + recursion smokes (VERDICT r12 task 1,
+    // carried through r13): the r12 subquery family at 20M rows, and the
+    // recursive CTE on a deeper domain ----
+    ev.createOrReplaceTempView("graft_smoke_ev")
+    time("correlated scalar avg (q203 shape)", nEvents) {
+      // the q203 decorrelation at 20M rows / 100k correlation keys: the
+      // correlated avg must become ONE hash aggregate keyed by user_id
+      // joined back — two scans + one join, never a per-row rescan
+      // (20M rescans of a 20M table would be unbounded)
+      spark.sql(
+        """SELECT event_type, count(*) AS n_small
+          |FROM graft_smoke_ev e
+          |WHERE value < (SELECT 0.8 * avg(value) FROM graft_smoke_ev e2
+          |               WHERE e2.user_id = e.user_id)
+          |GROUP BY event_type""".stripMargin).count()
+    }
+    time("select-list scalar count (q206 shape)", nEvents) {
+      // the q206 COUNT-bug rewrite at 20M rows: LEFT OUTER against the
+      // grouped side + empty-group→0 repair; the distinct outer side is
+      // itself one aggregate, so the whole plan is two aggregates + one
+      // join — no per-user residue
+      spark.sql(
+        """SELECT u.user_id,
+          |       (SELECT count(*) FROM graft_smoke_ev e
+          |        WHERE e.user_id = u.user_id AND e.value > 100) AS n_big
+          |FROM (SELECT DISTINCT user_id FROM graft_smoke_ev) u""".stripMargin)
+        .count()
+    }
+    locally {
+      // q213's engine-owned recursion on a domain 10× the sf0.1 fixture:
+      // the binary tree over 2M keys is ~21 levels (sf0.1: ~17) — wall
+      // scales with LEVELS (one broadcast frontier-join job each, the
+      // documented planning-floor cost), not with row volume
+      spark.range(1, 2000001).toDF("k")
+        .write.mode("overwrite").parquet(s"$base/keys")
+      spark.read.parquet(s"$base/keys")
+        .createOrReplaceTempView("graft_smoke_keys")
+      time("recursive CTE reach (q213 shape, ~21 levels)", 2000000L) {
+        spark.sql(
+          """WITH RECURSIVE reach(k) AS (
+            |  SELECT CAST(1 AS BIGINT) AS k
+            |  UNION ALL
+            |  SELECT t.k FROM (
+            |    SELECT k * 2 AS k FROM reach
+            |    UNION ALL SELECT k * 2 + 1 AS k FROM reach) c
+            |  JOIN graft_smoke_keys t ON t.k = c.k)
+            |SELECT count(*) AS n FROM reach""".stripMargin).head().getLong(0)
+      }
+      // the loud cap: a 100-level chain against a 40-level limit must
+      // THROW before runaway, not grind through 100 sequential jobs
+      val prevCap = spark.conf.getOption("spark.sql.cteRecursionLevelLimit")
+      spark.conf.set("spark.sql.cteRecursionLevelLimit", "40")
+      try {
+        spark.range(0, 100).toDF("n")
+          .createOrReplaceTempView("graft_smoke_chain")
+        val failedLoudly =
+          try {
+            spark.sql(
+              """WITH RECURSIVE walk(n) AS (
+                |  SELECT CAST(0 AS BIGINT) AS n
+                |  UNION ALL
+                |  SELECT w.n + 1 FROM walk w
+                |  JOIN graft_smoke_chain c ON c.n = w.n + 1)
+                |SELECT count(*) FROM walk""".stripMargin).head()
+            false
+          } catch { case _: Exception => true }
+        require(failedLoudly, "recursion level cap did not fire")
+        println("[smoke] recursion cap (40) fires loudly on a 100-level " +
+          "chain: ok")
+      } finally prevCap match {
+        case Some(v) => spark.conf.set("spark.sql.cteRecursionLevelLimit", v)
+        case None => spark.conf.unset("spark.sql.cteRecursionLevelLimit")
+      }
+    }
     locally {
       // v90 segment compaction at nDocs vectors: train-once index (16-d
       // geometry → 4 subspaces, nDocs×4 code rows), two committed 5%

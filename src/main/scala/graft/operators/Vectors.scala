@@ -1028,15 +1028,24 @@ object Vectors {
     //    pointer lands; (b) any other non-current codes_v_* dir only
     //    once it is older than a grace period — an orphan from a
     //    compaction that crashed before its pointer swap. The grace
-    //    period (not "everything non-current") is what makes two
-    //    compactors racing merely wasteful instead of corrupting: the
-    //    r12 advisory's window was compactor A sweeping compactor B's
+    //    period (not "everything non-current") closes the r12
+    //    advisory's SWEEP race: compactor A sweeping compactor B's
     //    freshly written segment in the instant before B's pointer
-    //    rename, leaving B's _codes_current pointing at nothing. A
+    //    rename would leave B's _codes_current pointing at nothing; a
     //    freshly written segment is by definition inside the grace
-    //    window, so it can never be swept; crashed-compaction orphans
-    //    age out and the NEXT compaction reclaims them. Appends stay
-    //    fully concurrent (marker-committed into their own dirs).
+    //    window, so it can never be swept, and crashed-compaction
+    //    orphans age out for the NEXT compaction to reclaim. This is
+    //    defense-in-depth, NOT full concurrent-compactor safety — the
+    //    POINTER-SWAP race remains: if B absorbs an append committed
+    //    after A's listing, then A's rename lands last, the current
+    //    view loses that append's rows while its exactly-once marker
+    //    blocks re-appending. The operational contract is therefore
+    //    AT MOST ONE compactor at a time (the normal lakehouse
+    //    table-maintenance rule); the grace window only downgrades an
+    //    accidental violation from dangling-pointer corruption to a
+    //    recoverable lost-append (re-ingest after deleting the marker).
+    //    Appends stay fully concurrent with each other and with one
+    //    compactor (marker-committed into their own dirs).
     //    Readers: one resolved THROUGH pqIndexCurrent after any
     //    compaction binds to an immutable versioned segment until a
     //    LATER compaction's sweep finds it aged out — the normal
@@ -1049,7 +1058,13 @@ object Vectors {
     //    exactly this reason);
     val oldBaseName = new org.apache.hadoop.fs.Path(oldBase).getName
     val graceMs = 60L * 60 * 1000 // 1h — far past any compaction's write
-    val sweepCutoff = System.currentTimeMillis() - graceMs
+    // cutoff derives from the FILESYSTEM's clock (the mtime it just
+    // stamped on our own segment), not the client's — client-vs-
+    // namenode skew larger than the grace window could otherwise sweep
+    // a concurrent compactor's fresh segment before its pointer rename
+    val fsNow = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/$vid")).getModificationTime
+    val sweepCutoff = fsNow - graceMs
     fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
       .filter(st => st.getPath.getName.startsWith("codes_v_")
         && st.getPath.getName != vid

@@ -77,7 +77,12 @@ class DetRangeSource extends TableProvider {
     new DetRangeTable(
       properties.getOrDefault("rows", "1000").toLong,
       properties.getOrDefault("slices", "8").toInt,
-      properties.getOrDefault("keyed", "false").toBoolean)
+      properties.getOrDefault("keyed", "false").toBoolean,
+      // option("stats","false") withholds SupportsReportStatistics'
+      // numbers (empty OptionalLongs → Spark falls back to the
+      // defaultSizeInBytes ∞ default) — the control arm SourcesSpec
+      // uses to prove the stats are what make q215's join broadcast
+      properties.getOrDefault("stats", "true").toBoolean)
 }
 
 object DetRangeSource {
@@ -106,7 +111,12 @@ object DetRangeSource {
   /** Rows each executed reader will generate, summed — test observability
     * for runtime filtering: after a DPP/runtime `In` filter narrows the
     * scan, the generated-row count must shrink to the surviving span
-    * (SourcesSpec reads the delta; one add per reader, not per row). */
+    * (SourcesSpec reads the delta; one add per reader, not per row).
+    * LOCAL-MODE-ONLY contract: a static AtomicLong is driver-observable
+    * only when readers share the driver JVM (`local[*]`), and a
+    * speculated/retried task adds twice — fine for a deterministic
+    * single-JVM test hook, NEVER a production metric (a cluster metric
+    * would be a Spark accumulator or a custom V2 metric). */
   val generatedRows = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Column value for row `id` — the single definition both the
@@ -121,18 +131,19 @@ object DetRangeSource {
   }
 }
 
-private[sources] class DetRangeTable(rows: Long, slices: Int, keyed: Boolean)
+private[sources] class DetRangeTable(rows: Long, slices: Int, keyed: Boolean,
+    stats: Boolean = true)
     extends Table with SupportsRead {
   override def name(): String = s"det_range($rows)"
   override def schema(): StructType = DetRangeSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DetRangeScanBuilder(rows, slices, keyed)
+    new DetRangeScanBuilder(rows, slices, keyed, stats)
 }
 
 private[sources] class DetRangeScanBuilder(rows: Long, slices: Int,
-    keyed: Boolean)
+    keyed: Boolean, stats: Boolean = true)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownLimit with SupportsPushDownAggregates {
@@ -253,7 +264,7 @@ private[sources] class DetRangeScanBuilder(rows: Long, slices: Int,
     else if (keyed) new DetRangeKeyedScan(lo, hi, required, pushed)
     else {
       val hiEff = limit.fold(hi)(l => math.min(hi, lo + l))
-      new DetRangeScan(lo, hiEff, slices, required, pushed, limit)
+      new DetRangeScan(lo, hiEff, slices, required, pushed, limit, stats)
     }
 }
 
@@ -300,7 +311,8 @@ private[sources] class DetRangeAggScan(lo: Long, hi: Long,
 
 private[sources] class DetRangeScan(lo: Long, hi0: Long, slices: Int,
     required: StructType, pushed: Array[Filter],
-    limit: Option[Long] = None) extends Scan with Batch
+    limit: Option[Long] = None,
+    stats: Boolean = true) extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
   // runtime-narrowed bounds: [[filter]] tightens them monotonically, so
   // re-execution of the same Scan instance is idempotent
@@ -324,12 +336,19 @@ private[sources] class DetRangeScan(lo: Long, hi0: Long, slices: Int,
     * like a filtered parquet scan with footer stats (SourcesSpec pins
     * the BroadcastHashJoin; q215 is the registered oracled query
     * through this path). */
-  override def estimateStatistics(): Statistics = new Statistics {
-    private val n = math.max(0L, rHi - rLo)
-    override def numRows(): OptionalLong = OptionalLong.of(n)
-    override def sizeInBytes(): OptionalLong = OptionalLong.of(
-      n * DetRangeSource.rowBytes(required.fieldNames.toSeq))
-  }
+  override def estimateStatistics(): Statistics =
+    if (!stats) new Statistics { // withheld (option("stats","false")):
+      // empty optionals → Spark substitutes defaultSizeInBytes (the ∞
+      // default every stats-less V2 scan gets) — the SourcesSpec
+      // control arm proving the broadcast decision comes from HERE
+      override def numRows(): OptionalLong = OptionalLong.empty()
+      override def sizeInBytes(): OptionalLong = OptionalLong.empty()
+    } else new Statistics {
+      private val n = math.max(0L, rHi - rLo)
+      override def numRows(): OptionalLong = OptionalLong.of(n)
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(
+        n * DetRangeSource.rowBytes(required.fieldNames.toSeq))
+    }
 
   /** RUNTIME filtering (`SupportsRuntimeFiltering`, round 13): Spark
     * hands the values of a DPP/runtime-filter subquery — the join keys

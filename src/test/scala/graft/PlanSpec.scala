@@ -867,4 +867,27 @@ class PinSpec extends org.scalatest.funsuite.AnyFunSuite {
     graft.operators.Scale.releasePins()
     assert(df.storageLevel == StorageLevel.NONE)
   }
+
+  test("q217: the SQL UDF inlines — no SQLFunction/ScalaUDF node survives, floor lands in the aggregate's child") {
+    // CREATE FUNCTION ... RETURN expr is free only because the analyzer
+    // INLINES the body; a surviving function node would mean a per-row
+    // call (or worse, a sub-plan) at any corpus size. Pin it on the
+    // registered query's optimized plan.
+    val df = SparkEntry.queries("q217_sql_udf_scalar")(spark, TestSession.sf)
+    val optimized = df.queryExecution.optimizedPlan
+    val survivors = optimized.collect { case node =>
+      node.expressions.flatMap(_.collect {
+        case e if e.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.ScalaUDF] => e
+        case e if e.getClass.getSimpleName.contains("SQLFunction") => e
+      })
+    }.flatten
+    assert(survivors.isEmpty,
+      s"function nodes survived analysis: ${survivors.map(_.getClass.getSimpleName)}")
+    val p = optimized.toString
+    assert(!p.toLowerCase.contains("graft_disc_pennies"),
+      "the UDF name survived in the optimized plan:\n" + p.take(1200))
+    assert(p.toUpperCase.contains("FLOOR("),
+      "the inlined body's floor is missing from the plan:\n" + p.take(1200))
+  }
 }

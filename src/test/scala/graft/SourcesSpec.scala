@@ -642,4 +642,117 @@ class SourcesSpec extends AnyFunSuite {
       assert(n > 0, s"$c: comparison + extraction yielded no rows")
     }
   }
+
+  test("DSv2 stats (q215 path): reported stats put the filtered scan on the broadcast side; withheld stats sort-merge") {
+    // SupportsReportStatistics is only observable through the PLAN it
+    // buys: with post-pushdown stats the 500-row filtered range is seen
+    // as tiny and becomes the BroadcastHashJoin build side; the control
+    // arm (option("stats","false") → empty OptionalLongs → Spark's
+    // defaultSizeInBytes ∞ fallback) must sort-merge the same join.
+    // AQE off: this pins the STATIC (CBO) decision — AQE could rescue
+    // the stats-less plan at runtime, which is exactly the signal the
+    // test must not launder.
+    val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def join(stats: Boolean) = {
+        def src = spark.read.format("graft.sources.DetRangeSource")
+          .option("rows", 2000000).option("slices", 8)
+          .option("stats", stats.toString).load()
+        val small = src.filter(col("id") >= 100 && col("id") < 600)
+          .select(col("id"), col("bucket"))
+        val big = src.select(col("id").as("id2"), col("kscore"))
+        small.join(big, col("id") === col("id2"))
+      }
+      val withStats = join(stats = true)
+      val bhj = withStats.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(bhj.nonEmpty, "stats-reporting filtered scan did not plan a " +
+        "broadcast join:\n" +
+        withStats.queryExecution.executedPlan.toString.take(1500))
+      val build = bhj.head.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => bhj.head.left
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => bhj.head.right
+      }
+      assert(build.toString.contains("DetRangeScan [100, 600)"),
+        "the filtered (tiny-by-stats) scan is not the build side:\n" +
+          build.toString.take(800))
+      assert(withStats.count() == 500L)
+      val noStats = join(stats = false)
+      val smj = noStats.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+      }
+      assert(smj.nonEmpty, "with stats withheld (∞ default) the join must " +
+        "sort-merge:\n" +
+        noStats.queryExecution.executedPlan.toString.take(1500))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
+  test("DSv2 keyed scans (q216 path): storage-partitioned join + aggs plan ZERO shuffle exchanges under v2 bucketing") {
+    // SupportsReportPartitioning's whole point: both keyed reads report
+    // KeyGroupedPartitioning(identity(bucket), 16), so the per-key
+    // aggregates AND the bucket join are satisfied by the storage
+    // layout — no ShuffleExchange anywhere in the plan. Values must
+    // equal the default-conf (shuffling) twin the driver oracles.
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.sources.v2.bucketing.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    def q216Body() = {
+      def keyed(rows: Int) = spark.read.format("graft.sources.DetRangeSource")
+        .option("rows", rows).option("keyed", "true").load()
+      val a = keyed(20000).groupBy(col("bucket"))
+        .agg(sum(col("kscore").cast("long")).as("sum_ka"))
+      val b = keyed(10000).groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_b"),
+          sum(col("kscore").cast("long")).as("sum_kb"))
+      a.join(b, Seq("bucket")) // q216 minus the presentation sort
+    }
+    val expected = q216Body().collect().map(_.toString).sorted.toSeq
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val spj = q216Body()
+      val exchanges = spj.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty, "storage-partitioned plan still shuffles:\n" +
+        spj.queryExecution.executedPlan.toString.take(2000))
+      assert(spj.collect().map(_.toString).sorted.toSeq == expected,
+        "exchange-free plan changed the answer")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("DSv2 runtime filtering: the DPP-style In-filter narrows generated rows to the surviving envelope") {
+    // SupportsRuntimeFiltering: after the broadcast side's join keys are
+    // known, Spark hands them to Scan.filter and the source re-plans its
+    // partitions over the [min,max] envelope — the custom-source twin of
+    // dynamic partition pruning. Observability: the reader-side
+    // generatedRows counter (local-mode contract documented on the
+    // field) must grow by ~the envelope, not the full 1M range.
+    val dimDir = tmp("graft_rtf_dim")
+    spark.range(5000, 5100)
+      .select(col("id").as("id_key"), (col("id") % 5).cast("int").as("grp"))
+      .write.mode("overwrite").parquet(dimDir)
+    val fact = spark.read.format("graft.sources.DetRangeSource")
+      .option("rows", 1000000).option("slices", 8).load()
+    val dim = spark.read.parquet(dimDir).filter(col("grp") === 3)
+    val joined = fact.join(dim, col("id") === col("id_key"))
+      .select(col("id"), col("kscore"), col("grp"))
+    val before = graft.sources.DetRangeSource.generatedRows.get()
+    val rows = joined.collect()
+    val delta = graft.sources.DetRangeSource.generatedRows.get() - before
+    // dim keys ≡ 3 (mod 5) in [5000,5100) → 20 matches; the envelope
+    // [5003, 5099) is ≤ 100 ids — far under the 1M unfiltered range
+    assert(rows.length == 20, s"join returned ${rows.length} rows")
+    assert(delta > 0 && delta <= 10000,
+      s"runtime filter did not narrow the scan: $delta rows generated " +
+        "(expected ≤ ~100; 1,000,000 means the full range was planned)")
+  }
 }

@@ -654,4 +654,57 @@ class StreamingSpec extends AnyFunSuite {
     // full-funnels within the month, so parity — not spread — is the check)
     assert(got.values.max == 3)
   }
+
+  test("exactly-once foreachBatch sink: kill after the write, before the commit — restart overwrites, no loss, no dup") {
+    // foreachBatch is AT-LEAST-ONCE: a crash between the user function
+    // and the checkpoint commit replays the batch. exactlyOnceParquetSink
+    // lifts it to exactly-once by batch_id-partitioned overwrite. This
+    // drives the exact documented crash window: the injected failure
+    // fires AFTER the sink's write returns (output is on disk) but
+    // BEFORE Spark commits the batch to the checkpoint — the restart
+    // must replay batch 1 under the SAME id and REPLACE its directory.
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[Ev]
+    val rows = eventRows().take(40)
+    val (first, second) = rows.splitAt(20)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_eos_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_eos_ckpt").toString
+    val stream = MemoryStream[Ev]
+    val killOn = new java.util.concurrent.atomic.AtomicLong(-1L)
+    def start() = stream.toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        StreamingOps.exactlyOnceParquetSink(outDir)(b, id)
+        if (id == killOn.getAndSet(-1L))
+          throw new RuntimeException("injected kill: after write, before commit")
+        ()
+      }
+      .start()
+    val q1 = start()
+    stream.addData(first)
+    q1.processAllAvailable() // batch 0 commits cleanly
+    killOn.set(1L)
+    stream.addData(second)
+    intercept[Exception] { q1.processAllAvailable() } // batch 1 dies post-write
+    try q1.stop() catch { case _: Exception => () }
+    // the at-least-once write DID land before the "crash" — this is the
+    // torn state the idempotent sink exists for
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(outDir, "batch_id=1")),
+      "the kill fired before the write — the test drove the wrong window")
+    // restart from the same checkpoint: batch 1 replays under the same
+    // id; mode("overwrite") on batch_id=1 replaces, never appends
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val back = spark.read.parquet(outDir)
+    assert(back.count() == rows.size.toLong,
+      s"${back.count()} rows after replay, want ${rows.size} (dup or loss)")
+    assert(back.select("event_id").distinct().count() == rows.size.toLong)
+    // and both batches are present exactly once in the partition layout
+    val perBatch = back.groupBy("batch_id").count()
+      .collect().map(r => r.get(0).toString.toLong -> r.getLong(1)).toMap
+    assert(perBatch == Map(0L -> 20L, 1L -> 20L), perBatch.toString)
+  }
 }

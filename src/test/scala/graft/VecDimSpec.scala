@@ -214,21 +214,39 @@ class VecDimSpec extends AnyFunSuite {
         .collect().map(_.mkString("|")).sorted
       // simulate a compaction that crashed AFTER writing its versioned
       // segment but BEFORE the pointer rename: a codes_v_* dir exists,
-      // no _codes_current, no _compacted sentinel (cleanup never ran)
+      // no _codes_current, no _compacted sentinel (cleanup never ran).
+      // Two orphans, exercising both arms of the r13 grace-period sweep
+      // (Vectors.scala pqIndexCompact step 2): one AGED past the 1h
+      // grace window (a long-dead crash — must be reclaimed) and one
+      // FRESH (indistinguishable from a concurrent compactor's
+      // just-written segment — must SURVIVE the sweep, else the r12
+      // dangling-pointer race reopens).
       s128.read.parquet(s"$dir/tcr1/codes").limit(5)
         .write.parquet(s"$dir/tcr1/codes_v_orphan00")
+      s128.read.parquet(s"$dir/tcr1/codes").limit(5)
+        .write.parquet(s"$dir/tcr1/codes_v_orphfresh")
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(dir, "tcr1", "codes_v_orphan00"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 2L * 60 * 60 * 1000))
       // serving must still read the OLD view (base + committed append);
-      // the uncommitted segment is invisible
+      // neither uncommitted segment is visible
       val viewCrashed = operators.Vectors.pqIndex(train, "tcr1", rounds = 1)._1
         .collect().map(_.mkString("|")).sorted
       assert(viewCrashed.sameElements(viewBefore),
         "orphan segment leaked into serving before its pointer landed")
-      // a compaction re-run converges: pointer lands, orphan swept
+      // a compaction re-run converges: pointer lands, the aged orphan is
+      // swept, the fresh one survives (grace window) yet stays invisible
       assert(operators.Vectors.pqIndexCompact(s128, "tcr1") == N * 32)
       assert(java.nio.file.Files.exists(
         java.nio.file.Paths.get(dir, "tcr1", "_codes_current")))
       assert(!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(dir, "tcr1", "codes_v_orphan00")))
+        java.nio.file.Paths.get(dir, "tcr1", "codes_v_orphan00")),
+        "aged-out orphan was not reclaimed by the sweep")
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "tcr1", "codes_v_orphfresh")),
+        "fresh orphan swept inside the grace window — the concurrent-" +
+          "compactor protection is broken")
       val viewAfter = operators.Vectors.pqIndex(train, "tcr1", rounds = 1)._1
         .collect().map(_.mkString("|")).sorted
       assert(viewAfter.sameElements(viewBefore))
