@@ -110,6 +110,39 @@ object CustomSource {
     a.join(b, Seq("bucket")).orderBy(col("bucket"))
   }
 
+  /** WRITE-side round-trip (round 14 — `graft.sources.CsvDirSink`, the
+    * V2 BATCH_WRITE protocol: per-task staging files, commit messages,
+    * driver-side publish-by-rename with `_SUCCESS` last — the
+    * `to_parquet` half of the custom-source symmetry). 5k deterministic
+    * rows flow source → sink → read-back → aggregate; DuckDB
+    * regenerates the same aggregate from `range()`, so the oracle
+    * proves the sink's task-commit protocol preserved every row exactly
+    * once. The write lands in a fresh swept dir each call (repeat runs
+    * stay idempotent); SourcesSpec pins the commit hygiene (`_SUCCESS`,
+    * no staging residue) and the abort path (injected task failure →
+    * destination untouched). */
+  val qDsv2SinkRoundtrip: Q = Q(
+    "q219_dsv2_sink_roundtrip",
+    """SELECT CAST(id % 16 AS INT) AS bucket, count(*) AS n,
+      |       CAST(sum((id * 31) % 997) AS BIGINT) AS sum_kscore
+      |FROM range(5000) t(id)
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+  ) { (s, _) =>
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_q219_sink").toString
+    s.read.format("graft.sources.DetRangeSource")
+      .option("rows", 5000).option("slices", 4).load()
+      .select(col("id"), col("bucket").cast("long").as("bucket"),
+        col("kscore").cast("long").as("kscore"))
+      .write.format("graft.sources.CsvDirSink")
+      .option("path", dir).mode("overwrite").save()
+    s.read.schema("id BIGINT, bucket BIGINT, kscore BIGINT").csv(dir)
+      .groupBy(col("bucket").cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("kscore")).as("sum_kscore"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[Q] = Seq(qDsv2Pushdown, qDsv2AggPushdown, qDsv2StatsJoin,
-    qDsv2Spj)
+    qDsv2Spj, qDsv2SinkRoundtrip)
 }

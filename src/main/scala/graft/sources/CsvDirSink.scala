@@ -1,0 +1,200 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Minimal custom DataSourceV2 SINK (round 14 — VERDICT r13 task 7:
+  * "close the DSv2 taxonomy's write side", the `to_parquet` half of the
+  * deployed Dask API's read/write symmetry whose read half is
+  * [[DetRangeSource]]; reference analog `dask.dataframe.to_parquet` on
+  * the deployed image, SURVEY §2.2 scans/sinks).
+  *
+  * What it demonstrates — the V2 BATCH_WRITE protocol end-to-end, with
+  * the TASK-COMMIT discipline that makes distributed writes atomic at
+  * any scale:
+  *
+  *  - every `DataWriter` (one per task attempt) writes its rows to a
+  *    UNIQUELY NAMED file under `_staging-<queryId>/` — attempts never
+  *    collide, so speculative/retried tasks are harmless;
+  *  - `DataWriter.commit()` returns the file name + row count as the
+  *    task's `WriterCommitMessage` — ONLY files named in a commit
+  *    message ever become visible (Spark delivers exactly one message
+  *    per successful task, so a zombie attempt's file is dead data);
+  *  - `BatchWrite.commit(messages)` — driver side, runs once — renames
+  *    the named staging files into the destination, writes `_SUCCESS`
+  *    LAST (readers gate on it), then deletes the staging dir;
+  *  - `BatchWrite.abort()` deletes the staging dir wholesale: a failed
+  *    job leaves the destination EXACTLY as it was (SourcesSpec pins
+  *    this with an injected task failure).
+  *
+  * This is the same publish-by-rename/manifest shape as Spark's own
+  * FileCommitProtocol and the pqIndex pointer swap
+  * (`operators/Vectors.scala` pqIndexCompact): at 100 TB the only
+  * alternative to task-commit + atomic publish is readers seeing
+  * half-written output. Rows serialize as CSV (LONG/INT/DOUBLE/STRING
+  * columns, no quoting — callers own comma-free strings; this sink
+  * exists for the commit protocol, not for CSV fidelity — the repo's
+  * production row sinks are the parquet writers).
+  *
+  * Usage: `df.write.format("graft.sources.CsvDirSink")
+  *   .option("path", dir).mode("append").save()`; `mode("overwrite")`
+  * is supported via `SupportsTruncate` (destination data files are
+  * removed in the same driver-side commit that publishes the new ones).
+  * Test hook: `option("failPartition", p)` makes partition p's writer
+  * throw after its first row — the abort-path SourcesSpec pin.
+  */
+class CsvDirSink extends TableProvider {
+  // a pure sink: the schema is whatever the written query provides
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new UnsupportedOperationException(
+      "CsvDirSink is write-only; read the directory back with " +
+        "spark.read.schema(...).csv(path)")
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty, "CsvDirSink requires option(\"path\", ...)")
+    new CsvDirTable(path, schema,
+      Option(properties.get("failPartition")).map(_.toInt))
+  }
+}
+
+private[sources] class CsvDirTable(path: String, writeSchema: StructType,
+    failPartition: Option[Int]) extends Table with SupportsWrite {
+  override def name(): String = s"csv_dir_sink($path)"
+  override def schema(): StructType = writeSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+  override def newWriteBuilder(
+      info: LogicalWriteInfo): WriteBuilder =
+    new CsvDirWriteBuilder(path, info.schema(), info.queryId(),
+      failPartition)
+}
+
+private[sources] class CsvDirWriteBuilder(path: String, schema: StructType,
+    queryId: String, failPartition: Option[Int])
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new CsvDirBatchWrite(path, schema, queryId, failPartition, doTruncate)
+  }
+}
+
+/** Task commit message: the staged file this task published, named so
+  * the driver commit publishes exactly the chosen attempts' output. */
+private[graft] case class CsvFileCommit(fileName: String, rows: Long)
+    extends WriterCommitMessage
+
+private[sources] class CsvDirBatchWrite(path: String, schema: StructType,
+    queryId: String, failPartition: Option[Int], truncate: Boolean)
+    extends BatchWrite {
+  private def fs(conf: org.apache.hadoop.conf.Configuration) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(conf)
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new CsvDirWriterFactory(path, schema, queryId, failPartition)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val f = fs(conf)
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(path, s"_staging-$queryId")
+    f.mkdirs(dest)
+    if (truncate) { // overwrite: clear prior data files in the SAME
+      // driver-side commit that publishes the new ones (staging dirs
+      // and _SUCCESS excluded; a crash before publish leaves the old
+      // _SUCCESS-gated view intact minus its marker — loudly stale,
+      // never silently mixed)
+      f.listStatus(dest).filter { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_staging-") && n != "_SUCCESS"
+      }.foreach(st => f.delete(st.getPath, true))
+    }
+    // publish ONLY the files the chosen task attempts committed —
+    // zombie/speculative attempt files stay in staging and die with it
+    messages.foreach { case CsvFileCommit(name, _) =>
+      f.rename(new org.apache.hadoop.fs.Path(staging, name),
+        new org.apache.hadoop.fs.Path(dest, name))
+    }
+    // _SUCCESS last: readers gate on it, so a crash mid-publish is
+    // visible as "no marker", never as a silent partial table
+    f.create(new org.apache.hadoop.fs.Path(dest, "_SUCCESS"), true).close()
+    f.delete(staging, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val f = fs(conf)
+    // wholesale: every attempt wrote under staging, so the destination
+    // is untouched by construction
+    f.delete(new org.apache.hadoop.fs.Path(path, s"_staging-$queryId"), true)
+  }
+}
+
+private[sources] class CsvDirWriterFactory(path: String, schema: StructType,
+    queryId: String, failPartition: Option[Int]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new CsvDirDataWriter(path, schema, queryId, partitionId, taskId,
+      failAfterFirstRow = failPartition.contains(partitionId))
+}
+
+private[sources] class CsvDirDataWriter(path: String, schema: StructType,
+    queryId: String, partitionId: Int, taskId: Long,
+    failAfterFirstRow: Boolean) extends DataWriter[InternalRow] {
+  // attempt-unique name: partition + task id (task ids are unique per
+  // attempt), so a retry never clobbers the zombie's file
+  private val fileName = f"part-$partitionId%05d-$taskId.csv"
+  private val staging =
+    new org.apache.hadoop.fs.Path(path, s"_staging-$queryId")
+  private val conf = new org.apache.hadoop.conf.Configuration()
+  private val f = staging.getFileSystem(conf)
+  f.mkdirs(staging)
+  private val out = f.create(
+    new org.apache.hadoop.fs.Path(staging, fileName), true)
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val line = schema.fields.zipWithIndex.map { case (fd, i) =>
+      fd.dataType match {
+        case LongType => row.getLong(i).toString
+        case IntegerType => row.getInt(i).toString
+        case DoubleType => row.getDouble(i).toString
+        case StringType => row.getUTF8String(i).toString
+        case other => throw new IllegalArgumentException(
+          s"CsvDirSink supports long/int/double/string, not $other")
+      }
+    }.mkString("", ",", "\n")
+    out.write(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    rows += 1
+    if (failAfterFirstRow)
+      throw new RuntimeException(
+        s"injected failure in partition $partitionId (test hook)")
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    CsvFileCommit(fileName, rows)
+  }
+
+  override def abort(): Unit = {
+    // close + best-effort removal of THIS attempt's file; the driver's
+    // BatchWrite.abort sweeps the staging dir regardless
+    try out.close() catch { case _: java.io.IOException => () }
+    f.delete(new org.apache.hadoop.fs.Path(staging, fileName), false)
+  }
+
+  override def close(): Unit =
+    try out.close() catch { case _: java.io.IOException => () }
+}

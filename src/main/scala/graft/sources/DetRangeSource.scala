@@ -82,7 +82,10 @@ class DetRangeSource extends TableProvider {
       // numbers (empty OptionalLongs → Spark falls back to the
       // defaultSizeInBytes ∞ default) — the control arm SourcesSpec
       // uses to prove the stats are what make q215's join broadcast
-      properties.getOrDefault("stats", "true").toBoolean)
+      properties.getOrDefault("stats", "true").toBoolean,
+      // micro-batch ingest chunk (readStream path): admission control
+      // caps each micro-batch at this many rows
+      properties.getOrDefault("rowsPerBatch", "1000").toLong)
 }
 
 object DetRangeSource {
@@ -132,18 +135,19 @@ object DetRangeSource {
 }
 
 private[sources] class DetRangeTable(rows: Long, slices: Int, keyed: Boolean,
-    stats: Boolean = true)
+    stats: Boolean = true, rowsPerBatch: Long = 1000L)
     extends Table with SupportsRead {
   override def name(): String = s"det_range($rows)"
   override def schema(): StructType = DetRangeSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DetRangeScanBuilder(rows, slices, keyed, stats)
+    new DetRangeScanBuilder(rows, slices, keyed, stats, rowsPerBatch)
 }
 
 private[sources] class DetRangeScanBuilder(rows: Long, slices: Int,
-    keyed: Boolean, stats: Boolean = true)
+    keyed: Boolean, stats: Boolean = true, rowsPerBatch: Long = 1000L)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownLimit with SupportsPushDownAggregates {
@@ -264,7 +268,8 @@ private[sources] class DetRangeScanBuilder(rows: Long, slices: Int,
     else if (keyed) new DetRangeKeyedScan(lo, hi, required, pushed)
     else {
       val hiEff = limit.fold(hi)(l => math.min(hi, lo + l))
-      new DetRangeScan(lo, hiEff, slices, required, pushed, limit, stats)
+      new DetRangeScan(lo, hiEff, slices, required, pushed, limit, stats,
+        rowsPerBatch)
     }
 }
 
@@ -312,7 +317,8 @@ private[sources] class DetRangeAggScan(lo: Long, hi: Long,
 private[sources] class DetRangeScan(lo: Long, hi0: Long, slices: Int,
     required: StructType, pushed: Array[Filter],
     limit: Option[Long] = None,
-    stats: Boolean = true) extends Scan with Batch
+    stats: Boolean = true,
+    rowsPerBatch: Long = 1000L) extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
   // runtime-narrowed bounds: [[filter]] tightens them monotonically, so
   // re-execution of the same Scan instance is idempotent
@@ -395,6 +401,74 @@ private[sources] class DetRangeScan(lo: Long, hi0: Long, slices: Int,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DetRangeReaderFactory(required.fieldNames)
+
+  /** MICRO-BATCH ingest (round 14 — `MicroBatchStream`, the streaming
+    * half of the custom-source story): the deterministic range becomes
+    * a replayable stream whose OFFSETS ARE ROW IDS. Determinism is the
+    * whole exactly-once argument — batch N is the id interval
+    * [startOffset, endOffset), identical on every replay, so a restart
+    * from the checkpoint re-reads precisely the uncommitted interval
+    * (StreamingSpec drives a resume). Admission control
+    * (`rowsPerBatch`) bounds each micro-batch — the V2 analog of
+    * kafka's maxOffsetsPerTrigger — and `SupportsTriggerAvailableNow`
+    * lets a backfill drain the whole range in bounded chunks and stop. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new DetRangeMicroBatchStream(lo, hi0, rowsPerBatch,
+      required.fieldNames)
+}
+
+private[graft] case class DetRangeOffset(v: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = v.toString
+}
+
+private[sources] class DetRangeMicroBatchStream(lo: Long, hi: Long,
+    rowsPerBatch: Long, fields: Array[String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => StreamOffset, ReadLimit, ReadMaxRows}
+
+  require(rowsPerBatch > 0, s"rowsPerBatch must be positive: $rowsPerBatch")
+
+  override def initialOffset(): StreamOffset = DetRangeOffset(lo)
+  override def deserializeOffset(json: String): StreamOffset =
+    DetRangeOffset(json.toLong)
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(rowsPerBatch)
+  // admission-control sources answer latestOffset(start, limit); the
+  // legacy no-arg form must not be reachable
+  override def latestOffset(): StreamOffset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+  override def latestOffset(start: StreamOffset,
+      limit: ReadLimit): StreamOffset = {
+    val s = start.asInstanceOf[DetRangeOffset].v
+    val cap = limit match {
+      case m: ReadMaxRows => math.min(hi, s + m.maxRows)
+      case _ => hi // allAvailable / composite: drain
+    }
+    DetRangeOffset(math.max(s, cap))
+  }
+  override def reportLatestOffset(): StreamOffset = DetRangeOffset(hi)
+  // the range's end is fixed at construction, so "available now" needs
+  // no snapshot — hi IS the target
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def planInputPartitions(start: StreamOffset,
+      end: StreamOffset): Array[InputPartition] = {
+    val a = start.asInstanceOf[DetRangeOffset].v
+    val b = end.asInstanceOf[DetRangeOffset].v
+    if (b <= a) Array.empty
+    else Array(DetRangePartition(a, b)) // one task per micro-batch —
+    // batches are already rowsPerBatch-bounded; a production source
+    // would sub-slice here exactly like the batch scan does
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DetRangeReaderFactory(fields)
+  override def commit(end: StreamOffset): Unit = () // nothing retained
+  override def stop(): Unit = ()
 }
 
 /** KEY-GROUPED scan (`SupportsReportPartitioning`, round 13): one

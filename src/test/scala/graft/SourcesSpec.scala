@@ -755,4 +755,39 @@ class SourcesSpec extends AnyFunSuite {
       s"runtime filter did not narrow the scan: $delta rows generated " +
         "(expected ≤ ~100; 1,000,000 means the full range was planned)")
   }
+
+  test("DSv2 sink (q219 path): commit publishes atomically (_SUCCESS, no staging); an injected task failure leaves the destination untouched") {
+    val dir = tmp("graft_sink")
+    val src = spark.read.format("graft.sources.DetRangeSource")
+      .option("rows", 1000).option("slices", 4).load()
+      .select(col("id"), col("bucket").cast("long").as("bucket"))
+    src.write.format("graft.sources.CsvDirSink")
+      .option("path", dir).mode("append").save()
+    val names = new java.io.File(dir).list().toSeq
+    assert(names.contains("_SUCCESS"), names.toString)
+    assert(!names.exists(_.startsWith("_staging-")),
+      s"staging residue after commit: $names")
+    val schema = "id BIGINT, bucket BIGINT"
+    val back = spark.read.schema(schema).csv(dir)
+    assert(back.count() == 1000L)
+    assert(back.agg(sum(col("id"))).head.getLong(0) == 499500L)
+    // ABORT path: partition 2's writer throws after its first row; the
+    // failed job must leave the destination byte-for-byte as committed
+    // (every attempt wrote only under staging, and BatchWrite.abort
+    // swept it)
+    val before = new java.io.File(dir).list().toSeq.sorted
+    intercept[Exception] {
+      src.write.format("graft.sources.CsvDirSink")
+        .option("path", dir).option("failPartition", "2")
+        .mode("append").save()
+    }
+    val after = new java.io.File(dir).list().toSeq.sorted
+    assert(after == before, s"aborted write left residue: $after vs $before")
+    assert(spark.read.schema(schema).csv(dir).count() == 1000L)
+    // OVERWRITE (SupportsTruncate): prior data files are replaced in
+    // the same driver-side commit that publishes the new ones
+    src.filter(col("id") < 100).write.format("graft.sources.CsvDirSink")
+      .option("path", dir).mode("overwrite").save()
+    assert(spark.read.schema(schema).csv(dir).count() == 100L)
+  }
 }
