@@ -742,6 +742,13 @@ object ScaleSmoke {
         .write.mode("overwrite").parquet(s"$base/keys")
       spark.read.parquet(s"$base/keys")
         .createOrReplaceTempView("graft_smoke_keys")
+      // the reach set is the full 2M-key domain, past the engine's
+      // SECOND loud recursion cap (cteRecursionRowLimit, default 1M
+      // accumulated rows) — raised explicitly for the smoke, restored
+      // after; at production scale this cap is the row-volume twin of
+      // the level limit and wants the same deliberate sizing
+      val prevRowCap = spark.conf.getOption("spark.sql.cteRecursionRowLimit")
+      spark.conf.set("spark.sql.cteRecursionRowLimit", "5000000")
       time("recursive CTE reach (q213 shape, ~21 levels)", 2000000L) {
         spark.sql(
           """WITH RECURSIVE reach(k) AS (
@@ -752,6 +759,10 @@ object ScaleSmoke {
             |    UNION ALL SELECT k * 2 + 1 AS k FROM reach) c
             |  JOIN graft_smoke_keys t ON t.k = c.k)
             |SELECT count(*) AS n FROM reach""".stripMargin).head().getLong(0)
+      }
+      prevRowCap match {
+        case Some(v) => spark.conf.set("spark.sql.cteRecursionRowLimit", v)
+        case None => spark.conf.unset("spark.sql.cteRecursionRowLimit")
       }
       // the loud cap: a 100-level chain against a 40-level limit must
       // THROW before runaway, not grind through 100 sequential jobs
