@@ -305,6 +305,63 @@ object SqlSurface {
             |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
   }
 
+  /** SQL PIPE SYNTAX (Spark 4 `|>` operators — round 14): the linear
+    * query form (FROM … |> WHERE … |> EXTEND … |> AGGREGATE … |> ORDER
+    * BY) that reads in dataflow order, the string-query twin of the
+    * DataFrame API's method chaining. Pure PARSER surface: each pipe
+    * stage lowers to the same logical operators the ANSI form produces,
+    * so the optimized plan is IDENTICAL to the nested-SELECT twin
+    * (PlanSpec pins plan equality) — zero cost at any scale, by
+    * construction. `EXTEND` adds the exact-pennies column without
+    * re-listing the projection; `AGGREGATE … GROUP BY` emits grouping
+    * cols then aggregates. DuckDB replays the ANSI equivalent. */
+  val qSqlPipeSyntax: Q = Q(
+    "q220_sql_pipe_syntax",
+    """SELECT l_returnflag, count(*) AS n,
+      |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+      |                     AS BIGINT)) AS BIGINT) AS disc_pennies
+      |FROM lineitem WHERE l_quantity >= 30
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_fn_lineitem")
+    s.sql("""FROM graft_fn_lineitem
+            ||> WHERE l_quantity >= 30
+            ||> EXTEND CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+            |          AS BIGINT) AS pennies
+            ||> AGGREGATE count(*) AS n, sum(pennies) AS disc_pennies
+            |   GROUP BY l_returnflag
+            ||> ORDER BY l_returnflag""".stripMargin)
+      .select("l_returnflag", "n", "disc_pennies")
+  }
+
+  /** IDENTIFIER CLAUSE + GROUP/ORDER BY ALL (round 14): dynamic table
+    * and column names bound through `IDENTIFIER(:param)` with named
+    * parameters — the injection-safe form of dynamic SQL over
+    * IDENTIFIERS, completing q214's value-parameter story (a value can
+    * bind via `?`/`:name`, but a table or column name cannot be a
+    * VALUE parameter; IDENTIFIER is the engine-checked escape hatch —
+    * a hostile string fails identifier resolution instead of splicing
+    * into the statement). GROUP BY ALL / ORDER BY ALL infer the
+    * grouping and ordering from the projection — sugar the analyzer
+    * expands before optimization, so the plan is the explicit form's.
+    * DuckDB supports both (same inference rules on this shape). */
+  val qIdentifierClause: Q = Q(
+    "q221_identifier_clause",
+    """SELECT o_orderstatus, count(*) AS n,
+      |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS pennies
+      |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("graft_fn_orders")
+    s.sql(
+      """SELECT o_orderstatus, count(*) AS n,
+        |       CAST(sum(CAST(floor(IDENTIFIER(:priceCol) * 100) AS BIGINT))
+        |         AS BIGINT) AS pennies
+        |FROM IDENTIFIER(:tbl) GROUP BY ALL ORDER BY ALL""".stripMargin,
+      Map("tbl" -> "graft_fn_orders", "priceCol" -> "o_totalprice"))
+  }
+
   val all: Seq[Q] = Seq(qSqlScriptingTrim, qVariantShred, qRecursiveCte,
-    qExecuteImmediate, qSqlUdfScalar, qSqlUdtf)
+    qExecuteImmediate, qSqlUdfScalar, qSqlUdtf, qSqlPipeSyntax,
+    qIdentifierClause)
 }

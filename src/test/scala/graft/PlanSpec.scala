@@ -890,4 +890,25 @@ class PinSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(p.toUpperCase.contains("FLOOR("),
       "the inlined body's floor is missing from the plan:\n" + p.take(1200))
   }
+
+  test("q220: pipe syntax lowers to the identical optimized plan as the ANSI form") {
+    // |> is parser surface only — each stage must produce the same
+    // logical operators the nested-SELECT form does, so the two texts
+    // optimize to plans with the same result (zero pipe tax at scale).
+    val pipe = SparkEntry.queries("q220_sql_pipe_syntax")(spark, TestSession.sf)
+    Tables.lineitem(spark, TestSession.sf)
+      .createOrReplaceTempView("graft_fn_lineitem")
+    val ansi = spark.sql(
+      """SELECT l_returnflag, count(*) AS n,
+        |       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+        |           AS BIGINT)) AS disc_pennies
+        |FROM graft_fn_lineitem WHERE l_quantity >= 30
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    assert(pipe.queryExecution.optimizedPlan
+        .sameResult(ansi.queryExecution.optimizedPlan),
+      "pipe and ANSI forms optimized to different plans:\n--pipe--\n" +
+        pipe.queryExecution.optimizedPlan.toString.take(1200) +
+        "\n--ansi--\n" +
+        ansi.queryExecution.optimizedPlan.toString.take(1200))
+  }
 }
