@@ -790,6 +790,41 @@ object ScaleSmoke {
         case None => spark.conf.unset("spark.sql.cteRecursionLevelLimit")
       }
     }
+    // ---- round-14 DSv2 write + streaming-read smokes ----
+    locally {
+      // the q219 sink at 20M rows / 64 tasks: every task stages its own
+      // file, the driver commit renames 64 files + writes _SUCCESS —
+      // commit cost is O(tasks), not O(rows), which is the property
+      // that keeps the protocol viable at 100 TB task counts
+      val sinkDir = s"$base/sink_smoke"
+      time("DSv2 sink write (q219 shape)", nEvents) {
+        spark.read.format("graft.sources.DetRangeSource")
+          .option("rows", nEvents).option("slices", 64).load()
+          .select(col("id"), col("bucket").cast("long").as("bucket"),
+            col("kscore").cast("long").as("kscore"))
+          .write.format("graft.sources.CsvDirSink")
+          .option("path", sinkDir).mode("overwrite").save()
+        spark.read.schema("id BIGINT, bucket BIGINT, kscore BIGINT")
+          .csv(sinkDir).count()
+      }
+      // micro-batch drain at nDocs rows in 10 admission-controlled
+      // batches: per-batch overhead (offset log + commit log + planning)
+      // is the measured cost — row volume rides the same reader as the
+      // batch scan
+      val mbsOut = s"$base/mbs_out"
+      val mbsCkpt = s"$base/mbs_ckpt"
+      time("MicroBatchStream drain (10 batches)", nDocs) {
+        val q = spark.readStream.format("graft.sources.DetRangeSource")
+          .option("rows", nDocs).option("rowsPerBatch", nDocs / 10).load()
+          .select(col("id"), col("kscore"))
+          .writeStream.format("parquet").option("path", mbsOut)
+          .option("checkpointLocation", mbsCkpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(600000)
+        spark.read.parquet(mbsOut).count()
+      }
+    }
     locally {
       // v90 segment compaction at nDocs vectors: train-once index (16-d
       // geometry → 4 subspaces, nDocs×4 code rows), two committed 5%
