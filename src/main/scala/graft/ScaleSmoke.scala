@@ -193,19 +193,12 @@ object ScaleSmoke {
         .groupBy(col("maybe_dup")).agg(count(lit(1))).count()
     }
     time("boilerplate ngrams (t75)", nDocs) {
-      // persist: shx feeds freq + the join's left side (the t75/t106
-      // shared-frame discipline — without it the explode runs twice)
-      val shx = operators.Text.shingled(docs)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n = shx.join(shx.groupBy(col("s")).agg(count(lit(1)).as("nd")), Seq("s"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_sh"), count(when(col("nd") >= 5, 1)).as("n_common"))
-        .count()
-      // blocking: an async unpersist would let block removal land inside
-      // the NEXT timed region (the r7 bench pathology, r10 advisory)
-      shx.unpersist(blocking = true)
-      n
+      // the REGISTERED t75 function, unmodified (r14: it now carries the
+      // SHUFFLE_HASH frequency join — the prior smoke-local SMJ copy
+      // spent ~70 s sorting the 20M-row shingle stream twice)
+      SparkEntry.queries("t75_boilerplate_ngrams")(spark, base).count()
     }
+    operators.Scale.releasePins() // t75 pins its shingle frame; untimed cleanup
     time("doc chunking (t76 shape)", nDocs) {
       val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
         .withColumn("n", size(col("t")).cast("long"))
@@ -571,22 +564,21 @@ object ScaleSmoke {
         .agg(sum(col("len"))).count()
     }
     time("skipgram cooccur (t115 shape)", nDocs) {
-      // lead(1)/lead(2) pairing inside per-doc windows — flat 2× fan-out
-      // over ~24M token positions, never a position self-join
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val led = docs.select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        .select(col("doc_id"), col("tok"),
-          lead(col("tok"), 1).over(w).as("t1"),
-          lead(col("tok"), 2).over(w).as("t2"))
-      val p1 = led.filter(col("t1").isNotNull)
-        .select(least(col("tok"), col("t1")).as("wa"),
-          greatest(col("tok"), col("t1")).as("wb"))
-      val p2 = led.filter(col("t2").isNotNull)
-        .select(least(col("tok"), col("t2")).as("wa"),
-          greatest(col("tok"), col("t2")).as("wb"))
-      p1.unionAll(p2).groupBy(col("wa"), col("wb"))
+      // row-local skip-k pairing off the token array (the r14 re-plan:
+      // pair construction is position arithmetic, not a window) — flat
+      // 2× fan-out over ~24M token positions, no shuffle before the
+      // map-side-combined pair count
+      val toks = docs.select(split(col("text"), " ").as("t"))
+      def skipPairs(k: Int) =
+        toks.select(explode(when(size(col("t")) > k,
+          transform(sequence(lit(0), size(col("t")) - 1 - k),
+            i => struct(
+              least(col("t")(i), col("t")(i + k)).as("wa"),
+              greatest(col("t")(i), col("t")(i + k)).as("wb"))))
+          .otherwise(array().cast("array<struct<wa:string,wb:string>>")))
+          .as("p"))
+          .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      skipPairs(1).unionAll(skipPairs(2)).groupBy(col("wa"), col("wb"))
         .agg(count(lit(1))).count()
     }
     time("known-item eval (t117 shape)", nDocs) {

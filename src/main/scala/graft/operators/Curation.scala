@@ -406,15 +406,25 @@ object Curation {
       |       round(n_common * 1.0 / n_shingles, 6) AS boilerplate_frac
       |FROM per ORDER BY boilerplate_frac DESC, doc_id LIMIT 20""".stripMargin
   ) { (s, d) =>
-    // shx feeds both the frequency table and the join's left side;
-    // without a persist the tokenize→shingle→distinct explode runs
-    // twice (the t106 lesson — the two exchanges hash the same key but
-    // have different children, so Spark can't reuse them). The frame is
-    // per-doc-deduped shingles; MEMORY_AND_DISK spills, never recomputes.
+    // SHUFFLE_HASH on the frequency side (round 14): the default
+    // sort-merge join SORTS both sides — two full orderings of the
+    // corpus shingle stream by string key, which dominated the 2M-doc
+    // smoke (~70 s of a ~80 s wall; hashed: ~8-12 s). The build side is
+    // the frequency table (ONE row per distinct shingle per partition —
+    // bounded build memory), and AQE's skew-join split handles hot
+    // boilerplate shingles for shuffled-hash joins exactly as for
+    // sort-merge, so the hint trades nothing away at scale.
+    // Pinned: shx feeds the frequency table and the join's left side;
+    // without the pin the shingle pipeline (and its dedup exchange over
+    // the full shingle stream) runs twice — measured in-suite at the 2M
+    // smoke: 30.4 s unpinned vs 18.3 s pinned (r14; an isolated-session
+    // experiment leaned the other way, but the in-suite number is the
+    // one the harness pays). At open scale the pin degrades gracefully:
+    // MEMORY_AND_DISK spills, never recomputes.
     val shx = Text.shingled(Tables.documents(s, d))
       .transform(Scale.pin(_))
     val freq = shx.groupBy(col("s")).agg(count(lit(1)).as("nd"))
-    shx.join(freq, Seq("s"))
+    shx.join(freq.hint("SHUFFLE_HASH"), Seq("s"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         count(when(col("nd") >= 5, 1)).as("n_common"))

@@ -29,17 +29,25 @@ object Text {
     * element_at reference of the HOF form, re-splitting the document
     * O(shingles) times — quadratic in document length. Here the split
     * runs once per doc, then one shuffle on doc_id builds the trigrams. */
-  def shingled(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+  def shingled(docs: DataFrame): DataFrame =
+    // ROW-LOCAL trigram construction (round 14): shingles come straight
+    // off the token ARRAY (transform over indices), so building them is
+    // a narrow map — no shuffle, no sort. The previous form (posexplode
+    // + lead over a per-doc window) shuffled and sorted the ENTIRE
+    // token stream just to see each token's two successors — at 100 TB
+    // a full-corpus shuffle bought for nothing (the same re-plan cut
+    // the t115 skip-gram smoke 15.2 s → 5.0 s at 2M docs; every shingle
+    // consumer — t54, t58, t65, t75, t86, t104, t106 — drops the
+    // window exchange). The trailing per-doc dedup keeps the SET
+    // semantics the consumers contract on.
     docs
-      .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "tok")))
-      .withColumn("t1", lead(col("tok"), 1).over(w))
-      .withColumn("t2", lead(col("tok"), 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("s"))
+      .select(col("doc_id"), tokens.as("t"))
+      .select(col("doc_id"), explode(when(size(col("t")) >= 3,
+        transform(sequence(lit(0), size(col("t")) - 3),
+          i => concat_ws(" ",
+            col("t")(i), col("t")(i + 1), col("t")(i + 2))))
+        .otherwise(array().cast("array<string>"))).as("s"))
       .dropDuplicates("doc_id", "s")
-  }
 
   /** Token explode + count (dask `.str.split` + explode + value_counts):
     * top-25 tokens corpus-wide. BASELINE.md anchor shape. */
@@ -518,10 +526,11 @@ object Text {
   }
 
   /** Corpus n-gram frequency table (the LM-prep sibling of t49's unigram
-    * counts): top-20 bigrams corpus-wide. Bigrams come from the same
-    * relational shingle shape as [[shingled]] (posexplode + lead), one
-    * map-side-combined groupBy — |bigram vocab| per partition reaches
-    * the shuffle, never the token stream. */
+    * counts): top-20 bigrams corpus-wide. Bigrams are built ROW-LOCALLY
+    * off the token array (the r14 [[shingled]] re-plan — the earlier
+    * posexplode + lead window shuffled the whole token stream first),
+    * then one map-side-combined groupBy — |bigram vocab| per partition
+    * reaches the shuffle, never the token stream. */
   val qBigramCounts: Q = Q(
     "t74_bigram_counts",
     """SELECT g, CAST(count(*) AS BIGINT) AS n FROM (
@@ -530,12 +539,12 @@ object Text {
       |), LATERAL unnest(gs) AS u(g)
       |GROUP BY g ORDER BY n DESC, g LIMIT 20""".stripMargin
   ) { (s, d) =>
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "tok")))
-      .withColumn("t1", lead(col("tok"), 1).over(w))
-      .filter(col("t1").isNotNull)
-      .select(concat_ws(" ", col("tok"), col("t1")).as("g"))
+      .select(tokens.as("t"))
+      .select(explode(when(size(col("t")) >= 2,
+        transform(sequence(lit(0), size(col("t")) - 2),
+          i => concat_ws(" ", col("t")(i), col("t")(i + 1))))
+        .otherwise(array().cast("array<string>"))).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("g")).limit(20)
   }
@@ -927,7 +936,10 @@ object Text {
     val shx = shingled(Tables.documents(s, d))
       .transform(Scale.pin(_)) // first-doc table + join left side share it
     val own = shx.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
-    shx.join(own, "s")
+    // SHUFFLE_HASH (r14, the t75 finding): sort-merge would order the
+    // full shingle stream by string key twice; the first-owner table is
+    // one row per distinct shingle — a bounded hash build per partition
+    shx.join(own.hint("SHUFFLE_HASH"), "s")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
@@ -976,7 +988,10 @@ object Text {
     val tot = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("source").as("src_a"), col("s"))
     val b = sh.select(col("source").as("src_b"), col("s"))
-    a.join(b, Seq("s")).filter(col("src_a") =!= col("src_b"))
+    // SHUFFLE_HASH (r14): the build side is the sources-deduped frame —
+    // ≤|sources| rows per shingle per partition — and hashing skips the
+    // two string-key sorts a sort-merge self-join would pay
+    a.join(b.hint("SHUFFLE_HASH"), Seq("s")).filter(col("src_a") =!= col("src_b"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_shared"))
       .join(broadcast(tot.withColumnRenamed("source", "src_a")), "src_a")
@@ -1229,19 +1244,23 @@ object Text {
       |FROM pairs GROUP BY wa, wb
       |ORDER BY n_cooc DESC, wa, wb LIMIT 20""".stripMargin
   ) { (s, d) =>
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val led = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "tok")))
-      .select(col("doc_id"), col("tok"),
-        lead(col("tok"), 1).over(w).as("t1"),
-        lead(col("tok"), 2).over(w).as("t2"))
-    val p1 = led.filter(col("t1").isNotNull)
-      .select(least(col("tok"), col("t1")).as("wa"),
-        greatest(col("tok"), col("t1")).as("wb"))
-    val p2 = led.filter(col("t2").isNotNull)
-      .select(least(col("tok"), col("t2")).as("wa"),
-        greatest(col("tok"), col("t2")).as("wb"))
-    p1.unionAll(p2)
+    // skip-k pairs ROW-LOCALLY off the token array (the r14 shingled
+    // re-plan applied here too): the previous posexplode + lead window
+    // shuffled and sorted the full token stream before a single pair
+    // existed; pair construction is position arithmetic, so it belongs
+    // in a narrow map — the only shuffle left is the map-side-combined
+    // pair count
+    val toks = Tables.documents(s, d).select(tokens.as("t"))
+    def skipPairs(k: Int): DataFrame =
+      toks.select(explode(when(size(col("t")) > k,
+        transform(sequence(lit(0), size(col("t")) - 1 - k),
+          i => struct(
+            least(col("t")(i), col("t")(i + k)).as("wa"),
+            greatest(col("t")(i), col("t")(i + k)).as("wb"))))
+        .otherwise(array().cast("array<struct<wa:string,wb:string>>")))
+        .as("p"))
+        .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+    skipPairs(1).unionAll(skipPairs(2))
       .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("n_cooc"))
       .orderBy(desc("n_cooc"), col("wa"), col("wb")).limit(20)
   }

@@ -278,12 +278,18 @@ class PlanSpec extends AnyFunSuite {
     assert(hashEx == 1, s"expected 1 user_id hash exchange, got $hashEx")
   }
 
-  test("t75: boilerplate scoring joins on the shingle — no pair join, no cartesian") {
+  test("t75: boilerplate scoring joins on the shingle — no pair join, no cartesian, HASHED not sorted") {
     val p = plan("t75_boilerplate_ngrams")
     assert(!p.contains("CartesianProduct"), p.take(400))
     // frequency join keys on the shingle string: candidate volume is
     // O(shingle collisions), never O(docs²)
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(400))
+    // r14: the frequency join must HASH, not sort-merge — SMJ sorts the
+    // full shingle stream by string key twice (~70 s of the 2M-doc
+    // smoke's wall; hashed ~8-12 s); the build side is one row per
+    // distinct shingle, so the per-partition hash build is bounded
+    assert(p.contains("ShuffledHashJoin"),
+      "frequency join regressed to sort-merge:\n" + p.take(800))
   }
 
   test("t76: chunking plan has no shuffle before the presentation sort") {
