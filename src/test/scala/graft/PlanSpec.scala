@@ -904,11 +904,17 @@ class PinSpec extends org.scalatest.funsuite.AnyFunSuite {
     val pipe = SparkEntry.queries("q220_sql_pipe_syntax")(spark, TestSession.sf)
     Tables.lineitem(spark, TestSession.sf)
       .createOrReplaceTempView("graft_fn_lineitem")
+    // the nested-SELECT de-sugaring of the pipe form: EXTEND is a
+    // projection BELOW the aggregate, so the twin computes pennies in a
+    // subquery exactly as the pipe stage does (a flat sum(floor(...))
+    // is the same answer but a structurally different — floor-inside-
+    // aggregate — plan, which sameResult correctly distinguishes)
     val ansi = spark.sql(
-      """SELECT l_returnflag, count(*) AS n,
-        |       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
-        |           AS BIGINT)) AS disc_pennies
-        |FROM graft_fn_lineitem WHERE l_quantity >= 30
+      """SELECT l_returnflag, count(*) AS n, sum(pennies) AS disc_pennies
+        |FROM (SELECT l_returnflag,
+        |             CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+        |               AS BIGINT) AS pennies
+        |      FROM graft_fn_lineitem WHERE l_quantity >= 30)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     assert(pipe.queryExecution.optimizedPlan
         .sameResult(ansi.queryExecution.optimizedPlan),
