@@ -789,5 +789,14 @@ class SourcesSpec extends AnyFunSuite {
     src.filter(col("id") < 100).write.format("graft.sources.CsvDirSink")
       .option("path", dir).mode("overwrite").save()
     assert(spark.read.schema(schema).csv(dir).count() == 100L)
+    // EMPTY write: a filter-to-nothing overwrite still COMMITS — the
+    // truncation applies, _SUCCESS publishes, staging is swept; "wrote
+    // an empty table" and "the write never ran" must be distinguishable
+    src.filter(col("id") < 0).write.format("graft.sources.CsvDirSink")
+      .option("path", dir).mode("overwrite").save()
+    val emptyNames = new java.io.File(dir).list().toSeq
+    assert(emptyNames.contains("_SUCCESS"), emptyNames.toString)
+    assert(!emptyNames.exists(_.startsWith("_staging-")), emptyNames.toString)
+    assert(spark.read.schema(schema).csv(dir).count() == 0L)
   }
 }
