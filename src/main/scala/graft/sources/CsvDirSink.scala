@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -49,6 +50,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Test hook: `option("failPartition", p)` makes partition p's writer
   * throw after its first row — the abort-path SourcesSpec pin.
   */
+object CsvDirSink {
+  /** TEST HOOK (local-mode-only, like `DetRangeSource.generatedRows`):
+    * when armed, the NEXT streaming epoch commit completes its publish
+    * and then throws — the crash window where output is on disk but the
+    * engine's checkpoint never records the epoch, forcing a replay of
+    * the SAME epochId on restart. StreamingSpec arms it to prove the
+    * epoch-replacement idempotence; never set in production use. */
+  val killNextEpochCommit = new java.util.concurrent.atomic.AtomicBoolean(false)
+}
+
 class CsvDirSink extends TableProvider {
   // a pure sink: the schema is whatever the written query provides
   override def supportsExternalMetadata(): Boolean = true
@@ -71,7 +82,7 @@ private[sources] class CsvDirTable(path: String, writeSchema: StructType,
   override def schema(): StructType = writeSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
   override def newWriteBuilder(
       info: LogicalWriteInfo): WriteBuilder =
     new CsvDirWriteBuilder(path, info.schema(), info.queryId(),
@@ -86,6 +97,8 @@ private[sources] class CsvDirWriteBuilder(path: String, schema: StructType,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new CsvDirBatchWrite(path, schema, queryId, failPartition, doTruncate)
+    override def toStreaming: StreamingWrite =
+      new CsvDirStreamingWrite(path, schema, queryId)
   }
 }
 
@@ -150,12 +163,89 @@ private[sources] class CsvDirWriterFactory(path: String, schema: StructType,
       failAfterFirstRow = failPartition.contains(partitionId))
 }
 
+/** STREAMING write (round 14 — `STREAMING_WRITE`, the fourth corner of
+  * the custom-source matrix: batch read, streaming read, batch write,
+  * and now streaming write). Exactly-once is EPOCH REPLACEMENT, the V2
+  * engine-level form of what `exactlyOnceParquetSink` does at the
+  * foreachBatch level: every published file carries its `epoch=N-`
+  * prefix, and `commit(N, …)` first DELETES any previously published
+  * `epoch=N-*` files before renaming the staged ones in — so a replay
+  * of epoch N (crash after publish, before the engine's checkpoint
+  * commit — the window StreamingSpec drives via
+  * [[CsvDirSink.killNextEpochCommit]]) REPLACES its own output instead
+  * of appending a duplicate. `abort(N, …)` sweeps only that epoch's
+  * staged files, leaving concurrent history untouched. */
+private[sources] class CsvDirStreamingWrite(path: String, schema: StructType,
+    queryId: String) extends StreamingWrite {
+  private def epochPrefix(epochId: Long): String = f"epoch=$epochId%05d-"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val (p, sch, qid) = (path, schema, queryId) // serializable capture
+    new StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+          epochId: Long): DataWriter[InternalRow] =
+        new CsvDirDataWriter(p, sch, qid, partitionId, taskId,
+          failAfterFirstRow = false,
+          filePrefix = f"epoch=$epochId%05d-")
+    }
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(path, s"_staging-$queryId")
+    f.mkdirs(dest)
+    // idempotent replay: REPLACE this epoch's previously published
+    // files (present only when a prior attempt crashed after its
+    // publish but before the engine recorded the epoch)
+    f.listStatus(dest)
+      .filter(_.getPath.getName.startsWith(epochPrefix(epochId)))
+      .foreach(st => f.delete(st.getPath, false))
+    messages.foreach { case CsvFileCommit(name, _) =>
+      f.rename(new org.apache.hadoop.fs.Path(staging, name),
+        new org.apache.hadoop.fs.Path(dest, name))
+    }
+    f.create(new org.apache.hadoop.fs.Path(dest, "_SUCCESS"), true).close()
+    // sweep THIS epoch's staging residue only (zombie attempts); other
+    // epochs' files — there are none in micro-batch execution, but
+    // continuous mode interleaves — stay untouched. Drop the dir itself
+    // once empty (writers re-mkdir it), so a finished query leaves the
+    // destination clean
+    if (f.exists(staging)) {
+      f.listStatus(staging)
+        .filter(_.getPath.getName.startsWith(epochPrefix(epochId)))
+        .foreach(st => f.delete(st.getPath, false))
+      if (f.listStatus(staging).isEmpty) f.delete(staging, false)
+    }
+    if (CsvDirSink.killNextEpochCommit.getAndSet(false))
+      throw new RuntimeException(
+        "injected kill: epoch published, engine commit never recorded")
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val staging = new org.apache.hadoop.fs.Path(path, s"_staging-$queryId")
+    if (f.exists(staging)) {
+      f.listStatus(staging)
+        .filter(_.getPath.getName.startsWith(epochPrefix(epochId)))
+        .foreach(st => f.delete(st.getPath, false))
+    }
+  }
+}
+
 private[sources] class CsvDirDataWriter(path: String, schema: StructType,
     queryId: String, partitionId: Int, taskId: Long,
-    failAfterFirstRow: Boolean) extends DataWriter[InternalRow] {
+    failAfterFirstRow: Boolean,
+    filePrefix: String = "") extends DataWriter[InternalRow] {
   // attempt-unique name: partition + task id (task ids are unique per
-  // attempt), so a retry never clobbers the zombie's file
-  private val fileName = f"part-$partitionId%05d-$taskId.csv"
+  // attempt), so a retry never clobbers the zombie's file; streaming
+  // writers prepend their epoch so commit can replace a replayed epoch
+  private val fileName = f"${filePrefix}part-$partitionId%05d-$taskId.csv"
   private val staging =
     new org.apache.hadoop.fs.Path(path, s"_staging-$queryId")
   private val conf = new org.apache.hadoop.conf.Configuration()

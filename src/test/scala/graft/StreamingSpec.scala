@@ -744,4 +744,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(back2.filter(col("kscore") =!= pmod(col("id") * 31, lit(997))
       .cast("int")).count() == 0L)
   }
+
+  test("DSv2 streaming WRITE: custom source → custom sink loop; a killed epoch commit replays as a REPLACEMENT, no dup/loss") {
+    // the fourth corner of the custom-source matrix (batch/stream ×
+    // read/write): every published file carries its epoch prefix and a
+    // replayed epoch DELETES its own prior files before re-publishing.
+    // The injected kill fires AFTER the publish, BEFORE the engine
+    // records the epoch — the exact window where an append-only sink
+    // would double the epoch's rows on restart.
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssink_ck").toString
+    def start(rows: Int) = spark.readStream
+      .format("graft.sources.DetRangeSource")
+      .option("rows", rows).option("rowsPerBatch", 250).load()
+      .select(col("id"), col("bucket").cast("long").as("bucket"))
+      .writeStream.format("graft.sources.CsvDirSink")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    val q1 = start(500) // epochs 0,1
+    assert(q1.awaitTermination(120000))
+    val schema = "id BIGINT, bucket BIGINT"
+    assert(spark.read.schema(schema).csv(dir).count() == 500L)
+    graft.sources.CsvDirSink.killNextEpochCommit.set(true)
+    val q2 = start(750) // epoch 2 (rows 500..749) publishes, then "crashes"
+    intercept[Exception] { q2.awaitTermination(120000) }
+    try q2.stop() catch { case _: Exception => () }
+    // the torn state: epoch 2's files ARE on disk, the engine never
+    // committed it — exactly what the replacement semantics exist for
+    val torn = new java.io.File(dir).list().count(_.startsWith("epoch=00002-"))
+    assert(torn > 0, "kill fired before the publish — wrong window")
+    val q3 = start(750) // replay of epoch 2 under the SAME id
+    assert(q3.awaitTermination(120000))
+    val back = spark.read.schema(schema).csv(dir)
+    assert(back.count() == 750L, s"${back.count()} rows (dup or loss)")
+    assert(back.select("id").distinct().count() == 750L)
+    // staging swept, _SUCCESS present
+    val names = new java.io.File(dir).list().toSeq
+    assert(names.contains("_SUCCESS"))
+    assert(!names.exists(_.startsWith("_staging-")), names.toString)
+  }
 }
