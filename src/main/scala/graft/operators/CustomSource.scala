@@ -117,10 +117,13 @@ object CustomSource {
     * rows flow source → sink → read-back → aggregate; DuckDB
     * regenerates the same aggregate from `range()`, so the oracle
     * proves the sink's task-commit protocol preserved every row exactly
-    * once. The write lands in a fresh swept dir each call (repeat runs
-    * stay idempotent); SourcesSpec pins the commit hygiene (`_SUCCESS`,
-    * no staging residue) and the abort path (injected task failure →
-    * destination untouched). */
+    * once. The write lands in a fixed tmp dir swept by the overwrite
+    * each call (repeat runs stay idempotent; SINGLE-WRITER like every
+    * registered query — the driver contract is sequential per session,
+    * and two concurrent sessions racing this query would interleave
+    * their overwrites); SourcesSpec pins the commit hygiene
+    * (`_SUCCESS`, no staging residue) and the abort path (injected
+    * task failure → destination untouched). */
   val qDsv2SinkRoundtrip: Q = Q(
     "q219_dsv2_sink_roundtrip",
     """SELECT CAST(id % 16 AS INT) AS bucket, count(*) AS n,

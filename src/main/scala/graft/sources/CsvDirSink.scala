@@ -125,13 +125,17 @@ private[sources] class CsvDirBatchWrite(path: String, schema: StructType,
     val staging = new org.apache.hadoop.fs.Path(path, s"_staging-$queryId")
     f.mkdirs(dest)
     if (truncate) { // overwrite: clear prior data files in the SAME
-      // driver-side commit that publishes the new ones (staging dirs
-      // and _SUCCESS excluded; a crash before publish leaves the old
-      // _SUCCESS-gated view intact minus its marker — loudly stale,
-      // never silently mixed)
+      // driver-side commit that publishes the new ones. The _SUCCESS
+      // marker is deleted FIRST: a crash anywhere between here and the
+      // final marker re-create leaves a marker-LESS directory — readers
+      // gating on _SUCCESS see "no committed table", never a silently
+      // emptied or mixed one (r14 self-review: excluding the marker
+      // from the sweep left a committed-looking empty table in the
+      // crash window)
+      f.delete(new org.apache.hadoop.fs.Path(dest, "_SUCCESS"), false)
       f.listStatus(dest).filter { st =>
         val n = st.getPath.getName
-        !n.startsWith("_staging-") && n != "_SUCCESS"
+        !n.startsWith("_staging-")
       }.foreach(st => f.delete(st.getPath, true))
     }
     // publish ONLY the files the chosen task attempts committed —
