@@ -1068,10 +1068,56 @@ object Curation {
       .orderBy(col("lang_g"), col("source_g"), col("len_band_g"))
   }
 
+  /** QUALITY-AWARE canonical selection within duplicate clusters
+    * (round 14 — the "keep-BEST" complement to t52's keep-first: real
+    * pipelines don't keep the first-crawled member of a near-dup
+    * cluster, they keep the highest-quality one). Blocking key = the
+    * 5-token prefix (the cheap near-dup grouping key; the fixture's
+    * prefix clusters all carry score-varied members, so the choice is
+    * non-vacuous); quality score = distinct-token count — INTEGER, so
+    * the argmax is engine-exact with no float compare at the cut;
+    * canonical = argmax by (score, −doc_id), a UNIQUE ordering, so
+    * both engines pick the same member deterministically.
+    *
+    * 100 TB shape: ONE map-side-combined aggregate — `max_by` over a
+    * (score, −doc_id) struct ships a single candidate per (partition,
+    * cluster) into the shuffle; no per-cluster window sort, no pair
+    * join (the DuckDB oracle uses row_number — same values, but the
+    * window form would sort every cluster at scale; PlanSpec pins the
+    * window-free plan). */
+  val qClusterCanonical: Q = Q(
+    "t124_cluster_canonical",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sc AS (SELECT doc_id, array_to_string(t[1:5], ' ') AS cluster,
+      |              CAST(len(list_distinct(t)) AS BIGINT) AS score FROM d),
+      |ranked AS (SELECT cluster, doc_id, score,
+      |             count(*) OVER (PARTITION BY cluster) AS csize,
+      |             row_number() OVER (PARTITION BY cluster
+      |               ORDER BY score DESC, doc_id) AS rk
+      |           FROM sc)
+      |SELECT cluster, CAST(csize AS BIGINT) AS csize,
+      |       doc_id AS canon_doc, score AS canon_score
+      |FROM ranked WHERE rk = 1 AND csize >= 2
+      |ORDER BY cluster""".stripMargin
+  ) { (s, d) =>
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        array_join(slice(col("t"), 1, 5), " ").as("cluster"),
+        size(array_distinct(col("t"))).cast("long").as("score"))
+    scored.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("csize"),
+        max_by(col("doc_id"),
+          struct(col("score"), (-col("doc_id")).as("nd"))).as("canon_doc"),
+        max(col("score")).as("canon_score"))
+      .filter(col("csize") >= 2)
+      .orderBy(col("cluster"))
+  }
+
   val all: Seq[Q] = Seq(qContextPacking, qUnigramLogprob, qPiiRedaction,
     qSeededShuffle, qHashSplit, qHashSamplePerGroup, qBloomIncremental,
     qBoilerplateNgrams, qDocChunking, qDataMixing, qSeqlenHistogram,
     qSourceDiversity, qWeightedSample, qTemperatureMixing, qFeatureHashing,
     qGroupSplit, qTemporalSplit, qFixedKSample, qKfoldAssignment,
-    qKAnonymityAudit, qKAnonLedger, qKAnonGeneralized)
+    qKAnonymityAudit, qKAnonLedger, qKAnonGeneralized, qClusterCanonical)
 }

@@ -805,6 +805,68 @@ class PlanSpec extends AnyFunSuite {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("q217: the SQL UDF inlines — no SQLFunction/ScalaUDF node survives, floor lands in the aggregate's child") {
+    // CREATE FUNCTION ... RETURN expr is free only because the analyzer
+    // INLINES the body; a surviving function node would mean a per-row
+    // call (or worse, a sub-plan) at any corpus size. Pin it on the
+    // registered query's optimized plan.
+    val df = SparkEntry.queries("q217_sql_udf_scalar")(spark, TestSession.sf)
+    val optimized = df.queryExecution.optimizedPlan
+    val survivors = optimized.collect { case node =>
+      node.expressions.flatMap(_.collect {
+        case e if e.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.ScalaUDF] => e
+        case e if e.getClass.getSimpleName.contains("SQLFunction") => e
+      })
+    }.flatten
+    assert(survivors.isEmpty,
+      s"function nodes survived analysis: ${survivors.map(_.getClass.getSimpleName)}")
+    val p = optimized.toString
+    assert(!p.toLowerCase.contains("graft_disc_pennies"),
+      "the UDF name survived in the optimized plan:\n" + p.take(1200))
+    assert(p.toUpperCase.contains("FLOOR("),
+      "the inlined body's floor is missing from the plan:\n" + p.take(1200))
+  }
+
+  test("t124: cluster-canonical selection is one max_by aggregate — no per-cluster window sort") {
+    // keep-best must ship ONE candidate per (partition, cluster) via a
+    // partial max_by, never row_number over sorted clusters (the oracle
+    // uses the window form — same values, different scale behavior)
+    val p = SparkEntry.queries("t124_cluster_canonical")(spark, TestSession.sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "canonical pick regressed to a window:\n" +
+      p.take(800))
+    assert(p.contains("partial_max_by") || p.contains("partial_count"),
+      "aggregate is not two-phase:\n" + p.take(800))
+  }
+
+  test("q220: pipe syntax lowers to the identical optimized plan as the ANSI form") {
+    // |> is parser surface only — each stage must produce the same
+    // logical operators the nested-SELECT form does, so the two texts
+    // optimize to plans with the same result (zero pipe tax at scale).
+    val pipe = SparkEntry.queries("q220_sql_pipe_syntax")(spark, TestSession.sf)
+    Tables.lineitem(spark, TestSession.sf)
+      .createOrReplaceTempView("graft_fn_lineitem")
+    // the nested-SELECT de-sugaring of the pipe form: EXTEND is a
+    // projection BELOW the aggregate, so the twin computes pennies in a
+    // subquery exactly as the pipe stage does (a flat sum(floor(...))
+    // is the same answer but a structurally different — floor-inside-
+    // aggregate — plan, which sameResult correctly distinguishes)
+    val ansi = spark.sql(
+      """SELECT l_returnflag, count(*) AS n, sum(pennies) AS disc_pennies
+        |FROM (SELECT l_returnflag,
+        |             CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+        |               AS BIGINT) AS pennies
+        |      FROM graft_fn_lineitem WHERE l_quantity >= 30)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    assert(pipe.queryExecution.optimizedPlan
+        .sameResult(ansi.queryExecution.optimizedPlan),
+      "pipe and ANSI forms optimized to different plans:\n--pipe--\n" +
+        pipe.queryExecution.optimizedPlan.toString.take(1200) +
+        "\n--ansi--\n" +
+        ansi.queryExecution.optimizedPlan.toString.take(1200))
+  }
 }
 
 /** Harness cache-hygiene contract: Scale.pin / Scale.releasePins.
@@ -872,55 +934,5 @@ class PinSpec extends org.scalatest.funsuite.AnyFunSuite {
     graft.operators.Scale.releasePins() // must be a no-op, not a throw
     graft.operators.Scale.releasePins()
     assert(df.storageLevel == StorageLevel.NONE)
-  }
-
-  test("q217: the SQL UDF inlines — no SQLFunction/ScalaUDF node survives, floor lands in the aggregate's child") {
-    // CREATE FUNCTION ... RETURN expr is free only because the analyzer
-    // INLINES the body; a surviving function node would mean a per-row
-    // call (or worse, a sub-plan) at any corpus size. Pin it on the
-    // registered query's optimized plan.
-    val df = SparkEntry.queries("q217_sql_udf_scalar")(spark, TestSession.sf)
-    val optimized = df.queryExecution.optimizedPlan
-    val survivors = optimized.collect { case node =>
-      node.expressions.flatMap(_.collect {
-        case e if e.isInstanceOf[
-            org.apache.spark.sql.catalyst.expressions.ScalaUDF] => e
-        case e if e.getClass.getSimpleName.contains("SQLFunction") => e
-      })
-    }.flatten
-    assert(survivors.isEmpty,
-      s"function nodes survived analysis: ${survivors.map(_.getClass.getSimpleName)}")
-    val p = optimized.toString
-    assert(!p.toLowerCase.contains("graft_disc_pennies"),
-      "the UDF name survived in the optimized plan:\n" + p.take(1200))
-    assert(p.toUpperCase.contains("FLOOR("),
-      "the inlined body's floor is missing from the plan:\n" + p.take(1200))
-  }
-
-  test("q220: pipe syntax lowers to the identical optimized plan as the ANSI form") {
-    // |> is parser surface only — each stage must produce the same
-    // logical operators the nested-SELECT form does, so the two texts
-    // optimize to plans with the same result (zero pipe tax at scale).
-    val pipe = SparkEntry.queries("q220_sql_pipe_syntax")(spark, TestSession.sf)
-    Tables.lineitem(spark, TestSession.sf)
-      .createOrReplaceTempView("graft_fn_lineitem")
-    // the nested-SELECT de-sugaring of the pipe form: EXTEND is a
-    // projection BELOW the aggregate, so the twin computes pennies in a
-    // subquery exactly as the pipe stage does (a flat sum(floor(...))
-    // is the same answer but a structurally different — floor-inside-
-    // aggregate — plan, which sameResult correctly distinguishes)
-    val ansi = spark.sql(
-      """SELECT l_returnflag, count(*) AS n, sum(pennies) AS disc_pennies
-        |FROM (SELECT l_returnflag,
-        |             CAST(floor(l_extendedprice * (1 - l_discount) * 100)
-        |               AS BIGINT) AS pennies
-        |      FROM graft_fn_lineitem WHERE l_quantity >= 30)
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
-    assert(pipe.queryExecution.optimizedPlan
-        .sameResult(ansi.queryExecution.optimizedPlan),
-      "pipe and ANSI forms optimized to different plans:\n--pipe--\n" +
-        pipe.queryExecution.optimizedPlan.toString.take(1200) +
-        "\n--ansi--\n" +
-        ansi.queryExecution.optimizedPlan.toString.take(1200))
   }
 }
