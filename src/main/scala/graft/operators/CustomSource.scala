@@ -69,8 +69,14 @@ object CustomSource {
       |JOIN orders o ON o.o_orderkey = t.id
       |GROUP BY 1 ORDER BY bucket""".stripMargin
   ) { (s, d) =>
+    // runtimeFiltering off: this scan is the join's BUILD side (that's
+    // the point of the stats), so a pruning subquery can never help it;
+    // left on, AQE plants a degenerate DynamicPruningExpression(true)
+    // whose failed source-filter translation warns on every sweep (r14
+    // verdict #3)
     val dr = s.read.format("graft.sources.DetRangeSource")
-      .option("rows", 2000).option("slices", 8).load()
+      .option("rows", 2000).option("slices", 8)
+      .option("runtimeFiltering", "false").load()
       .filter(col("id") >= 100 && col("id") < 600)
       .select(col("id"), col("bucket"))
     dr.join(graft.Tables.orders(s, d), col("id") === col("o_orderkey"))
@@ -117,11 +123,11 @@ object CustomSource {
     * rows flow source → sink → read-back → aggregate; DuckDB
     * regenerates the same aggregate from `range()`, so the oracle
     * proves the sink's task-commit protocol preserved every row exactly
-    * once. The write lands in a fixed tmp dir swept by the overwrite
-    * each call (repeat runs stay idempotent; SINGLE-WRITER like every
-    * registered query — the driver contract is sequential per session,
-    * and two concurrent sessions racing this query would interleave
-    * their overwrites); SourcesSpec pins the commit hygiene
+    * once. The write lands in a tmp dir keyed by this session's
+    * applicationId (r14 advisory): repeat runs within one session stay
+    * idempotent (overwrite sweeps the prior data), while two concurrent
+    * harness processes get DISJOINT sinks instead of interleaving
+    * overwrites into one shared path; SourcesSpec pins the commit hygiene
     * (`_SUCCESS`, no staging residue) and the abort path (injected
     * task failure → destination untouched). */
   val qDsv2SinkRoundtrip: Q = Q(
@@ -131,8 +137,8 @@ object CustomSource {
       |FROM range(5000) t(id)
       |GROUP BY 1 ORDER BY bucket""".stripMargin
   ) { (s, _) =>
-    val dir = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_q219_sink").toString
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_q219_sink_${s.sparkContext.applicationId}").toString
     s.read.format("graft.sources.DetRangeSource")
       .option("rows", 5000).option("slices", 4).load()
       .select(col("id"), col("bucket").cast("long").as("bucket"),

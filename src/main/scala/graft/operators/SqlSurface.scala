@@ -266,9 +266,14 @@ object SqlSurface {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   ) { (s, d) =>
     Tables.lineitem(s, d).createOrReplaceTempView("graft_fn_lineitem")
-    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_pennies(
-            |  p DOUBLE, d DOUBLE) RETURNS BIGINT
-            |RETURN CAST(floor(p * (1 - d) * 100) AS BIGINT)""".stripMargin)
+    // idempotent registration (r14 verdict #3): re-creating on every
+    // pass logs a "replaced a previously registered function" warning
+    // per bench sweep; the body is a pure function of its args, so the
+    // first registration is definitive for the session
+    if (!s.catalog.functionExists("graft_disc_pennies"))
+      s.sql("""CREATE TEMPORARY FUNCTION graft_disc_pennies(
+              |  p DOUBLE, d DOUBLE) RETURNS BIGINT
+              |RETURN CAST(floor(p * (1 - d) * 100) AS BIGINT)""".stripMargin)
     s.sql("""SELECT l_returnflag, count(*) AS n,
             |       sum(graft_disc_pennies(l_extendedprice, l_discount))
             |         AS disc_pennies
@@ -294,11 +299,15 @@ object SqlSurface {
       |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
   ) { (s, d) =>
     Tables.orders(s, d).createOrReplaceTempView("graft_fn_orders")
-    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_big_orders(
-            |  cap DOUBLE) RETURNS TABLE(o_custkey BIGINT, pennies BIGINT)
-            |RETURN SELECT o_custkey,
-            |              CAST(floor(o_totalprice * 100) AS BIGINT) AS pennies
-            |       FROM graft_fn_orders WHERE o_totalprice > cap""".stripMargin)
+    // idempotent registration — same rationale as q217 (the TVF body
+    // reads the temp view by name at INVOCATION time, so re-pointing
+    // the view per run keeps the first registration correct)
+    if (!s.catalog.functionExists("graft_big_orders"))
+      s.sql("""CREATE TEMPORARY FUNCTION graft_big_orders(
+              |  cap DOUBLE) RETURNS TABLE(o_custkey BIGINT, pennies BIGINT)
+              |RETURN SELECT o_custkey,
+              |              CAST(floor(o_totalprice * 100) AS BIGINT) AS pennies
+              |       FROM graft_fn_orders WHERE o_totalprice > cap""".stripMargin)
     s.sql("""SELECT o_custkey, count(*) AS n,
             |       sum(pennies) AS pennies
             |FROM graft_big_orders(450000.0D)

@@ -19,6 +19,18 @@ import graft.{Q, Tables}
   */
 object Vectors {
 
+  /** TEST HOOK (local-mode-only, like `CsvDirSink.killNextEpochCommit`):
+    * when set, [[pqIndexCompact]] invokes it ONCE — after its compacted
+    * segment is written and the tmp pointer staged, immediately BEFORE
+    * the CAS-by-content check + pointer rename. VecDimSpec interleaves a
+    * full second compaction here to pin the concurrent-compactor guard:
+    * the late compactor must detect the pointer change, abort, and clean
+    * its staging — never publishing a pointer that loses a concurrently
+    * absorbed append. One-shot (cleared before invocation) so the inner
+    * compaction doesn't recurse; never set in production use. */
+  val compactBeforeSwapHook =
+    new java.util.concurrent.atomic.AtomicReference[Runnable](null)
+
   /** vectors with a precomputed norm column. */
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", VectorOps.norm(col("embedding")))
@@ -925,18 +937,31 @@ object Vectors {
       .foldLeft(base)((acc, p) => acc.unionByName(s.read.parquet(p.toString)))
   }
 
-  /** Resolve the current base segment + the batch ids it absorbed. */
-  private def pqIndexCurrent(s: SparkSession, dir: String,
-      fs: org.apache.hadoop.fs.FileSystem): (String, Set[String]) = {
+  /** Raw bytes of the `_codes_current` pointer (None if absent) — the
+    * CAS token for [[pqIndexCompact]]'s publish: re-read just before
+    * the pointer rename and compared to the value captured at listing
+    * time, so a concurrent compactor's commit is detected by content,
+    * not by wall-clock heuristics. */
+  private def pqPtrRaw(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[String] = {
     val ptr = new org.apache.hadoop.fs.Path(s"$dir/_codes_current")
-    if (fs.exists(ptr)) {
+    if (!fs.exists(ptr)) None
+    else {
       val in = fs.open(ptr)
-      val lines =
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-          .map(_.trim).filter(_.nonEmpty).toList
-        finally in.close()
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+  }
+
+  /** Parse a raw pointer into (current base dir, absorbed batch ids);
+    * the no-pointer fallback is legal only for a never-compacted index
+    * (see [[pqIndexCurrent]]). */
+  private def pqParsePtr(dir: String, raw: Option[String],
+      fs: org.apache.hadoop.fs.FileSystem): (String, Set[String]) = raw match {
+    case Some(txt) =>
+      val lines = txt.linesIterator.map(_.trim).filter(_.nonEmpty).toList
       (s"$dir/${lines.head}", lines.tail.toSet)
-    } else {
+    case None =>
       // no pointer: legal only for a never-compacted index. After the
       // first compaction the original codes segment is emptied and the
       // absorbed append dirs deleted, so falling back here would serve
@@ -949,8 +974,12 @@ object Vectors {
           "fallback (the original codes segment no longer holds the " +
           "absorbed appends); restore the pointer or rebuild the index")
       (s"$dir/codes", Set.empty[String])
-    }
   }
+
+  /** Resolve the current base segment + the batch ids it absorbed. */
+  private def pqIndexCurrent(s: SparkSession, dir: String,
+      fs: org.apache.hadoop.fs.FileSystem): (String, Set[String]) =
+    pqParsePtr(dir, pqPtrRaw(fs, dir), fs)
 
   /** Committed, not-yet-absorbed append segment dirs. */
   private def pqIndexAppendDirs(dir: String,
@@ -993,7 +1022,11 @@ object Vectors {
     val (dir, fs) = pqIndexFs(s, key)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes/_SUCCESS")),
       s"pqIndexCompact: no index at $dir — run pqIndex first")
-    val (oldBase, oldAbsorbed) = pqIndexCurrent(s, dir, fs)
+    // the raw pointer at listing time is the CAS token: if its content
+    // differs at publish time, another compactor committed inside our
+    // window and our segment was built from a stale listing
+    val ptrAtStart = pqPtrRaw(fs, dir)
+    val (oldBase, oldAbsorbed) = pqParsePtr(dir, ptrAtStart, fs)
     // ONE listing decides both what the compacted segment contains and
     // what the pointer marks absorbed — a second listing could include
     // an append that committed in between, double-counting it forever
@@ -1012,6 +1045,31 @@ object Vectors {
     try out.write(ptrTxt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val ptr = new org.apache.hadoop.fs.Path(s"$dir/_codes_current")
+    Option(Vectors.compactBeforeSwapHook.getAndSet(null)).foreach(_.run())
+    // CAS-BY-CONTENT publish (r14 verdict #1 — the concurrent-compactor
+    // guard): re-read the pointer immediately before the rename and
+    // compare to the content captured at listing time. A mismatch means
+    // another compactor committed inside our window — its pointer may
+    // absorb an append that committed AFTER our listing, so letting our
+    // rename land last would drop that append's rows from the current
+    // view while its exactly-once marker blocks re-ingest (the r13/r14
+    // pointer-swap race). The late compactor ABORTS: staged segment and
+    // tmp pointer are removed, the winner's view stays intact, and a
+    // re-run compacts from the fresh state. The read→rename window this
+    // leaves is the read's own latency (no data writes inside it) —
+    // orders of magnitude narrower than the unguarded full-compaction
+    // window; the at-most-one-compactor operational contract remains
+    // the documented norm, this guard turns an accidental violation
+    // from silent row loss into a loud, clean abort.
+    if (pqPtrRaw(fs, dir) != ptrAtStart) {
+      fs.delete(tmp, false)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$vid"), true)
+      throw new java.util.ConcurrentModificationException(
+        s"pqIndexCompact($key): _codes_current changed during this " +
+          "compaction (a concurrent compactor committed) — aborting; " +
+          "staged segment removed, current view untouched. Re-run to " +
+          "compact from the fresh state.")
+    }
     // atomic overwrite-rename: FileContext (unlike FileSystem.rename)
     // supports Rename.OVERWRITE, so the pointer never transiently
     // disappears — the crash window a delete-then-rename would open
@@ -1034,18 +1092,18 @@ object Vectors {
     //    rename would leave B's _codes_current pointing at nothing; a
     //    freshly written segment is by definition inside the grace
     //    window, so it can never be swept, and crashed-compaction
-    //    orphans age out for the NEXT compaction to reclaim. This is
-    //    defense-in-depth, NOT full concurrent-compactor safety — the
-    //    POINTER-SWAP race remains: if B absorbs an append committed
-    //    after A's listing, then A's rename lands last, the current
-    //    view loses that append's rows while its exactly-once marker
-    //    blocks re-appending. The operational contract is therefore
-    //    AT MOST ONE compactor at a time (the normal lakehouse
-    //    table-maintenance rule); the grace window only downgrades an
-    //    accidental violation from dangling-pointer corruption to a
-    //    recoverable lost-append (re-ingest after deleting the marker).
-    //    Appends stay fully concurrent with each other and with one
-    //    compactor (marker-committed into their own dirs).
+    //    orphans age out for the NEXT compaction to reclaim. The
+    //    POINTER-SWAP race the r14 verdict flagged (B absorbs an append
+    //    committed after A's listing, A's rename lands last → that
+    //    append's rows vanish while its marker blocks re-ingest) is now
+    //    guarded by the CAS-by-content check above: the late compactor
+    //    aborts loudly instead of publishing a stale pointer (VecDimSpec
+    //    pins the two-compactor interleaving). The at-most-one-compactor
+    //    operational contract remains the norm — the CAS turns an
+    //    accidental violation into a clean abort, not a supported
+    //    concurrency mode. Appends stay fully concurrent with each
+    //    other and with one compactor (marker-committed into their own
+    //    dirs).
     //    Readers: one resolved THROUGH pqIndexCurrent after any
     //    compaction binds to an immutable versioned segment until a
     //    LATER compaction's sweep finds it aged out — the normal

@@ -139,10 +139,36 @@ private[sources] class CsvDirBatchWrite(path: String, schema: StructType,
       }.foreach(st => f.delete(st.getPath, true))
     }
     // publish ONLY the files the chosen task attempts committed —
-    // zombie/speculative attempt files stay in staging and die with it
+    // zombie/speculative attempt files stay in staging and die with it.
+    // Hadoop rename reports failure by RETURNING FALSE (missing source,
+    // existing destination), not by throwing — an unchecked rename would
+    // silently drop a task's rows while _SUCCESS still lands (r14
+    // advisory); require() turns that into a commit abort BEFORE the
+    // marker is created
     messages.foreach { case CsvFileCommit(name, _) =>
-      f.rename(new org.apache.hadoop.fs.Path(staging, name),
-        new org.apache.hadoop.fs.Path(dest, name))
+      require(f.rename(new org.apache.hadoop.fs.Path(staging, name),
+          new org.apache.hadoop.fs.Path(dest, name)),
+        s"CsvDirSink commit: publish rename failed for $name — " +
+          "aborting before _SUCCESS (no partial table is marked committed)")
+    }
+    // reclaim staging residue from OTHER query ids: an aborted job's
+    // zombie task can re-mkdir its staging dir after the driver-side
+    // abort swept it, and overwrite commits deliberately skip _staging-*
+    // in the data sweep — without this, orphaned staging dirs accumulate
+    // in the destination forever (r14 advisory). Same grace-period shape
+    // as pqIndexCompact's orphan sweep: a FRESH foreign staging dir is
+    // indistinguishable from a concurrent writer's live one and must
+    // survive; one older than the grace window is a dead job's residue.
+    // Cutoff derives from the filesystem's own clock (the mtime of the
+    // staging dir we just used), not the client's.
+    val graceMs = 60L * 60 * 1000
+    if (f.exists(staging)) {
+      val fsNow = f.getFileStatus(staging).getModificationTime
+      f.listStatus(dest).filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("_staging-") && n != staging.getName &&
+          st.getModificationTime < fsNow - graceMs
+      }.foreach(st => f.delete(st.getPath, true))
     }
     // _SUCCESS last: readers gate on it, so a crash mid-publish is
     // visible as "no marker", never as a silent partial table
@@ -172,16 +198,25 @@ private[sources] class CsvDirWriterFactory(path: String, schema: StructType,
   * and now streaming write). Exactly-once is EPOCH REPLACEMENT, the V2
   * engine-level form of what `exactlyOnceParquetSink` does at the
   * foreachBatch level: every published file carries its `epoch=N-`
-  * prefix, and `commit(N, …)` first DELETES any previously published
-  * `epoch=N-*` files before renaming the staged ones in — so a replay
-  * of epoch N (crash after publish, before the engine's checkpoint
-  * commit — the window StreamingSpec drives via
-  * [[CsvDirSink.killNextEpochCommit]]) REPLACES its own output instead
-  * of appending a duplicate. `abort(N, …)` sweeps only that epoch's
-  * staged files, leaving concurrent history untouched. */
+  * prefix, and `commit(N, …)` first DELETES any files a prior attempt
+  * of epoch N published — named by that attempt's per-epoch MANIFEST
+  * (`_epoch-N.manifest`, written as a publish intent before the
+  * renames) — before renaming the staged ones in, so a replay of epoch
+  * N (crash after publish, before the engine's checkpoint commit — the
+  * window StreamingSpec drives via [[CsvDirSink.killNextEpochCommit]])
+  * REPLACES its own output instead of appending a duplicate. The
+  * manifest, not a destination listing, drives the replacement: commit
+  * cost is O(this epoch's files), independent of how many epochs the
+  * stream has ever published (r14 verdict #2 — the full `listStatus`
+  * sweep was quadratic over a long-running stream). `abort(N, …)`
+  * sweeps only that epoch's staged files, leaving concurrent history
+  * untouched. */
 private[sources] class CsvDirStreamingWrite(path: String, schema: StructType,
     queryId: String) extends StreamingWrite {
   private def epochPrefix(epochId: Long): String = f"epoch=$epochId%05d-"
+  // one manifest per epoch, listing the files that epoch published —
+  // the underscore prefix keeps it invisible to Spark's file readers
+  private def manifestName(epochId: Long): String = f"_epoch-$epochId%05d.manifest"
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
@@ -204,13 +239,47 @@ private[sources] class CsvDirStreamingWrite(path: String, schema: StructType,
     f.mkdirs(dest)
     // idempotent replay: REPLACE this epoch's previously published
     // files (present only when a prior attempt crashed after its
-    // publish but before the engine recorded the epoch)
-    f.listStatus(dest)
-      .filter(_.getPath.getName.startsWith(epochPrefix(epochId)))
-      .foreach(st => f.delete(st.getPath, false))
+    // publish but before the engine recorded the epoch). The files to
+    // replace come from the PER-EPOCH MANIFEST the prior attempt wrote,
+    // NOT from listing the destination — a full listStatus sweep is
+    // O(total files ever published), quadratic over a long-running
+    // stream (r14 verdict #2); the manifest keeps commit cost bounded
+    // by THIS epoch's own file count. A crash between these deletes and
+    // the manifest rewrite below is safe: the replay's replay re-reads
+    // the stale manifest and re-deletes already-gone names (delete of a
+    // missing file is a false-returning no-op).
+    val manifest = new org.apache.hadoop.fs.Path(dest, manifestName(epochId))
+    if (f.exists(manifest)) {
+      val in = f.open(manifest)
+      val prior =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .map(_.trim).filter(_.nonEmpty).toList
+        finally in.close()
+      prior.foreach(name =>
+        f.delete(new org.apache.hadoop.fs.Path(dest, name), false))
+    }
+    // manifest BEFORE the renames — a publish INTENT, not a receipt.
+    // Attempt names differ per attempt (taskId is in the file name), so
+    // a crash MID-rename would otherwise leave published files no later
+    // manifest names: the replay would publish fresh names alongside
+    // them and duplicate rows. Intent-first closes that window: the
+    // replay's own manifest read (above) deletes whatever subset of the
+    // crashed attempt's intent actually landed; deleting a never-
+    // renamed name is a no-op. A torn intent write is equally safe —
+    // nothing is published until the renames below, and a partial name
+    // list only produces no-op deletes on the next replay.
+    val mOut = f.create(manifest, true)
+    try mOut.write(messages.map { case CsvFileCommit(n, _) => n }
+      .mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally mOut.close()
     messages.foreach { case CsvFileCommit(name, _) =>
-      f.rename(new org.apache.hadoop.fs.Path(staging, name),
-        new org.apache.hadoop.fs.Path(dest, name))
+      // rename failure returns false, not an exception (r14 advisory) —
+      // require turns a silently skipped publish into an epoch abort
+      // before _SUCCESS marks it committed
+      require(f.rename(new org.apache.hadoop.fs.Path(staging, name),
+          new org.apache.hadoop.fs.Path(dest, name)),
+        s"CsvDirSink epoch $epochId: publish rename failed for $name")
     }
     f.create(new org.apache.hadoop.fs.Path(dest, "_SUCCESS"), true).close()
     // sweep THIS epoch's staging residue only (zombie attempts); other
@@ -261,7 +330,15 @@ private[sources] class CsvDirDataWriter(path: String, schema: StructType,
 
   override def write(row: InternalRow): Unit = {
     val line = schema.fields.zipWithIndex.map { case (fd, i) =>
-      fd.dataType match {
+      // NULL CONTRACT (r14 advisory): a null serializes as an EMPTY
+      // field — Spark's CSV reader maps an empty field back to null for
+      // all four supported types. Without the check, InternalRow's
+      // typed getters return 0/0.0 for null numerics (silent corruption)
+      // and getUTF8String returns a literal null (NPE). The one residual
+      // ambiguity — an empty STRING round-trips as null — is inherent to
+      // unquoted CSV and acceptable for a commit-protocol demo sink.
+      if (row.isNullAt(i)) ""
+      else fd.dataType match {
         case LongType => row.getLong(i).toString
         case IntegerType => row.getInt(i).toString
         case DoubleType => row.getDouble(i).toString

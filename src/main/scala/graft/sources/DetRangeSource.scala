@@ -85,7 +85,15 @@ class DetRangeSource extends TableProvider {
       properties.getOrDefault("stats", "true").toBoolean,
       // micro-batch ingest chunk (readStream path): admission control
       // caps each micro-batch at this many rows
-      properties.getOrDefault("rowsPerBatch", "1000").toLong)
+      properties.getOrDefault("rowsPerBatch", "1000").toLong,
+      // option("runtimeFiltering","false") withholds the scan's
+      // filterAttributes, so Spark never plants a DPP/runtime-filter
+      // subquery on it. Use when the scan is the JOIN'S BUILD SIDE
+      // (q215): runtime filtering can only ever narrow the probe side,
+      // and AQE's build-side planting degenerates to an untranslatable
+      // DynamicPruningExpression(true) that logs a per-sweep warning
+      // (r14 verdict #3)
+      properties.getOrDefault("runtimeFiltering", "true").toBoolean)
 }
 
 object DetRangeSource {
@@ -135,7 +143,8 @@ object DetRangeSource {
 }
 
 private[sources] class DetRangeTable(rows: Long, slices: Int, keyed: Boolean,
-    stats: Boolean = true, rowsPerBatch: Long = 1000L)
+    stats: Boolean = true, rowsPerBatch: Long = 1000L,
+    runtimeFiltering: Boolean = true)
     extends Table with SupportsRead {
   override def name(): String = s"det_range($rows)"
   override def schema(): StructType = DetRangeSource.schema
@@ -143,11 +152,13 @@ private[sources] class DetRangeTable(rows: Long, slices: Int, keyed: Boolean,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DetRangeScanBuilder(rows, slices, keyed, stats, rowsPerBatch)
+    new DetRangeScanBuilder(rows, slices, keyed, stats, rowsPerBatch,
+      runtimeFiltering)
 }
 
 private[sources] class DetRangeScanBuilder(rows: Long, slices: Int,
-    keyed: Boolean, stats: Boolean = true, rowsPerBatch: Long = 1000L)
+    keyed: Boolean, stats: Boolean = true, rowsPerBatch: Long = 1000L,
+    runtimeFiltering: Boolean = true)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownLimit with SupportsPushDownAggregates {
@@ -269,7 +280,7 @@ private[sources] class DetRangeScanBuilder(rows: Long, slices: Int,
     else {
       val hiEff = limit.fold(hi)(l => math.min(hi, lo + l))
       new DetRangeScan(lo, hiEff, slices, required, pushed, limit, stats,
-        rowsPerBatch)
+        rowsPerBatch, runtimeFiltering)
     }
 }
 
@@ -318,7 +329,8 @@ private[sources] class DetRangeScan(lo: Long, hi0: Long, slices: Int,
     required: StructType, pushed: Array[Filter],
     limit: Option[Long] = None,
     stats: Boolean = true,
-    rowsPerBatch: Long = 1000L) extends Scan with Batch
+    rowsPerBatch: Long = 1000L,
+    runtimeFiltering: Boolean = true) extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
   // runtime-narrowed bounds: [[filter]] tightens them monotonically, so
   // re-execution of the same Scan instance is idempotent
@@ -368,7 +380,14 @@ private[sources] class DetRangeScan(lo: Long, hi0: Long, slices: Int,
     * row-for-row; exactness here is a pruning quality question, not a
     * correctness one. */
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column("id"))
+    // option("runtimeFiltering","false"): advertise NO filterable
+    // attributes, so the optimizer never plants a pruning subquery on
+    // this scan. The right setting when the scan is a join's BUILD
+    // side — pruning can only narrow the probe side, and AQE's
+    // build-side planting degenerates to DynamicPruningExpression(true)
+    // whose failed translation logs a per-run warning (r14 verdict #3)
+    if (runtimeFiltering) Array(Expressions.column("id"))
+    else Array.empty
   override def filter(filters: Array[Filter]): Unit = filters.foreach {
     case In("id", vs) if vs.nonEmpty =>
       val longs = vs.flatMap {
@@ -428,7 +447,7 @@ private[sources] class DetRangeMicroBatchStream(lo: Long, hi: Long,
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
-  import org.apache.spark.sql.connector.read.streaming.{Offset => StreamOffset, ReadLimit, ReadMaxRows}
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset => StreamOffset, ReadLimit, ReadMaxRows}
 
   require(rowsPerBatch > 0, s"rowsPerBatch must be positive: $rowsPerBatch")
 
@@ -445,9 +464,22 @@ private[sources] class DetRangeMicroBatchStream(lo: Long, hi: Long,
   override def latestOffset(start: StreamOffset,
       limit: ReadLimit): StreamOffset = {
     val s = start.asInstanceOf[DetRangeOffset].v
-    val cap = limit match {
-      case m: ReadMaxRows => math.min(hi, s + m.maxRows)
-      case _ => hi // allAvailable / composite: drain
+    // a CompositeReadLimit (Spark composes limits under
+    // Trigger.AvailableNow) must honor the TIGHTEST row cap among its
+    // members — treating it as drain-to-hi would silently bypass the
+    // rowsPerBatch admission control this source advertises (r14
+    // advisory); only ReadAllAvailable (alone or as the sole effective
+    // member) drains
+    def maxRowsOf(l: ReadLimit): Option[Long] = l match {
+      case m: ReadMaxRows => Some(m.maxRows)
+      case c: CompositeReadLimit =>
+        c.getReadLimits.toSeq.flatMap(maxRowsOf)
+          .reduceOption((a: Long, b: Long) => math.min(a, b))
+      case _ => None // ReadAllAvailable / ReadMinRows: no row cap
+    }
+    val cap = maxRowsOf(limit) match {
+      case Some(r) => math.min(hi, s + r)
+      case None => hi // allAvailable (or composite with no row cap): drain
     }
     DetRangeOffset(math.max(s, cap))
   }

@@ -783,5 +783,22 @@ class StreamingSpec extends AnyFunSuite {
     val names = new java.io.File(dir).list().toSeq
     assert(names.contains("_SUCCESS"))
     assert(!names.exists(_.startsWith("_staging-")), names.toString)
+    // O(epoch) commit contract (r14 verdict #4): each epoch's commit is
+    // driven by its own `_epoch-N.manifest` — NOT a destination listing
+    // — so commit cost is bounded by the epoch's own file count no
+    // matter how many epochs the stream has published. Pin the
+    // mechanism: every published epoch has a manifest, and each
+    // manifest names exactly the epoch's live files (the replayed epoch
+    // 2's manifest was rewritten by the replay to its final names).
+    val epochs = names.filter(_.startsWith("epoch=")).groupBy(_.take("epoch=00000".length))
+    assert(epochs.nonEmpty)
+    epochs.foreach { case (ep, files) =>
+      val mf = new java.io.File(dir, s"_epoch-${ep.stripPrefix("epoch=")}.manifest")
+      assert(mf.isFile, s"missing manifest for $ep")
+      val listed = scala.io.Source.fromFile(mf, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toSet
+      assert(listed == files.toSet,
+        s"$ep manifest ${listed.mkString(",")} != published ${files.mkString(",")}")
+    }
   }
 }

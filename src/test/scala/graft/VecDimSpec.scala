@@ -297,6 +297,55 @@ class VecDimSpec extends AnyFunSuite {
     } finally s128.conf.unset(operators.Vectors.PqIndexDirKey)
   }
 
+  test("pqIndexCompact CAS guard: concurrent compactor commit inside the publish window aborts the late compactor, no append lost") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_cas").toString
+    s128.conf.set(operators.Vectors.PqIndexDirKey, dir)
+    try {
+      val train = emb128.filter(col("vec_id") < 200)
+      val b1 = emb128.filter(col("vec_id") >= 200 && col("vec_id") < 250)
+      val b2 = emb128.filter(col("vec_id") >= 250)
+      operators.Vectors.pqIndex(train, "tcas", rounds = 1)
+      operators.Vectors.pqIndexAppend(b1, "tcas", "s1")
+      // the r14 verdict's race, verbatim: compactor A lists {codes, s1};
+      // inside A's publish window compactor B commits append s2 AND a
+      // full compaction absorbing s1+s2, swapping the pointer first.
+      // Unguarded, A's later rename would drop s2's rows from the
+      // current view while its exactly-once marker blocks re-ingest.
+      val d2before = new java.util.concurrent.atomic.AtomicReference[java.lang.Double](null)
+      operators.Vectors.compactBeforeSwapHook.set(new Runnable {
+        override def run(): Unit = {
+          d2before.set(operators.Vectors.pqIndexAppend(b2, "tcas", "s2"))
+          assert(operators.Vectors.pqIndexCompact(s128, "tcas") == N * 32)
+        }
+      })
+      val ex = intercept[java.util.ConcurrentModificationException] {
+        operators.Vectors.pqIndexCompact(s128, "tcas")
+      }
+      assert(ex.getMessage.contains("concurrent compactor"), ex.getMessage)
+      assert(d2before.get != null, "inner compactor B never ran")
+      // no append lost: the serving view holds ALL vectors incl. s2's
+      val served = operators.Vectors.pqIndex(train, "tcas", rounds = 1)._1
+      assert(served.count() == N * 32)
+      assert(served.select("vec_id").distinct().count() == N)
+      // the late compactor cleaned up: exactly ONE versioned segment (the
+      // winner's) and no tmp-pointer residue
+      val residue = new java.io.File(dir, "tcas").listFiles().map(_.getName)
+      assert(residue.count(_.startsWith("codes_v_")) == 1,
+        s"late compactor's staged segment not cleaned: ${residue.mkString(",")}")
+      assert(!residue.exists(_.startsWith("_codes_current.tmp_")),
+        s"tmp pointer residue: ${residue.mkString(",")}")
+      // exactly-once survives: s2 replays as a stored-drift no-op
+      val d2replay = operators.Vectors.pqIndexAppend(b2, "tcas", "s2")
+      assert(math.abs(d2replay - d2before.get) < 1e-12)
+      // and a RE-RUN of the aborted compactor converges from fresh state
+      assert(operators.Vectors.pqIndexCompact(s128, "tcas") == N * 32)
+      assert(operators.Vectors.pqIndex(train, "tcas", rounds = 1)._1.count() == N * 32)
+    } finally {
+      operators.Vectors.compactBeforeSwapHook.set(null)
+      s128.conf.unset(operators.Vectors.PqIndexDirKey)
+    }
+  }
+
   test("pqIndexAppend drift re-check flags a shifted ingest distribution") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pq_drift").toString
     s128.conf.set(operators.Vectors.PqIndexDirKey, dir)
