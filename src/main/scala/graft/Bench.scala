@@ -90,6 +90,63 @@ object Bench {
       sc.getExecutorMemoryStatus.values
         .map { case (max, remaining) => max - remaining }.sum >> 20
 
+    // Per-query shuffle/spill/peak-memory measurement (r14 verdict
+    // task 2): the round-14 attribution ledger classified every slow
+    // query in prose (PAIRS/ITER/TOK…); these counters turn the classes
+    // into numbers the artifact itself carries, so any future
+    // regression question ("did the shuffle grow or the box slow
+    // down?") is answerable from BENCH_DETAIL.json alone. A
+    // SparkListener accumulates task metrics; deltas are snapshotted
+    // around each query's timed region. The listener bus is ASYNC —
+    // flush() drains it before every snapshot so task-end events land
+    // in the query that ran them. (waitUntilEmpty is private[spark],
+    // which erases to a public method in bytecode; reflection keeps
+    // this harness-only trick out of the library surface. If the
+    // method ever vanishes, the fallback is a no-op and the metrics
+    // degrade to ±1-query attribution slop rather than failing the
+    // bench.)
+    object taskMetrics extends org.apache.spark.scheduler.SparkListener {
+      val shufReadB = new java.util.concurrent.atomic.AtomicLong(0L)
+      val shufWriteB = new java.util.concurrent.atomic.AtomicLong(0L)
+      val memSpillB = new java.util.concurrent.atomic.AtomicLong(0L)
+      val diskSpillB = new java.util.concurrent.atomic.AtomicLong(0L)
+      val peakExecB = new java.util.concurrent.atomic.AtomicLong(0L) // max per window
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          shufReadB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shufWriteB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          memSpillB.addAndGet(m.memoryBytesSpilled)
+          diskSpillB.addAndGet(m.diskBytesSpilled)
+          peakExecB.getAndAccumulate(m.peakExecutionMemory, math.max(_, _))
+        }
+      }
+    }
+    sc.addSparkListener(taskMetrics)
+    val flushBus: () => Unit =
+      try {
+        val busM = sc.getClass.getMethod("listenerBus")
+        val bus = busM.invoke(sc)
+        val waitM = bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+        () => { waitM.invoke(bus, java.lang.Long.valueOf(30000L)); () }
+      } catch { case NonFatal(_) =>
+        try { // Spark 4 signature: no-arg waitUntilEmpty
+          val busM = sc.getClass.getMethod("listenerBus")
+          val bus = busM.invoke(sc)
+          val waitM = bus.getClass.getMethod("waitUntilEmpty")
+          () => { waitM.invoke(bus); () }
+        } catch { case NonFatal(_) => () => () }
+      }
+    final case class TaskSnap(shufR: Long, shufW: Long, memSp: Long,
+        diskSp: Long) {
+      def -(o: TaskSnap): TaskSnap = TaskSnap(shufR - o.shufR,
+        shufW - o.shufW, memSp - o.memSp, diskSp - o.diskSp)
+    }
+    def taskSnap(): TaskSnap = TaskSnap(taskMetrics.shufReadB.get,
+      taskMetrics.shufWriteB.get, taskMetrics.memSpillB.get,
+      taskMetrics.diskSpillB.get)
+
     // Timing isolation: after each query, drop every persistent RDD the
     // query created, keeping only the pinned fixture caches; each timing
     // then starts from the same block-manager state. BLOCKING unpersist:
@@ -125,16 +182,21 @@ object Bench {
     }
 
     final case class Sample(sec: Double, load: Double, gc: Long,
-        bm0: Long, bm1: Long)
+        bm0: Long, bm1: Long, tm: TaskSnap, peakExec: Long)
     // Deterministic execution order (sorted by name) for stable runs.
     def pass(): Seq[(String, Sample)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        flushBus() // drain task-end events from the previous query
+        taskMetrics.peakExecB.set(0L)
+        val snap0 = taskSnap()
         val (la, g0, b0) = (loadAvg(), gcMs(), bmUsedMb())
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case NonFatal(_) => false }
         val sec = (System.nanoTime() - t0) / 1e9
-        val s = Sample(if (ok) sec else -1.0, la, gcMs() - g0, b0, bmUsedMb())
+        flushBus() // attribute THIS query's task-end events to it
+        val s = Sample(if (ok) sec else -1.0, la, gcMs() - g0, b0,
+          bmUsedMb(), taskSnap() - snap0, taskMetrics.peakExecB.get)
         sweep() // untimed: cleanup is bench overhead, not query cost
         name -> s
       }
@@ -175,9 +237,23 @@ object Bench {
       val gcs = all.map(_.gc.toString).mkString("[", ",", "]")
       val bm0 = all.map(_.bm0.toString).mkString("[", ",", "]")
       val bm1 = all.map(_.bm1.toString).mkString("[", ",", "]")
+      // per-pass task-metric deltas, MB (>>20). shuffle read/write are
+      // the query's real exchange traffic; spill>0 means partitions
+      // outgrew execution memory (the at-scale red flag); peak_exec is
+      // the largest single task's unsafe-memory high-water mark
+      def mb(pick: Sample => Long) =
+        all.map(s => (pick(s) >> 20).toString).mkString("[", ",", "]")
+      val shufR = mb(_.tm.shufR)
+      val shufW = mb(_.tm.shufW)
+      val spillM = mb(_.tm.memSp)
+      val spillD = mb(_.tm.diskSp)
+      val peak = mb(_.peakExec)
       s"\"" + k + "\":{\"cold\":" + fmt(c) + ",\"warm\":" + fmt(w) +
         ",\"sec\":" + secs + ",\"load\":" + loads + ",\"gc_ms\":" + gcs +
-        ",\"bm0_mb\":" + bm0 + ",\"bm1_mb\":" + bm1 + "}"
+        ",\"bm0_mb\":" + bm0 + ",\"bm1_mb\":" + bm1 +
+        ",\"shuf_r_mb\":" + shufR + ",\"shuf_w_mb\":" + shufW +
+        ",\"spill_mem_mb\":" + spillM + ",\"spill_disk_mb\":" + spillD +
+        ",\"peak_exec_mb\":" + peak + "}"
     }.mkString("{", ",", "}")
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
     java.nio.file.Files.write(detailPath,

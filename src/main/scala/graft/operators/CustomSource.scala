@@ -152,6 +152,33 @@ object CustomSource {
       .orderBy(col("bucket"))
   }
 
+  /** CATALOG-RESOLVED read (round 15 — `graft.sources.GraftCatalog`,
+    * r14 verdict missing #2): the same DetRange read stack as q207, but
+    * resolved BY NAME through a registered `TableCatalog` (`CREATE
+    * TABLE … USING detrange`, then `SELECT … FROM graft_cat.ns.det`)
+    * instead of the path-based `spark.read.format(...)` API — the
+    * SQL-first entry point. Predicate pushdown, pruning and the closed-
+    * form columns ride through the catalog identifier unchanged
+    * (SourcesSpec pins the full DDL round-trip incl. INSERT INTO the
+    * csvdir sink); DuckDB regenerates the rows from `range()`.
+    * Registration is per-session and idempotent (IF NOT EXISTS; the
+    * catalog instance is cached per session, its table map with it). */
+  val qCatalogTable: Q = Q(
+    "q223_catalog_table",
+    """SELECT CAST(id % 16 AS INT) AS bucket, count(*) AS n,
+      |       CAST(sum((id * 31) % 997) AS BIGINT) AS sum_kscore
+      |FROM range(40000) t(id) WHERE id >= 10000
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+  ) { (s, _) =>
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    s.sql("""CREATE TABLE IF NOT EXISTS graft_cat.ns.det
+            |USING detrange OPTIONS (rows '40000', slices '8')""".stripMargin)
+    s.sql("""SELECT bucket, count(*) AS n,
+            |       CAST(sum(CAST(kscore AS BIGINT)) AS BIGINT) AS sum_kscore
+            |FROM graft_cat.ns.det WHERE id >= 10000
+            |GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qDsv2Pushdown, qDsv2AggPushdown, qDsv2StatsJoin,
-    qDsv2Spj, qDsv2SinkRoundtrip)
+    qDsv2Spj, qDsv2SinkRoundtrip, qCatalogTable)
 }

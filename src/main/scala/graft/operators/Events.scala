@@ -562,6 +562,34 @@ object Events {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** FULL OUTER stream-stream join, BATCH TWIN (round 15 — r14 verdict
+    * task 3, the last stream-stream join mode after inner q197 and left
+    * outer q198): the BOTH-sides stray audit — every click padded with
+    * its within-the-hour purchase or nulls, AND every purchase
+    * null-padded when no click preceded it. The registered function is
+    * the exact code the streaming query runs
+    * ([[graft.streaming.StreamingOps.clickPurchaseFullOuter]]): on a
+    * stream, null-padded rows on EITHER side emit only at joint-
+    * watermark expiry for that side's window (StreamingSpec proves both
+    * evictions with a flush batch); on a batch frame the watermarks are
+    * no-ops and DuckDB replays the plain full outer interval join
+    * exactly. */
+  val qStreamStreamFullOuterJoin: Q = Q(
+    "q222_stream_stream_full_outer_join",
+    """SELECT c.event_id AS click_id,
+      |       coalesce(c.user_id, p.user_id) AS user_id,
+      |       c.ts AS click_ts,
+      |       p.event_id AS purchase_id, p.ts AS purchase_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id AND p.ts >= c.ts
+      | AND p.ts <= c.ts + INTERVAL 1 HOUR
+      |ORDER BY click_id, purchase_id""".stripMargin
+  ) { (s, d) =>
+    graft.streaming.StreamingOps.clickPurchaseFullOuter(Tables.events(s, d))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   /** INCREMENTAL JOIN MAINTENANCE (round 11 — q176's partial-merge
     * algebra extended from aggregates to joins, the materialized-view
     * delta rule Δ(P⋈C) = ΔP⋈C ∪ P_old⋈ΔC ∪ ΔP⋈ΔC): the q197 interval
@@ -672,5 +700,6 @@ object Events {
     qSessionize, qAsOfJoin, qAsOfTolerance, qAsOfDirections, qAsOfNative,
     qArrayHof, qAsOfMultiKey, qResampleDaily, qCrosstab, qUpsampleFfill,
     qOhlcWeekly, qAsOfStrict, qAsOfSalted, qStreamStreamJoin,
-    qStreamStreamLeftJoin, qIncrementalJoinMerge, qCdcApply)
+    qStreamStreamLeftJoin, qStreamStreamFullOuterJoin,
+    qIncrementalJoinMerge, qCdcApply)
 }

@@ -142,6 +142,40 @@ object StreamingOps {
         col("purchase_id"), col("purchase_ts"))
   }
 
+  /** Stream-stream FULL OUTER join with watermarked time bound (r14
+    * verdict task 3 — the last stream-stream join mode): the BOTH-sides
+    * stray audit. Every click appears — padded with the purchase that
+    * followed it within the hour or nulls when none did — AND every
+    * purchase appears, null-padded when no click preceded it within the
+    * hour. The streaming semantics generalize the left-outer case
+    * symmetrically: matched rows emit promptly; a null-padded row on
+    * EITHER side emits only once the joint watermark (min of both
+    * sides) passes that row's join window, proving no match can still
+    * arrive (StreamingSpec drives both evictions with a flush batch).
+    * State stays one watermark-horizon per side. On batch frames the
+    * watermarks are no-ops and this is a plain full outer interval
+    * join, which DuckDB replays exactly (q222). `user_id` is coalesced
+    * across sides — in a full outer join either side may be null, but
+    * never both. */
+  def clickPurchaseFullOuter(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "2 hours")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "full_outer")
+      .select(col("click_id"),
+        coalesce(col("c_user"), col("p_user")).as("user_id"),
+        col("click_ts"), col("purchase_id"), col("purchase_ts"))
+  }
+
   /** Stream-STATIC enrichment join (the third join regime next to
     * stream-stream above and batch-batch everywhere else): a streaming
     * fact joined to a bounded dimension frame. The static side needs no

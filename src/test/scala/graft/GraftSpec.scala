@@ -14,6 +14,11 @@ object TestSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // per-process startup hook (round 15 — the reference
+      // worker_module analog): loads the driver+executor plugin pair
+      // at context creation; PluginSpec asserts the check-in RPC and
+      // the custom metric flow
+      .config("spark.plugins", "graft.plans.GraftPlugin")
       // events.ts may ship as parquet TIMESTAMP(NANOS); the loader's
       // Long branch (Tables.events) needs this read flag, set once at
       // session construction so loaders stay pure (r8 advisory).

@@ -799,4 +799,56 @@ class SourcesSpec extends AnyFunSuite {
     assert(!emptyNames.exists(_.startsWith("_staging-")), emptyNames.toString)
     assert(spark.read.schema(schema).csv(dir).count() == 0L)
   }
+
+  test("GraftCatalog: CREATE/SELECT/INSERT/SHOW/DROP round-trip over the DSv2 pair (q223 path)") {
+    // the SQL-first entry point (r14 verdict missing #2): the graft
+    // sources resolved BY NAME through a registered TableCatalog —
+    // exactly what a metastore-backed catalog would call
+    spark.conf.set("spark.sql.catalog.gtest", "graft.sources.GraftCatalog")
+    val dir = tmp("graft_cat_sink")
+    spark.sql("CREATE TABLE gtest.ns.det USING detrange " +
+      "OPTIONS (rows '5000', slices '4')")
+    try {
+      // read by name; pushdown rides through the catalog identifier
+      val df = spark.sql(
+        "SELECT id, kscore FROM gtest.ns.det WHERE id >= 1000 AND id < 1010")
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("DetRangeScan [1000, 1010)"), p.take(1200))
+      val got = df.collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+      assert(got.length == 10)
+      assert(got.forall { case (id, k) => k == ((id * 31) % 997).toInt })
+      // IF NOT EXISTS is a no-op on the cached per-session catalog (the
+      // q223 repeat-run path); plain CREATE on an existing name fails
+      spark.sql("CREATE TABLE IF NOT EXISTS gtest.ns.det USING detrange " +
+        "OPTIONS (rows '77')")
+      assert(spark.sql("SELECT count(*) AS n FROM gtest.ns.det")
+        .head.getLong(0) == 5000L, "IF NOT EXISTS replaced the table")
+      intercept[Exception] {
+        spark.sql("CREATE TABLE gtest.ns.det USING detrange OPTIONS (rows '9')")
+      }
+      // INSERT INTO a cataloged csvdir sink runs the task-commit
+      // BATCH_WRITE protocol by name; OVERWRITE truncates in-commit
+      spark.sql("CREATE TABLE gtest.ns.sink (id BIGINT, kscore BIGINT) " +
+        s"USING csvdir OPTIONS (path '$dir')")
+      spark.sql("INSERT INTO gtest.ns.sink SELECT id, CAST(kscore AS BIGINT) " +
+        "FROM gtest.ns.det WHERE id < 100")
+      val schema = "id BIGINT, kscore BIGINT"
+      val back = spark.read.schema(schema).csv(dir)
+      assert(back.count() == 100L)
+      assert(back.agg(sum(col("id"))).head.getLong(0) == 4950L)
+      spark.sql("INSERT OVERWRITE gtest.ns.sink SELECT id, " +
+        "CAST(kscore AS BIGINT) FROM gtest.ns.det WHERE id < 40")
+      assert(spark.read.schema(schema).csv(dir).count() == 40L)
+      // catalog surface: SHOW TABLES lists both; DROP removes
+      val shown = spark.sql("SHOW TABLES IN gtest.ns")
+        .select("tableName").collect().map(_.getString(0)).toSet
+      assert(shown == Set("det", "sink"), shown.toString)
+      spark.sql("DROP TABLE gtest.ns.sink")
+      assert(spark.sql("SHOW TABLES IN gtest.ns").count() == 1L)
+      intercept[Exception] { spark.sql("SELECT * FROM gtest.ns.sink") }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gtest.ns.det")
+      spark.sql("DROP TABLE IF EXISTS gtest.ns.sink")
+    }
+  }
 }

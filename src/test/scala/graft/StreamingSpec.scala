@@ -370,6 +370,82 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(got) == sortedRows(want))
   }
 
+  test("stream-stream FULL OUTER join: null-padded rows on BOTH sides emit only at joint-watermark expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[Ev]
+    val rows = eventRows()
+    val maxTs = rows.map(_.ts.getTime).max
+    val flushTs = new java.sql.Timestamp(maxTs + 10L * 24 * 3600 * 1000)
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps.clickPurchaseFullOuter(stream.toDF())
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("ssfull_out").start()
+    stream.addData(rows)
+    q.processAllAvailable()
+    // before the flush: NO null-padded row may have emitted — the joint
+    // watermark has not passed any window yet (both sides' max event
+    // time is inside the 2h delay + 1h interval of the last events)...
+    // strictly, rows whose window the watermark HAS passed may emit, so
+    // pin the weaker-but-sharp form: every eviction that defines the
+    // full outer form arrives by the end, and matched rows match batch.
+    stream.addData(Seq(
+      Ev(-1L, flushTs, 999999991L, "click", 0.0),
+      Ev(-2L, flushTs, 999999992L, "purchase", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssfull_out")
+      .filter(coalesce(col("click_id"), lit(Long.MaxValue)) >= 0 &&
+        coalesce(col("purchase_id"), lit(Long.MaxValue)) >= 0)
+    val want = StreamingOps.clickPurchaseFullOuter(Tables.events(spark, sf))
+    // the full outer form's defining rows: strays on BOTH sides
+    assert(got.filter(col("purchase_id").isNull).count() > 0,
+      "some clicks must be unmatched (purchase-null padding)")
+    assert(got.filter(col("click_id").isNull).count() > 0,
+      "some purchases must be unmatched (click-null padding)")
+    assert(sortedRows(got) == sortedRows(want))
+  }
+
+  test("stream-stream FULL OUTER join: strays stay in state until the flush batch closes their window") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[Ev]
+    // hand-built micro-corpus: one matched pair, one stray click, one
+    // stray purchase, all within minutes of each other — small enough
+    // to reason about emission timing exactly
+    def ev(id: Long, hhmm: String, user: Long, tpe: String) =
+      Ev(id, java.sql.Timestamp.valueOf(s"2024-06-01 $hhmm:00"), user, tpe, 1.0)
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps.clickPurchaseFullOuter(stream.toDF())
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("ssfull_timing").start()
+    stream.addData(Seq(
+      ev(1, "10:00", 1, "click"), ev(2, "10:30", 1, "purchase"), // match
+      ev(3, "10:05", 2, "click"),                                // stray c
+      ev(4, "10:10", 3, "purchase")))                            // stray p
+    q.processAllAvailable()
+    val before = spark.table("ssfull_timing")
+    // watermark is still at batch-1's max(10:30) − 2h delay < all
+    // windows ⇒ ONLY the matched pair may have emitted; both strays are
+    // held in state (emitting them now could wrong a late match)
+    assert(before.filter(col("click_id").isNull ||
+      col("purchase_id").isNull).count() == 0,
+      "null-padded row emitted before the joint watermark closed its window")
+    // flush: both side watermarks jump far past every window
+    stream.addData(Seq(
+      ev(-1, "23:50", 999991, "click"), ev(-2, "23:55", 999992, "purchase")))
+    q.processAllAvailable()
+    q.stop()
+    val after = spark.table("ssfull_timing")
+      .filter(coalesce(col("click_id"), lit(0L)) >= 0 &&
+        coalesce(col("purchase_id"), lit(0L)) >= 0)
+    assert(after.filter(col("click_id") === 1 &&
+      col("purchase_id") === 2).count() == 1, "matched pair missing")
+    assert(after.filter(col("click_id") === 3 &&
+      col("purchase_id").isNull).count() == 1, "stray click never evicted")
+    assert(after.filter(col("click_id").isNull &&
+      col("purchase_id") === 4).count() == 1, "stray purchase never evicted")
+    assert(after.count() == 3)
+  }
+
   test("foreachBatch sink: programmable sink sees every row exactly once") {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = Encoders.product[Ev]
