@@ -590,6 +590,30 @@ object Events {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** LEFT SEMI stream-stream join, BATCH TWIN (round 15 — the fourth
+    * and last stream-stream join mode: inner q197, left outer q198,
+    * full outer q222, semi here): converted clicks — each click AT MOST
+    * ONCE if any same-user purchase followed within the hour, no
+    * purchase columns (the EXISTS shape; a click with 3 matching
+    * purchases appears once, where the inner join would fan it out 3×).
+    * The registered function is the exact streaming code
+    * ([[graft.streaming.StreamingOps.clickConvertedSemi]]); StreamingSpec
+    * proves stream ≡ batch and that unmatched clicks age out of state
+    * WITHOUT emitting. DuckDB replays the batch twin as EXISTS. */
+  val qStreamStreamSemiJoin: Q = Q(
+    "q224_stream_stream_semi_join",
+    """SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts
+      |FROM events c
+      |WHERE c.event_type = 'click' AND EXISTS (
+      |  SELECT 1 FROM events p
+      |  WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+      |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+      |ORDER BY click_id""".stripMargin
+  ) { (s, d) =>
+    graft.streaming.StreamingOps.clickConvertedSemi(Tables.events(s, d))
+      .orderBy(col("click_id"))
+  }
+
   /** INCREMENTAL JOIN MAINTENANCE (round 11 — q176's partial-merge
     * algebra extended from aggregates to joins, the materialized-view
     * delta rule Δ(P⋈C) = ΔP⋈C ∪ P_old⋈ΔC ∪ ΔP⋈ΔC): the q197 interval
@@ -701,5 +725,5 @@ object Events {
     qArrayHof, qAsOfMultiKey, qResampleDaily, qCrosstab, qUpsampleFfill,
     qOhlcWeekly, qAsOfStrict, qAsOfSalted, qStreamStreamJoin,
     qStreamStreamLeftJoin, qStreamStreamFullOuterJoin,
-    qIncrementalJoinMerge, qCdcApply)
+    qStreamStreamSemiJoin, qIncrementalJoinMerge, qCdcApply)
 }

@@ -176,6 +176,33 @@ object StreamingOps {
         col("click_ts"), col("purchase_id"), col("purchase_ts"))
   }
 
+  /** Stream-stream LEFT SEMI join with watermarked time bound (round
+    * 15 — completes the stream-stream join-mode matrix: inner q197,
+    * left outer q198, full outer q222, semi here): "converted clicks" —
+    * each click emitted AT MOST ONCE if ANY purchase by the same user
+    * followed within the hour, with no purchase columns in the output
+    * (the EXISTS shape). Streaming semantics sit between inner and
+    * outer: a matched click emits promptly (first match wins, no
+    * per-match fan-out), an unmatched click simply ages out of state at
+    * joint-watermark expiry without emitting. Same bounded
+    * one-horizon-per-side state. On batch frames this is a plain left
+    * semi interval join — DuckDB replays it as EXISTS (q224). */
+  def clickConvertedSemi(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "left_semi")
+      .select(col("click_id"), col("c_user").as("user_id"), col("click_ts"))
+  }
+
   /** Stream-STATIC enrichment join (the third join regime next to
     * stream-stream above and batch-batch everywhere else): a streaming
     * fact joined to a bounded dimension frame. The static side needs no

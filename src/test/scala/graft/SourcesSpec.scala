@@ -851,4 +851,35 @@ class SourcesSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS gtest.ns.sink")
     }
   }
+
+  test("GraftCatalog: readStream.table() streams a cataloged detrange table in admission-controlled micro-batches") {
+    // catalog × streaming: the MICRO_BATCH_READ capability rides the
+    // catalog identifier exactly like the batch scan does — the
+    // name-first twin of the path-based readStream.format(...) pin in
+    // StreamingSpec, with the table's own rowsPerBatch option as the
+    // admission control
+    import org.apache.spark.sql.streaming.Trigger
+    spark.conf.set("spark.sql.catalog.gstream", "graft.sources.GraftCatalog")
+    spark.sql("CREATE TABLE gstream.ns.src USING detrange " +
+      "OPTIONS (rows '1200', rowsPerBatch '500')")
+    val out = tmp("graft_cat_stream")
+    val ckpt = tmp("graft_cat_stream_ck")
+    try {
+      val q = spark.readStream.table("gstream.ns.src")
+        .select(col("id"), col("kscore"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000))
+      val back = spark.read.parquet(out)
+      assert(back.count() == 1200L)
+      assert(back.select("id").distinct().count() == 1200L)
+      assert(back.filter(col("kscore") =!=
+        pmod(col("id") * 31, lit(997)).cast("int")).count() == 0L)
+      // admission control applied: 1200 rows at 500/batch = ≥3 batches
+      val commits = new java.io.File(s"$ckpt/commits").list()
+        .count(!_.endsWith(".tmp"))
+      assert(commits >= 3, s"expected >=3 micro-batches, saw $commits")
+    } finally spark.sql("DROP TABLE IF EXISTS gstream.ns.src")
+  }
 }

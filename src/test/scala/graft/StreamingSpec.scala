@@ -446,6 +446,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(after.count() == 3)
   }
 
+  test("stream-stream LEFT SEMI join: matched clicks emit once, unmatched age out silently") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[Ev]
+    val rows = eventRows()
+    val maxTs = rows.map(_.ts.getTime).max
+    val flushTs = new java.sql.Timestamp(maxTs + 10L * 24 * 3600 * 1000)
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps.clickConvertedSemi(stream.toDF())
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("sssemi_out").start()
+    stream.addData(rows)
+    q.processAllAvailable()
+    stream.addData(Seq( // flush: unmatched clicks must age out WITHOUT emitting
+      Ev(-1L, flushTs, 999999991L, "click", 0.0),
+      Ev(-2L, flushTs, 999999992L, "purchase", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sssemi_out").filter(col("click_id") >= 0)
+    val want = StreamingOps.clickConvertedSemi(Tables.events(spark, sf))
+    assert(got.count() > 0, "semi join must be non-trivial on the fixture")
+    // at-most-once: no click id repeats even where the inner join fans out
+    assert(got.count() == got.select("click_id").distinct().count())
+    // semi ⊂ inner's click set, and strictly smaller than all clicks
+    val inner = StreamingOps.clickToPurchaseJoin(Tables.events(spark, sf))
+    assert(got.count() == inner.select("click_id").distinct().count())
+    assert(sortedRows(got) == sortedRows(want))
+  }
+
   test("foreachBatch sink: programmable sink sees every row exactly once") {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = Encoders.product[Ev]
