@@ -66,9 +66,14 @@ object GenScale {
       "vector", "window")
     val nDocs = 5000L * factor
     val docs = spark.range(nDocs).select(col("id").as("doc_id"),
-      // dup docs share their 5-block's seed; the +nDocs offset keeps
-      // dup-group seeds disjoint from unique-doc seeds
-      when(h(col("id"), 1) % 10 < 2,
+      // dup membership is decided PER 5-BLOCK (hash of the block id),
+      // not per doc — a per-doc flag would leave ~41% of flagged docs
+      // the only flagged member of their block (a singleton "dup"
+      // carrying a group seed), thinning real clusters to ~12% mostly
+      // size-2 (r15 review); block-level flagging yields the stated
+      // ~20% of docs in genuine 5-doc exact-dup groups. The +nDocs
+      // offset keeps dup-group seeds disjoint from unique-doc seeds.
+      when(h((col("id") / 5).cast("long") * 5, 1) % 10 < 2,
         (col("id") / 5).cast("long") * 5 + lit(nDocs))
         .otherwise(col("id")).as("seed"))
       .select(col("doc_id"),

@@ -27,6 +27,14 @@ object Verify {
       // Long branch (Tables.events) needs this read flag, set once at
       // session construction so loaders stay pure (r8 advisory).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // recursion row cap sized to the certified workloads: q213's
+      // reach is O(|orderkey domain|) and the sf1 differential corpus
+      // has 1.5M keys — past the 1M default. 32M keeps the
+      // runaway-recursion backstop loud while covering every fixture
+      // this harness certifies (set HERE, not inside the query — a
+      // registered query must not weaken the session's backstop for
+      // everything else; r15 review)
+      .config("spark.sql.cteRecursionRowLimit", "32000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

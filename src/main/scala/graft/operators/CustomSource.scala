@@ -17,6 +17,10 @@ import graft.Q
   * aggregate is an exact integer sum, so the oracle is value-exact. */
 object CustomSource {
 
+  /** One-shot arm for q219's exit-time sink-dir cleanup hook. */
+  private[operators] val sinkDirHookArmed =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
   val qDsv2Pushdown: Q = Q(
     "q207_dsv2_pushdown",
     """SELECT CAST(id % 16 AS INT) AS bucket, count(*) AS n,
@@ -139,6 +143,16 @@ object CustomSource {
   ) { (s, _) =>
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_q219_sink_${s.sparkContext.applicationId}").toString
+    // the applicationId-keyed dir is fresh per process — reap it at JVM
+    // exit (one hook per process) so repeated harness runs don't
+    // accumulate one orphaned CSV dir each in tmpdir (r15 review)
+    if (CustomSource.sinkDirHookArmed.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(dir))
+      }))
     s.read.format("graft.sources.DetRangeSource")
       .option("rows", 5000).option("slices", 4).load()
       .select(col("id"), col("bucket").cast("long").as("bucket"),

@@ -198,14 +198,15 @@ object SqlSurface {
       |GROUP BY root ORDER BY root""".stripMargin
   ) { (s, d) =>
     Tables.orders(s, d).createOrReplaceTempView("graft_rec_orders")
-    // size the loud row cap to the workload: the walk's reach is
-    // O(|orderkey domain|), so the default 1M cap — correct for the
-    // driver fixtures — fires on the 10× sf1 differential corpus
-    // (1.5M keys). 32M covers every fixture this repo certifies while
-    // keeping the runaway-recursion backstop loud (set at execution
-    // scope: the limit is read when the recursion RUNS, not when this
-    // plan is built, so a set-and-restore here would restore too early)
-    s.conf.set("spark.sql.cteRecursionRowLimit", "32000000")
+    // CAP SIZING lives in the HARNESS session builders (Verify/Bench
+    // set spark.sql.cteRecursionRowLimit=32M), not here: the walk's
+    // reach is O(|orderkey domain|), so the default 1M cap — ample for
+    // the driver fixtures — fires on the 10× sf1 differential corpus
+    // (1.5M keys). Mutating the session conf from inside a registered
+    // query would silently weaken the runaway-recursion backstop 32×
+    // for everything else sharing the session (r15 review); a default
+    // session running this query past ~1M keys gets the documented
+    // loud cap, which is the correct out-of-the-box behavior.
     s.sql("""
       |WITH RECURSIVE walk(root, k, depth) AS (
       |  SELECT o_orderkey, o_orderkey, 0 FROM graft_rec_orders

@@ -158,16 +158,25 @@ private[sources] class CsvDirBatchWrite(path: String, schema: StructType,
     // in the destination forever (r14 advisory). Same grace-period shape
     // as pqIndexCompact's orphan sweep: a FRESH foreign staging dir is
     // indistinguishable from a concurrent writer's live one and must
-    // survive; one older than the grace window is a dead job's residue.
-    // Cutoff derives from the filesystem's own clock (the mtime of the
-    // staging dir we just used), not the client's.
+    // survive; one whose NEWEST entry (not just the dir — a dir's mtime
+    // freezes at its last create, so a long job's dir looks old while
+    // its files are fresh) is older than the grace window is a dead
+    // job's residue. Cutoff derives from the filesystem's own clock
+    // (the mtime of the staging dir we just used), not the client's.
+    // Residual operational bound, documented: a concurrent writer whose
+    // newest staged FILE is >1h old (an open stream on HDFS only stamps
+    // mtime at create/close) can still be swept — its commit then fails
+    // LOUDLY at the rename require above, never silently.
     val graceMs = 60L * 60 * 1000
     if (f.exists(staging)) {
       val fsNow = f.getFileStatus(staging).getModificationTime
       f.listStatus(dest).filter { st =>
         val n = st.getPath.getName
-        n.startsWith("_staging-") && n != staging.getName &&
-          st.getModificationTime < fsNow - graceMs
+        n.startsWith("_staging-") && n != staging.getName && {
+          val newest = (st.getModificationTime +:
+            f.listStatus(st.getPath).map(_.getModificationTime).toSeq).max
+          newest < fsNow - graceMs
+        }
       }.foreach(st => f.delete(st.getPath, true))
     }
     // _SUCCESS last: readers gate on it, so a crash mid-publish is
@@ -257,6 +266,16 @@ private[sources] class CsvDirStreamingWrite(path: String, schema: StructType,
         finally in.close()
       prior.foreach(name =>
         f.delete(new org.apache.hadoop.fs.Path(dest, name), false))
+    } else {
+      // belt-and-braces for a manifest-LESS destination (written before
+      // manifests existed, or the manifest removed by an operator): fall
+      // back to the prefix sweep so a replayed epoch still replaces its
+      // prior files instead of silently duplicating them. This listing
+      // is O(total files) but runs only on this rare legacy/repair path
+      // — the steady state above stays O(epoch)
+      f.listStatus(dest)
+        .filter(_.getPath.getName.startsWith(epochPrefix(epochId)))
+        .foreach(st => f.delete(st.getPath, false))
     }
     // manifest BEFORE the renames — a publish INTENT, not a receipt.
     // Attempt names differ per attempt (taskId is in the file name), so

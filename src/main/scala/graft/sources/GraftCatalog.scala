@@ -58,6 +58,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    // racing CREATEs are resolved by the atomic putIfAbsent at the end;
+    // this early check just fails fast on the common case
     if (tables.containsKey(ident)) throw new TableAlreadyExistsException(ident)
     // DDL options land in properties both bare and `option.`-prefixed
     // depending on the path; accept either
@@ -88,7 +90,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"GraftCatalog supports USING detrange|csvdir " +
           s"(graft.sources.DetRangeSource|CsvDirSink), not '$other'")
     }
-    tables.put(ident, table)
+    // atomic: a concurrent CREATE of the same identifier must throw,
+    // never silently replace a table a reader may already be bound to
+    if (tables.putIfAbsent(ident, table) != null)
+      throw new TableAlreadyExistsException(ident)
     table
   }
 

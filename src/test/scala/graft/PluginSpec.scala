@@ -29,6 +29,10 @@ class PluginSpec extends AnyFunSuite {
   }
 
   test("custom metric flows: onTaskStart increments the registry counter") {
+    // force the context FIRST: registeredCounter is assigned in the
+    // executor plugin's init (at SparkContext creation) — a targeted
+    // run of this one test would otherwise read it as null
+    TestSession.spark.range(1).count()
     val before = GraftPlugin.tasksStarted.get()
     val cBefore = GraftPlugin.registeredCounter.getCount
     // a multi-partition job → multiple tasks
