@@ -120,7 +120,13 @@ object GenScale {
       (h(col("id"), 9) % (1500L * factor)).as("user_id"),
       pick(col("id"), 10,
         Seq("click", "view", "purchase", "signup", "error")).as("event_type"),
-      round((h(col("id"), 11) % 10000).cast("double") / 100.0, 2).as("value"),
+      // exponential-ish tail matching the fixture's value distribution
+      // (mean ≈50, median ≈35, max ≈575 vs the fixture's 560): a
+      // uniform [0,100) domain left value-threshold queries (q167's
+      // conversion cut at 180) degenerate at 10× — the r15 sf1 sweep's
+      // first real catch
+      round(-lit(50.0) * log((h(col("id"), 11) % 100000 + 1)
+        .cast("double") / 100000.0), 2).as("value"),
       concat(lit("{\"k\": "), h(col("id"), 12) % 100, lit("}")).as("props"))
     writeSingle(events, "events")
 

@@ -237,10 +237,11 @@ object Stats {
       |  max(CASE WHEN arm = 'treatment' THEN x END) AS x_t FROM a)
       |SELECT n_c, x_c, n_t, x_t,
       |  round(x_c * 1.0 / n_c, 6) AS p_c, round(x_t * 1.0 / n_t, 6) AS p_t,
-      |  round((x_t * 1.0 / n_t - x_c * 1.0 / n_c)
-      |    / sqrt(((x_c + x_t) * 1.0 / (n_c + n_t))
-      |           * (1 - (x_c + x_t) * 1.0 / (n_c + n_t))
-      |           * (1.0 / n_c + 1.0 / n_t)), 4) AS z
+      |  CASE WHEN (x_c + x_t) = 0 OR (x_c + x_t) = (n_c + n_t) THEN NULL
+      |       ELSE round((x_t * 1.0 / n_t - x_c * 1.0 / n_c)
+      |         / sqrt(((x_c + x_t) * 1.0 / (n_c + n_t))
+      |                * (1 - (x_c + x_t) * 1.0 / (n_c + n_t))
+      |                * (1.0 / n_c + 1.0 / n_t)), 4) END AS z
       |FROM w""".stripMargin
   ) { (s, d) =>
     val k = md5(concat(lit("graft-ab-1:"), col("user_id").cast("string")))
@@ -261,12 +262,19 @@ object Stats {
       max(when(col("arm") === "treatment", col("x"))).as("x_t"))
     val (nc, xc, nt, xt) = (col("n_c"), col("x_c"), col("n_t"), col("x_t"))
     val pPool = (xc + xt) * lit(1.0) / (nc + nt)
+    // degenerate corpora (zero or universal conversion) have no defined
+    // z — emit NULL instead of dividing by a zero pooled variance. Not
+    // reachable on the driver fixtures; the sf1 differential corpus
+    // found it (r15), and at 100 TB an experiment readout hitting an
+    // empty measurement window must degrade, not kill the job (ANSI
+    // mode makes the raw division an ERROR, not an inf)
     w.select(nc, xc, nt, xt,
       round(xc * lit(1.0) / nc, 6).as("p_c"),
       round(xt * lit(1.0) / nt, 6).as("p_t"),
-      round((xt * lit(1.0) / nt - xc * lit(1.0) / nc)
-        / sqrt(pPool * (lit(1) - pPool) * (lit(1.0) / nc + lit(1.0) / nt)), 4)
-        .as("z"))
+      when(xc + xt === 0 || xc + xt === nc + nt, lit(null))
+        .otherwise(round((xt * lit(1.0) / nt - xc * lit(1.0) / nc)
+          / sqrt(pPool * (lit(1) - pPool) * (lit(1.0) / nc + lit(1.0) / nt)),
+          4)).as("z"))
   }
 
   /** pandas `df.corrwith(other)`: column-wise correlation between two
