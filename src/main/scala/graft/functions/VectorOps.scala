@@ -105,9 +105,15 @@ object VectorOps {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity from a precomputed-norm pair (norms should be
-    * computed once per vector, not once per pair). */
+    * computed once per vector, not once per pair). A ZERO-norm vector
+    * (an all-zero embedding — nulled-out rows happen in real 100 TB
+    * embedding tables) has no defined cosine: emit NULL rather than
+    * divide by zero, which under Spark 4's default ANSI mode is a JOB
+    * ERROR, not an inf — one bad row must not kill a 1000-executor
+    * scan (r15 review; unobservable on the fixtures, where every
+    * vector has positive norm, so oracle parity is untouched). */
   def cosineFromNorms(dotAb: Column, normA: Column, normB: Column): Column =
-    dotAb / (normA * normB)
+    dotAb / nullif(normA * normB, lit(0.0))
 
   /** Direct cosine similarity (convenience for small inputs). */
   def cosine(a: Column, b: Column): Column =

@@ -137,8 +137,8 @@ object Stats {
       |               CAST(count(*) AS BIGINT) AS n_obs
       |        FROM daily GROUP BY dow)
       |SELECT day, daily.dow AS dow, rev,
-      |       round((rev - mu) / sd, 4) AS z,
-      |       abs((rev - mu) / sd) > 1.5 AS anomaly
+      |       round((rev - mu) / nullif(sd, 0), 4) AS z,
+      |       abs((rev - mu) / nullif(sd, 0)) > 1.5 AS anomaly
       |FROM daily JOIN sea ON daily.dow = sea.dow
       |ORDER BY day""".stripMargin
   ) { (s, d) =>
@@ -151,8 +151,12 @@ object Stats {
         count(lit(1)).as("n_obs"))
     daily.join(broadcast(sea), col("dow") === col("s_dow"))
       .select(col("day"), col("dow"), col("rev"),
-        round((col("rev") - col("mu")) / col("sd"), 4).as("z"),
-        (abs((col("rev") - col("mu")) / col("sd")) > 1.5).as("anomaly"))
+        // nullif: a dow group whose daily revenues are all identical has
+        // sd = 0.0 (not NULL — that's the n=1 case) and z undefined;
+        // ANSI mode turns the raw division into a job error (r15 review)
+        round((col("rev") - col("mu")) / nullif(col("sd"), lit(0)), 4).as("z"),
+        (abs((col("rev") - col("mu")) / nullif(col("sd"), lit(0))) > 1.5)
+          .as("anomaly"))
       .orderBy(col("day"))
   }
 
@@ -193,9 +197,10 @@ object Stats {
       |  FROM events GROUP BY event_type)
       |SELECT event_type, n,
       |  round((p3 - 3 * m1 * p2 + 2 * m1 * m1 * m1)
-      |        / power(p2 - m1 * m1, 1.5), 6) AS skew_g1,
+      |        / nullif(power(p2 - m1 * m1, 1.5), 0), 6) AS skew_g1,
       |  round((p4 - 4 * m1 * p3 + 6 * m1 * m1 * p2 - 3 * m1 * m1 * m1 * m1)
-      |        / ((p2 - m1 * m1) * (p2 - m1 * m1)) - 3, 6) AS kurt_excess
+      |        / nullif((p2 - m1 * m1) * (p2 - m1 * m1), 0) - 3, 6)
+      |    AS kurt_excess
       |FROM m ORDER BY event_type""".stripMargin
   ) { (s, d) =>
     val v = col("value")
@@ -203,12 +208,17 @@ object Stats {
       .agg(count(lit(1)).as("n"), avg(v).as("m1"), avg(v * v).as("p2"),
         avg(v * v * v).as("p3"), avg(v * v * v * v).as("p4"))
     val (m1, p2, p3, p4) = (col("m1"), col("p2"), col("p3"), col("p4"))
+    // nullif on the variance powers: a constant-valued (or single-row)
+    // group has zero variance and no defined skew/kurtosis — NULL, not
+    // an ANSI divide-by-zero job error (r15 review; the driver fixtures
+    // never hit it, a rare-event-type group at 100 TB would)
     m.select(col("event_type"), col("n"),
         round((p3 - lit(3) * m1 * p2 + lit(2) * m1 * m1 * m1)
-          / pow(p2 - m1 * m1, 1.5), 6).as("skew_g1"),
+          / nullif(pow(p2 - m1 * m1, 1.5), lit(0)), 6).as("skew_g1"),
         round((p4 - lit(4) * m1 * p3 + lit(6) * m1 * m1 * p2
           - lit(3) * m1 * m1 * m1 * m1)
-          / ((p2 - m1 * m1) * (p2 - m1 * m1)) - lit(3), 6).as("kurt_excess"))
+          / nullif((p2 - m1 * m1) * (p2 - m1 * m1), lit(0)) - lit(3), 6)
+          .as("kurt_excess"))
       .orderBy(col("event_type"))
   }
 

@@ -44,6 +44,20 @@ class VecDimSpec extends AnyFunSuite {
     assert(math.abs(got - want) < 1e-9)
   }
 
+  test("zero-norm vector: cosine is NULL, not an ANSI divide-by-zero job error") {
+    // an all-zero embedding (nulled-out row in a real 100 TB table) has
+    // no defined cosine; under Spark 4's default ANSI mode the unguarded
+    // division is a JOB ERROR — one bad row must not kill the scan
+    val s = TestSession.spark
+    val row = s.sql(
+      "SELECT array(0.0F, 0.0F) AS z, array(1.0F, 2.0F) AS v")
+    val got = row.select(
+      VectorOps.cosine(col("z"), col("v")).as("zv"),
+      VectorOps.cosine(col("v"), col("v")).as("vv")).head
+    assert(got.isNullAt(0), "zero-norm cosine must be NULL")
+    assert(math.abs(got.getDouble(1) - 1.0) < 1e-9)
+  }
+
   test("cosine top-k on 128-dim vectors: shape + per-probe descending sims") {
     val out = operators.Vectors.cosineTopK(emb128, nProbes = 5, k = 3).collect()
     assert(out.length == 15)
