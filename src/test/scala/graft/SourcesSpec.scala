@@ -839,6 +839,18 @@ class SourcesSpec extends AnyFunSuite {
       spark.sql("INSERT OVERWRITE gtest.ns.sink SELECT id, " +
         "CAST(kscore AS BIGINT) FROM gtest.ns.det WHERE id < 40")
       assert(spark.read.schema(schema).csv(dir).count() == 40L)
+      // CTAS: schema inferred from the query, table registered and the
+      // data written through the same task-commit protocol in one DDL
+      val ctasDir = tmp("graft_cat_ctas")
+      spark.sql(s"CREATE TABLE gtest.ns.ct USING csvdir " +
+        s"OPTIONS (path '$ctasDir') AS SELECT id, " +
+        "CAST(kscore AS BIGINT) AS kscore FROM gtest.ns.det WHERE id < 50")
+      assert(spark.read.schema(schema).csv(ctasDir).count() == 50L)
+      assert(spark.sql("INSERT INTO gtest.ns.ct SELECT id, " +
+        "CAST(kscore AS BIGINT) FROM gtest.ns.det WHERE id >= 50 AND id < 60")
+        .count() == 0L) // DML returns no rows; the append lands below
+      assert(spark.read.schema(schema).csv(ctasDir).count() == 60L)
+      spark.sql("DROP TABLE gtest.ns.ct")
       // catalog surface: SHOW TABLES lists both; DROP removes
       val shown = spark.sql("SHOW TABLES IN gtest.ns")
         .select("tableName").collect().map(_.getString(0)).toSet
@@ -849,6 +861,7 @@ class SourcesSpec extends AnyFunSuite {
     } finally {
       spark.sql("DROP TABLE IF EXISTS gtest.ns.det")
       spark.sql("DROP TABLE IF EXISTS gtest.ns.sink")
+      spark.sql("DROP TABLE IF EXISTS gtest.ns.ct")
     }
   }
 
