@@ -563,6 +563,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.select("event_id").distinct().count() == 120)
   }
 
+  test("stream-stream FULL OUTER join state survives a restart: a pre-restart stray matches a post-restart arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[Ev]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_foj_ck").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_foj_out").toString
+    def ev(id: Long, hhmm: String, user: Long, tpe: String) =
+      Ev(id, java.sql.Timestamp.valueOf(s"2024-06-01 $hhmm:00"), user, tpe, 1.0)
+    val stream = MemoryStream[Ev]
+    def start() = StreamingOps.clickPurchaseFullOuter(stream.toDF())
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out).start()
+    val q1 = start()
+    stream.addData(Seq(
+      ev(1, "10:00", 1, "click"), ev(2, "10:30", 1, "purchase"), // match now
+      ev(3, "10:05", 2, "click"),     // stray — must survive the restart
+      ev(4, "10:10", 3, "purchase"))) // stray — evicts null-padded later
+    q1.processAllAvailable()
+    q1.stop() // restart boundary: strays 3 and 4 live ONLY in join state
+    val q2 = start()
+    // the decisive row: a purchase arriving AFTER the restart that can
+    // only match if the recovered state still holds click 3 (10:40 is
+    // inside click 3's [10:05, 11:05] window; the recovered watermark,
+    // 10:30 − 2h, has passed nothing)
+    stream.addData(Seq(ev(5, "10:40", 2, "purchase")))
+    q2.processAllAvailable()
+    // flush: both watermarks jump past every real window, evicting the
+    // remaining stray purchase as a null-padded row
+    stream.addData(Seq(
+      ev(-1, "23:50", 999991, "click"), ev(-2, "23:55", 999992, "purchase")))
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(out)
+      .filter(coalesce(col("click_id"), lit(0L)) >= 0 &&
+        coalesce(col("purchase_id"), lit(0L)) >= 0)
+    assert(got.filter(col("click_id") === 1 &&
+      col("purchase_id") === 2).count() == 1, "pre-restart match missing")
+    assert(got.filter(col("click_id") === 3 &&
+      col("purchase_id") === 5).count() == 1,
+      "cross-restart match missing — join state lost in recovery")
+    assert(got.filter(col("click_id").isNull &&
+      col("purchase_id") === 4).count() == 1,
+      "stray purchase never evicted after the restart")
+    assert(got.count() == 3, got.collect().mkString(";"))
+  }
+
   test("stream-static join enriches streaming rows from a fixed dimension") {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = Encoders.product[Ev]
