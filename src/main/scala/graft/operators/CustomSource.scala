@@ -21,6 +21,14 @@ object CustomSource {
   private[operators] val sinkDirHookArmed =
     new java.util.concurrent.atomic.AtomicBoolean(false)
 
+  /** Every sink dir q219 has created in this JVM. The single shutdown
+    * hook sweeps the whole set — a JVM hosting several sessions over
+    * time (test suites, long-lived drivers) creates one
+    * applicationId-keyed dir per session, and a hook that captured only
+    * the first session's dir would leak every later one (r15 advisory). */
+  private[operators] val sinkDirsToReap =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   val qDsv2Pushdown: Q = Q(
     "q207_dsv2_pushdown",
     """SELECT CAST(id % 16 AS INT) AS bucket, count(*) AS n,
@@ -143,15 +151,17 @@ object CustomSource {
   ) { (s, _) =>
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_q219_sink_${s.sparkContext.applicationId}").toString
-    // the applicationId-keyed dir is fresh per process — reap it at JVM
-    // exit (one hook per process) so repeated harness runs don't
-    // accumulate one orphaned CSV dir each in tmpdir (r15 review)
+    // the applicationId-keyed dir is fresh per SESSION — register every
+    // dir this JVM creates and reap the whole set at exit (one hook per
+    // process, r15 review + r15 advisory: a hook closing over only the
+    // first session's dir leaks every later session's)
+    CustomSource.sinkDirsToReap.add(dir)
     if (CustomSource.sinkDirHookArmed.compareAndSet(false, true))
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
         }
-        rm(new java.io.File(dir))
+        CustomSource.sinkDirsToReap.forEach(d => rm(new java.io.File(d)))
       }))
     s.read.format("graft.sources.DetRangeSource")
       .option("rows", 5000).option("slices", 4).load()

@@ -107,7 +107,7 @@ private[sources] class CsvDirWriteBuilder(path: String, schema: StructType,
 private[graft] case class CsvFileCommit(fileName: String, rows: Long)
     extends WriterCommitMessage
 
-private[sources] class CsvDirBatchWrite(path: String, schema: StructType,
+private[graft] class CsvDirBatchWrite(path: String, schema: StructType,
     queryId: String, failPartition: Option[Int], truncate: Boolean)
     extends BatchWrite {
   private def fs(conf: org.apache.hadoop.conf.Configuration) =
@@ -124,15 +124,20 @@ private[sources] class CsvDirBatchWrite(path: String, schema: StructType,
     val dest = new org.apache.hadoop.fs.Path(path)
     val staging = new org.apache.hadoop.fs.Path(path, s"_staging-$queryId")
     f.mkdirs(dest)
+    // the _SUCCESS marker is deleted FIRST in BOTH modes: a crash (or a
+    // failed rename) anywhere between here and the final marker
+    // re-create leaves a marker-LESS directory — readers gating on
+    // _SUCCESS see "no committed table", never a silently emptied,
+    // mixed, or PARTIALLY APPENDED one. Append mode needs this as much
+    // as truncate (r15 advisory): with the previous commit's marker
+    // still present, a rename failure partway through the loop below
+    // would expose the earlier renamed files as part of a
+    // committed-looking table
+    f.delete(new org.apache.hadoop.fs.Path(dest, "_SUCCESS"), false)
     if (truncate) { // overwrite: clear prior data files in the SAME
-      // driver-side commit that publishes the new ones. The _SUCCESS
-      // marker is deleted FIRST: a crash anywhere between here and the
-      // final marker re-create leaves a marker-LESS directory — readers
-      // gating on _SUCCESS see "no committed table", never a silently
-      // emptied or mixed one (r14 self-review: excluding the marker
-      // from the sweep left a committed-looking empty table in the
-      // crash window)
-      f.delete(new org.apache.hadoop.fs.Path(dest, "_SUCCESS"), false)
+      // driver-side commit that publishes the new ones (r14
+      // self-review: excluding the marker from the sweep left a
+      // committed-looking empty table in the crash window)
       f.listStatus(dest).filter { st =>
         val n = st.getPath.getName
         !n.startsWith("_staging-")
@@ -151,6 +156,13 @@ private[sources] class CsvDirBatchWrite(path: String, schema: StructType,
         s"CsvDirSink commit: publish rename failed for $name — " +
           "aborting before _SUCCESS (no partial table is marked committed)")
     }
+    // _SUCCESS after the last rename: readers gate on it, so a crash
+    // mid-publish is visible as "no marker", never as a silent partial
+    // table. Everything below this line is HOUSEKEEPING on an
+    // already-completed publish
+    val marker = new org.apache.hadoop.fs.Path(dest, "_SUCCESS")
+    f.create(marker, true).close()
+    f.delete(staging, true)
     // reclaim staging residue from OTHER query ids: an aborted job's
     // zombie task can re-mkdir its staging dir after the driver-side
     // abort swept it, and overwrite commits deliberately skip _staging-*
@@ -162,27 +174,35 @@ private[sources] class CsvDirBatchWrite(path: String, schema: StructType,
     // freezes at its last create, so a long job's dir looks old while
     // its files are fresh) is older than the grace window is a dead
     // job's residue. Cutoff derives from the filesystem's own clock
-    // (the mtime of the staging dir we just used), not the client's.
+    // (the mtime of the marker we just created), not the client's.
     // Residual operational bound, documented: a concurrent writer whose
     // newest staged FILE is >1h old (an open stream on HDFS only stamps
     // mtime at create/close) can still be swept — its commit then fails
     // LOUDLY at the rename require above, never silently.
-    val graceMs = 60L * 60 * 1000
-    if (f.exists(staging)) {
-      val fsNow = f.getFileStatus(staging).getModificationTime
+    // The sweep runs AFTER _SUCCESS and is best-effort (r15 advisory):
+    // a concurrent writer's commit deletes its own staging dir between
+    // our outer listing and the inner one, so the per-dir probe treats
+    // FileNotFoundException as "live writer just committed — not
+    // sweepable this round", and no cleanup hiccup may fail a publish
+    // whose marker already landed
+    try {
+      val graceMs = 60L * 60 * 1000
+      val fsNow = f.getFileStatus(marker).getModificationTime
       f.listStatus(dest).filter { st =>
         val n = st.getPath.getName
         n.startsWith("_staging-") && n != staging.getName && {
-          val newest = (st.getModificationTime +:
-            f.listStatus(st.getPath).map(_.getModificationTime).toSeq).max
-          newest < fsNow - graceMs
+          try {
+            val newest = (st.getModificationTime +:
+              f.listStatus(st.getPath).map(_.getModificationTime).toSeq).max
+            newest < fsNow - graceMs
+          } catch {
+            case _: java.io.FileNotFoundException => false
+          }
         }
       }.foreach(st => f.delete(st.getPath, true))
+    } catch {
+      case scala.util.control.NonFatal(_) => // best-effort cleanup only
     }
-    // _SUCCESS last: readers gate on it, so a crash mid-publish is
-    // visible as "no marker", never as a silent partial table
-    f.create(new org.apache.hadoop.fs.Path(dest, "_SUCCESS"), true).close()
-    f.delete(staging, true)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

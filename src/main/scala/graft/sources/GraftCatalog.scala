@@ -70,6 +70,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("")
     val table: Table = provider match {
       case "graft.sources.detrangesource" | "detrange" =>
+        // detrange serves a FIXED schema; a user-declared column list
+        // that differs must fail at CREATE, not silently serve the
+        // fixed columns to a reader expecting the declared ones (r15
+        // advisory — the csvdir branch honors declared schemas, so
+        // accepting a mismatch here was inconsistent between providers)
+        require(schema.isEmpty || schema == DetRangeSource.schema,
+          s"detrange tables have the fixed schema ${DetRangeSource.schema.simpleString}; " +
+            s"either omit the column list or declare it exactly (got ${schema.simpleString})")
         new DetRangeTable(
           opt("rows", "1000").toLong, opt("slices", "8").toInt,
           opt("keyed", "false").toBoolean, opt("stats", "true").toBoolean,

@@ -800,6 +800,92 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.read.schema(schema).csv(dir).count() == 0L)
   }
 
+  test("DSv2 sink: a failed APPEND commit leaves no _SUCCESS marker — partial renames are never visible as a committed table") {
+    // r15 advisory (CsvDirSink:152): with the previous commit's marker
+    // left in place, a rename failure partway through an append's
+    // publish loop exposed the earlier renamed files under a
+    // committed-looking _SUCCESS. The marker is now deleted before the
+    // rename loop in BOTH modes, so a mid-append failure reads as "no
+    // committed table", exactly like a mid-overwrite one.
+    val dir = tmp("graft_sink_appendfail")
+    val src = spark.read.format("graft.sources.DetRangeSource")
+      .option("rows", 100).option("slices", 2).load()
+      .select(col("id"), col("bucket").cast("long").as("bucket"))
+    src.write.format("graft.sources.CsvDirSink")
+      .option("path", dir).mode("append").save()
+    assert(new java.io.File(dir, "_SUCCESS").exists())
+    // drive the driver-side commit directly with a message whose staged
+    // file does not exist: the rename fails (local FS throws
+    // FileNotFoundException; HDFS returns false → the require() fires)
+    // → the publish aborts mid-loop, the deterministic stand-in for a
+    // rename failing after some files already landed
+    val w = new graft.sources.CsvDirBatchWrite(dir,
+      StructType(Seq(StructField("id", LongType))),
+      queryId = "qtest-appendfail", failPartition = None, truncate = false)
+    intercept[Exception] {
+      w.commit(Array(graft.sources.CsvFileCommit("part-does-not-exist.csv", 1L)))
+    }
+    assert(!new java.io.File(dir, "_SUCCESS").exists(),
+      "failed append left the previous _SUCCESS marker in place — " +
+        "readers would see a partial append as committed")
+    // a subsequent successful append restores the marker and the data
+    src.write.format("graft.sources.CsvDirSink")
+      .option("path", dir).mode("append").save()
+    assert(new java.io.File(dir, "_SUCCESS").exists())
+    assert(spark.read.schema("id BIGINT, bucket BIGINT").csv(dir)
+      .count() == 200L)
+  }
+
+  test("DSv2 sink: foreign staging reclaim is best-effort AFTER _SUCCESS — aged residue swept, fresh dirs survive, hiccups never fail a publish") {
+    val dir = tmp("graft_sink_sweep")
+    val src = spark.read.format("graft.sources.DetRangeSource")
+      .option("rows", 100).option("slices", 2).load()
+      .select(col("id"), col("bucket").cast("long").as("bucket"))
+    src.write.format("graft.sources.CsvDirSink")
+      .option("path", dir).mode("append").save()
+    // plant two foreign staging dirs: one aged past the 1 h grace
+    // window (a dead job's residue — must be reclaimed) and one fresh
+    // (a live concurrent writer — must survive)
+    val dead = new java.io.File(dir, "_staging-deadjob")
+    val live = new java.io.File(dir, "_staging-livejob")
+    for (d <- Seq(dead, live)) {
+      assert(d.mkdirs())
+      val f = new java.io.File(d, "part-0-0.csv")
+      java.nio.file.Files.write(f.toPath, "1,2\n".getBytes)
+    }
+    val aged = System.currentTimeMillis() - 2L * 60 * 60 * 1000
+    assert(new java.io.File(dead, "part-0-0.csv").setLastModified(aged))
+    assert(dead.setLastModified(aged))
+    // the next commit's housekeeping runs the sweep — after its own
+    // _SUCCESS already landed (r15 advisory: the sweep must never fail
+    // a completed publish)
+    src.write.format("graft.sources.CsvDirSink")
+      .option("path", dir).mode("append").save()
+    assert(new java.io.File(dir, "_SUCCESS").exists())
+    assert(!dead.exists(), "aged foreign staging residue was not reclaimed")
+    assert(live.exists(),
+      "fresh foreign staging dir swept inside the grace window — a " +
+        "live concurrent writer's staging must survive")
+    assert(spark.read.schema("id BIGINT, bucket BIGINT").csv(dir)
+      .count() == 200L)
+  }
+
+  test("GraftCatalog: detrange CREATE rejects a mismatched declared schema") {
+    // r15 advisory (GraftCatalog:72): detrange serves a fixed schema;
+    // CREATE TABLE t (a INT) USING detrange must fail at DDL time, not
+    // silently serve id/bucket/kscore to a reader expecting `a`
+    spark.conf.set("spark.sql.catalog.gschema", "graft.sources.GraftCatalog")
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gschema.ns.bad (a INT) USING detrange")
+    }
+    // omitting the column list works, and SELECT serves the fixed schema
+    spark.sql("CREATE TABLE gschema.ns.ok USING detrange " +
+      "OPTIONS (rows '10', slices '2')")
+    assert(spark.sql("SELECT id, bucket, kscore FROM gschema.ns.ok")
+      .count() == 10L)
+    spark.sql("DROP TABLE gschema.ns.ok")
+  }
+
   test("GraftCatalog: CREATE/SELECT/INSERT/SHOW/DROP round-trip over the DSv2 pair (q223 path)") {
     // the SQL-first entry point (r14 verdict missing #2): the graft
     // sources resolved BY NAME through a registered TableCatalog —
