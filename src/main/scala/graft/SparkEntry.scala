@@ -21,7 +21,7 @@ object SparkEntry {
       operators.Curation.all ++ operators.Retrieval.all ++
       operators.Analytics.all ++ operators.Stats.all ++
       operators.Subqueries.all ++ operators.CustomSource.all ++
-      operators.SqlSurface.all
+      operators.SqlSurface.all ++ operators.LakeOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

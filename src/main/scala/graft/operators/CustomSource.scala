@@ -21,13 +21,27 @@ object CustomSource {
   private[operators] val sinkDirHookArmed =
     new java.util.concurrent.atomic.AtomicBoolean(false)
 
-  /** Every sink dir q219 has created in this JVM. The single shutdown
+  /** Every tmp table dir the registered queries have created in this
+    * JVM (q219's sink, the q225–q229 lake tables). The single shutdown
     * hook sweeps the whole set — a JVM hosting several sessions over
     * time (test suites, long-lived drivers) creates one
     * applicationId-keyed dir per session, and a hook that captured only
     * the first session's dir would leak every later one (r15 advisory). */
   private[operators] val sinkDirsToReap =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Register an applicationId-keyed tmp dir for exit-time reaping and
+    * arm the single per-JVM sweep hook. */
+  private[operators] def registerTmpDir(dir: String): Unit = {
+    sinkDirsToReap.add(dir)
+    if (sinkDirHookArmed.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        sinkDirsToReap.forEach(d => rm(new java.io.File(d)))
+      }))
+  }
 
   val qDsv2Pushdown: Q = Q(
     "q207_dsv2_pushdown",
@@ -155,14 +169,7 @@ object CustomSource {
     // dir this JVM creates and reap the whole set at exit (one hook per
     // process, r15 review + r15 advisory: a hook closing over only the
     // first session's dir leaks every later session's)
-    CustomSource.sinkDirsToReap.add(dir)
-    if (CustomSource.sinkDirHookArmed.compareAndSet(false, true))
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        CustomSource.sinkDirsToReap.forEach(d => rm(new java.io.File(d)))
-      }))
+    CustomSource.registerTmpDir(dir)
     s.read.format("graft.sources.DetRangeSource")
       .option("rows", 5000).option("slices", 4).load()
       .select(col("id"), col("bucket").cast("long").as("bucket"),

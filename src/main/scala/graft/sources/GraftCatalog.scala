@@ -83,6 +83,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           opt("keyed", "false").toBoolean, opt("stats", "true").toBoolean,
           opt("rowsPerBatch", "1000").toLong,
           opt("runtimeFiltering", "true").toBoolean)
+      case "graft.sources.lakesource" | "lake" =>
+        // the round-16 lakehouse table: CREATE/INSERT/SELECT plus the
+        // row-level DML surface (DELETE/UPDATE/MERGE INTO) — the
+        // catalog is what lets those commands resolve the table by name
+        val path = Option(properties.get(TableCatalog.PROP_LOCATION))
+          .getOrElse(opt("path", ""))
+        require(path.nonEmpty,
+          s"lake table $ident requires OPTIONS (path '…') or LOCATION")
+        val sch =
+          if (schema.nonEmpty) schema
+          else {
+            // schema-less CREATE over an existing lake dir adopts the
+            // manifest's schema (the REPLACE/external-table idiom)
+            val f = LakeFormat.fs(path)
+            val v = LakeFormat.latestVersion(f, path).getOrElse(
+              throw new IllegalArgumentException(
+                s"lake table $ident: no column list and no existing " +
+                  s"manifest under $path — declare the schema"))
+            LakeFormat.readManifest(f, path, v)._1
+          }
+        new LakeTable(path, sch, None, None)
       case "graft.sources.csvdirsink" | "csvdir" =>
         // DDL normalizes OPTIONS(path …) / LOCATION into PROP_LOCATION
         val path = Option(properties.get(TableCatalog.PROP_LOCATION))

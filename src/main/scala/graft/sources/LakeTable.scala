@@ -1,0 +1,924 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDeleteV2, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions => V2Expressions, Literal => V2Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+import org.apache.spark.sql.sources.{And => FAnd, EqualTo => FEqualTo, Filter => FFilter, GreaterThan => FGreaterThan, GreaterThanOrEqual => FGreaterThanOrEqual, In => FIn, IsNotNull => FIsNotNull, IsNull => FIsNull, LessThan => FLessThan, LessThanOrEqual => FLessThanOrEqual, Or => FOr}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A minimal LAKEHOUSE-STYLE DataSourceV2 table (round 16) — the
+  * engine-level protocol layer that makes mutable tables safe at 100 TB,
+  * re-expressed over the graft commit primitives already proven in
+  * [[CsvDirSink]] (task-commit staging) and `pqIndexCompact` (atomic
+  * version publish). Reference analog: the deployed Dask runtime's
+  * persisted-dataset surface (`dask.dataframe.to_parquet` /
+  * `read_parquet` round-trips on the reference image,
+  * `/root/reference/dask_ssh_docker/__init__.py:1` deploys the library
+  * that serves it); the lake layer adds what any shared 100 TB corpus
+  * needs on top of write-once files: atomic multi-writer commits,
+  * data-skipping reads, and in-place row-level mutation.
+  *
+  * What one directory holds:
+  *
+  *  - immutable DATA FILES (`part-*.lake`, a typed TSV codec — the
+  *    codec is deliberately trivial; a production deployment swaps in
+  *    parquet without touching any protocol below);
+  *  - numbered MANIFESTS (`_manifest-v00000.tsv`, …): each lists the
+  *    files of ONE table version with per-file, per-column min/max/null
+  *    stats. A reader binds to one manifest = one SNAPSHOT; writers
+  *    never mutate a published manifest or data file.
+  *
+  * The protocol pieces, each the standard lakehouse answer:
+  *
+  *  - **Atomic commit + optimistic concurrency**: a commit stages task
+  *    files under `_staging-<queryId>/`, renames the chosen attempts'
+  *    files in, then publishes manifest v(N+1) via CREATE-no-overwrite
+  *    (a rename that fails if the version exists). Two racing commits
+  *    can never both win a version: the loser re-reads the new base and
+  *    retries (appends/truncates — commutative) or aborts loudly
+  *    (row-level rewrites — their replacement rows are only valid
+  *    against the snapshot they read). LakeSpec pins the conflict.
+  *  - **Data skipping**: scans prune whole FILES from the manifest
+  *    stats before any task launches — the `PushedFilters` analog of
+  *    parquet row-group pruning, and the only thing that makes a
+  *    needle-in-100 TB predicate cheap. Filters are also re-evaluated
+  *    by Spark post-scan (the source accepts them only for pruning), so
+  *    stats precision affects cost, never correctness.
+  *  - **Row-level DML** (`DELETE`/`UPDATE`/`MERGE INTO`) via
+  *    group-based copy-on-write ([[SupportsRowLevelOperations]]):
+  *    Spark rewrites the command into a ReplaceData plan whose scan
+  *    receives the COMMAND CONDITION as pushed filters
+  *    (`GroupBasedRowLevelOperationScanPlanning`), so stats pruning
+  *    narrows the rewrite to files that MIGHT contain matching rows;
+  *    `RowLevelOperationRuntimeGroupFiltering` then narrows further to
+  *    exactly the affected files via a runtime `_file IN (…)` filter
+  *    (the scan is [[SupportsRuntimeV2Filtering]] on the `_file`
+  *    metadata column). Commit replaces exactly the files the scan
+  *    planned — at 100 TB, an UPDATE touching one hot document rewrites
+  *    one file, not the corpus.
+  *  - **Metadata-only DELETE** ([[SupportsDeleteV2]]): when the stats
+  *    prove every file is entirely-matching or entirely-non-matching,
+  *    the delete is a manifest edit — zero tasks, zero rewrite (Spark's
+  *    `OptimizeMetadataOnlyDeleteFromTable` asks via `canDeleteWhere`).
+  *  - **Time travel**: `option("versionAsOf", n)` binds a read to an
+  *    old manifest; superseded files stay on disk until
+  *    [[LakeFormat.vacuum]] reclaims versions below a floor.
+  *
+  * Registered queries q225–q229 (`operators/LakeOps.scala`) drive scan
+  * pruning, DELETE, UPDATE, MERGE and time travel under the DuckDB
+  * oracle; LakeSpec pins the protocol invariants (conflict loss is
+  * loud, failed jobs leave the table untouched, pruning counts,
+  * rewrite narrowness, snapshot stability).
+  *
+  * Usage:
+  * {{{
+  *   df.write.format("graft.sources.LakeSource").option("path", dir)
+  *     .mode("append"|"overwrite").save()
+  *   spark.read.format("graft.sources.LakeSource")
+  *     .option("path", dir)[.option("versionAsOf", 3)].load()
+  *   // SQL DML via the catalog:  CREATE TABLE cat.ns.t (…) USING lake
+  *   //   LOCATION '…'; DELETE/UPDATE/MERGE INTO cat.ns.t …
+  * }}}
+  */
+object LakeSource {
+  /** TEST HOOKS (local-mode only, same pattern as
+    * `DetRangeSource.generatedRows`): the file names the most recent
+    * scan planned after stats + runtime pruning, the files the most
+    * recent row-level commit replaced, and the files the most recent
+    * metadata-only delete dropped. LakeSpec reads these to pin that
+    * pruning/narrowing actually happened — counts the result hash
+    * can't see. */
+  val lastPlannedFiles =
+    new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
+  val lastReplacedFiles =
+    new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
+  val lastMetadataDeleted =
+    new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
+
+  /** TEST HOOK (one-shot): runs at the start of the next row-level
+    * commit — the window between a rewrite's snapshot read and its
+    * publish. LakeSpec plants a concurrent commit here to pin that the
+    * rewrite LOSES loudly instead of silently dropping the concurrent
+    * writer's rows. */
+  val beforeRowLevelCommit =
+    new java.util.concurrent.atomic.AtomicReference[Runnable](null)
+}
+
+class LakeSource extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = options.get("path")
+    require(path != null && path.nonEmpty,
+      "LakeSource requires option(\"path\", ...)")
+    val f = LakeFormat.fs(path)
+    LakeFormat.latestVersion(f, path) match {
+      case Some(v) => LakeFormat.readManifest(f, path, v)._1
+      case None => throw new IllegalArgumentException(
+        s"no lake manifest under $path — write the table first or " +
+          "declare a schema")
+    }
+  }
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty,
+      "LakeSource requires option(\"path\", ...)")
+    new LakeTable(path, schema,
+      Option(properties.get("versionAsOf")).map(_.toInt),
+      Option(properties.get("failPartition")).map(_.toInt))
+  }
+}
+
+/** On-disk format + stats algebra. Pure functions over Hadoop FS —
+  * shared by driver-side commits and executor-side readers. */
+object LakeFormat {
+  /** Null sentinel in data files. Contract (same spirit as
+    * [[CsvDirSink]]'s comma rule): string values must not contain tab,
+    * newline, or equal the sentinel — this codec exists to carry the
+    * PROTOCOL; a production deployment stores parquet. */
+  val NullTok = "\\N"
+
+  private val ManifestRe = """_manifest-v(\d{5})\.tsv""".r
+
+  def manifestName(v: Int): String = f"_manifest-v$v%05d.tsv"
+
+  def fs(path: String): FileSystem =
+    new HPath(path).getFileSystem(new Configuration())
+
+  def latestVersion(f: FileSystem, dir: String): Option[Int] = {
+    val d = new HPath(dir)
+    if (!f.exists(d)) return None
+    val vs = f.listStatus(d).iterator.flatMap { st =>
+      st.getPath.getName match {
+        case ManifestRe(n) => Some(n.toInt)
+        case _ => None
+      }
+    }.toSeq
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** Per-file, per-column stats. min/max are the typed literal's string
+    * form (LONG/INT parse exactly; DOUBLE round-trips via
+    * `Double.toString`), absent for string columns, all-null columns,
+    * and files where a NaN poisoned the ordering. nulls is exact for
+    * every column, which is what makes IS [NOT] NULL decidable. */
+  final case class ColStats(min: Option[String], max: Option[String],
+      nulls: Long)
+
+  final case class FileEntry(name: String, rows: Long,
+      stats: Map[String, ColStats])
+
+  def encodeEntry(e: FileEntry): String = {
+    val statsStr =
+      if (e.stats.isEmpty) "-"
+      else e.stats.toSeq.sortBy(_._1).map { case (c, s) =>
+        s"$c=${s.min.getOrElse("")},${s.max.getOrElse("")},${s.nulls}"
+      }.mkString(";")
+    s"${e.name}\t${e.rows}\t$statsStr"
+  }
+
+  def decodeEntry(line: String): FileEntry = {
+    val parts = line.split('\t')
+    val stats =
+      if (parts(2) == "-") Map.empty[String, ColStats]
+      else parts(2).split(';').iterator.map { kv =>
+        val Array(c, spec) = kv.split('=')
+        val s = spec.split(',').padTo(3, "")
+        c -> ColStats(Option(s(0)).filter(_.nonEmpty),
+          Option(s(1)).filter(_.nonEmpty), s(2).toLong)
+      }.toMap
+    FileEntry(parts(0), parts(1).toLong, stats)
+  }
+
+  def readManifest(f: FileSystem, dir: String,
+      v: Int): (StructType, Seq[FileEntry]) = {
+    val in = f.open(new HPath(dir, manifestName(v)))
+    val lines = try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+    } finally in.close()
+    require(lines.nonEmpty && lines.head.startsWith("#lake\t1\t"),
+      s"not a lake manifest: $dir/${manifestName(v)}")
+    val schema = StructType.fromDDL(lines.head.stripPrefix("#lake\t1\t"))
+    (schema, lines.tail.filter(_.nonEmpty).map(decodeEntry))
+  }
+
+  /** CREATE-no-overwrite publish of manifest version `v` — the commit
+    * point. Returns false when version `v` already exists (a concurrent
+    * commit won the race; callers re-read the base and retry or abort).
+    * Write-to-temp + no-overwrite rename keeps the visible manifest
+    * all-or-nothing on any filesystem with atomic rename. */
+  def writeManifestCAS(f: FileSystem, dir: String, v: Int,
+      schema: StructType, entries: Seq[FileEntry]): Boolean = {
+    val target = new HPath(dir, manifestName(v))
+    if (f.exists(target)) return false
+    val tmp = new HPath(dir,
+      s"_tmp-manifest-${java.util.UUID.randomUUID().toString.take(12)}")
+    val out = f.create(tmp, false)
+    try {
+      val body = (s"#lake\t1\t${schema.toDDL}" +:
+        entries.map(encodeEntry)).mkString("", "\n", "\n")
+      out.write(body.getBytes("UTF-8"))
+    } finally out.close()
+    val ok = f.rename(tmp, target)
+    if (!ok) f.delete(tmp, false)
+    ok
+  }
+
+  /** Maintenance: drop manifests below `keepFromVersion` and every data
+    * file no surviving manifest references. Time travel below the floor
+    * then fails loudly at manifest lookup (never serves partial data —
+    * files die only with every manifest that names them). */
+  def vacuum(dir: String, keepFromVersion: Int): Seq[String] = {
+    val f = fs(dir)
+    val d = new HPath(dir)
+    val all = f.listStatus(d).map(_.getPath.getName)
+    val (keepMans, dropMans) = all.collect {
+      case n @ ManifestRe(v) => (n, v.toInt)
+    }.partition(_._2 >= keepFromVersion)
+    val referenced = keepMans.map(_._2)
+      .flatMap(v => readManifest(f, dir, v)._2.map(_.name)).toSet
+    val dropped = dropMans.map(_._1) ++
+      all.filter(n => n.startsWith("part-") && !referenced.contains(n))
+    dropped.foreach(n => f.delete(new HPath(d, n), false))
+    dropped.toSeq.sorted
+  }
+
+  // ---- V2 predicate → V1 filter -------------------------------------
+  // Spark's own converter lives behind `private[sql]`; the subset the
+  // lake protocol consumes (comparisons, IN, AND/OR, null tests over
+  // flat columns) is small enough to translate directly. None =
+  // untranslatable → the caller must treat the predicate as undecidable.
+
+  private def refName(e: V2Expression): Option[String] = e match {
+    case r: NamedReference if r.fieldNames().length == 1 =>
+      Some(r.fieldNames()(0))
+    case _ => None
+  }
+  private def litVal(e: V2Expression): Option[Any] = e match {
+    case l: V2Literal[_] => Some(l.value() match {
+      case u: UTF8String => u.toString
+      case v => v
+    })
+    case _ => None
+  }
+
+  def v2ToV1(p: V2Predicate): Option[FFilter] = {
+    val ch = p.children()
+    def cmp(mk: (String, Any) => FFilter,
+        mkFlipped: (String, Any) => FFilter): Option[FFilter] =
+      if (ch.length != 2) None
+      else (refName(ch(0)), litVal(ch(1))) match {
+        case (Some(c), Some(v)) => Some(mk(c, v))
+        case _ => (litVal(ch(0)), refName(ch(1))) match {
+          case (Some(v), Some(c)) => Some(mkFlipped(c, v)) // 5 < c ≡ c > 5
+          case _ => None
+        }
+      }
+    p.name() match {
+      case "=" => cmp(FEqualTo(_, _), FEqualTo(_, _))
+      case "<" => cmp(FLessThan(_, _), FGreaterThan(_, _))
+      case "<=" => cmp(FLessThanOrEqual(_, _), FGreaterThanOrEqual(_, _))
+      case ">" => cmp(FGreaterThan(_, _), FLessThan(_, _))
+      case ">=" => cmp(FGreaterThanOrEqual(_, _), FLessThanOrEqual(_, _))
+      case "IN" if ch.length >= 2 =>
+        refName(ch(0)).flatMap { c =>
+          val vs = ch.tail.map(litVal)
+          if (vs.exists(_.isEmpty)) None
+          else Some(FIn(c, vs.flatten.toArray))
+        }
+      case "IS_NULL" if ch.length == 1 => refName(ch(0)).map(FIsNull(_))
+      case "IS_NOT_NULL" if ch.length == 1 =>
+        refName(ch(0)).map(FIsNotNull(_))
+      case "AND" | "OR" if ch.length == 2 =>
+        (ch(0), ch(1)) match {
+          case (l: V2Predicate, r: V2Predicate) =>
+            v2ToV1(l).zip(v2ToV1(r)).map { case (lf, rf) =>
+              if (p.name() == "AND") FAnd(lf, rf) else FOr(lf, rf)
+            }
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  // ---- stats algebra ------------------------------------------------
+  // Three-valued certainty over one file's stats: a filter either
+  // provably matches EVERY row (allMatch), provably matches NO row
+  // (noneMatch), or is undecided. Scan pruning drops noneMatch files;
+  // metadata-only DELETE requires every file decided one way.
+
+  private def bd(v: Any): Option[BigDecimal] = v match {
+    case n: Long => Some(BigDecimal(n))
+    case n: Int => Some(BigDecimal(n))
+    case n: Short => Some(BigDecimal(n.toInt))
+    case n: Byte => Some(BigDecimal(n.toInt))
+    case n: Double => Some(BigDecimal(n))
+    case n: Float => Some(BigDecimal(n.toDouble))
+    case n: java.math.BigDecimal => Some(BigDecimal(n))
+    case n: BigDecimal => Some(n)
+    case _ => None // strings, dates… — not stats-comparable here
+  }
+
+  private def range(e: FileEntry,
+      col: String): Option[(BigDecimal, BigDecimal, Long)] =
+    e.stats.get(col).flatMap(s => (s.min, s.max) match {
+      case (Some(mn), Some(mx)) =>
+        Some((BigDecimal(mn), BigDecimal(mx), s.nulls))
+      case _ => None
+    })
+
+  private def nullsOf(e: FileEntry, col: String): Option[Long] =
+    e.stats.get(col).map(_.nulls)
+
+  /** Every row of the file provably satisfies `filter`. */
+  def allMatch(e: FileEntry, filter: FFilter): Boolean = filter match {
+    case FAnd(l, r) => allMatch(e, l) && allMatch(e, r)
+    case FOr(l, r) => allMatch(e, l) || allMatch(e, r)
+    case FEqualTo(c, v) => bd(v).zip(range(e, c)).exists {
+      case (x, (mn, mx, nulls)) => nulls == 0 && mn == x && mx == x }
+    case FGreaterThan(c, v) => bd(v).zip(range(e, c)).exists {
+      case (x, (mn, _, nulls)) => nulls == 0 && mn > x }
+    case FGreaterThanOrEqual(c, v) => bd(v).zip(range(e, c)).exists {
+      case (x, (mn, _, nulls)) => nulls == 0 && mn >= x }
+    case FLessThan(c, v) => bd(v).zip(range(e, c)).exists {
+      case (x, (_, mx, nulls)) => nulls == 0 && mx < x }
+    case FLessThanOrEqual(c, v) => bd(v).zip(range(e, c)).exists {
+      case (x, (_, mx, nulls)) => nulls == 0 && mx <= x }
+    case FIn(c, vs) => range(e, c).exists { case (mn, mx, nulls) =>
+      nulls == 0 && mn == mx && vs.flatMap(bd(_)).contains(mn) }
+    case FIsNull(c) => nullsOf(e, c).contains(e.rows)
+    case FIsNotNull(c) => nullsOf(e, c).contains(0L)
+    case _ => false
+  }
+
+  /** No row of the file can satisfy `filter`. NULL comparisons never
+    * match, so all-null columns decide every comparison to noneMatch. */
+  def noneMatch(e: FileEntry, filter: FFilter): Boolean = filter match {
+    case FAnd(l, r) => noneMatch(e, l) || noneMatch(e, r)
+    case FOr(l, r) => noneMatch(e, l) && noneMatch(e, r)
+    case FEqualTo(c, v) => allNullCol(e, c) || bd(v).zip(range(e, c))
+      .exists { case (x, (mn, mx, _)) => x < mn || x > mx }
+    case FGreaterThan(c, v) => allNullCol(e, c) || bd(v).zip(range(e, c))
+      .exists { case (x, (_, mx, _)) => mx <= x }
+    case FGreaterThanOrEqual(c, v) => allNullCol(e, c) ||
+      bd(v).zip(range(e, c)).exists { case (x, (_, mx, _)) => mx < x }
+    case FLessThan(c, v) => allNullCol(e, c) || bd(v).zip(range(e, c))
+      .exists { case (x, (mn, _, _)) => mn >= x }
+    case FLessThanOrEqual(c, v) => allNullCol(e, c) ||
+      bd(v).zip(range(e, c)).exists { case (x, (mn, _, _)) => mn > x }
+    case FIn(c, vs) => allNullCol(e, c) || range(e, c).exists {
+      case (mn, mx, _) =>
+        val xs = vs.flatMap(bd(_))
+        xs.length == vs.length && xs.forall(x => x < mn || x > mx) }
+    case FIsNull(c) => nullsOf(e, c).contains(0L)
+    case FIsNotNull(c) => nullsOf(e, c).contains(e.rows)
+    case _ => false
+  }
+
+  private def allNullCol(e: FileEntry, col: String): Boolean =
+    nullsOf(e, col).contains(e.rows) && e.rows > 0
+
+  /** Scan pruning: keep the file unless some conjunct proves noneMatch. */
+  def survives(e: FileEntry, pushed: Seq[FFilter]): Boolean =
+    !pushed.exists(f => noneMatch(e, f))
+}
+
+class LakeTable(path: String, tableSchema: StructType,
+    versionAsOf: Option[Int], failPartition: Option[Int])
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsRowLevelOperations with SupportsMetadataColumns
+    with SupportsDeleteV2 {
+  import LakeFormat._
+
+  LakeTable.requireSupported(tableSchema)
+
+  override def name(): String = s"lake($path)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(new MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "lake data file serving this row"
+    })
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    LakeScanBuilder.atVersion(path, tableSchema, versionAsOf, owner = None)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new LakeWriteBuilder(path, tableSchema, info.schema(), info.queryId(),
+      failPartition)
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new LakeRowLevelOperation(path, tableSchema, info.command(),
+      failPartition)
+
+  // ---- SupportsDeleteV2: metadata-only delete ------------------------
+  // Accepted ONLY when the stats decide every file entirely — then the
+  // delete is a manifest edit with zero tasks. Undecidable files make
+  // canDeleteWhere false and Spark falls back to the copy-on-write
+  // rewrite, so this is purely a fast path, never a semantics change.
+
+  private def decide(predicates: Array[V2Predicate])
+      : Option[Seq[FileEntry] => Option[Seq[FileEntry]]] = {
+    val v1 = predicates.map(v2ToV1)
+    if (v1.exists(_.isEmpty)) return None // untranslatable → undecidable
+    val filters = v1.toSeq.flatten // conjuncts
+    Some { entries =>
+      val decided = entries.forall { e =>
+        filters.forall(f => allMatch(e, f)) ||
+          filters.exists(f => noneMatch(e, f))
+      }
+      if (!decided) None
+      else Some(entries.filterNot(e => filters.forall(f => allMatch(e, f))))
+    }
+  }
+
+  override def canDeleteWhere(predicates: Array[V2Predicate]): Boolean = {
+    val f = fs(path)
+    latestVersion(f, path) match {
+      case None => true // empty table: nothing to delete
+      case Some(v) =>
+        val entries = readManifest(f, path, v)._2
+        decide(predicates).exists(d => d(entries).isDefined)
+    }
+  }
+
+  override def deleteWhere(predicates: Array[V2Predicate]): Unit = {
+    val f = fs(path)
+    val d = decide(predicates).getOrElse(throw new IllegalStateException(
+      "deleteWhere called with undecidable predicates — Spark must gate " +
+        "on canDeleteWhere"))
+    var attempts = 0
+    while (true) {
+      val base = latestVersion(f, path)
+      if (base.isEmpty) return // nothing committed, nothing to delete
+      val entries = readManifest(f, path, base.get)._2
+      val remaining = d(entries).getOrElse(throw new IllegalStateException(
+        "metadata delete became undecidable after a concurrent commit — " +
+          "re-run the DELETE (it will take the rewrite path)"))
+      if (writeManifestCAS(f, path, base.get + 1, tableSchema, remaining)) {
+        LakeSource.lastMetadataDeleted.set(
+          entries.map(_.name).diff(remaining.map(_.name)))
+        return
+      }
+      attempts += 1
+      require(attempts < 20,
+        s"lake metadata delete on $path lost $attempts CAS races — aborting")
+    }
+  }
+
+  override def truncateTable(): Boolean = {
+    val f = fs(path)
+    val next = latestVersion(f, path).map(_ + 1).getOrElse(0)
+    require(writeManifestCAS(f, path, next, tableSchema, Nil),
+      s"lake truncate on $path lost the version race — retry")
+    true
+  }
+}
+
+object LakeTable {
+  private[sources] def requireSupported(schema: StructType): Unit =
+    schema.fields.foreach { f =>
+      require(Seq(LongType, IntegerType, DoubleType, StringType)
+        .contains(f.dataType),
+        s"lake tables support BIGINT/INT/DOUBLE/STRING columns; " +
+          s"got ${f.name}: ${f.dataType.simpleString}")
+    }
+}
+
+private[sources] object LakeScanBuilder {
+  /** Bind a builder to the manifest version visible NOW (or the
+    * requested time-travel version) — the snapshot boundary. Everything
+    * after this reads one immutable manifest. */
+  def atVersion(path: String, tableSchema: StructType,
+      versionAsOf: Option[Int],
+      owner: Option[LakeRowLevelOperation]): LakeScanBuilder = {
+    val f = LakeFormat.fs(path)
+    val latest = LakeFormat.latestVersion(f, path)
+    versionAsOf.foreach(v => require(latest.exists(_ >= v) &&
+      f.exists(new HPath(path, LakeFormat.manifestName(v))),
+      s"versionAsOf $v does not exist under $path (latest: " +
+        s"${latest.getOrElse(-1)}) — vacuumed or never committed"))
+    val version = versionAsOf.orElse(latest)
+    val entries = version
+      .map(v => LakeFormat.readManifest(f, path, v)._2).getOrElse(Nil)
+    new LakeScanBuilder(path, tableSchema, version.getOrElse(-1), entries,
+      owner)
+  }
+}
+
+private[sources] class LakeScanBuilder(path: String,
+    tableSchema: StructType, version: Int,
+    entries: Seq[LakeFormat.FileEntry],
+    owner: Option[LakeRowLevelOperation])
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = tableSchema
+  private var pushed: Array[FFilter] = Array.empty
+
+  override def pushFilters(filters: Array[FFilter]): Array[FFilter] = {
+    // accept for FILE PRUNING only; return everything as residual so
+    // Spark re-evaluates row-by-row — stats narrow cost, never results
+    pushed = filters
+    filters
+  }
+  override def pushedFilters(): Array[FFilter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val scan = new LakeScan(path, tableSchema, required, version,
+      entries.filter(e => LakeFormat.survives(e, pushed.toSeq)))
+    owner.foreach(_.configuredScan = scan)
+    scan
+  }
+}
+
+private[sources] class LakeScan(path: String, tableSchema: StructType,
+    required: StructType, val snapshotVersion: Int,
+    entries0: Seq[LakeFormat.FileEntry])
+    extends Scan with Batch with SupportsRuntimeV2Filtering {
+
+  @volatile private var entries = entries0
+  /** Files this scan actually planned — the groups a row-level commit
+    * must replace. Set at plan time (after runtime narrowing); until
+    * then, the stats-pruned set stands in. */
+  @volatile private[sources] var plannedNames: Seq[String] =
+    entries0.map(_.name)
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"LakeScan v$snapshotVersion files=${entries.size} $path"
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(V2Expressions.column("_file"))
+
+  override def filter(predicates: Array[V2Predicate]): Unit = {
+    // runtime group narrowing: Spark hands us `_file IN (…)` (or `=`)
+    // from the group-filter subquery; anything else is ignored —
+    // runtime filters are an optimization contract, rows are still
+    // filtered post-scan
+    val keep = predicates.flatMap(LakeFormat.v2ToV1).flatMap {
+      case FIn("_file", vs) => Some(vs.map(String.valueOf(_)).toSet)
+      case FEqualTo("_file", v) => Some(Set(String.valueOf(v)))
+      case _ => None
+    }
+    keep.foreach(names => entries = entries.filter(e => names(e.name)))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val es = entries
+    plannedNames = es.map(_.name)
+    LakeSource.lastPlannedFiles.set(plannedNames)
+    es.map(e => LakeInputPartition(e.name): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LakeReaderFactory(path, tableSchema, required)
+}
+
+private[sources] case class LakeInputPartition(fileName: String)
+    extends InputPartition
+
+private[sources] class LakeReaderFactory(path: String,
+    tableSchema: StructType, required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val fileName = partition.asInstanceOf[LakeInputPartition].fileName
+    new PartitionReader[InternalRow] {
+      // required-field → (data column index | -1 for _file), resolved
+      // once per task; the row loop below is allocation-lean line code
+      private val srcIdx = required.fields.map { f =>
+        if (f.name == "_file") -1 else tableSchema.fieldIndex(f.name)
+      }
+      private val srcType = srcIdx.map(i =>
+        if (i < 0) StringType else tableSchema.fields(i).dataType)
+      private val fileUtf8 = UTF8String.fromString(fileName)
+      private val in = LakeFormat.fs(path).open(new HPath(path, fileName))
+      private val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, "UTF-8"))
+      private var line: String = _
+
+      override def next(): Boolean = { line = reader.readLine(); line != null }
+
+      override def get(): InternalRow = {
+        val toks = line.split('\t')
+        val out = new Array[Any](srcIdx.length)
+        var i = 0
+        while (i < srcIdx.length) {
+          out(i) =
+            if (srcIdx(i) < 0) fileUtf8
+            else {
+              val t = toks(srcIdx(i))
+              if (t == LakeFormat.NullTok) null
+              else srcType(i) match {
+                case LongType => t.toLong
+                case IntegerType => t.toInt
+                case DoubleType => t.toDouble
+                case _ => UTF8String.fromString(t)
+              }
+            }
+          i += 1
+        }
+        new GenericInternalRow(out)
+      }
+
+      override def close(): Unit = reader.close()
+    }
+  }
+}
+
+// ---- write side -----------------------------------------------------
+
+private[sources] class LakeWriteBuilder(path: String,
+    tableSchema: StructType, writeSchema: StructType, queryId: String,
+    failPartition: Option[Int]) extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new LakeBatchWrite(path,
+      tableSchema, writeSchema, queryId, doTruncate, failPartition)
+  }
+}
+
+/** Task commit message: one staged file + its stats, mirrored into the
+  * manifest verbatim at publish. */
+private[sources] case class LakeFileCommit(fileName: String, rows: Long,
+    stats: Map[String, LakeFormat.ColStats]) extends WriterCommitMessage
+
+private[sources] class LakeBatchWrite(path: String,
+    tableSchema: StructType, writeSchema: StructType, queryId: String,
+    truncate: Boolean, failPartition: Option[Int]) extends BatchWrite {
+  import LakeFormat._
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new LakeWriterFactory(path, tableSchema, writeSchema, queryId,
+      failPartition)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val f = fs(path)
+    val dest = new HPath(path)
+    val staging = new HPath(path, s"_staging-$queryId")
+    f.mkdirs(dest)
+    val newEntries = messages.map { case LakeFileCommit(n, r, s) =>
+      require(f.rename(new HPath(staging, n), new HPath(dest, n)),
+        s"lake commit: publish rename failed for $n — aborting (no " +
+          "manifest was written; readers never see this job)")
+      FileEntry(n, r, s)
+    }.toSeq
+    // appends and truncates are COMMUTATIVE against concurrent commits:
+    // losing the version CAS just means re-reading the new base and
+    // re-applying. Bounded so a livelock fails loudly.
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val base = latestVersion(f, path)
+      val baseEntries =
+        if (truncate) Nil
+        else base.map(v => readManifest(f, path, v)._2).getOrElse(Nil)
+      done = writeManifestCAS(f, path, base.getOrElse(-1) + 1, tableSchema,
+        baseEntries ++ newEntries)
+      if (!done) {
+        attempts += 1
+        require(attempts < 20,
+          s"lake commit on $path lost $attempts CAS races — aborting " +
+            "(staged files were published but remain unreferenced)")
+      }
+    }
+    f.delete(staging, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val f = fs(path)
+    f.delete(new HPath(path, s"_staging-$queryId"), true)
+  }
+}
+
+private[sources] class LakeWriterFactory(path: String,
+    tableSchema: StructType, writeSchema: StructType, queryId: String,
+    failPartition: Option[Int]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new LakeDataWriter(path, tableSchema, writeSchema, queryId,
+      partitionId, taskId, failPartition.contains(partitionId))
+}
+
+private[sources] class LakeDataWriter(path: String,
+    tableSchema: StructType, writeSchema: StructType, queryId: String,
+    partitionId: Int, taskId: Long, failAfterFirstRow: Boolean)
+    extends DataWriter[InternalRow] {
+  import LakeFormat._
+
+  // incoming rows follow writeSchema, which may carry extra plan
+  // columns (e.g. `_file` riding a row-level rewrite); persist exactly
+  // the table columns, located by name
+  private val srcIdx = tableSchema.fields.map { f =>
+    require(writeSchema.fieldNames.contains(f.name),
+      s"lake write is missing table column ${f.name}; " +
+        s"write schema: ${writeSchema.simpleString}")
+    writeSchema.fieldIndex(f.name)
+  }
+  private val kinds: Array[Int] = tableSchema.fields.map(_.dataType match {
+    case LongType => 0
+    case IntegerType => 1
+    case DoubleType => 2
+    case _ => 3
+  })
+  private val n = tableSchema.length
+  private val minL = Array.fill(n)(Long.MaxValue)
+  private val maxL = Array.fill(n)(Long.MinValue)
+  private val minD = Array.fill(n)(Double.PositiveInfinity)
+  private val maxD = Array.fill(n)(Double.NegativeInfinity)
+  private val nulls = new Array[Long](n)
+  private val nanPoisoned = new Array[Boolean](n)
+  private var rows = 0L
+
+  private val fileName = s"part-$partitionId-$taskId.lake"
+  private val staged = new HPath(path, s"_staging-$queryId/$fileName")
+  private val out = {
+    val f = fs(path)
+    new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(f.create(staged, true), "UTF-8"))
+  }
+
+  override def write(record: InternalRow): Unit = {
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append('\t')
+      val si = srcIdx(i)
+      if (record.isNullAt(si)) { nulls(i) += 1; sb.append(NullTok) }
+      else kinds(i) match {
+        case 0 =>
+          val v = record.getLong(si)
+          if (v < minL(i)) minL(i) = v
+          if (v > maxL(i)) maxL(i) = v
+          sb.append(v)
+        case 1 =>
+          val v = record.getInt(si)
+          if (v < minL(i)) minL(i) = v
+          if (v > maxL(i)) maxL(i) = v
+          sb.append(v)
+        case 2 =>
+          val v = record.getDouble(si)
+          if (java.lang.Double.isNaN(v)) nanPoisoned(i) = true
+          else {
+            if (v < minD(i)) minD(i) = v
+            if (v > maxD(i)) maxD(i) = v
+          }
+          sb.append(v)
+        case _ =>
+          sb.append(record.getUTF8String(si).toString)
+      }
+      i += 1
+    }
+    sb.append('\n')
+    out.write(sb.toString)
+    rows += 1
+    if (failAfterFirstRow)
+      throw new RuntimeException(
+        s"injected lake task failure (partition $partitionId)")
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    val stats = tableSchema.fields.indices.map { i =>
+      val c = tableSchema.fields(i).name
+      val nonNull = rows - nulls(i)
+      val (mn, mx) =
+        if (nonNull == 0 || nanPoisoned(i)) (None, None)
+        else kinds(i) match {
+          case 0 | 1 => (Some(minL(i).toString), Some(maxL(i).toString))
+          case 2 => (Some(minD(i).toString), Some(maxD(i).toString))
+          case _ => (None, None)
+        }
+      c -> ColStats(mn, mx, nulls(i))
+    }.toMap
+    LakeFileCommit(fileName, rows, stats)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs(path).delete(staged, false)
+  }
+
+  override def close(): Unit = ()
+}
+
+// ---- row-level operations (group-based copy-on-write) ---------------
+
+private[sources] class LakeRowLevelOperation(path: String,
+    tableSchema: StructType, cmd: Command, failPartition: Option[Int])
+    extends RowLevelOperation {
+
+  /** The scan Spark builds for this command — its planned files ARE the
+    * groups the replacement commit swaps out (Spark's own test-table
+    * contract: scan and write of one RowLevelOperation instance are a
+    * pair). */
+  @volatile private[sources] var configuredScan: LakeScan = _
+
+  override def command(): Command = cmd
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    LakeScanBuilder.atVersion(path, tableSchema, versionAsOf = None,
+      owner = Some(this))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new LakeReplaceDataWrite(path,
+          tableSchema, info.schema(), info.queryId(), failPartition,
+          () => configuredScan)
+      }
+    }
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(V2Expressions.column("_file"))
+
+  override def description(): String = s"LakeRowLevelOperation($cmd)"
+}
+
+private[sources] class LakeReplaceDataWrite(path: String,
+    tableSchema: StructType, writeSchema: StructType, queryId: String,
+    failPartition: Option[Int], scanRef: () => LakeScan)
+    extends BatchWrite {
+  import LakeFormat._
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new LakeWriterFactory(path, tableSchema, writeSchema, queryId,
+      failPartition)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    Option(LakeSource.beforeRowLevelCommit.getAndSet(null)).foreach(_.run())
+    val scan = scanRef()
+    require(scan != null,
+      "lake row-level commit before its scan was configured")
+    val replaced = scan.plannedNames.toSet
+    val f = fs(path)
+    val dest = new HPath(path)
+    val staging = new HPath(path, s"_staging-$queryId")
+    val newEntries = messages.map { case LakeFileCommit(n, r, s) =>
+      require(f.rename(new HPath(staging, n), new HPath(dest, n)),
+        s"lake replace commit: publish rename failed for $n — aborting")
+      FileEntry(n, r, s)
+    }.toSeq
+    // NOT commutative: the replacement rows are only valid against the
+    // exact snapshot the rewrite read. Any concurrent commit since then
+    // invalidates them → loud abort, never a lost update. (The loser's
+    // data files stay unreferenced; vacuum reclaims them.)
+    val base = scan.snapshotVersion
+    val latest = latestVersion(f, path).getOrElse(-1)
+    if (latest != base) {
+      newEntries.foreach(e => f.delete(new HPath(dest, e.name), false))
+      f.delete(staging, true)
+      throw new IllegalStateException(
+        s"lake row-level commit conflict on $path: read snapshot v$base " +
+          s"but v$latest is now current — re-run the command against " +
+          "the new snapshot")
+    }
+    val baseEntries =
+      if (base < 0) Nil else readManifest(f, path, base)._2
+    val kept = baseEntries.filterNot(e => replaced.contains(e.name))
+    if (!writeManifestCAS(f, path, base + 1, tableSchema,
+        kept ++ newEntries)) {
+      newEntries.foreach(e => f.delete(new HPath(dest, e.name), false))
+      f.delete(staging, true)
+      throw new IllegalStateException(
+        s"lake row-level commit conflict on $path: version ${base + 1} " +
+          "was taken while publishing — re-run the command")
+    }
+    LakeSource.lastReplacedFiles.set(replaced.toSeq.sorted)
+    f.delete(staging, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val f = fs(path)
+    f.delete(new HPath(path, s"_staging-$queryId"), true)
+  }
+}

@@ -1,0 +1,239 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{LakeFormat, LakeSource}
+
+/** Protocol pins for the round-16 lakehouse table
+  * ([[graft.sources.LakeTable]]) — the invariants the q225–q229 result
+  * hashes can't see: how many files a scan PLANNED (data skipping), how
+  * many a rewrite REPLACED (copy-on-write narrowness), that concurrent
+  * commits resolve as retry-or-loud-abort (never a lost update), that
+  * failed jobs leave the table untouched, and that vacuum kills time
+  * travel loudly rather than serving partial snapshots. */
+class LakeSpec extends AnyFunSuite {
+  import TestSession.spark
+
+  private val Lake = "graft.sources.LakeSource"
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def det(rows: Long, slices: Int): DataFrame =
+    spark.read.format("graft.sources.DetRangeSource")
+      .option("rows", rows).option("slices", slices).load()
+      .select(col("id"), col("bucket"), col("kscore"), col("score"),
+        col("doc_id"))
+
+  private def read(dir: String): DataFrame =
+    spark.read.format(Lake).option("path", dir).load()
+
+  private def lakeFiles(dir: String): Seq[String] =
+    new java.io.File(dir).list().toSeq.filter(_.startsWith("part-"))
+
+  private def catalogTable(name: String, dir: String): String = {
+    spark.conf.set("spark.sql.catalog.glt", "graft.sources.GraftCatalog")
+    spark.sql(s"DROP TABLE IF EXISTS glt.ns.$name")
+    spark.sql(s"""CREATE TABLE glt.ns.$name (
+      |  id BIGINT, bucket INT, kscore INT, score DOUBLE, doc_id STRING
+      |) USING lake LOCATION '$dir'""".stripMargin)
+    s"glt.ns.$name"
+  }
+
+  test("scan prunes files from manifest stats; filters still re-evaluated row-by-row") {
+    val dir = tmp("lake_prune")
+    det(20000, 8).write.format(Lake).option("path", dir)
+      .mode("overwrite").save()
+    assert(lakeFiles(dir).size == 8, lakeFiles(dir).toString)
+    // full scan plans all 8 files
+    assert(read(dir).count() == 20000L)
+    assert(LakeSource.lastPlannedFiles.get().size == 8)
+    // 8 slices = contiguous 2500-id files; id < 2500 is exactly file 0
+    assert(read(dir).filter(col("id") < 2500).count() == 2500L)
+    assert(LakeSource.lastPlannedFiles.get().size == 1,
+      s"stats pruning planned ${LakeSource.lastPlannedFiles.get()} " +
+        "for a single-file predicate")
+    // sub-file predicate: still ONE planned file, and the rows are
+    // filtered post-scan (stats narrow cost, never results)
+    assert(read(dir).filter(col("id") >= 3000 && col("id") <= 3004)
+      .count() == 5L)
+    assert(LakeSource.lastPlannedFiles.get().size == 1)
+    // IN-list across two files
+    assert(read(dir).filter(col("id").isin(100L, 5100L)).count() == 2L)
+    assert(LakeSource.lastPlannedFiles.get().size == 2)
+  }
+
+  test("metadata-only DELETE drops whole files without launching a rewrite") {
+    val dir = tmp("lake_metadel")
+    val t = catalogTable("tmeta", dir)
+    det(20000, 8).createOrReplaceTempView("lake_metadel_src")
+    spark.sql(s"INSERT OVERWRITE $t SELECT * FROM lake_metadel_src")
+    LakeSource.lastReplacedFiles.set(Nil)
+    LakeSource.lastMetadataDeleted.set(Nil)
+    // id < 5000 is exactly files 0 and 1 — every file decides wholly,
+    // so Spark's OptimizeMetadataOnlyDeleteFromTable takes the
+    // canDeleteWhere path: a manifest edit, zero rewrite tasks
+    spark.sql(s"DELETE FROM $t WHERE id < 5000")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 15000L)
+    assert(LakeSource.lastMetadataDeleted.get().size == 2,
+      s"expected a 2-file metadata delete, got " +
+        s"${LakeSource.lastMetadataDeleted.get()}")
+    assert(LakeSource.lastReplacedFiles.get().isEmpty,
+      "a file-aligned DELETE ran the copy-on-write rewrite instead of " +
+        "the metadata-only path")
+    // data files stay on disk (old snapshots reference them) — only the
+    // manifest dropped them
+    assert(lakeFiles(dir).size == 8)
+  }
+
+  test("copy-on-write DELETE rewrites only the affected files (runtime group filtering)") {
+    val dir = tmp("lake_cowdel")
+    val t = catalogTable("tcow", dir)
+    det(20000, 8).createOrReplaceTempView("lake_cowdel_src")
+    spark.sql(s"INSERT OVERWRITE $t SELECT * FROM lake_cowdel_src")
+    LakeSource.lastReplacedFiles.set(Nil)
+    // ids 3000–3100 live in file 1 only, but the predicate is not
+    // file-aligned → rewrite path; stats + the runtime `_file IN (…)`
+    // group filter must narrow the rewrite to that ONE file
+    spark.sql(s"DELETE FROM $t WHERE id >= 3000 AND id <= 3100")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 19899L)
+    assert(LakeSource.lastReplacedFiles.get().size == 1,
+      s"expected a 1-file rewrite, got ${LakeSource.lastReplacedFiles.get()}")
+    // the untouched 7 files are still served byte-identical
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE id >= 5000")
+      .head.getLong(0) == 15000L)
+  }
+
+  test("a failed write job leaves the table untouched (no manifest version, no visible rows)") {
+    val dir = tmp("lake_abort")
+    det(1000, 4).write.format(Lake).option("path", dir)
+      .mode("overwrite").save()
+    val f = LakeFormat.fs(dir)
+    val v0 = LakeFormat.latestVersion(f, dir).get
+    intercept[Exception] {
+      det(1000, 4).write.format(Lake).option("path", dir)
+        .option("failPartition", "2").mode("append").save()
+    }
+    assert(LakeFormat.latestVersion(f, dir).contains(v0),
+      "a failed job published a manifest version")
+    assert(read(dir).count() == 1000L)
+    assert(!new java.io.File(dir).list().exists(_.startsWith("_staging-")),
+      "failed job left staging residue")
+  }
+
+  test("concurrent commits: appends retry past a lost CAS; row-level rewrites abort loudly") {
+    val dir = tmp("lake_conflict")
+    val t = catalogTable("tconf", dir)
+    det(20000, 8).createOrReplaceTempView("lake_conflict_src")
+    spark.sql(s"INSERT OVERWRITE $t SELECT * FROM lake_conflict_src")
+    val f = LakeFormat.fs(dir)
+    val v0 = LakeFormat.latestVersion(f, dir).get
+    // APPEND vs a concurrent commit: steal the next version number (a
+    // committed concurrent append, entries unchanged); the append must
+    // LOSE the CAS, re-read the new base, and land at v0+2 with both
+    // histories intact — appends are commutative
+    val (sch, entries) = LakeFormat.readManifest(f, dir, v0)
+    assert(LakeFormat.writeManifestCAS(f, dir, v0 + 1, sch, entries))
+    spark.range(1).select(lit(999999L).as("id"),
+        lit(0).cast("int").as("bucket"), lit(1).cast("int").as("kscore"),
+        lit(0.0).as("score"), lit("x").as("doc_id"))
+      .write.format(Lake).option("path", dir).mode("append").save()
+    assert(LakeFormat.latestVersion(f, dir).contains(v0 + 2))
+    assert(read(dir).count() == 20001L)
+    // ROW-LEVEL rewrite vs a concurrent commit: plant an append inside
+    // the window between the rewrite's snapshot read and its publish —
+    // its replacement rows are stale, so it must abort loudly and leave
+    // the concurrent append's state current
+    LakeSource.beforeRowLevelCommit.set(() => {
+      val base = LakeFormat.latestVersion(f, dir).get
+      val (s2, e2) = LakeFormat.readManifest(f, dir, base)
+      assert(LakeFormat.writeManifestCAS(f, dir, base + 1, s2, e2))
+    })
+    val err = intercept[Exception] {
+      spark.sql(s"DELETE FROM $t WHERE id >= 3000 AND id <= 3100")
+    }
+    def causes(e: Throwable): Seq[Throwable] =
+      if (e == null) Nil else e +: causes(e.getCause)
+    assert(causes(err).exists(_.getMessage != null) &&
+      causes(err).flatMap(c => Option(c.getMessage)).exists(
+        _.contains("commit conflict")),
+      s"expected a loud commit conflict, got: $err")
+    assert(read(dir).count() == 20001L,
+      "the losing rewrite mutated the table anyway")
+  }
+
+  test("time travel serves old snapshots; vacuum reclaims them loudly, never partially") {
+    val dir = tmp("lake_vacuum")
+    val t = catalogTable("tvac", dir)
+    det(20000, 8).createOrReplaceTempView("lake_vacuum_src")
+    spark.sql(s"INSERT OVERWRITE $t SELECT * FROM lake_vacuum_src")
+    val f = LakeFormat.fs(dir)
+    val v0 = LakeFormat.latestVersion(f, dir).get
+    spark.sql(s"DELETE FROM $t WHERE id < 5000") // metadata path, v0+1
+    val vNow = LakeFormat.latestVersion(f, dir).get
+    assert(vNow == v0 + 1)
+    // old snapshot intact after the delete
+    assert(spark.read.format(Lake).option("path", dir)
+      .option("versionAsOf", v0).load().count() == 20000L)
+    // vacuum below the current version: old manifests die, and every
+    // data file still referenced by a surviving manifest survives
+    val dropped = LakeFormat.vacuum(dir, keepFromVersion = vNow)
+    assert(dropped.exists(_.startsWith("_manifest-")), dropped.toString)
+    assert(dropped.count(_.startsWith("part-")) == 2,
+      s"expected the 2 metadata-deleted files reclaimed, got $dropped")
+    assert(read(dir).count() == 15000L)
+    // time travel to the vacuumed version now fails LOUDLY
+    intercept[Exception] {
+      spark.read.format(Lake).option("path", dir)
+        .option("versionAsOf", v0).load().count()
+    }
+  }
+
+  test("IS NULL stats: metadata delete decides all-null vs no-null files; mixed files fall back") {
+    val dir = tmp("lake_nulls")
+    spark.conf.set("spark.sql.catalog.glt", "graft.sources.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS glt.ns.tnull")
+    spark.sql(s"""CREATE TABLE glt.ns.tnull (id BIGINT, v DOUBLE)
+      |USING lake LOCATION '$dir'""".stripMargin)
+    // one all-null file, one no-null file — written as two single-task
+    // appends (a repartition-by-nullness layout gets AQE-coalesced into
+    // ONE mixed file, which correctly falls back to the rewrite path)
+    spark.range(0, 50)
+      .select(col("id"), col("id").cast("double").as("v")).coalesce(1)
+      .write.format(Lake).option("path", dir).mode("overwrite").save()
+    spark.range(50, 100)
+      .select(col("id"), lit(null).cast("double").as("v")).coalesce(1)
+      .write.format(Lake).option("path", dir).mode("append").save()
+    LakeSource.lastReplacedFiles.set(Nil)
+    LakeSource.lastMetadataDeleted.set(Nil)
+    spark.sql("DELETE FROM glt.ns.tnull WHERE v IS NULL")
+    assert(spark.sql("SELECT count(*) FROM glt.ns.tnull")
+      .head.getLong(0) == 50L)
+    assert(LakeSource.lastMetadataDeleted.get().nonEmpty,
+      "all-null/no-null split should take the metadata-only path")
+    assert(LakeSource.lastReplacedFiles.get().isEmpty)
+    // now a MIXED file: the same predicate is undecidable → rewrite path
+    spark.range(100, 200)
+      .select(col("id"), when(col("id") % 2 === 0, col("id").cast("double"))
+        .as("v"))
+      .coalesce(1)
+      .write.format(Lake).option("path", dir).mode("append").save()
+    LakeSource.lastMetadataDeleted.set(Nil)
+    spark.sql("DELETE FROM glt.ns.tnull WHERE v IS NULL")
+    assert(spark.sql("SELECT count(*) FROM glt.ns.tnull")
+      .head.getLong(0) == 100L)
+    assert(LakeSource.lastMetadataDeleted.get().isEmpty,
+      "a mixed-null file must not be metadata-deleted")
+    assert(LakeSource.lastReplacedFiles.get().nonEmpty)
+  }
+
+  test("lake DDL rejects unsupported column types at CREATE") {
+    spark.conf.set("spark.sql.catalog.glt", "graft.sources.GraftCatalog")
+    intercept[Exception] {
+      spark.sql("CREATE TABLE glt.ns.tbad (id BIGINT, ts TIMESTAMP) " +
+        s"USING lake LOCATION '${tmp("lake_bad")}'")
+    }
+  }
+}
