@@ -840,6 +840,59 @@ object ScaleSmoke {
       spark.conf.unset(operators.Vectors.PqIndexDirKey)
       rmTree(java.nio.file.Paths.get(pqDir))
     }
+    // ---- round-16 lake table smokes ----
+    locally {
+      // the q225–q229 lakehouse table at 20M rows / 64 files: commit is
+      // O(tasks) renames + ONE manifest write; the manifest carries 64
+      // stats entries regardless of row volume, so planning stays
+      // constant-cost as rows scale — the property that makes
+      // manifest-driven skipping viable at 100 TB file counts
+      val lakeDir = s"$base/lake_smoke"
+      time("lake table write (q225 shape)", nEvents) {
+        spark.read.format("graft.sources.DetRangeSource")
+          .option("rows", nEvents).option("slices", 64).load()
+          .select(col("id"), col("bucket"), col("kscore"), col("score"),
+            col("doc_id"))
+          .write.format("graft.sources.LakeSource")
+          .option("path", lakeDir).mode("overwrite").save()
+        spark.read.format("graft.sources.LakeSource")
+          .option("path", lakeDir).load().count()
+      }
+      // stats-pruned scan: the predicate covers 1 of 64 contiguous-id
+      // files — planning must launch ~1/64 of the tasks AND read ~1/64
+      // of the bytes (wall time is the evidence; lastPlannedFiles the
+      // proof)
+      time("lake pruned scan (1/64 files)", nEvents / 64) {
+        val n = spark.read.format("graft.sources.LakeSource")
+          .option("path", lakeDir).load()
+          .filter(col("id") < lit(nEvents / 64)).count()
+        require(graft.sources.LakeSource.lastPlannedFiles.get().size <= 2,
+          s"pruning planned ${graft.sources.LakeSource.lastPlannedFiles.get().size} files")
+        n
+      }
+      // copy-on-write DELETE touching one file: runtime group filtering
+      // must bound the rewrite to ~1 file's rows, not 20M
+      spark.conf.set("spark.sql.catalog.gsmoke", "graft.sources.GraftCatalog")
+      spark.sql("DROP TABLE IF EXISTS gsmoke.ns.lake")
+      spark.sql(s"""CREATE TABLE gsmoke.ns.lake (
+        |  id BIGINT, bucket INT, kscore INT, score DOUBLE, doc_id STRING
+        |) USING lake LOCATION '$lakeDir'""".stripMargin)
+      time("lake COW delete (1-file rewrite)", nEvents / 64) {
+        spark.sql(s"DELETE FROM gsmoke.ns.lake WHERE id >= 1000 AND id < 2000")
+        require(graft.sources.LakeSource.lastReplacedFiles.get().size == 1,
+          s"rewrite touched ${graft.sources.LakeSource.lastReplacedFiles.get().size} files")
+        spark.sql("SELECT count(*) FROM gsmoke.ns.lake").head.getLong(0)
+      }
+      // metadata-only DELETE: a file-aligned predicate drops whole files
+      // with zero tasks — wall time must be manifest-IO, not row work
+      time("lake metadata delete (file-aligned)", nEvents / 4) {
+        spark.sql(s"DELETE FROM gsmoke.ns.lake WHERE id >= ${nEvents / 4 * 3}")
+        require(graft.sources.LakeSource.lastMetadataDeleted.get().size == 16,
+          s"metadata delete dropped ${graft.sources.LakeSource.lastMetadataDeleted.get().size} files")
+        spark.sql("SELECT count(*) FROM gsmoke.ns.lake").head.getLong(0)
+      }
+      spark.sql("DROP TABLE IF EXISTS gsmoke.ns.lake")
+    }
     spark.stop()
     rmTree(java.nio.file.Paths.get(base))
   }

@@ -614,6 +614,31 @@ object Events {
       .orderBy(col("click_id"))
   }
 
+  /** RIGHT OUTER stream-stream join, BATCH TWIN (round 16 — the mirror
+    * of q198, completing the stream-stream join-mode matrix: inner
+    * q197, left outer q198, right outer here, full outer q222, semi
+    * q224): the "unattributed purchase" audit — every purchase, padded
+    * with each click that preceded it within the hour or nulls when
+    * none did. Not a column-flip of q198: Spark's symmetric hash join
+    * null-pads the OPPOSITE side, so eviction proofs run against the
+    * left (click) state — StreamingSpec drives that eviction with a
+    * flush batch. On a batch frame the watermarks are no-ops and DuckDB
+    * replays the plain right outer interval join exactly. */
+  val qStreamStreamRightJoin: Q = Q(
+    "q230_stream_stream_right_outer_join",
+    """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+      |       c.event_id AS click_id, c.ts AS click_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON c.user_id = p.user_id AND p.ts >= c.ts
+      | AND p.ts <= c.ts + INTERVAL 1 HOUR
+      |ORDER BY purchase_id, click_id""".stripMargin
+  ) { (s, d) =>
+    graft.streaming.StreamingOps.purchaseBackfillRightOuter(
+        Tables.events(s, d))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
   /** INCREMENTAL JOIN MAINTENANCE (round 11 — q176's partial-merge
     * algebra extended from aggregates to joins, the materialized-view
     * delta rule Δ(P⋈C) = ΔP⋈C ∪ P_old⋈ΔC ∪ ΔP⋈ΔC): the q197 interval
@@ -725,5 +750,6 @@ object Events {
     qArrayHof, qAsOfMultiKey, qResampleDaily, qCrosstab, qUpsampleFfill,
     qOhlcWeekly, qAsOfStrict, qAsOfSalted, qStreamStreamJoin,
     qStreamStreamLeftJoin, qStreamStreamFullOuterJoin,
-    qStreamStreamSemiJoin, qIncrementalJoinMerge, qCdcApply)
+    qStreamStreamSemiJoin, qStreamStreamRightJoin, qIncrementalJoinMerge,
+    qCdcApply)
 }

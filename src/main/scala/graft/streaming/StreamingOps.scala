@@ -176,6 +176,36 @@ object StreamingOps {
         col("click_ts"), col("purchase_id"), col("purchase_ts"))
   }
 
+  /** Stream-stream RIGHT OUTER join with watermarked time bound (round
+    * 16 — the mirror of [[clickWithPurchaseOuter]], completing the
+    * outer-join arms: every PURCHASE preserved, padded with each click
+    * that preceded it within the hour or nulls when none did — the
+    * "unattributed purchase" audit). Spark keeps a distinct right-outer
+    * code path in the symmetric hash join (the null-padding side swaps,
+    * so eviction proofs run against the LEFT state), which is why this
+    * is its own surface and not a column-flip of q198: matched rows
+    * emit promptly, a null-padded purchase emits only once the joint
+    * watermark passes its join window. Same bounded
+    * one-horizon-per-side state; on batch frames the watermarks are
+    * no-ops and DuckDB replays the plain right outer interval join. */
+  def purchaseBackfillRightOuter(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "2 hours")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "right_outer")
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"))
+  }
+
   /** Stream-stream LEFT SEMI join with watermarked time bound (round
     * 15 — completes the stream-stream join-mode matrix: inner q197,
     * left outer q198, full outer q222, semi here): "converted clicks" —

@@ -370,6 +370,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(got) == sortedRows(want))
   }
 
+  test("stream-stream RIGHT OUTER join: purchase-preserving null rows emit at joint-watermark expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[Ev]
+    val rows = eventRows()
+    val maxTs = rows.map(_.ts.getTime).max
+    val flushTs = new java.sql.Timestamp(maxTs + 10L * 24 * 3600 * 1000)
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps.purchaseBackfillRightOuter(stream.toDF())
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("ssright_out").start()
+    stream.addData(rows)
+    q.processAllAvailable()
+    // right outer null-pads the LEFT (click) side: an unattributed
+    // purchase emits only once the joint watermark proves no click can
+    // still arrive inside its hour-long window — same flush protocol as
+    // the left/full arms, but the eviction runs against the opposite
+    // side's state
+    stream.addData(Seq(
+      Ev(-1L, flushTs, 999999991L, "click", 0.0),
+      Ev(-2L, flushTs, 999999992L, "purchase", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssright_out").filter(col("purchase_id") >= 0)
+    val want = StreamingOps.purchaseBackfillRightOuter(
+      Tables.events(spark, sf))
+    assert(got.filter(col("click_id").isNull).count() > 0,
+      "some purchases must be unattributed (click-null padding)")
+    assert(sortedRows(got) == sortedRows(want))
+  }
+
   test("stream-stream FULL OUTER join: null-padded rows on BOTH sides emit only at joint-watermark expiry") {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = Encoders.product[Ev]
