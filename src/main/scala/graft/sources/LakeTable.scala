@@ -14,6 +14,7 @@ import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predica
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{And => FAnd, EqualTo => FEqualTo, Filter => FFilter, GreaterThan => FGreaterThan, GreaterThanOrEqual => FGreaterThanOrEqual, In => FIn, IsNotNull => FIsNotNull, IsNull => FIsNull, LessThan => FLessThan, LessThanOrEqual => FLessThanOrEqual, Or => FOr}
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -115,6 +116,14 @@ object LakeSource {
     * writer's rows. */
   val beforeRowLevelCommit =
     new java.util.concurrent.atomic.AtomicReference[Runnable](null)
+
+  /** TEST HOOK (one-shot, mirrors `CsvDirSink.killNextEpochCommit`):
+    * the next streaming epoch commit completes its publish and then
+    * throws — output is on disk but the engine's checkpoint never
+    * records the epoch, forcing a same-epochId replay on restart.
+    * LakeSpec arms it to prove epoch-replacement exactly-once. */
+  val killNextEpochCommit =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
 }
 
 class LakeSource extends TableProvider {
@@ -251,7 +260,7 @@ object LakeFormat {
     val referenced = keepMans.map(_._2)
       .flatMap(v => readManifest(f, dir, v)._2.map(_.name)).toSet
     val dropped = dropMans.map(_._1) ++
-      all.filter(n => n.startsWith("part-") && !referenced.contains(n))
+      all.filter(n => n.endsWith(".lake") && !referenced.contains(n))
     dropped.foreach(n => f.delete(new HPath(d, n), false))
     dropped.toSeq.sorted
   }
@@ -409,7 +418,8 @@ class LakeTable(path: String, tableSchema: StructType,
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def metadataColumns(): Array[MetadataColumn] =
     Array(new MetadataColumn {
@@ -661,6 +671,81 @@ private[sources] class LakeWriteBuilder(path: String,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new LakeBatchWrite(path,
       tableSchema, writeSchema, queryId, doTruncate, failPartition)
+    override def toStreaming: StreamingWrite =
+      new LakeStreamingWrite(path, tableSchema, writeSchema, queryId)
+  }
+}
+
+/** Streaming ingest into the lake table — exactly-once by EPOCH
+  * REPLACEMENT over the same manifest machinery the batch path uses:
+  * every file an epoch publishes carries its `epoch=NNNNN-` prefix, and
+  * `commit(N, …)` drops any same-prefix entries from the base manifest
+  * before adding the new ones, so a replayed epoch (crash after
+  * publish, before the engine's checkpoint commit — the window
+  * [[LakeSource.killNextEpochCommit]] drives in LakeSpec) REPLACES its
+  * own output instead of appending a duplicate. Because the replacement
+  * is a pure function of the base entries, the version CAS retries like
+  * an append — concurrent batch commits interleave safely. A replaced
+  * attempt's files stay on disk (referenced only by superseded
+  * manifests) until vacuum. */
+private[sources] class LakeStreamingWrite(path: String,
+    tableSchema: StructType, writeSchema: StructType, queryId: String)
+    extends StreamingWrite {
+  import LakeFormat._
+
+  private def epochPrefix(epochId: Long): String = f"epoch=$epochId%05d-"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val (p, ts, ws, qid) = (path, tableSchema, writeSchema, queryId)
+    new StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+          epochId: Long): DataWriter[InternalRow] =
+        new LakeDataWriter(p, ts, ws, qid, partitionId, taskId,
+          failAfterFirstRow = false,
+          filePrefix = f"epoch=$epochId%05d-")
+    }
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val f = fs(path)
+    val dest = new HPath(path)
+    val staging = new HPath(path, s"_staging-$queryId")
+    f.mkdirs(dest)
+    val prefix = epochPrefix(epochId)
+    val newEntries = messages.map { case LakeFileCommit(n, r, s) =>
+      require(f.rename(new HPath(staging, n), new HPath(dest, n)),
+        s"lake streaming commit: publish rename failed for $n — aborting")
+      FileEntry(n, r, s)
+    }.toSeq
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val base = latestVersion(f, path)
+      val baseEntries =
+        base.map(v => readManifest(f, path, v)._2).getOrElse(Nil)
+      // epoch replacement: a prior attempt of THIS epoch published some
+      // of these entries already — drop them, then add ours
+      val kept = baseEntries.filterNot(_.name.startsWith(prefix))
+      done = writeManifestCAS(f, path, base.getOrElse(-1) + 1, tableSchema,
+        kept ++ newEntries)
+      if (!done) {
+        attempts += 1
+        require(attempts < 20,
+          s"lake streaming commit on $path lost $attempts CAS races")
+      }
+    }
+    if (LakeSource.killNextEpochCommit.compareAndSet(true, false))
+      throw new RuntimeException(
+        "injected lake epoch-commit failure AFTER publish (test hook) — " +
+          s"epoch $epochId will replay on restart")
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val f = fs(path)
+    f.delete(new HPath(path, s"_staging-$queryId"), true)
   }
 }
 
@@ -729,8 +814,8 @@ private[sources] class LakeWriterFactory(path: String,
 
 private[sources] class LakeDataWriter(path: String,
     tableSchema: StructType, writeSchema: StructType, queryId: String,
-    partitionId: Int, taskId: Long, failAfterFirstRow: Boolean)
-    extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long, failAfterFirstRow: Boolean,
+    filePrefix: String = "") extends DataWriter[InternalRow] {
   import LakeFormat._
 
   // incoming rows follow writeSchema, which may carry extra plan
@@ -757,7 +842,7 @@ private[sources] class LakeDataWriter(path: String,
   private val nanPoisoned = new Array[Boolean](n)
   private var rows = 0L
 
-  private val fileName = s"part-$partitionId-$taskId.lake"
+  private val fileName = s"${filePrefix}part-$partitionId-$taskId.lake"
   private val staged = new HPath(path, s"_staging-$queryId/$fileName")
   private val out = {
     val f = fs(path)

@@ -229,6 +229,57 @@ class LakeSpec extends AnyFunSuite {
     assert(LakeSource.lastReplacedFiles.get().nonEmpty)
   }
 
+  test("streaming write: a killed epoch commit replays as a manifest-level REPLACEMENT, no dup/loss") {
+    // exactly-once ingest into the lake table: every epoch's files carry
+    // an epoch prefix; a replayed epoch drops its prior attempt's
+    // entries from the manifest before adding its own. The injected kill
+    // fires AFTER the publish, BEFORE the engine records the epoch — the
+    // window where an append-only sink would double the epoch's rows.
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmp("lake_stream")
+    val ckpt = tmp("lake_stream_ck")
+    def start(rows: Int) = spark.readStream
+      .format("graft.sources.DetRangeSource")
+      .option("rows", rows).option("rowsPerBatch", 250).load()
+      .select(col("id"), col("bucket"), col("kscore"), col("score"),
+        col("doc_id"))
+      .writeStream.format(Lake)
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    val q1 = start(500) // epochs 0,1
+    assert(q1.awaitTermination(120000))
+    assert(read(dir).count() == 500L)
+    LakeSource.killNextEpochCommit.set(true)
+    val q2 = start(750) // epoch 2 (rows 500..749) publishes, then "crashes"
+    intercept[Exception] { q2.awaitTermination(120000) }
+    try q2.stop() catch { case _: Exception => () }
+    // torn state: epoch 2's files on disk AND in the latest manifest,
+    // but the engine never recorded the epoch
+    val f = LakeFormat.fs(dir)
+    val vTorn = LakeFormat.latestVersion(f, dir).get
+    val tornEntries = LakeFormat.readManifest(f, dir, vTorn)._2
+      .count(_.name.startsWith("epoch=00002-"))
+    assert(tornEntries > 0, "kill fired before the publish — wrong window")
+    val q3 = start(750) // replay of epoch 2 under the SAME id
+    assert(q3.awaitTermination(120000))
+    val back = read(dir)
+    assert(back.count() == 750L, s"${back.count()} rows (dup or loss)")
+    assert(back.select("id").distinct().count() == 750L)
+    assert(back.filter(col("kscore") =!=
+      pmod(col("id") * 31, lit(997)).cast("int")).count() == 0L)
+    // the replaced attempt's files survive on disk for superseded
+    // snapshots only; vacuum to the current version reclaims every
+    // file no surviving manifest references
+    val vNow = LakeFormat.latestVersion(f, dir).get
+    LakeFormat.vacuum(dir, keepFromVersion = vNow)
+    val live = LakeFormat.readManifest(f, dir, vNow)._2.map(_.name).toSet
+    val onDisk = new java.io.File(dir).list().toSeq
+      .filter(_.endsWith(".lake")).toSet
+    assert(onDisk == live,
+      s"unreferenced files survived vacuum: ${onDisk.diff(live)}")
+    assert(read(dir).count() == 750L)
+  }
+
   test("lake DDL rejects unsupported column types at CREATE") {
     spark.conf.set("spark.sql.catalog.glt", "graft.sources.GraftCatalog")
     intercept[Exception] {
