@@ -37,6 +37,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * exactly what a production catalog would call. SourcesSpec pins the
   * DDL round-trip; q223 is the registered oracled query reading a
   * cataloged table. */
+object GraftCatalog {
+  /** Column-list equality for DDL validation: names (case-insensitive,
+    * Spark's resolution default) and types, IGNORING nullability — DDL
+    * columns parse nullable while source-fixed schemas may be non-null,
+    * and that difference is not a user error (r16 review). */
+  private[sources] def sameColumns(a: StructType, b: StructType): Boolean =
+    a.fields.length == b.fields.length &&
+      a.fields.zip(b.fields).forall { case (x, y) =>
+        x.name.equalsIgnoreCase(y.name) && x.dataType == y.dataType
+      }
+}
+
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private val tables =
@@ -74,8 +86,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         // that differs must fail at CREATE, not silently serve the
         // fixed columns to a reader expecting the declared ones (r15
         // advisory — the csvdir branch honors declared schemas, so
-        // accepting a mismatch here was inconsistent between providers)
-        require(schema.isEmpty || schema == DetRangeSource.schema,
+        // accepting a mismatch here was inconsistent between providers).
+        // Names+types only: DDL columns parse nullable while the fixed
+        // schema is non-null, so full StructType equality would reject
+        // the exact declaration the error message suggests (r16 review)
+        require(schema.isEmpty ||
+          GraftCatalog.sameColumns(schema, DetRangeSource.schema),
           s"detrange tables have the fixed schema ${DetRangeSource.schema.simpleString}; " +
             s"either omit the column list or declare it exactly (got ${schema.simpleString})")
         new DetRangeTable(
@@ -91,18 +107,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           .getOrElse(opt("path", ""))
         require(path.nonEmpty,
           s"lake table $ident requires OPTIONS (path '…') or LOCATION")
+        val f = LakeFormat.fs(path)
+        val manifestSchema = LakeFormat.latestVersion(f, path)
+          .map(v => LakeFormat.readManifest(f, path, v)._1)
         val sch =
-          if (schema.nonEmpty) schema
-          else {
+          if (schema.nonEmpty) {
+            // a declared column list over an EXISTING lake dir must
+            // match the manifest — a mismatch would silently
+            // reinterpret committed data files (r16 review; same
+            // cross-provider consistency rule as detrange above)
+            manifestSchema.foreach(ms =>
+              require(GraftCatalog.sameColumns(schema, ms),
+                s"lake table $ident: declared schema " +
+                  s"${schema.simpleString} does not match the existing " +
+                  s"manifest schema ${ms.simpleString} under $path"))
+            schema
+          } else manifestSchema.getOrElse(
             // schema-less CREATE over an existing lake dir adopts the
             // manifest's schema (the REPLACE/external-table idiom)
-            val f = LakeFormat.fs(path)
-            val v = LakeFormat.latestVersion(f, path).getOrElse(
-              throw new IllegalArgumentException(
-                s"lake table $ident: no column list and no existing " +
-                  s"manifest under $path — declare the schema"))
-            LakeFormat.readManifest(f, path, v)._1
-          }
+            throw new IllegalArgumentException(
+              s"lake table $ident: no column list and no existing " +
+                s"manifest under $path — declare the schema"))
         new LakeTable(path, sch, None, None)
       case "graft.sources.csvdirsink" | "csvdir" =>
         // DDL normalizes OPTIONS(path …) / LOCATION into PROP_LOCATION
@@ -116,8 +141,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         // by-name/by-position resolution), failPartition test hook N/A
         new CsvDirTable(path, schema, failPartition = None)
       case other => throw new IllegalArgumentException(
-        s"GraftCatalog supports USING detrange|csvdir " +
-          s"(graft.sources.DetRangeSource|CsvDirSink), not '$other'")
+        s"GraftCatalog supports USING detrange|lake|csvdir " +
+          s"(graft.sources.DetRangeSource|LakeSource|CsvDirSink), not '$other'")
     }
     // atomic: a concurrent CREATE of the same identifier must throw,
     // never silently replace a table a reader may already be bound to

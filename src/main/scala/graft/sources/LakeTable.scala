@@ -164,8 +164,20 @@ object LakeFormat {
 
   def manifestName(v: Int): String = f"_manifest-v$v%05d.tsv"
 
+  /** Epoch prefix on streaming-written data files — ONE spelling, used
+    * by both the writer factory and the replay-replacement match (a
+    * drift between them would silently break exactly-once; r16 review). */
+  def epochPrefix(epochId: Long): String = f"epoch=$epochId%05d-"
+
   def fs(path: String): FileSystem =
-    new HPath(path).getFileSystem(new Configuration())
+    new HPath(path).getFileSystem(
+      // honor spark.hadoop.* (credentials, fs.defaultFS) when a session
+      // is reachable — a bare Configuration() would silently hit the
+      // wrong filesystem in any configured deployment (r16 review);
+      // executor-side readers have no active session and fall back
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new Configuration()))
 
   def latestVersion(f: FileSystem, dir: String): Option[Int] = {
     val d = new HPath(dir)
@@ -227,8 +239,13 @@ object LakeFormat {
   /** CREATE-no-overwrite publish of manifest version `v` — the commit
     * point. Returns false when version `v` already exists (a concurrent
     * commit won the race; callers re-read the base and retry or abort).
-    * Write-to-temp + no-overwrite rename keeps the visible manifest
-    * all-or-nothing on any filesystem with atomic rename. */
+    * Content is fully written to a temp file first, then claimed
+    * atomically: on the local filesystem via a POSIX hard link (link(2)
+    * fails EEXIST — Hadoop's local rename pre-checks existence, a
+    * TOCTOU window between two JVMs; r16 review), elsewhere via
+    * no-overwrite rename, which is atomic-exclusive at the HDFS
+    * namenode. Either way the manifest appears all-or-nothing with a
+    * version number exactly one commit can ever own. */
   def writeManifestCAS(f: FileSystem, dir: String, v: Int,
       schema: StructType, entries: Seq[FileEntry]): Boolean = {
     val target = new HPath(dir, manifestName(v))
@@ -241,9 +258,83 @@ object LakeFormat {
         entries.map(encodeEntry)).mkString("", "\n", "\n")
       out.write(body.getBytes("UTF-8"))
     } finally out.close()
-    val ok = f.rename(tmp, target)
-    if (!ok) f.delete(tmp, false)
+    val local = f.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      f.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    val ok =
+      if (local) {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else f.rename(tmp, target)
+    if (!ok || local) f.delete(tmp, false)
     ok
+  }
+
+  /** Shared commit tail for every write path (batch append/truncate,
+    * streaming epoch, row-level replace — one protocol, one body; r16
+    * review): rename the staged files named in `messages` into the
+    * destination, then CAS-publish the next manifest, where
+    * `mkEntries(baseEntries, newEntries)` builds the next version's
+    * list.
+    *
+    *  - `fixedBase = None`: the commit is COMMUTATIVE (append, truncate,
+    *    epoch replacement — all pure functions of whatever base is
+    *    current), so a lost CAS re-reads the new base and retries,
+    *    bounded so a livelock fails loudly.
+    *  - `fixedBase = Some(v)`: the new entries are only valid against
+    *    snapshot v (row-level rewrites); ANY other current version is a
+    *    conflict — the just-renamed files are unlinked and the commit
+    *    aborts loudly, never a lost update. */
+  def publish(f: FileSystem, path: String, queryId: String,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage],
+      schema: StructType, fixedBase: Option[Int],
+      mkEntries: (Seq[FileEntry], Seq[FileEntry]) => Seq[FileEntry]): Unit = {
+    val dest = new HPath(path)
+    val staging = new HPath(path, s"_staging-$queryId")
+    f.mkdirs(dest)
+    val newEntries = messages.map { case LakeFileCommit(n, r, s) =>
+      require(f.rename(new HPath(staging, n), new HPath(dest, n)),
+        s"lake commit: publish rename failed for $n — aborting (no " +
+          "manifest was written; readers never see this job)")
+      FileEntry(n, r, s)
+    }.toSeq
+    def conflict(msg: String): Nothing = {
+      newEntries.foreach(e => f.delete(new HPath(dest, e.name), false))
+      f.delete(staging, true)
+      throw new IllegalStateException(msg)
+    }
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val latest = latestVersion(f, path)
+      fixedBase.foreach { b =>
+        if (latest.getOrElse(-1) != b) conflict(
+          s"lake row-level commit conflict on $path: read snapshot v$b " +
+            s"but v${latest.getOrElse(-1)} is now current — re-run the " +
+            "command against the new snapshot")
+      }
+      val base = fixedBase.orElse(latest).filter(_ >= 0)
+      val baseEntries = base.map(v => readManifest(f, path, v)._2)
+        .getOrElse(Nil)
+      done = writeManifestCAS(f, path, base.getOrElse(-1) + 1, schema,
+        mkEntries(baseEntries, newEntries))
+      if (!done) {
+        if (fixedBase.isDefined) conflict(
+          s"lake row-level commit conflict on $path: version " +
+            s"${fixedBase.get + 1} was taken while publishing — re-run " +
+            "the command")
+        attempts += 1
+        require(attempts < 20,
+          s"lake commit on $path lost $attempts CAS races — aborting " +
+            "(staged files were published but remain unreferenced)")
+      }
+    }
+    f.delete(staging, true)
   }
 
   /** Maintenance: drop manifests below `keepFromVersion` and every data
@@ -334,11 +425,14 @@ object LakeFormat {
     case n: Int => Some(BigDecimal(n))
     case n: Short => Some(BigDecimal(n.toInt))
     case n: Byte => Some(BigDecimal(n.toInt))
-    case n: Double => Some(BigDecimal(n))
-    case n: Float => Some(BigDecimal(n.toDouble))
+    // non-finite literals have no BigDecimal form (the constructor
+    // throws at PLAN time, failing the whole query — r16 review); a
+    // filter against NaN/±Inf simply gets no stats decision
+    case n: Double if java.lang.Double.isFinite(n) => Some(BigDecimal(n))
+    case n: Float if java.lang.Float.isFinite(n) => Some(BigDecimal(n.toDouble))
     case n: java.math.BigDecimal => Some(BigDecimal(n))
     case n: BigDecimal => Some(n)
-    case _ => None // strings, dates… — not stats-comparable here
+    case _ => None // strings, dates, non-finite floats — not comparable
   }
 
   private def range(e: FileEntry,
@@ -498,10 +592,18 @@ class LakeTable(path: String, tableSchema: StructType,
   }
 
   override def truncateTable(): Boolean = {
+    // commutative like an append — the result is an empty manifest no
+    // matter the base — so a lost CAS retries against the re-read
+    // latest (r16 review: a single attempt hard-failed a race the
+    // other commutative paths tolerate), bounded so a livelock is loud
     val f = fs(path)
-    val next = latestVersion(f, path).map(_ + 1).getOrElse(0)
-    require(writeManifestCAS(f, path, next, tableSchema, Nil),
-      s"lake truncate on $path lost the version race — retry")
+    var attempts = 0
+    while (!writeManifestCAS(f, path,
+        latestVersion(f, path).map(_ + 1).getOrElse(0), tableSchema, Nil)) {
+      attempts += 1
+      require(attempts < 20,
+        s"lake truncate on $path lost $attempts CAS races — aborting")
+    }
     true
   }
 }
@@ -635,7 +737,10 @@ private[sources] class LakeReaderFactory(path: String,
       override def next(): Boolean = { line = reader.readLine(); line != null }
 
       override def get(): InternalRow = {
-        val toks = line.split('\t')
+        // limit -1 keeps trailing empty tokens — a row whose LAST string
+        // column is "" would otherwise lose its final token and crash
+        // the projection (r16 review)
+        val toks = line.split("\t", -1)
         val out = new Array[Any](srcIdx.length)
         var i = 0
         while (i < srcIdx.length) {
@@ -693,49 +798,32 @@ private[sources] class LakeStreamingWrite(path: String,
     extends StreamingWrite {
   import LakeFormat._
 
-  private def epochPrefix(epochId: Long): String = f"epoch=$epochId%05d-"
-
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val (p, ts, ws, qid) = (path, tableSchema, writeSchema, queryId)
+    // uid per ATTEMPT: a replayed epoch in a fresh JVM restarts
+    // partition/task ids, and a name collision with the prior attempt's
+    // committed files would clobber them at publish (r16 review)
+    val writeUid = java.util.UUID.randomUUID().toString.take(8)
     new StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
           epochId: Long): DataWriter[InternalRow] =
         new LakeDataWriter(p, ts, ws, qid, partitionId, taskId,
           failAfterFirstRow = false,
-          filePrefix = f"epoch=$epochId%05d-")
+          filePrefix = LakeFormat.epochPrefix(epochId), writeUid = writeUid)
     }
   }
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
-    val f = fs(path)
-    val dest = new HPath(path)
-    val staging = new HPath(path, s"_staging-$queryId")
-    f.mkdirs(dest)
+    // epoch replacement: a prior attempt of THIS epoch published some
+    // same-prefix entries already — drop them, then add ours. A pure
+    // function of the base, so the CAS retries like an append
     val prefix = epochPrefix(epochId)
-    val newEntries = messages.map { case LakeFileCommit(n, r, s) =>
-      require(f.rename(new HPath(staging, n), new HPath(dest, n)),
-        s"lake streaming commit: publish rename failed for $n — aborting")
-      FileEntry(n, r, s)
-    }.toSeq
-    var attempts = 0
-    var done = false
-    while (!done) {
-      val base = latestVersion(f, path)
-      val baseEntries =
-        base.map(v => readManifest(f, path, v)._2).getOrElse(Nil)
-      // epoch replacement: a prior attempt of THIS epoch published some
-      // of these entries already — drop them, then add ours
-      val kept = baseEntries.filterNot(_.name.startsWith(prefix))
-      done = writeManifestCAS(f, path, base.getOrElse(-1) + 1, tableSchema,
-        kept ++ newEntries)
-      if (!done) {
-        attempts += 1
-        require(attempts < 20,
-          s"lake streaming commit on $path lost $attempts CAS races")
-      }
-    }
+    LakeFormat.publish(fs(path), path, queryId, messages, tableSchema,
+      fixedBase = None,
+      (baseEntries, newEntries) =>
+        baseEntries.filterNot(_.name.startsWith(prefix)) ++ newEntries)
     if (LakeSource.killNextEpochCommit.compareAndSet(true, false))
       throw new RuntimeException(
         "injected lake epoch-commit failure AFTER publish (test hook) — " +
@@ -764,38 +852,14 @@ private[sources] class LakeBatchWrite(path: String,
     new LakeWriterFactory(path, tableSchema, writeSchema, queryId,
       failPartition)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val f = fs(path)
-    val dest = new HPath(path)
-    val staging = new HPath(path, s"_staging-$queryId")
-    f.mkdirs(dest)
-    val newEntries = messages.map { case LakeFileCommit(n, r, s) =>
-      require(f.rename(new HPath(staging, n), new HPath(dest, n)),
-        s"lake commit: publish rename failed for $n — aborting (no " +
-          "manifest was written; readers never see this job)")
-      FileEntry(n, r, s)
-    }.toSeq
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
     // appends and truncates are COMMUTATIVE against concurrent commits:
     // losing the version CAS just means re-reading the new base and
-    // re-applying. Bounded so a livelock fails loudly.
-    var attempts = 0
-    var done = false
-    while (!done) {
-      val base = latestVersion(f, path)
-      val baseEntries =
-        if (truncate) Nil
-        else base.map(v => readManifest(f, path, v)._2).getOrElse(Nil)
-      done = writeManifestCAS(f, path, base.getOrElse(-1) + 1, tableSchema,
-        baseEntries ++ newEntries)
-      if (!done) {
-        attempts += 1
-        require(attempts < 20,
-          s"lake commit on $path lost $attempts CAS races — aborting " +
-            "(staged files were published but remain unreferenced)")
-      }
-    }
-    f.delete(staging, true)
-  }
+    // re-applying (fixedBase = None → bounded retry)
+    LakeFormat.publish(fs(path), path, queryId, messages, tableSchema,
+      fixedBase = None,
+      (baseEntries, newEntries) =>
+        (if (truncate) Nil else baseEntries) ++ newEntries)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val f = fs(path)
@@ -806,16 +870,24 @@ private[sources] class LakeBatchWrite(path: String,
 private[sources] class LakeWriterFactory(path: String,
     tableSchema: StructType, writeSchema: StructType, queryId: String,
     failPartition: Option[Int]) extends DataWriterFactory {
+  // partitionId/taskId are unique only WITHIN one Spark application —
+  // a second app appending to the same table (or a replayed epoch in a
+  // fresh JVM) restarts both counters, and a colliding name would let a
+  // publish rename clobber a committed live file (r16 review). One uid
+  // per write, minted on the driver, makes names globally unique.
+  private val writeUid = java.util.UUID.randomUUID().toString.take(8)
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new LakeDataWriter(path, tableSchema, writeSchema, queryId,
-      partitionId, taskId, failPartition.contains(partitionId))
+      partitionId, taskId, failPartition.contains(partitionId),
+      writeUid = writeUid)
 }
 
 private[sources] class LakeDataWriter(path: String,
     tableSchema: StructType, writeSchema: StructType, queryId: String,
     partitionId: Int, taskId: Long, failAfterFirstRow: Boolean,
-    filePrefix: String = "") extends DataWriter[InternalRow] {
+    filePrefix: String = "", writeUid: String = "w")
+    extends DataWriter[InternalRow] {
   import LakeFormat._
 
   // incoming rows follow writeSchema, which may carry extra plan
@@ -842,7 +914,8 @@ private[sources] class LakeDataWriter(path: String,
   private val nanPoisoned = new Array[Boolean](n)
   private var rows = 0L
 
-  private val fileName = s"${filePrefix}part-$partitionId-$taskId.lake"
+  private val fileName =
+    s"${filePrefix}part-$partitionId-$taskId-$writeUid.lake"
   private val staged = new HPath(path, s"_staging-$queryId/$fileName")
   private val out = {
     val f = fs(path)
@@ -870,7 +943,10 @@ private[sources] class LakeDataWriter(path: String,
           sb.append(v)
         case 2 =>
           val v = record.getDouble(si)
-          if (java.lang.Double.isNaN(v)) nanPoisoned(i) = true
+          // NaN breaks the ordering and ±Inf has no BigDecimal form for
+          // the pruning algebra — either poisons this file's stats (the
+          // file simply never prunes on this column; r16 review)
+          if (!java.lang.Double.isFinite(v)) nanPoisoned(i) = true
           else {
             if (v < minD(i)) minD(i) = v
             if (v > maxD(i)) maxD(i) = v
@@ -965,41 +1041,15 @@ private[sources] class LakeReplaceDataWrite(path: String,
     require(scan != null,
       "lake row-level commit before its scan was configured")
     val replaced = scan.plannedNames.toSet
-    val f = fs(path)
-    val dest = new HPath(path)
-    val staging = new HPath(path, s"_staging-$queryId")
-    val newEntries = messages.map { case LakeFileCommit(n, r, s) =>
-      require(f.rename(new HPath(staging, n), new HPath(dest, n)),
-        s"lake replace commit: publish rename failed for $n — aborting")
-      FileEntry(n, r, s)
-    }.toSeq
     // NOT commutative: the replacement rows are only valid against the
-    // exact snapshot the rewrite read. Any concurrent commit since then
-    // invalidates them → loud abort, never a lost update. (The loser's
+    // exact snapshot the rewrite read — fixedBase pins it, any other
+    // current version aborts loudly, never a lost update. (The loser's
     // data files stay unreferenced; vacuum reclaims them.)
-    val base = scan.snapshotVersion
-    val latest = latestVersion(f, path).getOrElse(-1)
-    if (latest != base) {
-      newEntries.foreach(e => f.delete(new HPath(dest, e.name), false))
-      f.delete(staging, true)
-      throw new IllegalStateException(
-        s"lake row-level commit conflict on $path: read snapshot v$base " +
-          s"but v$latest is now current — re-run the command against " +
-          "the new snapshot")
-    }
-    val baseEntries =
-      if (base < 0) Nil else readManifest(f, path, base)._2
-    val kept = baseEntries.filterNot(e => replaced.contains(e.name))
-    if (!writeManifestCAS(f, path, base + 1, tableSchema,
-        kept ++ newEntries)) {
-      newEntries.foreach(e => f.delete(new HPath(dest, e.name), false))
-      f.delete(staging, true)
-      throw new IllegalStateException(
-        s"lake row-level commit conflict on $path: version ${base + 1} " +
-          "was taken while publishing — re-run the command")
-    }
+    LakeFormat.publish(fs(path), path, queryId, messages, tableSchema,
+      fixedBase = Some(scan.snapshotVersion),
+      (baseEntries, newEntries) =>
+        baseEntries.filterNot(e => replaced.contains(e.name)) ++ newEntries)
     LakeSource.lastReplacedFiles.set(replaced.toSeq.sorted)
-    f.delete(staging, true)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -280,6 +280,67 @@ class LakeSpec extends AnyFunSuite {
     assert(read(dir).count() == 750L)
   }
 
+  test("codec edges: empty-string last column round-trips; non-finite doubles poison stats, not queries") {
+    val dir = tmp("lake_edge")
+    // empty string in the LAST column: split must keep trailing empty
+    // tokens or the row becomes unreadable (r16 review)
+    spark.range(0, 10)
+      .select(col("id"), when(col("id") % 2 === 0, lit("")).otherwise(lit("x"))
+        .as("s"))
+      .coalesce(1)
+      .write.format(Lake).option("path", dir).mode("overwrite").save()
+    val back = spark.read.format(Lake).option("path", dir).load()
+    assert(back.count() == 10L)
+    assert(back.filter(col("s") === "").count() == 5L)
+    assert(back.filter(col("s").isNull).count() == 0L,
+      "empty string must stay distinguishable from NULL")
+    // ±Infinity: no BigDecimal form — the writer must poison that
+    // file's stats so comparison filters PLAN instead of throwing, and
+    // the unprunable file still serves its rows (r16 review)
+    val dir2 = tmp("lake_inf")
+    spark.range(0, 10)
+      .select(col("id"), when(col("id") === 3,
+        lit(Double.PositiveInfinity)).otherwise(col("id").cast("double"))
+        .as("v"))
+      .coalesce(1)
+      .write.format(Lake).option("path", dir2).mode("overwrite").save()
+    val r2 = spark.read.format(Lake).option("path", dir2).load()
+    assert(r2.filter(col("v") > 100.0).count() == 1L) // the Inf row
+    assert(r2.filter(col("v") < 5.0).count() == 4L)
+    assert(LakeSource.lastPlannedFiles.get().size == 1,
+      "stats-poisoned file must still be planned (never wrongly pruned)")
+  }
+
+  test("catalog lake DDL: declared schema must match an existing manifest; TRUNCATE TABLE empties via manifest") {
+    val dir = tmp("lake_ddl")
+    val t = catalogTable("tddl", dir)
+    det(100, 2).createOrReplaceTempView("lake_ddl_src")
+    spark.sql(s"INSERT OVERWRITE $t SELECT * FROM lake_ddl_src")
+    // a mismatched column list over the committed manifest must fail at
+    // CREATE, not silently reinterpret the data files (r16 review)
+    spark.sql("DROP TABLE glt.ns.tddl")
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE glt.ns.tddl (id BIGINT) USING lake " +
+        s"LOCATION '$dir'")
+    }
+    // the exact declaration and the schema-less adopt-the-manifest form
+    // both work
+    spark.sql(s"""CREATE TABLE glt.ns.tddl (
+      |  id BIGINT, bucket INT, kscore INT, score DOUBLE, doc_id STRING
+      |) USING lake LOCATION '$dir'""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM glt.ns.tddl")
+      .head.getLong(0) == 100L)
+    spark.sql("DROP TABLE glt.ns.tddl")
+    spark.sql(s"CREATE TABLE glt.ns.tddl USING lake LOCATION '$dir'")
+    assert(spark.table("glt.ns.tddl").schema.fieldNames.toSeq ==
+      Seq("id", "bucket", "kscore", "score", "doc_id"))
+    // TRUNCATE TABLE routes to the manifest-level truncate
+    spark.sql("TRUNCATE TABLE glt.ns.tddl")
+    assert(spark.sql("SELECT count(*) FROM glt.ns.tddl")
+      .head.getLong(0) == 0L)
+    spark.sql("DROP TABLE glt.ns.tddl")
+  }
+
   test("lake DDL rejects unsupported column types at CREATE") {
     spark.conf.set("spark.sql.catalog.glt", "graft.sources.GraftCatalog")
     intercept[Exception] {

@@ -884,6 +884,16 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.sql("SELECT id, bucket, kscore FROM gschema.ns.ok")
       .count() == 10L)
     spark.sql("DROP TABLE gschema.ns.ok")
+    // declaring EXACTLY the fixed columns must also pass — DDL columns
+    // parse nullable, so the check compares names+types, not nullability
+    // (r16 review: full StructType equality rejected the very
+    // declaration the error message suggests)
+    spark.sql("CREATE TABLE gschema.ns.ok2 (id BIGINT, bucket INT, " +
+      "kscore INT, score DOUBLE, doc_id STRING) USING detrange " +
+      "OPTIONS (rows '10', slices '2')")
+    assert(spark.sql("SELECT count(*) FROM gschema.ns.ok2")
+      .head.getLong(0) == 10L)
+    spark.sql("DROP TABLE gschema.ns.ok2")
   }
 
   test("GraftCatalog: CREATE/SELECT/INSERT/SHOW/DROP round-trip over the DSv2 pair (q223 path)") {
