@@ -199,7 +199,9 @@ object LakeFormat {
   final case class ColStats(min: Option[String], max: Option[String],
       nulls: Long)
 
-  final case class FileEntry(name: String, rows: Long,
+  /** `bytes` is the file's approximate serialized size (planning
+    * statistic for broadcast decisions — never a correctness input). */
+  final case class FileEntry(name: String, rows: Long, bytes: Long,
       stats: Map[String, ColStats])
 
   def encodeEntry(e: FileEntry): String = {
@@ -208,20 +210,20 @@ object LakeFormat {
       else e.stats.toSeq.sortBy(_._1).map { case (c, s) =>
         s"$c=${s.min.getOrElse("")},${s.max.getOrElse("")},${s.nulls}"
       }.mkString(";")
-    s"${e.name}\t${e.rows}\t$statsStr"
+    s"${e.name}\t${e.rows}\t${e.bytes}\t$statsStr"
   }
 
   def decodeEntry(line: String): FileEntry = {
     val parts = line.split('\t')
     val stats =
-      if (parts(2) == "-") Map.empty[String, ColStats]
-      else parts(2).split(';').iterator.map { kv =>
+      if (parts(3) == "-") Map.empty[String, ColStats]
+      else parts(3).split(';').iterator.map { kv =>
         val Array(c, spec) = kv.split('=')
         val s = spec.split(',').padTo(3, "")
         c -> ColStats(Option(s(0)).filter(_.nonEmpty),
           Option(s(1)).filter(_.nonEmpty), s(2).toLong)
       }.toMap
-    FileEntry(parts(0), parts(1).toLong, stats)
+    FileEntry(parts(0), parts(1).toLong, parts(2).toLong, stats)
   }
 
   def readManifest(f: FileSystem, dir: String,
@@ -297,11 +299,11 @@ object LakeFormat {
     val dest = new HPath(path)
     val staging = new HPath(path, s"_staging-$queryId")
     f.mkdirs(dest)
-    val newEntries = messages.map { case LakeFileCommit(n, r, s) =>
+    val newEntries = messages.map { case LakeFileCommit(n, r, b, s) =>
       require(f.rename(new HPath(staging, n), new HPath(dest, n)),
         s"lake commit: publish rename failed for $n — aborting (no " +
           "manifest was written; readers never see this job)")
-      FileEntry(n, r, s)
+      FileEntry(n, r, b, s)
     }.toSeq
     def conflict(msg: String): Nothing = {
       newEntries.foreach(e => f.delete(new HPath(dest, e.name), false))
@@ -644,9 +646,13 @@ private[sources] class LakeScanBuilder(path: String,
     entries: Seq[LakeFormat.FileEntry],
     owner: Option[LakeRowLevelOperation])
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+
   private var required: StructType = tableSchema
   private var pushed: Array[FFilter] = Array.empty
+  private var aggFuncs: Seq[AggregateFunc] = Nil
 
   override def pushFilters(filters: Array[FFilter]): Array[FFilter] = {
     // accept for FILE PRUNING only; return everything as residual so
@@ -659,7 +665,51 @@ private[sources] class LakeScanBuilder(path: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  // ---- MANIFEST-ONLY aggregates -------------------------------------
+  // Global COUNT(*)/COUNT(col)/MIN(col)/MAX(col) are exact functions of
+  // the manifest: Σrows, Σ(rows−nulls), min/max over file stats — the
+  // V2 analog of answering aggregates from parquet footers, and at
+  // 100 TB the difference between a manifest read and a full pass.
+  // Complete-or-nothing, refused whenever rows are needed: any pushed
+  // filter (all are residual here), GROUP BY, a poisoned stats column
+  // (NaN/Inf file), or a row-level scan (owner present — its planned
+  // set IS the replace set and must stay a real file scan).
+
+  private def statCol(
+      e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case r: NamedReference if r.fieldNames().length == 1 &&
+        tableSchema.fieldNames.contains(r.fieldNames()(0)) =>
+      Some(r.fieldNames()(0))
+    case _ => None
+  }
+  // min/max answerable iff every file decides: stats present, or the
+  // file contributes nothing (empty / all-null)
+  private def rangeComplete(c: String): Boolean =
+    tableSchema(c).dataType != StringType && entries.forall(e =>
+      e.stats.get(c).exists(s => (s.min.isDefined && s.max.isDefined) ||
+        s.nulls == e.rows))
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    owner.isEmpty && pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case c: Count => !c.isDistinct && statCol(c.column).isDefined
+        case m: Min => statCol(m.column).exists(rangeComplete)
+        case m: Max => statCol(m.column).exists(rangeComplete)
+        case _ => false
+      }
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    supportCompletePushDown(agg) && { // complete-or-nothing: a partial
+      aggFuncs = agg.aggregateExpressions.toSeq // push would still scan
+      true
+    }
+
   override def build(): Scan = {
+    if (aggFuncs.nonEmpty)
+      return new LakeAggScan(path, tableSchema, version, entries, aggFuncs)
     val scan = new LakeScan(path, tableSchema, required, version,
       entries.filter(e => LakeFormat.survives(e, pushed.toSeq)))
     owner.foreach(_.configuredScan = scan)
@@ -667,10 +717,80 @@ private[sources] class LakeScanBuilder(path: String,
   }
 }
 
+/** One-row manifest-only scan for completely-pushed aggregates: the
+  * answers are computed on the DRIVER from the snapshot's file stats —
+  * no data file is opened, no task reads a row. */
+private[sources] class LakeAggScan(path: String, tableSchema: StructType,
+    version: Int, entries: Seq[LakeFormat.FileEntry],
+    funcs: Seq[org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc])
+    extends Scan with Batch {
+  import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+
+  private def colOf(
+      e: org.apache.spark.sql.connector.expressions.Expression): String =
+    e.asInstanceOf[NamedReference].fieldNames()(0)
+
+  private def typedEdge(c: String, takeMin: Boolean): Any = {
+    val mins = entries.flatMap(_.stats(c).min).map(BigDecimal(_))
+    val maxs = entries.flatMap(_.stats(c).max).map(BigDecimal(_))
+    val edge = if (takeMin) mins.minOption else maxs.maxOption
+    edge.map(v => tableSchema(c).dataType match {
+      case LongType => v.toLongExact
+      case IntegerType => v.toIntExact
+      case DoubleType => v.toDouble
+      case other => throw new IllegalStateException(
+        s"unexpected min/max pushdown type $other")
+    }).orNull // every file empty/all-null → SQL NULL
+  }
+
+  private val resultRow: Seq[Any] = funcs.map {
+    case _: CountStar => entries.map(_.rows).sum
+    case c: Count =>
+      val col = colOf(c.column)
+      entries.map(e => e.rows - e.stats(col).nulls).sum
+    case m: Min => typedEdge(colOf(m.column), takeMin = true)
+    case m: Max => typedEdge(colOf(m.column), takeMin = false)
+    case other => throw new IllegalStateException(
+      s"unpushable aggregate reached LakeAggScan: ${other.describe}")
+  }
+
+  override def readSchema(): StructType = StructType(funcs.zipWithIndex.map {
+    case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+    case (_: Count, i) => StructField(s"agg_$i", LongType, nullable = false)
+    case (m: Min, i) =>
+      StructField(s"agg_$i", tableSchema(colOf(m.column)).dataType)
+    case (m: Max, i) =>
+      StructField(s"agg_$i", tableSchema(colOf(m.column)).dataType)
+    case (_, i) => StructField(s"agg_$i", LongType)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"LakeAggScan v$version files=${entries.size} " +
+      s"PushedAggregates: ${funcs.map(_.describe).mkString("[", ", ", "]")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(LakeInputPartition("<manifest>"))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val row = resultRow // serialize values, not the Scan
+    new PartitionReaderFactory {
+      override def createReader(
+          partition: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = {
+            val r = !emitted; emitted = true; r
+          }
+          override def get(): InternalRow = InternalRow.fromSeq(row)
+          override def close(): Unit = ()
+        }
+    }
+  }
+}
+
 private[sources] class LakeScan(path: String, tableSchema: StructType,
     required: StructType, val snapshotVersion: Int,
     entries0: Seq[LakeFormat.FileEntry])
-    extends Scan with Batch with SupportsRuntimeV2Filtering {
+    extends Scan with Batch with SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   @volatile private var entries = entries0
   /** Files this scan actually planned — the groups a row-level commit
@@ -679,13 +799,37 @@ private[sources] class LakeScan(path: String, tableSchema: StructType,
   @volatile private[sources] var plannedNames: Seq[String] =
     entries0.map(_.name)
 
+  /** POST-PRUNING statistics from the manifest (exact rows, serialized
+    * bytes): a lake dimension filtered under the broadcast threshold
+    * auto-broadcasts — the optimizer decision that matters most at
+    * 100 TB join scale, fed by numbers the commit already paid for. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val es = entries
+    new org.apache.spark.sql.connector.read.Statistics {
+      override val numRows: java.util.OptionalLong =
+        java.util.OptionalLong.of(es.map(_.rows).sum)
+      override val sizeInBytes: java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, es.map(_.bytes).sum))
+    }
+  }
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"LakeScan v$snapshotVersion files=${entries.size} $path"
 
   override def filterAttributes(): Array[NamedReference] =
-    Array(V2Expressions.column("_file"))
+    // advertise `_file` as runtime-filterable ONLY when this scan
+    // actually carries it (row-level scans do — the operation's
+    // requiredMetadataAttributes force it into the output). On an
+    // ordinary pruned read, Spark's runtime-filter planning resolves
+    // filterAttributes against the scan output and a missing `_file`
+    // fails the WHOLE query with an AnalysisException (caught by the
+    // r16 join smoke); empty = nothing filterable, rule skips us.
+    if (required.fieldNames.contains("_file"))
+      Array(V2Expressions.column("_file"))
+    else Array.empty
 
   override def filter(predicates: Array[V2Predicate]): Unit = {
     // runtime group narrowing: Spark hands us `_file IN (…)` (or `=`)
@@ -840,7 +984,8 @@ private[sources] class LakeStreamingWrite(path: String,
 /** Task commit message: one staged file + its stats, mirrored into the
   * manifest verbatim at publish. */
 private[sources] case class LakeFileCommit(fileName: String, rows: Long,
-    stats: Map[String, LakeFormat.ColStats]) extends WriterCommitMessage
+    bytes: Long, stats: Map[String, LakeFormat.ColStats])
+    extends WriterCommitMessage
 
 private[sources] class LakeBatchWrite(path: String,
     tableSchema: StructType, writeSchema: StructType, queryId: String,
@@ -913,6 +1058,9 @@ private[sources] class LakeDataWriter(path: String,
   private val nulls = new Array[Long](n)
   private val nanPoisoned = new Array[Boolean](n)
   private var rows = 0L
+  // chars ≈ bytes (ASCII-dominant codec) — a PLANNING statistic for
+  // broadcast decisions, never a correctness input
+  private var bytesOut = 0L
 
   private val fileName =
     s"${filePrefix}part-$partitionId-$taskId-$writeUid.lake"
@@ -959,6 +1107,7 @@ private[sources] class LakeDataWriter(path: String,
     }
     sb.append('\n')
     out.write(sb.toString)
+    bytesOut += sb.length
     rows += 1
     if (failAfterFirstRow)
       throw new RuntimeException(
@@ -979,7 +1128,7 @@ private[sources] class LakeDataWriter(path: String,
         }
       c -> ColStats(mn, mx, nulls(i))
     }.toMap
-    LakeFileCommit(fileName, rows, stats)
+    LakeFileCommit(fileName, rows, bytesOut, stats)
   }
 
   override def abort(): Unit = {

@@ -47,8 +47,10 @@ class LakeSpec extends AnyFunSuite {
     det(20000, 8).write.format(Lake).option("path", dir)
       .mode("overwrite").save()
     assert(lakeFiles(dir).size == 8, lakeFiles(dir).toString)
-    // full scan plans all 8 files
-    assert(read(dir).count() == 20000L)
+    // full scan plans all 8 files (SUM is not manifest-answerable, so
+    // this is a REAL scan — a bare count() would short-circuit into the
+    // manifest-only LakeAggScan and plan no data partition at all)
+    assert(read(dir).agg(sum(col("kscore"))).head.getLong(0) > 0L)
     assert(LakeSource.lastPlannedFiles.get().size == 8)
     // 8 slices = contiguous 2500-id files; id < 2500 is exactly file 0
     assert(read(dir).filter(col("id") < 2500).count() == 2500L)
@@ -339,6 +341,47 @@ class LakeSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM glt.ns.tddl")
       .head.getLong(0) == 0L)
     spark.sql("DROP TABLE glt.ns.tddl")
+  }
+
+  test("manifest-only aggregates: COUNT/MIN/MAX answered from stats with no data task; joins run and auto-broadcast") {
+    val dir = tmp("lake_agg")
+    det(20000, 8).write.format(Lake).option("path", dir)
+      .mode("overwrite").save()
+    val df = read(dir)
+    // complete pushdown: one LakeAggScan row, NO data partition planned
+    LakeSource.lastPlannedFiles.set(Nil)
+    val agg = df.agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+      max(col("id")).as("mx"), count(col("doc_id")).as("nd"))
+    assert(agg.queryExecution.executedPlan.toString.contains("LakeAggScan"),
+      agg.queryExecution.executedPlan.toString.take(500))
+    val r = agg.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((20000L, 0L, 19999L, 20000L)))
+    assert(LakeSource.lastPlannedFiles.get().isEmpty,
+      "manifest-only aggregate planned data partitions")
+    // refused when rows are needed: a filter forces the real scan
+    assert(df.filter(col("id") < 100).agg(count(lit(1))).head.getLong(0)
+      == 100L)
+    assert(LakeSource.lastPlannedFiles.get().nonEmpty)
+    // all-null column: MIN/MAX stays answerable (SQL NULL), COUNT(col)=0
+    val dir2 = tmp("lake_agg_null")
+    spark.range(0, 7)
+      .select(col("id"), lit(null).cast("double").as("v")).coalesce(1)
+      .write.format(Lake).option("path", dir2).mode("overwrite").save()
+    val r2 = spark.read.format(Lake).option("path", dir2).load()
+      .agg(min(col("v")).as("mn"), count(col("v")).as("nv")).head
+    assert(r2.isNullAt(0) && r2.getLong(1) == 0L)
+    // statistics reporting: a small filtered lake dim under the
+    // broadcast threshold auto-broadcasts with NO explicit broadcast()
+    // hint — the manifest's exact rows/bytes feeding join planning
+    val big = spark.range(0, 100000).select(col("id"))
+    val j = big.join(df.filter(col("id") < 2500)
+      .select(col("id"), col("bucket")), "id")
+    assert(j.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "small lake dim did not auto-broadcast from manifest statistics")
+    assert(j.count() == 2500L) // and the join RUNS (r16 regression: the
+    // unconditional _file filterAttributes failed any join at analysis)
   }
 
   test("lake DDL rejects unsupported column types at CREATE") {
