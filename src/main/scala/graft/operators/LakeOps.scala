@@ -194,6 +194,29 @@ object LakeOps {
       .orderBy(col("bucket"))
   }
 
+  /** Manifest-only aggregates: global COUNT(*)/COUNT(col)/MIN/MAX are
+    * exact functions of the per-file stats, so this plan is ONE
+    * driver-computed row from the manifest — no data file opens
+    * ([[graft.sources.LakeTable]] `LakeAggScan`; LakeSpec pins the
+    * zero-data-task plan). The parquet-footer-statistics idiom at the
+    * engine level: at 100 TB, a metadata lookup instead of a full pass. */
+  val qLakeStatsAgg: Q = Q(
+    "q231_lake_stats_agg",
+    """SELECT count(*) AS n, CAST(min(id) AS BIGINT) AS min_id,
+      |       CAST(max(id) AS BIGINT) AS max_id,
+      |       CAST(min(id % 16) AS INT) AS min_bucket,
+      |       CAST(max(id % 16) AS INT) AS max_bucket
+      |FROM range(30000) t(id)""".stripMargin
+  ) { (s, _) =>
+    val dir = lakeDir(s, "q231_lake")
+    det(s, 30000, 8).write.format(Lake)
+      .option("path", dir).mode("overwrite").save()
+    s.read.format(Lake).option("path", dir).load()
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"), min(col("bucket")).as("min_bucket"),
+        max(col("bucket")).as("max_bucket"))
+  }
+
   val all: Seq[Q] = Seq(qLakeScanPrune, qLakeDelete, qLakeUpdate,
-    qLakeMerge, qLakeTimeTravel)
+    qLakeMerge, qLakeTimeTravel, qLakeStatsAgg)
 }
