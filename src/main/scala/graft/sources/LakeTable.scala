@@ -339,6 +339,27 @@ object LakeFormat {
     f.delete(staging, true)
   }
 
+  /** Maintenance: OPTIMIZE — rewrite the current snapshot range-
+    * clustered on `col` into `files` files (Delta `OPTIMIZE ZORDER` /
+    * Iceberg `rewrite_data_files` seat, single-column form). Stats
+    * pruning is only as selective as the LAYOUT lets it be: a column
+    * scattered across every file (bucket = id % 16 in the fixtures)
+    * prunes nothing until clustering makes each file's [min,max] tight
+    * — after which an equality predicate plans ~1/files of the data
+    * (LakeSpec pins the planned-file drop and content equality).
+    * Publishes through the normal truncate commit: one new manifest
+    * version, content-identical rows, old snapshots intact until
+    * vacuum. At 100 TB this is the background job that keeps
+    * needle-predicates cheap as append order diverges from query
+    * order. */
+  def optimize(spark: org.apache.spark.sql.SparkSession, dir: String,
+      col: String, files: Int): Unit =
+    spark.read.format("graft.sources.LakeSource").option("path", dir)
+      .load()
+      .repartitionByRange(files, org.apache.spark.sql.functions.col(col))
+      .write.format("graft.sources.LakeSource")
+      .option("path", dir).mode("overwrite").save()
+
   /** Maintenance: drop manifests below `keepFromVersion` and every data
     * file no surviving manifest references. Time travel below the floor
     * then fails loudly at manifest lookup (never serves partial data —

@@ -384,6 +384,35 @@ class LakeSpec extends AnyFunSuite {
     // unconditional _file filterAttributes failed any join at analysis)
   }
 
+  test("OPTIMIZE: range-clustering a scattered column makes stats pruning selective; content identical") {
+    val dir = tmp("lake_opt")
+    det(20000, 8).write.format(Lake).option("path", dir)
+      .mode("overwrite").save()
+    val before = read(dir).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("kscore")).as("s"))
+      .collect().map(_.toString).sorted.toSeq
+    // bucket = id % 16 interleaves through every id-contiguous file, so
+    // an equality predicate prunes NOTHING on the append layout
+    assert(read(dir).filter(col("bucket") === 3).agg(sum(col("id")))
+      .head.getLong(0) > 0L)
+    assert(LakeSource.lastPlannedFiles.get().size == 8,
+      "scattered column should defeat pruning before optimize")
+    // cluster by bucket: each file's [min,max] tightens to ~2 values
+    LakeFormat.optimize(spark, dir, "bucket", files = 8)
+    val after = read(dir).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("kscore")).as("s"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before, "optimize changed table content")
+    assert(read(dir).filter(col("bucket") === 3).agg(sum(col("id")))
+      .head.getLong(0) > 0L)
+    assert(LakeSource.lastPlannedFiles.get().size <= 2,
+      s"clustered equality predicate planned " +
+        s"${LakeSource.lastPlannedFiles.get().size} of 8 files")
+    // old snapshot (pre-optimize layout) still serves via time travel
+    assert(spark.read.format(Lake).option("path", dir)
+      .option("versionAsOf", 0).load().count() == 20000L)
+  }
+
   test("lake DDL rejects unsupported column types at CREATE") {
     spark.conf.set("spark.sql.catalog.glt", "graft.sources.GraftCatalog")
     intercept[Exception] {
