@@ -152,9 +152,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "GraftCatalog tables are immutable; DROP and re-CREATE")
+      changes: TableChange*): Table = tables.get(ident) match {
+    case lt: LakeTable =>
+      // append-only schema evolution (round 16): ADD COLUMN widens the
+      // manifest header; old files null-pad. Everything else is refused
+      // inside evolve() — it would reinterpret committed bytes.
+      val evolved = lt.evolve(changes)
+      tables.put(ident, evolved)
+      evolved
+    case null => throw new NoSuchTableException(ident)
+    case _ => throw new UnsupportedOperationException(
+      "GraftCatalog detrange/csvdir tables are immutable; DROP and " +
+        "re-CREATE (lake tables support ADD COLUMN)")
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     tables.remove(ident) != null

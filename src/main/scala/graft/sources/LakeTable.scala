@@ -321,9 +321,22 @@ object LakeFormat {
             "command against the new snapshot")
       }
       val base = fixedBase.orElse(latest).filter(_ >= 0)
-      val baseEntries = base.map(v => readManifest(f, path, v)._2)
-        .getOrElse(Nil)
-      done = writeManifestCAS(f, path, base.getOrElse(-1) + 1, schema,
+      val (baseSchema, baseEntries) = base
+        .map(v => readManifest(f, path, v))
+        .getOrElse((schema, Seq.empty[FileEntry]))
+      // schema-evolution monotonicity: a writer created BEFORE an ADD
+      // COLUMN landed still carries the narrower schema — its commit
+      // must not shrink the manifest header back. The wider of the two
+      // wins; the common prefix must agree or the table is corrupt.
+      val outSchema =
+        if (baseSchema.length > schema.length) {
+          require(schema.fields.zip(baseSchema.fields).forall { case (a, b) =>
+            a.name == b.name && a.dataType == b.dataType },
+            s"lake commit on $path: writer schema ${schema.simpleString} " +
+              s"is not a prefix of the evolved ${baseSchema.simpleString}")
+          baseSchema
+        } else schema
+      done = writeManifestCAS(f, path, base.getOrElse(-1) + 1, outSchema,
         mkEntries(baseEntries, newEntries))
       if (!done) {
         if (fixedBase.isDefined) conflict(
@@ -522,12 +535,62 @@ object LakeFormat {
     !pushed.exists(f => noneMatch(e, f))
 }
 
-class LakeTable(path: String, tableSchema: StructType,
+class LakeTable(private[sources] val path: String, tableSchema: StructType,
     versionAsOf: Option[Int], failPartition: Option[Int])
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns
     with SupportsDeleteV2 {
   import LakeFormat._
+
+  /** SCHEMA EVOLUTION (append-only `ALTER TABLE … ADD COLUMNS`): the
+    * lake form of the one evolution every training corpus needs —
+    * a new nullable column appended at the end. Old data files simply
+    * lack the trailing column (the reader null-pads short rows), new
+    * writes carry it with stats, and a copy-on-write rewrite upgrades
+    * any file it touches. The evolution itself is a manifest commit:
+    * same entries, widened schema header, CAS-retried like any
+    * commutative commit ([[LakeFormat.publish]] keeps the header
+    * monotone if a stale-schema append races it). Renames, drops,
+    * repositions and non-null adds are refused — they would
+    * reinterpret committed bytes. */
+  private[sources] def evolve(
+      changes: Seq[org.apache.spark.sql.connector.catalog.TableChange])
+      : LakeTable = {
+    import org.apache.spark.sql.connector.catalog.TableChange
+    val added = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "lake evolution: nested columns are unsupported")
+        require(a.isNullable,
+          "lake evolution: added columns must be nullable — committed " +
+            "rows have no value for them")
+        require(a.position() == null,
+          "lake evolution: columns append at the END — a repositioned " +
+            "column would reinterpret committed rows positionally")
+        require(!tableSchema.fieldNames.contains(a.fieldNames()(0)),
+          s"column ${a.fieldNames()(0)} already exists")
+        StructField(a.fieldNames()(0), a.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"lake tables support only ADD COLUMN evolution; got $other")
+    }
+    val evolved = StructType(tableSchema.fields ++ added)
+    LakeTable.requireSupported(evolved)
+    val f = fs(path)
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val base = latestVersion(f, path)
+      val entries = base.map(v => readManifest(f, path, v)._2).getOrElse(Nil)
+      done = writeManifestCAS(f, path, base.getOrElse(-1) + 1, evolved,
+        entries)
+      if (!done) {
+        attempts += 1
+        require(attempts < 20,
+          s"lake schema evolution on $path lost $attempts CAS races")
+      }
+    }
+    new LakeTable(path, evolved, None, failPartition)
+  }
 
   LakeTable.requireSupported(tableSchema)
 
@@ -716,7 +779,11 @@ private[sources] class LakeScanBuilder(path: String,
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
         case _: CountStar => true
-        case c: Count => !c.isDistinct && statCol(c.column).isDefined
+        // files predating an ADD COLUMN have no stats entry for it —
+        // their null counts are unknown to the manifest, so COUNT(col)
+        // must fall back to a real scan there
+        case c: Count => !c.isDistinct && statCol(c.column).exists(col =>
+          entries.forall(_.stats.contains(col)))
         case m: Min => statCol(m.column).exists(rangeComplete)
         case m: Max => statCol(m.column).exists(rangeComplete)
         case _ => false
@@ -911,6 +978,9 @@ private[sources] class LakeReaderFactory(path: String,
         while (i < srcIdx.length) {
           out(i) =
             if (srcIdx(i) < 0) fileUtf8
+            // short row = the file predates an ADD COLUMN evolution;
+            // the missing trailing columns read as SQL NULL
+            else if (srcIdx(i) >= toks.length) null
             else {
               val t = toks(srcIdx(i))
               if (t == LakeFormat.NullTok) null

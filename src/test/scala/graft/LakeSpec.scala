@@ -413,6 +413,45 @@ class LakeSpec extends AnyFunSuite {
       .option("versionAsOf", 0).load().count() == 20000L)
   }
 
+  test("schema evolution: ADD COLUMNS null-pads old files, new writes carry stats, rewrites upgrade; non-append changes refused") {
+    val dir = tmp("lake_evolve")
+    val t = catalogTable("tevo", dir)
+    det(100, 2).createOrReplaceTempView("lake_evolve_src")
+    spark.sql(s"INSERT OVERWRITE $t SELECT * FROM lake_evolve_src")
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (extra DOUBLE)")
+    // old rows read as NULL for the new column; the schema widened
+    assert(spark.table(t).schema.fieldNames.last == "extra")
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE extra IS NULL")
+      .head.getLong(0) == 100L)
+    // new writes carry the column (and its stats)
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(9001, 1, 1, 0.5, 'new', 7.5), (9002, 2, 2, 0.5, 'new', 8.5)")
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE extra > 7")
+      .head.getLong(0) == 2L)
+    // manifest-only COUNT(extra) must REFUSE (old files carry no stats
+    // for it) yet still answer correctly via the real scan
+    assert(spark.sql(s"SELECT count(extra) FROM $t").head.getLong(0) == 2L)
+    // a copy-on-write UPDATE touching an old file upgrades its rows to
+    // the full schema (the rewrite writes every column)
+    spark.sql(s"UPDATE $t SET extra = 1.0 WHERE id = 10")
+    assert(spark.sql(s"SELECT extra FROM $t WHERE id = 10")
+      .head.getDouble(0) == 1.0)
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 102L)
+    // time travel to the pre-evolution snapshot serves the OLD schema
+    val f = LakeFormat.fs(dir)
+    assert(LakeFormat.readManifest(f, dir, 0)._1.fieldNames.length == 5)
+    // non-append evolution is refused loudly
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ADD COLUMNS (bad DOUBLE NOT NULL)")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t DROP COLUMN extra")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ADD COLUMNS (early DOUBLE FIRST)")
+    }
+  }
+
   test("lake DDL rejects unsupported column types at CREATE") {
     spark.conf.set("spark.sql.catalog.glt", "graft.sources.GraftCatalog")
     intercept[Exception] {
