@@ -68,6 +68,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     t
   }
 
+  /** SQL-first time travel (round 16): `SELECT … FROM t VERSION AS OF n`
+    * binds a lake table to manifest `n` — the catalog twin of the
+    * path-based `option("versionAsOf", n)`. Non-lake tables have no
+    * versions to travel to. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    tables.get(ident) match {
+      case lt: LakeTable =>
+        val v = try version.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"lake VERSION AS OF takes a manifest number; got '$version'")
+        }
+        new LakeTable(lt.path,
+          LakeFormat.readManifest(LakeFormat.fs(lt.path), lt.path, v)._1,
+          Some(v), None)
+      case null => throw new NoSuchTableException(ident)
+      case _ => throw new UnsupportedOperationException(
+        s"$ident is not a lake table — only lake tables are versioned")
+    }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
     // racing CREATEs are resolved by the atomic putIfAbsent at the end;

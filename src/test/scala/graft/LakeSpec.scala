@@ -176,9 +176,13 @@ class LakeSpec extends AnyFunSuite {
     spark.sql(s"DELETE FROM $t WHERE id < 5000") // metadata path, v0+1
     val vNow = LakeFormat.latestVersion(f, dir).get
     assert(vNow == v0 + 1)
-    // old snapshot intact after the delete
+    // old snapshot intact after the delete — via the path option AND
+    // the SQL-first form (catalog loadTable(ident, version))
     assert(spark.read.format(Lake).option("path", dir)
       .option("versionAsOf", v0).load().count() == 20000L)
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF $v0")
+      .head.getLong(0) == 20000L)
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 15000L)
     // vacuum below the current version: old manifests die, and every
     // data file still referenced by a surviving manifest survives
     val dropped = LakeFormat.vacuum(dir, keepFromVersion = vNow)
