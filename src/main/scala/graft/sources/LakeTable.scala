@@ -109,11 +109,12 @@ object LakeSource {
   val lastMetadataDeleted =
     new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
 
-  /** TEST HOOK (one-shot): runs at the start of the next row-level
-    * commit — the window between a rewrite's snapshot read and its
-    * publish. LakeSpec plants a concurrent commit here to pin that the
-    * rewrite LOSES loudly instead of silently dropping the concurrent
-    * writer's rows. */
+  /** TEST HOOK (one-shot): runs at the start of the next
+    * SNAPSHOT-PINNED commit (row-level rewrite or OPTIMIZE) — the
+    * window between the rewrite's snapshot read and its publish.
+    * LakeSpec plants a concurrent commit here to pin that the rewrite
+    * LOSES loudly instead of silently dropping the concurrent writer's
+    * rows. */
   val beforeRowLevelCommit =
     new java.util.concurrent.atomic.AtomicReference[Runnable](null)
 
@@ -133,11 +134,23 @@ class LakeSource extends TableProvider {
     require(path != null && path.nonEmpty,
       "LakeSource requires option(\"path\", ...)")
     val f = LakeFormat.fs(path)
-    LakeFormat.latestVersion(f, path) match {
-      case Some(v) => LakeFormat.readManifest(f, path, v)._1
-      case None => throw new IllegalArgumentException(
-        s"no lake manifest under $path — write the table first or " +
-          "declare a schema")
+    // a time-travel read serves THAT VERSION's schema — inferring from
+    // the latest manifest made the path form null-pad post-evolution
+    // columns onto an old snapshot while the catalog form (loadTable
+    // with version) served the version's own narrower schema, so the
+    // two VERSION AS OF entry points disagreed (r16 advisory)
+    Option(options.get("versionAsOf")).map(_.toInt) match {
+      case Some(v) =>
+        require(f.exists(new HPath(path, LakeFormat.manifestName(v))),
+          s"versionAsOf $v does not exist under $path — vacuumed or " +
+            "never committed")
+        LakeFormat.readManifest(f, path, v)._1
+      case None => LakeFormat.latestVersion(f, path) match {
+        case Some(v) => LakeFormat.readManifest(f, path, v)._1
+        case None => throw new IllegalArgumentException(
+          s"no lake manifest under $path — write the table first or " +
+            "declare a schema")
+      }
     }
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -166,18 +179,60 @@ object LakeFormat {
 
   /** Epoch prefix on streaming-written data files — ONE spelling, used
     * by both the writer factory and the replay-replacement match (a
-    * drift between them would silently break exactly-once; r16 review). */
-  def epochPrefix(epochId: Long): String = f"epoch=$epochId%05d-"
+    * drift between them would silently break exactly-once; r16 review).
+    * Namespaced by the STREAMING QUERY ID (Spark passes the stable
+    * checkpoint-persisted `id` — not the per-run `runId` — as
+    * `LogicalWriteInfo.queryId` for streaming writes), so replacement
+    * only ever targets the SAME query's prior attempt: two distinct
+    * queries (separate checkpoints) both start at epoch 0, and an
+    * un-namespaced prefix would let the second query's commit(0, …)
+    * silently drop the first's epoch-0 rows (r16 advisory). */
+  def epochPrefix(queryId: String, epochId: Long): String =
+    f"q=$queryId-epoch=$epochId%05d-"
+
+  /** Driver-side Hadoop configuration, serializable for shipping into
+    * reader/writer factories: executors have no active SparkSession, so
+    * re-deriving the conf task-side would lose every `spark.hadoop.*`
+    * setting (credentials, fs.defaultFS) and open the WRONG filesystem
+    * on any configured deployment (r16 advisory). Hadoop's
+    * Configuration is not Serializable; this wrapper round-trips it
+    * through its own writeXml/readFields codec. */
+  final class SerializableHadoopConf(@transient var value: Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** Capture the driver's Hadoop conf for executor-side use — call ON
+    * THE DRIVER (factory construction time). */
+  def driverConf(): SerializableHadoopConf =
+    new SerializableHadoopConf(
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new Configuration()))
 
   def fs(path: String): FileSystem =
     new HPath(path).getFileSystem(
       // honor spark.hadoop.* (credentials, fs.defaultFS) when a session
       // is reachable — a bare Configuration() would silently hit the
       // wrong filesystem in any configured deployment (r16 review);
-      // executor-side readers have no active session and fall back
+      // task-side callers pass the driver-captured conf instead
       org.apache.spark.sql.SparkSession.getActiveSession
         .map(_.sessionState.newHadoopConf())
         .getOrElse(new Configuration()))
+
+  /** Task-side variant: opens the filesystem with the DRIVER's conf,
+    * shipped through the factory (r16 advisory — see
+    * [[SerializableHadoopConf]]). */
+  def fs(path: String, conf: SerializableHadoopConf): FileSystem =
+    new HPath(path).getFileSystem(conf.value)
 
   def latestVersion(f: FileSystem, dir: String): Option[Int] = {
     val d = new HPath(dir)
@@ -277,6 +332,21 @@ object LakeFormat {
     ok
   }
 
+  /** Schema-evolution monotonicity, ONE spelling for every commit path
+    * (publish, metadata delete, truncate, evolve — r16 advisory flagged
+    * the paths that bypassed it): the wider of the two headers wins,
+    * and the common prefix must agree column-for-column or the table is
+    * corrupt. A writer still holding a pre-evolution handle can never
+    * shrink an evolved manifest header back. */
+  def mergeSchemas(path: String, a: StructType, b: StructType): StructType = {
+    val (narrow, wide) = if (a.length <= b.length) (a, b) else (b, a)
+    require(narrow.fields.zip(wide.fields).forall { case (x, y) =>
+      x.name == y.name && x.dataType == y.dataType },
+      s"lake commit on $path: schema ${a.simpleString} and " +
+        s"${b.simpleString} disagree on their common prefix")
+    wide
+  }
+
   /** Shared commit tail for every write path (batch append/truncate,
     * streaming epoch, row-level replace — one protocol, one body; r16
     * review): rename the staged files named in `messages` into the
@@ -296,6 +366,11 @@ object LakeFormat {
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage],
       schema: StructType, fixedBase: Option[Int],
       mkEntries: (Seq[FileEntry], Seq[FileEntry]) => Seq[FileEntry]): Unit = {
+    // test hook: the window between a snapshot-pinned commit's read and
+    // its publish — LakeSpec plants a concurrent commit here to pin
+    // that row-level rewrites AND OPTIMIZE lose loudly, never silently
+    if (fixedBase.isDefined)
+      Option(LakeSource.beforeRowLevelCommit.getAndSet(null)).foreach(_.run())
     val dest = new HPath(path)
     val staging = new HPath(path, s"_staging-$queryId")
     f.mkdirs(dest)
@@ -316,9 +391,9 @@ object LakeFormat {
       val latest = latestVersion(f, path)
       fixedBase.foreach { b =>
         if (latest.getOrElse(-1) != b) conflict(
-          s"lake row-level commit conflict on $path: read snapshot v$b " +
-            s"but v${latest.getOrElse(-1)} is now current — re-run the " +
-            "command against the new snapshot")
+          s"lake snapshot-pinned commit conflict on $path: read snapshot " +
+            s"v$b but v${latest.getOrElse(-1)} is now current — re-run " +
+            "the command against the new snapshot")
       }
       val base = fixedBase.orElse(latest).filter(_ >= 0)
       val (baseSchema, baseEntries) = base
@@ -328,19 +403,12 @@ object LakeFormat {
       // COLUMN landed still carries the narrower schema — its commit
       // must not shrink the manifest header back. The wider of the two
       // wins; the common prefix must agree or the table is corrupt.
-      val outSchema =
-        if (baseSchema.length > schema.length) {
-          require(schema.fields.zip(baseSchema.fields).forall { case (a, b) =>
-            a.name == b.name && a.dataType == b.dataType },
-            s"lake commit on $path: writer schema ${schema.simpleString} " +
-              s"is not a prefix of the evolved ${baseSchema.simpleString}")
-          baseSchema
-        } else schema
+      val outSchema = mergeSchemas(path, baseSchema, schema)
       done = writeManifestCAS(f, path, base.getOrElse(-1) + 1, outSchema,
         mkEntries(baseEntries, newEntries))
       if (!done) {
         if (fixedBase.isDefined) conflict(
-          s"lake row-level commit conflict on $path: version " +
+          s"lake snapshot-pinned commit conflict on $path: version " +
             s"${fixedBase.get + 1} was taken while publishing — re-run " +
             "the command")
         attempts += 1
@@ -360,34 +428,66 @@ object LakeFormat {
     * prunes nothing until clustering makes each file's [min,max] tight
     * — after which an equality predicate plans ~1/files of the data
     * (LakeSpec pins the planned-file drop and content equality).
-    * Publishes through the normal truncate commit: one new manifest
-    * version, content-identical rows, old snapshots intact until
-    * vacuum. At 100 TB this is the background job that keeps
-    * needle-predicates cheap as append order diverges from query
-    * order. */
+    * Publishes one new manifest version with content-identical rows;
+    * old snapshots stay intact until vacuum. At 100 TB this is the
+    * background job that keeps needle-predicates cheap as append order
+    * diverges from query order.
+    *
+    * SNAPSHOT-PINNED (r16 verdict #1): OPTIMIZE reads snapshot v and
+    * republishes it — its output is only content-identical AGAINST v.
+    * The read binds to `versionAsOf v` and the write carries
+    * `replaceOfVersion v`, which routes the commit through the same
+    * `fixedBase` CAS the row-level rewrites use: an append landing
+    * inside the read→publish window makes OPTIMIZE abort loudly (re-run
+    * it), never republish a manifest missing the appended rows — the
+    * lost-update the commutative truncate path allowed. */
   def optimize(spark: org.apache.spark.sql.SparkSession, dir: String,
-      col: String, files: Int): Unit =
+      col: String, files: Int): Unit = {
+    val v = latestVersion(fs(dir), dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"lake optimize: no manifest under $dir — nothing to rewrite"))
     spark.read.format("graft.sources.LakeSource").option("path", dir)
-      .load()
+      .option("versionAsOf", v).load()
       .repartitionByRange(files, org.apache.spark.sql.functions.col(col))
       .write.format("graft.sources.LakeSource")
-      .option("path", dir).mode("overwrite").save()
+      .option("path", dir).option("replaceOfVersion", v)
+      .mode("overwrite").save()
+  }
+
+  /** Default vacuum grace for unreferenced data files: a concurrent
+    * commit renames its staged files into the table dir BEFORE its
+    * manifest CAS lands, so an unreferenced-but-young `.lake` file may
+    * be a live commit in flight — deleting it would make the
+    * about-to-publish manifest reference a missing file (r16 advisory;
+    * same race class [[CsvDirSink]]'s foreign-staging sweep guards with
+    * its 1-hour window). */
+  val DefaultVacuumGraceMs: Long = 60L * 60 * 1000
 
   /** Maintenance: drop manifests below `keepFromVersion` and every data
     * file no surviving manifest references. Time travel below the floor
     * then fails loudly at manifest lookup (never serves partial data —
-    * files die only with every manifest that names them). */
-  def vacuum(dir: String, keepFromVersion: Int): Seq[String] = {
+    * files die only with every manifest that names them). Unreferenced
+    * files YOUNGER than `graceMs` survive: they may belong to a commit
+    * between its publish renames and its manifest CAS (see
+    * [[DefaultVacuumGraceMs]]); pass 0 only on a quiesced table. */
+  def vacuum(dir: String, keepFromVersion: Int,
+      graceMs: Long = DefaultVacuumGraceMs): Seq[String] = {
     val f = fs(dir)
     val d = new HPath(dir)
-    val all = f.listStatus(d).map(_.getPath.getName)
+    val statuses = f.listStatus(d)
+    val all = statuses.map(_.getPath.getName)
+    val cutoff = System.currentTimeMillis() - graceMs
+    val aged = statuses
+      .filter(st => st.getModificationTime <= cutoff)
+      .map(_.getPath.getName).toSet
     val (keepMans, dropMans) = all.collect {
       case n @ ManifestRe(v) => (n, v.toInt)
     }.partition(_._2 >= keepFromVersion)
     val referenced = keepMans.map(_._2)
       .flatMap(v => readManifest(f, dir, v)._2.map(_.name)).toSet
     val dropped = dropMans.map(_._1) ++
-      all.filter(n => n.endsWith(".lake") && !referenced.contains(n))
+      all.filter(n =>
+        n.endsWith(".lake") && !referenced.contains(n) && aged.contains(n))
     dropped.foreach(n => f.delete(new HPath(d, n), false))
     dropped.toSeq.sorted
   }
@@ -573,17 +673,34 @@ class LakeTable(private[sources] val path: String, tableSchema: StructType,
       case other => throw new UnsupportedOperationException(
         s"lake tables support only ADD COLUMN evolution; got $other")
     }
-    val evolved = StructType(tableSchema.fields ++ added)
-    LakeTable.requireSupported(evolved)
+    LakeTable.requireSupported(StructType(added))
     val f = fs(path)
     var attempts = 0
-    var done = false
-    while (!done) {
+    var evolved: StructType = null
+    while (evolved == null) {
       val base = latestVersion(f, path)
-      val entries = base.map(v => readManifest(f, path, v)._2).getOrElse(Nil)
-      done = writeManifestCAS(f, path, base.getOrElse(-1) + 1, evolved,
-        entries)
-      if (!done) {
+      val (baseSchema, entries) = base
+        .map(v => readManifest(f, path, v))
+        .getOrElse((tableSchema, Seq.empty[FileEntry]))
+      // merge against the FRESHLY-READ base, exactly like publish does
+      // (r16 verdict #2: writing `this.tableSchema + added` here let a
+      // CAS retry — or a stale handle — shrink the header under a
+      // concurrent ALTER, silently dropping its committed column).
+      // Wider-wins on the handle-vs-base prefix, then append only the
+      // genuinely-new columns; a same-name column the base already
+      // carries must agree on type (then the add is an idempotent
+      // no-op) or the two ALTERs are irreconcilable.
+      val pre = mergeSchemas(path, baseSchema, tableSchema)
+      added.foreach(a => pre.fields.find(_.name == a.name).foreach(ex =>
+        require(ex.dataType == a.dataType,
+          s"lake evolution on $path: column ${a.name} already exists " +
+            s"as ${ex.dataType.simpleString}, not ${a.dataType.simpleString}")))
+      val target =
+        StructType(pre.fields ++
+          added.filterNot(a => pre.fieldNames.contains(a.name)))
+      if (writeManifestCAS(f, path, base.getOrElse(-1) + 1, target, entries))
+        evolved = target
+      else {
         attempts += 1
         require(attempts < 20,
           s"lake schema evolution on $path lost $attempts CAS races")
@@ -615,7 +732,10 @@ class LakeTable(private[sources] val path: String, tableSchema: StructType,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new LakeWriteBuilder(path, tableSchema, info.schema(), info.queryId(),
-      failPartition)
+      failPartition,
+      // internal option set by LakeFormat.optimize: pins the commit to
+      // the snapshot the rewrite read (fixedBase CAS — r16 verdict #1)
+      Option(info.options.get("replaceOfVersion")).map(_.toInt))
 
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
@@ -662,11 +782,14 @@ class LakeTable(private[sources] val path: String, tableSchema: StructType,
     while (true) {
       val base = latestVersion(f, path)
       if (base.isEmpty) return // nothing committed, nothing to delete
-      val entries = readManifest(f, path, base.get)._2
+      val (baseSchema, entries) = readManifest(f, path, base.get)
       val remaining = d(entries).getOrElse(throw new IllegalStateException(
         "metadata delete became undecidable after a concurrent commit — " +
           "re-run the DELETE (it will take the rewrite path)"))
-      if (writeManifestCAS(f, path, base.get + 1, tableSchema, remaining)) {
+      // header monotonicity, same rule as publish (r16 advisory: a
+      // handle predating an ADD COLUMN must not shrink the header back)
+      val outSchema = mergeSchemas(path, baseSchema, tableSchema)
+      if (writeManifestCAS(f, path, base.get + 1, outSchema, remaining)) {
         LakeSource.lastMetadataDeleted.set(
           entries.map(_.name).diff(remaining.map(_.name)))
         return
@@ -684,11 +807,20 @@ class LakeTable(private[sources] val path: String, tableSchema: StructType,
     // other commutative paths tolerate), bounded so a livelock is loud
     val f = fs(path)
     var attempts = 0
-    while (!writeManifestCAS(f, path,
-        latestVersion(f, path).map(_ + 1).getOrElse(0), tableSchema, Nil)) {
-      attempts += 1
-      require(attempts < 20,
-        s"lake truncate on $path lost $attempts CAS races — aborting")
+    var done = false
+    while (!done) {
+      val base = latestVersion(f, path)
+      // header monotonicity, same rule as publish (r16 advisory)
+      val outSchema = base
+        .map(v => mergeSchemas(path, readManifest(f, path, v)._1, tableSchema))
+        .getOrElse(tableSchema)
+      done = writeManifestCAS(f, path, base.map(_ + 1).getOrElse(0),
+        outSchema, Nil)
+      if (!done) {
+        attempts += 1
+        require(attempts < 20,
+          s"lake truncate on $path lost $attempts CAS races — aborting")
+      }
     }
     true
   }
@@ -940,14 +1072,18 @@ private[sources] class LakeScan(path: String, tableSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LakeReaderFactory(path, tableSchema, required)
+    // capture the driver's Hadoop conf HERE (createReaderFactory runs
+    // on the driver) — executors have no session to re-derive it from
+    new LakeReaderFactory(path, tableSchema, required,
+      LakeFormat.driverConf())
 }
 
 private[sources] case class LakeInputPartition(fileName: String)
     extends InputPartition
 
 private[sources] class LakeReaderFactory(path: String,
-    tableSchema: StructType, required: StructType)
+    tableSchema: StructType, required: StructType,
+    conf: LakeFormat.SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
@@ -961,7 +1097,8 @@ private[sources] class LakeReaderFactory(path: String,
       private val srcType = srcIdx.map(i =>
         if (i < 0) StringType else tableSchema.fields(i).dataType)
       private val fileUtf8 = UTF8String.fromString(fileName)
-      private val in = LakeFormat.fs(path).open(new HPath(path, fileName))
+      private val in =
+        LakeFormat.fs(path, conf).open(new HPath(path, fileName))
       private val reader = new java.io.BufferedReader(
         new java.io.InputStreamReader(in, "UTF-8"))
       private var line: String = _
@@ -1005,12 +1142,14 @@ private[sources] class LakeReaderFactory(path: String,
 
 private[sources] class LakeWriteBuilder(path: String,
     tableSchema: StructType, writeSchema: StructType, queryId: String,
-    failPartition: Option[Int]) extends WriteBuilder with SupportsTruncate {
+    failPartition: Option[Int], replaceOfVersion: Option[Int] = None)
+    extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new LakeBatchWrite(path,
-      tableSchema, writeSchema, queryId, doTruncate, failPartition)
+      tableSchema, writeSchema, queryId, doTruncate, failPartition,
+      replaceOfVersion)
     override def toStreaming: StreamingWrite =
       new LakeStreamingWrite(path, tableSchema, writeSchema, queryId)
   }
@@ -1040,21 +1179,25 @@ private[sources] class LakeStreamingWrite(path: String,
     // partition/task ids, and a name collision with the prior attempt's
     // committed files would clobber them at publish (r16 review)
     val writeUid = java.util.UUID.randomUUID().toString.take(8)
+    val conf = LakeFormat.driverConf() // driver-side capture (r16 advisory)
     new StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
           epochId: Long): DataWriter[InternalRow] =
         new LakeDataWriter(p, ts, ws, qid, partitionId, taskId,
           failAfterFirstRow = false,
-          filePrefix = LakeFormat.epochPrefix(epochId), writeUid = writeUid)
+          filePrefix = LakeFormat.epochPrefix(qid, epochId),
+          writeUid = writeUid, conf = conf)
     }
   }
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
-    // epoch replacement: a prior attempt of THIS epoch published some
-    // same-prefix entries already — drop them, then add ours. A pure
-    // function of the base, so the CAS retries like an append
-    val prefix = epochPrefix(epochId)
+    // epoch replacement: a prior attempt of THIS epoch OF THIS QUERY
+    // published some same-prefix entries already — drop them, then add
+    // ours. The prefix carries the stable streaming query id, so a
+    // second query's epoch 0 never replaces this one's (r16 advisory).
+    // A pure function of the base, so the CAS retries like an append
+    val prefix = epochPrefix(queryId, epochId)
     LakeFormat.publish(fs(path), path, queryId, messages, tableSchema,
       fixedBase = None,
       (baseEntries, newEntries) =>
@@ -1080,7 +1223,8 @@ private[sources] case class LakeFileCommit(fileName: String, rows: Long,
 
 private[sources] class LakeBatchWrite(path: String,
     tableSchema: StructType, writeSchema: StructType, queryId: String,
-    truncate: Boolean, failPartition: Option[Int]) extends BatchWrite {
+    truncate: Boolean, failPartition: Option[Int],
+    replaceOfVersion: Option[Int] = None) extends BatchWrite {
   import LakeFormat._
 
   override def createBatchWriterFactory(
@@ -1091,9 +1235,13 @@ private[sources] class LakeBatchWrite(path: String,
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     // appends and truncates are COMMUTATIVE against concurrent commits:
     // losing the version CAS just means re-reading the new base and
-    // re-applying (fixedBase = None → bounded retry)
+    // re-applying (fixedBase = None → bounded retry). The EXCEPTION is
+    // a content-identical rewrite (OPTIMIZE): its output is only valid
+    // against the snapshot it read, so replaceOfVersion pins the CAS —
+    // a concurrent append makes it abort loudly instead of silently
+    // republishing the pre-append snapshot (r16 verdict #1)
     LakeFormat.publish(fs(path), path, queryId, messages, tableSchema,
-      fixedBase = None,
+      fixedBase = replaceOfVersion,
       (baseEntries, newEntries) =>
         (if (truncate) Nil else baseEntries) ++ newEntries)
 
@@ -1112,19 +1260,28 @@ private[sources] class LakeWriterFactory(path: String,
   // publish rename clobber a committed live file (r16 review). One uid
   // per write, minted on the driver, makes names globally unique.
   private val writeUid = java.util.UUID.randomUUID().toString.take(8)
+  // driver's Hadoop conf, captured at factory construction (driver-side)
+  // for the executor-side file opens (r16 advisory)
+  private val conf = LakeFormat.driverConf()
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new LakeDataWriter(path, tableSchema, writeSchema, queryId,
       partitionId, taskId, failPartition.contains(partitionId),
-      writeUid = writeUid)
+      writeUid = writeUid, conf = conf)
 }
 
 private[sources] class LakeDataWriter(path: String,
     tableSchema: StructType, writeSchema: StructType, queryId: String,
     partitionId: Int, taskId: Long, failAfterFirstRow: Boolean,
-    filePrefix: String = "", writeUid: String = "w")
+    filePrefix: String = "", writeUid: String = "w",
+    conf: LakeFormat.SerializableHadoopConf = null)
     extends DataWriter[InternalRow] {
   import LakeFormat._
+
+  // factories capture the driver conf; the null fallback only serves
+  // direct driver-side construction in tests
+  private def openFs(): FileSystem =
+    if (conf != null) fs(path, conf) else fs(path)
 
   // incoming rows follow writeSchema, which may carry extra plan
   // columns (e.g. `_file` riding a row-level rewrite); persist exactly
@@ -1157,7 +1314,7 @@ private[sources] class LakeDataWriter(path: String,
     s"${filePrefix}part-$partitionId-$taskId-$writeUid.lake"
   private val staged = new HPath(path, s"_staging-$queryId/$fileName")
   private val out = {
-    val f = fs(path)
+    val f = openFs()
     new java.io.BufferedWriter(
       new java.io.OutputStreamWriter(f.create(staged, true), "UTF-8"))
   }
@@ -1224,7 +1381,7 @@ private[sources] class LakeDataWriter(path: String,
 
   override def abort(): Unit = {
     out.close()
-    fs(path).delete(staged, false)
+    openFs().delete(staged, false)
   }
 
   override def close(): Unit = ()
@@ -1276,7 +1433,8 @@ private[sources] class LakeReplaceDataWrite(path: String,
       failPartition)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    Option(LakeSource.beforeRowLevelCommit.getAndSet(null)).foreach(_.run())
+    // (the beforeRowLevelCommit test hook fires inside LakeFormat
+    // .publish for every snapshot-pinned commit — this one and OPTIMIZE)
     val scan = scanRef()
     require(scan != null,
       "lake row-level commit before its scan was configured")

@@ -185,7 +185,8 @@ class LakeSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 15000L)
     // vacuum below the current version: old manifests die, and every
     // data file still referenced by a surviving manifest survives
-    val dropped = LakeFormat.vacuum(dir, keepFromVersion = vNow)
+    // (graceMs=0: the table is quiesced — no commit is in flight)
+    val dropped = LakeFormat.vacuum(dir, keepFromVersion = vNow, graceMs = 0L)
     assert(dropped.exists(_.startsWith("_manifest-")), dropped.toString)
     assert(dropped.count(_.startsWith("part-")) == 2,
       s"expected the 2 metadata-deleted files reclaimed, got $dropped")
@@ -264,7 +265,7 @@ class LakeSpec extends AnyFunSuite {
     val f = LakeFormat.fs(dir)
     val vTorn = LakeFormat.latestVersion(f, dir).get
     val tornEntries = LakeFormat.readManifest(f, dir, vTorn)._2
-      .count(_.name.startsWith("epoch=00002-"))
+      .count(_.name.contains("-epoch=00002-")) // prefix = q=<queryId>-epoch=…
     assert(tornEntries > 0, "kill fired before the publish — wrong window")
     val q3 = start(750) // replay of epoch 2 under the SAME id
     assert(q3.awaitTermination(120000))
@@ -277,7 +278,7 @@ class LakeSpec extends AnyFunSuite {
     // snapshots only; vacuum to the current version reclaims every
     // file no surviving manifest references
     val vNow = LakeFormat.latestVersion(f, dir).get
-    LakeFormat.vacuum(dir, keepFromVersion = vNow)
+    LakeFormat.vacuum(dir, keepFromVersion = vNow, graceMs = 0L)
     val live = LakeFormat.readManifest(f, dir, vNow)._2.map(_.name).toSet
     val onDisk = new java.io.File(dir).list().toSeq
       .filter(_.endsWith(".lake")).toSet
@@ -454,6 +455,190 @@ class LakeSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql(s"ALTER TABLE $t ADD COLUMNS (early DOUBLE FIRST)")
     }
+  }
+
+  private def causesOf(e: Throwable): Seq[Throwable] =
+    if (e == null) Nil else e +: causesOf(e.getCause)
+  private def assertLoudConflict(err: Throwable): Unit =
+    assert(causesOf(err).flatMap(c => Option(c.getMessage))
+      .exists(_.contains("commit conflict")),
+      s"expected a loud commit conflict, got: $err")
+
+  test("OPTIMIZE is snapshot-pinned: a concurrent commit aborts it loudly, never a lost append (r16 verdict #1)") {
+    val dir = tmp("lake_optconf")
+    det(20000, 8).write.format(Lake).option("path", dir)
+      .mode("overwrite").save()
+    val f = LakeFormat.fs(dir)
+    // plant a concurrent commit inside OPTIMIZE's read→publish window:
+    // before the fix, OPTIMIZE republished through the commutative
+    // truncate path and silently dropped whatever the concurrent commit
+    // added — a lost update in the one op whose contract is
+    // "content-identical rewrite"
+    LakeSource.beforeRowLevelCommit.set(() => {
+      val base = LakeFormat.latestVersion(f, dir).get
+      val (s2, e2) = LakeFormat.readManifest(f, dir, base)
+      assert(LakeFormat.writeManifestCAS(f, dir, base + 1, s2, e2))
+    })
+    val err = intercept[Exception] {
+      LakeFormat.optimize(spark, dir, "bucket", files = 8)
+    }
+    assertLoudConflict(err)
+    // the concurrent commit's version stands; content intact
+    assert(LakeFormat.latestVersion(f, dir).contains(1))
+    assert(read(dir).count() == 20000L)
+    // an uncontended re-run succeeds and is content-identical
+    LakeFormat.optimize(spark, dir, "bucket", files = 8)
+    assert(read(dir).count() == 20000L)
+    assert(read(dir).filter(col("bucket") === 3).agg(sum(col("id")))
+      .head.getLong(0) > 0L)
+    assert(LakeSource.lastPlannedFiles.get().size <= 2)
+  }
+
+  test("concurrent ALTERs merge headers: a stale-handle evolution can never shrink the schema (r16 verdict #2)") {
+    val dir = tmp("lake_evo2")
+    // two catalog instances = two independent LakeTable handles over
+    // the same directory (the two-JVM shape, in-process)
+    spark.conf.set("spark.sql.catalog.gevA", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gevB", "graft.sources.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS gevA.ns.t")
+    spark.sql(s"""CREATE TABLE gevA.ns.t (
+      |  id BIGINT, bucket INT, kscore INT, score DOUBLE, doc_id STRING
+      |) USING lake LOCATION '$dir'""".stripMargin)
+    det(100, 2).createOrReplaceTempView("lake_evo2_src")
+    spark.sql("INSERT OVERWRITE gevA.ns.t SELECT * FROM lake_evo2_src")
+    spark.sql("DROP TABLE IF EXISTS gevB.ns.t")
+    spark.sql(s"CREATE TABLE gevB.ns.t USING lake LOCATION '$dir'")
+    // A adds x; B's handle still carries the 5-column schema. Before
+    // the fix, B's evolve wrote `handleSchema + y` as the header —
+    // column x vanished from the live schema while v1's files still
+    // carried its stats
+    spark.sql("ALTER TABLE gevA.ns.t ADD COLUMNS (extra_x DOUBLE)")
+    spark.sql("ALTER TABLE gevB.ns.t ADD COLUMNS (extra_y DOUBLE)")
+    val f = LakeFormat.fs(dir)
+    val v = LakeFormat.latestVersion(f, dir).get
+    assert(LakeFormat.readManifest(f, dir, v)._1.fieldNames.toSeq ==
+      Seq("id", "bucket", "kscore", "score", "doc_id", "extra_x", "extra_y"),
+      "stale-handle ALTER dropped a concurrently-added column")
+    // irreconcilable: same name, different type — loud failure
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gevA.ns.t ADD COLUMNS (extra_y STRING)")
+    }
+    // gevB's post-evolve handle carries the fully-merged 7-column
+    // schema (its evolve returned base+x+y); both added columns
+    // null-pad on the committed files
+    assert(spark.sql("SELECT count(*) FROM gevB.ns.t WHERE extra_x IS NULL" +
+      " AND extra_y IS NULL").head.getLong(0) == 100L)
+  }
+
+  test("stale-handle metadata DELETE and TRUNCATE keep the evolved header (r16 advisory)") {
+    val dir = tmp("lake_evodel")
+    spark.conf.set("spark.sql.catalog.gedA", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gedB", "graft.sources.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS gedA.ns.t")
+    spark.sql(s"""CREATE TABLE gedA.ns.t (
+      |  id BIGINT, bucket INT, kscore INT, score DOUBLE, doc_id STRING
+      |) USING lake LOCATION '$dir'""".stripMargin)
+    det(20000, 8).createOrReplaceTempView("lake_evodel_src")
+    spark.sql("INSERT OVERWRITE gedA.ns.t SELECT * FROM lake_evodel_src")
+    spark.sql("DROP TABLE IF EXISTS gedB.ns.t")
+    spark.sql(s"CREATE TABLE gedB.ns.t USING lake LOCATION '$dir'")
+    spark.sql("ALTER TABLE gedA.ns.t ADD COLUMNS (extra DOUBLE)")
+    val f = LakeFormat.fs(dir)
+    def headerFields(): Seq[String] = {
+      val v = LakeFormat.latestVersion(f, dir).get
+      LakeFormat.readManifest(f, dir, v)._1.fieldNames.toSeq
+    }
+    assert(headerFields().contains("extra"))
+    // B's handle predates the evolution: its file-aligned DELETE takes
+    // the metadata-only path and must still publish the WIDER header
+    spark.sql("DELETE FROM gedB.ns.t WHERE id < 5000")
+    assert(headerFields().contains("extra"),
+      "metadata delete from a stale handle shrank the evolved header")
+    assert(spark.sql("SELECT count(*) FROM gedA.ns.t").head.getLong(0)
+      == 15000L)
+    // …and so must its TRUNCATE
+    spark.sql("TRUNCATE TABLE gedB.ns.t")
+    assert(headerFields().contains("extra"),
+      "truncate from a stale handle shrank the evolved header")
+    assert(spark.sql("SELECT count(*) FROM gedA.ns.t").head.getLong(0) == 0L)
+  }
+
+  test("two streaming queries (separate checkpoints) share a table without epoch clobbering (r16 advisory)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmp("lake_twostream")
+    def run(rows: Int, ckpt: String): Unit = {
+      val q = spark.readStream.format("graft.sources.DetRangeSource")
+        .option("rows", rows).option("rowsPerBatch", 250).load()
+        .select(col("id"), col("bucket"), col("kscore"), col("score"),
+          col("doc_id"))
+        .writeStream.format(Lake)
+        .option("path", dir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000))
+    }
+    // both queries start at epoch 0; an un-namespaced epoch prefix let
+    // the second query's commit(0, …) drop the first's epoch-0 entries
+    run(500, tmp("lake_twostream_ck1")) // epochs 0,1 of query 1
+    assert(read(dir).count() == 500L)
+    run(250, tmp("lake_twostream_ck2")) // epoch 0 of query 2
+    assert(read(dir).count() == 750L,
+      "second query's epoch 0 clobbered the first query's rows")
+  }
+
+  test("vacuum grace window: young unreferenced files survive (in-flight commit protection)") {
+    val dir = tmp("lake_grace")
+    det(1000, 2).write.format(Lake).option("path", dir)
+      .mode("overwrite").save()
+    val f = LakeFormat.fs(dir)
+    val vNow = LakeFormat.latestVersion(f, dir).get
+    // an unreferenced data file that LOOKS orphaned but is actually a
+    // concurrent commit mid-publish (renamed in, manifest CAS pending)
+    val orphan = new java.io.File(dir, "part-9-9-inflight.lake")
+    java.nio.file.Files.write(orphan.toPath, "1\t1\t1\t1.0\tx\n".getBytes)
+    val dropped = LakeFormat.vacuum(dir, keepFromVersion = vNow)
+    assert(!dropped.contains(orphan.getName) && orphan.exists(),
+      s"vacuum reclaimed a file younger than the grace window: $dropped")
+    // with the table quiesced (grace waived) it goes
+    val dropped2 = LakeFormat.vacuum(dir, keepFromVersion = vNow,
+      graceMs = 0L)
+    assert(dropped2.contains(orphan.getName) && !orphan.exists())
+  }
+
+  test("path and catalog time travel agree on the version's own schema (r16 advisory)") {
+    val dir = tmp("lake_ttschema")
+    val t = catalogTable("ttsch", dir)
+    det(100, 2).createOrReplaceTempView("lake_ttschema_src")
+    spark.sql(s"INSERT OVERWRITE $t SELECT * FROM lake_ttschema_src")
+    val f = LakeFormat.fs(dir)
+    val v0 = LakeFormat.latestVersion(f, dir).get
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (extra DOUBLE)")
+    // the pre-evolution snapshot serves its OWN 5-column schema from
+    // BOTH entry points (the path form used to null-pad the latest
+    // manifest's schema onto it)
+    val viaPath = spark.read.format(Lake).option("path", dir)
+      .option("versionAsOf", v0).load().schema.fieldNames.toSeq
+    val viaSql = spark.sql(s"SELECT * FROM $t VERSION AS OF $v0")
+      .schema.fieldNames.toSeq
+    assert(viaPath == Seq("id", "bucket", "kscore", "score", "doc_id"))
+    assert(viaPath == viaSql,
+      s"time-travel schemas disagree: path=$viaPath sql=$viaSql")
+    // the CURRENT version serves the evolved schema either way
+    assert(spark.read.format(Lake).option("path", dir).load()
+      .schema.fieldNames.last == "extra")
+  }
+
+  test("executor-side Hadoop conf: the driver conf ships through factory serialization (r16 advisory)") {
+    val hc = new org.apache.hadoop.conf.Configuration(false)
+    hc.set("graft.test.key", "v17")
+    val ser = new LakeFormat.SerializableHadoopConf(hc)
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(ser); oos.close()
+    val ois = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    val back = ois.readObject().asInstanceOf[LakeFormat.SerializableHadoopConf]
+    assert(back.value.get("graft.test.key") == "v17",
+      "spark.hadoop.* settings were lost crossing the driver→task boundary")
   }
 
   test("lake DDL rejects unsupported column types at CREATE") {
