@@ -194,6 +194,36 @@ object LakeOps {
       .orderBy(col("bucket"))
   }
 
+  /** TIMESTAMP AS OF (round 17): manifests carry monotone commit
+    * wall-times, so "the table as of instant t" resolves to the latest
+    * commit at-or-before t — the form humans actually use for time
+    * travel. Here t is the pre-DELETE commit's own timestamp: the read
+    * must serve the undeleted snapshot even when the DELETE lands in
+    * the same millisecond (commit stamps are clamped strictly
+    * increasing). The oracle is the pre-delete state, like q229. */
+  val qLakeTimestampTravel: Q = Q(
+    "q233_lake_timestamp_travel",
+    """SELECT CAST(id % 16 AS INT) AS bucket, count(*) AS n,
+      |       CAST(sum((id * 31) % 997) AS BIGINT) AS sum_kscore
+      |FROM range(20000) t(id)
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+  ) { (s, _) =>
+    val dir = lakeDir(s, "q233_lake")
+    freshTable(s, "glake.ns.t233", dir)
+    det(s, 20000, 8).createOrReplaceTempView("det233")
+    s.sql("INSERT OVERWRITE glake.ns.t233 SELECT * FROM det233")
+    val f = graft.sources.LakeFormat.fs(dir)
+    val v = graft.sources.LakeFormat.latestVersion(f, dir).get
+    val ts = graft.sources.LakeFormat.manifestTs(f, dir, v)
+    s.sql("DELETE FROM glake.ns.t233 WHERE id >= 10000")
+    s.read.format(Lake).option("path", dir)
+      .option("timestampAsOf", ts.toString).load()
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("kscore")).cast("long").as("sum_kscore"))
+      .orderBy(col("bucket"))
+  }
+
   /** Manifest-only aggregates: global COUNT(*)/COUNT(col)/MIN/MAX are
     * exact functions of the per-file stats, so this plan is ONE
     * driver-computed row from the manifest — no data file opens
@@ -218,5 +248,5 @@ object LakeOps {
   }
 
   val all: Seq[Q] = Seq(qLakeScanPrune, qLakeDelete, qLakeUpdate,
-    qLakeMerge, qLakeTimeTravel, qLakeStatsAgg)
+    qLakeMerge, qLakeTimeTravel, qLakeStatsAgg, qLakeTimestampTravel)
 }

@@ -87,6 +87,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"$ident is not a lake table — only lake tables are versioned")
     }
 
+  /** SQL-first TIMESTAMP AS OF (round 17): Spark resolves the literal
+    * and hands MICROseconds since epoch; the lake resolves it to the
+    * latest commit at-or-before that instant via the monotone commit
+    * timestamps every round-17 manifest carries
+    * ([[LakeFormat.resolveTimestamp]]). A timestamp older than the
+    * earliest surviving commit fails loudly — vacuum may have reclaimed
+    * the true answer, and resolving to a later version would silently
+    * serve the wrong snapshot. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    tables.get(ident) match {
+      case lt: LakeTable =>
+        val f = LakeFormat.fs(lt.path)
+        val v = LakeFormat.resolveTimestamp(f, lt.path,
+          Math.floorDiv(timestampMicros, 1000L))
+        new LakeTable(lt.path,
+          LakeFormat.readManifest(f, lt.path, v)._1, Some(v), None)
+      case null => throw new NoSuchTableException(ident)
+      case _ => throw new UnsupportedOperationException(
+        s"$ident is not a lake table — only lake tables are versioned")
+    }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
     // racing CREATEs are resolved by the atomic putIfAbsent at the end;

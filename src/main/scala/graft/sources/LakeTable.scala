@@ -129,6 +129,20 @@ object LakeSource {
 
 class LakeSource extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
+
+  /** Time-travel version from the options: explicit `versionAsOf`, or
+    * `timestampAsOf` resolved to the latest commit ≤ t. Both at once is
+    * ambiguous — refused. */
+  private def travelVersion(path: String,
+      get: String => Option[String]): Option[Int] = {
+    val byVersion = get("versionAsOf").map(_.toInt)
+    val byTs = get("timestampAsOf")
+    require(byVersion.isEmpty || byTs.isEmpty,
+      "specify versionAsOf OR timestampAsOf, not both")
+    byVersion.orElse(byTs.map(t => LakeFormat.resolveTimestamp(
+      LakeFormat.fs(path), path, LakeFormat.parseTimestampAsOf(t))))
+  }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = options.get("path")
     require(path != null && path.nonEmpty,
@@ -139,7 +153,7 @@ class LakeSource extends TableProvider {
     // columns onto an old snapshot while the catalog form (loadTable
     // with version) served the version's own narrower schema, so the
     // two VERSION AS OF entry points disagreed (r16 advisory)
-    Option(options.get("versionAsOf")).map(_.toInt) match {
+    travelVersion(path, k => Option(options.get(k))) match {
       case Some(v) =>
         require(f.exists(new HPath(path, LakeFormat.manifestName(v))),
           s"versionAsOf $v does not exist under $path — vacuumed or " +
@@ -159,7 +173,7 @@ class LakeSource extends TableProvider {
     require(path != null && path.nonEmpty,
       "LakeSource requires option(\"path\", ...)")
     new LakeTable(path, schema,
-      Option(properties.get("versionAsOf")).map(_.toInt),
+      travelVersion(path, k => Option(properties.get(k))),
       Option(properties.get("failPartition")).map(_.toInt))
   }
 }
@@ -234,16 +248,50 @@ object LakeFormat {
   def fs(path: String, conf: SerializableHadoopConf): FileSystem =
     new HPath(path).getFileSystem(conf.value)
 
-  def latestVersion(f: FileSystem, dir: String): Option[Int] = {
+  /** All surviving manifest versions under `dir`, ascending. */
+  def versions(f: FileSystem, dir: String): Seq[Int] = {
     val d = new HPath(dir)
-    if (!f.exists(d)) return None
-    val vs = f.listStatus(d).iterator.flatMap { st =>
+    if (!f.exists(d)) return Nil
+    f.listStatus(d).iterator.flatMap { st =>
       st.getPath.getName match {
         case ManifestRe(n) => Some(n.toInt)
         case _ => None
       }
-    }.toSeq
-    if (vs.isEmpty) None else Some(vs.max)
+    }.toSeq.sorted
+  }
+
+  def latestVersion(f: FileSystem, dir: String): Option[Int] =
+    versions(f, dir).lastOption
+
+  /** TIMESTAMP AS OF → version: the LATEST surviving version whose
+    * commit timestamp is ≤ `tsMillis` ("the table as of yesterday
+    * 09:00"). Header-only reads — resolution never pays for file lists.
+    * Commit timestamps are clamped monotone at publish, so the answer
+    * is well-defined; a target that precedes every surviving commit
+    * fails LOUDLY (the true answer may have been vacuumed — resolving
+    * to a LATER version would silently serve the wrong snapshot). */
+  def resolveTimestamp(f: FileSystem, dir: String, tsMillis: Long): Int = {
+    val vs = versions(f, dir)
+    require(vs.nonEmpty, s"no lake manifest under $dir")
+    vs.filter(v => manifestTs(f, dir, v) <= tsMillis).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"timestampAsOf $tsMillis precedes the earliest surviving " +
+          s"commit under $dir (${manifestTs(f, dir, vs.head)}) — the " +
+          "snapshot was vacuumed or never existed"))
+  }
+
+  /** `timestampAsOf` accepts epoch millis, ISO-8601 instants, or the
+    * SQL timestamp literal form `yyyy-MM-dd HH:mm:ss[.SSS]` read as
+    * UTC (the harness session timezone). */
+  def parseTimestampAsOf(s: String): Long = {
+    val t = s.trim
+    if (t.nonEmpty && t.forall(_.isDigit)) t.toLong
+    else try java.time.Instant.parse(t).toEpochMilli
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
   }
 
   /** Per-file, per-column stats. min/max are the typed literal's string
@@ -255,9 +303,25 @@ object LakeFormat {
       nulls: Long)
 
   /** `bytes` is the file's approximate serialized size (planning
-    * statistic for broadcast decisions — never a correctness input). */
+    * statistic for broadcast decisions — never a correctness input).
+    * `pk` is the file's cluster-partition ordinal when the snapshot was
+    * written by a bucket-clustering OPTIMIZE (the storage-partitioned
+    * join input, round 17); `dv` is the file's deletion vector — the
+    * sidecar file of deleted row ordinals plus their count (merge-on-
+    * read DELETE, round 17); `rows`/stats stay PHYSICAL (pre-DV). */
   final case class FileEntry(name: String, rows: Long, bytes: Long,
-      stats: Map[String, ColStats])
+      stats: Map[String, ColStats], pk: Option[Int] = None,
+      dv: Option[(String, Long)] = None) {
+    /** Rows a reader actually serves: physical minus deleted. */
+    def liveRows: Long = rows - dv.map(_._2).getOrElse(0L)
+  }
+
+  /** Snapshot metadata beyond the file list: commit wall-time (millis,
+    * monotone non-decreasing across versions — TIMESTAMP AS OF resolves
+    * against it) and the bucket-clustering spec `(column, buckets)` the
+    * snapshot's layout satisfies, if any. */
+  final case class ManifestMeta(schema: StructType, tsMillis: Long,
+      cluster: Option[(String, Int)], entries: Seq[FileEntry])
 
   def encodeEntry(e: FileEntry): String = {
     val statsStr =
@@ -265,11 +329,13 @@ object LakeFormat {
       else e.stats.toSeq.sortBy(_._1).map { case (c, s) =>
         s"$c=${s.min.getOrElse("")},${s.max.getOrElse("")},${s.nulls}"
       }.mkString(";")
-    s"${e.name}\t${e.rows}\t${e.bytes}\t$statsStr"
+    val pkStr = e.pk.map(_.toString).getOrElse("-")
+    val dvStr = e.dv.map { case (n, c) => s"$n,$c" }.getOrElse("-")
+    s"${e.name}\t${e.rows}\t${e.bytes}\t$statsStr\t$pkStr\t$dvStr"
   }
 
   def decodeEntry(line: String): FileEntry = {
-    val parts = line.split('\t')
+    val parts = line.split('\t').padTo(6, "-")
     val stats =
       if (parts(3) == "-") Map.empty[String, ColStats]
       else parts(3).split(';').iterator.map { kv =>
@@ -278,19 +344,68 @@ object LakeFormat {
         c -> ColStats(Option(s(0)).filter(_.nonEmpty),
           Option(s(1)).filter(_.nonEmpty), s(2).toLong)
       }.toMap
-    FileEntry(parts(0), parts(1).toLong, parts(2).toLong, stats)
+    val pk = if (parts(4) == "-") None else Some(parts(4).toInt)
+    val dv =
+      if (parts(5) == "-") None
+      else {
+        val Array(n, c) = parts(5).split(',')
+        Some((n, c.toLong))
+      }
+    FileEntry(parts(0), parts(1).toLong, parts(2).toLong, stats, pk, dv)
+  }
+
+  private val ClusterRe = """bucket\((.+),(\d+)\)""".r
+  private def encodeCluster(c: Option[(String, Int)]): String =
+    c.map { case (col, n) => s"bucket($col,$n)" }.getOrElse("-")
+  private def decodeCluster(s: String): Option[(String, Int)] = s match {
+    case ClusterRe(col, n) => Some((col, n.toInt))
+    case _ => None
   }
 
   def readManifest(f: FileSystem, dir: String,
       v: Int): (StructType, Seq[FileEntry]) = {
+    val m = readManifestMeta(f, dir, v)
+    (m.schema, m.entries)
+  }
+
+  /** Full manifest read including the snapshot metadata header. Accepts
+    * both header generations: v1 (`#lake 1 <ddl>`, round 16 — no
+    * timestamp, no cluster spec) and v2 (`#lake 2 <ts> <cluster> <ddl>`,
+    * round 17). */
+  def readManifestMeta(f: FileSystem, dir: String, v: Int): ManifestMeta = {
     val in = f.open(new HPath(dir, manifestName(v)))
     val lines = try {
       scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
     } finally in.close()
-    require(lines.nonEmpty && lines.head.startsWith("#lake\t1\t"),
+    require(lines.nonEmpty && lines.head.startsWith("#lake\t"),
       s"not a lake manifest: $dir/${manifestName(v)}")
-    val schema = StructType.fromDDL(lines.head.stripPrefix("#lake\t1\t"))
-    (schema, lines.tail.filter(_.nonEmpty).map(decodeEntry))
+    val entries = lines.tail.filter(_.nonEmpty).map(decodeEntry)
+    val head = lines.head.split('\t')
+    head(1) match {
+      case "1" =>
+        ManifestMeta(StructType.fromDDL(head.drop(2).mkString("\t")),
+          tsMillis = 0L, cluster = None, entries)
+      case "2" =>
+        ManifestMeta(StructType.fromDDL(head.drop(4).mkString("\t")),
+          head(2).toLong, decodeCluster(head(3)), entries)
+      case gen => throw new IllegalStateException(
+        s"unsupported lake manifest generation $gen in " +
+          s"$dir/${manifestName(v)} — written by a newer engine")
+    }
+  }
+
+  /** Commit timestamp of version `v`, reading only the header line —
+    * TIMESTAMP AS OF resolution scans versions without paying for their
+    * file lists. */
+  def manifestTs(f: FileSystem, dir: String, v: Int): Long = {
+    val in = f.open(new HPath(dir, manifestName(v)))
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, "UTF-8"))
+    val head = try reader.readLine() finally reader.close()
+    require(head != null && head.startsWith("#lake\t"),
+      s"not a lake manifest: $dir/${manifestName(v)}")
+    val parts = head.split('\t')
+    if (parts(1) == "1") 0L else parts(2).toLong
   }
 
   /** CREATE-no-overwrite publish of manifest version `v` — the commit
@@ -304,15 +419,25 @@ object LakeFormat {
     * namenode. Either way the manifest appears all-or-nothing with a
     * version number exactly one commit can ever own. */
   def writeManifestCAS(f: FileSystem, dir: String, v: Int,
-      schema: StructType, entries: Seq[FileEntry]): Boolean = {
+      schema: StructType, entries: Seq[FileEntry],
+      cluster: Option[(String, Int)] = None): Boolean = {
     val target = new HPath(dir, manifestName(v))
     if (f.exists(target)) return false
+    // commit wall-time, clamped monotone non-decreasing against the
+    // previous version (clock skew between writers must not reorder
+    // TIMESTAMP AS OF against the version order — the Delta adjustment);
+    // a vacuumed/absent predecessor just means no clamp is needed
+    val prevTs =
+      if (v <= 0) 0L
+      else try manifestTs(f, dir, v - 1) catch { case _: Exception => 0L }
+    val ts = math.max(System.currentTimeMillis(), prevTs + 1)
     val tmp = new HPath(dir,
       s"_tmp-manifest-${java.util.UUID.randomUUID().toString.take(12)}")
     val out = f.create(tmp, false)
     try {
-      val body = (s"#lake\t1\t${schema.toDDL}" +:
-        entries.map(encodeEntry)).mkString("", "\n", "\n")
+      val body =
+        (s"#lake\t2\t$ts\t${encodeCluster(cluster)}\t${schema.toDDL}" +:
+          entries.map(encodeEntry)).mkString("", "\n", "\n")
       out.write(body.getBytes("UTF-8"))
     } finally out.close()
     val local = f.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
@@ -365,7 +490,8 @@ object LakeFormat {
   def publish(f: FileSystem, path: String, queryId: String,
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage],
       schema: StructType, fixedBase: Option[Int],
-      mkEntries: (Seq[FileEntry], Seq[FileEntry]) => Seq[FileEntry]): Unit = {
+      mkEntries: (Seq[FileEntry], Seq[FileEntry]) => Seq[FileEntry],
+      cluster: Option[(String, Int)] = None): Unit = {
     // test hook: the window between a snapshot-pinned commit's read and
     // its publish — LakeSpec plants a concurrent commit here to pin
     // that row-level rewrites AND OPTIMIZE lose loudly, never silently
@@ -396,16 +522,25 @@ object LakeFormat {
             "the command against the new snapshot")
       }
       val base = fixedBase.orElse(latest).filter(_ >= 0)
-      val (baseSchema, baseEntries) = base
-        .map(v => readManifest(f, path, v))
-        .getOrElse((schema, Seq.empty[FileEntry]))
+      val baseMeta = base.map(v => readManifestMeta(f, path, v))
+      val baseEntries = baseMeta.map(_.entries).getOrElse(Nil)
       // schema-evolution monotonicity: a writer created BEFORE an ADD
       // COLUMN landed still carries the narrower schema — its commit
       // must not shrink the manifest header back. The wider of the two
       // wins; the common prefix must agree or the table is corrupt.
-      val outSchema = mergeSchemas(path, baseSchema, schema)
+      val outSchema =
+        mergeSchemas(path, baseMeta.map(_.schema).getOrElse(schema), schema)
+      val outEntries = mkEntries(baseEntries, newEntries)
+      // clustering survives a commit only while EVERY file still
+      // carries its partition ordinal: an explicit cluster spec (a
+      // bucketize write) sets it, any other commit inherits the base's
+      // spec iff its result keeps the invariant (appends of unbucketed
+      // files or COW rewrites drop it — the layout guarantee is gone)
+      val outCluster = cluster.orElse(
+        baseMeta.flatMap(_.cluster)
+          .filter(_ => outEntries.nonEmpty && outEntries.forall(_.pk.isDefined)))
       done = writeManifestCAS(f, path, base.getOrElse(-1) + 1, outSchema,
-        mkEntries(baseEntries, newEntries))
+        outEntries, outCluster)
       if (!done) {
         if (fixedBase.isDefined) conflict(
           s"lake snapshot-pinned commit conflict on $path: version " +
@@ -679,9 +814,9 @@ class LakeTable(private[sources] val path: String, tableSchema: StructType,
     var evolved: StructType = null
     while (evolved == null) {
       val base = latestVersion(f, path)
-      val (baseSchema, entries) = base
-        .map(v => readManifest(f, path, v))
-        .getOrElse((tableSchema, Seq.empty[FileEntry]))
+      val baseMeta = base.map(v => readManifestMeta(f, path, v))
+      val baseSchema = baseMeta.map(_.schema).getOrElse(tableSchema)
+      val entries = baseMeta.map(_.entries).getOrElse(Nil)
       // merge against the FRESHLY-READ base, exactly like publish does
       // (r16 verdict #2: writing `this.tableSchema + added` here let a
       // CAS retry — or a stale handle — shrink the header under a
@@ -698,7 +833,9 @@ class LakeTable(private[sources] val path: String, tableSchema: StructType,
       val target =
         StructType(pre.fields ++
           added.filterNot(a => pre.fieldNames.contains(a.name)))
-      if (writeManifestCAS(f, path, base.getOrElse(-1) + 1, target, entries))
+      // entries unchanged → a clustered layout survives the evolution
+      if (writeManifestCAS(f, path, base.getOrElse(-1) + 1, target, entries,
+          baseMeta.flatMap(_.cluster)))
         evolved = target
       else {
         attempts += 1
@@ -782,14 +919,19 @@ class LakeTable(private[sources] val path: String, tableSchema: StructType,
     while (true) {
       val base = latestVersion(f, path)
       if (base.isEmpty) return // nothing committed, nothing to delete
-      val (baseSchema, entries) = readManifest(f, path, base.get)
+      val meta = readManifestMeta(f, path, base.get)
+      val entries = meta.entries
       val remaining = d(entries).getOrElse(throw new IllegalStateException(
         "metadata delete became undecidable after a concurrent commit — " +
           "re-run the DELETE (it will take the rewrite path)"))
       // header monotonicity, same rule as publish (r16 advisory: a
-      // handle predating an ADD COLUMN must not shrink the header back)
-      val outSchema = mergeSchemas(path, baseSchema, tableSchema)
-      if (writeManifestCAS(f, path, base.get + 1, outSchema, remaining)) {
+      // handle predating an ADD COLUMN must not shrink the header back);
+      // dropping whole files preserves a clustered layout
+      val outSchema = mergeSchemas(path, meta.schema, tableSchema)
+      val outCluster = meta.cluster
+        .filter(_ => remaining.nonEmpty && remaining.forall(_.pk.isDefined))
+      if (writeManifestCAS(f, path, base.get + 1, outSchema, remaining,
+          outCluster)) {
         LakeSource.lastMetadataDeleted.set(
           entries.map(_.name).diff(remaining.map(_.name)))
         return

@@ -627,6 +627,46 @@ class LakeSpec extends AnyFunSuite {
       .schema.fieldNames.last == "extra")
   }
 
+  test("TIMESTAMP AS OF: monotone commit timestamps resolve 'as of t'; pre-history fails loudly") {
+    val dir = tmp("lake_tsao")
+    val t = catalogTable("ttsao", dir)
+    det(20000, 8).createOrReplaceTempView("lake_tsao_src")
+    spark.sql(s"INSERT OVERWRITE $t SELECT * FROM lake_tsao_src") // v0
+    val f = LakeFormat.fs(dir)
+    val ts0 = LakeFormat.manifestTs(f, dir, 0)
+    assert(ts0 > 0L, "round-17 manifests must carry a commit timestamp")
+    spark.sql(s"DELETE FROM $t WHERE id < 5000") // metadata path, v1
+    val ts1 = LakeFormat.manifestTs(f, dir, 1)
+    assert(ts1 > ts0, "commit timestamps must be monotone across versions")
+    def atTs(ts: Long): Long = spark.read.format(Lake).option("path", dir)
+      .option("timestampAsOf", ts.toString).load().count()
+    // 'as of t' = latest commit AT-OR-BEFORE t
+    assert(atTs(ts0) == 20000L)
+    assert(atTs(ts1) == 15000L)
+    assert(atTs(ts1 + 3600000L) == 15000L) // future t → current snapshot
+    // the SQL-first form resolves through the catalog
+    // (loadTable(ident, timestampMicros)); session tz is UTC
+    val lit = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(ts0))
+    assert(spark.sql(s"SELECT count(*) FROM $t TIMESTAMP AS OF '$lit'")
+      .head.getLong(0) == 20000L)
+    // a timestamp preceding the earliest surviving commit is LOUD —
+    // never silently resolved to a later snapshot
+    intercept[Exception] { atTs(ts0 - 1) }
+    // ambiguous travel spec refused
+    intercept[Exception] {
+      spark.read.format(Lake).option("path", dir)
+        .option("versionAsOf", 0).option("timestampAsOf", ts1.toString)
+        .load()
+    }
+    // vacuum to v1: ts0 now resolves to nothing surviving → loud
+    LakeFormat.vacuum(dir, keepFromVersion = 1, graceMs = 0L)
+    intercept[Exception] { atTs(ts0) }
+    assert(atTs(ts1) == 15000L)
+  }
+
   test("executor-side Hadoop conf: the driver conf ships through factory serialization (r16 advisory)") {
     val hc = new org.apache.hadoop.conf.Configuration(false)
     hc.set("graft.test.key", "v17")
