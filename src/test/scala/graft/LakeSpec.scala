@@ -627,6 +627,90 @@ class LakeSpec extends AnyFunSuite {
       .schema.fieldNames.last == "extra")
   }
 
+  test("streaming READ: offsets are manifest versions — snapshot+tail, bounded batches, checkpointed resume, loud on rewrites") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmp("lake_sread")
+    val outDir = tmp("lake_sread_out")
+    val ckpt = tmp("lake_sread_ck")
+    det(20000, 8).write.format(Lake).option("path", dir)
+      .mode("overwrite").save() // v0: 8 files
+    def drain(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val q = spark.readStream.format(Lake).option("path", dir)
+        .option("maxFilesPerTrigger", 2).load()
+        .writeStream.format(Lake).option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000)); q
+    }
+    // first batch = the full v0 snapshot, then the stream is caught up
+    drain()
+    assert(read(outDir).count() == 20000L)
+    // three appends = three new versions; the version-granular file cap
+    // (2 files/batch) makes the resumed drain take one batch per version
+    (1 to 3).foreach { i =>
+      spark.range(i * 1000, i * 1000 + 500)
+        .select(col("id"), (col("id") % 16).cast("int").as("bucket"),
+          pmod(col("id") * 31, lit(997)).cast("int").as("kscore"),
+          lit(0.5).as("score"), lit(s"app$i").as("doc_id"))
+        .coalesce(2)
+        .write.format(Lake).option("path", dir).mode("append").save()
+    }
+    val q2 = drain() // resumes from the checkpointed version offset
+    assert(read(outDir).count() == 21500L,
+      "checkpointed resume duplicated or lost appended rows")
+    assert(q2.recentProgress.count(_.numInputRows > 0) == 3,
+      s"expected 3 bounded micro-batches, got " +
+        q2.recentProgress.map(_.numInputRows).mkString("[", ",", "]"))
+    // exactly-once: an idle re-drain moves nothing
+    drain()
+    assert(read(outDir).count() == 21500L)
+    // startingVersion=latest skips the initial snapshot
+    val out2 = tmp("lake_sread_out2")
+    val ck2 = tmp("lake_sread_ck2")
+    val qL = spark.readStream.format(Lake).option("path", dir)
+      .option("startingVersion", "latest").load()
+      .writeStream.format(Lake).option("path", out2)
+      .option("checkpointLocation", ck2)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(qL.awaitTermination(120000))
+    // nothing streamed yet (an empty epoch may still commit a manifest)
+    assert(LakeFormat.latestVersion(LakeFormat.fs(out2), out2)
+      .forall(v => read(out2).count() == 0L))
+    spark.range(0, 7)
+      .select(col("id"), lit(0).cast("int").as("bucket"),
+        lit(1).cast("int").as("kscore"), lit(0.5).as("score"),
+        lit("tail").as("doc_id"))
+      .coalesce(1)
+      .write.format(Lake).option("path", dir).mode("append").save()
+    val qL2 = spark.readStream.format(Lake).option("path", dir)
+      .option("startingVersion", "latest").load()
+      .writeStream.format(Lake).option("path", out2)
+      .option("checkpointLocation", ck2)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(qL2.awaitTermination(120000))
+    assert(read(out2).count() == 7L,
+      "startingVersion=latest must stream only post-start appends")
+    // a rewrite inside the tail window breaks the append-only contract
+    // LOUDLY — already-streamed rows cannot be retracted
+    LakeFormat.optimize(spark, dir, "bucket", files = 4)
+    val qBad = spark.readStream.format(Lake).option("path", dir).load()
+      .writeStream.format(Lake).option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    val err = intercept[Exception] { qBad.awaitTermination(120000) }
+    assert(causesOf(err).flatMap(c => Option(c.getMessage))
+      .exists(_.contains("append-only")), s"wrong failure: $err")
+    try qBad.stop() catch { case _: Exception => () }
+    // time-travel options have no streaming form
+    intercept[Exception] {
+      spark.readStream.format(Lake).option("path", dir)
+        .option("versionAsOf", 0).load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", tmp("lake_sread_ck3"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination(120000)
+    }
+  }
+
   test("TIMESTAMP AS OF: monotone commit timestamps resolve 'as of t'; pre-history fails loudly") {
     val dir = tmp("lake_tsao")
     val t = catalogTable("ttsao", dir)
