@@ -90,22 +90,84 @@ class LakeSpec extends AnyFunSuite {
     assert(lakeFiles(dir).size == 8)
   }
 
-  test("copy-on-write DELETE rewrites only the affected files (runtime group filtering)") {
-    val dir = tmp("lake_cowdel")
-    val t = catalogTable("tcow", dir)
-    det(20000, 8).createOrReplaceTempView("lake_cowdel_src")
-    spark.sql(s"INSERT OVERWRITE $t SELECT * FROM lake_cowdel_src")
+  test("merge-on-read DELETE writes deletion vectors (zero rewrites); COW UPDATE still narrows; OPTIMIZE compacts") {
+    val dir = tmp("lake_mordel")
+    val t = catalogTable("tmor", dir)
+    det(20000, 8).createOrReplaceTempView("lake_mordel_src")
+    spark.sql(s"INSERT OVERWRITE $t SELECT * FROM lake_mordel_src")
+    val dataFiles = lakeFiles(dir).toSet
     LakeSource.lastReplacedFiles.set(Nil)
-    // ids 3000–3100 live in file 1 only, but the predicate is not
-    // file-aligned → rewrite path; stats + the runtime `_file IN (…)`
-    // group filter must narrow the rewrite to that ONE file
+    LakeSource.lastDvWrites.set(Nil)
+    // ids 3000–3100 live in file 1 only and the predicate is not
+    // file-aligned: the r16 engine COW-rewrote that whole file; the
+    // merge-on-read path writes ONE tiny deletion-vector sidecar and
+    // rewrites NOTHING
     spark.sql(s"DELETE FROM $t WHERE id >= 3000 AND id <= 3100")
     assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 19899L)
-    assert(LakeSource.lastReplacedFiles.get().size == 1,
-      s"expected a 1-file rewrite, got ${LakeSource.lastReplacedFiles.get()}")
-    // the untouched 7 files are still served byte-identical
+    assert(LakeSource.lastReplacedFiles.get().isEmpty,
+      s"scattered delete rewrote files: ${LakeSource.lastReplacedFiles.get()}")
+    assert(LakeSource.lastDvWrites.get() match {
+      case Seq((_, 101L)) => true
+      case other => fail(s"expected one 101-ordinal vector, got $other")
+    })
+    assert(lakeFiles(dir).toSet == dataFiles,
+      "merge-on-read delete created or removed data files")
+    val f = LakeFormat.fs(dir)
+    def dvTotal(): Long = {
+      val v = LakeFormat.latestVersion(f, dir).get
+      LakeFormat.readManifest(f, dir, v)._2.flatMap(_.dv.map(_._2)).sum
+    }
+    assert(dvTotal() == 101L)
+    // a second delete on the SAME file unions into a fresh sidecar
+    spark.sql(s"DELETE FROM $t WHERE id >= 3200 AND id <= 3249")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 19849L)
+    assert(dvTotal() == 151L)
+    // untouched files serve byte-identical rows; manifest COUNT(*) is
+    // dv-exact; per-column manifest aggregates refuse dv'd snapshots
+    // yet answer right via the real scan
     assert(spark.sql(s"SELECT count(*) FROM $t WHERE id >= 5000")
       .head.getLong(0) == 15000L)
+    assert(spark.sql(s"SELECT min(id), max(id) FROM $t").head.getLong(0)
+      == 0L)
+    // time travel: the pre-delete snapshot reads WITHOUT the vectors
+    assert(spark.read.format(Lake).option("path", dir)
+      .option("versionAsOf", 0).load().count() == 20000L)
+    // COW UPDATE reads THROUGH the vector, narrows to the one file via
+    // stats + runtime group filtering, and compacts its vector away
+    LakeSource.lastReplacedFiles.set(Nil)
+    spark.sql(s"UPDATE $t SET kscore = -1 WHERE id = 3500")
+    assert(LakeSource.lastReplacedFiles.get().size == 1,
+      s"expected a 1-file COW rewrite, got " +
+        s"${LakeSource.lastReplacedFiles.get()}")
+    assert(dvTotal() == 0L,
+      "the COW rewrite must compact the rewritten file's vector away")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 19849L)
+    assert(spark.sql(s"SELECT kscore FROM $t WHERE id = 3500")
+      .head.getInt(0) == -1)
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE id >= 3000 AND id <= 3249")
+      .head.getLong(0) == 99L) // 250 − 151 deleted
+    // fully-deleting a file's remaining rows drops its entry outright
+    spark.sql(s"DELETE FROM $t WHERE id >= 2500 AND id < 3000")
+    spark.sql(s"DELETE FROM $t WHERE id >= 3000 AND id < 5000")
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE id >= 2500 AND id < 5000")
+      .head.getLong(0) == 0L)
+    val vNow = LakeFormat.latestVersion(f, dir).get
+    assert(!LakeFormat.readManifest(f, dir, vNow)._2.exists(
+      e => e.stats.get("id").exists(_.min.exists(_.toLong >= 2500)) &&
+        e.stats.get("id").exists(_.max.exists(_.toLong < 5000))),
+      "a fully-deleted file should leave the manifest")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 17500L)
+    // OPTIMIZE compacts every remaining vector into clean files
+    spark.sql(s"DELETE FROM $t WHERE id = 7777")
+    assert(dvTotal() > 0L)
+    LakeFormat.optimize(spark, dir, "bucket", files = 4)
+    assert(dvTotal() == 0L, "OPTIMIZE must compact deletion vectors away")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 17499L)
+    // vacuum to the current version reclaims superseded sidecars too
+    LakeFormat.vacuum(dir,
+      keepFromVersion = LakeFormat.latestVersion(f, dir).get, graceMs = 0L)
+    assert(!new java.io.File(dir).list().exists(_.startsWith("dv-")),
+      "orphaned deletion-vector sidecars survived vacuum")
   }
 
   test("a failed write job leaves the table untouched (no manifest version, no visible rows)") {
@@ -221,19 +283,25 @@ class LakeSpec extends AnyFunSuite {
     assert(LakeSource.lastMetadataDeleted.get().nonEmpty,
       "all-null/no-null split should take the metadata-only path")
     assert(LakeSource.lastReplacedFiles.get().isEmpty)
-    // now a MIXED file: the same predicate is undecidable → rewrite path
+    // now a MIXED file: the same predicate is undecidable → the
+    // merge-on-read path (round 17: deletion vectors, not a rewrite)
     spark.range(100, 200)
       .select(col("id"), when(col("id") % 2 === 0, col("id").cast("double"))
         .as("v"))
       .coalesce(1)
       .write.format(Lake).option("path", dir).mode("append").save()
     LakeSource.lastMetadataDeleted.set(Nil)
+    LakeSource.lastDvWrites.set(Nil)
     spark.sql("DELETE FROM glt.ns.tnull WHERE v IS NULL")
     assert(spark.sql("SELECT count(*) FROM glt.ns.tnull")
       .head.getLong(0) == 100L)
     assert(LakeSource.lastMetadataDeleted.get().isEmpty,
       "a mixed-null file must not be metadata-deleted")
-    assert(LakeSource.lastReplacedFiles.get().nonEmpty)
+    assert(LakeSource.lastDvWrites.get() == Seq(
+      LakeSource.lastDvWrites.get().headOption.getOrElse(("", 0L))) &&
+      LakeSource.lastDvWrites.get().headOption.exists(_._2 == 50L),
+      s"expected one 50-ordinal deletion vector, got " +
+        s"${LakeSource.lastDvWrites.get()}")
   }
 
   test("streaming write: a killed epoch commit replays as a manifest-level REPLACEMENT, no dup/loss") {
