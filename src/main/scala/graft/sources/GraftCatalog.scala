@@ -4,10 +4,12 @@ import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Minimal in-memory `TableCatalog` over the graft DSv2 pair (round 15
@@ -49,7 +51,54 @@ object GraftCatalog {
       }
 }
 
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+/** The catalog's `bucket(n, col)` function (round 17 — storage-
+  * partitioned joins): when a [[LakeScan]] reports
+  * `KeyGroupedPartitioning(bucket(n, col), …)`, Spark resolves the
+  * transform by loading `bucket` from the TABLE'S catalog and binding
+  * it against `(INT, <col type>)` — the Iceberg idiom. Both sides of a
+  * join resolve to THIS function, so their partitionings compare
+  * compatible by canonical name, and the partition ordinals it produces
+  * are [[LakeFormat.bucketOf]] — the exact function the cluster-by
+  * writers split files with. One bucket function, three witnesses:
+  * writer split, manifest pk, plan-time transform. */
+object GraftBucketFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col): graft lake cluster-by partition ordinal"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 2,
+      s"bucket takes (numBuckets INT, col); got ${inputType.simpleString}")
+    require(inputType.fields(0).dataType == IntegerType,
+      s"bucket's first argument is numBuckets INT; got " +
+        inputType.fields(0).dataType.simpleString)
+    val keyType = inputType.fields(1).dataType
+    require(Seq(LongType, IntegerType, DoubleType, StringType)
+      .contains(keyType),
+      s"bucket key must be BIGINT/INT/DOUBLE/STRING; got " +
+        keyType.simpleString)
+    new ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] =
+        Array(IntegerType, keyType)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.bucket"
+      override def isResultNullable: Boolean = false
+      override def produceResult(input: InternalRow): Integer = {
+        val n = input.getInt(0)
+        val v: Any = keyType match {
+          case LongType => input.getLong(1)
+          case IntegerType => input.getInt(1)
+          case DoubleType => input.getDouble(1)
+          case _ => input.getUTF8String(1).toString
+        }
+        Integer.valueOf(LakeFormat.bucketOf(v, n))
+      }
+    }
+  }
+}
+
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
   private var catalogName: String = _
   private val tables =
     new java.util.concurrent.ConcurrentHashMap[Identifier, Table]()
@@ -218,6 +267,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new TableAlreadyExistsException(newIdent)
     }
   }
+
+  // ---- FunctionCatalog: the lake bucket transform ---------------------
+  // V2ExpressionUtils resolves a scan-reported `bucket(n, col)` by
+  // loading `bucket` from the relation's catalog with an EMPTY
+  // namespace; accept it from any namespace this catalog serves so
+  // session-default lookups also hit.
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespaceExists(namespace))
+      Array(Identifier.of(namespace, "bucket"))
+    else throw new NoSuchNamespaceException(name() +: namespace.toSeq)
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name.equalsIgnoreCase("bucket") &&
+        ident.namespace.length <= 1) GraftBucketFunction
+    else throw new NoSuchFunctionException(ident)
 
   // namespaces are implicit: any single-level namespace that holds (or
   // could hold) tables "exists" — the minimal SupportsNamespaces that

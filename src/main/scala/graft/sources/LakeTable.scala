@@ -364,9 +364,46 @@ object LakeFormat {
   private val ClusterRe = """bucket\((.+),(\d+)\)""".r
   private def encodeCluster(c: Option[(String, Int)]): String =
     c.map { case (col, n) => s"bucket($col,$n)" }.getOrElse("-")
-  private def decodeCluster(s: String): Option[(String, Int)] = s match {
+  private[sources] def decodeCluster(s: String): Option[(String, Int)] = s match {
     case ClusterRe(col, n) => Some((col, n.toInt))
     case _ => None
+  }
+
+  /** THE bucket function of the lake layout — one definition shared by
+    * the writers that SPLIT rows into bucket files, the manifest entries
+    * that CLAIM each file's bucket, and the catalog function SQL plans
+    * resolve `bucket(n, col)` transforms against
+    * ([[GraftBucketFunction]]). Storage-partitioned joins are only
+    * correct because all three agree: two tables clustered with the
+    * same `(col type, n)` put every id on the same partition ordinal.
+    * Deterministic across JVMs by construction — a splitmix64 finalizer
+    * over the value's canonical 64-bit form (`String.hashCode` is
+    * spec-fixed; doubles hash their IEEE bits, so -0.0 and 0.0 land in
+    * different buckets — equal join keys of DIFFERENT binary form are
+    * not co-location-safe, which is why production bucketing normalizes
+    * or forbids float keys; the lake follows Spark's own HashExpression
+    * in accepting them as-is). Null never reaches here: cluster-by
+    * writers reject null keys loudly (a null's bucket is undefined, and
+    * a file silently mixing null rows into bucket 0 would break the
+    * co-location claim the manifest makes). */
+  def bucketOf(v: Any, n: Int): Int = {
+    require(v != null, "bucketOf(null): cluster-by keys must be non-null")
+    val bits: Long = v match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case d: Double => java.lang.Double.doubleToLongBits(d)
+      case s: String => s.hashCode.toLong
+      case u: UTF8String => u.toString.hashCode.toLong
+      case other => throw new IllegalArgumentException(
+        s"bucketOf: unsupported cluster key type ${other.getClass.getName}")
+    }
+    // splitmix64 finalizer — full-avalanche mix so sequential ids
+    // spread uniformly across buckets
+    var z = bits + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    java.lang.Math.floorMod(z, n.toLong).toInt
   }
 
   def readManifest(f: FileSystem, dir: String,
@@ -507,11 +544,17 @@ object LakeFormat {
     val dest = new HPath(path)
     val staging = new HPath(path, s"_staging-$queryId")
     f.mkdirs(dest)
-    val newEntries = messages.map { case LakeFileCommit(n, r, b, s) =>
-      require(f.rename(new HPath(staging, n), new HPath(dest, n)),
-        s"lake commit: publish rename failed for $n — aborting (no " +
-          "manifest was written; readers never see this job)")
-      FileEntry(n, r, b, s)
+    val newEntries = messages.flatMap {
+      case c: LakeFileCommit => Seq(c)
+      case LakeTaskCommit(cs) => cs // cluster-by writers: N bucket files
+      case other => throw new IllegalStateException(
+        s"unexpected lake commit message: $other")
+    }.map { c =>
+      require(f.rename(new HPath(staging, c.fileName),
+        new HPath(dest, c.fileName)),
+        s"lake commit: publish rename failed for ${c.fileName} — " +
+          "aborting (no manifest was written; readers never see this job)")
+      FileEntry(c.fileName, c.rows, c.bytes, c.stats, c.pk)
     }.toSeq
     def conflict(msg: String): Nothing = {
       newEntries.foreach(e => f.delete(new HPath(dest, e.name), false))
@@ -539,13 +582,26 @@ object LakeFormat {
         mergeSchemas(path, baseMeta.map(_.schema).getOrElse(schema), schema)
       val outEntries = mkEntries(baseEntries, newEntries)
       // clustering survives a commit only while EVERY file still
-      // carries its partition ordinal: an explicit cluster spec (a
-      // bucketize write) sets it, any other commit inherits the base's
-      // spec iff its result keeps the invariant (appends of unbucketed
-      // files or COW rewrites drop it — the layout guarantee is gone)
-      val outCluster = cluster.orElse(
-        baseMeta.flatMap(_.cluster)
-          .filter(_ => outEntries.nonEmpty && outEntries.forall(_.pk.isDefined)))
+      // carries its partition ordinal UNDER ONE SPEC: an explicit
+      // cluster spec (a cluster-by write) sets it when it agrees with
+      // whatever base entries survive; any other commit inherits the
+      // base's spec iff its result keeps the invariant (appends of
+      // unbucketed files or COW rewrites drop it — the layout guarantee
+      // is gone). A declared spec that DIFFERS from surviving base
+      // entries' spec yields None: pk values minted under two different
+      // bucket functions must never be served as one layout.
+      val outCluster = {
+        val allPk = outEntries.nonEmpty && outEntries.forall(_.pk.isDefined)
+        val baseNames = baseEntries.map(_.name).toSet
+        val baseSurvives = outEntries.exists(e => baseNames(e.name))
+        val baseCluster = baseMeta.flatMap(_.cluster)
+        if (!allPk) None
+        else cluster match {
+          case Some(s) if !baseSurvives || baseCluster.contains(s) => Some(s)
+          case Some(_) => None // mixed specs in one manifest
+          case None => baseCluster
+        }
+      }
       done = writeManifestCAS(f, path, base.getOrElse(-1) + 1, outSchema,
         outEntries, outCluster)
       if (!done) {
@@ -593,6 +649,48 @@ object LakeFormat {
       .repartitionByRange(files, org.apache.spark.sql.functions.col(col))
       .write.format("graft.sources.LakeSource")
       .option("path", dir).option("replaceOfVersion", v)
+      .mode("overwrite").save()
+  }
+
+  /** Maintenance: OPTIMIZE CLUSTER BY — rewrite the current snapshot
+    * HASH-BUCKETED on `col` into `buckets` groups (Iceberg
+    * `bucket(n, col)` partitioning / Delta liquid clustering seat).
+    * Where the range-clustering [[optimize]] makes per-file [min,max]
+    * tight for STATS PRUNING, bucket clustering makes the manifest
+    * carry a layout GUARANTEE joins can use: every file holds exactly
+    * one `bucketOf(col, n)` ordinal, so two tables clustered with the
+    * same spec join with zero shuffle exchanges
+    * (storage-partitioned joins — see [[LakeScan.outputPartitioning]]).
+    * Same snapshot-pinned commit as [[optimize]]: content-identical
+    * against version v or abort loudly.
+    *
+    * The pre-shuffle below only CO-LOCATES buckets so each task writes
+    * few files; the writer's per-row split is what enforces the layout
+    * — correctness never depends on the shuffle's placement. */
+  def optimizeCluster(spark: org.apache.spark.sql.SparkSession,
+      dir: String, col: String, buckets: Int): Unit = {
+    import org.apache.spark.sql.functions.{col => fcol, udf}
+    val f = fs(dir)
+    val v = latestVersion(f, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"lake optimize: no manifest under $dir — nothing to rewrite"))
+    val schema = readManifestMeta(f, dir, v).schema
+    require(schema.fieldNames.contains(col),
+      s"lake optimizeCluster: $col is not a column of $dir " +
+        s"(${schema.fieldNames.mkString(", ")})")
+    val b = buckets
+    val bucketCol = schema(col).dataType match {
+      case LongType => udf((x: Long) => bucketOf(x, b))
+      case IntegerType => udf((x: Int) => bucketOf(x, b))
+      case DoubleType => udf((x: Double) => bucketOf(x, b))
+      case _ => udf((x: String) => bucketOf(x, b))
+    }
+    spark.read.format("graft.sources.LakeSource").option("path", dir)
+      .option("versionAsOf", v).load()
+      .repartition(buckets, bucketCol(fcol(col)))
+      .write.format("graft.sources.LakeSource")
+      .option("path", dir).option("replaceOfVersion", v)
+      .option("clusterBy", s"bucket($col,$buckets)")
       .mode("overwrite").save()
   }
 
@@ -916,12 +1014,28 @@ class LakeTable(private[sources] val path: String, tableSchema: StructType,
     LakeScanBuilder.atVersion(path, tableSchema, versionAsOf, owner = None,
       readOptions = options)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // cluster-by layout (round 17 — storage-partitioned joins): the
+    // writer splits rows into one file per bucketOf(col, n) and the
+    // manifest records the spec + per-file ordinals, which LakeScan
+    // then reports as KeyGroupedPartitioning
+    val clusterSpec = Option(info.options.get("clusterBy")).map { s =>
+      val spec = LakeFormat.decodeCluster(s).getOrElse(
+        throw new IllegalArgumentException(
+          s"lake clusterBy expects bucket(col,n); got '$s'"))
+      require(tableSchema.fieldNames.contains(spec._1),
+        s"lake clusterBy column ${spec._1} is not a table column " +
+          s"(${tableSchema.fieldNames.mkString(", ")})")
+      require(spec._2 > 0, s"lake clusterBy needs n > 0; got ${spec._2}")
+      spec
+    }
     new LakeWriteBuilder(path, tableSchema, info.schema(), info.queryId(),
       failPartition,
       // internal option set by LakeFormat.optimize: pins the commit to
       // the snapshot the rewrite read (fixedBase CAS — r16 verdict #1)
-      Option(info.options.get("replaceOfVersion")).map(_.toInt))
+      Option(info.options.get("replaceOfVersion")).map(_.toInt),
+      clusterSpec)
+  }
 
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
@@ -1059,10 +1173,11 @@ private[sources] object LakeScanBuilder {
       s"versionAsOf $v does not exist under $path (latest: " +
         s"${latest.getOrElse(-1)}) — vacuumed or never committed"))
     val version = versionAsOf.orElse(latest)
-    val entries = version
-      .map(v => LakeFormat.readManifest(f, path, v)._2).getOrElse(Nil)
-    new LakeScanBuilder(path, tableSchema, version.getOrElse(-1), entries,
-      owner, versionAsOf.isDefined, readOptions)
+    val meta = version.map(v => LakeFormat.readManifestMeta(f, path, v))
+    new LakeScanBuilder(path, tableSchema, version.getOrElse(-1),
+      meta.map(_.entries).getOrElse(Nil),
+      owner, versionAsOf.isDefined, readOptions,
+      meta.flatMap(_.cluster))
   }
 }
 
@@ -1071,7 +1186,8 @@ private[sources] class LakeScanBuilder(path: String,
     entries: Seq[LakeFormat.FileEntry],
     owner: Option[LakeOperationHost],
     timeTravel: Boolean = false,
-    readOptions: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    readOptions: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
+    cluster: Option[(String, Int)] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -1149,7 +1265,11 @@ private[sources] class LakeScanBuilder(path: String,
       return new LakeAggScan(path, tableSchema, version, entries, aggFuncs)
     val scan = new LakeScan(path, tableSchema, required, version,
       entries.filter(e => LakeFormat.survives(e, pushed.toSeq)),
-      pushed.toSeq, timeTravel, readOptions)
+      pushed.toSeq, timeTravel, readOptions,
+      // key-grouped reporting stays OFF for row-level-operation scans:
+      // their planned set IS the replace set and their runtime `_file`
+      // narrowing may drop whole buckets after partitioning is fixed
+      cluster.filter(_ => owner.isEmpty))
     owner.foreach(_.configuredScan = scan)
     scan
   }
@@ -1229,11 +1349,46 @@ private[sources] class LakeScan(path: String, tableSchema: StructType,
     entries0: Seq[LakeFormat.FileEntry],
     pushed: Seq[FFilter] = Nil,
     timeTravel: Boolean = false,
-    readOptions: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    readOptions: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
+    cluster: Option[(String, Int)] = None)
     extends Scan with Batch with SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   @volatile private var entries = entries0
+
+  /** STORAGE-PARTITIONED JOINS (round 17 — r16 verdict missing #4):
+    * when the snapshot's layout is bucket-clustered and every surviving
+    * file carries its partition ordinal, the scan reports
+    * `KeyGroupedPartitioning(bucket(n, col), #groups)` and each split
+    * carries its key ([[LakeKeyedInputPartition]]). Under
+    * `spark.sql.sources.v2.bucketing.enabled`, a lake⋈lake join on the
+    * cluster column plans with ZERO shuffle exchanges — both sides'
+    * same-ordinal splits are co-scheduled (the q216 machinery applied
+    * to the lake table). The `bucket` transform resolves through
+    * [[GraftCatalog]]'s FunctionCatalog, so the exchange-free plan is a
+    * catalog-read surface (`spark.table`/SQL); path reads still produce
+    * correct plans, just with shuffles. At 100 TB this deletes the
+    * single largest cost of a fact⋈fact join: shuffling both sides.
+    * Reported only when the cluster column survives column pruning —
+    * partitioning resolves against the scan OUTPUT. */
+  private val keyed: Option[(String, Int)] = cluster.filter { case (c, _) =>
+    entries0.nonEmpty && entries0.forall(_.pk.isDefined) &&
+      required.fieldNames.contains(c)
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyed match {
+      case Some((c, nb)) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(V2Expressions.bucket(nb, c)),
+            entries0.flatMap(_.pk).distinct.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
   /** Files this scan actually planned — the groups a row-level commit
     * must replace. Set at plan time (after runtime narrowing); until
     * then, the stats-pruned set stands in. */
@@ -1289,8 +1444,12 @@ private[sources] class LakeScan(path: String, tableSchema: StructType,
     val es = entries
     plannedNames = es.map(_.name)
     LakeSource.lastPlannedFiles.set(plannedNames)
-    es.map(e =>
-      LakeInputPartition(e.name, e.dv.map(_._1)): InputPartition).toArray
+    if (keyed.isDefined)
+      es.map(e => LakeKeyedInputPartition(e.name, e.dv.map(_._1),
+        e.pk.get): InputPartition).toArray
+    else
+      es.map(e =>
+        LakeInputPartition(e.name, e.dv.map(_._1)): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1320,6 +1479,15 @@ private[sources] class LakeScan(path: String, tableSchema: StructType,
 
 private[sources] case class LakeInputPartition(fileName: String,
     dvName: Option[String] = None) extends InputPartition
+
+/** Split of a bucket-clustered snapshot: carries the file's partition
+  * ordinal so Spark can group same-key splits and co-schedule the two
+  * sides of a storage-partitioned join. */
+private[sources] case class LakeKeyedInputPartition(fileName: String,
+    dvName: Option[String], pk: Int) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(pk)
+}
 
 private[graft] case class LakeVersionOffset(v: Int)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
@@ -1491,8 +1659,12 @@ private[sources] class LakeReaderFactory(path: String,
     extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[LakeInputPartition]
-    val fileName = p.fileName
+    val (fileName, dvNameOpt) = partition match {
+      case p: LakeInputPartition => (p.fileName, p.dvName)
+      case p: LakeKeyedInputPartition => (p.fileName, p.dvName)
+      case other => throw new IllegalStateException(
+        s"unknown lake input partition: $other")
+    }
     new PartitionReader[InternalRow] {
       // required-field → (data column index | -1 for _file | -2 for
       // _pos), resolved once per task; the row loop below is
@@ -1509,7 +1681,7 @@ private[sources] class LakeReaderFactory(path: String,
       // deletion vector (merge-on-read DELETE, round 17): the sidecar's
       // ordinals are anti-filtered here, at scan — deleted rows never
       // leave the reader. BitSet: ~125 KB per million physical rows.
-      private val deleted: java.util.BitSet = p.dvName match {
+      private val deleted: java.util.BitSet = dvNameOpt match {
         case None => null
         case Some(dv) =>
           val bs = new java.util.BitSet()
@@ -1579,14 +1751,15 @@ private[sources] class LakeReaderFactory(path: String,
 
 private[sources] class LakeWriteBuilder(path: String,
     tableSchema: StructType, writeSchema: StructType, queryId: String,
-    failPartition: Option[Int], replaceOfVersion: Option[Int] = None)
+    failPartition: Option[Int], replaceOfVersion: Option[Int] = None,
+    clusterSpec: Option[(String, Int)] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new LakeBatchWrite(path,
       tableSchema, writeSchema, queryId, doTruncate, failPartition,
-      replaceOfVersion)
+      replaceOfVersion, clusterSpec)
     override def toStreaming: StreamingWrite =
       new LakeStreamingWrite(path, tableSchema, writeSchema, queryId)
   }
@@ -1653,21 +1826,29 @@ private[sources] class LakeStreamingWrite(path: String,
 }
 
 /** Task commit message: one staged file + its stats, mirrored into the
-  * manifest verbatim at publish. */
+  * manifest verbatim at publish. `pk` is the file's cluster-partition
+  * ordinal when the write declared a cluster-by layout. */
 private[sources] case class LakeFileCommit(fileName: String, rows: Long,
-    bytes: Long, stats: Map[String, LakeFormat.ColStats])
+    bytes: Long, stats: Map[String, LakeFormat.ColStats],
+    pk: Option[Int] = None)
+    extends WriterCommitMessage
+
+/** Commit message of a cluster-by task: one staged file PER BUCKET the
+  * task saw (plain writes send a bare [[LakeFileCommit]]). */
+private[sources] case class LakeTaskCommit(files: Seq[LakeFileCommit])
     extends WriterCommitMessage
 
 private[sources] class LakeBatchWrite(path: String,
     tableSchema: StructType, writeSchema: StructType, queryId: String,
     truncate: Boolean, failPartition: Option[Int],
-    replaceOfVersion: Option[Int] = None) extends BatchWrite {
+    replaceOfVersion: Option[Int] = None,
+    clusterSpec: Option[(String, Int)] = None) extends BatchWrite {
   import LakeFormat._
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new LakeWriterFactory(path, tableSchema, writeSchema, queryId,
-      failPartition)
+      failPartition, clusterSpec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     // appends and truncates are COMMUTATIVE against concurrent commits:
@@ -1680,7 +1861,8 @@ private[sources] class LakeBatchWrite(path: String,
     LakeFormat.publish(fs(path), path, queryId, messages, tableSchema,
       fixedBase = replaceOfVersion,
       (baseEntries, newEntries) =>
-        (if (truncate) Nil else baseEntries) ++ newEntries)
+        (if (truncate) Nil else baseEntries) ++ newEntries,
+      cluster = clusterSpec)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val f = fs(path)
@@ -1690,7 +1872,8 @@ private[sources] class LakeBatchWrite(path: String,
 
 private[sources] class LakeWriterFactory(path: String,
     tableSchema: StructType, writeSchema: StructType, queryId: String,
-    failPartition: Option[Int]) extends DataWriterFactory {
+    failPartition: Option[Int],
+    clusterSpec: Option[(String, Int)] = None) extends DataWriterFactory {
   // partitionId/taskId are unique only WITHIN one Spark application —
   // a second app appending to the same table (or a replayed epoch in a
   // fresh JVM) restarts both counters, and a colliding name would let a
@@ -1704,14 +1887,15 @@ private[sources] class LakeWriterFactory(path: String,
       taskId: Long): DataWriter[InternalRow] =
     new LakeDataWriter(path, tableSchema, writeSchema, queryId,
       partitionId, taskId, failPartition.contains(partitionId),
-      writeUid = writeUid, conf = conf)
+      writeUid = writeUid, conf = conf, clusterSpec = clusterSpec)
 }
 
 private[sources] class LakeDataWriter(path: String,
     tableSchema: StructType, writeSchema: StructType, queryId: String,
     partitionId: Int, taskId: Long, failAfterFirstRow: Boolean,
     filePrefix: String = "", writeUid: String = "w",
-    conf: LakeFormat.SerializableHadoopConf = null)
+    conf: LakeFormat.SerializableHadoopConf = null,
+    clusterSpec: Option[(String, Int)] = None)
     extends DataWriter[InternalRow] {
   import LakeFormat._
 
@@ -1736,89 +1920,148 @@ private[sources] class LakeDataWriter(path: String,
     case _ => 3
   })
   private val n = tableSchema.length
-  private val minL = Array.fill(n)(Long.MaxValue)
-  private val maxL = Array.fill(n)(Long.MinValue)
-  private val minD = Array.fill(n)(Double.PositiveInfinity)
-  private val maxD = Array.fill(n)(Double.NegativeInfinity)
-  private val nulls = new Array[Long](n)
-  private val nanPoisoned = new Array[Boolean](n)
-  private var rows = 0L
-  // chars ≈ bytes (ASCII-dominant codec) — a PLANNING statistic for
-  // broadcast decisions, never a correctness input
-  private var bytesOut = 0L
 
-  private val fileName =
-    s"${filePrefix}part-$partitionId-$taskId-$writeUid.lake"
-  private val staged = new HPath(path, s"_staging-$queryId/$fileName")
-  private val out = {
-    val f = openFs()
-    new java.io.BufferedWriter(
-      new java.io.OutputStreamWriter(f.create(staged, true), "UTF-8"))
+  // cluster-by layout: the key's slot in the INCOMING row and its kind.
+  // Each row is routed to the sink of bucketOf(key, buckets) so every
+  // emitted file holds exactly one bucket — the co-location claim its
+  // manifest pk makes to storage-partitioned joins.
+  private val clusterIdx: Int = clusterSpec.map { case (c, _) =>
+    require(tableSchema.fieldNames.contains(c),
+      s"lake cluster-by column $c is not a table column " +
+        s"(${tableSchema.fieldNames.mkString(", ")})")
+    writeSchema.fieldIndex(c)
+  }.getOrElse(-1)
+  private val clusterKind: Int =
+    clusterSpec.map(s => kinds(tableSchema.fieldIndex(s._1))).getOrElse(-1)
+  private val buckets: Int = clusterSpec.map(_._2).getOrElse(0)
+
+  /** One open output file + its running stats. */
+  private final class Sink(pk: Option[Int]) {
+    private val minL = Array.fill(n)(Long.MaxValue)
+    private val maxL = Array.fill(n)(Long.MinValue)
+    private val minD = Array.fill(n)(Double.PositiveInfinity)
+    private val maxD = Array.fill(n)(Double.NegativeInfinity)
+    private val nulls = new Array[Long](n)
+    private val nanPoisoned = new Array[Boolean](n)
+    private var rows = 0L
+    // chars ≈ bytes (ASCII-dominant codec) — a PLANNING statistic for
+    // broadcast decisions, never a correctness input
+    private var bytesOut = 0L
+
+    val fileName: String =
+      s"${filePrefix}part-$partitionId-$taskId-$writeUid" +
+        pk.map(b => s"-b$b").getOrElse("") + ".lake"
+    private val staged = new HPath(path, s"_staging-$queryId/$fileName")
+    private val out = {
+      val f = openFs()
+      new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(f.create(staged, true), "UTF-8"))
+    }
+
+    def writeRow(record: InternalRow): Unit = {
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i < n) {
+        if (i > 0) sb.append('\t')
+        val si = srcIdx(i)
+        if (record.isNullAt(si)) { nulls(i) += 1; sb.append(NullTok) }
+        else kinds(i) match {
+          case 0 =>
+            val v = record.getLong(si)
+            if (v < minL(i)) minL(i) = v
+            if (v > maxL(i)) maxL(i) = v
+            sb.append(v)
+          case 1 =>
+            val v = record.getInt(si)
+            if (v < minL(i)) minL(i) = v
+            if (v > maxL(i)) maxL(i) = v
+            sb.append(v)
+          case 2 =>
+            val v = record.getDouble(si)
+            // NaN breaks the ordering and ±Inf has no BigDecimal form
+            // for the pruning algebra — either poisons this file's
+            // stats (the file simply never prunes on this column; r16
+            // review)
+            if (!java.lang.Double.isFinite(v)) nanPoisoned(i) = true
+            else {
+              if (v < minD(i)) minD(i) = v
+              if (v > maxD(i)) maxD(i) = v
+            }
+            sb.append(v)
+          case _ =>
+            sb.append(record.getUTF8String(si).toString)
+        }
+        i += 1
+      }
+      sb.append('\n')
+      out.write(sb.toString)
+      bytesOut += sb.length
+      rows += 1
+    }
+
+    def commitMsg(): LakeFileCommit = {
+      out.close()
+      val stats = tableSchema.fields.indices.map { i =>
+        val c = tableSchema.fields(i).name
+        val nonNull = rows - nulls(i)
+        val (mn, mx) =
+          if (nonNull == 0 || nanPoisoned(i)) (None, None)
+          else kinds(i) match {
+            case 0 | 1 => (Some(minL(i).toString), Some(maxL(i).toString))
+            case 2 => (Some(minD(i).toString), Some(maxD(i).toString))
+            case _ => (None, None)
+          }
+        c -> ColStats(mn, mx, nulls(i))
+      }.toMap
+      LakeFileCommit(fileName, rows, bytesOut, stats, pk)
+    }
+
+    def drop(f: FileSystem): Unit = {
+      out.close()
+      f.delete(staged, false)
+    }
   }
 
+  // plain writes keep ONE eagerly-opened sink (a zero-row task still
+  // commits an empty file — the pre-cluster behavior LakeSpec pins);
+  // cluster-by opens sinks lazily per bucket the task actually sees
+  private val defaultSink: Sink =
+    if (clusterSpec.isEmpty) new Sink(None) else null
+  private val bucketSinks = new java.util.HashMap[Int, Sink]()
+
   override def write(record: InternalRow): Unit = {
-    val sb = new java.lang.StringBuilder(64)
-    var i = 0
-    while (i < n) {
-      if (i > 0) sb.append('\t')
-      val si = srcIdx(i)
-      if (record.isNullAt(si)) { nulls(i) += 1; sb.append(NullTok) }
-      else kinds(i) match {
-        case 0 =>
-          val v = record.getLong(si)
-          if (v < minL(i)) minL(i) = v
-          if (v > maxL(i)) maxL(i) = v
-          sb.append(v)
-        case 1 =>
-          val v = record.getInt(si)
-          if (v < minL(i)) minL(i) = v
-          if (v > maxL(i)) maxL(i) = v
-          sb.append(v)
-        case 2 =>
-          val v = record.getDouble(si)
-          // NaN breaks the ordering and ±Inf has no BigDecimal form for
-          // the pruning algebra — either poisons this file's stats (the
-          // file simply never prunes on this column; r16 review)
-          if (!java.lang.Double.isFinite(v)) nanPoisoned(i) = true
-          else {
-            if (v < minD(i)) minD(i) = v
-            if (v > maxD(i)) maxD(i) = v
-          }
-          sb.append(v)
-        case _ =>
-          sb.append(record.getUTF8String(si).toString)
+    val sink =
+      if (clusterSpec.isEmpty) defaultSink
+      else {
+        require(!record.isNullAt(clusterIdx),
+          s"lake cluster-by key ${clusterSpec.get._1} is null — a " +
+            "null's bucket is undefined; filter nulls or drop clusterBy")
+        val v: Any = clusterKind match {
+          case 0 => record.getLong(clusterIdx)
+          case 1 => record.getInt(clusterIdx)
+          case 2 => record.getDouble(clusterIdx)
+          case _ => record.getUTF8String(clusterIdx).toString
+        }
+        val b = bucketOf(v, buckets)
+        var s = bucketSinks.get(b)
+        if (s == null) { s = new Sink(Some(b)); bucketSinks.put(b, s) }
+        s
       }
-      i += 1
-    }
-    sb.append('\n')
-    out.write(sb.toString)
-    bytesOut += sb.length
-    rows += 1
+    sink.writeRow(record)
     if (failAfterFirstRow)
       throw new RuntimeException(
         s"injected lake task failure (partition $partitionId)")
   }
 
-  override def commit(): WriterCommitMessage = {
-    out.close()
-    val stats = tableSchema.fields.indices.map { i =>
-      val c = tableSchema.fields(i).name
-      val nonNull = rows - nulls(i)
-      val (mn, mx) =
-        if (nonNull == 0 || nanPoisoned(i)) (None, None)
-        else kinds(i) match {
-          case 0 | 1 => (Some(minL(i).toString), Some(maxL(i).toString))
-          case 2 => (Some(minD(i).toString), Some(maxD(i).toString))
-          case _ => (None, None)
-        }
-      c -> ColStats(mn, mx, nulls(i))
-    }.toMap
-    LakeFileCommit(fileName, rows, bytesOut, stats)
-  }
+  override def commit(): WriterCommitMessage =
+    if (clusterSpec.isEmpty) defaultSink.commitMsg()
+    else LakeTaskCommit(
+      bucketSinks.values.asScala.toSeq.sortBy(_.fileName).map(_.commitMsg()))
 
   override def abort(): Unit = {
-    out.close()
-    openFs().delete(staged, false)
+    val f = openFs()
+    if (defaultSink != null) defaultSink.drop(f)
+    bucketSinks.values.asScala.foreach(_.drop(f))
   }
 
   override def close(): Unit = ()

@@ -840,4 +840,127 @@ class LakeSpec extends AnyFunSuite {
         s"USING lake LOCATION '${tmp("lake_bad")}'")
     }
   }
+
+  test("OPTIMIZE CLUSTER BY: every file holds one bucket ordinal; the manifest carries the spec") {
+    val dir = tmp("lake_clw")
+    det(20000, 8).write.format(Lake).option("path", dir)
+      .mode("overwrite").save()
+    LakeFormat.optimizeCluster(spark, dir, "id", 8)
+    val f = LakeFormat.fs(dir)
+    val meta = LakeFormat.readManifestMeta(f, dir,
+      LakeFormat.latestVersion(f, dir).get)
+    assert(meta.cluster.contains(("id", 8)), meta.cluster.toString)
+    assert(meta.entries.nonEmpty && meta.entries.forall(_.pk.isDefined))
+    assert(meta.entries.flatMap(_.pk).distinct.size == 8)
+    assert(meta.entries.map(_.rows).sum == 20000L)
+    // the layout CLAIM is per-row true: every row of every file buckets
+    // to the file's recorded ordinal (read rows per file via _file)
+    val byFile = read(dir).select(col("_file"), col("id"))
+      .collect().groupBy(_.getString(0))
+    meta.entries.foreach { e =>
+      val ids = byFile(e.name).map(_.getLong(1))
+      assert(ids.forall(id => LakeFormat.bucketOf(id, 8) == e.pk.get),
+        s"${e.name} claims bucket ${e.pk.get} but holds a foreign id")
+    }
+    // content identical through the rewrite
+    assert(read(dir).agg(sum(col("kscore"))).head.getLong(0) ==
+      det(20000, 8).agg(sum(col("kscore"))).head.getLong(0))
+  }
+
+  test("storage-partitioned lake join: zero shuffle exchanges under v2 bucketing; values match the shuffled twin") {
+    val dirA = tmp("lake_spj_a")
+    val dirB = tmp("lake_spj_b")
+    val ta = catalogTable("tspja", dirA)
+    val tb = catalogTable("tspjb", dirB)
+    det(20000, 8).createOrReplaceTempView("spj_src_a")
+    det(8000, 8).createOrReplaceTempView("spj_src_b")
+    spark.sql(s"INSERT OVERWRITE $ta SELECT * FROM spj_src_a")
+    spark.sql(s"INSERT OVERWRITE $tb SELECT * FROM spj_src_b")
+    LakeFormat.optimizeCluster(spark, dirA, "id", 8)
+    LakeFormat.optimizeCluster(spark, dirB, "id", 8)
+    def joined(): DataFrame =
+      spark.table(ta).alias("a")
+        .join(spark.table(tb).alias("b"), Seq("id"))
+        .select(col("id"), col("a.kscore").as("ka"), col("b.kscore").as("kb"))
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    val expected = joined().collect().map(_.toString).sorted.toSeq
+    assert(expected.size == 8000)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "true")
+    // force a sort-merge shape: a broadcast join would hide the shuffle
+    // question entirely
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val spj = joined()
+      val exchanges = spj.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        "storage-partitioned lake join still shuffles:\n" +
+          spj.queryExecution.executedPlan.toString.take(3000))
+      assert(spj.collect().map(_.toString).sorted.toSeq == expected,
+        "exchange-free lake join changed the answer")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("cluster layout lifecycle: unbucketed appends drop the spec, matching cluster-by appends keep it, null keys fail loudly") {
+    val dir = tmp("lake_clc")
+    det(4000, 4).write.format(Lake).option("path", dir)
+      .mode("overwrite").save()
+    LakeFormat.optimizeCluster(spark, dir, "id", 4)
+    val f = LakeFormat.fs(dir)
+    def meta() = LakeFormat.readManifestMeta(f, dir,
+      LakeFormat.latestVersion(f, dir).get)
+    assert(meta().cluster.contains(("id", 4)))
+    // a cluster-by append under the SAME spec keeps the layout claim
+    spark.range(4000, 4100)
+      .selectExpr("id", "CAST(id % 16 AS INT) AS bucket",
+        "CAST((id * 31) % 997 AS INT) AS kscore",
+        "CAST(id AS DOUBLE) / 7 AS score",
+        "concat('doc_', id) AS doc_id")
+      .write.format(Lake).option("path", dir)
+      .option("clusterBy", "bucket(id,4)").mode("append").save()
+    assert(meta().cluster.contains(("id", 4)),
+      "same-spec cluster-by append must keep the layout")
+    assert(meta().entries.forall(_.pk.isDefined))
+    // a DIFFERENT declared spec over surviving base entries → no claim
+    spark.range(4100, 4150)
+      .selectExpr("id", "CAST(id % 16 AS INT) AS bucket",
+        "CAST((id * 31) % 997 AS INT) AS kscore",
+        "CAST(id AS DOUBLE) / 7 AS score",
+        "concat('doc_', id) AS doc_id")
+      .write.format(Lake).option("path", dir)
+      .option("clusterBy", "bucket(id,8)").mode("append").save()
+    assert(meta().cluster.isEmpty,
+      "mixed bucket specs must drop the layout claim")
+    // re-cluster restores; then a PLAIN append drops it again
+    LakeFormat.optimizeCluster(spark, dir, "id", 4)
+    assert(meta().cluster.contains(("id", 4)))
+    spark.range(5000, 5010)
+      .selectExpr("id", "CAST(id % 16 AS INT) AS bucket",
+        "CAST((id * 31) % 997 AS INT) AS kscore",
+        "CAST(id AS DOUBLE) / 7 AS score",
+        "concat('doc_', id) AS doc_id")
+      .write.format(Lake).option("path", dir).mode("append").save()
+    assert(meta().cluster.isEmpty,
+      "an unbucketed append must drop the layout claim")
+    assert(read(dir).count() == 4160L)
+    // null cluster keys have no defined bucket — loud failure
+    val ex = intercept[Exception] {
+      spark.sql("SELECT CAST(NULL AS BIGINT) AS id, 0 AS bucket, " +
+          "0 AS kscore, CAST(0 AS DOUBLE) AS score, 'd' AS doc_id")
+        .write.format(Lake).option("path", dir)
+        .option("clusterBy", "bucket(id,4)").mode("append").save()
+    }
+    assert(ex.getMessage != null)
+  }
 }
