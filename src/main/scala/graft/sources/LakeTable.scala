@@ -104,6 +104,11 @@ object LakeSource {
     * can't see. */
   val lastPlannedFiles =
     new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
+  /** (segments read, segments total) of the most recent SEGMENTED plan
+    * — pins that filtered planning reads O(surviving segments) of
+    * metadata, not O(files) (two-level manifests, round 17). */
+  val lastSegmentsPlanned =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
   val lastReplacedFiles =
     new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
   val lastMetadataDeleted =
@@ -412,30 +417,140 @@ object LakeFormat {
     (m.schema, m.entries)
   }
 
-  /** Full manifest read including the snapshot metadata header. Accepts
-    * both header generations: v1 (`#lake 1 <ddl>`, round 16 — no
-    * timestamp, no cluster spec) and v2 (`#lake 2 <ts> <cluster> <ddl>`,
-    * round 17). */
-  def readManifestMeta(f: FileSystem, dir: String, v: Int): ManifestMeta = {
+  // ---- two-level manifests (round 17 — r16 verdict missing #5) -------
+  // One flat file listing every entry is O(files) metadata read at
+  // EVERY plan — at 100 TB (10⁶–10⁷ files) manifest IO becomes the
+  // planning bottleneck (the problem Delta checkpoints / Iceberg
+  // manifest lists exist to solve). Past `segmentFiles` entries, the
+  // root manifest holds one `@seg` line per SEGMENT — a content-
+  // addressed sidecar (`_seg-<sha>.tsv`) of `segmentFiles` entry lines
+  // — carrying the segment's PRUNING AGGREGATE (sound over the
+  // noneMatch algebra: a refuted aggregate refutes every member file).
+  // Planning then reads O(root + surviving segments), not O(files);
+  // appends REUSE the base's unchanged chunks byte-for-byte (same
+  // content → same hash → same file, never rewritten), so commit-time
+  // metadata writes are O(new entries) too. The CAS protocol stays at
+  // the root: segments are immutable once referenced and age out with
+  // the manifests that name them (vacuum treats them like data files).
+
+  /** Entries per manifest segment, and the inline threshold below which
+    * a manifest stays single-file. A `@volatile var` only as a TEST
+    * SEAM (LakeSpec lowers it to exercise segmentation on small
+    * fixtures); production leaves the default. */
+  @volatile var segmentFiles: Int = 256
+
+  /** Root-manifest reference to one segment: sidecar name, member
+    * count, and the pruning aggregate (rows/bytes summed; per-column
+    * stats combined only where sound — see [[segAgg]]). */
+  final case class SegRef(name: String, count: Int, agg: FileEntry)
+
+  /** The root manifest alone: header + inline entries + segment refs.
+    * Planning reads THIS, then only the segments its filters keep. */
+  final case class RootMeta(schema: StructType, tsMillis: Long,
+      cluster: Option[(String, Int)], inline: Seq[FileEntry],
+      segs: Seq[SegRef])
+
+  /** Segment pruning aggregate over `es`, SOUND for [[noneMatch]]:
+    *  - rows/bytes/nulls are sums (exact), so IS [NOT] NULL and the
+    *    all-null shortcut compose (Σnulls==0 ⟺ every file null-free;
+    *    Σnulls==Σrows ⟺ every file all-null);
+    *  - a column's [min,max] is claimed only when EVERY member file's
+    *    values are covered — each file either carries its own range or
+    *    provably has no values (all-null). One uncovered file (string
+    *    column, NaN-poisoned, pre-evolution missing stats) widens the
+    *    claim to unknown, and a column missing from ANY member is
+    *    omitted entirely — both make the segment unprunable on that
+    *    column, never wrongly prunable. */
+  private[sources] def segAgg(name: String, es: Seq[FileEntry]): FileEntry = {
+    val cols = es.head.stats.keySet
+      .filter(c => es.forall(_.stats.contains(c)))
+    val stats = cols.iterator.map { c =>
+      val ss = es.map(_.stats(c))
+      val nulls = ss.map(_.nulls).sum
+      val covered = es.forall { e =>
+        val s = e.stats(c)
+        (s.min.isDefined && s.max.isDefined) || s.nulls == e.rows
+      }
+      val mins = ss.flatMap(_.min)
+      val maxs = ss.flatMap(_.max)
+      val (mn, mx) =
+        if (!covered || mins.isEmpty) (None, None)
+        else (Some(mins.minBy(BigDecimal(_))), Some(maxs.maxBy(BigDecimal(_))))
+      c -> ColStats(mn, mx, nulls)
+    }.toMap
+    FileEntry(name, es.map(_.rows).sum, es.map(_.bytes).sum, stats)
+  }
+
+  private def sha16(content: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(content.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+
+  /** Write a content-addressed segment sidecar if absent. Idempotent by
+    * construction: the name IS the content hash, so a concurrent writer
+    * of the same name is writing the same bytes — lost renames just
+    * mean the identical file already exists. */
+  private def writeSegmentIfAbsent(f: FileSystem, dir: String,
+      name: String, content: String): Unit = {
+    val target = new HPath(dir, name)
+    if (f.exists(target)) return
+    val tmp = new HPath(dir,
+      s"_tmp-seg-${java.util.UUID.randomUUID().toString.take(12)}")
+    val out = f.create(tmp, false)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    if (!f.rename(tmp, target)) f.delete(tmp, false)
+  }
+
+  def readSegment(f: FileSystem, dir: String,
+      name: String): Seq[FileEntry] = {
+    val in = f.open(new HPath(dir, name))
+    val lines = try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+    } finally in.close()
+    lines.filter(_.nonEmpty).map(decodeEntry)
+  }
+
+  /** Root-only manifest read — O(root), no segment IO. Accepts all
+    * header generations: v1 (`#lake 1 <ddl>`, round 16 — no timestamp,
+    * no cluster spec) and v2 (`#lake 2 <ts> <cluster> <ddl>`, round
+    * 17); `@seg` indirection lines may appear in either body. */
+  def readManifestRoot(f: FileSystem, dir: String, v: Int): RootMeta = {
     val in = f.open(new HPath(dir, manifestName(v)))
     val lines = try {
       scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
     } finally in.close()
     require(lines.nonEmpty && lines.head.startsWith("#lake\t"),
       s"not a lake manifest: $dir/${manifestName(v)}")
-    val entries = lines.tail.filter(_.nonEmpty).map(decodeEntry)
+    val body = lines.tail.filter(_.nonEmpty)
+    val inline = body.filterNot(_.startsWith("@seg\t")).map(decodeEntry)
+    val segs = body.filter(_.startsWith("@seg\t")).map { l =>
+      val rest = l.stripPrefix("@seg\t")
+      val i = rest.indexOf('\t')
+      val agg = decodeEntry(rest.substring(i + 1))
+      SegRef(agg.name, rest.take(i).toInt, agg)
+    }
     val head = lines.head.split('\t')
     head(1) match {
       case "1" =>
-        ManifestMeta(StructType.fromDDL(head.drop(2).mkString("\t")),
-          tsMillis = 0L, cluster = None, entries)
+        RootMeta(StructType.fromDDL(head.drop(2).mkString("\t")),
+          tsMillis = 0L, cluster = None, inline, segs)
       case "2" =>
-        ManifestMeta(StructType.fromDDL(head.drop(4).mkString("\t")),
-          head(2).toLong, decodeCluster(head(3)), entries)
+        RootMeta(StructType.fromDDL(head.drop(4).mkString("\t")),
+          head(2).toLong, decodeCluster(head(3)), inline, segs)
       case gen => throw new IllegalStateException(
         s"unsupported lake manifest generation $gen in " +
           s"$dir/${manifestName(v)} — written by a newer engine")
     }
+  }
+
+  /** Full manifest read including the snapshot metadata header —
+    * flattens segment indirection; commit paths and whole-table
+    * maintenance use this, PLANNING goes through [[readManifestRoot]]
+    * so filters can skip segments unread. */
+  def readManifestMeta(f: FileSystem, dir: String, v: Int): ManifestMeta = {
+    val r = readManifestRoot(f, dir, v)
+    ManifestMeta(r.schema, r.tsMillis, r.cluster,
+      r.inline ++ r.segs.flatMap(s => readSegment(f, dir, s.name)))
   }
 
   /** Commit timestamp of version `v`, reading only the header line —
@@ -477,11 +592,25 @@ object LakeFormat {
     val ts = math.max(System.currentTimeMillis(), prevTs + 1)
     val tmp = new HPath(dir,
       s"_tmp-manifest-${java.util.UUID.randomUUID().toString.take(12)}")
+    // past the inline threshold, spill fixed-size entry chunks into
+    // content-addressed segment sidecars: an append re-chunks
+    // base ++ new at the same boundaries, so every unchanged chunk
+    // hashes to the SAME existing file and is skipped — commit-time
+    // metadata write is O(new entries). Orphans from a crash here (or
+    // a lost CAS below) age out via vacuum like staged data files.
+    val bodyLines: Seq[String] =
+      if (entries.size <= segmentFiles) entries.map(encodeEntry)
+      else entries.grouped(segmentFiles).map { chunk =>
+        val content = chunk.map(encodeEntry).mkString("", "\n", "\n")
+        val segName = s"_seg-${sha16(content)}.tsv"
+        writeSegmentIfAbsent(f, dir, segName, content)
+        s"@seg\t${chunk.size}\t${encodeEntry(segAgg(segName, chunk))}"
+      }.toSeq
     val out = f.create(tmp, false)
     try {
       val body =
         (s"#lake\t2\t$ts\t${encodeCluster(cluster)}\t${schema.toDDL}" +:
-          entries.map(encodeEntry)).mkString("", "\n", "\n")
+          bodyLines).mkString("", "\n", "\n")
       out.write(body.getBytes("UTF-8"))
     } finally out.close()
     val local = f.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
@@ -723,12 +852,19 @@ object LakeFormat {
     val (keepMans, dropMans) = all.collect {
       case n @ ManifestRe(v) => (n, v.toInt)
     }.partition(_._2 >= keepFromVersion)
-    val referenced = keepMans.map(_._2)
-      .flatMap(v => readManifest(f, dir, v)._2
-        .flatMap(e => e.name +: e.dv.map(_._1).toSeq)).toSet
+    val referenced = keepMans.map(_._2).flatMap { v =>
+      // segments are referenced by the root; their member files (and
+      // dv sidecars) are referenced through them
+      val r = readManifestRoot(f, dir, v)
+      r.segs.map(_.name) ++
+        (r.inline ++ r.segs.flatMap(s => readSegment(f, dir, s.name)))
+          .flatMap(e => e.name +: e.dv.map(_._1).toSeq)
+    }.toSet
     val dropped = dropMans.map(_._1) ++
       all.filter(n =>
-        n.endsWith(".lake") && !referenced.contains(n) && aged.contains(n))
+        (n.endsWith(".lake") ||
+          (n.startsWith("_seg-") && n.endsWith(".tsv"))) &&
+          !referenced.contains(n) && aged.contains(n))
     dropped.foreach(n => f.delete(new HPath(d, n), false))
     dropped.toSeq.sorted
   }
@@ -1173,21 +1309,19 @@ private[sources] object LakeScanBuilder {
       s"versionAsOf $v does not exist under $path (latest: " +
         s"${latest.getOrElse(-1)}) — vacuumed or never committed"))
     val version = versionAsOf.orElse(latest)
-    val meta = version.map(v => LakeFormat.readManifestMeta(f, path, v))
-    new LakeScanBuilder(path, tableSchema, version.getOrElse(-1),
-      meta.map(_.entries).getOrElse(Nil),
-      owner, versionAsOf.isDefined, readOptions,
-      meta.flatMap(_.cluster))
+    // ROOT only — which segments to read is the filters' call (build())
+    val root = version.map(v => LakeFormat.readManifestRoot(f, path, v))
+    new LakeScanBuilder(path, tableSchema, version.getOrElse(-1), root,
+      owner, versionAsOf.isDefined, readOptions)
   }
 }
 
 private[sources] class LakeScanBuilder(path: String,
     tableSchema: StructType, version: Int,
-    entries: Seq[LakeFormat.FileEntry],
+    root: Option[LakeFormat.RootMeta],
     owner: Option[LakeOperationHost],
     timeTravel: Boolean = false,
-    readOptions: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
-    cluster: Option[(String, Int)] = None)
+    readOptions: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -1196,6 +1330,17 @@ private[sources] class LakeScanBuilder(path: String,
   private var required: StructType = tableSchema
   private var pushed: Array[FFilter] = Array.empty
   private var aggFuncs: Seq[AggregateFunc] = Nil
+
+  /** Whole-snapshot entry list — the FULL metadata read. Only the
+    * paths that genuinely answer from every file force this
+    * (manifest-only aggregates); filtered scans go through the
+    * segment-pruned path in build(). */
+  private lazy val entries: Seq[LakeFormat.FileEntry] = root match {
+    case None => Nil
+    case Some(r) =>
+      val f = LakeFormat.fs(path)
+      r.inline ++ r.segs.flatMap(s => LakeFormat.readSegment(f, path, s.name))
+  }
 
   override def pushFilters(filters: Array[FFilter]): Array[FFilter] = {
     // accept for FILE PRUNING only; return everything as residual so
@@ -1263,13 +1408,26 @@ private[sources] class LakeScanBuilder(path: String,
   override def build(): Scan = {
     if (aggFuncs.nonEmpty)
       return new LakeAggScan(path, tableSchema, version, entries, aggFuncs)
+    val pushedSeq = pushed.toSeq
+    // two-level pruning: segment aggregates first (skipped segments are
+    // never READ — the metadata win at 10⁶-file scale), then per-file
+    // stats inside the surviving segments
+    val candidates = root match {
+      case None => Nil
+      case Some(r) =>
+        val live = r.segs.filter(s => LakeFormat.survives(s.agg, pushedSeq))
+        LakeSource.lastSegmentsPlanned.set((live.size, r.segs.size))
+        val f = LakeFormat.fs(path)
+        r.inline ++
+          live.flatMap(s => LakeFormat.readSegment(f, path, s.name))
+    }
     val scan = new LakeScan(path, tableSchema, required, version,
-      entries.filter(e => LakeFormat.survives(e, pushed.toSeq)),
-      pushed.toSeq, timeTravel, readOptions,
+      candidates.filter(e => LakeFormat.survives(e, pushedSeq)),
+      pushedSeq, timeTravel, readOptions,
       // key-grouped reporting stays OFF for row-level-operation scans:
       // their planned set IS the replace set and their runtime `_file`
       // narrowing may drop whole buckets after partitioning is fixed
-      cluster.filter(_ => owner.isEmpty))
+      root.flatMap(_.cluster).filter(_ => owner.isEmpty))
     owner.foreach(_.configuredScan = scan)
     scan
   }

@@ -841,6 +841,98 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("two-level manifest: segmented round-trip is transparent; appends reuse unchanged segments byte-for-byte") {
+    val saved = LakeFormat.segmentFiles
+    LakeFormat.segmentFiles = 4
+    try {
+      val dir = tmp("lake_seg")
+      det(8000, 8).write.format(Lake).option("path", dir)
+        .mode("overwrite").save() // 8 entries > 4 → 2 segments
+      val f = LakeFormat.fs(dir)
+      def segsOnDisk: Set[String] = new java.io.File(dir).list().toSet
+        .filter((n: String) => n.startsWith("_seg-"))
+      def root(v: Int) = LakeFormat.readManifestRoot(f, dir, v)
+      val r0 = root(LakeFormat.latestVersion(f, dir).get)
+      assert(r0.inline.isEmpty && r0.segs.size == 2,
+        s"inline=${r0.inline.size} segs=${r0.segs.size}")
+      assert(segsOnDisk.size == 2)
+      // values identical through the indirection
+      assert(read(dir).agg(sum(col("kscore"))).head.getLong(0) ==
+        det(8000, 8).agg(sum(col("kscore"))).head.getLong(0))
+      // filtered planning reads ONE segment, plans ONE file (8 slices →
+      // contiguous 1000-id files; segment 0 covers ids [0, 4000))
+      assert(read(dir).filter(col("id") < 1000).count() == 1000L)
+      assert(LakeSource.lastSegmentsPlanned.get() == ((1, 2)),
+        s"segments planned: ${LakeSource.lastSegmentsPlanned.get()}")
+      assert(LakeSource.lastPlannedFiles.get().size == 1)
+      // append: base chunks re-hash identical → REUSED, not rewritten
+      spark.range(8000, 8100)
+        .selectExpr("id", "CAST(id % 16 AS INT) AS bucket",
+          "CAST((id * 31) % 997 AS INT) AS kscore",
+          "CAST(id AS DOUBLE) / 7 AS score", "concat('doc_', id) AS doc_id")
+        .write.format(Lake).option("path", dir).mode("append").save()
+      val r1 = root(LakeFormat.latestVersion(f, dir).get)
+      assert(r1.segs.size == 3)
+      assert(r1.segs.take(2).map(_.name) == r0.segs.map(_.name),
+        "append must reuse the base's unchanged segments")
+      assert(segsOnDisk.size == 3, "reused segments are the SAME files")
+      assert(read(dir).count() == 8100L)
+      // vacuum: segments referenced by surviving manifests stay; after
+      // truncate + vacuum-to-latest, all segments and data files die
+      spark.sql(s"SELECT 1").collect() // (keep session warm)
+      val latest0 = LakeFormat.latestVersion(f, dir).get
+      LakeFormat.vacuum(dir, keepFromVersion = latest0, graceMs = 0L)
+      assert(segsOnDisk.size == 3, "live segments must survive vacuum")
+      val oldFiles = lakeFiles(dir).toSet
+      spark.createDataFrame(spark.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], det(10, 1).schema)
+        .write.format(Lake).option("path", dir).mode("overwrite").save()
+      LakeFormat.vacuum(dir,
+        keepFromVersion = LakeFormat.latestVersion(f, dir).get,
+        graceMs = 0L)
+      assert(segsOnDisk.isEmpty, s"orphaned segments survive: $segsOnDisk")
+      assert(lakeFiles(dir).toSet.intersect(oldFiles).isEmpty,
+        "orphaned data files survive")
+    } finally LakeFormat.segmentFiles = saved
+  }
+
+  test("two-level manifest at 10k files: planning reads O(surviving segments); COUNT(*) stays manifest-only") {
+    val saved = LakeFormat.segmentFiles
+    LakeFormat.segmentFiles = 64
+    try {
+      val dir = tmp("lake_seg10k")
+      det(16000, 16).write.format(Lake).option("path", dir)
+        .mode("overwrite").save() // 16 REAL files, ids contiguous
+      val f = LakeFormat.fs(dir)
+      val v = LakeFormat.latestVersion(f, dir).get
+      val meta = LakeFormat.readManifestMeta(f, dir, v)
+      // plant 9,984 synthetic entries with disjoint id ranges ABOVE the
+      // real data: they exercise the metadata path at 10k-file scale
+      // and are never planned by the probes below, so no task ever
+      // opens them
+      val fakes = (0 until 9984).map { i =>
+        val lo = 16000L + i * 1000L
+        LakeFormat.FileEntry(f"fake-$i%05d.lake", 1000L, 10000L, Map(
+          "id" -> LakeFormat.ColStats(
+            Some(lo.toString), Some((lo + 999L).toString), 0L)))
+      }
+      assert(LakeFormat.writeManifestCAS(f, dir, v + 1, meta.schema,
+        meta.entries ++ fakes))
+      // 10,000 entries / 64 → 157 segments in the root
+      val root = LakeFormat.readManifestRoot(f, dir, v + 1)
+      assert(root.segs.size == 157, s"segs=${root.segs.size}")
+      // a needle predicate loads 1 segment of 157 and plans 1 file
+      assert(read(dir).filter(col("id") < 500).count() == 500L)
+      assert(LakeSource.lastSegmentsPlanned.get() == ((1, 157)),
+        s"segments planned: ${LakeSource.lastSegmentsPlanned.get()}")
+      assert(LakeSource.lastPlannedFiles.get() ==
+        meta.entries.take(1).map(_.name))
+      // global COUNT(*) answers from the manifest — zero file opens
+      // even with 9,984 unreadable synthetic entries
+      assert(read(dir).count() == 16000L + 9984L * 1000L)
+    } finally LakeFormat.segmentFiles = saved
+  }
+
   test("OPTIMIZE CLUSTER BY: every file holds one bucket ordinal; the manifest carries the spec") {
     val dir = tmp("lake_clw")
     det(20000, 8).write.format(Lake).option("path", dir)
