@@ -998,6 +998,16 @@ class LakeSpec extends AnyFunSuite {
           spj.queryExecution.executedPlan.toString.take(3000))
       assert(spj.collect().map(_.toString).sorted.toSeq == expected,
         "exchange-free lake join changed the answer")
+      // the same layout satisfies a GROUP BY on the cluster key with
+      // zero exchanges too (bucket(16, id) determines id's partition)
+      val agg = spark.table(ta).groupBy(col("id"))
+        .agg(sum(col("kscore")).as("sk"))
+      val aggEx = agg.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(aggEx.isEmpty, "cluster-key aggregate still shuffles:\n" +
+        agg.queryExecution.executedPlan.toString.take(2000))
+      assert(agg.count() == 20000L)
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
