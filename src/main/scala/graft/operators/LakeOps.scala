@@ -352,7 +352,50 @@ object LakeOps {
       .orderBy(col("bucket"))
   }
 
+  /** CHANGE DATA FEED (round 17): "what changed in versions (v0, last]"
+    * as rows — derived at read time from manifest diffs (added file →
+    * inserts, removed file → deletes, grown deletion vector → exactly
+    * the new ordinals as deletes), so incremental consumers recompute
+    * over the DELTA, not the corpus. A merge-on-read DELETE feeds 21
+    * vector deletes; a COW UPDATE of one file surfaces as whole-file
+    * delete+insert (file-diff semantics, the Iceberg changelog scan).
+    * The oracle replays both commits relationally. */
+  val qLakeChangeFeed: Q = Q(
+    "q236_lake_change_feed",
+    """WITH d AS (SELECT id, (id * 31) % 997 AS kscore
+      |           FROM range(20000) t(id)),
+      |ch AS (
+      |  SELECT 'delete' AS ct, id, kscore FROM d WHERE id % 997 = 13
+      |  UNION ALL
+      |  SELECT 'delete', id, kscore FROM d
+      |  WHERE id < 2500 AND id % 997 <> 13
+      |  UNION ALL
+      |  SELECT 'insert', id, kscore + 1000 FROM d
+      |  WHERE id < 2500 AND id % 997 <> 13)
+      |SELECT ct AS _change_type, count(*) AS n,
+      |       CAST(sum(kscore) AS BIGINT) AS sum_k,
+      |       CAST(sum(id) AS BIGINT) AS sum_id
+      |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, _) =>
+    val dir = lakeDir(s, "q236_lake")
+    freshTable(s, "glake.ns.t236", dir)
+    det(s, 20000, 8).createOrReplaceTempView("det236")
+    s.sql("INSERT OVERWRITE glake.ns.t236 SELECT * FROM det236")
+    val f = graft.sources.LakeFormat.fs(dir)
+    val v0 = graft.sources.LakeFormat.latestVersion(f, dir).get
+    s.sql("DELETE FROM glake.ns.t236 WHERE id % 997 = 13") // dv deletes
+    s.sql("UPDATE glake.ns.t236 SET kscore = kscore + 1000 " +
+      "WHERE id < 2500") // COW of the one file the stats plan
+    s.read.format(Lake).option("path", dir)
+      .option("changesFrom", (v0 + 1).toString).load()
+      .groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("kscore")).cast("long").as("sum_k"),
+        sum(col("id")).cast("long").as("sum_id"))
+      .orderBy(col("_change_type"))
+  }
+
   val all: Seq[Q] = Seq(qLakeScanPrune, qLakeDelete, qLakeUpdate,
     qLakeMerge, qLakeTimeTravel, qLakeStatsAgg, qLakeTimestampTravel,
-    qLakeStreamRead, qLakeDvDelete, qLakeSpjJoin)
+    qLakeStreamRead, qLakeDvDelete, qLakeSpjJoin, qLakeChangeFeed)
 }

@@ -841,6 +841,55 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("change data feed: snapshot inserts, vector-growth deltas, COW delete+insert pairs, bounded ranges, loud on vacuumed history") {
+    val dir = tmp("lake_cdf")
+    val t = catalogTable("tcdf", dir)
+    det(8000, 8).createOrReplaceTempView("cdf_src")
+    spark.sql(s"INSERT OVERWRITE $t SELECT * FROM cdf_src") // v0
+    def feed(from: Int, to: Option[Int] = None): DataFrame = {
+      val r = spark.read.format(Lake).option("path", dir)
+        .option("changesFrom", from.toString)
+      to.fold(r)(v => r.option("changesTo", v.toString)).load()
+    }
+    // changesFrom 0 = the initial snapshot as inserts
+    val snap = feed(0, Some(0))
+    assert(snap.groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("insert" -> 8000L))
+    // two successive dv deletes on the SAME file: the second step's
+    // feed is exactly the NEWLY covered ordinals
+    spark.sql(s"DELETE FROM $t WHERE id IN (10, 20, 30)") // v1
+    spark.sql(s"DELETE FROM $t WHERE id IN (40, 50)") // v2 (same file 0)
+    val step2 = feed(2).select(col("id"), col("_change_type"),
+      col("_commit_version")).collect()
+    assert(step2.map(_.getLong(0)).sorted.toSeq == Seq(40L, 50L), step2.toSeq.toString)
+    assert(step2.forall(r => r.getString(1) == "delete" && r.getInt(2) == 2))
+    // feed timestamps are the commit timestamps
+    val f = LakeFormat.fs(dir)
+    assert(feed(2).select(col("_commit_timestamp")).head.getLong(0) ==
+      LakeFormat.manifestTs(f, dir, 2))
+    // a COW UPDATE surfaces as whole-file delete+insert of LIVE rows
+    spark.sql(s"UPDATE $t SET kscore = kscore + 1000 WHERE id < 1000") // v3
+    val step3 = feed(3).groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(step3 == Map("delete" -> 995L, "insert" -> 995L), step3.toString)
+    // the cumulative feed nets out to the live table: inserts minus
+    // deletes, keyed by (id, kscore)
+    val all = feed(0)
+    val net = all.groupBy(col("id"), col("kscore"))
+      .agg(sum(when(col("_change_type") === "insert", 1)
+        .otherwise(-1)).as("n"))
+      .filter(col("n") > 0)
+    val live = read(dir).select(col("id"), col("kscore"))
+    assert(net.select(col("id"), col("kscore")).exceptAll(live).isEmpty &&
+      live.exceptAll(net.select(col("id"), col("kscore"))).isEmpty,
+      "cumulative feed does not net out to the live table")
+    // vacuumed history fails loudly, never a partial feed
+    LakeFormat.vacuum(dir, keepFromVersion = 3, graceMs = 0L)
+    val ex = intercept[Exception] { feed(1).collect() }
+    assert(ex.getMessage != null)
+  }
+
   test("two-level manifest: segmented round-trip is transparent; appends reuse unchanged segments byte-for-byte") {
     val saved = LakeFormat.segmentFiles
     LakeFormat.segmentFiles = 4
