@@ -105,5 +105,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => CharNgrams(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => ExistsOverSizeFilter)
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
+    // lake maintenance SQL (OPTIMIZE …, VACUUM … RETAIN n VERSIONS) —
+    // a delegating parser that intercepts only that grammar
+    ext.injectParser((_, parser) => new graft.plans.GraftSqlParser(parser))
   }
 }

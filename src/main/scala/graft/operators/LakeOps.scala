@@ -337,8 +337,11 @@ object LakeOps {
     det(s, 8000, 8).createOrReplaceTempView("det235b")
     s.sql("INSERT OVERWRITE glake.ns.t235a SELECT * FROM det235a")
     s.sql("INSERT OVERWRITE glake.ns.t235b SELECT * FROM det235b")
-    graft.sources.LakeFormat.optimizeCluster(s, dirA, "id", 8)
-    graft.sources.LakeFormat.optimizeCluster(s, dirB, "id", 8)
+    // the SQL maintenance surface (round 17): parsed by the injected
+    // GraftSqlParser, resolved through the catalog, snapshot-pinned
+    // underneath — same machinery as LakeFormat.optimizeCluster
+    s.sql("OPTIMIZE glake.ns.t235a CLUSTER BY bucket(id, 8)")
+    s.sql("OPTIMIZE glake.ns.t235b CLUSTER BY bucket(id, 8)")
     s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
       "true")

@@ -1,0 +1,167 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
+
+import graft.sources.{LakeFormat, LakeTable}
+
+/** SQL surface for the lake MAINTENANCE operations (round 17) — the
+  * commands a table operator actually types, parsed by a delegating
+  * [[ParserInterface]] injected through `SparkSessionExtensions
+  * .injectParser` (the Delta/Iceberg idiom for engine-level DDL Spark's
+  * grammar lacks):
+  *
+  * {{{
+  *   OPTIMIZE <table|'path'> RANGE BY <col> INTO <n> FILES
+  *   OPTIMIZE <table|'path'> CLUSTER BY bucket(<col>, <n>)
+  *   VACUUM   <table|'path'> RETAIN <n> VERSIONS [GRACE <ms> MS]
+  * }}}
+  *
+  * `<table>` resolves through the session's V2 catalogs to a
+  * [[LakeTable]]'s backing path; `'path'` targets a lake directory
+  * directly. Each command returns a small metrics row (what a human
+  * checks after maintenance). Everything else falls through to the
+  * delegate parser untouched — the interceptor anchors on the leading
+  * keyword and full-matches, so no ordinary statement can be shadowed.
+  */
+object LakeSqlCommands {
+  private val Target = """(?:'([^']+)'|((?:[\w`]+\.)*[\w`]+))"""
+  private val OptimizeRange =
+    ("""(?is)^\s*OPTIMIZE\s+""" + Target +
+      """\s+RANGE\s+BY\s+(\w+)\s+INTO\s+(\d+)\s+FILES\s*;?\s*$""").r
+  private val OptimizeCluster =
+    ("""(?is)^\s*OPTIMIZE\s+""" + Target +
+      """\s+CLUSTER\s+BY\s+bucket\s*\(\s*(\w+)\s*,\s*(\d+)\s*\)\s*;?\s*$""").r
+  private val Vacuum =
+    ("""(?is)^\s*VACUUM\s+""" + Target +
+      """\s+RETAIN\s+(\d+)\s+VERSIONS(?:\s+GRACE\s+(\d+)\s+MS)?\s*;?\s*$""").r
+
+  def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case OptimizeRange(path, ident, col, n) =>
+      Some(OptimizeLakeCommand(Option(path), Option(ident), col,
+        n.toInt, cluster = false))
+    case OptimizeCluster(path, ident, col, n) =>
+      Some(OptimizeLakeCommand(Option(path), Option(ident), col,
+        n.toInt, cluster = true))
+    case Vacuum(path, ident, retain, grace) =>
+      Some(VacuumLakeCommand(Option(path), Option(ident), retain.toInt,
+        Option(grace).map(_.toLong)))
+    case _ => None
+  }
+
+  /** Resolve a command target to the lake directory it maintains. */
+  private[plans] def resolvePath(spark: SparkSession, path: Option[String],
+      ident: Option[String]): String = path.getOrElse {
+    val parts = ident.get.split('.').map(_.stripPrefix("`").stripSuffix("`"))
+    require(parts.length >= 2,
+      s"lake maintenance target '${ident.get}' must be " +
+        "catalog.namespace.table (or a 'path' literal)")
+    val catalog = spark.sessionState.catalogManager.catalog(parts.head)
+    val tblIdent = Identifier.of(parts.tail.init, parts.last)
+    catalog match {
+      case tc: TableCatalog => tc.loadTable(tblIdent) match {
+        case lt: LakeTable => lt.path
+        case other => throw new IllegalArgumentException(
+          s"${ident.get} is not a lake table (got ${other.getClass
+            .getSimpleName}) — OPTIMIZE/VACUUM maintain lake tables")
+      }
+      case other => throw new IllegalArgumentException(
+        s"catalog ${parts.head} is not a TableCatalog: $other")
+    }
+  }
+}
+
+/** `OPTIMIZE` — rewrite the current snapshot range-clustered (stats
+  * pruning) or bucket-clustered (storage-partitioned joins). Snapshot-
+  * pinned underneath: a concurrent commit aborts it loudly
+  * ([[LakeFormat.optimize]]/[[LakeFormat.optimizeCluster]]). */
+case class OptimizeLakeCommand(path: Option[String], ident: Option[String],
+    col: String, n: Int, cluster: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("version_before", IntegerType, nullable = false)(),
+    AttributeReference("version_after", IntegerType, nullable = false)(),
+    AttributeReference("files_before", IntegerType, nullable = false)(),
+    AttributeReference("files_after", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = LakeSqlCommands.resolvePath(spark, path, ident)
+    val f = LakeFormat.fs(dir)
+    def snapshot(): (Int, Int) = {
+      val v = LakeFormat.latestVersion(f, dir).getOrElse(
+        throw new IllegalArgumentException(
+          s"OPTIMIZE: no lake manifest under $dir"))
+      (v, LakeFormat.readManifestMeta(f, dir, v).entries.size)
+    }
+    val (v0, files0) = snapshot()
+    if (cluster) LakeFormat.optimizeCluster(spark, dir, col, n)
+    else LakeFormat.optimize(spark, dir, col, n)
+    val (v1, files1) = snapshot()
+    Seq(Row(dir, v0, v1, files0, files1))
+  }
+}
+
+/** `VACUUM … RETAIN n VERSIONS` — keep the latest n manifest versions,
+  * reclaim everything below the floor plus unreferenced files past the
+  * grace window ([[LakeFormat.vacuum]] semantics: time travel below
+  * the floor then fails loudly, never partially). */
+case class VacuumLakeCommand(path: Option[String], ident: Option[String],
+    retainVersions: Int, graceMs: Option[Long])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("keep_from_version", IntegerType, nullable = false)(),
+    AttributeReference("reclaimed", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(retainVersions >= 1, "VACUUM must retain at least 1 version")
+    val dir = LakeSqlCommands.resolvePath(spark, path, ident)
+    val f = LakeFormat.fs(dir)
+    val latest = LakeFormat.latestVersion(f, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"VACUUM: no lake manifest under $dir"))
+    val keepFrom = math.max(0, latest - retainVersions + 1)
+    val dropped = LakeFormat.vacuum(dir, keepFrom,
+      graceMs.getOrElse(LakeFormat.DefaultVacuumGraceMs))
+    Seq(Row(dir, keepFrom, dropped.size.toLong))
+  }
+}
+
+/** Delegating parser: intercepts the lake maintenance grammar, hands
+  * every other statement to Spark's own parser verbatim. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    LakeSqlCommands.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+  // parameterized SQL (`spark.sql(text, args)`, EXECUTE IMMEDIATE …
+  // USING, IDENTIFIER(:p)) flows through THIS entry point in Spark 4.1
+  // with parse-time substitution — the trait's default implementation
+  // drops the parameter context, so a wrapper that doesn't forward it
+  // silently breaks every parameter marker in the session
+  override def parsePlanWithParameters(sqlText: String,
+      ctx: org.apache.spark.sql.catalyst.parser.ParameterContext)
+      : LogicalPlan =
+    LakeSqlCommands.parse(sqlText)
+      .getOrElse(delegate.parsePlanWithParameters(sqlText, ctx))
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}

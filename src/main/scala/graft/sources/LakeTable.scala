@@ -1072,7 +1072,7 @@ object LakeFormat {
     !pushed.exists(f => noneMatch(e, f))
 }
 
-class LakeTable(private[sources] val path: String, tableSchema: StructType,
+class LakeTable(private[graft] val path: String, tableSchema: StructType,
     versionAsOf: Option[Int], failPartition: Option[Int])
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns

@@ -841,6 +841,41 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL maintenance grammar: OPTIMIZE CLUSTER BY / RANGE BY and VACUUM RETAIN run via the injected parser; ordinary SQL untouched") {
+    val dir = tmp("lake_sqlmaint")
+    val t = catalogTable("tmaint", dir)
+    det(20000, 8).createOrReplaceTempView("maint_src")
+    spark.sql(s"INSERT OVERWRITE $t SELECT * FROM maint_src") // v0
+    val f = LakeFormat.fs(dir)
+    def meta() = LakeFormat.readManifestMeta(f, dir,
+      LakeFormat.latestVersion(f, dir).get)
+    // bucket clustering by table NAME, metrics row back
+    val r1 = spark.sql(s"OPTIMIZE $t CLUSTER BY bucket(id, 8)").collect()
+    // catalog DDL normalizes LOCATION to a URI (file:/…)
+    assert(r1.length == 1 && r1(0).getString(0).stripPrefix("file:") == dir)
+    assert(r1(0).getInt(2) == r1(0).getInt(1) + 1) // version bumped once
+    assert(meta().cluster.contains(("id", 8)))
+    // range clustering by PATH literal drops the bucket claim and lands
+    // the requested file count
+    val r2 = spark.sql(s"OPTIMIZE '$dir' RANGE BY id INTO 4 FILES").collect()
+    assert(r2(0).getInt(4) == 4, r2(0).toString)
+    assert(meta().cluster.isEmpty && meta().entries.size == 4)
+    assert(read(dir).count() == 20000L) // content identical throughout
+    // VACUUM RETAIN 1 VERSIONS reclaims the superseded snapshots
+    val latest = LakeFormat.latestVersion(f, dir).get
+    val r3 = spark.sql(s"VACUUM $t RETAIN 1 VERSIONS GRACE 0 MS").collect()
+    assert(r3(0).getInt(1) == latest && r3(0).getLong(2) > 0L)
+    intercept[Exception] {
+      read(dir).queryExecution // force planning
+      spark.read.format(Lake).option("path", dir)
+        .option("versionAsOf", latest - 1).load().collect()
+    }
+    assert(read(dir).count() == 20000L)
+    // the delegate still owns everything else
+    assert(spark.sql("SELECT 1 AS one").head.getInt(0) == 1)
+    intercept[Exception] { spark.sql(s"OPTIMIZE $t FLUX BY id") }
+  }
+
   test("change data feed: snapshot inserts, vector-growth deltas, COW delete+insert pairs, bounded ranges, loud on vacuumed history") {
     val dir = tmp("lake_cdf")
     val t = catalogTable("tcdf", dir)
