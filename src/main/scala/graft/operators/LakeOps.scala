@@ -398,7 +398,65 @@ object LakeOps {
       .orderBy(col("_change_type"))
   }
 
+  /** STREAMING change feed (round 17): tail a MUTABLE table — the
+    * append-only stream (q232) fails loudly on DML; this one serves
+    * it as change rows. A snapshot, a merge-on-read DELETE, and a COW
+    * UPDATE land in the source; the stream drains the full history
+    * (insert / vector-delete / COW delete+insert) into a lake target
+    * whose schema carries the three change-metadata columns, then the
+    * target is aggregated by change type. Fresh dirs per run; the
+    * oracle replays all three commits relationally. */
+  val qLakeChangeStream: Q = Q(
+    "q237_lake_change_stream",
+    """WITH d AS (SELECT id, (id * 31) % 997 AS kscore
+      |           FROM range(20000) t(id)),
+      |ch AS (
+      |  SELECT 'insert' AS ct, id, kscore FROM d
+      |  UNION ALL
+      |  SELECT 'delete', id, kscore FROM d WHERE id % 997 = 13
+      |  UNION ALL
+      |  SELECT 'delete', id, kscore FROM d
+      |  WHERE id < 2500 AND id % 997 <> 13
+      |  UNION ALL
+      |  SELECT 'insert', id, kscore + 1000 FROM d
+      |  WHERE id < 2500 AND id % 997 <> 13)
+      |SELECT ct AS _change_type, count(*) AS n,
+      |       CAST(sum(kscore) AS BIGINT) AS sum_k,
+      |       CAST(sum(id) AS BIGINT) AS sum_id
+      |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, _) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val src = lakeDir(s, s"q237_src_$run")
+    val dst = lakeDir(s, s"q237_dst_$run")
+    val ckpt = lakeDir(s, s"q237_ck_$run")
+    useCatalog(s)
+    s.sql("DROP TABLE IF EXISTS glake.ns.t237")
+    s.sql(s"""CREATE TABLE glake.ns.t237 (
+      |  id BIGINT, bucket INT, kscore INT, score DOUBLE, doc_id STRING
+      |) USING lake LOCATION '$src'""".stripMargin)
+    det(s, 20000, 8).createOrReplaceTempView("det237")
+    s.sql("INSERT OVERWRITE glake.ns.t237 SELECT * FROM det237") // v0
+    s.sql("DELETE FROM glake.ns.t237 WHERE id % 997 = 13") // v1: vectors
+    s.sql("UPDATE glake.ns.t237 SET kscore = kscore + 1000 " +
+      "WHERE id < 2500") // v2: COW of one file
+    val q = s.readStream.format(Lake).option("path", src)
+      .option("readChanges", "true")
+      .option("maxVersionsPerTrigger", 1).load()
+      .writeStream.format(Lake).option("path", dst)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    require(q.awaitTermination(120000), "lake change stream did not drain")
+    s.read.format(Lake).option("path", dst).load()
+      .groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("kscore")).cast("long").as("sum_k"),
+        sum(col("id")).cast("long").as("sum_id"))
+      .orderBy(col("_change_type"))
+  }
+
   val all: Seq[Q] = Seq(qLakeScanPrune, qLakeDelete, qLakeUpdate,
     qLakeMerge, qLakeTimeTravel, qLakeStatsAgg, qLakeTimestampTravel,
-    qLakeStreamRead, qLakeDvDelete, qLakeSpjJoin, qLakeChangeFeed)
+    qLakeStreamRead, qLakeDvDelete, qLakeSpjJoin, qLakeChangeFeed,
+    qLakeChangeStream)
 }

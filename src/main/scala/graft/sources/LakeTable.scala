@@ -183,6 +183,16 @@ class LakeSource extends TableProvider {
           LakeFormat.readManifestRoot(LakeFormat.fs(path), path, to)
             .schema ++ LakeChanges.MetaCols)
     }
+    // streaming change feed: live header + the change metadata
+    if (options.getBoolean("readChanges", false)) {
+      val fch = LakeFormat.fs(path)
+      val v = LakeFormat.latestVersion(fch, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"no lake manifest under $path — nothing to tail"))
+      return StructType(
+        LakeFormat.readManifestRoot(fch, path, v).schema ++
+          LakeChanges.MetaCols)
+    }
     val f = LakeFormat.fs(path)
     // a time-travel read serves THAT VERSION's schema — inferring from
     // the latest manifest made the path form null-pad post-evolution
@@ -211,6 +221,11 @@ class LakeSource extends TableProvider {
     changesRange(path, k => Option(properties.get(k))).foreach {
       case (from, to) => return new LakeChangesTable(path, schema, from, to)
     }
+    if (java.lang.Boolean.parseBoolean(
+        String.valueOf(properties.get("readChanges"))))
+      return new LakeChangesStreamTable(path, schema,
+        Option(properties.get("startingVersion")),
+        Option(properties.get("maxVersionsPerTrigger")).map(_.toInt))
     new LakeTable(path, schema,
       travelVersion(path, k => Option(properties.get(k))),
       Option(properties.get("failPartition")).map(_.toInt))
@@ -2580,6 +2595,108 @@ private[sources] class LakeChangesTable(val path: String,
       override def build(): Scan = new LakeChangesScan(path, fullSchema,
         required, from, to)
     }
+}
+
+/** STREAMING change feed (round 17): tail a MUTABLE lake table —
+  * offsets are manifest versions exactly like the append-only tail
+  * ([[LakeMicroBatchStream]]), but each micro-batch serves the version
+  * range's CHANGES ([[LakeChanges.partitions]]): inserts, deletes from
+  * grown vectors, and COW delete+insert pairs, instead of failing
+  * loudly on rewrites. This is what lets a pipeline follow a CURATED
+  * corpus — one that gets deduplicated, redacted, and re-clustered
+  * while being consumed — with exactly-once incremental recompute:
+  * the engine's checkpoint owns the version cursor, replay of a batch
+  * re-reads the same immutable manifests, and `maxVersionsPerTrigger`
+  * bounds how much history one trigger swallows. */
+private[sources] class LakeChangesStreamTable(val path: String,
+    fullSchema: StructType, startingVersion: Option[String],
+    maxVersionsPerTrigger: Option[Int])
+    extends Table with SupportsRead {
+  override def name(): String = s"lake_changes_stream($path)"
+  override def schema(): StructType = fullSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = fullSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = required
+        override def description(): String = s"LakeChangesStream $path"
+        override def toMicroBatchStream(checkpointLocation: String)
+            : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+          new LakeChangesMicroBatchStream(path, fullSchema, required,
+            startingVersion, maxVersionsPerTrigger)
+      }
+    }
+}
+
+private[sources] class LakeChangesMicroBatchStream(path: String,
+    fullSchema: StructType, required: StructType,
+    startingVersion: Option[String], maxVersionsPerTrigger: Option[Int])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => StreamOffset, ReadLimit}
+
+  private val f = LakeFormat.fs(path)
+  @volatile private var availableNowTarget: Option[Int] = None
+
+  private def currentLatest: Int =
+    LakeFormat.latestVersion(f, path).getOrElse(-1)
+
+  override def initialOffset(): StreamOffset =
+    LakeVersionOffset(startingVersion match {
+      case Some("latest") => currentLatest // changes from NOW on
+      case Some(v) => v.toInt - 1 // include version v's changes onward
+      case None => -1 // full history: v0's snapshot arrives as inserts
+    })
+  override def deserializeOffset(json: String): StreamOffset =
+    LakeVersionOffset(json.toInt)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): StreamOffset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+
+  override def reportLatestOffset(): StreamOffset =
+    LakeVersionOffset(availableNowTarget.getOrElse(currentLatest))
+
+  /** `maxVersionsPerTrigger` bounds how much history one trigger
+    * swallows — a consumer catching up over a long DML history drains
+    * it in flat slices (AvailableNow keeps triggering until the
+    * prepared target is reached). */
+  override def latestOffset(start: StreamOffset,
+      limit: ReadLimit): StreamOffset = {
+    val s = start.asInstanceOf[LakeVersionOffset].v
+    val target = availableNowTarget.getOrElse(currentLatest)
+    val end = maxVersionsPerTrigger
+      .map(m => math.min(target, s + math.max(1, m))).getOrElse(target)
+    LakeVersionOffset(math.max(s, end))
+  }
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(currentLatest)
+
+  override def planInputPartitions(start: StreamOffset,
+      end: StreamOffset): Array[InputPartition] = {
+    val a = start.asInstanceOf[LakeVersionOffset].v
+    val b = end.asInstanceOf[LakeVersionOffset].v
+    if (b <= a) return Array.empty
+    LakeChanges.partitions(f, path, a + 1, b)
+      .map(p => p: InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LakeChangesReaderFactory(path,
+      StructType(fullSchema.dropRight(LakeChanges.MetaCols.size)),
+      required, LakeFormat.driverConf())
+
+  override def commit(end: StreamOffset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] class LakeChangesScan(path: String,

@@ -876,6 +876,49 @@ class LakeSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql(s"OPTIMIZE $t FLUX BY id") }
   }
 
+  test("streaming change feed: bounded full-history drain, exactly-once across restarts, incremental on new DML") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = tmp("lake_cdfs_src")
+    val dst = tmp("lake_cdfs_dst")
+    val ckpt = tmp("lake_cdfs_ck")
+    val t = catalogTable("tcdfs", src)
+    det(1000, 2).createOrReplaceTempView("cdfs_src")
+    spark.sql(s"INSERT OVERWRITE $t SELECT * FROM cdfs_src") // v0
+    spark.sql(s"DELETE FROM $t WHERE id IN (1, 2)") // v1: vectors
+    def drain(): Unit = {
+      val q = spark.readStream.format(Lake).option("path", src)
+        .option("readChanges", "true")
+        .option("maxVersionsPerTrigger", 1).load()
+        .writeStream.format(Lake).option("path", dst)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "change stream did not drain")
+    }
+    def dstRows(): Map[String, Long] =
+      read(dst).groupBy(col("_change_type")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    drain()
+    assert(dstRows() == Map("insert" -> 1000L, "delete" -> 2L))
+    // an idle re-drain from the same checkpoint adds NOTHING
+    drain()
+    assert(dstRows() == Map("insert" -> 1000L, "delete" -> 2L))
+    // new DML: the next drain ships ONLY its delta — the COW update
+    // replaces WHOLE FILES (group-based), so file 0's 498 live rows
+    // (500 minus the two vector-deleted) surface as delete+insert pairs
+    spark.sql(s"UPDATE $t SET kscore = kscore + 7 WHERE id < 10") // v2
+    drain()
+    assert(dstRows() == Map("insert" -> 1498L, "delete" -> 500L),
+      dstRows().toString)
+    // the netting invariant holds THROUGH the stream: inserts minus
+    // deletes in the target equal the live source rows
+    val net = read(dst).groupBy(col("id"), col("kscore"))
+      .agg(sum(when(col("_change_type") === "insert", 1)
+        .otherwise(-1)).as("n")).filter(col("n") > 0)
+      .select(col("id"), col("kscore"))
+    val live = read(src).select(col("id"), col("kscore"))
+    assert(net.exceptAll(live).isEmpty && live.exceptAll(net).isEmpty)
+  }
+
   test("change data feed: snapshot inserts, vector-growth deltas, COW delete+insert pairs, bounded ranges, loud on vacuumed history") {
     val dir = tmp("lake_cdf")
     val t = catalogTable("tcdf", dir)
