@@ -877,8 +877,11 @@ object ScaleSmoke {
       spark.sql(s"""CREATE TABLE gsmoke.ns.lake (
         |  id BIGINT, bucket INT, kscore INT, score DOUBLE, doc_id STRING
         |) USING lake LOCATION '$lakeDir'""".stripMargin)
-      time("lake COW delete (1-file rewrite)", nEvents / 64) {
-        spark.sql(s"DELETE FROM gsmoke.ns.lake WHERE id >= 1000 AND id < 2000")
+      // (round 17 moved DELETE to the merge-on-read DV path, so the
+      // COW-narrowness evidence now rides UPDATE — same 1-file bound)
+      time("lake COW update (1-file rewrite)", nEvents / 64) {
+        spark.sql("UPDATE gsmoke.ns.lake SET kscore = kscore + 1 " +
+          "WHERE id >= 1000 AND id < 2000")
         require(graft.sources.LakeSource.lastReplacedFiles.get().size == 1,
           s"rewrite touched ${graft.sources.LakeSource.lastReplacedFiles.get().size} files")
         spark.sql("SELECT count(*) FROM gsmoke.ns.lake").head.getLong(0)
@@ -892,6 +895,98 @@ object ScaleSmoke {
         spark.sql("SELECT count(*) FROM gsmoke.ns.lake").head.getLong(0)
       }
       spark.sql("DROP TABLE IF EXISTS gsmoke.ns.lake")
+    }
+    // ---- round-17 lake smokes: two-level manifests, DV deletes,
+    // change feed, storage-partitioned join ----
+    locally {
+      import graft.sources.{LakeFormat, LakeSource}
+      val dir = s"$base/lake17_smoke"
+      spark.read.format("graft.sources.DetRangeSource")
+        .option("rows", nEvents).option("slices", 64).load()
+        .select(col("id"), col("bucket"), col("kscore"), col("score"),
+          col("doc_id"))
+        .write.format("graft.sources.LakeSource")
+        .option("path", dir).mode("overwrite").save()
+      // full range-recluster into 512 files: the maintenance rewrite is
+      // one full pass (read + shuffle-by-range + write + one commit)
+      time("lake OPTIMIZE into 512 files", nEvents) {
+        spark.sql(s"OPTIMIZE '$dir' RANGE BY id INTO 512 FILES")
+        spark.read.format("graft.sources.LakeSource")
+          .option("path", dir).load().count()
+      }
+      // 512 entries > 256 → a TWO-LEVEL manifest (2 segments); a needle
+      // predicate must read 1 segment of 2 and plan ~1 file of 512 —
+      // planning metadata scales with surviving segments, not files
+      time("lake 2-level needle scan", nEvents / 512) {
+        val n = spark.read.format("graft.sources.LakeSource")
+          .option("path", dir).load()
+          .filter(col("id") < lit(nEvents / 512)).count()
+        val (segs, total) = LakeSource.lastSegmentsPlanned.get()
+        require(total == 2 && segs == 1,
+          s"segment pruning read $segs of $total segments")
+        require(LakeSource.lastPlannedFiles.get().size <= 2,
+          s"planned ${LakeSource.lastPlannedFiles.get().size} files")
+        n
+      }
+      // scattered merge-on-read DELETE: ~20 rows across the table — the
+      // cost is the matched-file scan + sidecar writes, ZERO rewrites
+      spark.sql("DROP TABLE IF EXISTS gsmoke.ns.lake17")
+      spark.sql(s"""CREATE TABLE gsmoke.ns.lake17 (
+        |  id BIGINT, bucket INT, kscore INT, score DOUBLE, doc_id STRING
+        |) USING lake LOCATION '$dir'""".stripMargin)
+      time("lake DV delete (scattered)", nEvents) {
+        spark.sql(s"DELETE FROM gsmoke.ns.lake17 WHERE id % 1000003 = 7")
+        require(LakeSource.lastReplacedFiles.get().isEmpty,
+          s"DV delete rewrote ${LakeSource.lastReplacedFiles.get().size} files")
+        require(LakeSource.lastDvWrites.get().nonEmpty, "no vectors written")
+        LakeSource.lastDvWrites.get().map(_._2).sum
+      }
+      // change feed of JUST that delete: rows out = the matched handful,
+      // cost = the touched files' scan — incremental consumers never
+      // pay corpus-shaped work for a delta
+      val fLake = LakeFormat.fs(dir)
+      val vDelta = LakeFormat.latestVersion(fLake, dir).get
+      time("lake change feed (delta)", nEvents / 512) {
+        spark.read.format("graft.sources.LakeSource").option("path", dir)
+          .option("changesFrom", vDelta.toString).load().count()
+      }
+      // storage-partitioned join: bucket-cluster the 20M fact and a 2M
+      // dim with one spec; the id-equi join plans ZERO exchanges — at
+      // 100 TB this deletes the fact⋈fact shuffle entirely
+      val dimDir = s"$base/lake17_dim"
+      spark.read.format("graft.sources.DetRangeSource")
+        .option("rows", nEvents / 10).option("slices", 16).load()
+        .select(col("id"), col("bucket"), col("kscore"), col("score"),
+          col("doc_id"))
+        .write.format("graft.sources.LakeSource")
+        .option("path", dimDir).mode("overwrite").save()
+      time("lake OPTIMIZE CLUSTER BY (fact)", nEvents) {
+        spark.sql(s"OPTIMIZE '$dir' CLUSTER BY bucket(id, 64)")
+        spark.read.format("graft.sources.LakeSource")
+          .option("path", dir).load().count()
+      }
+      spark.sql(s"OPTIMIZE '$dimDir' CLUSTER BY bucket(id, 64)")
+      spark.sql("DROP TABLE IF EXISTS gsmoke.ns.lake17dim")
+      spark.sql(s"""CREATE TABLE gsmoke.ns.lake17dim (
+        |  id BIGINT, bucket INT, kscore INT, score DOUBLE, doc_id STRING
+        |) USING lake LOCATION '$dimDir'""".stripMargin)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "true")
+      time("lake SPJ join 20M⋈2M", nEvents) {
+        val j = spark.table("gsmoke.ns.lake17")
+          .join(spark.table("gsmoke.ns.lake17dim"), Seq("id"))
+          .agg(count(lit(1)))
+        val exchanges = j.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+        // the JOIN is exchange-free; only the final 1-row agg exchanges
+        require(exchanges.size <= 1,
+          s"SPJ plan still shuffles the join inputs (${exchanges.size})")
+        j.head.getLong(0)
+      }
+      spark.sql("DROP TABLE IF EXISTS gsmoke.ns.lake17")
+      spark.sql("DROP TABLE IF EXISTS gsmoke.ns.lake17dim")
     }
     spark.stop()
     rmTree(java.nio.file.Paths.get(base))

@@ -876,6 +876,21 @@ class LakeSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql(s"OPTIMIZE $t FLUX BY id") }
   }
 
+  test("CTAS: CREATE TABLE ... USING lake AS SELECT lands data + manifest in one statement") {
+    spark.conf.set("spark.sql.catalog.glt", "graft.sources.GraftCatalog")
+    val dir = tmp("lake_ctas")
+    spark.sql("DROP TABLE IF EXISTS glt.ns.tctas")
+    det(5000, 4).createOrReplaceTempView("ctas_src")
+    spark.sql(s"""CREATE TABLE glt.ns.tctas USING lake LOCATION '$dir'
+      |AS SELECT * FROM ctas_src WHERE id < 3000""".stripMargin)
+    assert(spark.table("glt.ns.tctas").count() == 3000L)
+    val f = LakeFormat.fs(dir)
+    assert(LakeFormat.latestVersion(f, dir).contains(0))
+    // and the created table is immediately DML-capable
+    spark.sql("DELETE FROM glt.ns.tctas WHERE id < 1000")
+    assert(spark.table("glt.ns.tctas").count() == 2000L)
+  }
+
   test("streaming change feed: bounded full-history drain, exactly-once across restarts, incremental on new DML") {
     import org.apache.spark.sql.streaming.Trigger
     val src = tmp("lake_cdfs_src")
