@@ -41,6 +41,8 @@ object LakeSqlCommands {
   private val Vacuum =
     ("""(?is)^\s*VACUUM\s+""" + Target +
       """\s+RETAIN\s+(\d+)\s+VERSIONS(?:\s+GRACE\s+(\d+)\s+MS)?\s*;?\s*$""").r
+  private val History =
+    ("""(?is)^\s*DESCRIBE\s+HISTORY\s+""" + Target + """\s*;?\s*$""").r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case OptimizeRange(path, ident, col, n) =>
@@ -52,6 +54,8 @@ object LakeSqlCommands {
     case Vacuum(path, ident, retain, grace) =>
       Some(VacuumLakeCommand(Option(path), Option(ident), retain.toInt,
         Option(grace).map(_.toLong)))
+    case History(path, ident) =>
+      Some(DescribeLakeHistoryCommand(Option(path), Option(ident)))
     case _ => None
   }
 
@@ -130,6 +134,45 @@ case class VacuumLakeCommand(path: Option[String], ident: Option[String],
     val dropped = LakeFormat.vacuum(dir, keepFrom,
       graceMs.getOrElse(LakeFormat.DefaultVacuumGraceMs))
     Seq(Row(dir, keepFrom, dropped.size.toLong))
+  }
+}
+
+/** `DESCRIBE HISTORY` — one row per SURVIVING manifest version, newest
+  * first: commit wall-time (the TIMESTAMP AS OF resolution input),
+  * file/row/byte totals, and the layout claim. Answered entirely from
+  * manifest ROOTS (segment aggregates carry the sums), so the command
+  * costs O(versions), never O(files) — at 10⁶-file scale this is the
+  * difference between a metadata lookup and a listing storm. Row
+  * counts are physical (pre-deletion-vector); vacuumed versions simply
+  * don't appear, which is exactly what time travel can still reach. */
+case class DescribeLakeHistoryCommand(path: Option[String],
+    ident: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("committed_at", StringType, nullable = false)(),
+    AttributeReference("commit_ts_ms", LongType, nullable = false)(),
+    AttributeReference("files", IntegerType, nullable = false)(),
+    AttributeReference("rows_physical", LongType, nullable = false)(),
+    AttributeReference("bytes", LongType, nullable = false)(),
+    AttributeReference("clustered_by", StringType, nullable = true)(),
+    AttributeReference("manifest_segments", IntegerType,
+      nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = LakeSqlCommands.resolvePath(spark, path, ident)
+    val f = LakeFormat.fs(dir)
+    LakeFormat.versions(f, dir).sorted(Ordering[Int].reverse).map { v =>
+      val r = LakeFormat.readManifestRoot(f, dir, v)
+      val iso =
+        if (r.tsMillis == 0L) "" // generation-1 manifest: no timestamp
+        else java.time.Instant.ofEpochMilli(r.tsMillis).toString
+      Row(v, iso, r.tsMillis,
+        r.inline.size + r.segs.map(_.count).sum,
+        r.inline.map(_.rows).sum + r.segs.map(_.agg.rows).sum,
+        r.inline.map(_.bytes).sum + r.segs.map(_.agg.bytes).sum,
+        r.cluster.map { case (c, n) => s"bucket($c,$n)" }.orNull,
+        r.segs.size)
+    }
   }
 }
 

@@ -871,6 +871,20 @@ class LakeSpec extends AnyFunSuite {
         .option("versionAsOf", latest - 1).load().collect()
     }
     assert(read(dir).count() == 20000L)
+    // DESCRIBE HISTORY: one row per surviving version, newest first,
+    // answered from manifest roots only
+    val hist = spark.sql(s"DESCRIBE HISTORY $t").collect()
+    assert(hist.length == 1, hist.toSeq.toString) // post-vacuum floor
+    assert(hist(0).getInt(0) == latest &&
+      hist(0).getLong(4) == 20000L && hist(0).getInt(3) == 4)
+    assert(hist(0).getLong(2) > 0L && hist(0).getString(1).nonEmpty)
+    assert(hist(0).isNullAt(6)) // range-clustered: no bucket claim
+    spark.sql(s"OPTIMIZE '$dir' CLUSTER BY bucket(id, 4)")
+    val hist2 = spark.sql(s"DESCRIBE HISTORY '$dir'").collect()
+    assert(hist2.length == 2 && hist2(0).getInt(0) == latest + 1)
+    assert(hist2(0).getString(6) == "bucket(id,4)")
+    assert(hist2(0).getLong(2) > hist2(1).getLong(2) ||
+      hist2(0).getLong(2) == hist2(1).getLong(2) + 1) // monotone stamps
     // the delegate still owns everything else
     assert(spark.sql("SELECT 1 AS one").head.getInt(0) == 1)
     intercept[Exception] { spark.sql(s"OPTIMIZE $t FLUX BY id") }
