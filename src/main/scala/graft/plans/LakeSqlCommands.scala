@@ -54,7 +54,10 @@ object LakeSqlCommands {
     case Vacuum(path, ident, retain, grace) =>
       Some(VacuumLakeCommand(Option(path), Option(ident), retain.toInt,
         Option(grace).map(_.toLong)))
-    case History(path, ident) =>
+    case History(path, ident) if path != null || ident.contains('.') =>
+      // single-part identifiers fall through: `DESCRIBE HISTORY` must
+      // not shadow `DESCRIBE history` on a user's table named history —
+      // lake targets are catalog.ns.table or a 'path' literal
       Some(DescribeLakeHistoryCommand(Option(path), Option(ident)))
     case _ => None
   }
