@@ -425,20 +425,22 @@ object LakeFormat {
     * same `(col type, n)` put every id on the same partition ordinal.
     * Deterministic across JVMs by construction — a splitmix64 finalizer
     * over the value's canonical 64-bit form (`String.hashCode` is
-    * spec-fixed; doubles hash their IEEE bits, so -0.0 and 0.0 land in
-    * different buckets — equal join keys of DIFFERENT binary form are
-    * not co-location-safe, which is why production bucketing normalizes
-    * or forbids float keys; the lake follows Spark's own HashExpression
-    * in accepting them as-is). Null never reaches here: cluster-by
-    * writers reject null keys loudly (a null's bucket is undefined, and
-    * a file silently mixing null rows into bucket 0 would break the
-    * co-location claim the manifest makes). */
+    * spec-fixed; doubles NORMALIZE -0.0 to 0.0 before taking IEEE bits
+    * because Spark's join/grouping semantics treat them as EQUAL
+    * (NormalizeFloatingNumbers) — raw bits would put equal keys in
+    * different buckets and silently break the co-location claim; all
+    * NaNs already canonicalize through `doubleToLongBits`, matching
+    * Spark's NaN-equals-NaN grouping). Null never reaches here:
+    * cluster-by writers reject null keys loudly (a null's bucket is
+    * undefined, and a file silently mixing null rows into bucket 0
+    * would break the co-location claim the manifest makes). */
   def bucketOf(v: Any, n: Int): Int = {
     require(v != null, "bucketOf(null): cluster-by keys must be non-null")
     val bits: Long = v match {
       case l: Long => l
       case i: Int => i.toLong
-      case d: Double => java.lang.Double.doubleToLongBits(d)
+      case d: Double =>
+        java.lang.Double.doubleToLongBits(if (d == 0.0d) 0.0d else d)
       case s: String => s.hashCode.toLong
       case u: UTF8String => u.toString.hashCode.toLong
       case other => throw new IllegalArgumentException(
@@ -588,11 +590,13 @@ object LakeFormat {
   /** Full manifest read including the snapshot metadata header —
     * flattens segment indirection; commit paths and whole-table
     * maintenance use this, PLANNING goes through [[readManifestRoot]]
-    * so filters can skip segments unread. */
+    * so filters can skip segments unread. Segments precede inline
+    * entries in the flattened order — the layout rule keeps the
+    * UNSEGMENTED TAIL inline, so this is original commit order. */
   def readManifestMeta(f: FileSystem, dir: String, v: Int): ManifestMeta = {
     val r = readManifestRoot(f, dir, v)
     ManifestMeta(r.schema, r.tsMillis, r.cluster,
-      r.inline ++ r.segs.flatMap(s => readSegment(f, dir, s.name)))
+      r.segs.flatMap(s => readSegment(f, dir, s.name)) ++ r.inline)
   }
 
   /** Commit timestamp of version `v`, reading only the header line —
@@ -621,7 +625,52 @@ object LakeFormat {
     * version number exactly one commit can ever own. */
   def writeManifestCAS(f: FileSystem, dir: String, v: Int,
       schema: StructType, entries: Seq[FileEntry],
-      cluster: Option[(String, Int)] = None): Boolean = {
+      cluster: Option[(String, Int)] = None): Boolean =
+    writeRootCAS(f, dir, v, schema, cluster,
+      layout(f, dir, baseSegLines = Nil, tail = entries))
+
+  /** Append-shaped commit: the next root = the base root's body lines
+    * VERBATIM plus the new entries laid out by the same rule —
+    * O(root + new) metadata read AND write, never O(files). The base's
+    * segment references are re-emitted untouched (nothing re-read,
+    * nothing re-hashed); only the inline tail plus the new entries can
+    * overflow into fresh segments. This is what keeps commit metadata
+    * cost flat while a table grows to 10⁶ files. */
+  def writeManifestCASAppend(f: FileSystem, dir: String, v: Int,
+      schema: StructType, baseRoot: Option[RootMeta],
+      newEntries: Seq[FileEntry],
+      cluster: Option[(String, Int)]): Boolean = {
+    val baseSegLines = baseRoot.toSeq.flatMap(_.segs).map(s =>
+      s"@seg\t${s.count}\t${encodeEntry(s.agg)}")
+    val tail = baseRoot.toSeq.flatMap(_.inline) ++ newEntries
+    writeRootCAS(f, dir, v, schema, cluster,
+      layout(f, dir, baseSegLines, tail))
+  }
+
+  /** Layout rule, shared by full rewrites and appends: FULL chunks of
+    * `segmentFiles` entries spill into content-addressed segment
+    * sidecars, the partial tail stays INLINE in the root (appends then
+    * grow the inline region until it overflows into one new segment —
+    * no segment is ever rewritten by an append). Small manifests with
+    * no base segments stay single-file. Orphan segments from a crash
+    * or a lost CAS age out via vacuum like staged data files. */
+  private def layout(f: FileSystem, dir: String,
+      baseSegLines: Seq[String], tail: Seq[FileEntry]): Seq[String] = {
+    if (baseSegLines.isEmpty && tail.size <= segmentFiles)
+      return tail.map(encodeEntry)
+    val full = tail.size / segmentFiles * segmentFiles
+    val segLines = tail.take(full).grouped(segmentFiles).map { chunk =>
+      val content = chunk.map(encodeEntry).mkString("", "\n", "\n")
+      val segName = s"_seg-${sha16(content)}.tsv"
+      writeSegmentIfAbsent(f, dir, segName, content)
+      s"@seg\t${chunk.size}\t${encodeEntry(segAgg(segName, chunk))}"
+    }.toSeq
+    baseSegLines ++ segLines ++ tail.drop(full).map(encodeEntry)
+  }
+
+  private def writeRootCAS(f: FileSystem, dir: String, v: Int,
+      schema: StructType, cluster: Option[(String, Int)],
+      bodyLines: Seq[String]): Boolean = {
     val target = new HPath(dir, manifestName(v))
     if (f.exists(target)) return false
     // commit wall-time, clamped monotone non-decreasing against the
@@ -634,20 +683,6 @@ object LakeFormat {
     val ts = math.max(System.currentTimeMillis(), prevTs + 1)
     val tmp = new HPath(dir,
       s"_tmp-manifest-${java.util.UUID.randomUUID().toString.take(12)}")
-    // past the inline threshold, spill fixed-size entry chunks into
-    // content-addressed segment sidecars: an append re-chunks
-    // base ++ new at the same boundaries, so every unchanged chunk
-    // hashes to the SAME existing file and is skipped — commit-time
-    // metadata write is O(new entries). Orphans from a crash here (or
-    // a lost CAS below) age out via vacuum like staged data files.
-    val bodyLines: Seq[String] =
-      if (entries.size <= segmentFiles) entries.map(encodeEntry)
-      else entries.grouped(segmentFiles).map { chunk =>
-        val content = chunk.map(encodeEntry).mkString("", "\n", "\n")
-        val segName = s"_seg-${sha16(content)}.tsv"
-        writeSegmentIfAbsent(f, dir, segName, content)
-        s"@seg\t${chunk.size}\t${encodeEntry(segAgg(segName, chunk))}"
-      }.toSeq
     val out = f.create(tmp, false)
     try {
       val body =
@@ -706,7 +741,8 @@ object LakeFormat {
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage],
       schema: StructType, fixedBase: Option[Int],
       mkEntries: (Seq[FileEntry], Seq[FileEntry]) => Seq[FileEntry],
-      cluster: Option[(String, Int)] = None): Unit = {
+      cluster: Option[(String, Int)] = None,
+      appendOnly: Boolean = false): Unit = {
     // test hook: the window between a snapshot-pinned commit's read and
     // its publish — LakeSpec plants a concurrent commit here to pin
     // that row-level rewrites AND OPTIMIZE lose loudly, never silently
@@ -734,6 +770,40 @@ object LakeFormat {
     }
     var attempts = 0
     var done = false
+    // APPEND fast path (round 17): the next manifest is the base body
+    // verbatim + the new entries, so the commit reads the base ROOT
+    // only and re-emits its segment references untouched — O(root+new)
+    // metadata, never O(files). mkEntries is bypassed (appends are
+    // base ++ new by definition); everything else (DML, truncate,
+    // epoch replacement) stays on the flatten path below.
+    while (appendOnly && !done) {
+      val latest = latestVersion(f, path)
+      val baseRoot = latest.map(v => readManifestRoot(f, path, v))
+      val outSchema =
+        mergeSchemas(path, baseRoot.map(_.schema).getOrElse(schema), schema)
+      val baseCluster = baseRoot.flatMap(_.cluster)
+      val baseEmpty = baseRoot.forall(r => r.inline.isEmpty && r.segs.isEmpty)
+      // same invariant as the flatten path: a manifest carries a
+      // cluster claim only while EVERY entry holds an ordinal minted
+      // under THAT spec (base manifests with a claim already satisfy
+      // it for their own entries — publish and DML maintain that)
+      val outCluster =
+        if (newEntries.isEmpty) baseCluster
+        else if (!newEntries.forall(_.pk.isDefined)) None
+        else cluster match {
+          case Some(s) if baseEmpty || baseCluster.contains(s) => Some(s)
+          case _ => None
+        }
+      done = writeManifestCASAppend(f, path,
+        latest.map(_ + 1).getOrElse(0), outSchema, baseRoot, newEntries,
+        outCluster)
+      if (!done) {
+        attempts += 1
+        require(attempts < 20,
+          s"lake commit on $path lost $attempts CAS races — aborting " +
+            "(staged files were published but remain unreferenced)")
+      }
+    }
     while (!done) {
       val latest = latestVersion(f, path)
       fixedBase.foreach { b =>
@@ -1381,7 +1451,7 @@ private[sources] class LakeScanBuilder(path: String,
     case None => Nil
     case Some(r) =>
       val f = LakeFormat.fs(path)
-      r.inline ++ r.segs.flatMap(s => LakeFormat.readSegment(f, path, s.name))
+      r.segs.flatMap(s => LakeFormat.readSegment(f, path, s.name)) ++ r.inline
   }
 
   override def pushFilters(filters: Array[FFilter]): Array[FFilter] = {
@@ -1460,8 +1530,8 @@ private[sources] class LakeScanBuilder(path: String,
         val live = r.segs.filter(s => LakeFormat.survives(s.agg, pushedSeq))
         LakeSource.lastSegmentsPlanned.set((live.size, r.segs.size))
         val f = LakeFormat.fs(path)
-        r.inline ++
-          live.flatMap(s => LakeFormat.readSegment(f, path, s.name))
+        live.flatMap(s => LakeFormat.readSegment(f, path, s.name)) ++
+          r.inline
     }
     val scan = new LakeScan(path, tableSchema, required, version,
       candidates.filter(e => LakeFormat.survives(e, pushedSeq)),
@@ -2062,7 +2132,10 @@ private[sources] class LakeBatchWrite(path: String,
       fixedBase = replaceOfVersion,
       (baseEntries, newEntries) =>
         (if (truncate) Nil else baseEntries) ++ newEntries,
-      cluster = clusterSpec)
+      cluster = clusterSpec,
+      // plain appends take the O(root + new) fast path — the base
+      // manifest body is reused verbatim, never flattened (round 17)
+      appendOnly = !truncate && replaceOfVersion.isEmpty)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val f = fs(path)

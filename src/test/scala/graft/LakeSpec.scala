@@ -1074,12 +1074,13 @@ class LakeSpec extends AnyFunSuite {
       }
       assert(LakeFormat.writeManifestCAS(f, dir, v + 1, meta.schema,
         meta.entries ++ fakes))
-      // 10,000 entries / 64 → 157 segments in the root
+      // 10,000 entries / 64 → 156 FULL segments + a 16-entry inline tail
       val root = LakeFormat.readManifestRoot(f, dir, v + 1)
-      assert(root.segs.size == 157, s"segs=${root.segs.size}")
-      // a needle predicate loads 1 segment of 157 and plans 1 file
+      assert(root.segs.size == 156 && root.inline.size == 16,
+        s"segs=${root.segs.size} inline=${root.inline.size}")
+      // a needle predicate loads 1 segment of 156 and plans 1 file
       assert(read(dir).filter(col("id") < 500).count() == 500L)
-      assert(LakeSource.lastSegmentsPlanned.get() == ((1, 157)),
+      assert(LakeSource.lastSegmentsPlanned.get() == ((1, 156)),
         s"segments planned: ${LakeSource.lastSegmentsPlanned.get()}")
       assert(LakeSource.lastPlannedFiles.get() ==
         meta.entries.take(1).map(_.name))
@@ -1212,6 +1213,13 @@ class LakeSpec extends AnyFunSuite {
     assert(meta().cluster.isEmpty,
       "an unbucketed append must drop the layout claim")
     assert(read(dir).count() == 4160L)
+    // float-key canonicalization: Spark's join semantics equate -0.0
+    // and 0.0 (NormalizeFloatingNumbers) and all NaNs — the bucket
+    // function must agree or co-location silently breaks
+    assert(LakeFormat.bucketOf(-0.0d, 16) == LakeFormat.bucketOf(0.0d, 16))
+    assert(LakeFormat.bucketOf(
+      java.lang.Double.longBitsToDouble(0x7ff8000000000001L), 16) ==
+      LakeFormat.bucketOf(Double.NaN, 16))
     // null cluster keys have no defined bucket — loud failure
     val ex = intercept[Exception] {
       spark.sql("SELECT CAST(NULL AS BIGINT) AS id, 0 AS bucket, " +
