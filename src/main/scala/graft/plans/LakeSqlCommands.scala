@@ -62,15 +62,29 @@ object LakeSqlCommands {
     case _ => None
   }
 
-  /** Resolve a command target to the lake directory it maintains. */
+  /** Resolve a command target to the lake directory it maintains. The
+    * identifier is split with Spark's own multipart parser (backquoted
+    * parts may contain dots — a regex split would shred them, r17
+    * review); the leading part is tried as a catalog name and, when no
+    * such catalog exists, the whole identifier resolves relative to the
+    * session's CURRENT catalog like any other SQL statement. */
   private[plans] def resolvePath(spark: SparkSession, path: Option[String],
       ident: Option[String]): String = path.getOrElse {
-    val parts = ident.get.split('.').map(_.stripPrefix("`").stripSuffix("`"))
+    val parts = spark.sessionState.sqlParser
+      .parseMultipartIdentifier(ident.get)
     require(parts.length >= 2,
       s"lake maintenance target '${ident.get}' must be " +
-        "catalog.namespace.table (or a 'path' literal)")
-    val catalog = spark.sessionState.catalogManager.catalog(parts.head)
-    val tblIdent = Identifier.of(parts.tail.init, parts.last)
+        "[catalog.]namespace.table (or a 'path' literal)")
+    val mgr = spark.sessionState.catalogManager
+    val (catalog, tblIdent) =
+      try {
+        (mgr.catalog(parts.head),
+          Identifier.of(parts.tail.init.toArray, parts.last))
+      } catch {
+        case _: org.apache.spark.sql.connector.catalog.CatalogNotFoundException =>
+          (mgr.currentCatalog,
+            Identifier.of(parts.init.toArray, parts.last))
+      }
     catalog match {
       case tc: TableCatalog => tc.loadTable(tblIdent) match {
         case lt: LakeTable => lt.path

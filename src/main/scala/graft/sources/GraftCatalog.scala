@@ -129,7 +129,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"lake VERSION AS OF takes a manifest number; got '$version'")
         }
         new LakeTable(lt.path,
-          LakeFormat.readManifest(LakeFormat.fs(lt.path), lt.path, v)._1,
+          LakeFormat.readManifestRoot(LakeFormat.fs(lt.path), lt.path, v)
+            .schema, // root-only header read (r17 review)
           Some(v), None)
       case null => throw new NoSuchTableException(ident)
       case _ => throw new UnsupportedOperationException(
@@ -151,7 +152,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val v = LakeFormat.resolveTimestamp(f, lt.path,
           Math.floorDiv(timestampMicros, 1000L))
         new LakeTable(lt.path,
-          LakeFormat.readManifest(f, lt.path, v)._1, Some(v), None)
+          LakeFormat.readManifestRoot(f, lt.path, v).schema, Some(v), None)
       case null => throw new NoSuchTableException(ident)
       case _ => throw new UnsupportedOperationException(
         s"$ident is not a lake table — only lake tables are versioned")
@@ -198,7 +199,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"lake table $ident requires OPTIONS (path '…') or LOCATION")
         val f = LakeFormat.fs(path)
         val manifestSchema = LakeFormat.latestVersion(f, path)
-          .map(v => LakeFormat.readManifest(f, path, v)._1)
+          .map(v => LakeFormat.readManifestRoot(f, path, v).schema)
         val sch =
           if (schema.nonEmpty) {
             // a declared column list over an EXISTING lake dir must

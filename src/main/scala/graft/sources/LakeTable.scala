@@ -204,28 +204,61 @@ class LakeSource extends TableProvider {
         require(f.exists(new HPath(path, LakeFormat.manifestName(v))),
           s"versionAsOf $v does not exist under $path — vacuumed or " +
             "never committed")
-        LakeFormat.readManifest(f, path, v)._1
+        LakeFormat.readManifestRoot(f, path, v).schema // root-only:
+      // schema inference must never pay O(files) segment IO (r17 review)
       case None => LakeFormat.latestVersion(f, path) match {
-        case Some(v) => LakeFormat.readManifest(f, path, v)._1
+        case Some(v) => LakeFormat.readManifestRoot(f, path, v).schema
         case None => throw new IllegalArgumentException(
           s"no lake manifest under $path — write the table first or " +
             "declare a schema")
       }
     }
   }
+  /** A change-feed read's declared schema must end with the three
+    * change-metadata columns — a user-supplied data-only schema would
+    * otherwise have its trailing DATA columns silently treated as
+    * metadata (r17 review); the columns themselves are re-derived from
+    * the resolved version's header, so this is a shape check. */
+  private def requireChangesShape(schema: StructType): Unit = {
+    val metaNames = LakeChanges.MetaCols.map(_.name)
+    require(schema.length >= metaNames.length &&
+      schema.fields.takeRight(metaNames.length).map(_.name)
+        .sameElements(metaNames),
+      "a lake change-feed schema must end with " +
+        metaNames.mkString(", ") + s"; got ${schema.simpleString} — " +
+        "omit .schema(...) and let the source infer it")
+  }
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val path = properties.get("path")
     require(path != null && path.nonEmpty,
       "LakeSource requires option(\"path\", ...)")
+    // change feeds resolve (range, schema) HERE, as one atomic decision
+    // — inferSchema's resolution can be one commit stale by the time
+    // getTable runs (r17 review: a concurrent ADD COLUMN + append would
+    // pair the old header with the new range); the passed schema is
+    // validated for shape but the version's own header is authoritative
     changesRange(path, k => Option(properties.get(k))).foreach {
-      case (from, to) => return new LakeChangesTable(path, schema, from, to)
+      case (from, to) =>
+        requireChangesShape(schema)
+        return new LakeChangesTable(path, StructType(
+          LakeFormat.readManifestRoot(LakeFormat.fs(path), path, to)
+            .schema ++ LakeChanges.MetaCols), from, to)
     }
     if (java.lang.Boolean.parseBoolean(
-        String.valueOf(properties.get("readChanges"))))
-      return new LakeChangesStreamTable(path, schema,
+        String.valueOf(properties.get("readChanges")))) {
+      requireChangesShape(schema)
+      val fch = LakeFormat.fs(path)
+      val v = LakeFormat.latestVersion(fch, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"no lake manifest under $path — nothing to tail"))
+      return new LakeChangesStreamTable(path, StructType(
+        LakeFormat.readManifestRoot(fch, path, v).schema ++
+          LakeChanges.MetaCols),
         Option(properties.get("startingVersion")),
         Option(properties.get("maxVersionsPerTrigger")).map(_.toInt))
+    }
     new LakeTable(path, schema,
       travelVersion(path, k => Option(properties.get(k))),
       Option(properties.get("failPartition")).map(_.toInt))
@@ -542,7 +575,16 @@ object LakeFormat {
       s"_tmp-seg-${java.util.UUID.randomUUID().toString.take(12)}")
     val out = f.create(tmp, false)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    if (!f.rename(tmp, target)) f.delete(tmp, false)
+    if (!f.rename(tmp, target)) {
+      f.delete(tmp, false)
+      // a lost rename is fine ONLY because the winner wrote identical
+      // bytes (the name is the content hash); any other failure must
+      // abort the commit HERE — publishing a root that references a
+      // missing sidecar would make the version permanently unreadable
+      // (r17 review)
+      require(f.exists(target),
+        s"lake segment write failed for $dir/$name — aborting the commit")
+    }
   }
 
   def readSegment(f: FileSystem, dir: String,
@@ -677,9 +719,15 @@ object LakeFormat {
     // previous version (clock skew between writers must not reorder
     // TIMESTAMP AS OF against the version order — the Delta adjustment);
     // a vacuumed/absent predecessor just means no clamp is needed
+    // only an ABSENT predecessor (vacuumed below the floor) waives the
+    // clamp; a transient read failure must abort — substituting 0 would
+    // let a skewed writer publish a NON-monotone stamp and TIMESTAMP AS
+    // OF would then silently resolve to the wrong snapshot (r17 review)
     val prevTs =
       if (v <= 0) 0L
-      else try manifestTs(f, dir, v - 1) catch { case _: Exception => 0L }
+      else try manifestTs(f, dir, v - 1) catch {
+        case _: java.io.FileNotFoundException => 0L
+      }
     val ts = math.max(System.currentTimeMillis(), prevTs + 1)
     val tmp = new HPath(dir,
       s"_tmp-manifest-${java.util.UUID.randomUUID().toString.take(12)}")
@@ -1381,7 +1429,8 @@ class LakeTable(private[graft] val path: String, tableSchema: StructType,
       val base = latestVersion(f, path)
       // header monotonicity, same rule as publish (r16 advisory)
       val outSchema = base
-        .map(v => mergeSchemas(path, readManifest(f, path, v)._1, tableSchema))
+        .map(v => mergeSchemas(path,
+          readManifestRoot(f, path, v).schema, tableSchema)) // root-only
         .getOrElse(tableSchema)
       done = writeManifestCAS(f, path, base.map(_ + 1).getOrElse(0),
         outSchema, Nil)
@@ -1813,9 +1862,11 @@ private[sources] class LakeMicroBatchStream(path: String,
 
   /** Appends of (a, b], verified append-only: every file of a must
     * survive UNCHANGED (same deletion-vector state) into b. */
-  private def addedBetween(a: Int, b: Int): Seq[FileEntry] = {
-    val base = entriesAt(a)
-    val cur = entriesAt(b)
+  private def addedBetween(a: Int, b: Int): Seq[FileEntry] =
+    addedVerified(a, entriesAt(a), b, entriesAt(b))
+
+  private def addedVerified(a: Int, base: Seq[FileEntry],
+      b: Int, cur: Seq[FileEntry]): Seq[FileEntry] = {
     if (a >= 0) {
       val curByName = cur.map(e => e.name -> e).toMap
       val broken = base.filter(e =>
@@ -1880,20 +1931,28 @@ private[sources] class LakeMicroBatchStream(path: String,
     // advance version-by-version while the CUMULATIVE new files/rows
     // stay within the caps; always admit at least one version so the
     // stream can't stall behind a single oversized commit (its batch
-    // just runs large — the cap is throughput shaping, not a guarantee)
+    // just runs large — the cap is throughput shaping, not a guarantee).
+    // ONE manifest read per candidate: each step diffs (end, end+1]
+    // against the cached predecessor — the old loop re-flattened
+    // (s, end+1] from scratch per iteration, O(versions × files)
+    // metadata IO per trigger (r17 review). Per-step verification
+    // chains into the same (s, target] append-only guarantee.
     var end = s
     var files = 0L
     var rows = 0L
     var withinCap = true
+    var baseEntries = entriesAt(end)
     while (withinCap && end < target) {
-      val added = addedBetween(s, end + 1)
-      val nf = added.size.toLong
-      val nr = added.map(_.liveRows).sum
+      val curEntries = entriesAt(end + 1)
+      val added = addedVerified(end, baseEntries, end + 1, curEntries)
+      val nf = files + added.size.toLong
+      val nr = rows + added.map(_.liveRows).sum
       if (end > s &&
         (fileCap.exists(c => nf > c) || rowCap.exists(c => nr > c)))
         withinCap = false
       else {
         end += 1
+        baseEntries = curEntries
         files = nf
         rows = nr
         if (fileCap.exists(c => files >= c) || rowCap.exists(c => rows >= c))
@@ -1954,16 +2013,10 @@ private[sources] class LakeReaderFactory(path: String,
       private val deleted: java.util.BitSet = dvNameOpt match {
         case None => null
         case Some(dv) =>
+          // one sidecar format, ONE decoder (r17 review): readDv is the
+          // codec; the BitSet is this reader's anti-filter shape
           val bs = new java.util.BitSet()
-          val dvIn = new java.io.BufferedReader(new java.io.InputStreamReader(
-            lakeFs.open(new HPath(path, dv)), "UTF-8"))
-          try {
-            var l = dvIn.readLine()
-            while (l != null) {
-              if (l.nonEmpty) bs.set(l.toInt)
-              l = dvIn.readLine()
-            }
-          } finally dvIn.close()
+          LakeFormat.readDv(lakeFs, path, dv).foreach(o => bs.set(o.toInt))
           bs
       }
       private val in = lakeFs.open(new HPath(path, fileName))
