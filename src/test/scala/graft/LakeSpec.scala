@@ -885,6 +885,10 @@ class LakeSpec extends AnyFunSuite {
     assert(hist2(0).getString(6) == "bucket(id,4)")
     assert(hist2(0).getLong(2) > hist2(1).getLong(2) ||
       hist2(0).getLong(2) == hist2(1).getLong(2) + 1) // monotone stamps
+    // backquoted identifier parts may contain dots — the target parser
+    // must not shred them (r17 review); same table, quoted spelling
+    val hist3 = spark.sql("DESCRIBE HISTORY glt.`ns`.`tmaint`").collect()
+    assert(hist3.nonEmpty)
     // the delegate still owns everything else
     assert(spark.sql("SELECT 1 AS one").head.getInt(0) == 1)
     intercept[Exception] { spark.sql(s"OPTIMIZE $t FLUX BY id") }
