@@ -59,6 +59,14 @@ object Bench {
       // registered query must not weaken the session's backstop for
       // everything else; r15 review)
       .config("spark.sql.cteRecursionRowLimit", "32000000")
+      // storage-partitioned joins (q235 + the clustered-lake surfaces):
+      // the two v2-bucketing confs are GLOBAL session configuration so
+      // every query runs under one planner setup — set once here, never
+      // from inside a registered query (r17 advisory: a q235-local set
+      // leaked and made later queries order-dependent). Only
+      // KeyGroupedPartitioning-reporting scans react to them.
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       .config(graft.operators.Scale.CheckpointDirKey, ckptDir)
       // reap superseded checkpoint files when their RDDs are GC'd, so
       // 4 passes × ~6 cutting queries don't accumulate on disk mid-run

@@ -117,10 +117,11 @@ object CustomSource {
     * partition key and joined on it. Under
     * `spark.sql.sources.v2.bucketing.enabled` this whole plan runs
     * with ZERO shuffle exchanges — the storage-partitioned join
-    * (SourcesSpec pins the exchange-free plan; here the driver session
-    * runs it with default conf, where the same code is merely a
-    * correct 16-group join). DuckDB regenerates both sides from
-    * `range()`. */
+    * (SourcesSpec pins the exchange-free plan; the Bench/Verify/test
+    * session builders set the v2-bucketing confs globally since round
+    * 18, so the driver gate MEASURES the exchange-free shape — under
+    * default conf the same code is merely a correct 16-group join).
+    * DuckDB regenerates both sides from `range()`. */
   val qDsv2Spj: Q = Q(
     "q216_dsv2_keyed_join",
     """WITH a AS (SELECT CAST(id % 16 AS INT) AS bucket,

@@ -101,10 +101,14 @@ object LakeOps {
     bucketAgg(s, "glake.ns.t226")
   }
 
-  /** SQL `UPDATE` through the catalog — copy-on-write with a
-    * multi-column assignment that MOVES rows between groups (bucket is
-    * rewritten), proving the replacement covers whole files, not just
-    * updated rows. Oracle replays the assignment as CASE arms. */
+  /** SQL `UPDATE` through the catalog — MERGE-ON-READ since round 18
+    * ([[graft.sources.LakeDeltaUpdateOperation]]): matched rows land in
+    * the touched files' deletion vectors, replacement rows append as
+    * new files, zero data files rewritten. The multi-column assignment
+    * MOVES rows between groups (bucket is rewritten) — the replacement
+    * row is a full new row, so cross-group moves are just rows in the
+    * appended file. Oracle replays the assignment as CASE arms;
+    * q239 pins the scattered-update cost shape. */
   val qLakeUpdate: Q = Q(
     "q227_lake_update",
     """SELECT CAST(CASE WHEN id % 16 >= 12 THEN 0 ELSE id % 16 END AS INT)
@@ -342,9 +346,13 @@ object LakeOps {
     // underneath — same machinery as LakeFormat.optimizeCluster
     s.sql("OPTIMIZE glake.ns.t235a CLUSTER BY bucket(id, 8)")
     s.sql("OPTIMIZE glake.ns.t235b CLUSTER BY bucket(id, 8)")
-    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
-      "true")
+    // the two v2-bucketing confs the SPJ plan needs are SESSION-BUILD
+    // configuration (Bench/Verify/TestSession set them once, globally
+    // documented) — a registered query must never mutate shared session
+    // conf as a side effect, or every later query runs under different
+    // planner configuration than it was certified with (r17 advisory;
+    // LakeSpec pins that running this query leaves the confs as found).
+    // Without the confs the join is still correct — it just shuffles.
     val a = s.table("glake.ns.t235a").alias("a")
     val b = s.table("glake.ns.t235b").alias("b")
     a.join(b, Seq("id"))
@@ -360,8 +368,10 @@ object LakeOps {
     * inserts, removed file → deletes, grown deletion vector → exactly
     * the new ordinals as deletes), so incremental consumers recompute
     * over the DELTA, not the corpus. A merge-on-read DELETE feeds 21
-    * vector deletes; a COW UPDATE of one file surfaces as whole-file
-    * delete+insert (file-diff semantics, the Iceberg changelog scan).
+    * vector deletes; a MoR UPDATE of one file's rows surfaces as
+    * vector-growth deletes + appended-file inserts (file-diff
+    * semantics, the Iceberg changelog scan; the touched file's vector
+    * comes to cover it entirely here, so its entry drops).
     * The oracle replays both commits relationally. */
   val qLakeChangeFeed: Q = Q(
     "q236_lake_change_feed",
@@ -388,7 +398,7 @@ object LakeOps {
     val v0 = graft.sources.LakeFormat.latestVersion(f, dir).get
     s.sql("DELETE FROM glake.ns.t236 WHERE id % 997 = 13") // dv deletes
     s.sql("UPDATE glake.ns.t236 SET kscore = kscore + 1000 " +
-      "WHERE id < 2500") // COW of the one file the stats plan
+      "WHERE id < 2500") // MoR: the one file's vector + an append
     s.read.format(Lake).option("path", dir)
       .option("changesFrom", (v0 + 1).toString).load()
       .groupBy(col("_change_type"))
@@ -400,9 +410,9 @@ object LakeOps {
 
   /** STREAMING change feed (round 17): tail a MUTABLE table — the
     * append-only stream (q232) fails loudly on DML; this one serves
-    * it as change rows. A snapshot, a merge-on-read DELETE, and a COW
+    * it as change rows. A snapshot, a merge-on-read DELETE, and a MoR
     * UPDATE land in the source; the stream drains the full history
-    * (insert / vector-delete / COW delete+insert) into a lake target
+    * (insert / vector-delete / update delete+insert) into a lake target
     * whose schema carries the three change-metadata columns, then the
     * target is aggregated by change type. Fresh dirs per run; the
     * oracle replays all three commits relationally. */
@@ -439,7 +449,7 @@ object LakeOps {
     s.sql("INSERT OVERWRITE glake.ns.t237 SELECT * FROM det237") // v0
     s.sql("DELETE FROM glake.ns.t237 WHERE id % 997 = 13") // v1: vectors
     s.sql("UPDATE glake.ns.t237 SET kscore = kscore + 1000 " +
-      "WHERE id < 2500") // v2: COW of one file
+      "WHERE id < 2500") // v2: MoR of one file's rows
     val q = s.readStream.format(Lake).option("path", src)
       .option("readChanges", "true")
       .option("maxVersionsPerTrigger", 1).load()
@@ -455,8 +465,106 @@ object LakeOps {
       .orderBy(col("_change_type"))
   }
 
+  /** DDL-born clustering + write-time clustered distribution (round 18
+    * — r17 verdict #1/#6): both tables are CREATEd with
+    * `TBLPROPERTIES ('clusterBy'='bucket(id,8)')` and receive PLAIN
+    * inserts — no OPTIMIZE is ever run — yet the id-equi join plans
+    * with zero shuffle exchanges (LakeSpec pins the exchange-free plan
+    * and the 8-file bucket-pure layout): the CREATE lands the spec as
+    * an empty manifest v0, the insert inherits it, the write's
+    * `RequiresDistributionAndOrdering` pre-shuffles each bucket into
+    * one task, and the commit keeps the claim. At 100 TB this is the
+    * difference between "clustered until the next ingest" and
+    * "clustered, period" — SPJ survives ingest with no rewrite. The
+    * oracle replays the join over `range()`: ids < 9000 on both sides. */
+  val qLakeClusteredInsert: Q = Q(
+    "q238_lake_clustered_insert",
+    """SELECT CAST(id % 16 AS INT) AS bucket, count(*) AS n,
+      |       CAST(sum(2 * ((id * 31) % 997)) AS BIGINT) AS sum_k
+      |FROM range(9000) t(id)
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+  ) { (s, _) =>
+    val dirA = lakeDir(s, "q238_lake_a")
+    val dirB = lakeDir(s, "q238_lake_b")
+    useCatalog(s)
+    def create(name: String, dir: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      s.sql(s"""CREATE TABLE $name (
+        |  id BIGINT, bucket INT, kscore INT, score DOUBLE, doc_id STRING
+        |) USING lake LOCATION '$dir'
+        |TBLPROPERTIES ('clusterBy'='bucket(id,8)')""".stripMargin)
+    }
+    create("glake.ns.t238a", dirA)
+    create("glake.ns.t238b", dirB)
+    det(s, 18000, 8).createOrReplaceTempView("det238a")
+    det(s, 9000, 8).createOrReplaceTempView("det238b")
+    s.sql("INSERT OVERWRITE glake.ns.t238a SELECT * FROM det238a")
+    s.sql("INSERT OVERWRITE glake.ns.t238b SELECT * FROM det238b")
+    val a = s.table("glake.ns.t238a").alias("a")
+    val b = s.table("glake.ns.t238b").alias("b")
+    a.join(b, Seq("id"))
+      .groupBy(col("a.bucket").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("a.kscore")) + sum(col("b.kscore"))).cast("long")
+          .as("sum_k"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Merge-on-read UPDATE at the cost shape it exists for (round 18 —
+    * r17 verdict missing #2): a 0.1% SCATTERED update (`id % 997 = 13`
+    * touches ~2-3 rows in every one of the 8 files) commits as per-file
+    * deletion-vector growth plus ONE small appended replacement file —
+    * zero data files rewritten (LakeSpec pins lastReplacedFiles empty
+    * and the 21-ordinal vector total). The r17 COW path rewrote all 8
+    * files for the same statement; at 100 TB that is terabytes of write
+    * amplification vs kilobytes of sidecar. Oracle replays the
+    * assignment as a CASE arm. */
+  val qLakeMorUpdate: Q = Q(
+    "q239_lake_mor_update",
+    """SELECT CAST(id % 16 AS INT) AS bucket, count(*) AS n,
+      |       CAST(sum(CASE WHEN id % 997 = 13 THEN (id * 31) % 997 + 1000
+      |                     ELSE (id * 31) % 997 END) AS BIGINT)
+      |         AS sum_kscore
+      |FROM range(20000) t(id)
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+  ) { (s, _) =>
+    val dir = lakeDir(s, "q239_lake")
+    freshTable(s, "glake.ns.t239", dir)
+    det(s, 20000, 8).createOrReplaceTempView("det239")
+    s.sql("INSERT OVERWRITE glake.ns.t239 SELECT * FROM det239")
+    s.sql("UPDATE glake.ns.t239 SET kscore = kscore + 1000 " +
+      "WHERE id % 997 = 13")
+    bucketAgg(s, "glake.ns.t239")
+  }
+
+  /** `RESTORE TABLE … TO VERSION AS OF n` (round 18 — r17 verdict
+    * missing #3): a new commit whose entries are version n's — history
+    * is preserved (DESCRIBE HISTORY shows both the mistake and the
+    * restore), the restore itself is one O(root) metadata write (the
+    * target version's manifest body is reused verbatim), and it CAS-
+    * retries like any commutative commit. Here a DELETE wipes half the
+    * table and the restore brings the insert snapshot back; the oracle
+    * is the full pre-delete state. */
+  val qLakeRestore: Q = Q(
+    "q240_lake_restore",
+    """SELECT CAST(id % 16 AS INT) AS bucket, count(*) AS n,
+      |       CAST(sum((id * 31) % 997) AS BIGINT) AS sum_kscore
+      |FROM range(20000) t(id)
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+  ) { (s, _) =>
+    val dir = lakeDir(s, "q240_lake")
+    freshTable(s, "glake.ns.t240", dir)
+    det(s, 20000, 8).createOrReplaceTempView("det240")
+    s.sql("INSERT OVERWRITE glake.ns.t240 SELECT * FROM det240")
+    val f = graft.sources.LakeFormat.fs(dir)
+    val v = graft.sources.LakeFormat.latestVersion(f, dir).get
+    s.sql("DELETE FROM glake.ns.t240 WHERE id >= 10000")
+    s.sql(s"RESTORE TABLE glake.ns.t240 TO VERSION AS OF $v")
+    bucketAgg(s, "glake.ns.t240")
+  }
+
   val all: Seq[Q] = Seq(qLakeScanPrune, qLakeDelete, qLakeUpdate,
     qLakeMerge, qLakeTimeTravel, qLakeStatsAgg, qLakeTimestampTravel,
     qLakeStreamRead, qLakeDvDelete, qLakeSpjJoin, qLakeChangeFeed,
-    qLakeChangeStream)
+    qLakeChangeStream, qLakeClusteredInsert, qLakeMorUpdate, qLakeRestore)
 }

@@ -131,7 +131,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         new LakeTable(lt.path,
           LakeFormat.readManifestRoot(LakeFormat.fs(lt.path), lt.path, v)
             .schema, // root-only header read (r17 review)
-          Some(v), None)
+          Some(v), None, catalogBacked = true)
       case null => throw new NoSuchTableException(ident)
       case _ => throw new UnsupportedOperationException(
         s"$ident is not a lake table — only lake tables are versioned")
@@ -152,7 +152,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val v = LakeFormat.resolveTimestamp(f, lt.path,
           Math.floorDiv(timestampMicros, 1000L))
         new LakeTable(lt.path,
-          LakeFormat.readManifestRoot(f, lt.path, v).schema, Some(v), None)
+          LakeFormat.readManifestRoot(f, lt.path, v).schema, Some(v), None,
+          catalogBacked = true)
       case null => throw new NoSuchTableException(ident)
       case _ => throw new UnsupportedOperationException(
         s"$ident is not a lake table — only lake tables are versioned")
@@ -218,7 +219,51 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             throw new IllegalArgumentException(
               s"lake table $ident: no column list and no existing " +
                 s"manifest under $path — declare the schema"))
-        new LakeTable(path, sch, None, None)
+        // DDL-TIME CLUSTERING (round 18 — r17 verdict #6): TBLPROPERTIES
+        // ('clusterBy'='bucket(col,n)') declares the table's layout at
+        // CREATE. On a fresh dir the declaration lands as manifest v0 —
+        // EMPTY entries carrying the spec — so the very first INSERT
+        // inherits it ([[LakeTable.newWriteBuilder]]) and the table is
+        // BORN clustered: CREATE → INSERT → storage-partitioned join
+        // plans zero exchanges with no OPTIMIZE ever run. Over an
+        // existing dir the declaration must MATCH the manifest's claim
+        // — minting a different spec over committed files would lie to
+        // the join planner about their layout.
+        Option(properties.get("clusterBy"))
+          .orElse(Option(properties.get("option.clusterBy"))).foreach { c =>
+          val spec = LakeFormat.decodeCluster(c).getOrElse(
+            throw new IllegalArgumentException(
+              s"lake table $ident: clusterBy expects bucket(col,n); got '$c'"))
+          require(sch.fieldNames.contains(spec._1),
+            s"lake table $ident: clusterBy column ${spec._1} is not a " +
+              s"table column (${sch.fieldNames.mkString(", ")})")
+          require(spec._2 > 0,
+            s"lake table $ident: clusterBy needs n > 0; got ${spec._2}")
+          LakeFormat.latestVersion(f, path) match {
+            case Some(v) =>
+              val existing = LakeFormat.readManifestRoot(f, path, v).cluster
+              require(existing.contains(spec),
+                s"lake table $ident: declared clusterBy bucket" +
+                  s"(${spec._1},${spec._2}) does not match the existing " +
+                  s"layout ${existing.map(s => s"bucket(${s._1},${s._2})")
+                    .getOrElse("<unclustered>")} under $path — run " +
+                  "OPTIMIZE … CLUSTER BY to change a table's layout")
+            case None =>
+              // CAS v0 with the declaration; a racing first commit may
+              // win the version — then the declaration must match what
+              // landed (a racing INSERT into a table being created
+              // carries no spec → loud, the safe answer)
+              if (!LakeFormat.writeManifestCAS(f, path, 0, sch, Nil,
+                  Some(spec))) {
+                val v0 = LakeFormat.latestVersion(f, path).get
+                require(LakeFormat.readManifestRoot(f, path, v0).cluster
+                  .contains(spec),
+                  s"lake table $ident: a concurrent commit won manifest " +
+                    "v0 with a different layout — re-run CREATE")
+              }
+          }
+        }
+        new LakeTable(path, sch, None, None, catalogBacked = true)
       case "graft.sources.csvdirsink" | "csvdir" =>
         // DDL normalizes OPTIONS(path …) / LOCATION into PROP_LOCATION
         val path = Option(properties.get(TableCatalog.PROP_LOCATION))

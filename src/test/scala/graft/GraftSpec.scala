@@ -23,6 +23,11 @@ object TestSession {
       // Long branch (Tables.events) needs this read flag, set once at
       // session construction so loaders stay pure (r8 advisory).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // storage-partitioned joins: global v2-bucketing confs, matching
+      // the Bench/Verify builders — one planner setup for every query
+      // (r17 advisory: a q235-local set leaked session conf)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()

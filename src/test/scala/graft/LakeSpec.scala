@@ -90,7 +90,7 @@ class LakeSpec extends AnyFunSuite {
     assert(lakeFiles(dir).size == 8)
   }
 
-  test("merge-on-read DELETE writes deletion vectors (zero rewrites); COW UPDATE still narrows; OPTIMIZE compacts") {
+  test("merge-on-read DELETE and UPDATE write deletion vectors (zero rewrites); OPTIMIZE compacts") {
     val dir = tmp("lake_mordel")
     val t = catalogTable("tmor", dir)
     det(20000, 8).createOrReplaceTempView("lake_mordel_src")
@@ -132,15 +132,15 @@ class LakeSpec extends AnyFunSuite {
     // time travel: the pre-delete snapshot reads WITHOUT the vectors
     assert(spark.read.format(Lake).option("path", dir)
       .option("versionAsOf", 0).load().count() == 20000L)
-    // COW UPDATE reads THROUGH the vector, narrows to the one file via
-    // stats + runtime group filtering, and compacts its vector away
+    // MoR UPDATE (round 18) reads THROUGH the vector and lands as
+    // delete+insert: the touched file's vector GROWS by the matched
+    // ordinal, the replacement row appends — zero data files rewritten
     LakeSource.lastReplacedFiles.set(Nil)
     spark.sql(s"UPDATE $t SET kscore = -1 WHERE id = 3500")
-    assert(LakeSource.lastReplacedFiles.get().size == 1,
-      s"expected a 1-file COW rewrite, got " +
-        s"${LakeSource.lastReplacedFiles.get()}")
-    assert(dvTotal() == 0L,
-      "the COW rewrite must compact the rewritten file's vector away")
+    assert(LakeSource.lastReplacedFiles.get().isEmpty,
+      s"MoR update rewrote files: ${LakeSource.lastReplacedFiles.get()}")
+    assert(dvTotal() == 152L,
+      "the update's matched ordinal must join the file's vector")
     assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 19849L)
     assert(spark.sql(s"SELECT kscore FROM $t WHERE id = 3500")
       .head.getInt(0) == -1)
@@ -504,8 +504,9 @@ class LakeSpec extends AnyFunSuite {
     // manifest-only COUNT(extra) must REFUSE (old files carry no stats
     // for it) yet still answer correctly via the real scan
     assert(spark.sql(s"SELECT count(extra) FROM $t").head.getLong(0) == 2L)
-    // a copy-on-write UPDATE touching an old file upgrades its rows to
-    // the full schema (the rewrite writes every column)
+    // a MoR UPDATE touching an old file writes its replacement row
+    // with the full evolved schema (the appended file carries every
+    // column; untouched short rows keep null-padding)
     spark.sql(s"UPDATE $t SET extra = 1.0 WHERE id = 10")
     assert(spark.sql(s"SELECT extra FROM $t WHERE id = 10")
       .head.getDouble(0) == 1.0)
@@ -889,6 +890,18 @@ class LakeSpec extends AnyFunSuite {
     // must not shred them (r17 review); same table, quoted spelling
     val hist3 = spark.sql("DESCRIBE HISTORY glt.`ns`.`tmaint`").collect()
     assert(hist3.nonEmpty)
+    // and a backquoted part with an EMBEDDED dot must still be
+    // intercepted by the maintenance grammar — the old [\w`]+ part
+    // class could never match `n.s`, silently handing the statement to
+    // the delegate (r17 advisory)
+    val dotDir = tmp("lake_sqldot")
+    spark.sql(s"""CREATE TABLE glt.`n.s`.tdot (
+      |  id BIGINT, bucket INT, kscore INT, score DOUBLE, doc_id STRING
+      |) USING lake LOCATION '$dotDir'""".stripMargin)
+    spark.sql("INSERT INTO glt.`n.s`.tdot SELECT * FROM maint_src")
+    val histDot = spark.sql("DESCRIBE HISTORY glt.`n.s`.tdot").collect()
+    assert(histDot.length == 1 && histDot(0).getLong(4) == 20000L,
+      s"dotted backquoted target fell through: ${histDot.toSeq}")
     // the delegate still owns everything else
     assert(spark.sql("SELECT 1 AS one").head.getInt(0) == 1)
     intercept[Exception] { spark.sql(s"OPTIMIZE $t FLUX BY id") }
@@ -935,12 +948,13 @@ class LakeSpec extends AnyFunSuite {
     // an idle re-drain from the same checkpoint adds NOTHING
     drain()
     assert(dstRows() == Map("insert" -> 1000L, "delete" -> 2L))
-    // new DML: the next drain ships ONLY its delta — the COW update
-    // replaces WHOLE FILES (group-based), so file 0's 498 live rows
-    // (500 minus the two vector-deleted) surface as delete+insert pairs
+    // new DML: the next drain ships ONLY its delta — the MoR update
+    // (round 18) lands as vector growth + an appended file, so exactly
+    // the 8 matched rows (ids 0–9 minus the two vector-deleted)
+    // surface as delete+insert pairs, not a whole-file churn
     spark.sql(s"UPDATE $t SET kscore = kscore + 7 WHERE id < 10") // v2
     drain()
-    assert(dstRows() == Map("insert" -> 1498L, "delete" -> 500L),
+    assert(dstRows() == Map("insert" -> 1008L, "delete" -> 10L),
       dstRows().toString)
     // the netting invariant holds THROUGH the stream: inserts minus
     // deletes in the target equal the live source rows
@@ -979,7 +993,12 @@ class LakeSpec extends AnyFunSuite {
     val f = LakeFormat.fs(dir)
     assert(feed(2).select(col("_commit_timestamp")).head.getLong(0) ==
       LakeFormat.manifestTs(f, dir, 2))
-    // a COW UPDATE surfaces as whole-file delete+insert of LIVE rows
+    // a MoR UPDATE (round 18) surfaces as exactly the matched rows:
+    // deletes from the touched file's vector growth (here the vector
+    // comes to cover the file entirely, so the entry drops — the feed
+    // then emits its previously-live rows), inserts from the appended
+    // replacement file — same 995/995 the r17 whole-file COW produced,
+    // but written as kilobytes of sidecar instead of a file rewrite
     spark.sql(s"UPDATE $t SET kscore = kscore + 1000 WHERE id < 1000") // v3
     val step3 = feed(3).groupBy(col("_change_type")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -1091,6 +1110,25 @@ class LakeSpec extends AnyFunSuite {
       // global COUNT(*) answers from the manifest — zero file opens
       // even with 9,984 unreadable synthetic entries
       assert(read(dir).count() == 16000L + 9984L * 1000L)
+      // DIFF commit at 10k files (round 18 — r17 verdict missing #4):
+      // a metadata DELETE aligned to ONE fake file rebuilds only the
+      // ONE segment holding it — the other 155 references are copied
+      // through (the ones past it UNREAD), so the commit writes at
+      // most one replacement sidecar. The r17 flatten path re-chunked
+      // from scratch: one removal shifted every downstream boundary
+      // and rewrote ~156 segments.
+      val t = catalogTable("tseg10k", dir)
+      val w0 = LakeSource.segmentWriteCount.get()
+      spark.sql(s"DELETE FROM $t WHERE id >= 16000 AND id < 17000")
+      assert(LakeSource.lastMetadataDeleted.get().size == 1,
+        LakeSource.lastMetadataDeleted.get().toString)
+      val wrote = LakeSource.segmentWriteCount.get() - w0
+      assert(wrote <= 1,
+        s"diff commit wrote $wrote segment sidecars for a 1-file DML")
+      assert(read(dir).count() == 16000L + 9984L * 1000L - 1000L)
+      // the surviving layout still plans needles from 1 segment
+      assert(read(dir).filter(col("id") < 500).count() == 500L)
+      assert(LakeSource.lastSegmentsPlanned.get()._1 == 1)
     } finally LakeFormat.segmentFiles = saved
   }
 
@@ -1175,7 +1213,7 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
-  test("cluster layout lifecycle: unbucketed appends drop the spec, matching cluster-by appends keep it, null keys fail loudly") {
+  test("cluster layout lifecycle: plain appends inherit the spec, mismatched specs drop it, null keys fail loudly") {
     val dir = tmp("lake_clc")
     det(4000, 4).write.format(Lake).option("path", dir)
       .mode("overwrite").save()
@@ -1205,7 +1243,10 @@ class LakeSpec extends AnyFunSuite {
       .option("clusterBy", "bucket(id,8)").mode("append").save()
     assert(meta().cluster.isEmpty,
       "mixed bucket specs must drop the layout claim")
-    // re-cluster restores; then a PLAIN append drops it again
+    // re-cluster restores; then a PLAIN append INHERITS the spec
+    // (round 18 — write-time cluster inheritance): the writer splits
+    // the appended rows per bucket and the manifest keeps the claim,
+    // so the layout survives ingest without a re-OPTIMIZE
     LakeFormat.optimizeCluster(spark, dir, "id", 4)
     assert(meta().cluster.contains(("id", 4)))
     spark.range(5000, 5010)
@@ -1214,9 +1255,18 @@ class LakeSpec extends AnyFunSuite {
         "CAST(id AS DOUBLE) / 7 AS score",
         "concat('doc_', id) AS doc_id")
       .write.format(Lake).option("path", dir).mode("append").save()
-    assert(meta().cluster.isEmpty,
-      "an unbucketed append must drop the layout claim")
+    assert(meta().cluster.contains(("id", 4)),
+      "a plain append to a clustered table must inherit the layout")
+    assert(meta().entries.forall(_.pk.isDefined),
+      "inherited append produced unbucketed files")
     assert(read(dir).count() == 4160L)
+    // OPTIMIZE RANGE BY declares a NON-bucket layout — it must not
+    // inherit and re-claim a spec its output no longer satisfies
+    LakeFormat.optimize(spark, dir, "id", 4)
+    assert(meta().cluster.isEmpty,
+      "a range-clustering rewrite re-claimed the bucket spec")
+    LakeFormat.optimizeCluster(spark, dir, "id", 4)
+    assert(meta().cluster.contains(("id", 4)))
     // float-key canonicalization: Spark's join semantics equate -0.0
     // and 0.0 (NormalizeFloatingNumbers) and all NaNs — the bucket
     // function must agree or co-location silently breaks
@@ -1232,5 +1282,348 @@ class LakeSpec extends AnyFunSuite {
         .option("clusterBy", "bucket(id,4)").mode("append").save()
     }
     assert(ex.getMessage != null)
+  }
+
+  test("change-feed and time-travel options resolve case-insensitively at getTable") {
+    val dir = tmp("lake_ci_opts")
+    det(1000, 2).write.format(Lake).option("path", dir)
+      .mode("overwrite").save() // v0
+    val f = LakeFormat.fs(dir)
+    val v0 = LakeFormat.latestVersion(f, dir).get
+    det(500, 1).write.format(Lake).option("path", dir)
+      .mode("append").save() // v1
+    // lowercase `changesfrom`: inferSchema reads options through a
+    // case-insensitive map, so getTable must too — the old
+    // case-SENSITIVE properties lookup built a plain LakeTable that
+    // null-padded the metadata columns and served the FULL snapshot
+    // instead of the delta, silently (r17 advisory)
+    val feed = spark.read.format(Lake).option("path", dir)
+      .option("changesfrom", (v0 + 1).toString).load()
+    assert(feed.columns.takeRight(3).toSeq ==
+      Seq("_change_type", "_commit_version", "_commit_timestamp"))
+    assert(feed.count() == 500L,
+      "lowercase changesfrom served the snapshot, not the delta")
+    // lowercase `versionasof`: same two-resolution-point hazard
+    assert(spark.read.format(Lake).option("path", dir)
+      .option("versionasof", v0.toString).load().count() == 1000L,
+      "lowercase versionasof served the latest snapshot")
+  }
+
+  test("q235 leaves session confs as found: SPJ bucketing confs are session-build config, not query side effects") {
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+    val before = keys.map(k => spark.conf.getOption(k))
+    graft.operators.LakeOps.qLakeSpjJoin.fn(spark, TestSession.sf).collect()
+    assert(keys.map(k => spark.conf.getOption(k)) == before,
+      "running q235 mutated shared session conf (r17 advisory)")
+  }
+
+  test("DDL-born clustering: CREATE with clusterBy + plain INSERTs -> bucket-pure files, SPJ zero exchanges, no OPTIMIZE ever run") {
+    spark.conf.set("spark.sql.catalog.glt", "graft.sources.GraftCatalog")
+    val dirA = tmp("lake_ddl_cl_a")
+    val dirB = tmp("lake_ddl_cl_b")
+    def create(name: String, dir: String): String = {
+      spark.sql(s"DROP TABLE IF EXISTS glt.ns.$name")
+      spark.sql(s"""CREATE TABLE glt.ns.$name (
+        |  id BIGINT, bucket INT, kscore INT, score DOUBLE, doc_id STRING
+        |) USING lake LOCATION '$dir'
+        |TBLPROPERTIES ('clusterBy'='bucket(id,8)')""".stripMargin)
+      s"glt.ns.$name"
+    }
+    val ta = create("tddla", dirA)
+    val tb = create("tddlb", dirB)
+    val f = LakeFormat.fs(dirA)
+    // the declaration lands as an EMPTY manifest v0 carrying the spec
+    assert(LakeFormat.latestVersion(f, dirA).contains(0))
+    val v0 = LakeFormat.readManifestRoot(f, dirA, 0)
+    assert(v0.cluster.contains(("id", 8)) && v0.inline.isEmpty &&
+      v0.segs.isEmpty)
+    det(20000, 8).createOrReplaceTempView("ddl_cl_src_a")
+    det(8000, 8).createOrReplaceTempView("ddl_cl_src_b")
+    // PLAIN inserts — no clusterBy option, no OPTIMIZE anywhere
+    spark.sql(s"INSERT INTO $ta SELECT * FROM ddl_cl_src_a")
+    spark.sql(s"INSERT INTO $tb SELECT * FROM ddl_cl_src_b")
+    def meta(dir: String) = LakeFormat.readManifestMeta(LakeFormat.fs(dir),
+      dir, LakeFormat.latestVersion(LakeFormat.fs(dir), dir).get)
+    // the spec survived the insert and every file carries its ordinal
+    assert(meta(dirA).cluster.contains(("id", 8)))
+    assert(meta(dirB).cluster.contains(("id", 8)))
+    assert(meta(dirA).entries.nonEmpty &&
+      meta(dirA).entries.forall(_.pk.isDefined))
+    // RequiresDistributionAndOrdering pre-shuffled each bucket into one
+    // task: the catalog insert lands exactly 8 bucket-pure files, not
+    // (tasks x buckets)
+    assert(meta(dirA).entries.size == 8,
+      s"clustered distribution not applied: ${meta(dirA).entries.size} " +
+        "files for an 8-bucket insert")
+    // per-row layout claim holds
+    meta(dirA).entries.foreach { e =>
+      val ids = read(dirA).select(col("_file"), col("id"))
+        .where(col("_file") === e.name).collect().map(_.getLong(1))
+      assert(ids.forall(id => LakeFormat.bucketOf(id, 8) == e.pk.get))
+    }
+    // the born-clustered pair joins with ZERO shuffle exchanges
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table(ta).alias("a")
+        .join(spark.table(tb).alias("b"), Seq("id"))
+        .select(col("id"), col("a.kscore").as("ka"))
+      val exchanges = j.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        "born-clustered join still shuffles:\n" +
+          j.queryExecution.executedPlan.toString.take(3000))
+      assert(j.count() == 8000L)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    // a second INSERT (the ingest path) keeps the spec too; the layout
+    // survives truncate as the table's standing declaration
+    spark.range(20000, 20100)
+      .selectExpr("id", "CAST(id % 16 AS INT) AS bucket",
+        "CAST((id * 31) % 997 AS INT) AS kscore",
+        "CAST(id AS DOUBLE) / 7 AS score",
+        "concat('doc_', id) AS doc_id")
+      .createOrReplaceTempView("ddl_cl_more")
+    spark.sql(s"INSERT INTO $ta SELECT * FROM ddl_cl_more")
+    assert(meta(dirA).cluster.contains(("id", 8)))
+    assert(spark.table(ta).count() == 20100L)
+    spark.sql(s"TRUNCATE TABLE $ta")
+    assert(meta(dirA).cluster.contains(("id", 8)),
+      "truncate must keep the layout declaration")
+    spark.sql(s"INSERT INTO $ta SELECT * FROM ddl_cl_src_a")
+    assert(meta(dirA).cluster.contains(("id", 8)) &&
+      meta(dirA).entries.forall(_.pk.isDefined))
+    // a declared spec that MISMATCHES an existing layout fails CREATE
+    spark.sql(s"DROP TABLE IF EXISTS glt.ns.tddla")
+    val ex = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE glt.ns.tddla (
+        |  id BIGINT, bucket INT, kscore INT, score DOUBLE, doc_id STRING
+        |) USING lake LOCATION '$dirA'
+        |TBLPROPERTIES ('clusterBy'='bucket(id,16)')""".stripMargin)
+    }
+    assert(ex.getMessage.contains("does not match the existing layout"),
+      ex.getMessage)
+  }
+
+  test("merge-on-read UPDATE: a 0.1% scattered update writes vectors + appended rows, zero rewrites; clustered layout survives DML") {
+    val dir = tmp("lake_morupd")
+    val t = catalogTable("tmorupd", dir)
+    det(20000, 8).createOrReplaceTempView("morupd_src")
+    spark.sql(s"INSERT OVERWRITE $t SELECT * FROM morupd_src")
+    val before = lakeFiles(dir).toSet
+    LakeSource.lastReplacedFiles.set(Seq("sentinel"))
+    LakeSource.lastDvWrites.set(Nil)
+    // ~21 matched rows scattered across ALL 8 files: the r17 COW path
+    // rewrote all 8; MoR writes 8 tiny vectors + the 21 replacement
+    // rows, and rewrites NOTHING
+    spark.sql(s"UPDATE $t SET kscore = kscore + 1000 WHERE id % 997 = 13")
+    assert(LakeSource.lastReplacedFiles.get().isEmpty,
+      s"scattered update rewrote: ${LakeSource.lastReplacedFiles.get()}")
+    val dv = LakeSource.lastDvWrites.get()
+    assert(dv.size == 8 && dv.map(_._2).sum == 21L, dv.toString)
+    assert(before.subsetOf(lakeFiles(dir).toSet),
+      "MoR update removed original data files")
+    assert(lakeFiles(dir).size > before.size,
+      "no replacement-row file was appended")
+    // value identity vs the relational replay
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 20000L)
+    val expectedSum = det(20000, 8)
+      .agg(sum(when(col("id") % 997 === 13, col("kscore") + 1000)
+        .otherwise(col("kscore"))).cast("long")).head.getLong(0)
+    assert(spark.sql(s"SELECT CAST(sum(kscore) AS BIGINT) FROM $t")
+      .head.getLong(0) == expectedSum)
+    // a CLUSTERED table keeps its layout claim through MoR update: the
+    // replacement rows are split with the same spec and mint ordinals
+    LakeFormat.optimizeCluster(spark, dir, "id", 8)
+    spark.sql(s"UPDATE $t SET kscore = kscore + 7 WHERE id % 991 = 5")
+    val f = LakeFormat.fs(dir)
+    def meta() = LakeFormat.readManifestMeta(f, dir,
+      LakeFormat.latestVersion(f, dir).get)
+    assert(meta().cluster.contains(("id", 8)),
+      "MoR update dropped the cluster claim")
+    assert(meta().entries.forall(_.pk.isDefined))
+    // the per-row layout claim holds for the appended files too
+    val byFile = read(dir).select(col("_file"), col("id"))
+      .collect().groupBy(_.getString(0))
+    meta().entries.foreach { e =>
+      byFile.get(e.name).foreach { rows =>
+        assert(rows.map(_.getLong(1)).forall(id =>
+          LakeFormat.bucketOf(id, 8) == e.pk.get),
+          s"${e.name} claims bucket ${e.pk.get} but holds a foreign id")
+      }
+    }
+    // and MERGE (still COW) compacts the touched file's vectors away
+    assert(meta().entries.exists(_.dv.isDefined))
+    LakeFormat.optimize(spark, dir, "id", 4)
+    assert(meta().entries.forall(_.dv.isEmpty),
+      "OPTIMIZE left deletion vectors behind")
+  }
+
+  test("RESTORE TO VERSION AS OF: post-restore equals the target, history keeps both, loud below the vacuum floor") {
+    val dir = tmp("lake_restore")
+    val t = catalogTable("trestore", dir)
+    det(8000, 8).createOrReplaceTempView("restore_src")
+    spark.sql(s"INSERT OVERWRITE $t SELECT * FROM restore_src") // v0
+    val f = LakeFormat.fs(dir)
+    val v0 = LakeFormat.latestVersion(f, dir).get
+    spark.sql(s"DELETE FROM $t WHERE id >= 4000") // v1: metadata delete
+    spark.sql(s"UPDATE $t SET kscore = -1 WHERE id = 10") // v2: MoR
+    assert(spark.table(t).count() == 4000L)
+    val r = spark.sql(s"RESTORE TABLE $t TO VERSION AS OF $v0").collect()
+    assert(r.length == 1 && r(0).getInt(1) == v0 && r(0).getInt(3) == 8,
+      r.toSeq.toString)
+    val v3 = r(0).getInt(2)
+    assert(LakeFormat.latestVersion(f, dir).contains(v3) && v3 == v0 + 3)
+    // post-restore reads equal version v0 EXACTLY (the dv'd file came
+    // back vector-free, the dropped files came back live)
+    val now = read(dir).select(col("id"), col("kscore"))
+    val orig = det(8000, 8).select(col("id"), col("kscore"))
+    assert(now.count() == 8000L)
+    assert(now.exceptAll(orig).isEmpty && orig.exceptAll(now).isEmpty,
+      "restore did not reproduce the target snapshot")
+    // history preserved: the mistake AND the restore both visible
+    val hist = spark.sql(s"DESCRIBE HISTORY $t").collect()
+    assert(hist.length == 4, hist.toSeq.toString)
+    assert(hist(0).getInt(0) == v3 && hist(0).getInt(3) == 8)
+    // time travel still reaches the pre-restore mistake
+    assert(spark.read.format(Lake).option("path", dir)
+      .option("versionAsOf", v0 + 1).load().count() == 4000L)
+    // a restore target below the vacuum floor fails loudly
+    LakeFormat.vacuum(dir, keepFromVersion = v3, graceMs = 0L)
+    val ex = intercept[Exception] {
+      spark.sql(s"RESTORE TABLE $t TO VERSION AS OF $v0")
+    }
+    assert(ex.getMessage.contains("vacuumed"), ex.getMessage)
+    // restoring the CURRENT version is a legal no-op commit
+    val r2 = spark.sql(s"RESTORE '$dir' TO VERSION AS OF $v3").collect()
+    assert(r2(0).getInt(2) == v3 + 1 && read(dir).count() == 8000L)
+  }
+
+  test("change feed: header-only versions (schema evolution, no-op restore) emit no rows and do not fail") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmp("lake_cdf_hdr")
+    val dst = tmp("lake_cdf_hdr_dst")
+    val ckpt = tmp("lake_cdf_hdr_ck")
+    val t = catalogTable("tcdfhdr", dir)
+    det(1000, 2).createOrReplaceTempView("cdf_hdr_src")
+    spark.sql(s"INSERT OVERWRITE $t SELECT * FROM cdf_hdr_src") // v0
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (extra DOUBLE)") // v1: header-only
+    spark.sql(s"DELETE FROM $t WHERE id < 10") // v2: vectors
+    spark.sql(s"RESTORE '$dir' TO VERSION AS OF 2") // v3: no-op commit
+    // the header-only version alone: an EMPTY feed with the right
+    // schema, not a failure (r17 advisory follow-up: an ALTER inside a
+    // consumed range must not break incremental consumers)
+    val v1only = spark.read.format(Lake).option("path", dir)
+      .option("changesFrom", "1").option("changesTo", "1").load()
+    assert(v1only.columns.contains("extra") &&
+      v1only.columns.takeRight(3).head == "_change_type")
+    assert(v1only.count() == 0L)
+    // the full DML range STRADDLING the ALTER and the no-op restore:
+    // exactly v2's deletes, nothing from v1/v3
+    val feed = spark.read.format(Lake).option("path", dir)
+      .option("changesFrom", "1").load()
+    val byType = feed.groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("delete" -> 10L), byType.toString)
+    // the STREAMING form drains the same history without failing on
+    // the header-only versions
+    val q = spark.readStream.format(Lake).option("path", dir)
+      .option("readChanges", "true")
+      .option("maxVersionsPerTrigger", 1).load()
+      .writeStream.format(Lake).option("path", dst)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "change stream did not drain")
+    val streamed = read(dst).groupBy(col("_change_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == Map("insert" -> 1000L, "delete" -> 10L),
+      streamed.toString)
+  }
+
+  test("streaming ingest into a clustered table keeps the layout claim: epoch files are bucket-split") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmp("lake_stream_cl")
+    val ckpt = tmp("lake_stream_cl_ck")
+    det(4000, 4).write.format(Lake).option("path", dir)
+      .mode("overwrite").save()
+    LakeFormat.optimizeCluster(spark, dir, "id", 4)
+    val q = spark.readStream.format("graft.sources.DetRangeSource")
+      .option("rows", 500).option("rowsPerBatch", 250).load()
+      .select(col("id"), col("bucket"), col("kscore"), col("score"),
+        col("doc_id"))
+      .writeStream.format(Lake)
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    val f = LakeFormat.fs(dir)
+    val meta = LakeFormat.readManifestMeta(f, dir,
+      LakeFormat.latestVersion(f, dir).get)
+    assert(meta.cluster.contains(("id", 4)),
+      "streaming append dropped the cluster claim")
+    assert(meta.entries.forall(_.pk.isDefined))
+    assert(read(dir).count() == 4500L)
+    // the epoch files themselves are bucket-pure
+    val epochFiles = meta.entries.filter(_.name.startsWith("q="))
+    assert(epochFiles.nonEmpty)
+    val byFile = read(dir).select(col("_file"), col("id"))
+      .collect().groupBy(_.getString(0))
+    epochFiles.foreach { e =>
+      val ids = byFile(e.name).map(_.getLong(1))
+      assert(ids.forall(id => LakeFormat.bucketOf(id, 4) == e.pk.get),
+        s"${e.name} claims bucket ${e.pk.get} but holds a foreign id")
+    }
+  }
+
+  test("change feed over segmented manifests: common segments cancel, the emitted delta is exact") {
+    val saved = LakeFormat.segmentFiles
+    LakeFormat.segmentFiles = 4
+    try {
+      val dir = tmp("lake_cdf_seg")
+      val t = catalogTable("tcdfseg", dir)
+      det(8000, 8).createOrReplaceTempView("cdf_seg_src")
+      spark.sql(s"INSERT OVERWRITE $t SELECT * FROM cdf_seg_src") // v0: 2 segs
+      val f = LakeFormat.fs(dir)
+      assert(LakeFormat.readManifestRoot(f, dir, 0).segs.size == 2)
+      spark.sql(s"DELETE FROM $t WHERE id IN (10, 20)") // v1: dv, 1 seg rebuilt
+      val r1 = LakeFormat.readManifestRoot(f, dir, 1)
+      assert(r1.segs.size == 2)
+      // the diff commit rebuilt exactly one segment — one reference is
+      // common with v0, so CDF planning for v1 flattens only the
+      // changed one (plus inline); the emitted delta must be exact
+      assert(r1.segs.map(_.name).toSet
+        .intersect(LakeFormat.readManifestRoot(f, dir, 0)
+          .segs.map(_.name).toSet).size == 1)
+      val step1 = spark.read.format(Lake).option("path", dir)
+        .option("changesFrom", "1").option("changesTo", "1").load()
+        .select(col("id"), col("_change_type")).collect()
+      assert(step1.map(_.getLong(0)).sorted.toSeq == Seq(10L, 20L) &&
+        step1.forall(_.getString(1) == "delete"), step1.toSeq.toString)
+      // an append version: only the new entries surface as inserts
+      spark.range(8000, 8100)
+        .selectExpr("id", "CAST(id % 16 AS INT) AS bucket",
+          "CAST((id * 31) % 997 AS INT) AS kscore",
+          "CAST(id AS DOUBLE) / 7 AS score",
+          "concat('doc_', id) AS doc_id")
+        .write.format(Lake).option("path", dir).mode("append").save() // v2
+      val step2 = spark.read.format(Lake).option("path", dir)
+        .option("changesFrom", "2").load()
+        .groupBy(col("_change_type")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(step2 == Map("insert" -> 100L), step2.toString)
+      // cumulative netting still holds through the segmented history
+      val all = spark.read.format(Lake).option("path", dir)
+        .option("changesFrom", "0").load()
+      val net = all.groupBy(col("id"))
+        .agg(sum(when(col("_change_type") === "insert", 1)
+          .otherwise(-1)).as("n")).filter(col("n") > 0)
+      assert(net.count() == read(dir).count())
+    } finally LakeFormat.segmentFiles = saved
   }
 }
