@@ -563,8 +563,44 @@ object LakeOps {
     bucketAgg(s, "glake.ns.t240")
   }
 
+  /** Small-file compaction (round 18): six small ingest files bin-pack
+    * into two via `OPTIMIZE … COMPACT FILES UNDER n BYTES` — the
+    * maintenance answer to streaming ingest's file-count growth. The
+    * rewrite READS only the small files (pinned-file scan, LakeSpec
+    * pins the 6-file plan) and commits a snapshot-pinned DIFF replace:
+    * the 8 big files are untouched by name and only their segments'
+    * references are copied through. At 10⁵-file ingest scale this is
+    * the difference between periodic O(small) maintenance and a
+    * whole-table OPTIMIZE. The oracle replays both row ranges. */
+  val qLakeCompact: Q = Q(
+    "q241_lake_compact",
+    """WITH ids AS (SELECT id FROM range(20000) t(id)
+      |            UNION ALL SELECT id FROM range(20000, 21200) t2(id))
+      |SELECT CAST(id % 16 AS INT) AS bucket, count(*) AS n,
+      |       CAST(sum((id * 31) % 997) AS BIGINT) AS sum_kscore
+      |FROM ids GROUP BY 1 ORDER BY bucket""".stripMargin
+  ) { (s, _) =>
+    val dir = lakeDir(s, "q241_lake")
+    freshTable(s, "glake.ns.t241", dir)
+    det(s, 20000, 8).createOrReplaceTempView("det241")
+    s.sql("INSERT OVERWRITE glake.ns.t241 SELECT * FROM det241")
+    (0 until 6).foreach { i =>
+      s.range(20000L + i * 200, 20000L + (i + 1) * 200)
+        .selectExpr("id", "CAST(id % 16 AS INT) AS bucket",
+          "CAST((id * 31) % 997 AS INT) AS kscore",
+          "CAST(id AS DOUBLE) / 7 AS score",
+          "concat('doc_', id) AS doc_id")
+        .coalesce(1)
+        .write.format(Lake).option("path", dir).mode("append").save()
+    }
+    s.sql("OPTIMIZE glake.ns.t241 COMPACT FILES UNDER 10000 BYTES " +
+      "INTO 2 FILES")
+    bucketAgg(s, "glake.ns.t241")
+  }
+
   val all: Seq[Q] = Seq(qLakeScanPrune, qLakeDelete, qLakeUpdate,
     qLakeMerge, qLakeTimeTravel, qLakeStatsAgg, qLakeTimestampTravel,
     qLakeStreamRead, qLakeDvDelete, qLakeSpjJoin, qLakeChangeFeed,
-    qLakeChangeStream, qLakeClusteredInsert, qLakeMorUpdate, qLakeRestore)
+    qLakeChangeStream, qLakeClusteredInsert, qLakeMorUpdate, qLakeRestore,
+    qLakeCompact)
 }

@@ -20,8 +20,10 @@ import graft.sources.{LakeFormat, LakeTable}
   * {{{
   *   OPTIMIZE <table|'path'> RANGE BY <col> INTO <n> FILES
   *   OPTIMIZE <table|'path'> CLUSTER BY bucket(<col>, <n>)
+  *   OPTIMIZE <table|'path'> COMPACT FILES UNDER <n> BYTES [INTO <k> FILES]
   *   VACUUM   <table|'path'> RETAIN <n> VERSIONS [GRACE <ms> MS]
   *   RESTORE [TABLE] <table|'path'> TO VERSION AS OF <n>
+  *   RESTORE [TABLE] <table|'path'> TO TIMESTAMP AS OF '<ts>'
   *   DESCRIBE HISTORY <table|'path'>
   * }}}
   *
@@ -46,6 +48,10 @@ object LakeSqlCommands {
   private val OptimizeCluster =
     ("""(?is)^\s*OPTIMIZE\s+""" + Target +
       """\s+CLUSTER\s+BY\s+bucket\s*\(\s*(\w+)\s*,\s*(\d+)\s*\)\s*;?\s*$""").r
+  private val OptimizeCompact =
+    ("""(?is)^\s*OPTIMIZE\s+""" + Target +
+      """\s+COMPACT\s+FILES\s+UNDER\s+(\d+)\s+BYTES""" +
+      """(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?\s*$""").r
   private val Vacuum =
     ("""(?is)^\s*VACUUM\s+""" + Target +
       """\s+RETAIN\s+(\d+)\s+VERSIONS(?:\s+GRACE\s+(\d+)\s+MS)?\s*;?\s*$""").r
@@ -53,7 +59,8 @@ object LakeSqlCommands {
     ("""(?is)^\s*DESCRIBE\s+HISTORY\s+""" + Target + """\s*;?\s*$""").r
   private val Restore =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + Target +
-      """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+      """\s+TO\s+(?:VERSION\s+AS\s+OF\s+(\d+)""" +
+      """|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*;?\s*$""").r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case OptimizeRange(path, ident, col, n) =>
@@ -62,11 +69,15 @@ object LakeSqlCommands {
     case OptimizeCluster(path, ident, col, n) =>
       Some(OptimizeLakeCommand(Option(path), Option(ident), col,
         n.toInt, cluster = true))
+    case OptimizeCompact(path, ident, under, into) =>
+      Some(CompactLakeCommand(Option(path), Option(ident), under.toLong,
+        Option(into).map(_.toInt)))
     case Vacuum(path, ident, retain, grace) =>
       Some(VacuumLakeCommand(Option(path), Option(ident), retain.toInt,
         Option(grace).map(_.toLong)))
-    case Restore(path, ident, version) =>
-      Some(RestoreLakeCommand(Option(path), Option(ident), version.toInt))
+    case Restore(path, ident, version, ts) =>
+      Some(RestoreLakeCommand(Option(path), Option(ident),
+        Option(version).map(_.toInt), Option(ts)))
     case History(path, ident) if path != null || ident.contains('.') =>
       // single-part identifiers fall through: `DESCRIBE HISTORY` must
       // not shadow `DESCRIBE history` on a user's table named history —
@@ -144,6 +155,40 @@ case class OptimizeLakeCommand(path: Option[String], ident: Option[String],
     else LakeFormat.optimize(spark, dir, col, n)
     val (v1, files1) = snapshot()
     Seq(Row(dir, v0, v1, files0, files1))
+  }
+}
+
+/** `OPTIMIZE … COMPACT FILES UNDER n BYTES [INTO k FILES]` — bin-pack
+  * the snapshot's small files into larger ones, leaving every other
+  * file untouched ([[LakeFormat.compactSmall]]: pinned-file read, diff
+  * commit, cluster-spec preserved, snapshot-pinned abort on
+  * concurrency). The maintenance answer to streaming ingest's
+  * file-count growth; `INTO` defaults to 1 and is advisory on
+  * clustered tables (the bucket split governs). */
+case class CompactLakeCommand(path: Option[String], ident: Option[String],
+    underBytes: Long, into: Option[Int]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("version_before", IntegerType, nullable = false)(),
+    AttributeReference("version_after", IntegerType, nullable = false)(),
+    AttributeReference("files_compacted", IntegerType, nullable = false)(),
+    AttributeReference("files_after", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = LakeSqlCommands.resolvePath(spark, path, ident)
+    val f = LakeFormat.fs(dir)
+    def snapshot(): (Int, Int) = {
+      val v = LakeFormat.latestVersion(f, dir).getOrElse(
+        throw new IllegalArgumentException(
+          s"OPTIMIZE: no lake manifest under $dir"))
+      val r = LakeFormat.readManifestRoot(f, dir, v)
+      (v, r.inline.size + r.segs.map(_.count).sum)
+    }
+    val (v0, _) = snapshot()
+    val n = LakeFormat.compactSmall(spark, dir, underBytes,
+      into.getOrElse(1))
+    val (v1, files1) = snapshot()
+    Seq(Row(dir, v0, v1, n, files1))
   }
 }
 
@@ -227,7 +272,8 @@ case class DescribeLakeHistoryCommand(path: Option[String],
   * cluster claim travels with its entries. A target below the vacuum
   * floor fails loudly at manifest lookup. */
 case class RestoreLakeCommand(path: Option[String], ident: Option[String],
-    version: Int) extends LeafRunnableCommand {
+    versionAsOf: Option[Int], timestampAsOf: Option[String])
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", StringType, nullable = false)(),
     AttributeReference("restored_version", IntegerType, nullable = false)(),
@@ -240,6 +286,11 @@ case class RestoreLakeCommand(path: Option[String], ident: Option[String],
     val latest = LakeFormat.latestVersion(f, dir).getOrElse(
       throw new IllegalArgumentException(
         s"RESTORE: no lake manifest under $dir"))
+    // TIMESTAMP AS OF resolves through the same monotone-commit-stamp
+    // machinery as time-travel reads: latest surviving commit ≤ t,
+    // pre-history fails loudly (the true answer may be vacuumed)
+    val version = versionAsOf.getOrElse(LakeFormat.resolveTimestamp(
+      f, dir, LakeFormat.parseTimestampAsOf(timestampAsOf.get)))
     require(version <= latest,
       s"RESTORE: version $version does not exist under $dir " +
         s"(latest: $latest)")

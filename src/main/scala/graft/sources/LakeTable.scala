@@ -992,6 +992,60 @@ object LakeFormat {
     f.delete(staging, true)
   }
 
+  /** Snapshot-pinned DIFF-replace commit, shared by the row-level COW
+    * rewrite (MERGE) and small-file compaction: rename the staged task
+    * files in, then publish v+1 = snapshot v minus `replaced` plus the
+    * new entries through [[writeManifestCASDiff]] — untouched segments
+    * copy through, only the ones holding a replaced file are rebuilt.
+    * Any other current version aborts loudly and the just-renamed
+    * files are unlinked (never a lost update; the loser's files are
+    * unreferenced and vacuum reclaims them). A cluster claim survives
+    * only when every appended file minted its ordinal (cluster-split
+    * writers); otherwise it drops — same invariant as every commit. */
+  def publishDiffReplace(f: FileSystem, path: String, queryId: String,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage],
+      tableSchema: StructType, v: Int,
+      replaced: Set[String]): Seq[FileEntry] = {
+    // the same snapshot-pinned read→publish window every pinned commit
+    // exposes — LakeSpec plants concurrent commits here
+    Option(LakeSource.beforeRowLevelCommit.getAndSet(null)).foreach(_.run())
+    val dest = new HPath(path)
+    val staging = new HPath(path, s"_staging-$queryId")
+    def conflict(renamed: Seq[FileEntry]): Nothing = {
+      renamed.foreach(e => f.delete(new HPath(dest, e.name), false))
+      f.delete(staging, true)
+      throw new IllegalStateException(
+        s"lake snapshot-pinned commit conflict on $path: read snapshot " +
+          s"v$v but it is no longer current — re-run the command against " +
+          "the new snapshot")
+    }
+    if (!latestVersion(f, path).contains(v)) conflict(Nil)
+    f.mkdirs(dest)
+    val newEntries = messages.flatMap {
+      case c: LakeFileCommit => Seq(c)
+      case LakeTaskCommit(cs) => cs
+      case other => throw new IllegalStateException(
+        s"unexpected lake commit message: $other")
+    }.map { c =>
+      require(f.rename(new HPath(staging, c.fileName),
+        new HPath(dest, c.fileName)),
+        s"lake commit: publish rename failed for ${c.fileName} — " +
+          "aborting (no manifest was written; readers never see this job)")
+      FileEntry(c.fileName, c.rows, c.bytes, c.stats, c.pk)
+    }.toSeq
+    val root = readManifestRoot(f, path, v)
+    val outCluster = root.cluster
+      .filter(_ => newEntries.forall(_.pk.isDefined))
+    if (!writeManifestCASDiff(f, path, v + 1,
+        mergeSchemas(path, root.schema, tableSchema), root,
+        replaced.map(n => n -> ((_: FileEntry) =>
+          None: Option[FileEntry])).toMap,
+        newEntries, outCluster))
+      conflict(newEntries)
+    f.delete(staging, true)
+    newEntries
+  }
+
   /** Maintenance: OPTIMIZE — rewrite the current snapshot range-
     * clustered on `col` into `files` files (Delta `OPTIMIZE ZORDER` /
     * Iceberg `rewrite_data_files` seat, single-column form). Stats
@@ -1066,6 +1120,64 @@ object LakeFormat {
       .option("path", dir).option("replaceOfVersion", v)
       .option("clusterBy", s"bucket($col,$buckets)")
       .mode("overwrite").save()
+  }
+
+  /** Maintenance: COMPACT — bin-pack the snapshot's SMALL files
+    * (serialized size under `underBytes`) into `into` larger ones,
+    * leaving every other file untouched (round 18; the Delta
+    * `OPTIMIZE` default / Iceberg `rewrite_data_files` bin-packing
+    * seat, where [[optimize]]/[[optimizeCluster]] are the re-layout
+    * forms). Streaming ingest is the canonical producer of the
+    * problem: every epoch commits a few small files, and a year of
+    * epochs is 10⁵ files whose per-file scan/plan overhead dwarfs
+    * their bytes. The rewrite READS exactly the small files (the
+    * `pinnedFiles` scan option — not the corpus), rewrites them
+    * (compacting any deletion vectors away — the replacement rows are
+    * the LIVE rows), and commits a snapshot-pinned DIFF replace: only
+    * the manifest segments holding a compacted file are rebuilt, a
+    * concurrent commit aborts it loudly. On a bucket-clustered table
+    * the writer re-splits per bucket (spec preserved, `into` becomes
+    * advisory); returns the number of files compacted (0 = no-op —
+    * fewer than 2 small files). */
+  def compactSmall(spark: org.apache.spark.sql.SparkSession, dir: String,
+      underBytes: Long, into: Int): Int = {
+    val f = fs(dir)
+    val v = latestVersion(f, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"lake compact: no manifest under $dir — nothing to compact"))
+    val meta = readManifestMeta(f, dir, v)
+    val small = meta.entries.filter(_.bytes < underBytes)
+    if (small.size < 2) return 0 // nothing to gain: no commit at all
+    val pinned = small.map(_.name).mkString(",")
+    val reader = spark.read.format("graft.sources.LakeSource")
+      .option("path", dir).option("versionAsOf", v)
+      .option("pinnedFiles", pinned)
+    val body = meta.cluster match {
+      // clustered: co-locate each bucket into one task (same pre-shuffle
+      // as optimizeCluster) and let the cluster-split writer route rows
+      // — the compacted output is one bucket-pure file per touched
+      // bucket, and the spec survives
+      case Some((col, n)) =>
+        import org.apache.spark.sql.functions.{col => fcol, udf}
+        val b = n
+        val bucketCol = meta.schema(col).dataType match {
+          case LongType => udf((x: Long) => bucketOf(x, b))
+          case IntegerType => udf((x: Int) => bucketOf(x, b))
+          case DoubleType => udf((x: Double) => bucketOf(x, b))
+          case _ => udf((x: String) => bucketOf(x, b))
+        }
+        reader.load().repartition(n, bucketCol(fcol(col)))
+          .write.option("clusterBy", s"bucket($col,$n)")
+      case None => reader.load()
+        .repartition(math.max(1, into))
+        .write
+    }
+    body.format("graft.sources.LakeSource")
+      .option("path", dir)
+      .option("replaceFilesOfVersion", v.toString)
+      .option("replaceFiles", pinned)
+      .mode("append").save()
+    small.size
   }
 
   /** Default vacuum grace for unreferenced data files: a concurrent
@@ -1440,11 +1552,22 @@ class LakeTable(private[graft] val path: String, tableSchema: StructType,
           .filter(s => tableSchema.fieldNames.contains(s._1))
       }
     }
+    // internal option pair set by LakeFormat.compactSmall: replace
+    // EXACTLY the named files of one snapshot (diff commit), leaving
+    // every other file untouched — the partial-rewrite twin of
+    // replaceOfVersion's whole-snapshot form
+    val replaceFiles = Option(info.options.get("replaceFilesOfVersion"))
+      .map { v =>
+        (v.toInt, Option(info.options.get("replaceFiles"))
+          .getOrElse(throw new IllegalArgumentException(
+            "replaceFilesOfVersion requires replaceFiles"))
+          .split(',').iterator.map(_.trim).filter(_.nonEmpty).toSet)
+      }
     new LakeWriteBuilder(path, tableSchema, info.schema(), info.queryId(),
       failPartition,
       // internal option set by LakeFormat.optimize: pins the commit to
       // the snapshot the rewrite read (fixedBase CAS — r16 verdict #1)
-      replaceOf, clusterSpec, catalogBacked)
+      replaceOf, clusterSpec, catalogBacked, replaceFiles)
   }
 
   override def newRowLevelOperationBuilder(
@@ -1642,6 +1765,16 @@ private[sources] class LakeScanBuilder(path: String,
   private var pushed: Array[FFilter] = Array.empty
   private var aggFuncs: Seq[AggregateFunc] = Nil
 
+  /** Plan-time file pinning (round 18): `option("pinnedFiles", "a,b")`
+    * restricts the scan to the named snapshot files BEFORE stats
+    * pruning — the read half of small-file compaction (the rewrite
+    * must read exactly the files it will replace, not the corpus).
+    * Composes with pruning; disables manifest-only aggregates (their
+    * answers are whole-snapshot). */
+  private val pinnedFiles: Option[Set[String]] =
+    Option(readOptions.get("pinnedFiles"))
+      .map(_.split(',').iterator.map(_.trim).filter(_.nonEmpty).toSet)
+
   /** Whole-snapshot entry list — the FULL metadata read. Only the
     * paths that genuinely answer from every file force this
     * (manifest-only aggregates); filtered scans go through the
@@ -1690,7 +1823,8 @@ private[sources] class LakeScanBuilder(path: String,
         s.nulls == e.rows))
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    owner.isEmpty && pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+    owner.isEmpty && pushed.isEmpty && pinnedFiles.isEmpty &&
+      agg.groupByExpressions.isEmpty &&
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
         // COUNT(*) stays exact under deletion vectors (liveRows =
@@ -1733,7 +1867,8 @@ private[sources] class LakeScanBuilder(path: String,
           r.inline
     }
     val scan = new LakeScan(path, tableSchema, required, version,
-      candidates.filter(e => LakeFormat.survives(e, pushedSeq)),
+      candidates.filter(e => pinnedFiles.forall(_.contains(e.name)) &&
+        LakeFormat.survives(e, pushedSeq)),
       pushedSeq, timeTravel, readOptions,
       // key-grouped reporting stays OFF for row-level-operation scans:
       // their planned set IS the replace set and their runtime `_file`
@@ -2226,7 +2361,8 @@ private[sources] class LakeWriteBuilder(path: String,
     tableSchema: StructType, writeSchema: StructType, queryId: String,
     failPartition: Option[Int], replaceOfVersion: Option[Int] = None,
     clusterSpec: Option[(String, Int)] = None,
-    catalogBacked: Boolean = false)
+    catalogBacked: Boolean = false,
+    replaceFilesOf: Option[(Int, Set[String])] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -2263,7 +2399,7 @@ private[sources] class LakeWriteBuilder(path: String,
       Array.empty
     override def toBatch: BatchWrite = new LakeBatchWrite(path,
       tableSchema, writeSchema, queryId, doTruncate, failPartition,
-      replaceOfVersion, clusterSpec)
+      replaceOfVersion, clusterSpec, replaceFilesOf)
     override def toStreaming: StreamingWrite =
       new LakeStreamingWrite(path, tableSchema, writeSchema, queryId,
         clusterSpec)
@@ -2353,7 +2489,8 @@ private[sources] class LakeBatchWrite(path: String,
     tableSchema: StructType, writeSchema: StructType, queryId: String,
     truncate: Boolean, failPartition: Option[Int],
     replaceOfVersion: Option[Int] = None,
-    clusterSpec: Option[(String, Int)] = None) extends BatchWrite {
+    clusterSpec: Option[(String, Int)] = None,
+    replaceFilesOf: Option[(Int, Set[String])] = None) extends BatchWrite {
   import LakeFormat._
 
   override def createBatchWriterFactory(
@@ -2361,7 +2498,16 @@ private[sources] class LakeBatchWrite(path: String,
     new LakeWriterFactory(path, tableSchema, writeSchema, queryId,
       failPartition, clusterSpec)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // small-file compaction (round 18): replace EXACTLY the named
+    // snapshot files through the snapshot-pinned diff commit — every
+    // other file (and its manifest segment) is untouched
+    replaceFilesOf.foreach { case (v, names) =>
+      LakeFormat.publishDiffReplace(fs(path), path, queryId, messages,
+        tableSchema, v, names)
+      LakeSource.lastReplacedFiles.set(names.toSeq.sorted)
+      return
+    }
     // appends and truncates are COMMUTATIVE against concurrent commits:
     // losing the version CAS just means re-reading the new base and
     // re-applying (fixedBase = None → bounded retry). The EXCEPTION is
@@ -2377,6 +2523,7 @@ private[sources] class LakeBatchWrite(path: String,
       // plain appends take the O(root + new) fast path — the base
       // manifest body is reused verbatim, never flattened (round 17)
       appendOnly = !truncate && replaceOfVersion.isEmpty)
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val f = fs(path)
@@ -2629,60 +2776,18 @@ private[sources] class LakeReplaceDataWrite(path: String,
       failPartition)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    // same snapshot-pinned window as every other pinned commit
-    Option(LakeSource.beforeRowLevelCommit.getAndSet(null)).foreach(_.run())
     val scan = scanRef()
     require(scan != null,
       "lake row-level commit before its scan was configured")
     val replaced = scan.plannedNames.toSet
-    val v = scan.snapshotVersion
-    val f = fs(path)
-    val dest = new HPath(path)
-    val staging = new HPath(path, s"_staging-$queryId")
-    def conflict(renamed: Seq[FileEntry]): Nothing = {
-      renamed.foreach(e => f.delete(new HPath(dest, e.name), false))
-      f.delete(staging, true)
-      throw new IllegalStateException(
-        s"lake snapshot-pinned commit conflict on $path: read snapshot " +
-          s"v$v but it is no longer current — re-run the command against " +
-          "the new snapshot")
-    }
     // NOT commutative: the replacement rows are only valid against the
-    // exact snapshot the rewrite read — the version check + the CAS pin
-    // it, any other current version aborts loudly, never a lost update.
-    // (The loser's data files stay unreferenced; vacuum reclaims them.)
-    if (!LakeFormat.latestVersion(f, path).contains(v)) conflict(Nil)
-    f.mkdirs(dest)
-    val newEntries = messages.flatMap {
-      case c: LakeFileCommit => Seq(c)
-      case LakeTaskCommit(cs) => cs
-      case other => throw new IllegalStateException(
-        s"unexpected lake commit message: $other")
-    }.map { c =>
-      require(f.rename(new HPath(staging, c.fileName),
-        new HPath(dest, c.fileName)),
-        s"lake commit: publish rename failed for ${c.fileName} — " +
-          "aborting (no manifest was written; readers never see this job)")
-      FileEntry(c.fileName, c.rows, c.bytes, c.stats, c.pk)
-    }.toSeq
-    // DIFF commit (round 18): the replaced files' segments are rebuilt,
-    // every other segment reference is copied through — a 1-file COW
-    // rewrite on a 10⁶-file table writes O(1) metadata, not a full
-    // manifest re-chunk (the r17 flatten path rewrote every segment
-    // past the first removal's chunk boundary)
-    val root = LakeFormat.readManifestRoot(f, path, v)
-    // COW replacement files carry no bucket ordinals, so a cluster
-    // claim survives only a rewrite that produced none (pure deletes);
-    // same invariant the flatten path enforced
-    val outCluster = root.cluster
-      .filter(_ => newEntries.forall(_.pk.isDefined))
-    if (!LakeFormat.writeManifestCASDiff(f, path, v + 1,
-        LakeFormat.mergeSchemas(path, root.schema, tableSchema), root,
-        replaced.map(n => n -> ((_: FileEntry) =>
-          None: Option[LakeFormat.FileEntry])).toMap,
-        newEntries, outCluster))
-      conflict(newEntries)
-    f.delete(staging, true)
+    // exact snapshot the rewrite read — publishDiffReplace pins it
+    // (any other current version aborts loudly, never a lost update)
+    // and rebuilds only the segments holding a replaced file (round
+    // 18): a 1-file COW rewrite on a 10⁶-file table writes O(1)
+    // metadata, not a full manifest re-chunk.
+    LakeFormat.publishDiffReplace(fs(path), path, queryId, messages,
+      tableSchema, scan.snapshotVersion, replaced)
     LakeSource.lastReplacedFiles.set(replaced.toSeq.sorted)
   }
 

@@ -1504,6 +1504,13 @@ class LakeSpec extends AnyFunSuite {
     // restoring the CURRENT version is a legal no-op commit
     val r2 = spark.sql(s"RESTORE '$dir' TO VERSION AS OF $v3").collect()
     assert(r2(0).getInt(2) == v3 + 1 && read(dir).count() == 8000L)
+    // the TIMESTAMP AS OF form resolves through the same monotone
+    // commit stamps as time-travel reads
+    val ts3 = LakeFormat.manifestTs(f, dir, v3)
+    val r3 = spark.sql(
+      s"RESTORE TABLE $t TO TIMESTAMP AS OF '$ts3'").collect()
+    assert(r3(0).getInt(1) == v3 && read(dir).count() == 8000L,
+      r3.toSeq.toString)
   }
 
   test("change feed: header-only versions (schema evolution, no-op restore) emit no rows and do not fail") {
@@ -1625,5 +1632,76 @@ class LakeSpec extends AnyFunSuite {
           .otherwise(-1)).as("n")).filter(col("n") > 0)
       assert(net.count() == read(dir).count())
     } finally LakeFormat.segmentFiles = saved
+  }
+
+  test("OPTIMIZE COMPACT: small files bin-pack via pinned read + diff commit; big files untouched; clustered spec survives") {
+    val dir = tmp("lake_compact")
+    val t = catalogTable("tcompact", dir)
+    det(8000, 2).createOrReplaceTempView("compact_src")
+    spark.sql(s"INSERT OVERWRITE $t SELECT * FROM compact_src") // 2 big
+    def smallAppend(lo: Long, n: Long): Unit =
+      spark.range(lo, lo + n)
+        .selectExpr("id", "CAST(id % 16 AS INT) AS bucket",
+          "CAST((id * 31) % 997 AS INT) AS kscore",
+          "CAST(id AS DOUBLE) / 7 AS score",
+          "concat('doc_', id) AS doc_id")
+        .coalesce(1)
+        .write.format(Lake).option("path", dir).mode("append").save()
+    (0 until 6).foreach(i => smallAppend(8000L + i * 50, 50)) // 6 small
+    val f = LakeFormat.fs(dir)
+    def meta() = LakeFormat.readManifestMeta(f, dir,
+      LakeFormat.latestVersion(f, dir).get)
+    assert(meta().entries.size == 8)
+    val big = meta().entries.filter(_.bytes >= 10000).map(_.name).toSet
+    assert(big.size == 2)
+    val r = spark.sql(
+      s"OPTIMIZE $t COMPACT FILES UNDER 10000 BYTES INTO 1 FILES").collect()
+    assert(r(0).getInt(3) == 6 && r(0).getInt(4) == 3, r.toSeq.toString)
+    // the pinned read planned ONLY the small files — never the corpus
+    assert(LakeSource.lastPlannedFiles.get().size == 6,
+      s"compaction read ${LakeSource.lastPlannedFiles.get().size} files")
+    // big files survive BY NAME (untouched, not rewritten)
+    assert(big.subsetOf(meta().entries.map(_.name).toSet))
+    assert(spark.table(t).count() == 8300L)
+    assert(spark.sql(s"SELECT CAST(sum(kscore) AS BIGINT) FROM $t")
+      .head.getLong(0) ==
+      det(8000, 2).agg(sum(col("kscore")).cast("long")).head.getLong(0) +
+        (8000L until 8300L).map(id => (id * 31) % 997).sum)
+    // a second pass finds nothing small enough twice: no-op, no commit
+    val v = LakeFormat.latestVersion(f, dir).get
+    val r2 = spark.sql(
+      s"OPTIMIZE $t COMPACT FILES UNDER 100 BYTES").collect()
+    assert(r2(0).getInt(3) == 0 &&
+      LakeFormat.latestVersion(f, dir).contains(v), r2.toSeq.toString)
+    // CLUSTERED table: small ingest splits per bucket; compaction
+    // re-splits per bucket, keeps the spec, and stays bucket-pure
+    spark.sql(s"OPTIMIZE $t CLUSTER BY bucket(id, 4)")
+    (0 until 3).foreach(i => smallAppend(8300L + i * 40, 40)) // 12 small
+    assert(meta().entries.size == 16, meta().entries.size.toString)
+    val rc = spark.sql(
+      s"OPTIMIZE $t COMPACT FILES UNDER 10000 BYTES").collect()
+    assert(rc(0).getInt(3) == 12 && rc(0).getInt(4) == 8,
+      rc.toSeq.toString)
+    assert(meta().cluster.contains(("id", 4)),
+      "compaction dropped the cluster claim")
+    assert(meta().entries.forall(_.pk.isDefined))
+    val byFile = read(dir).select(col("_file"), col("id"))
+      .collect().groupBy(_.getString(0))
+    meta().entries.foreach { e =>
+      byFile.get(e.name).foreach { rows =>
+        assert(rows.map(_.getLong(1)).forall(id =>
+          LakeFormat.bucketOf(id, 4) == e.pk.get),
+          s"${e.name} claims bucket ${e.pk.get} but holds a foreign id")
+      }
+    }
+    assert(spark.table(t).count() == 8420L)
+    // a deletion-vector'd small file compacts to its LIVE rows and the
+    // vector dies with the replaced entry
+    spark.sql(s"DELETE FROM $t WHERE id = 8310") // dv on a small file
+    assert(meta().entries.exists(_.dv.isDefined))
+    spark.sql(s"OPTIMIZE $t COMPACT FILES UNDER 10000 BYTES")
+    assert(meta().entries.forall(_.dv.isEmpty),
+      "compaction left a deletion vector behind")
+    assert(spark.table(t).count() == 8419L)
   }
 }
