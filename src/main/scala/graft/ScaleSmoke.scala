@@ -1005,6 +1005,106 @@ object ScaleSmoke {
       spark.sql("DROP TABLE IF EXISTS gsmoke.ns.lake17")
       spark.sql("DROP TABLE IF EXISTS gsmoke.ns.lake17dim")
     }
+    // ---- round-18 lake smokes: born-clustered ingest, small-file
+    // compaction, RESTORE ----
+    locally {
+      import graft.sources.{LakeFormat, LakeSource}
+      val factDir = s"$base/lake18_fact"
+      val dimDir = s"$base/lake18_dim"
+      spark.conf.set("spark.sql.catalog.gsmoke", "graft.sources.GraftCatalog")
+      def create(name: String, dir: String): String = {
+        spark.sql(s"DROP TABLE IF EXISTS gsmoke.ns.$name")
+        spark.sql(s"""CREATE TABLE gsmoke.ns.$name (
+          |  id BIGINT, bucket INT, kscore INT, score DOUBLE, doc_id STRING
+          |) USING lake LOCATION '$dir'
+          |TBLPROPERTIES ('clusterBy'='bucket(id,64)')""".stripMargin)
+        s"gsmoke.ns.$name"
+      }
+      val fact = create("lake18", factDir)
+      val dim = create("lake18dim", dimDir)
+      def metaOf(dir: String) = {
+        val f = LakeFormat.fs(dir)
+        LakeFormat.readManifestMeta(f, dir,
+          LakeFormat.latestVersion(f, dir).get)
+      }
+      spark.read.format("graft.sources.DetRangeSource")
+        .option("rows", nEvents).option("slices", 64).load()
+        .select(col("id"), col("bucket"), col("kscore"), col("score"),
+          col("doc_id")).createOrReplaceTempView("lake18_src")
+      spark.read.format("graft.sources.DetRangeSource")
+        .option("rows", nEvents / 10).option("slices", 16).load()
+        .select(col("id"), col("bucket"), col("kscore"), col("score"),
+          col("doc_id")).createOrReplaceTempView("lake18_dim_src")
+      // BORN-CLUSTERED INGEST (round 18): a plain INSERT into a DDL-
+      // clustered table — the write-time distribution co-locates each
+      // bucket, the writer splits, the commit keeps the claim: exactly
+      // 64 bucket-pure files at 20M rows, no OPTIMIZE anywhere below
+      time("lake clustered INSERT (64 bucket-pure files)", nEvents) {
+        spark.sql(s"INSERT OVERWRITE $fact SELECT * FROM lake18_src")
+        val m = metaOf(factDir)
+        require(m.cluster.contains(("id", 64)) && m.entries.size == 64 &&
+          m.entries.forall(_.pk.isDefined),
+          s"clustered insert: files=${m.entries.size} cluster=${m.cluster}")
+        spark.table(fact).count()
+      }
+      spark.sql(s"INSERT OVERWRITE $dim SELECT * FROM lake18_dim_src")
+      // the ingest-born layout serves the SPJ join directly
+      time("lake SPJ join on born-clustered tables", nEvents) {
+        val j = spark.table(fact).join(spark.table(dim), Seq("id"))
+          .agg(count(lit(1)))
+        val exchanges = j.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+        require(exchanges.size <= 1,
+          s"born-clustered SPJ still shuffles (${exchanges.size})")
+        j.head.getLong(0)
+      }
+      // STREAMING-SHAPED INGEST + COMPACTION: 32 micro-appends of 600
+      // rows each split per bucket → 2,048 small files on top of the 64
+      // big ones; OPTIMIZE COMPACT bin-packs them back to 64 bucket-pure
+      // files, touching NONE of the big files — the periodic O(small)
+      // maintenance that keeps file counts flat under continuous ingest
+      (0 until 32).foreach { i =>
+        spark.range(nEvents + i * 600L, nEvents + (i + 1) * 600L)
+          .selectExpr("id", "CAST(id % 16 AS INT) AS bucket",
+            "CAST((id * 31) % 997 AS INT) AS kscore",
+            "CAST(id AS DOUBLE) / 7 AS score",
+            "concat('doc_', id) AS doc_id")
+          .createOrReplaceTempView("lake18_epoch")
+        spark.sql(s"INSERT INTO $fact SELECT * FROM lake18_epoch")
+      }
+      val preCompact = {
+        val f = LakeFormat.fs(factDir)
+        LakeFormat.latestVersion(f, factDir).get
+      }
+      val preCompactFiles = metaOf(factDir).entries.size
+      require(preCompactFiles > 64 + 1000,
+        s"ingest produced only $preCompactFiles files")
+      val bigNames = metaOf(factDir).entries
+        .filter(_.bytes >= 100000).map(_.name).toSet
+      time("lake COMPACT small epoch files", 32L * 600) {
+        val r = spark.sql(
+          s"OPTIMIZE $fact COMPACT FILES UNDER 100000 BYTES").collect()
+        val m = metaOf(factDir)
+        require(r(0).getInt(3) == preCompactFiles - bigNames.size &&
+          m.entries.size == 128 && m.cluster.contains(("id", 64)) &&
+          bigNames.subsetOf(m.entries.map(_.name).toSet),
+          s"compact: ${r(0).toString} files_after=${m.entries.size}")
+        spark.table(fact).count()
+      }
+      // RESTORE: one O(root) metadata write brings the pre-compaction
+      // snapshot back (history preserved — both states still readable)
+      time("lake RESTORE (O(root) metadata write)", 1) {
+        spark.sql(s"RESTORE TABLE $fact TO VERSION AS OF $preCompact")
+          .collect()
+        val m = metaOf(factDir)
+        require(m.entries.size == preCompactFiles,
+          s"restore: files=${m.entries.size} expected $preCompactFiles")
+        spark.table(fact).count()
+      }
+      spark.sql("DROP TABLE IF EXISTS gsmoke.ns.lake18")
+      spark.sql("DROP TABLE IF EXISTS gsmoke.ns.lake18dim")
+    }
     spark.stop()
     rmTree(java.nio.file.Paths.get(base))
   }

@@ -5,9 +5,14 @@ import org.apache.spark.sql.functions._
 
 import graft.Q
 
-/** Registered queries over the round-16 lakehouse table
-  * ([[graft.sources.LakeTable]]) — the mutable-table surface a shared
-  * 100 TB corpus needs on top of write-once files. Reference analog:
+/** Registered queries q225–q241 over the lakehouse table
+  * ([[graft.sources.LakeTable]], rounds 16–18) — the mutable-table
+  * surface a shared 100 TB corpus needs on top of write-once files:
+  * data-skipping scans, row-level DML (metadata-only, copy-on-write,
+  * and merge-on-read), time travel by version and timestamp, streaming
+  * read/write, change data feeds, storage-partitioned joins with
+  * DDL-born clustering, RESTORE, and small-file compaction.
+  * Reference analog:
   * the persisted-dataset round-trips of the deployed Dask runtime
   * (`to_parquet`/`read_parquet` on the reference image,
   * `/root/reference/dask_ssh_docker/__init__.py:1`); the lake layer

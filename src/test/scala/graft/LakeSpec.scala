@@ -1660,6 +1660,14 @@ class LakeSpec extends AnyFunSuite {
     // the pinned read planned ONLY the small files — never the corpus
     assert(LakeSource.lastPlannedFiles.get().size == 6,
       s"compaction read ${LakeSource.lastPlannedFiles.get().size} files")
+    // a pinned read's aggregate must NOT take the manifest-only path —
+    // those answers are whole-snapshot, and a pinned COUNT(*) answered
+    // from the full manifest would be silently wrong (caught in design:
+    // supportCompletePushDown refuses pinned scans)
+    val oneBig = meta().entries.find(e => big.contains(e.name)).get
+    assert(spark.read.format(Lake).option("path", dir)
+      .option("pinnedFiles", oneBig.name).load().count() == oneBig.rows,
+      "pinned count() served the whole-snapshot manifest answer")
     // big files survive BY NAME (untouched, not rewritten)
     assert(big.subsetOf(meta().entries.map(_.name).toSet))
     assert(spark.table(t).count() == 8300L)
