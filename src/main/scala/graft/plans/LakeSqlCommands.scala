@@ -78,10 +78,14 @@ object LakeSqlCommands {
     case Restore(path, ident, version, ts) =>
       Some(RestoreLakeCommand(Option(path), Option(ident),
         Option(version).map(_.toInt), Option(ts)))
-    case History(path, ident) if path != null || ident.contains('.') =>
+    case History(path, ident) if path != null ||
+        ident.replaceAll("`[^`]*`", "").contains('.') =>
       // single-part identifiers fall through: `DESCRIBE HISTORY` must
       // not shadow `DESCRIBE history` on a user's table named history —
-      // lake targets are catalog.ns.table or a 'path' literal
+      // lake targets are catalog.ns.table or a 'path' literal. Dots
+      // INSIDE backquotes don't make an identifier multipart (r18
+      // review #4: `a.b` is one part and must reach the delegate), so
+      // quoted spans are stripped before the dot test.
       Some(DescribeLakeHistoryCommand(Option(path), Option(ident)))
     case _ => None
   }

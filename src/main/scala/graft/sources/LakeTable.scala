@@ -121,6 +121,11 @@ object LakeSource {
     * rebuild at most the one segment holding it. */
   val segmentWriteCount = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Monotone count of manifest-segment sidecars READ — pins the diff
+    * writer's early stop: a DML touching only inline-tail (recent)
+    * files copies every segment reference through UNREAD (r18). */
+  val segmentReadCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** TEST HOOK (one-shot): runs at the start of the next
     * SNAPSHOT-PINNED commit (row-level rewrite or OPTIMIZE) — the
     * window between the rewrite's snapshot read and its publish.
@@ -603,6 +608,7 @@ object LakeFormat {
 
   def readSegment(f: FileSystem, dir: String,
       name: String): Seq[FileEntry] = {
+    LakeSource.segmentReadCount.incrementAndGet()
     val in = f.open(new HPath(dir, name))
     val lines = try {
       scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
@@ -741,6 +747,13 @@ object LakeFormat {
         case _ => Some(e)
       }
     }
+    // INLINE first: the inline tail holds the NEWEST files — the common
+    // DML target — and draining their edits before the segment loop is
+    // what lets a DML touching only recent files copy EVERY segment
+    // reference through unread (r18 review #3: tail-last left pending
+    // non-empty for the whole loop, forcing O(files) segment reads for
+    // exactly the hot case)
+    val tail = applyEdits(baseRoot.inline) ++ newEntries
     val segLines = Seq.newBuilder[String]
     baseRoot.segs.foreach { sref =>
       if (pending.isEmpty)
@@ -762,7 +775,6 @@ object LakeFormat {
         }
       }
     }
-    val tail = applyEdits(baseRoot.inline) ++ newEntries
     require(pending.isEmpty,
       s"lake diff commit on $dir: edited file(s) not in the base " +
         s"snapshot: ${pending.mkString(", ")}")
@@ -992,20 +1004,32 @@ object LakeFormat {
     f.delete(staging, true)
   }
 
-  /** Snapshot-pinned DIFF-replace commit, shared by the row-level COW
-    * rewrite (MERGE) and small-file compaction: rename the staged task
-    * files in, then publish v+1 = snapshot v minus `replaced` plus the
-    * new entries through [[writeManifestCASDiff]] — untouched segments
-    * copy through, only the ones holding a replaced file are rebuilt.
-    * Any other current version aborts loudly and the just-renamed
-    * files are unlinked (never a lost update; the loser's files are
-    * unreferenced and vacuum reclaims them). A cluster claim survives
-    * only when every appended file minted its ordinal (cluster-split
-    * writers); otherwise it drops — same invariant as every commit. */
+  /** Snapshot-pinned DIFF commit, shared by the row-level COW rewrite
+    * (MERGE), the deletion-vector DML commit (DELETE/UPDATE), and
+    * small-file compaction: rename the staged task files in, then
+    * publish v+1 = snapshot v with `replaced` dropped and `edits`
+    * applied (deletion-vector growth) plus the new entries, through
+    * [[writeManifestCASDiff]] — untouched segments copy through, only
+    * the ones holding a touched file are rebuilt. Any other current
+    * version aborts loudly and the just-renamed files are unlinked
+    * (never a lost update; the loser's files are unreferenced and
+    * vacuum reclaims them).
+    *
+    * The cluster claim survives only when the appended files were
+    * actually split under THE SNAPSHOT'S OWN spec: `writerSpec` is the
+    * spec the tasks bucketed with, and it must EQUAL the base claim or
+    * the claim drops (r18 review #2 — re-claiming `root.cluster` just
+    * because pk ordinals exist would, after a racing re-cluster
+    * between operation build and commit, publish ordinals minted under
+    * a different bucket function as the new layout; a wrong claim
+    * silently drops join matches). Touch-only commits (no appends)
+    * keep the claim — dv edits and removals preserve per-file pk. */
   def publishDiffReplace(f: FileSystem, path: String, queryId: String,
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage],
       tableSchema: StructType, v: Int,
-      replaced: Set[String]): Seq[FileEntry] = {
+      replaced: Set[String],
+      edits: Map[String, FileEntry => Option[FileEntry]] = Map.empty,
+      writerSpec: Option[(String, Int)] = None): Seq[FileEntry] = {
     // the same snapshot-pinned read→publish window every pinned commit
     // exposes — LakeSpec plants concurrent commits here
     Option(LakeSource.beforeRowLevelCommit.getAndSet(null)).foreach(_.run())
@@ -1024,6 +1048,7 @@ object LakeFormat {
     val newEntries = messages.flatMap {
       case c: LakeFileCommit => Seq(c)
       case LakeTaskCommit(cs) => cs
+      case c: LakeDeltaCommit => c.files
       case other => throw new IllegalStateException(
         s"unexpected lake commit message: $other")
     }.map { c =>
@@ -1034,13 +1059,14 @@ object LakeFormat {
       FileEntry(c.fileName, c.rows, c.bytes, c.stats, c.pk)
     }.toSeq
     val root = readManifestRoot(f, path, v)
-    val outCluster = root.cluster
-      .filter(_ => newEntries.forall(_.pk.isDefined))
+    val outCluster = root.cluster.filter(s =>
+      newEntries.isEmpty ||
+        (writerSpec.contains(s) && newEntries.forall(_.pk.isDefined)))
+    val allEdits = edits ++ replaced.iterator.map(n =>
+      n -> ((_: FileEntry) => None: Option[FileEntry]))
     if (!writeManifestCASDiff(f, path, v + 1,
         mergeSchemas(path, root.schema, tableSchema), root,
-        replaced.map(n => n -> ((_: FileEntry) =>
-          None: Option[FileEntry])).toMap,
-        newEntries, outCluster))
+        allEdits, newEntries, outCluster))
       conflict(newEntries)
     f.delete(staging, true)
     newEntries
@@ -1544,13 +1570,7 @@ class LakeTable(private[graft] val path: String, tableSchema: StructType,
     // its output no longer satisfies
     val replaceOf = Option(info.options.get("replaceOfVersion")).map(_.toInt)
     val clusterSpec = declared.orElse {
-      if (replaceOf.isDefined) None
-      else {
-        val f = fs(path)
-        latestVersion(f, path)
-          .flatMap(v => readManifestRoot(f, path, v).cluster)
-          .filter(s => tableSchema.fieldNames.contains(s._1))
-      }
+      if (replaceOf.isDefined) None else currentCluster()
     }
     // internal option pair set by LakeFormat.compactSmall: replace
     // EXACTLY the named files of one snapshot (diff commit), leaving
@@ -1853,6 +1873,17 @@ private[sources] class LakeScanBuilder(path: String,
   override def build(): Scan = {
     if (aggFuncs.nonEmpty)
       return new LakeAggScan(path, tableSchema, version, entries, aggFuncs)
+    // a pinned name missing from the snapshot is a stale or typo'd pin
+    // — fail loudly instead of silently serving fewer rows (r18 review
+    // #7); validation pays one O(files) flatten, which a pinned scan
+    // (a maintenance read) already amortizes against its rewrite
+    pinnedFiles.foreach { p =>
+      val known = entries.iterator.map(_.name).toSet
+      val missing = p.diff(known)
+      require(missing.isEmpty,
+        s"lake pinnedFiles: not in snapshot v$version of $path: " +
+          missing.mkString(", "))
+    }
     val pushedSeq = pushed.toSeq
     // two-level pruning: segment aggregates first (skipped segments are
     // never READ — the metadata win at 10⁶-file scale), then per-file
@@ -2504,7 +2535,12 @@ private[sources] class LakeBatchWrite(path: String,
     // other file (and its manifest segment) is untouched
     replaceFilesOf.foreach { case (v, names) =>
       LakeFormat.publishDiffReplace(fs(path), path, queryId, messages,
-        tableSchema, v, names)
+        tableSchema, v, names,
+        // writerSpec: compaction on a clustered table re-splits with
+        // the table's own spec, so the claim survives; a mismatch
+        // (racing re-cluster) cannot happen here — the fixedBase pin
+        // aborts first — but the rule stays uniform
+        writerSpec = clusterSpec)
       LakeSource.lastReplacedFiles.set(names.toSeq.sorted)
       return
     }
@@ -2930,47 +2966,24 @@ private[sources] class LakeDeltaBatchWrite(path: String,
       clusterSpec, allowInserts)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    // same snapshot-pinned window as every other pinned commit
-    Option(LakeSource.beforeRowLevelCommit.getAndSet(null)).foreach(_.run())
     val scan = scanRef()
     require(scan != null,
       "lake delta commit before its scan was configured")
-    val v = scan.snapshotVersion
     val f = fs(path)
-    val staging = new HPath(path, s"_staging-$queryId")
-    def conflict(renamed: Seq[FileEntry]): Nothing = {
-      renamed.foreach(e => f.delete(new HPath(path, e.name), false))
-      f.delete(staging, true)
-      throw new IllegalStateException(
-        s"lake snapshot-pinned commit conflict on $path: read snapshot " +
-          s"v$v but it is no longer current — re-run the command against " +
-          "the new snapshot")
-    }
-    if (!LakeFormat.latestVersion(f, path).contains(v)) conflict(Nil)
     val parts = messages.collect { case c: LakeDeltaCommit => c }
     val newDeletes: Map[String, Array[Long]] = parts
       .flatMap(_.deletes.toSeq).groupBy(_._1)
       .map { case (file, groups) => file -> groups.flatMap(_._2).toArray }
-    val newFiles = parts.flatMap(_.files).toSeq
-    if (newDeletes.isEmpty && newFiles.isEmpty) return // nothing matched
-    // publish the replacement-row appends first (same rename protocol
-    // as LakeFormat.publish — no manifest references them until the CAS
-    // below lands, so a conflict unlinks them and readers never see
-    // a half-applied update)
-    val appended = newFiles.map { c =>
-      require(f.rename(new HPath(staging, c.fileName),
-        new HPath(path, c.fileName)),
-        s"lake delta commit: publish rename failed for ${c.fileName} — " +
-          "aborting (no manifest was written)")
-      FileEntry(c.fileName, c.rows, c.bytes, c.stats, c.pk)
-    }
-    // DIFF commit (round 18): only the segments holding a touched file
-    // are read+rebuilt — a scattered DML on a 10⁶-file table costs
+    if (newDeletes.isEmpty && parts.forall(_.files.isEmpty))
+      return // nothing matched: no new version
+    // DIFF commit through the shared snapshot-pinned publish (r18
+    // review #6 — this path previously duplicated the whole rename/
+    // conflict/CAS protocol): only segments holding a touched file are
+    // read+rebuilt, so a scattered DML on a 10⁶-file table costs
     // O(touched segments) metadata, not a full manifest re-chunk. Each
-    // edit closure unions the new ordinals into the entry's vector
-    // in place; an edit name missing from the snapshot fails loudly
-    // inside writeManifestCASDiff (the old `known` subset check).
-    val root = readManifestRoot(f, path, v)
+    // edit closure unions the new ordinals into the entry's vector in
+    // place; an edit name missing from the snapshot fails loudly
+    // inside the diff writer (the old `known` subset check).
     val dvWrites = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val edits: Map[String, FileEntry => Option[FileEntry]] =
       newDeletes.map { case (name, ords) =>
@@ -2994,18 +3007,14 @@ private[sources] class LakeDeltaBatchWrite(path: String,
           }
         }
       }
-    // clustering survives when every entry still carries its ordinal:
-    // the base claim covers its own entries, dv edits keep pk, and a
-    // cluster-split UPDATE mints ordinals for its appended replacement
-    // files — so a clustered table's layout claim holds through
-    // row-level DML (r18)
-    val outCluster = root.cluster
-      .filter(_ => appended.forall(_.pk.isDefined))
-    if (!writeManifestCASDiff(f, path, v + 1,
-        mergeSchemas(path, root.schema, tableSchema), root, edits,
-        appended, outCluster))
-      conflict(appended)
-    f.delete(staging, true)
+    // writerSpec = the spec the replacement rows were SPLIT with: the
+    // publish keeps the claim only while it still equals the
+    // snapshot's own claim at commit (r18 review #2 — a re-cluster
+    // racing the operation build must drop the claim, never publish
+    // ordinals minted under a different bucket function as the layout)
+    LakeFormat.publishDiffReplace(f, path, queryId, messages, tableSchema,
+      scan.snapshotVersion, replaced = Set.empty, edits = edits,
+      writerSpec = clusterSpec)
     LakeSource.lastDvWrites.set(dvWrites.toSeq.sortBy(_._1))
     LakeSource.lastReplacedFiles.set(Nil) // zero data-file rewrites
   }
@@ -3145,20 +3154,31 @@ private[graft] object LakeChanges {
       val deletes = prev.filterNot(e => curBy.contains(e.name)).map(e =>
         LakeChangePartition(e.name, "delete", v, ts,
           antiDv = e.dv.map(_._1)))
-      val grown = cur.flatMap { e =>
-        prevBy.get(e.name).flatMap { p =>
-          (p.dv, e.dv) match {
-            case (a, b) if a == b => None
-            case (a, Some((nb, _))) => Some(LakeChangePartition(
-              e.name, "delete", v, ts, antiDv = None,
-              amongDv = Some(nb), exceptDv = a.map(_._1)))
-            case (Some(_), None) => throw new IllegalStateException(
-              s"lake changes on $dir: v$v dropped ${e.name}'s deletion " +
-                "vector without removing the file — corrupt history")
+      // a file present in BOTH versions whose vector CHANGED: emit the
+      // symmetric difference — ordinals covered now but not before are
+      // deletes (vector growth: DML), ordinals covered before but not
+      // now are INSERTS (vector shrink/disappearance: RESTORE to a
+      // pre-delete snapshot resurrects those rows — r18 review #1; the
+      // old code threw 'corrupt history' there, permanently failing
+      // every feed crossing a real restore). Each side may emit zero
+      // rows; along plain DML history one side always does.
+      val changedDv = cur.flatMap { e =>
+        prevBy.get(e.name).toSeq.flatMap { p =>
+          if (p.dv == e.dv) Nil
+          else {
+            val newlyDeleted = e.dv.map { case (nb, _) =>
+              LakeChangePartition(e.name, "delete", v, ts, antiDv = None,
+                amongDv = Some(nb), exceptDv = p.dv.map(_._1))
+            }
+            val resurrected = p.dv.map { case (ob, _) =>
+              LakeChangePartition(e.name, "insert", v, ts, antiDv = None,
+                amongDv = Some(ob), exceptDv = e.dv.map(_._1))
+            }
+            newlyDeleted.toSeq ++ resurrected.toSeq
           }
         }
       }
-      inserts ++ deletes ++ grown
+      inserts ++ deletes ++ changedDv
     }
   }
 }
@@ -3332,19 +3352,15 @@ private[sources] class LakeChangesReaderFactory(path: String,
         LakeFormat.readDv(lakeFs, path, name).foreach(o => bs.set(o.toInt))
         bs
       }
-      // whole-file mode: emit ordinals NOT in anti. Growth mode: emit
-      // ordinals in among ∖ except — and except must be a subset of
-      // among (vectors only ever union; anything else is corruption)
+      // whole-file mode: emit ordinals NOT in anti. Difference mode:
+      // emit ordinals in among ∖ except — one direction per partition
+      // (growth emits deletes of new∖old, a RESTORE's shrink emits
+      // inserts of old∖new; vectors regress legally across restores,
+      // so no subset relation is required — r18 review #1)
       private val anti: java.util.BitSet = p.antiDv.map(bits).orNull
       private val among: java.util.BitSet = p.amongDv.map { n =>
         val a = bits(n)
-        p.exceptDv.map(bits).foreach { ex =>
-          val check = ex.stream().toArray
-          require(check.forall(a.get), s"lake changes: ${p.fileName}'s " +
-            "old deletion vector is not a subset of the new one — " +
-            "vectors must only grow")
-          a.andNot(ex)
-        }
+        p.exceptDv.map(bits).foreach(ex => a.andNot(ex))
         a
       }.orNull
 
