@@ -5,13 +5,14 @@ import org.apache.spark.sql.functions._
 
 import graft.Q
 
-/** Registered queries q225–q241 over the lakehouse table
+/** Registered queries q225–q243 over the lakehouse table
   * ([[graft.sources.LakeTable]], rounds 16–18) — the mutable-table
   * surface a shared 100 TB corpus needs on top of write-once files:
   * data-skipping scans, row-level DML (metadata-only, copy-on-write,
   * and merge-on-read), time travel by version and timestamp, streaming
   * read/write, change data feeds, storage-partitioned joins with
-  * DDL-born clustering, RESTORE, and small-file compaction.
+  * DDL-born clustering, RESTORE, small-file and target-size compaction,
+  * and merge-on-read MERGE with exact change feeds.
   * Reference analog:
   * the persisted-dataset round-trips of the deployed Dask runtime
   * (`to_parquet`/`read_parquet` on the reference image,
@@ -107,7 +108,7 @@ object LakeOps {
   }
 
   /** SQL `UPDATE` through the catalog — MERGE-ON-READ since round 18
-    * ([[graft.sources.LakeDeltaUpdateOperation]]): matched rows land in
+    * ([[graft.sources.LakeDeltaMutateOperation]]): matched rows land in
     * the touched files' deletion vectors, replacement rows append as
     * new files, zero data files rewritten. The multi-column assignment
     * MOVES rows between groups (bucket is rewritten) — the replacement
@@ -603,9 +604,99 @@ object LakeOps {
     bucketAgg(s, "glake.ns.t241")
   }
 
+  /** MERGE-ON-READ MERGE INTO (round 19 — r18 verdict missing #1, the
+    * last copy-on-write holdout): the same three-clause merge as q228,
+    * but the query READS THE CHANGE FEED of the merge version — so the
+    * oracle checks not just the post-merge state but that the feed
+    * surfaces EXACTLY the matched rows as deletes (with their
+    * pre-merge values) and the replacement + not-matched rows as
+    * inserts. Under the old COW path this feed would have been every
+    * row of every touched file (whole-file delete+insert pairs);
+    * merge-on-read makes it the true row-level delta — what a
+    * downstream incremental consumer actually wants from a CDC apply.
+    * LakeSpec pins the protocol half (zero data files rewritten,
+    * vector growth, COW-replay identity, claim survival). */
+  val qLakeMergeFeed: Q = Q(
+    "q242_lake_merge_feed",
+    """WITH m AS (SELECT id FROM range(20000) t(id) WHERE id % 997 = 13),
+      |     del AS (SELECT id, (id * 31) % 997 AS kscore FROM m),
+      |     ins AS (
+      |       SELECT id, (id * 31) % 997 + id % 7 AS kscore FROM m
+      |       WHERE id % 16 <> 3
+      |       UNION ALL
+      |       SELECT id, id % 7 AS kscore FROM range(20000, 21000) t(id)),
+      |     feed AS (
+      |       SELECT 'delete' AS change_type, id, kscore FROM del
+      |       UNION ALL
+      |       SELECT 'insert' AS change_type, id, kscore FROM ins)
+      |SELECT change_type, count(*) AS n,
+      |       CAST(sum(id) AS BIGINT) AS sum_id,
+      |       CAST(sum(kscore) AS BIGINT) AS sum_kscore
+      |FROM feed GROUP BY 1 ORDER BY change_type""".stripMargin
+  ) { (s, _) =>
+    val dir = lakeDir(s, "q242_lake")
+    freshTable(s, "glake.ns.t242", dir)
+    det(s, 20000, 8).createOrReplaceTempView("det242")
+    s.sql("INSERT OVERWRITE glake.ns.t242 SELECT * FROM det242")
+    s.range(0, 21000).filter(col("id") % 997 === 13 || col("id") >= 20000)
+      .select(col("id"), (col("id") % 7).cast("int").as("delta"))
+      .createOrReplaceTempView("m242src")
+    s.sql("""MERGE INTO glake.ns.t242 t USING m242src s ON t.id = s.id
+      |WHEN MATCHED AND t.bucket = 3 THEN DELETE
+      |WHEN MATCHED THEN UPDATE SET kscore = t.kscore + s.delta
+      |WHEN NOT MATCHED THEN INSERT (id, bucket, kscore, score, doc_id)
+      |  VALUES (s.id, CAST(s.id % 16 AS INT), CAST(s.delta AS INT),
+      |          CAST(0.0 AS DOUBLE), 'ins')""".stripMargin)
+    val f = graft.sources.LakeFormat.fs(dir)
+    val v = graft.sources.LakeFormat.latestVersion(f, dir).get
+    s.read.format(Lake).option("path", dir)
+      .option("changesFrom", v.toString)
+      .option("changesTo", v.toString).load()
+      .groupBy(col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("id")).cast("long").as("sum_id"),
+        sum(col("kscore")).cast("long").as("sum_kscore"))
+      .orderBy(col("change_type"))
+  }
+
+  /** Target-size compaction (round 19 — r18 verdict missing #4):
+    * `OPTIMIZE … COMPACT TO n BYTES` bin-packs every file under ~half
+    * the target into outputs near the goal — the size-goal form
+    * Delta/Iceberg take where q241's `FILES UNDER … INTO k` needs a
+    * hand-tuned k. Sixteen ingest slivers + one big file; the command
+    * reads ONLY the slivers (pinned scan) and replaces them with
+    * ⌈Σbytes/target⌉ bins; the big file is untouched by name; the
+    * commit is maintenance-flagged so the change feed stays silent
+    * (LakeSpec pins sizes within ±25%, flag, and feed silence). The
+    * oracle replays both row ranges. */
+  val qLakeCompactTo: Q = Q(
+    "q243_lake_compact_to",
+    """WITH ids AS (SELECT id FROM range(20000) t(id)
+      |            UNION ALL SELECT id FROM range(20000, 23200) t2(id))
+      |SELECT CAST(id % 16 AS INT) AS bucket, count(*) AS n,
+      |       CAST(sum((id * 31) % 997) AS BIGINT) AS sum_kscore
+      |FROM ids GROUP BY 1 ORDER BY bucket""".stripMargin
+  ) { (s, _) =>
+    val dir = lakeDir(s, "q243_lake")
+    freshTable(s, "glake.ns.t243", dir)
+    det(s, 20000, 1).createOrReplaceTempView("det243")
+    s.sql("INSERT OVERWRITE glake.ns.t243 SELECT * FROM det243")
+    (0 until 16).foreach { i =>
+      s.range(20000L + i * 200, 20000L + (i + 1) * 200)
+        .selectExpr("id", "CAST(id % 16 AS INT) AS bucket",
+          "CAST((id * 31) % 997 AS INT) AS kscore",
+          "CAST(id AS DOUBLE) / 7 AS score",
+          "concat('doc_', id) AS doc_id")
+        .coalesce(1)
+        .write.format(Lake).option("path", dir).mode("append").save()
+    }
+    s.sql("OPTIMIZE glake.ns.t243 COMPACT TO 30000 BYTES")
+    bucketAgg(s, "glake.ns.t243")
+  }
+
   val all: Seq[Q] = Seq(qLakeScanPrune, qLakeDelete, qLakeUpdate,
     qLakeMerge, qLakeTimeTravel, qLakeStatsAgg, qLakeTimestampTravel,
     qLakeStreamRead, qLakeDvDelete, qLakeSpjJoin, qLakeChangeFeed,
     qLakeChangeStream, qLakeClusteredInsert, qLakeMorUpdate, qLakeRestore,
-    qLakeCompact)
+    qLakeCompact, qLakeMergeFeed, qLakeCompactTo)
 }

@@ -229,8 +229,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // existing dir the declaration must MATCH the manifest's claim
         // — minting a different spec over committed files would lie to
         // the join planner about their layout.
-        Option(properties.get("clusterBy"))
-          .orElse(Option(properties.get("option.clusterBy"))).foreach { c =>
+        // looked up CASE-INSENSITIVELY (r18 ADVICE: the rest of the
+        // option surface is case-insensitive via CaseInsensitiveStringMap
+        // — a user writing 'clusterby' must not get a silently
+        // unclustered table)
+        properties.asScala.collectFirst {
+          case (k, v) if k.equalsIgnoreCase("clusterBy") ||
+            k.equalsIgnoreCase("option.clusterBy") => v
+        }.foreach { c =>
           val spec = LakeFormat.decodeCluster(c).getOrElse(
             throw new IllegalArgumentException(
               s"lake table $ident: clusterBy expects bucket(col,n); got '$c'"))

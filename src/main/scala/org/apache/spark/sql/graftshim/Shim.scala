@@ -4,10 +4,20 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
 
-/** Minimal access shim for `Dataset.ofRows` (private[sql]) — the standard
-  * way Spark-extension libraries materialize a DataFrame from a custom
-  * LogicalPlan node. Nothing else from the private surface is touched. */
+/** Minimal access shim for `Dataset.ofRows` and the Column↔Expression
+  * bridge (both private[sql]) — the standard way Spark-extension
+  * libraries materialize a DataFrame from a custom LogicalPlan node or
+  * wrap a custom codegen Expression as a user-facing Column. Nothing
+  * else from the private surface is touched. */
 object Shim {
   def ofRows(spark: org.apache.spark.sql.SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
+
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  def expression(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }

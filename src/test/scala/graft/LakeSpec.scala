@@ -1459,11 +1459,254 @@ class LakeSpec extends AnyFunSuite {
           s"${e.name} claims bucket ${e.pk.get} but holds a foreign id")
       }
     }
-    // and MERGE (still COW) compacts the touched file's vectors away
+    // and a full OPTIMIZE compacts the touched file's vectors away
     assert(meta().entries.exists(_.dv.isDefined))
     LakeFormat.optimize(spark, dir, "id", 4)
     assert(meta().entries.forall(_.dv.isEmpty),
       "OPTIMIZE left deletion vectors behind")
+  }
+
+  test("merge-on-read MERGE INTO: scattered merge writes vectors + appends, zero rewrites; identical to the COW replay; feed = exactly the matched+inserted rows (r19 — r18 verdict #1)") {
+    def runMerge(t: String, dir: String): Unit = {
+      det(20000, 8).createOrReplaceTempView("mormerge_src")
+      spark.sql(s"INSERT OVERWRITE $t SELECT * FROM mormerge_src")
+      // source: ~20 scattered matches across all 8 files + 100 new ids
+      spark.range(0, 20100).filter(col("id") % 997 === 13 ||
+          col("id") >= 20000)
+        .select(col("id"), (col("id") % 7).cast("int").as("delta"))
+        .createOrReplaceTempView("mormerge_delta")
+      spark.sql(s"""MERGE INTO $t t USING mormerge_delta s ON t.id = s.id
+        |WHEN MATCHED AND t.bucket = 3 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET kscore = t.kscore + s.delta
+        |WHEN NOT MATCHED THEN INSERT (id, bucket, kscore, score, doc_id)
+        |  VALUES (s.id, CAST(s.id % 16 AS INT), CAST(s.delta AS INT),
+        |          CAST(0.0 AS DOUBLE), 'ins')""".stripMargin)
+    }
+    val dir = tmp("lake_mormerge")
+    val t = catalogTable("tmormerge", dir)
+    LakeSource.lastReplacedFiles.set(Seq("sentinel"))
+    LakeSource.lastDvWrites.set(Nil)
+    runMerge(t, dir)
+    // the MoR pin: ZERO data files rewritten — matched rows are vector
+    // growth, replacements + not-matched rows are appended files
+    assert(LakeSource.lastReplacedFiles.get().isEmpty,
+      s"MoR MERGE rewrote files: ${LakeSource.lastReplacedFiles.get()}")
+    val dv = LakeSource.lastDvWrites.get()
+    assert(dv.nonEmpty && dv.map(_._2).sum == 21L,
+      s"expected 21 matched ordinals in vectors, got $dv")
+    // value identity with the copy-on-write replay of the SAME merge
+    val cowDir = tmp("lake_cowmerge")
+    val tc = catalogTable("tcowmerge", cowDir)
+    spark.conf.set("spark.graft.lake.merge.cow", "true")
+    try {
+      LakeSource.lastReplacedFiles.set(Nil)
+      runMerge(tc, cowDir)
+      assert(LakeSource.lastReplacedFiles.get().nonEmpty,
+        "the COW escape hatch did not run the group-based rewrite")
+    } finally spark.conf.unset("spark.graft.lake.merge.cow")
+    val mor = spark.table(t).orderBy("id", "kscore").collect().toSeq
+    val cow = spark.table(tc).orderBy("id", "kscore").collect().toSeq
+    assert(mor == cow, s"MoR and COW merges disagree: " +
+      s"${mor.size} vs ${cow.size} rows")
+    // change feed surfaces EXACTLY the matched rows (deletes) and the
+    // replacement + not-matched rows (inserts) — no phantom churn from
+    // carried-over rows, because none were rewritten
+    val f = LakeFormat.fs(dir)
+    val vNow = LakeFormat.latestVersion(f, dir).get
+    val feed = spark.read.format(Lake).option("path", dir)
+      .option("changesFrom", vNow.toString)
+      .option("changesTo", vNow.toString).load()
+    val deletes = feed.filter(col("_change_type") === "delete")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val inserts = feed.filter(col("_change_type") === "insert")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val matched = (0L until 20000L).filter(_ % 997 == 13).toSet
+    assert(deletes == matched,
+      s"feed deletes ≠ matched rows: ${deletes.toSeq.sorted}")
+    // matched bucket-3 rows are DELETE-clause hits (no replacement);
+    // the rest re-insert; det's bucket column is id % 16
+    val updatedIns = matched.filter(id => (id % 16) != 3).toSeq.sorted
+    val newIns = (20000L until 20100L).toSeq
+    assert(inserts == (updatedIns ++ newIns).sorted,
+      s"feed inserts ≠ replacements+new: $inserts")
+    // a clustered table keeps its claim through MoR MERGE
+    LakeFormat.optimizeCluster(spark, dir, "id", 8)
+    spark.range(30000, 30050)
+      .select(col("id"), (col("id") % 7).cast("int").as("delta"))
+      .createOrReplaceTempView("mormerge_delta2")
+    spark.sql(s"""MERGE INTO $t t USING mormerge_delta2 s ON t.id = s.id
+      |WHEN MATCHED THEN UPDATE SET kscore = t.kscore + s.delta
+      |WHEN NOT MATCHED THEN INSERT (id, bucket, kscore, score, doc_id)
+      |  VALUES (s.id, CAST(s.id % 16 AS INT), CAST(s.delta AS INT),
+      |          CAST(0.0 AS DOUBLE), 'ins')""".stripMargin)
+    def meta2() = LakeFormat.readManifestMeta(f, dir,
+      LakeFormat.latestVersion(f, dir).get)
+    assert(meta2().cluster.contains(("id", 8)),
+      "MoR MERGE dropped the cluster claim")
+    assert(meta2().entries.forall(_.pk.isDefined))
+  }
+
+  test("maintenance commits are header-flagged and the change feed skips them: COMPACT/OPTIMIZE emit zero feed rows (r19 — r18 ADVICE)") {
+    val dir = tmp("lake_maintfeed")
+    val t = catalogTable("tmaintfeed", dir)
+    det(8000, 8).createOrReplaceTempView("maintfeed_src")
+    spark.sql(s"INSERT OVERWRITE $t SELECT * FROM maintfeed_src") // v0
+    spark.sql(s"DELETE FROM $t WHERE id % 1009 = 7")              // v1: dv
+    val f = LakeFormat.fs(dir)
+    // v2: COMPACT — a row-preserving rewrite of the 8 small files
+    val n = LakeFormat.compactSmall(spark, dir,
+      underBytes = 1L << 30, into = 2)
+    assert(n == 8, s"expected all 8 files compacted, got $n")
+    val v2 = LakeFormat.latestVersion(f, dir).get
+    assert(LakeFormat.readManifestRoot(f, dir, v2).maintenance,
+      "COMPACT did not flag its commit as maintenance")
+    // the feed for exactly v2 is EMPTY — no phantom delete+insert pairs
+    // for 8000 logically-unchanged rows
+    assert(spark.read.format(Lake).option("path", dir)
+      .option("changesFrom", v2.toString)
+      .option("changesTo", v2.toString).load().count() == 0L,
+      "compaction surfaced in the change feed")
+    // the FULL feed still nets to the live table (netting invariant):
+    // inserts minus deletes by row value == current content
+    val feed = spark.read.format(Lake).option("path", dir)
+      .option("changesFrom", "0").load()
+      .groupBy("id", "bucket", "kscore")
+      .agg(sum(when(col("_change_type") === "insert", 1)
+        .otherwise(-1)).as("net"))
+    assert(feed.filter(col("net") < 0 || col("net") > 1).count() == 0L)
+    val netted = feed.filter(col("net") === 1)
+      .select(sum(col("id")).cast("long"), count(lit(1))).head
+    val live = spark.table(t)
+      .select(sum(col("id")).cast("long"), count(lit(1))).head
+    assert(netted == live, s"feed nets to $netted but table holds $live")
+    // OPTIMIZE CLUSTER BY is maintenance too; DML after it emits again
+    LakeFormat.optimizeCluster(spark, dir, "id", 4)
+    val v3 = LakeFormat.latestVersion(f, dir).get
+    assert(LakeFormat.readManifestRoot(f, dir, v3).maintenance)
+    assert(spark.read.format(Lake).option("path", dir)
+      .option("changesFrom", v3.toString).load().count() == 0L)
+    spark.sql(s"DELETE FROM $t WHERE id = 4242")
+    val v4 = LakeFormat.latestVersion(f, dir).get
+    val post = spark.read.format(Lake).option("path", dir)
+      .option("changesFrom", v4.toString).load().collect()
+    assert(post.length == 1 &&
+      post(0).getAs[String]("_change_type") == "delete" &&
+      post(0).getAs[Long]("id") == 4242L, post.toSeq.toString)
+    // DESCRIBE HISTORY exposes the flag for feed consumers to audit
+    val hist = spark.sql(s"DESCRIBE HISTORY $t").collect()
+      .map(r => r.getInt(0) -> r.getBoolean(8)).toMap
+    assert(hist(v2) && hist(v3) && !hist(v4) && !hist(0))
+  }
+
+  test("OPTIMIZE COMPACT TO n BYTES: target-size bin packing lands outputs within ±25% of the goal, skips right-sized files (r19 — r18 verdict #6)") {
+    val dir = tmp("lake_compactto")
+    val t = catalogTable("tcompactto", dir)
+    // heterogeneous files: 16 small epoch-ish slivers + 2 big ones
+    det(800, 16).createOrReplaceTempView("cto_small")
+    spark.sql(s"INSERT OVERWRITE $t SELECT * FROM cto_small")
+    det(40000, 2).createOrReplaceTempView("cto_big")
+    spark.sql(s"INSERT INTO $t SELECT id + 1000, bucket, kscore, score, " +
+      "doc_id FROM cto_big")
+    val f = LakeFormat.fs(dir)
+    def entries() = LakeFormat.readManifestMeta(f, dir,
+      LakeFormat.latestVersion(f, dir).get).entries
+    val big = entries().filter(_.bytes >= 100000).map(_.name).toSet
+    assert(big.size == 2 && entries().size == 18, entries().map(_.bytes))
+    // target ≈ smallMass/2.9 → 3 bins at ~0.97× the goal each
+    val smallMass = entries().filter(_.bytes < 100000).map(_.bytes).sum
+    val target = smallMass * 10 / 29
+    val r = spark.sql(s"OPTIMIZE $t COMPACT TO $target BYTES").collect()
+    assert(r.length == 1 && r(0).getInt(3) == 16, r.toSeq.toString)
+    val after = entries()
+    // the two right-sized files are untouched (same names), the 16
+    // slivers became bins within ±25% of the target
+    assert(big.subsetOf(after.map(_.name).toSet),
+      "COMPACT TO rewrote files already at/above half the target")
+    val bins = after.filterNot(e => big.contains(e.name))
+    assert(bins.size == r(0).getInt(4), s"bins=${bins.size} vs row $r")
+    bins.foreach(b => assert(b.bytes >= target * 3 / 4 &&
+      b.bytes <= target * 5 / 4,
+      s"bin ${b.name} is ${b.bytes} bytes; target $target"))
+    // row preservation + maintenance flag
+    assert(spark.table(t).count() == 800L + 40000L)
+    assert(LakeFormat.readManifestRoot(f, dir,
+      LakeFormat.latestVersion(f, dir).get).maintenance)
+    // no-op form: a second pass finds <2 candidates and commits nothing
+    val v = LakeFormat.latestVersion(f, dir).get
+    val r2 = spark.sql(s"OPTIMIZE '$dir' COMPACT TO $target BYTES").collect()
+    assert(r2(0).getInt(3) == 0 &&
+      LakeFormat.latestVersion(f, dir).get == v)
+  }
+
+  test("maintenance bucket pre-shuffle is codegen, not a ScalaUDF; explicit clusterBy append over a DIFFERENT declared spec fails loudly; clusterby TBLPROPERTIES is case-insensitive (r19)") {
+    // the codegen pin: the repartition column optimizeCluster builds is
+    // a native expression whose generated code calls the static bucket
+    // function — never an interpreted ScalaUDF (r18 verdict #1)
+    val c = LakeFormat.bucketColumn(col("x"), 32)
+    val e = org.apache.spark.sql.graftshim.Shim.expression(c)
+    assert(e.isInstanceOf[graft.sources.LakeBucketExpr], e.getClass.toString)
+    assert(!e.exists(_.isInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.ScalaUDF]))
+    // bit-parity across types with the writer/manifest bucket function
+    val probe = spark.range(-3, 1000).select(
+      LakeFormat.bucketColumn(col("id"), 8).as("bl"),
+      LakeFormat.bucketColumn(col("id").cast("int"), 8).as("bi"),
+      LakeFormat.bucketColumn(col("id").cast("double") * 1.5, 8).as("bd"),
+      LakeFormat.bucketColumn(concat(lit("k"), col("id")), 8).as("bs"),
+      col("id")).collect()
+    probe.foreach { r =>
+      val id = r.getLong(4)
+      assert(r.getInt(0) == LakeFormat.bucketOf(id, 8))
+      assert(r.getInt(1) == LakeFormat.bucketOf(id.toInt, 8))
+      assert(r.getInt(2) == LakeFormat.bucketOf(id.toDouble * 1.5, 8))
+      assert(r.getInt(3) == LakeFormat.bucketOf(s"k$id", 8))
+    }
+    // and the rewrite itself still lands bucket-pure files end-to-end
+    val dir = tmp("lake_cgclu")
+    det(4000, 4).write.format(Lake).option("path", dir)
+      .mode("overwrite").save()
+    LakeFormat.optimizeCluster(spark, dir, "id", 4)
+    val f = LakeFormat.fs(dir)
+    val m = LakeFormat.readManifestMeta(f, dir,
+      LakeFormat.latestVersion(f, dir).get)
+    assert(m.cluster.contains(("id", 4)) && m.entries.forall(_.pk.isDefined))
+
+    // declared-spec overwrite guard (r18 ADVICE): an explicit clusterBy
+    // append into a DDL-declared EMPTY manifest with a DIFFERENT spec
+    // aborts loudly instead of silently replacing the declaration
+    val dir2 = tmp("lake_declguard")
+    spark.conf.set("spark.sql.catalog.glt", "graft.sources.GraftCatalog")
+    spark.sql(s"DROP TABLE IF EXISTS glt.ns.tdeclg")
+    spark.sql(s"""CREATE TABLE glt.ns.tdeclg (
+      |  id BIGINT, bucket INT, kscore INT, score DOUBLE, doc_id STRING
+      |) USING lake LOCATION '$dir2'
+      |TBLPROPERTIES ('clusterBy'='bucket(id,8)')""".stripMargin)
+    val ex = intercept[Exception] {
+      det(100, 1).write.format(Lake).option("path", dir2)
+        .option("clusterBy", "bucket(kscore,4)").mode("append").save()
+    }
+    assert(ex.getMessage != null &&
+      ex.getMessage.contains("does not match the declared layout"),
+      s"wrong error: ${ex.getMessage}")
+    // a MATCHING explicit spec still lands and keeps the claim
+    det(100, 1).write.format(Lake).option("path", dir2)
+      .option("clusterBy", "bucket(id,8)").mode("append").save()
+    val f2 = LakeFormat.fs(dir2)
+    assert(LakeFormat.readManifestRoot(f2, dir2,
+      LakeFormat.latestVersion(f2, dir2).get).cluster.contains(("id", 8)))
+
+    // case-insensitive TBLPROPERTIES (r18 ADVICE): 'clusterby' must not
+    // create a silently-unclustered table
+    val dir3 = tmp("lake_ciprop")
+    spark.sql(s"DROP TABLE IF EXISTS glt.ns.tciprop")
+    spark.sql(s"""CREATE TABLE glt.ns.tciprop (
+      |  id BIGINT, bucket INT, kscore INT, score DOUBLE, doc_id STRING
+      |) USING lake LOCATION '$dir3'
+      |TBLPROPERTIES ('clusterby'='bucket(id,4)')""".stripMargin)
+    val f3 = LakeFormat.fs(dir3)
+    assert(LakeFormat.readManifestRoot(f3, dir3, 0).cluster
+      .contains(("id", 4)),
+      "lower-case 'clusterby' produced an unclustered table")
   }
 
   test("RESTORE TO VERSION AS OF: post-restore equals the target, history keeps both, loud below the vacuum floor") {
