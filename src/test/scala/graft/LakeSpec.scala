@@ -1546,6 +1546,109 @@ class LakeSpec extends AnyFunSuite {
     assert(meta2().entries.forall(_.pk.isDefined))
   }
 
+  test("column mapping: RENAME/DROP COLUMN are metadata-only — files untouched, stats keep pruning, time travel serves the old names, DML stays correct, re-add never resurrects (r19 — r18 verdict #4)") {
+    val dir = tmp("lake_colmap")
+    spark.conf.set("spark.sql.catalog.glt", "graft.sources.GraftCatalog")
+    spark.sql(s"DROP TABLE IF EXISTS glt.ns.tcm")
+    spark.sql(s"""CREATE TABLE glt.ns.tcm (
+      |  id BIGINT, bucket INT, kscore INT, score DOUBLE, doc_id STRING
+      |) USING lake LOCATION '$dir'""".stripMargin)
+    det(20000, 8).createOrReplaceTempView("cm_src")
+    spark.sql(s"INSERT INTO glt.ns.tcm SELECT * FROM cm_src")
+    val files0 = lakeFiles(dir).toSet
+    val f = LakeFormat.fs(dir)
+    val vPreRename = LakeFormat.latestVersion(f, dir).get
+
+    // RENAME: one O(root) commit, zero data files written or removed
+    spark.sql("ALTER TABLE glt.ns.tcm RENAME COLUMN kscore TO points")
+    assert(lakeFiles(dir).toSet == files0, "rename touched data files")
+    assert(spark.table("glt.ns.tcm").columns.toSeq ==
+      Seq("id", "bucket", "points", "score", "doc_id"))
+    // old files serve the renamed column's values
+    assert(spark.sql("SELECT CAST(sum(points) AS BIGINT) FROM glt.ns.tcm")
+      .head.getLong(0) ==
+      det(20000, 8).agg(sum("kscore").cast("long")).head.getLong(0))
+    // stats PRUNING still narrows the scan post-rename (phys-key
+    // translation): id is unrenamed, points is renamed — filter both
+    assert(spark.sql(
+      "SELECT count(*) FROM glt.ns.tcm WHERE id < 2500").head.getLong(0)
+      == 2500L)
+    assert(LakeSource.lastPlannedFiles.get().size == 1,
+      s"post-rename pruning planned ${LakeSource.lastPlannedFiles.get()}")
+    // time travel BEFORE the rename serves the historical schema
+    val tt = spark.read.format(Lake).option("path", dir)
+      .option("versionAsOf", vPreRename).load()
+    assert(tt.columns.toSeq ==
+      Seq("id", "bucket", "kscore", "score", "doc_id"))
+    assert(tt.agg(sum("kscore").cast("long")).head.getLong(0) ==
+      spark.sql("SELECT CAST(sum(points) AS BIGINT) FROM glt.ns.tcm")
+        .head.getLong(0))
+
+    // DML after the rename: MoR UPDATE + MERGE against the new name,
+    // old files' rows addressed by slot
+    spark.sql("UPDATE glt.ns.tcm SET points = points + 1000 " +
+      "WHERE id % 997 = 13")
+    assert(spark.sql("SELECT points FROM glt.ns.tcm WHERE id = 13")
+      .head.getInt(0) == (13 * 31) % 997 + 1000)
+    // new files are written SLOT-correct: full-table read-back agrees
+    // with the relational replay on every column
+    val expect = det(20000, 8)
+      .withColumn("kscore", when(col("id") % 997 === 13,
+        col("kscore") + 1000).otherwise(col("kscore")))
+      .select(col("id"), col("bucket"), col("kscore").as("points"),
+        col("score"), col("doc_id"))
+    assert(spark.table("glt.ns.tcm").exceptAll(expect).count() == 0L &&
+      expect.exceptAll(spark.table("glt.ns.tcm")).count() == 0L)
+
+    // DROP: metadata-only; the column disappears, files untouched
+    val filesPreDrop = lakeFiles(dir).toSet
+    spark.sql("ALTER TABLE glt.ns.tcm DROP COLUMN score")
+    assert(lakeFiles(dir).toSet == filesPreDrop, "drop touched data files")
+    assert(spark.table("glt.ns.tcm").columns.toSeq ==
+      Seq("id", "bucket", "points", "doc_id"))
+    // re-ADD the dropped name: fresh slot + fresh phys name — all
+    // nulls, NEVER the dropped column's historical values, and the
+    // old stats can't prune the new column
+    spark.sql("ALTER TABLE glt.ns.tcm ADD COLUMNS (score DOUBLE)")
+    assert(spark.sql(
+      "SELECT count(*) FROM glt.ns.tcm WHERE score IS NOT NULL")
+      .head.getLong(0) == 0L,
+      "re-added column resurrected dropped values")
+    // writes to the re-added column land at its fresh slot
+    spark.sql("UPDATE glt.ns.tcm SET score = 2.5 WHERE id = 99")
+    assert(spark.sql("SELECT score FROM glt.ns.tcm WHERE id = 99")
+      .head.getDouble(0) == 2.5)
+    assert(spark.sql("SELECT points FROM glt.ns.tcm WHERE id = 99")
+      .head.getInt(0) == (99 * 31) % 997, "update corrupted a neighbor")
+
+    // RESTORE across the rename/drop history: data restores, the LIVE
+    // header (names + mapping) stays — slot-addressed entries read
+    // correctly under the current names
+    val r = spark.sql(
+      s"RESTORE TABLE glt.ns.tcm TO VERSION AS OF $vPreRename").collect()
+    assert(r.length == 1)
+    assert(spark.table("glt.ns.tcm").columns.toSeq ==
+      Seq("id", "bucket", "points", "doc_id", "score"))
+    assert(spark.sql("SELECT CAST(sum(points) AS BIGINT) FROM glt.ns.tcm")
+      .head.getLong(0) ==
+      det(20000, 8).agg(sum("kscore").cast("long")).head.getLong(0))
+
+    // cluster-column interplay: rename keeps the claim (renamed in the
+    // same commit); dropping the cluster column is refused
+    LakeFormat.optimizeCluster(spark, dir, "id", 4)
+    spark.sql("ALTER TABLE glt.ns.tcm RENAME COLUMN id TO doc_key")
+    val root = LakeFormat.readManifestRoot(f, dir,
+      LakeFormat.latestVersion(f, dir).get)
+    assert(root.cluster.contains(("doc_key", 4)),
+      s"cluster claim lost/stale across rename: ${root.cluster}")
+    val ex = intercept[Exception] {
+      spark.sql("ALTER TABLE glt.ns.tcm DROP COLUMN doc_key")
+    }
+    assert(ex.getMessage.contains("cluster-by column"), ex.getMessage)
+    // and every file still carries its ordinal for the claim
+    assert(root.inline.forall(_.pk.isDefined))
+  }
+
   test("maintenance commits are header-flagged and the change feed skips them: COMPACT/OPTIMIZE emit zero feed rows (r19 — r18 ADVICE)") {
     val dir = tmp("lake_maintfeed")
     val t = catalogTable("tmaintfeed", dir)
