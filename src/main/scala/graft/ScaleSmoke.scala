@@ -891,13 +891,19 @@ object ScaleSmoke {
           .map(_._2).sum == 1000L, "MoR update vector growth mismatch")
         spark.sql("SELECT count(*) FROM gsmoke.ns.lake").head.getLong(0)
       }
+      // MERGE went merge-on-read in r19; this shape keeps measuring
+      // the group-based COW twin through the escape hatch — the
+      // write-amplification the MoR path (next block) buys out of
       time("lake COW merge (1-file rewrite)", nEvents / 64) {
         spark.range(2000, 3000)
           .selectExpr("id", "CAST(1 AS INT) AS delta")
           .createOrReplaceTempView("smoke_cow_merge")
-        spark.sql("MERGE INTO gsmoke.ns.lake t USING smoke_cow_merge s " +
-          "ON t.id = s.id " +
-          "WHEN MATCHED THEN UPDATE SET kscore = t.kscore + s.delta")
+        spark.conf.set("spark.graft.lake.merge.cow", "true")
+        try
+          spark.sql("MERGE INTO gsmoke.ns.lake t USING smoke_cow_merge s " +
+            "ON t.id = s.id " +
+            "WHEN MATCHED THEN UPDATE SET kscore = t.kscore + s.delta")
+        finally spark.conf.unset("spark.graft.lake.merge.cow")
         require(graft.sources.LakeSource.lastReplacedFiles.get().size == 1,
           s"rewrite touched ${graft.sources.LakeSource
             .lastReplacedFiles.get().size} files")
@@ -1104,6 +1110,127 @@ object ScaleSmoke {
       }
       spark.sql("DROP TABLE IF EXISTS gsmoke.ns.lake18")
       spark.sql("DROP TABLE IF EXISTS gsmoke.ns.lake18dim")
+    }
+    // ---- round-19 lake smokes: MoR MERGE, rename/drop, composite
+    // layout, target-size compaction ----
+    locally {
+      import graft.sources.{LakeFormat, LakeSource}
+      spark.conf.set("spark.sql.catalog.gsmoke", "graft.sources.GraftCatalog")
+      val dir = s"$base/lake19"
+      spark.sql("DROP TABLE IF EXISTS gsmoke.ns.lake19")
+      spark.sql(s"""CREATE TABLE gsmoke.ns.lake19 (
+        |  id BIGINT, bucket INT, kscore INT, score DOUBLE, doc_id STRING
+        |) USING lake LOCATION '$dir'
+        |TBLPROPERTIES ('clusterBy'='bucket(id,64)')""".stripMargin)
+      val t = "gsmoke.ns.lake19"
+      spark.read.format("graft.sources.DetRangeSource")
+        .option("rows", nEvents).option("slices", 64).load()
+        .select(col("id"), col("bucket"), col("kscore"), col("score"),
+          col("doc_id")).createOrReplaceTempView("lake19_src")
+      spark.sql(s"INSERT OVERWRITE $t SELECT * FROM lake19_src")
+      def metaOf(d: String) = {
+        val f = LakeFormat.fs(d)
+        LakeFormat.readManifestMeta(f, d,
+          LakeFormat.latestVersion(f, d).get)
+      }
+      // MERGE-ON-READ MERGE (r19): a scattered CDC apply — ~200
+      // matched rows spread over all 64 files + 10k fresh inserts.
+      // The r18 COW path would rewrite all 64 files (the whole 20M
+      // corpus); MoR writes 64 tiny vectors + the changed rows, ZERO
+      // data-file rewrites, and the clustered claim survives.
+      spark.range(0, nEvents + 10000)
+        .filter(col("id") % 99991 === 7 || col("id") >= nEvents)
+        .select(col("id"), (col("id") % 7 + 1).cast("int").as("delta"))
+        .createOrReplaceTempView("lake19_cdc")
+      time("lake MoR MERGE (scattered CDC)", nEvents) {
+        LakeSource.lastReplacedFiles.set(Seq("sentinel"))
+        spark.sql(s"""MERGE INTO $t t USING lake19_cdc s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET kscore = t.kscore + s.delta
+          |WHEN NOT MATCHED THEN INSERT (id, bucket, kscore, score, doc_id)
+          |  VALUES (s.id, CAST(s.id % 16 AS INT), CAST(s.delta AS INT),
+          |          CAST(0.0 AS DOUBLE), 'ins')""".stripMargin)
+        require(LakeSource.lastReplacedFiles.get().isEmpty,
+          s"MoR MERGE rewrote: ${LakeSource.lastReplacedFiles.get()}")
+        val m = metaOf(dir)
+        require(m.cluster.contains(("id", 64)),
+          s"MERGE dropped the claim: ${m.cluster}")
+        spark.table(t).count()
+      }
+      // COLUMN MAPPING (r19): rename + drop are O(root) header writes
+      // — at 20M rows (and at 100 TB) the same sub-second metadata
+      // edit, where the only pre-r19 path was a full CTAS rewrite
+      time("lake RENAME COLUMN (O(root))", 1) {
+        spark.sql(s"ALTER TABLE $t RENAME COLUMN kscore TO points")
+        spark.sql(s"SELECT count(*) FROM $t WHERE points >= 0")
+          .head.getLong(0)
+      }
+      time("lake DROP COLUMN (O(root))", 1) {
+        spark.sql(s"ALTER TABLE $t DROP COLUMN score")
+        require(spark.table(t).columns.toSeq ==
+          Seq("id", "bucket", "points", "doc_id"))
+        spark.table(t).count()
+      }
+      spark.sql("DROP TABLE IF EXISTS gsmoke.ns.lake19")
+      // COMPOSITE LAYOUT (r19): 8 partitions × 64 buckets = 512
+      // (partition, bucket)-pure files at 20M; a partition predicate
+      // prunes to 64 files BEFORE any task launches, and the bucket
+      // term keeps serving SPJ (pinned at smaller scale in LakeSpec)
+      val cdir = s"$base/lake19c"
+      spark.sql("DROP TABLE IF EXISTS gsmoke.ns.lake19c")
+      val unit = math.max(1L, nEvents / 8)
+      spark.sql(s"""CREATE TABLE gsmoke.ns.lake19c (
+        |  id BIGINT, bucket INT, kscore INT, score DOUBLE, doc_id STRING
+        |) USING lake LOCATION '$cdir'
+        |TBLPROPERTIES ('clusterBy'='trunc(id,$unit),bucket(id,64)')"""
+        .stripMargin)
+      val tc = "gsmoke.ns.lake19c"
+      time("lake composite INSERT (512 files)", nEvents) {
+        spark.sql(s"INSERT OVERWRITE $tc SELECT * FROM lake19_src")
+        val m = metaOf(cdir)
+        require(m.entries.size == 512 &&
+          m.entries.forall(e => e.pk.isDefined && e.pv.isDefined),
+          s"composite insert landed ${m.entries.size} files")
+        spark.table(tc).count()
+      }
+      time("lake composite partition prune (64/512)", nEvents / 8) {
+        val c = spark.table(tc)
+          .filter(col("id") >= unit && col("id") < unit * 2).count()
+        require(LakeSource.lastPlannedFiles.get().size == 64,
+          s"partition predicate planned " +
+            s"${LakeSource.lastPlannedFiles.get().size} files, wanted 64")
+        c
+      }
+      // TARGET-SIZE COMPACTION (r19): 16 micro-appends land 1,024 tiny
+      // bucket files; COMPACT TO a size goal bin-packs them without
+      // touching the 512 right-sized ones — no hand-tuned k anywhere.
+      // Size goal = just under 2× the SMALLEST right-sized file, so the
+      // bin-packing cutoff (< target/2) selects exactly the epoch
+      // slivers at any smoke scale.
+      val targetBytes = metaOf(cdir).entries.map(_.bytes).min * 2 - 1
+      (0 until 16).foreach { i =>
+        spark.range(nEvents + 20000L + i * 600L,
+            nEvents + 20000L + (i + 1) * 600L)
+          .selectExpr("id", "CAST(id % 16 AS INT) AS bucket",
+            "CAST((id * 31) % 997 AS INT) AS kscore",
+            "CAST(id AS DOUBLE) / 7 AS score",
+            "concat('doc_', id) AS doc_id")
+          .createOrReplaceTempView("lake19_epoch")
+        spark.sql(s"INSERT INTO $tc SELECT * FROM lake19_epoch")
+      }
+      val preFiles = metaOf(cdir).entries.size
+      require(preFiles > 512 + 500, s"epoch ingest landed $preFiles files")
+      time("lake COMPACT TO size goal (epochs)", 16L * 600) {
+        val r = spark.sql(
+          s"OPTIMIZE $tc COMPACT TO $targetBytes BYTES").collect()
+        val m = metaOf(cdir)
+        require(r(0).getInt(3) == preFiles - 512 &&
+          m.cluster.contains(("id", 64)) &&
+          m.part.contains(("id", unit)),
+          s"compact-to: ${r(0).toString} files_after=${m.entries.size} " +
+            s"layout=${m.part}/${m.cluster}")
+        spark.table(tc).count()
+      }
+      spark.sql("DROP TABLE IF EXISTS gsmoke.ns.lake19c")
     }
     spark.stop()
     rmTree(java.nio.file.Paths.get(base))

@@ -5,14 +5,15 @@ import org.apache.spark.sql.functions._
 
 import graft.Q
 
-/** Registered queries q225–q243 over the lakehouse table
+/** Registered queries q225–q245 over the lakehouse table
   * ([[graft.sources.LakeTable]], rounds 16–18) — the mutable-table
   * surface a shared 100 TB corpus needs on top of write-once files:
   * data-skipping scans, row-level DML (metadata-only, copy-on-write,
   * and merge-on-read), time travel by version and timestamp, streaming
   * read/write, change data feeds, storage-partitioned joins with
   * DDL-born clustering, RESTORE, small-file and target-size compaction,
-  * and merge-on-read MERGE with exact change feeds.
+  * merge-on-read MERGE with exact change feeds, column mapping
+  * (rename/drop), and composite partition+bucket layouts.
   * Reference analog:
   * the persisted-dataset round-trips of the deployed Dask runtime
   * (`to_parquet`/`read_parquet` on the reference image,
@@ -31,6 +32,11 @@ import graft.Q
 object LakeOps {
 
   private val Lake = "graft.sources.LakeSource"
+
+  /** Fresh-dir counter for q244 (rename/drop rewrites its table's
+    * schema history, so each run needs its own manifest). */
+  private[operators] val renameRuns =
+    new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def lakeDir(s: SparkSession, tag: String): String = {
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
@@ -718,7 +724,13 @@ object LakeOps {
       |FROM range(20000) t(id)
       |GROUP BY 1 ORDER BY bucket""".stripMargin
   ) { (s, _) =>
-    val dir = lakeDir(s, "q244_lake")
+    // a FRESH dir per invocation: this query REWRITES the table's
+    // schema history (rename/drop), so re-running it against the same
+    // manifest would fail the CREATE's declared-schema check — the
+    // check working as designed; the counter keeps bench passes
+    // idempotent (each pass gets its own short-lived table)
+    val dir = lakeDir(s,
+      s"q244_lake_${LakeOps.renameRuns.incrementAndGet()}")
     freshTable(s, "glake.ns.t244", dir)
     det(s, 20000, 8).createOrReplaceTempView("det244")
     s.sql("INSERT OVERWRITE glake.ns.t244 SELECT * FROM det244")
@@ -735,9 +747,48 @@ object LakeOps {
       |FROM glake.ns.t244 GROUP BY bucket ORDER BY bucket""".stripMargin)
   }
 
+  /** Composite layout (round 19 — r18 verdict missing #5): a table
+    * born `days(ts), bucket(id, 8)` — an events corpus wants BOTH
+    * coarse time partitioning (a day predicate prunes whole
+    * partitions before any task launches) and hash bucketing (the
+    * fact⋈fact join plans zero exchanges). The writer splits every
+    * row to its (day, bucket) file, the manifest claims both terms,
+    * and the claims survive ingest and DML like the bucket claim does
+    * (LakeSpec pins purity, 4-file pruning, the exchange-free join,
+    * and claim survival). Here a three-day slice of an 8-day corpus
+    * (64 day×bucket files) aggregates per bucket; the oracle replays
+    * the arithmetic. */
+  val qLakeComposite: Q = Q(
+    "q245_lake_composite",
+    """SELECT CAST(id % 16 AS INT) AS bucket, count(*) AS n,
+      |       CAST(sum((id * 31) % 997) AS BIGINT) AS sum_kscore
+      |FROM range(20000) t(id)
+      |WHERE id * 34560 >= 2 * 86400000
+      |  AND id * 34560 < 5 * 86400000
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+  ) { (s, _) =>
+    val dir = lakeDir(s, "q245_lake")
+    useCatalog(s)
+    s.sql("DROP TABLE IF EXISTS glake.ns.t245")
+    s.sql(s"""CREATE TABLE glake.ns.t245 (
+      |  ts BIGINT, id BIGINT, bucket INT, kscore INT, doc_id STRING
+      |) USING lake LOCATION '$dir'
+      |TBLPROPERTIES ('clusterBy'='days(ts),bucket(id,8)')""".stripMargin)
+    det(s, 20000, 8)
+      .selectExpr("id * 34560 AS ts", "id", "bucket", "kscore", "doc_id")
+      .createOrReplaceTempView("det245")
+    s.sql("INSERT OVERWRITE glake.ns.t245 SELECT * FROM det245")
+    s.sql("""SELECT bucket, count(*) AS n,
+      |       CAST(sum(kscore) AS BIGINT) AS sum_kscore
+      |FROM glake.ns.t245
+      |WHERE ts >= 2 * 86400000 AND ts < 5 * 86400000
+      |GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qLakeScanPrune, qLakeDelete, qLakeUpdate,
     qLakeMerge, qLakeTimeTravel, qLakeStatsAgg, qLakeTimestampTravel,
     qLakeStreamRead, qLakeDvDelete, qLakeSpjJoin, qLakeChangeFeed,
     qLakeChangeStream, qLakeClusteredInsert, qLakeMorUpdate, qLakeRestore,
-    qLakeCompact, qLakeMergeFeed, qLakeCompactTo, qLakeRenameDrop)
+    qLakeCompact, qLakeMergeFeed, qLakeCompactTo, qLakeRenameDrop,
+    qLakeComposite)
 }

@@ -19,7 +19,7 @@ import graft.sources.{LakeFormat, LakeTable}
   *
   * {{{
   *   OPTIMIZE <table|'path'> RANGE BY <col> INTO <n> FILES
-  *   OPTIMIZE <table|'path'> CLUSTER BY bucket(<col>, <n>)
+  *   OPTIMIZE <table|'path'> CLUSTER BY [days(<c>)|trunc(<c>,<u>),] bucket(<col>, <n>)
   *   OPTIMIZE <table|'path'> COMPACT FILES UNDER <n> BYTES [INTO <k> FILES]
   *   OPTIMIZE <table|'path'> COMPACT TO <n> BYTES
   *   VACUUM   <table|'path'> RETAIN <n> VERSIONS [GRACE <ms> MS]
@@ -48,7 +48,9 @@ object LakeSqlCommands {
       """\s+RANGE\s+BY\s+(\w+)\s+INTO\s+(\d+)\s+FILES\s*;?\s*$""").r
   private val OptimizeCluster =
     ("""(?is)^\s*OPTIMIZE\s+""" + Target +
-      """\s+CLUSTER\s+BY\s+bucket\s*\(\s*(\w+)\s*,\s*(\d+)\s*\)\s*;?\s*$""").r
+      """\s+CLUSTER\s+BY\s+""" +
+      """(?:(?:days\s*\(\s*(\w+)\s*\)|trunc\s*\(\s*(\w+)\s*,\s*(\d+)\s*\))\s*,\s*)?""" +
+      """bucket\s*\(\s*(\w+)\s*,\s*(\d+)\s*\)\s*;?\s*$""").r
   private val OptimizeCompact =
     ("""(?is)^\s*OPTIMIZE\s+""" + Target +
       """\s+COMPACT\s+FILES\s+UNDER\s+(\d+)\s+BYTES""" +
@@ -70,9 +72,15 @@ object LakeSqlCommands {
     case OptimizeRange(path, ident, col, n) =>
       Some(OptimizeLakeCommand(Option(path), Option(ident), col,
         n.toInt, cluster = false))
-    case OptimizeCluster(path, ident, col, n) =>
+    case OptimizeCluster(path, ident, daysCol, truncCol, truncUnit,
+        col, n) =>
+      // composite layout (r19): `CLUSTER BY [days(c)|trunc(c,u),]
+      // bucket(col,n)` — the optional PARTITION transform term rides
+      // along; days(c) sugars trunc(c, 86400000)
+      val part = Option(daysCol).map(c => (c, LakeFormat.DayMillis))
+        .orElse(Option(truncCol).map(c => (c, truncUnit.toLong)))
       Some(OptimizeLakeCommand(Option(path), Option(ident), col,
-        n.toInt, cluster = true))
+        n.toInt, cluster = true, part = part))
     case OptimizeCompact(path, ident, under, into) =>
       Some(CompactLakeCommand(Option(path), Option(ident), under.toLong,
         Option(into).map(_.toInt)))
@@ -138,7 +146,8 @@ object LakeSqlCommands {
   * pinned underneath: a concurrent commit aborts it loudly
   * ([[LakeFormat.optimize]]/[[LakeFormat.optimizeCluster]]). */
 case class OptimizeLakeCommand(path: Option[String], ident: Option[String],
-    col: String, n: Int, cluster: Boolean) extends LeafRunnableCommand {
+    col: String, n: Int, cluster: Boolean,
+    part: Option[(String, Long)] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", StringType, nullable = false)(),
     AttributeReference("version_before", IntegerType, nullable = false)(),
@@ -162,7 +171,7 @@ case class OptimizeLakeCommand(path: Option[String], ident: Option[String],
       (v, r.inline.size + r.segs.map(_.count).sum)
     }
     val (v0, files0) = snapshot()
-    if (cluster) LakeFormat.optimizeCluster(spark, dir, col, n)
+    if (cluster) LakeFormat.optimizeCluster(spark, dir, col, n, part)
     else LakeFormat.optimize(spark, dir, col, n)
     val (v1, files1) = snapshot()
     Seq(Row(dir, v0, v1, files0, files1))
@@ -301,7 +310,11 @@ case class DescribeLakeHistoryCommand(path: Option[String],
         r.inline.size + r.segs.map(_.count).sum,
         r.inline.map(_.rows).sum + r.segs.map(_.agg.rows).sum,
         r.inline.map(_.bytes).sum + r.segs.map(_.agg.bytes).sum,
-        r.cluster.map { case (c, n) => s"bucket($c,$n)" }.orNull,
+        {
+          val terms = r.part.map { case (c, u) => s"trunc($c,$u)" }.toSeq ++
+            r.cluster.map { case (c, n) => s"bucket($c,$n)" }.toSeq
+          if (terms.isEmpty) null else terms.mkString(",")
+        },
         r.segs.size, r.maintenance)
     }
   }
@@ -384,7 +397,7 @@ case class RestoreLakeCommand(path: Option[String], ident: Option[String],
       // COLUMN translated through the stable slot to the live logical
       // name (a renamed cluster column keeps the claim; a dropped one
       // loses it — the layout can no longer be named)
-      val outCluster = target.cluster.flatMap { case (colName, n) =>
+      def liveName(colName: String): Option[String] = {
         val tIdx = target.schema.fieldNames.indexOf(colName)
         if (tIdx < 0) None
         else {
@@ -393,12 +406,18 @@ case class RestoreLakeCommand(path: Option[String], ident: Option[String],
             case Some(cm) => cm.slots.indexOf(tSlot)
             case None => if (tSlot < curRoot.schema.length) tSlot else -1
           }
-          if (curIdx < 0) None
-          else Some((outSchema.fields(curIdx).name, n))
+          if (curIdx < 0) None else Some(outSchema.fields(curIdx).name)
         }
+      }
+      val outCluster = target.cluster.flatMap { case (colName, n) =>
+        liveName(colName).map((_, n))
+      }
+      val outPart = target.part.flatMap { case (colName, u) =>
+        liveName(colName).map((_, u))
       }
       if (LakeFormat.writeManifestCASAppend(f, dir, cur + 1, outSchema,
           Some(target), Nil, outCluster,
+          part = outPart,
           colmapOverride =
             if (mapped) Some(LakeFormat.extendColmap(
               curRoot.colmap.orElse(

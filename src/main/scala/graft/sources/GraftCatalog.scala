@@ -237,22 +237,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           case (k, v) if k.equalsIgnoreCase("clusterBy") ||
             k.equalsIgnoreCase("option.clusterBy") => v
         }.foreach { c =>
-          val spec = LakeFormat.decodeCluster(c).getOrElse(
-            throw new IllegalArgumentException(
-              s"lake table $ident: clusterBy expects bucket(col,n); got '$c'"))
-          require(sch.fieldNames.contains(spec._1),
-            s"lake table $ident: clusterBy column ${spec._1} is not a " +
-              s"table column (${sch.fieldNames.mkString(", ")})")
-          require(spec._2 > 0,
-            s"lake table $ident: clusterBy needs n > 0; got ${spec._2}")
+          // composite spelling accepted (r19): an optional
+          // days(col)/trunc(col,n) PARTITION term alongside (or
+          // instead of) the bucket term
+          val (partSpec, spec) = LakeFormat.decodeLayout(c)
+          require(partSpec.isDefined || spec.isDefined,
+            s"lake table $ident: clusterBy expects " +
+              s"[days(col)|trunc(col,n),] bucket(col,n); got '$c'")
+          spec.foreach { sp =>
+            require(sch.fieldNames.contains(sp._1),
+              s"lake table $ident: clusterBy column ${sp._1} is not a " +
+                s"table column (${sch.fieldNames.mkString(", ")})")
+            require(sp._2 > 0,
+              s"lake table $ident: clusterBy needs n > 0; got ${sp._2}")
+          }
+          partSpec.foreach { case (pc, u) =>
+            require(sch.fieldNames.contains(pc),
+              s"lake table $ident: partition column $pc is not a " +
+                s"table column (${sch.fieldNames.mkString(", ")})")
+            require(u > 0,
+              s"lake table $ident: trunc unit must be > 0; got $u")
+            require(Seq(LongType, IntegerType)
+              .contains(sch(pc).dataType),
+              s"lake table $ident: partition transform needs an " +
+                s"integral column; $pc is ${sch(pc).dataType.simpleString}")
+          }
           LakeFormat.latestVersion(f, path) match {
             case Some(v) =>
-              val existing = LakeFormat.readManifestRoot(f, path, v).cluster
-              require(existing.contains(spec),
-                s"lake table $ident: declared clusterBy bucket" +
-                  s"(${spec._1},${spec._2}) does not match the existing " +
-                  s"layout ${existing.map(s => s"bucket(${s._1},${s._2})")
-                    .getOrElse("<unclustered>")} under $path — run " +
+              val root = LakeFormat.readManifestRoot(f, path, v)
+              require(root.cluster == spec && root.part == partSpec,
+                s"lake table $ident: declared layout '$c' does not " +
+                  s"match the existing layout under $path — run " +
                   "OPTIMIZE … CLUSTER BY to change a table's layout")
             case None =>
               // CAS v0 with the declaration; a racing first commit may
@@ -260,10 +275,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               // landed (a racing INSERT into a table being created
               // carries no spec → loud, the safe answer)
               if (!LakeFormat.writeManifestCAS(f, path, 0, sch, Nil,
-                  Some(spec))) {
+                  spec, part = partSpec)) {
                 val v0 = LakeFormat.latestVersion(f, path).get
-                require(LakeFormat.readManifestRoot(f, path, v0).cluster
-                  .contains(spec),
+                val root = LakeFormat.readManifestRoot(f, path, v0)
+                require(root.cluster == spec && root.part == partSpec,
                   s"lake table $ident: a concurrent commit won manifest " +
                     "v0 with a different layout — re-run CREATE")
               }

@@ -416,7 +416,7 @@ object LakeFormat {
     * read DELETE, round 17); `rows`/stats stay PHYSICAL (pre-DV). */
   final case class FileEntry(name: String, rows: Long, bytes: Long,
       stats: Map[String, ColStats], pk: Option[Int] = None,
-      dv: Option[(String, Long)] = None) {
+      dv: Option[(String, Long)] = None, pv: Option[Long] = None) {
     /** Rows a reader actually serves: physical minus deleted. */
     def liveRows: Long = rows - dv.map(_._2).getOrElse(0L)
   }
@@ -427,7 +427,8 @@ object LakeFormat {
     * snapshot's layout satisfies, if any. */
   final case class ManifestMeta(schema: StructType, tsMillis: Long,
       cluster: Option[(String, Int)], entries: Seq[FileEntry],
-      colmap: Option[ColMap] = None)
+      colmap: Option[ColMap] = None,
+      part: Option[(String, Long)] = None)
 
   def encodeEntry(e: FileEntry): String = {
     val statsStr =
@@ -437,11 +438,14 @@ object LakeFormat {
       }.mkString(";")
     val pkStr = e.pk.map(_.toString).getOrElse("-")
     val dvStr = e.dv.map { case (n, c) => s"$n,$c" }.getOrElse("-")
-    s"${e.name}\t${e.rows}\t${e.bytes}\t$statsStr\t$pkStr\t$dvStr"
+    val base = s"${e.name}\t${e.rows}\t${e.bytes}\t$statsStr\t$pkStr\t$dvStr"
+    // partition value (composite layout, r19) appended only when
+    // present — plain entries stay byte-identical to r18
+    e.pv.map(v => s"$base\t$v").getOrElse(base)
   }
 
   def decodeEntry(line: String): FileEntry = {
-    val parts = line.split('\t').padTo(6, "-")
+    val parts = line.split('\t').padTo(7, "-")
     val stats =
       if (parts(3) == "-") Map.empty[String, ColStats]
       else parts(3).split(';').iterator.map { kv =>
@@ -457,15 +461,44 @@ object LakeFormat {
         val Array(n, c) = parts(5).split(',')
         Some((n, c.toLong))
       }
-    FileEntry(parts(0), parts(1).toLong, parts(2).toLong, stats, pk, dv)
+    val pv = if (parts(6) == "-") None else Some(parts(6).toLong)
+    FileEntry(parts(0), parts(1).toLong, parts(2).toLong, stats, pk, dv,
+      pv)
   }
 
   private val ClusterRe = """bucket\((.+),(\d+)\)""".r
+  private val TruncRe = """trunc\((.+),(\d+)\)""".r
+  private val DaysRe = """days\((.+)\)""".r
+  /** Epoch-millis per day — `days(col)` sugar for `trunc(col, this)`. */
+  val DayMillis: Long = 86400000L
   private def encodeCluster(c: Option[(String, Int)]): String =
     c.map { case (col, n) => s"bucket($col,$n)" }.getOrElse("-")
   private[sources] def decodeCluster(s: String): Option[(String, Int)] = s match {
     case ClusterRe(col, n) => Some((col, n.toInt))
     case _ => None
+  }
+  /** COMPOSITE layout spelling (round 19 — r18 verdict missing #5):
+    * `[days(c)|trunc(c,n),] bucket(c2,m)` — an optional PARTITION
+    * transform term (coarse time/range pruning) alongside the bucket
+    * term (storage-partitioned joins), or either alone. `days(c)` ≡
+    * `trunc(c, 86400000)` over an epoch-millis BIGINT. */
+  private[sources] def decodeLayout(s: String)
+      : (Option[(String, Long)], Option[(String, Int)]) = {
+    var part: Option[(String, Long)] = None
+    var bucket: Option[(String, Int)] = None
+    s.split("""(?<=\))\s*,\s*""").foreach {
+      case ClusterRe(col, n) => bucket = Some((col, n.toInt))
+      case TruncRe(col, n) => part = Some((col.trim, n.toLong))
+      case DaysRe(col) => part = Some((col.trim, DayMillis))
+      case _ => ()
+    }
+    (part, bucket)
+  }
+  private def encodeLayout(part: Option[(String, Long)],
+      bucket: Option[(String, Int)]): String = {
+    val terms = part.map { case (c, u) => s"trunc($c,$u)" }.toSeq ++
+      bucket.map { case (c, n) => s"bucket($c,$n)" }.toSeq
+    if (terms.isEmpty) "-" else terms.mkString(",")
   }
 
   /** THE bucket function of the lake layout — one definition shared by
@@ -661,7 +694,8 @@ object LakeFormat {
   final case class RootMeta(schema: StructType, tsMillis: Long,
       cluster: Option[(String, Int)], inline: Seq[FileEntry],
       segs: Seq[SegRef], maintenance: Boolean = false,
-      colmap: Option[ColMap] = None)
+      colmap: Option[ColMap] = None,
+      part: Option[(String, Long)] = None)
 
   /** Segment pruning aggregate over `es`, SOUND for [[noneMatch]]:
     *  - rows/bytes/nulls are sums (exact), so IS [NOT] NULL and the
@@ -759,8 +793,9 @@ object LakeFormat {
         RootMeta(StructType.fromDDL(head.drop(2).mkString("\t")),
           tsMillis = 0L, cluster = None, inline, segs)
       case "2" =>
+        val (p2, b2) = decodeLayout(head(3))
         RootMeta(StructType.fromDDL(head.drop(4).mkString("\t")),
-          head(2).toLong, decodeCluster(head(3)), inline, segs)
+          head(2).toLong, b2, inline, segs, part = p2)
       case "3" =>
         // v3 (round 19): `#lake 3 <ts> <flags> <cluster> <ddl>` —
         // flags = `-` or semicolon-joined tokens (`m` = maintenance
@@ -771,11 +806,13 @@ object LakeFormat {
           if (head(3) == "-") Set.empty[String]
           else head(3).split(';').iterator.filter(_.nonEmpty).toSet
         val schema3 = StructType.fromDDL(head.drop(5).mkString("\t"))
+        val (p3, b3) = decodeLayout(head(4))
         RootMeta(schema3,
-          head(2).toLong, decodeCluster(head(4)), inline, segs,
+          head(2).toLong, b3, inline, segs,
           maintenance = flags.contains("m"),
           colmap = flags.find(_.startsWith("cm=")).map(t =>
-            ColMap.decode(t.stripPrefix("cm="), schema3)))
+            ColMap.decode(t.stripPrefix("cm="), schema3)),
+          part = p3)
       case gen => throw new IllegalStateException(
         s"unsupported lake manifest generation $gen in " +
           s"$dir/${manifestName(v)} — written by a newer engine")
@@ -792,7 +829,7 @@ object LakeFormat {
     val r = readManifestRoot(f, dir, v)
     ManifestMeta(r.schema, r.tsMillis, r.cluster,
       r.segs.flatMap(s => readSegment(f, dir, s.name)) ++ r.inline,
-      r.colmap)
+      r.colmap, r.part)
   }
 
   /** Commit timestamp of version `v`, reading only the header line —
@@ -823,10 +860,11 @@ object LakeFormat {
       schema: StructType, entries: Seq[FileEntry],
       cluster: Option[(String, Int)] = None,
       maintenance: Boolean = false,
-      colmap: Option[ColMap] = None): Boolean =
+      colmap: Option[ColMap] = None,
+      part: Option[(String, Long)] = None): Boolean =
     writeRootCAS(f, dir, v, schema, cluster,
       layout(f, dir, baseSegLines = Nil, tail = entries), maintenance,
-      colmap)
+      colmap, part)
 
   /** Append-shaped commit: the next root = the base root's body lines
     * VERBATIM plus the new entries laid out by the same rule —
@@ -844,14 +882,16 @@ object LakeFormat {
       // (rename/drop) write the NEW mapping, RESTORE keeps the
       // CURRENT one (entries are slot-addressed, so restored data
       // reads correctly under the live header)
-      colmapOverride: Option[Option[ColMap]] = None): Boolean = {
+      colmapOverride: Option[Option[ColMap]] = None,
+      part: Option[(String, Long)] = None): Boolean = {
     val baseSegLines = baseRoot.toSeq.flatMap(_.segs).map(s =>
       s"@seg\t${s.count}\t${encodeEntry(s.agg)}")
     val tail = baseRoot.toSeq.flatMap(_.inline) ++ newEntries
     val colmap = colmapOverride.getOrElse(
       extendColmap(baseRoot.flatMap(_.colmap), schema))
     writeRootCAS(f, dir, v, schema, cluster,
-      layout(f, dir, baseSegLines, tail), maintenance = false, colmap)
+      layout(f, dir, baseSegLines, tail), maintenance = false, colmap,
+      part)
   }
 
   /** DIFF-shaped commit (round 18 — r17 verdict missing #4): the next
@@ -882,7 +922,8 @@ object LakeFormat {
       edits: Map[String, FileEntry => Option[FileEntry]],
       newEntries: Seq[FileEntry],
       cluster: Option[(String, Int)],
-      maintenance: Boolean = false): Boolean = {
+      maintenance: Boolean = false,
+      part: Option[(String, Long)] = None): Boolean = {
     val pending = scala.collection.mutable.Set.empty[String]
     pending ++= edits.keySet
     def applyEdits(es: Seq[FileEntry]): Seq[FileEntry] = es.flatMap { e =>
@@ -926,7 +967,7 @@ object LakeFormat {
         s"snapshot: ${pending.mkString(", ")}")
     writeRootCAS(f, dir, v, schema, cluster,
       layout(f, dir, segLines.result(), tail), maintenance,
-      extendColmap(baseRoot.colmap, schema))
+      extendColmap(baseRoot.colmap, schema), part)
   }
 
   /** Layout rule, shared by full rewrites and appends: FULL chunks of
@@ -953,7 +994,8 @@ object LakeFormat {
   private def writeRootCAS(f: FileSystem, dir: String, v: Int,
       schema: StructType, cluster: Option[(String, Int)],
       bodyLines: Seq[String], maintenance: Boolean = false,
-      colmap: Option[ColMap] = None): Boolean = {
+      colmap: Option[ColMap] = None,
+      part: Option[(String, Long)] = None): Boolean = {
     val target = new HPath(dir, manifestName(v))
     if (f.exists(target)) return false
     // commit wall-time, clamped monotone non-decreasing against the
@@ -980,11 +1022,12 @@ object LakeFormat {
       // stay byte-stable, and v3 readers accept both
       val flags = (if (maintenance) Seq("m") else Nil) ++
         colmap.map(c => "cm=" + c.encode(schema))
+      val layoutStr = encodeLayout(part, cluster)
       val header =
         if (flags.nonEmpty)
           s"#lake\t3\t$ts\t${flags.mkString(";")}\t" +
-            s"${encodeCluster(cluster)}\t${schema.toDDL}"
-        else s"#lake\t2\t$ts\t${encodeCluster(cluster)}\t${schema.toDDL}"
+            s"$layoutStr\t${schema.toDDL}"
+        else s"#lake\t2\t$ts\t$layoutStr\t${schema.toDDL}"
       val body = (header +: bodyLines).mkString("", "\n", "\n")
       out.write(body.getBytes("UTF-8"))
     } finally out.close()
@@ -1041,7 +1084,8 @@ object LakeFormat {
       mkEntries: (Seq[FileEntry], Seq[FileEntry]) => Seq[FileEntry],
       cluster: Option[(String, Int)] = None,
       appendOnly: Boolean = false,
-      maintenance: Boolean = false): Unit = {
+      maintenance: Boolean = false,
+      part: Option[(String, Long)] = None): Unit = {
     // test hook: the window between a snapshot-pinned commit's read and
     // its publish — LakeSpec plants a concurrent commit here to pin
     // that row-level rewrites AND OPTIMIZE lose loudly, never silently
@@ -1060,7 +1104,7 @@ object LakeFormat {
         new HPath(dest, c.fileName)),
         s"lake commit: publish rename failed for ${c.fileName} — " +
           "aborting (no manifest was written; readers never see this job)")
-      FileEntry(c.fileName, c.rows, c.bytes, c.stats, c.pk)
+      FileEntry(c.fileName, c.rows, c.bytes, c.stats, c.pk, pv = c.pv)
     }.toSeq
     def conflict(msg: String): Nothing = {
       newEntries.foreach(e => f.delete(new HPath(dest, e.name), false))
@@ -1104,9 +1148,17 @@ object LakeFormat {
           case Some(s) if baseEmpty || baseCluster.contains(s) => Some(s)
           case _ => None
         }
+      val basePart = baseRoot.flatMap(_.part)
+      val outPart =
+        if (newEntries.isEmpty) basePart
+        else if (!newEntries.forall(_.pv.isDefined)) None
+        else part match {
+          case Some(pt) if baseEmpty || basePart.contains(pt) => Some(pt)
+          case _ => None
+        }
       done = writeManifestCASAppend(f, path,
         latest.map(_ + 1).getOrElse(0), outSchema, baseRoot, newEntries,
-        outCluster)
+        outCluster, part = outPart)
       if (!done) {
         attempts += 1
         require(attempts < 20,
@@ -1157,9 +1209,27 @@ object LakeFormat {
           case None => baseCluster
         }
       }
+      // the PART claim mirrors the bucket rule over per-file pv (the
+      // partition value each composite writer minted): every surviving
+      // entry must carry one under ONE spec, else the claim drops —
+      // stats pruning stays sound either way, the claim only powers
+      // inheritance and DESCRIBE
+      val outPart = {
+        val allPv = outEntries.forall(_.pv.isDefined)
+        val baseNames = baseEntries.map(_.name).toSet
+        val baseSurvives = outEntries.exists(e => baseNames(e.name))
+        val basePart = baseMeta.flatMap(_.part)
+        if (!allPv) None
+        else part match {
+          case Some(pt) if !baseSurvives || basePart.contains(pt) =>
+            Some(pt)
+          case Some(_) => None
+          case None => basePart
+        }
+      }
       done = writeManifestCAS(f, path, base.getOrElse(-1) + 1, outSchema,
         outEntries, outCluster, maintenance,
-        extendColmap(baseMeta.flatMap(_.colmap), outSchema))
+        extendColmap(baseMeta.flatMap(_.colmap), outSchema), outPart)
       if (!done) {
         if (fixedBase.isDefined) conflict(
           s"lake snapshot-pinned commit conflict on $path: version " +
@@ -1200,7 +1270,8 @@ object LakeFormat {
       replaced: Set[String],
       edits: Map[String, FileEntry => Option[FileEntry]] = Map.empty,
       writerSpec: Option[(String, Int)] = None,
-      maintenance: Boolean = false): Seq[FileEntry] = {
+      maintenance: Boolean = false,
+      writerPart: Option[(String, Long)] = None): Seq[FileEntry] = {
     // the same snapshot-pinned read→publish window every pinned commit
     // exposes — LakeSpec plants concurrent commits here
     Option(LakeSource.beforeRowLevelCommit.getAndSet(null)).foreach(_.run())
@@ -1227,17 +1298,20 @@ object LakeFormat {
         new HPath(dest, c.fileName)),
         s"lake commit: publish rename failed for ${c.fileName} — " +
           "aborting (no manifest was written; readers never see this job)")
-      FileEntry(c.fileName, c.rows, c.bytes, c.stats, c.pk)
+      FileEntry(c.fileName, c.rows, c.bytes, c.stats, c.pk, pv = c.pv)
     }.toSeq
     val root = readManifestRoot(f, path, v)
     val outCluster = root.cluster.filter(s =>
       newEntries.isEmpty ||
         (writerSpec.contains(s) && newEntries.forall(_.pk.isDefined)))
+    val outPart = root.part.filter(pt =>
+      newEntries.isEmpty ||
+        (writerPart.contains(pt) && newEntries.forall(_.pv.isDefined)))
     val allEdits = edits ++ replaced.iterator.map(n =>
       n -> ((_: FileEntry) => None: Option[FileEntry]))
     if (!writeManifestCASDiff(f, path, v + 1,
         mergeSchemas(path, root.schema, tableSchema), root,
-        allEdits, newEntries, outCluster, maintenance))
+        allEdits, newEntries, outCluster, maintenance, outPart))
       conflict(newEntries)
     f.delete(staging, true)
     newEntries
@@ -1294,7 +1368,8 @@ object LakeFormat {
     * few files; the writer's per-row split is what enforces the layout
     * — correctness never depends on the shuffle's placement. */
   def optimizeCluster(spark: org.apache.spark.sql.SparkSession,
-      dir: String, col: String, buckets: Int): Unit = {
+      dir: String, col: String, buckets: Int,
+      part: Option[(String, Long)] = None): Unit = {
     import org.apache.spark.sql.functions.{col => fcol}
     val f = fs(dir)
     val v = latestVersion(f, dir).getOrElse(
@@ -1304,15 +1379,26 @@ object LakeFormat {
     require(schema.fieldNames.contains(col),
       s"lake optimizeCluster: $col is not a column of $dir " +
         s"(${schema.fieldNames.mkString(", ")})")
+    part.foreach { case (c, u) =>
+      require(schema.fieldNames.contains(c),
+        s"lake optimizeCluster: partition column $c is not a column " +
+          s"of $dir (${schema.fieldNames.mkString(", ")})")
+      require(u > 0, s"lake trunc unit must be > 0; got $u")
+    }
+    val layoutStr = part.map { case (c, u) => s"trunc($c,$u)," }
+      .getOrElse("") + s"bucket($col,$buckets)"
     spark.read.format("graft.sources.LakeSource").option("path", dir)
       .option("versionAsOf", v).load()
       // codegen bucket ordinal (r19 — r18 verdict #1): the full-table
       // pre-shuffle stays inside whole-stage codegen; previously an
-      // interpreted four-way udf(bucketOf) dispatch
+      // interpreted four-way udf(bucketOf) dispatch. Co-locating by
+      // bucket alone is enough under a composite layout: one task per
+      // bucket writes one file per partition present — exactly the
+      // layout's file count, no tasks× blowup.
       .repartition(buckets, bucketColumn(fcol(col), buckets))
       .write.format("graft.sources.LakeSource")
       .option("path", dir).option("replaceOfVersion", v)
-      .option("clusterBy", s"bucket($col,$buckets)")
+      .option("clusterBy", layoutStr)
       .option("maintenance", "true") // row-preserving: feed skips it
       .mode("overwrite").save()
   }
@@ -1347,15 +1433,21 @@ object LakeFormat {
     val reader = spark.read.format("graft.sources.LakeSource")
       .option("path", dir).option("versionAsOf", v)
       .option("pinnedFiles", pinned)
+    val partTerm = meta.part.map { case (c, u) => s"trunc($c,$u)," }
+      .getOrElse("")
     val body = meta.cluster match {
       // clustered: co-locate each bucket into one task (same pre-shuffle
-      // as optimizeCluster) and let the cluster-split writer route rows
-      // — the compacted output is one bucket-pure file per touched
-      // bucket, and the spec survives
+      // as optimizeCluster) and let the layout-split writer route rows
+      // — the compacted output is one pure file per (partition, bucket)
+      // touched, and the spec (incl. any part term) survives
       case Some((col, n)) =>
         import org.apache.spark.sql.functions.{col => fcol}
         reader.load().repartition(n, bucketColumn(fcol(col), n))
-          .write.option("clusterBy", s"bucket($col,$n)")
+          .write.option("clusterBy", s"${partTerm}bucket($col,$n)")
+      case None if meta.part.isDefined =>
+        // part-only layout: the writer split keeps files partition-pure
+        reader.load().repartition(math.max(1, into))
+          .write.option("clusterBy", partTerm.stripSuffix(","))
       case None => reader.load()
         .repartition(math.max(1, into))
         .write
@@ -1401,11 +1493,16 @@ object LakeFormat {
     val reader = spark.read.format("graft.sources.LakeSource")
       .option("path", dir).option("versionAsOf", v)
       .option("pinnedFiles", pinned)
+    val partTerm = meta.part.map { case (c, u) => s"trunc($c,$u)," }
+      .getOrElse("")
     val body = meta.cluster match {
       case Some((col, n)) =>
         import org.apache.spark.sql.functions.{col => fcol}
         reader.load().repartition(n, bucketColumn(fcol(col), n))
-          .write.option("clusterBy", s"bucket($col,$n)")
+          .write.option("clusterBy", s"${partTerm}bucket($col,$n)")
+      case None if meta.part.isDefined =>
+        reader.load().repartition(bins)
+          .write.option("clusterBy", partTerm.stripSuffix(","))
       case None => reader.load().repartition(bins).write
     }
     body.format("graft.sources.LakeSource")
@@ -1753,7 +1850,8 @@ class LakeTable(private[graft] val path: String, tableSchema: StructType,
       // collision-checked against retired drops — r19)
       if (writeManifestCAS(f, path, base.getOrElse(-1) + 1, target, entries,
           baseMeta.flatMap(_.cluster),
-          colmap = extendColmap(baseMeta.flatMap(_.colmap), target)))
+          colmap = extendColmap(baseMeta.flatMap(_.colmap), target),
+          part = baseMeta.flatMap(_.part)))
         evolved = target
       else {
         attempts += 1
@@ -1793,7 +1891,7 @@ class LakeTable(private[graft] val path: String, tableSchema: StructType,
             "(or insert) first"))
       val root = readManifestRoot(f, path, base)
       val cm = root.colmap.getOrElse(ColMap.identity(root.schema))
-      val (outSchema, outCm, outCluster) = change match {
+      val (outSchema, outCm, outCluster, outPart) = change match {
         case r: TableChange.RenameColumn =>
           require(r.fieldNames().length == 1,
             "lake evolution: nested columns are unsupported")
@@ -1813,7 +1911,10 @@ class LakeTable(private[graft] val path: String, tableSchema: StructType,
           val cluster = root.cluster.map { case (c, n) =>
             (if (c == from) to else c, n)
           }
-          (sch, cm, cluster) // slots/phys unchanged: THE rename payoff
+          val partR = root.part.map { case (c, u) =>
+            (if (c == from) to else c, u)
+          }
+          (sch, cm, cluster, partR) // slots/phys unchanged: THE payoff
         case d: TableChange.DeleteColumn =>
           require(d.fieldNames().length == 1,
             "lake evolution: nested columns are unsupported")
@@ -1830,19 +1931,22 @@ class LakeTable(private[graft] val path: String, tableSchema: StructType,
           require(!root.cluster.exists(_._1 == name),
             s"lake drop on $path: '$name' is the cluster-by column — " +
               "re-cluster (OPTIMIZE … CLUSTER BY) before dropping it")
+          require(!root.part.exists(_._1 == name),
+            s"lake drop on $path: '$name' is the partition-transform " +
+              "column — re-layout before dropping it")
           val sch = StructType(
             root.schema.fields.patch(idx, Nil, 1))
           val outCm = ColMap(
             cm.slots.patch(idx, Nil, 1), cm.phys.patch(idx, Nil, 1),
             cm.physCount, cm.retired :+ cm.phys(idx))
-          (sch, outCm, root.cluster)
+          (sch, outCm, root.cluster, root.part)
         case other => throw new UnsupportedOperationException(
           s"unexpected mapped evolution: $other")
       }
       // entries re-emitted VERBATIM — one O(root) metadata write
       if (writeManifestCASAppend(f, path, base + 1, outSchema,
           Some(root), Nil, outCluster,
-          colmapOverride = Some(Some(outCm))))
+          colmapOverride = Some(Some(outCm)), part = outPart))
         evolved = outSchema
       else {
         attempts += 1
@@ -1887,16 +1991,33 @@ class LakeTable(private[graft] val path: String, tableSchema: StructType,
     // writer splits rows into one file per bucketOf(col, n) and the
     // manifest records the spec + per-file ordinals, which LakeScan
     // then reports as KeyGroupedPartitioning
-    val declared = Option(info.options.get("clusterBy")).map { s =>
-      val spec = LakeFormat.decodeCluster(s).getOrElse(
-        throw new IllegalArgumentException(
-          s"lake clusterBy expects bucket(col,n); got '$s'"))
-      require(tableSchema.fieldNames.contains(spec._1),
-        s"lake clusterBy column ${spec._1} is not a table column " +
-          s"(${tableSchema.fieldNames.mkString(", ")})")
-      require(spec._2 > 0, s"lake clusterBy needs n > 0; got ${spec._2}")
-      spec
+    // composite spelling (r19): `[days(c)|trunc(c,n),] bucket(c2,m)` —
+    // an optional PARTITION transform term alongside (or instead of)
+    // the bucket term
+    val declaredLayout = Option(info.options.get("clusterBy")).map { s =>
+      val (pt, bk) = LakeFormat.decodeLayout(s)
+      require(pt.isDefined || bk.isDefined,
+        s"lake clusterBy expects [days(col)|trunc(col,n),] " +
+          s"bucket(col,n); got '$s'")
+      bk.foreach { spec =>
+        require(tableSchema.fieldNames.contains(spec._1),
+          s"lake clusterBy column ${spec._1} is not a table column " +
+            s"(${tableSchema.fieldNames.mkString(", ")})")
+        require(spec._2 > 0, s"lake clusterBy needs n > 0; got ${spec._2}")
+      }
+      pt.foreach { case (c, u) =>
+        require(tableSchema.fieldNames.contains(c),
+          s"lake partition column $c is not a table column " +
+            s"(${tableSchema.fieldNames.mkString(", ")})")
+        require(u > 0, s"lake trunc unit must be > 0; got $u")
+        require(Seq(LongType, IntegerType)
+          .contains(tableSchema(c).dataType),
+          s"lake partition transform needs an integral column; " +
+            s"$c is ${tableSchema(c).dataType.simpleString}")
+      }
+      (pt, bk)
     }
+    val declared = declaredLayout.flatMap(_._2)
     // WRITE-TIME CLUSTER INHERITANCE (round 18 — r17 verdict #1): a
     // table whose current manifest carries a cluster spec (including an
     // empty DDL-born manifest that merely DECLARES one) keeps its
@@ -1912,6 +2033,13 @@ class LakeTable(private[graft] val path: String, tableSchema: StructType,
     val replaceOf = Option(info.options.get("replaceOfVersion")).map(_.toInt)
     val clusterSpec = declared.orElse {
       if (replaceOf.isDefined) None else currentCluster()
+    }
+    // the PART term inherits exactly like the bucket term: an explicit
+    // layout option overrides outright (a bucket-only OPTIMIZE CLUSTER
+    // BY deliberately clears the part term), otherwise the current
+    // claim carries through plain writes
+    val partSpec = declaredLayout.map(_._1).getOrElse {
+      if (replaceOf.isDefined) None else currentPart()
     }
     // internal option pair set by LakeFormat.compactSmall: replace
     // EXACTLY the named files of one snapshot (diff commit), leaving
@@ -1934,7 +2062,8 @@ class LakeTable(private[graft] val path: String, tableSchema: StructType,
       // flags it and the change feed skips the version (r18 ADVICE)
       maintenance = Option(info.options.get("maintenance"))
         .exists(_.toBoolean),
-      colmap = currentColmap())
+      colmap = currentColmap(),
+      partSpec = partSpec)
   }
 
   override def newRowLevelOperationBuilder(
@@ -1968,13 +2097,13 @@ class LakeTable(private[graft] val path: String, tableSchema: StructType,
           new LakeDeltaDeleteOperation(path, tableSchema)
         case Command.UPDATE =>
           new LakeDeltaMutateOperation(path, tableSchema, currentCluster(),
-            Command.UPDATE, currentColmap())
+            Command.UPDATE, currentColmap(), currentPart())
         case Command.MERGE
             if !org.apache.spark.sql.internal.SQLConf.get
               .getConfString("spark.graft.lake.merge.cow", "false")
               .toBoolean =>
           new LakeDeltaMutateOperation(path, tableSchema, currentCluster(),
-            Command.MERGE, currentColmap())
+            Command.MERGE, currentColmap(), currentPart())
         case _ => new LakeRowLevelOperation(path, tableSchema,
           info.command(), failPartition, currentColmap())
       }
@@ -1998,6 +2127,15 @@ class LakeTable(private[graft] val path: String, tableSchema: StructType,
     val f = fs(path)
     latestVersion(f, path)
       .flatMap(v => readManifestRoot(f, path, v).colmap)
+  }
+
+  /** The CURRENT snapshot's partition-transform term (composite
+    * layout, r19) — inherited by plain writes like the bucket spec. */
+  private def currentPart(): Option[(String, Long)] = {
+    val f = fs(path)
+    latestVersion(f, path)
+      .flatMap(v => readManifestRoot(f, path, v).part)
+      .filter(p => tableSchema.fieldNames.contains(p._1))
   }
 
   // ---- SupportsDeleteV2: metadata-only delete ------------------------
@@ -2077,10 +2215,12 @@ class LakeTable(private[graft] val path: String, tableSchema: StructType,
       val outSchema = mergeSchemas(path, root.schema, tableSchema)
       val outCluster = root.cluster
         .filter(_ => remaining.forall(_.pk.isDefined))
+      val outPart = root.part
+        .filter(_ => remaining.forall(_.pv.isDefined))
       if (writeManifestCASDiff(f, path, base.get + 1, outSchema, root,
           dropped.map(n => n -> ((_: FileEntry) =>
             None: Option[FileEntry])).toMap,
-          Nil, outCluster)) {
+          Nil, outCluster, part = outPart)) {
         LakeSource.lastMetadataDeleted.set(dropped)
         return
       }
@@ -2112,8 +2252,10 @@ class LakeTable(private[graft] val path: String, tableSchema: StructType,
         // stays clustered — the next insert inherits and re-buckets
         baseRoot.flatMap(_.cluster),
         // the column MAPPING survives too: slots already minted must
-        // never be reused by a post-truncate ADD (r19)
-        colmap = extendColmap(baseRoot.flatMap(_.colmap), outSchema))
+        // never be reused by a post-truncate ADD (r19) — and so does
+        // the partition-term declaration (composite layout)
+        colmap = extendColmap(baseRoot.flatMap(_.colmap), outSchema),
+        part = baseRoot.flatMap(_.part))
       if (!done) {
         attempts += 1
         require(attempts < 20,
@@ -2874,7 +3016,8 @@ private[sources] class LakeWriteBuilder(path: String,
     catalogBacked: Boolean = false,
     replaceFilesOf: Option[(Int, Set[String])] = None,
     maintenance: Boolean = false,
-    colmap: Option[LakeFormat.ColMap] = None)
+    colmap: Option[LakeFormat.ColMap] = None,
+    partSpec: Option[(String, Long)] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -2911,10 +3054,11 @@ private[sources] class LakeWriteBuilder(path: String,
       Array.empty
     override def toBatch: BatchWrite = new LakeBatchWrite(path,
       tableSchema, writeSchema, queryId, doTruncate, failPartition,
-      replaceOfVersion, clusterSpec, replaceFilesOf, maintenance, colmap)
+      replaceOfVersion, clusterSpec, replaceFilesOf, maintenance, colmap,
+      partSpec)
     override def toStreaming: StreamingWrite =
       new LakeStreamingWrite(path, tableSchema, writeSchema, queryId,
-        clusterSpec, colmap)
+        clusterSpec, colmap, partSpec)
   }
 }
 
@@ -2933,7 +3077,8 @@ private[sources] class LakeWriteBuilder(path: String,
 private[sources] class LakeStreamingWrite(path: String,
     tableSchema: StructType, writeSchema: StructType, queryId: String,
     clusterSpec: Option[(String, Int)] = None,
-    colmap: Option[LakeFormat.ColMap] = None)
+    colmap: Option[LakeFormat.ColMap] = None,
+    partSpec: Option[(String, Long)] = None)
     extends StreamingWrite {
   import LakeFormat._
 
@@ -2947,6 +3092,7 @@ private[sources] class LakeStreamingWrite(path: String,
     val conf = LakeFormat.driverConf() // driver-side capture (r16 advisory)
     val spec = clusterSpec
     val cm = colmap
+    val pt = partSpec
     new StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
           epochId: Long): DataWriter[InternalRow] =
@@ -2954,7 +3100,7 @@ private[sources] class LakeStreamingWrite(path: String,
           failAfterFirstRow = false,
           filePrefix = LakeFormat.epochPrefix(qid, epochId),
           writeUid = writeUid, conf = conf, clusterSpec = spec,
-          colmap = cm)
+          colmap = cm, partSpec = pt)
     }
   }
 
@@ -2973,7 +3119,7 @@ private[sources] class LakeStreamingWrite(path: String,
       // streaming ingest into a clustered table writes bucket-pure
       // epoch files (the factory split above) and RE-CLAIMS the spec,
       // so a tailed table keeps its storage-partitioned layout (r18)
-      cluster = clusterSpec)
+      cluster = clusterSpec, part = partSpec)
     if (LakeSource.killNextEpochCommit.compareAndSet(true, false))
       throw new RuntimeException(
         "injected lake epoch-commit failure AFTER publish (test hook) — " +
@@ -2992,7 +3138,7 @@ private[sources] class LakeStreamingWrite(path: String,
   * ordinal when the write declared a cluster-by layout. */
 private[sources] case class LakeFileCommit(fileName: String, rows: Long,
     bytes: Long, stats: Map[String, LakeFormat.ColStats],
-    pk: Option[Int] = None)
+    pk: Option[Int] = None, pv: Option[Long] = None)
     extends WriterCommitMessage
 
 /** Commit message of a cluster-by task: one staged file PER BUCKET the
@@ -3007,13 +3153,14 @@ private[sources] class LakeBatchWrite(path: String,
     clusterSpec: Option[(String, Int)] = None,
     replaceFilesOf: Option[(Int, Set[String])] = None,
     maintenance: Boolean = false,
-    colmap: Option[LakeFormat.ColMap] = None) extends BatchWrite {
+    colmap: Option[LakeFormat.ColMap] = None,
+    partSpec: Option[(String, Long)] = None) extends BatchWrite {
   import LakeFormat._
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new LakeWriterFactory(path, tableSchema, writeSchema, queryId,
-      failPartition, clusterSpec, colmap)
+      failPartition, clusterSpec, colmap, partSpec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // small-file compaction (round 18): replace EXACTLY the named
@@ -3026,7 +3173,8 @@ private[sources] class LakeBatchWrite(path: String,
         // the table's own spec, so the claim survives; a mismatch
         // (racing re-cluster) cannot happen here — the fixedBase pin
         // aborts first — but the rule stays uniform
-        writerSpec = clusterSpec, maintenance = maintenance)
+        writerSpec = clusterSpec, maintenance = maintenance,
+        writerPart = partSpec)
       LakeSource.lastReplacedFiles.set(names.toSeq.sorted)
       return
     }
@@ -3045,7 +3193,8 @@ private[sources] class LakeBatchWrite(path: String,
       // plain appends take the O(root + new) fast path — the base
       // manifest body is reused verbatim, never flattened (round 17)
       appendOnly = !truncate && replaceOfVersion.isEmpty,
-      maintenance = maintenance)
+      maintenance = maintenance,
+      part = partSpec)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -3058,7 +3207,8 @@ private[sources] class LakeWriterFactory(path: String,
     tableSchema: StructType, writeSchema: StructType, queryId: String,
     failPartition: Option[Int],
     clusterSpec: Option[(String, Int)] = None,
-    colmap: Option[LakeFormat.ColMap] = None) extends DataWriterFactory {
+    colmap: Option[LakeFormat.ColMap] = None,
+    partSpec: Option[(String, Long)] = None) extends DataWriterFactory {
   // partitionId/taskId are unique only WITHIN one Spark application —
   // a second app appending to the same table (or a replayed epoch in a
   // fresh JVM) restarts both counters, and a colliding name would let a
@@ -3073,7 +3223,7 @@ private[sources] class LakeWriterFactory(path: String,
     new LakeDataWriter(path, tableSchema, writeSchema, queryId,
       partitionId, taskId, failPartition.contains(partitionId),
       writeUid = writeUid, conf = conf, clusterSpec = clusterSpec,
-      colmap = colmap)
+      colmap = colmap, partSpec = partSpec)
 }
 
 private[sources] class LakeDataWriter(path: String,
@@ -3082,7 +3232,8 @@ private[sources] class LakeDataWriter(path: String,
     filePrefix: String = "", writeUid: String = "w",
     conf: LakeFormat.SerializableHadoopConf = null,
     clusterSpec: Option[(String, Int)] = None,
-    colmap: Option[LakeFormat.ColMap] = None)
+    colmap: Option[LakeFormat.ColMap] = None,
+    partSpec: Option[(String, Long)] = None)
     extends DataWriter[InternalRow] {
   import LakeFormat._
 
@@ -3138,8 +3289,24 @@ private[sources] class LakeDataWriter(path: String,
     clusterSpec.map(s => kinds(tableSchema.fieldIndex(s._1))).getOrElse(-1)
   private val buckets: Int = clusterSpec.map(_._2).getOrElse(0)
 
+  // composite layout (r19): the partition transform's column in the
+  // INCOMING row — each row additionally routes to its trunc(col, unit)
+  // partition value, so every emitted file is partition-pure AND
+  // bucket-pure
+  private val partIdx: Int = partSpec.map { case (c, _) =>
+    require(tableSchema.fieldNames.contains(c),
+      s"lake partition column $c is not a table column " +
+        s"(${tableSchema.fieldNames.mkString(", ")})")
+    require(kinds(tableSchema.fieldIndex(c)) <= 1,
+      s"lake partition transform needs an integral column; got $c")
+    writeSchema.fieldIndex(c)
+  }.getOrElse(-1)
+  private val partKind: Int =
+    partSpec.map(s => kinds(tableSchema.fieldIndex(s._1))).getOrElse(-1)
+  private val partUnit: Long = partSpec.map(_._2).getOrElse(0L)
+
   /** One open output file + its running stats. */
-  private final class Sink(pk: Option[Int]) {
+  private final class Sink(pk: Option[Int], pv: Option[Long] = None) {
     private val minL = Array.fill(n)(Long.MaxValue)
     private val maxL = Array.fill(n)(Long.MinValue)
     private val minD = Array.fill(n)(Double.PositiveInfinity)
@@ -3153,6 +3320,7 @@ private[sources] class LakeDataWriter(path: String,
 
     val fileName: String =
       s"${filePrefix}part-$partitionId-$taskId-$writeUid" +
+        pv.map(v => s"-p$v").getOrElse("") +
         pk.map(b => s"-b$b").getOrElse("") + ".lake"
     private val staged = new HPath(path, s"_staging-$queryId/$fileName")
     private val out = {
@@ -3225,7 +3393,7 @@ private[sources] class LakeDataWriter(path: String,
           }
         c -> ColStats(mn, mx, nulls(i))
       }.toMap
-      LakeFileCommit(fileName, rows, bytesOut, stats, pk)
+      LakeFileCommit(fileName, rows, bytesOut, stats, pk, pv)
     }
 
     def drop(f: FileSystem): Unit = {
@@ -3236,27 +3404,49 @@ private[sources] class LakeDataWriter(path: String,
 
   // plain writes keep ONE eagerly-opened sink (a zero-row task still
   // commits an empty file — the pre-cluster behavior LakeSpec pins);
-  // cluster-by opens sinks lazily per bucket the task actually sees
-  private val defaultSink: Sink =
-    if (clusterSpec.isEmpty) new Sink(None) else null
-  private val bucketSinks = new java.util.HashMap[Int, Sink]()
+  // layout writes open sinks lazily per (partition, bucket) key the
+  // task actually sees
+  private val split = clusterSpec.isDefined || partSpec.isDefined
+  private val defaultSink: Sink = if (!split) new Sink(None) else null
+  private val bucketSinks = new java.util.HashMap[(Long, Int), Sink]()
 
   override def write(record: InternalRow): Unit = {
     val sink =
-      if (clusterSpec.isEmpty) defaultSink
+      if (!split) defaultSink
       else {
-        require(!record.isNullAt(clusterIdx),
-          s"lake cluster-by key ${clusterSpec.get._1} is null — a " +
-            "null's bucket is undefined; filter nulls or drop clusterBy")
-        val v: Any = clusterKind match {
-          case 0 => record.getLong(clusterIdx)
-          case 1 => record.getInt(clusterIdx)
-          case 2 => record.getDouble(clusterIdx)
-          case _ => record.getUTF8String(clusterIdx).toString
+        val b =
+          if (clusterSpec.isEmpty) -1
+          else {
+            require(!record.isNullAt(clusterIdx),
+              s"lake cluster-by key ${clusterSpec.get._1} is null — a " +
+                "null's bucket is undefined; filter nulls or drop " +
+                "clusterBy")
+            val v: Any = clusterKind match {
+              case 0 => record.getLong(clusterIdx)
+              case 1 => record.getInt(clusterIdx)
+              case 2 => record.getDouble(clusterIdx)
+              case _ => record.getUTF8String(clusterIdx).toString
+            }
+            bucketOf(v, buckets)
+          }
+        val pvKey =
+          if (partSpec.isEmpty) Long.MinValue
+          else {
+            require(!record.isNullAt(partIdx),
+              s"lake partition key ${partSpec.get._1} is null — a " +
+                "null's partition is undefined; filter nulls or drop " +
+                "the partition term")
+            val raw = if (partKind == 0) record.getLong(partIdx)
+              else record.getInt(partIdx).toLong
+            java.lang.Math.floorDiv(raw, partUnit)
+          }
+        val key = (pvKey, b)
+        var s = bucketSinks.get(key)
+        if (s == null) {
+          s = new Sink(if (b < 0) None else Some(b),
+            if (partSpec.isEmpty) None else Some(pvKey))
+          bucketSinks.put(key, s)
         }
-        val b = bucketOf(v, buckets)
-        var s = bucketSinks.get(b)
-        if (s == null) { s = new Sink(Some(b)); bucketSinks.put(b, s) }
         s
       }
     sink.writeRow(record)
@@ -3266,7 +3456,7 @@ private[sources] class LakeDataWriter(path: String,
   }
 
   override def commit(): WriterCommitMessage =
-    if (clusterSpec.isEmpty) defaultSink.commitMsg()
+    if (!split) defaultSink.commitMsg()
     else LakeTaskCommit(
       bucketSinks.values.asScala.toSeq.sortBy(_.fileName).map(_.commitMsg()))
 
@@ -3435,7 +3625,8 @@ private[sources] class LakeDeltaDeleteOperation(path: String,
   * rows, because none are rewritten. */
 private[sources] class LakeDeltaMutateOperation(path: String,
     tableSchema: StructType, clusterSpec: Option[(String, Int)],
-    cmd: Command, colmap: Option[LakeFormat.ColMap] = None)
+    cmd: Command, colmap: Option[LakeFormat.ColMap] = None,
+    partSpec: Option[(String, Long)] = None)
     extends RowLevelOperation
     with org.apache.spark.sql.connector.write.SupportsDelta
     with LakeOperationHost {
@@ -3462,7 +3653,8 @@ private[sources] class LakeDeltaMutateOperation(path: String,
             : org.apache.spark.sql.connector.write.DeltaBatchWrite =
           new LakeDeltaBatchWrite(path, tableSchema, info.schema(),
             info.queryId(), clusterSpec, allowInserts = true,
-            () => LakeDeltaMutateOperation.this.configuredScan, colmap)
+            () => LakeDeltaMutateOperation.this.configuredScan, colmap,
+            partSpec)
       }
     }
 
@@ -3482,14 +3674,15 @@ private[sources] class LakeDeltaBatchWrite(path: String,
     tableSchema: StructType, writeSchema: StructType, queryId: String,
     clusterSpec: Option[(String, Int)], allowInserts: Boolean,
     scanRef: () => LakeScan,
-    colmap: Option[LakeFormat.ColMap] = None)
+    colmap: Option[LakeFormat.ColMap] = None,
+    partSpec: Option[(String, Long)] = None)
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
   import LakeFormat._
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory =
     new LakeDeltaWriterFactory(path, tableSchema, writeSchema, queryId,
-      clusterSpec, allowInserts, colmap)
+      clusterSpec, allowInserts, colmap, partSpec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val scan = scanRef()
@@ -3540,7 +3733,7 @@ private[sources] class LakeDeltaBatchWrite(path: String,
     // ordinals minted under a different bucket function as the layout)
     LakeFormat.publishDiffReplace(f, path, queryId, messages, tableSchema,
       scan.snapshotVersion, replaced = Set.empty, edits = edits,
-      writerSpec = clusterSpec)
+      writerSpec = clusterSpec, writerPart = partSpec)
     LakeSource.lastDvWrites.set(dvWrites.toSeq.sortBy(_._1))
     LakeSource.lastReplacedFiles.set(Nil) // zero data-file rewrites
   }
@@ -3557,7 +3750,8 @@ private[sources] class LakeDeltaBatchWrite(path: String,
 private[sources] class LakeDeltaWriterFactory(path: String,
     tableSchema: StructType, writeSchema: StructType, queryId: String,
     clusterSpec: Option[(String, Int)], allowInserts: Boolean,
-    colmap: Option[LakeFormat.ColMap] = None)
+    colmap: Option[LakeFormat.ColMap] = None,
+    partSpec: Option[(String, Long)] = None)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   // one uid per write + the driver's Hadoop conf, for the same reasons
   // as LakeWriterFactory (r16 review/advisory)
@@ -3589,7 +3783,7 @@ private[sources] class LakeDeltaWriterFactory(path: String,
           inserts = new LakeDataWriter(path, tableSchema, writeSchema,
             queryId, partitionId, taskId, failAfterFirstRow = false,
             writeUid = writeUid, conf = conf, clusterSpec = clusterSpec,
-            colmap = colmap)
+            colmap = colmap, partSpec = partSpec)
         inserts.write(row)
       }
       override def commit(): WriterCommitMessage = {

@@ -514,12 +514,11 @@ class LakeSpec extends AnyFunSuite {
     // time travel to the pre-evolution snapshot serves the OLD schema
     val f = LakeFormat.fs(dir)
     assert(LakeFormat.readManifest(f, dir, 0)._1.fieldNames.length == 5)
-    // non-append evolution is refused loudly
+    // byte-reinterpreting evolution is refused loudly (RENAME/DROP
+    // became metadata-only via column mapping in r19 — pinned in the
+    // colmap test; repositions and non-null adds stay refused)
     intercept[Exception] {
       spark.sql(s"ALTER TABLE $t ADD COLUMNS (bad DOUBLE NOT NULL)")
-    }
-    intercept[Exception] {
-      spark.sql(s"ALTER TABLE $t DROP COLUMN extra")
     }
     intercept[Exception] {
       spark.sql(s"ALTER TABLE $t ADD COLUMNS (early DOUBLE FIRST)")
@@ -1647,6 +1646,113 @@ class LakeSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("cluster-by column"), ex.getMessage)
     // and every file still carries its ordinal for the claim
     assert(root.inline.forall(_.pk.isDefined))
+  }
+
+  test("composite layout: trunc partition term + bucket term — one file per (partition, bucket), date-predicate prunes whole partitions, bucket join plans zero exchanges, claims survive DML and COMPACT (r19 — r18 verdict #5)") {
+    val dirA = tmp("lake_comp_a")
+    val dirB = tmp("lake_comp_b")
+    spark.conf.set("spark.sql.catalog.glt", "graft.sources.GraftCatalog")
+    Seq("tcompa" -> dirA, "tcompb" -> dirB).foreach { case (t, d) =>
+      spark.sql(s"DROP TABLE IF EXISTS glt.ns.$t")
+      spark.sql(s"""CREATE TABLE glt.ns.$t (
+        |  id BIGINT, bucket INT, kscore INT, score DOUBLE, doc_id STRING
+        |) USING lake LOCATION '$d'
+        |TBLPROPERTIES ('clusterBy'='trunc(id,5000),bucket(id,4)')"""
+        .stripMargin)
+    }
+    det(20000, 8).createOrReplaceTempView("comp_src_a")
+    det(12000, 8).createOrReplaceTempView("comp_src_b")
+    spark.sql("INSERT OVERWRITE glt.ns.tcompa SELECT * FROM comp_src_a")
+    spark.sql("INSERT OVERWRITE glt.ns.tcompb SELECT * FROM comp_src_b")
+    val f = LakeFormat.fs(dirA)
+    def root() = LakeFormat.readManifestRoot(f, dirA,
+      LakeFormat.latestVersion(f, dirA).get)
+    // both terms claimed; every file carries BOTH its partition value
+    // and its bucket ordinal
+    assert(root().part.contains(("id", 5000L)) &&
+      root().cluster.contains(("id", 4)), root().toString)
+    val m = LakeFormat.readManifestMeta(f, dirA,
+      LakeFormat.latestVersion(f, dirA).get)
+    assert(m.entries.size == 16, // 4 partitions × 4 buckets
+      s"expected 16 (partition,bucket)-pure files, got " +
+        s"${m.entries.size}: ${m.entries.map(_.name)}")
+    assert(m.entries.forall(e => e.pk.isDefined && e.pv.isDefined))
+    // per-file purity: every row's trunc AND bucket match the claims
+    val byFile = read(dirA).select(col("_file"), col("id"))
+      .collect().groupBy(_.getString(0))
+    m.entries.foreach { e =>
+      byFile.get(e.name).foreach { rows =>
+        assert(rows.forall { r =>
+          val id = r.getLong(1)
+          Math.floorDiv(id, 5000L) == e.pv.get &&
+            LakeFormat.bucketOf(id, 4) == e.pk.get
+        }, s"${e.name} claims (p${e.pv.get}, b${e.pk.get}) but holds " +
+          "a foreign id")
+      }
+    }
+    // a partition-range predicate prunes to exactly that partition's
+    // 4 bucket files — the days(ts)-style coarse pruning, via stats
+    assert(read(dirA).filter(col("id") >= 5000 && col("id") < 10000)
+      .count() == 5000L)
+    assert(LakeSource.lastPlannedFiles.get().size == 4,
+      s"partition predicate planned " +
+        s"${LakeSource.lastPlannedFiles.get().size} files, wanted 4")
+    // AND the bucket term still powers the storage-partitioned join:
+    // zero shuffle exchanges
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("glt.ns.tcompa").alias("a")
+        .join(spark.table("glt.ns.tcompb").alias("b"), Seq("id"))
+        .select(col("id"), col("a.kscore").as("ka"))
+      val exchanges = j.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        "composite-layout bucket join still shuffles:\n" +
+          j.queryExecution.executedPlan.toString.take(3000))
+      assert(j.count() == 12000L)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    // MoR DML: both claims survive; the appended replacement file
+    // carries its own (pv, pk)
+    spark.sql("UPDATE glt.ns.tcompa SET kscore = -1 WHERE id = 7777")
+    assert(root().part.contains(("id", 5000L)) &&
+      root().cluster.contains(("id", 4)),
+      s"composite claim lost across MoR update: ${root()}")
+    val m2 = LakeFormat.readManifestMeta(f, dirA,
+      LakeFormat.latestVersion(f, dirA).get)
+    assert(m2.entries.forall(e => e.pk.isDefined && e.pv.isDefined))
+    assert(m2.entries.exists(e => e.pv.contains(1L) &&
+      e.pk.contains(LakeFormat.bucketOf(7777L, 4)) && e.rows == 1),
+      "replacement row not in its (partition, bucket) file")
+    // COMPACT keeps both claims and re-splits per (partition, bucket)
+    LakeFormat.compactSmall(spark, dirA, underBytes = 1L << 30, into = 1)
+    assert(root().part.contains(("id", 5000L)) &&
+      root().cluster.contains(("id", 4)),
+      s"composite claim lost across COMPACT: ${root()}")
+    assert(spark.table("glt.ns.tcompa").count() == 20000L)
+    // DESCRIBE HISTORY surfaces the composite spelling
+    val hist = spark.sql(s"DESCRIBE HISTORY '$dirA'").collect()
+    assert(hist(0).getString(6) == "trunc(id,5000),bucket(id,4)",
+      hist(0).toString)
+    // the SQL grammar's composite + days() sugar both parse and land
+    spark.sql("OPTIMIZE glt.ns.tcompa CLUSTER BY trunc(id, 10000), " +
+      "bucket(id, 2)")
+    assert(root().part.contains(("id", 10000L)) &&
+      root().cluster.contains(("id", 2)))
+    spark.sql(s"OPTIMIZE '$dirA' CLUSTER BY days(id), bucket(id, 2)")
+    assert(root().part.contains(("id", LakeFormat.DayMillis)))
   }
 
   test("maintenance commits are header-flagged and the change feed skips them: COMPACT/OPTIMIZE emit zero feed rows (r19 — r18 ADVICE)") {
