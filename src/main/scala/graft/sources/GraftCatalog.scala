@@ -233,10 +233,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // option surface is case-insensitive via CaseInsensitiveStringMap
         // — a user writing 'clusterby' must not get a silently
         // unclustered table)
-        properties.asScala.collectFirst {
-          case (k, v) if k.equalsIgnoreCase("clusterBy") ||
-            k.equalsIgnoreCase("option.clusterBy") => v
-        }.foreach { c =>
+        // deterministic precedence (r19 review #6): bare 'clusterBy'
+        // wins over 'option.clusterBy' regardless of map iteration
+        // order, each matched case-insensitively
+        def propCI(key: String): Option[String] =
+          properties.asScala.collectFirst {
+            case (k, v) if k.equalsIgnoreCase(key) => v
+          }
+        propCI("clusterBy").orElse(propCI("option.clusterBy"))
+          .foreach { c =>
           // composite spelling accepted (r19): an optional
           // days(col)/trunc(col,n) PARTITION term alongside (or
           // instead of) the bucket term

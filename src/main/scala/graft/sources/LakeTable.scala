@@ -271,11 +271,16 @@ class LakeSource extends TableProvider {
       val v = LakeFormat.latestVersion(fch, path).getOrElse(
         throw new IllegalArgumentException(
           s"no lake manifest under $path — nothing to tail"))
+      // ONE root read supplies the stream's schema AND its column
+      // mapping (r19 review #3: resolving the mapping later, from
+      // whatever is latest at factory time, lets a concurrent DROP
+      // misalign it against this schema and serve wrong slots)
+      val chRoot = LakeFormat.readManifestRoot(fch, path, v)
       return new LakeChangesStreamTable(path, StructType(
-        LakeFormat.readManifestRoot(fch, path, v).schema ++
-          LakeChanges.MetaCols),
+        chRoot.schema ++ LakeChanges.MetaCols),
         Option(opts.get("startingVersion")),
-        Option(opts.get("maxVersionsPerTrigger")).map(_.toInt))
+        Option(opts.get("maxVersionsPerTrigger")).map(_.toInt),
+        chRoot.colmap)
     }
     new LakeTable(path, schema,
       travelVersion(path, k => Option(opts.get(k))),
@@ -486,11 +491,21 @@ object LakeFormat {
       : (Option[(String, Long)], Option[(String, Int)]) = {
     var part: Option[(String, Long)] = None
     var bucket: Option[(String, Int)] = None
-    s.split("""(?<=\))\s*,\s*""").foreach {
+    // column names are plain identifiers, so whitespace is never
+    // meaningful — normalize before matching (a space before a numeric
+    // argument must not change the spec)
+    val norm = s.replaceAll("\\s+", "")
+    if (norm == "-" || norm.isEmpty) return (None, None)
+    norm.split("""(?<=\)),""").foreach {
       case ClusterRe(col, n) => bucket = Some((col, n.toInt))
-      case TruncRe(col, n) => part = Some((col.trim, n.toLong))
-      case DaysRe(col) => part = Some((col.trim, DayMillis))
-      case _ => ()
+      case TruncRe(col, n) => part = Some((col, n.toLong))
+      case DaysRe(col) => part = Some((col, DayMillis))
+      // a typo'd term must never silently drop (r19 review #5: a user
+      // writing day(ts),bucket(id,8) would get an UNPARTITIONED table
+      // with no error — every scan then reads every partition)
+      case other => throw new IllegalArgumentException(
+        s"lake layout: unrecognized term '$other' in '$s' — expected " +
+          "days(col), trunc(col,n), or bucket(col,n)")
     }
     (part, bucket)
   }
@@ -1149,6 +1164,16 @@ object LakeFormat {
           case _ => None
         }
       val basePart = baseRoot.flatMap(_.part)
+      // same declared-layout guard as the bucket term (r19 review #2):
+      // an append whose part term DIFFERS from (or silently clears) a
+      // DDL-born declaration must conflict loudly, never replace it
+      if (newEntries.nonEmpty && baseEmpty && basePart.isDefined &&
+          part != basePart)
+        conflict(s"lake commit on $path: the write's partition term " +
+          s"${part.map(p => s"trunc(${p._1},${p._2})").getOrElse("<none>")} " +
+          s"does not match the declared layout trunc(${basePart.get._1}," +
+          s"${basePart.get._2}) — run OPTIMIZE … CLUSTER BY to change " +
+          "a table's layout")
       val outPart =
         if (newEntries.isEmpty) basePart
         else if (!newEntries.forall(_.pv.isDefined)) None
@@ -2031,15 +2056,18 @@ class LakeTable(private[graft] val path: String, tableSchema: StructType,
     // explicitly — RANGE BY must not inherit and re-claim a bucket spec
     // its output no longer satisfies
     val replaceOf = Option(info.options.get("replaceOfVersion")).map(_.toInt)
+    // ONE root read for layout inheritance AND the column mapping
+    // (r19 review #7)
+    val cur = currentRoot()
     val clusterSpec = declared.orElse {
-      if (replaceOf.isDefined) None else currentCluster()
+      if (replaceOf.isDefined) None else clusterOf(cur)
     }
     // the PART term inherits exactly like the bucket term: an explicit
     // layout option overrides outright (a bucket-only OPTIMIZE CLUSTER
     // BY deliberately clears the part term), otherwise the current
     // claim carries through plain writes
     val partSpec = declaredLayout.map(_._1).getOrElse {
-      if (replaceOf.isDefined) None else currentPart()
+      if (replaceOf.isDefined) None else partOf(cur)
     }
     // internal option pair set by LakeFormat.compactSmall: replace
     // EXACTLY the named files of one snapshot (diff commit), leaving
@@ -2059,10 +2087,21 @@ class LakeTable(private[graft] val path: String, tableSchema: StructType,
       replaceOf, clusterSpec, catalogBacked, replaceFiles,
       // internal option set by the maintenance entry points (OPTIMIZE /
       // COMPACT): the commit is row-preserving, so the manifest header
-      // flags it and the change feed skips the version (r18 ADVICE)
-      maintenance = Option(info.options.get("maintenance"))
-        .exists(_.toBoolean),
-      colmap = currentColmap(),
+      // flags it and the change feed skips the version (r18 ADVICE).
+      // Honored ONLY alongside the snapshot-pinned rewrite options —
+      // an ordinary write flagging itself would silently hide real row
+      // changes from every feed consumer (r19 review #8)
+      maintenance = {
+        val m = Option(info.options.get("maintenance")).exists(_.toBoolean)
+        require(!m || replaceOf.isDefined ||
+          Option(info.options.get("replaceFilesOfVersion")).isDefined,
+          s"lake write on $path: the 'maintenance' option is internal " +
+            "to OPTIMIZE/COMPACT (snapshot-pinned row-preserving " +
+            "rewrites) — a flagged commit is skipped by the change " +
+            "feed and must not carry row changes")
+        m
+      },
+      colmap = cur.flatMap(_.colmap),
       partSpec = partSpec)
   }
 
@@ -2092,51 +2131,42 @@ class LakeTable(private[graft] val path: String, tableSchema: StructType,
       // decide. Escape hatch: `spark.graft.lake.merge.cow = true`
       // plans MERGE group-based copy-on-write — the replay twin the
       // LakeSpec identity pin compares against.
-      info.command() match {
-        case Command.DELETE =>
-          new LakeDeltaDeleteOperation(path, tableSchema)
-        case Command.UPDATE =>
-          new LakeDeltaMutateOperation(path, tableSchema, currentCluster(),
-            Command.UPDATE, currentColmap(), currentPart())
-        case Command.MERGE
-            if !org.apache.spark.sql.internal.SQLConf.get
-              .getConfString("spark.graft.lake.merge.cow", "false")
-              .toBoolean =>
-          new LakeDeltaMutateOperation(path, tableSchema, currentCluster(),
-            Command.MERGE, currentColmap(), currentPart())
-        case _ => new LakeRowLevelOperation(path, tableSchema,
-          info.command(), failPartition, currentColmap())
+      {
+        val cur = currentRoot() // ONE root read per DML plan (r19 #7)
+        info.command() match {
+          case Command.DELETE =>
+            new LakeDeltaDeleteOperation(path, tableSchema)
+          case Command.UPDATE =>
+            new LakeDeltaMutateOperation(path, tableSchema, clusterOf(cur),
+              Command.UPDATE, cur.flatMap(_.colmap), partOf(cur))
+          case Command.MERGE
+              if !org.apache.spark.sql.internal.SQLConf.get
+                .getConfString("spark.graft.lake.merge.cow", "false")
+                .toBoolean =>
+            new LakeDeltaMutateOperation(path, tableSchema, clusterOf(cur),
+              Command.MERGE, cur.flatMap(_.colmap), partOf(cur))
+          case _ => new LakeRowLevelOperation(path, tableSchema,
+            info.command(), failPartition, cur.flatMap(_.colmap))
+        }
       }
 
-  /** The CURRENT snapshot's cluster spec — MoR-update appends split
-    * their replacement rows with it so a clustered table keeps its
-    * layout claim through row-level DML. */
-  private def currentCluster(): Option[(String, Int)] = {
-    val f = fs(path)
-    latestVersion(f, path)
-      .flatMap(v => readManifestRoot(f, path, v).cluster)
-      .filter(s => tableSchema.fieldNames.contains(s._1))
-  }
-
-  /** The CURRENT snapshot's column mapping — writers emit rows
-    * SLOT-addressed with stats under phys names (r19). Mapping growth
+  /** The CURRENT snapshot's root — ONE read supplies the cluster
+    * spec, the partition term, and the column mapping a write or DML
+    * plan needs (r19 review #7: three separate latestVersion+root
+    * reads tripled commit-path metadata IO and could pair claims from
+    * DIFFERENT versions — a racing re-cluster could hand the writer a
+    * mixed-version layout no snapshot ever declared). Mapping growth
     * is append-only, so a slightly-stale capture is benign (a racing
     * ADD's slot reads as null via short-row padding; a racing DROP's
     * slot carries a harmless extra token). */
-  private def currentColmap(): Option[ColMap] = {
+  private def currentRoot(): Option[RootMeta] = {
     val f = fs(path)
-    latestVersion(f, path)
-      .flatMap(v => readManifestRoot(f, path, v).colmap)
+    latestVersion(f, path).map(v => readManifestRoot(f, path, v))
   }
-
-  /** The CURRENT snapshot's partition-transform term (composite
-    * layout, r19) — inherited by plain writes like the bucket spec. */
-  private def currentPart(): Option[(String, Long)] = {
-    val f = fs(path)
-    latestVersion(f, path)
-      .flatMap(v => readManifestRoot(f, path, v).part)
-      .filter(p => tableSchema.fieldNames.contains(p._1))
-  }
+  private def clusterOf(r: Option[RootMeta]): Option[(String, Int)] =
+    r.flatMap(_.cluster).filter(s => tableSchema.fieldNames.contains(s._1))
+  private def partOf(r: Option[RootMeta]): Option[(String, Long)] =
+    r.flatMap(_.part).filter(p => tableSchema.fieldNames.contains(p._1))
 
   // ---- SupportsDeleteV2: metadata-only delete ------------------------
   // Accepted ONLY when the stats decide every file entirely — then the
@@ -2150,13 +2180,18 @@ class LakeTable(private[graft] val path: String, tableSchema: StructType,
     if (v1.exists(_.isEmpty)) return None // untranslatable → undecidable
     // stats are keyed by PHYS names under column mapping (r19) — an
     // untranslated logical name could hit a dropped column's
-    // historical stats and decide WRONGLY
-    val filters = currentColmap() match {
-      case Some(cm) =>
-        val root = readManifestRoot(fs(path), path,
-          latestVersion(fs(path), path).get)
-        translateFilters(v1.toSeq.flatten, cm.physByLogical(root.schema))
-      case None => v1.toSeq.flatten // conjuncts
+    // historical stats and decide WRONGLY. ONE root read supplies both
+    // the mapping and the schema it aligns to (r19 review #1: two
+    // separate reads let a racing DROP misalign them positionally and
+    // translate a filter onto the WRONG column's stats — silent
+    // data loss on a metadata delete)
+    val f0 = fs(path)
+    val filters = latestVersion(f0, path)
+      .map(v => readManifestRoot(f0, path, v)) match {
+      case Some(root) if root.colmap.isDefined =>
+        translateFilters(v1.toSeq.flatten,
+          root.colmap.get.physByLogical(root.schema))
+      case _ => v1.toSeq.flatten // conjuncts
     }
     Some { entries =>
       // a dv'd file's stats describe PHYSICAL rows — "every live row
@@ -3266,9 +3301,21 @@ private[sources] class LakeDataWriter(path: String,
   // Identity without a mapping: slotToField = 0..n-1, phys = names.
   private val slotToField: Array[Int] = colmap match {
     case Some(cm) =>
-      val eff = if (cm.slots.isEmpty) 0 else cm.slots.max + 1
+      // the mapping may be one ADD COLUMN newer than this handle's
+      // schema (r19 review #4: the commit landed between loadTable and
+      // write-build) — use only the handle's fields; the extra slot's
+      // column reads as null via short-row padding, exactly the
+      // stale-handle-append semantics plain ADDs already have. A
+      // mapping NARROWER than the write schema cannot happen (the root
+      // is always ≥ the handle) and would drop values — fail loudly.
+      require(cm.slots.length >= n,
+        s"lake write on $path: column mapping covers " +
+          s"${cm.slots.length} fields but the table schema has $n — " +
+          "reload the table")
+      val slots = cm.slots.take(n)
+      val eff = if (slots.isEmpty) 0 else slots.max + 1
       val a = Array.fill(eff)(-1)
-      cm.slots.indices.foreach(i => a(cm.slots(i)) = i)
+      slots.indices.foreach(i => a(slots(i)) = i)
       a
     case None => Array.tabulate(n)(scala.Predef.identity)
   }
@@ -3966,7 +4013,8 @@ private[sources] class LakeChangesTable(val path: String,
   * bounds how much history one trigger swallows. */
 private[sources] class LakeChangesStreamTable(val path: String,
     fullSchema: StructType, startingVersion: Option[String],
-    maxVersionsPerTrigger: Option[Int])
+    maxVersionsPerTrigger: Option[Int],
+    colmap: Option[LakeFormat.ColMap] = None)
     extends Table with SupportsRead {
   override def name(): String = s"lake_changes_stream($path)"
   override def schema(): StructType = fullSchema
@@ -3984,14 +4032,15 @@ private[sources] class LakeChangesStreamTable(val path: String,
         override def toMicroBatchStream(checkpointLocation: String)
             : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
           new LakeChangesMicroBatchStream(path, fullSchema, required,
-            startingVersion, maxVersionsPerTrigger)
+            startingVersion, maxVersionsPerTrigger, colmap)
       }
     }
 }
 
 private[sources] class LakeChangesMicroBatchStream(path: String,
     fullSchema: StructType, required: StructType,
-    startingVersion: Option[String], maxVersionsPerTrigger: Option[Int])
+    startingVersion: Option[String], maxVersionsPerTrigger: Option[Int],
+    colmap: Option[LakeFormat.ColMap] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -4050,10 +4099,11 @@ private[sources] class LakeChangesMicroBatchStream(path: String,
     new LakeChangesReaderFactory(path,
       StructType(fullSchema.dropRight(LakeChanges.MetaCols.size)),
       required, LakeFormat.driverConf(),
-      // stream-start mapping: slots are append-only, so one capture
-      // resolves every era's files the tail will serve (r19)
-      LakeFormat.latestVersion(f, path)
-        .flatMap(v => LakeFormat.readManifestRoot(f, path, v).colmap))
+      // the mapping captured WITH fullSchema at stream construction —
+      // one root read for both, so they can never misalign (r19
+      // review #3); slots are append-only, so this one capture
+      // resolves every era's files the tail serves
+      colmap)
 
   override def commit(end: StreamOffset): Unit = ()
   override def stop(): Unit = ()
@@ -4088,6 +4138,10 @@ private[sources] class LakeChangesReaderFactory(path: String,
     val p = partition.asInstanceOf[LakeChangePartition]
     new PartitionReader[InternalRow] {
       // physical slot | -3 change_type | -4 version | -5 timestamp
+      colmap.foreach(cm => require(cm.slots.length == dataSchema.length,
+        s"lake changes: column mapping covers ${cm.slots.length} " +
+          s"fields but the feed schema has ${dataSchema.length} — " +
+          "schema drifted since the feed was resolved; re-open it"))
       private val srcIdx = required.fields.map { f =>
         if (f.name == "_change_type") -3
         else if (f.name == "_commit_version") -4

@@ -1755,6 +1755,74 @@ class LakeSpec extends AnyFunSuite {
     assert(root().part.contains(("id", LakeFormat.DayMillis)))
   }
 
+  test("r19 review-fix pins: typo'd layout terms, part-term declaration guard, restricted maintenance option, clusterBy precedence") {
+    spark.conf.set("spark.sql.catalog.glt", "graft.sources.GraftCatalog")
+    // #5: a typo'd layout term fails loudly — never a silently
+    // unpartitioned table whose every scan reads every partition
+    val dirT = tmp("lake_typoterm")
+    spark.sql("DROP TABLE IF EXISTS glt.ns.ttypo")
+    val exTypo = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE glt.ns.ttypo (
+        |  id BIGINT, bucket INT, kscore INT, score DOUBLE, doc_id STRING
+        |) USING lake LOCATION '$dirT'
+        |TBLPROPERTIES ('clusterBy'='day(id),bucket(id,8)')""".stripMargin)
+    }
+    assert(exTypo.getMessage.contains("unrecognized term"),
+      exTypo.getMessage)
+    // whitespace is never meaningful in a layout spec
+    val dirW = tmp("lake_wsterm")
+    spark.sql("DROP TABLE IF EXISTS glt.ns.tws")
+    spark.sql(s"""CREATE TABLE glt.ns.tws (
+      |  id BIGINT, bucket INT, kscore INT, score DOUBLE, doc_id STRING
+      |) USING lake LOCATION '$dirW'
+      |TBLPROPERTIES ('clusterBy'='trunc(id, 5000), bucket(id, 4)')"""
+      .stripMargin)
+    val fW = LakeFormat.fs(dirW)
+    assert(LakeFormat.readManifestRoot(fW, dirW, 0).part
+      .contains(("id", 5000L)))
+    // #2: an explicit layout whose PART term differs from (or clears)
+    // a DDL-born declaration conflicts loudly, like the bucket term
+    val exPart = intercept[Exception] {
+      det(100, 1).write.format(Lake).option("path", dirW)
+        .option("clusterBy", "trunc(id,9999),bucket(id,4)")
+        .mode("append").save()
+    }
+    assert(exPart.getMessage != null &&
+      exPart.getMessage.contains("partition term"), exPart.getMessage)
+    val exClear = intercept[Exception] {
+      det(100, 1).write.format(Lake).option("path", dirW)
+        .option("clusterBy", "bucket(id,4)").mode("append").save()
+    }
+    assert(exClear.getMessage != null &&
+      exClear.getMessage.contains("partition term"), exClear.getMessage)
+    // the MATCHING composite spec still lands and keeps both claims
+    det(100, 1).write.format(Lake).option("path", dirW)
+      .option("clusterBy", "trunc(id,5000),bucket(id,4)")
+      .mode("append").save()
+    val rootW = LakeFormat.readManifestRoot(fW, dirW,
+      LakeFormat.latestVersion(fW, dirW).get)
+    assert(rootW.part.contains(("id", 5000L)) &&
+      rootW.cluster.contains(("id", 4)))
+    // #8: the 'maintenance' flag is internal — an ordinary write
+    // cannot hide its row changes from the change feed
+    val exM = intercept[Exception] {
+      det(100, 1).write.format(Lake).option("path", dirW)
+        .option("maintenance", "true").mode("append").save()
+    }
+    assert(exM.getMessage != null && exM.getMessage.contains("internal"),
+      exM.getMessage)
+    // #6: bare clusterBy beats option.clusterBy deterministically
+    val dirP = tmp("lake_prec")
+    spark.sql("DROP TABLE IF EXISTS glt.ns.tprec")
+    spark.sql(s"""CREATE TABLE glt.ns.tprec (
+      |  id BIGINT, bucket INT, kscore INT, score DOUBLE, doc_id STRING
+      |) USING lake LOCATION '$dirP'
+      |TBLPROPERTIES ('clusterBy'='bucket(id,8)',
+      |               'option.clusterBy'='bucket(id,16)')""".stripMargin)
+    assert(LakeFormat.readManifestRoot(LakeFormat.fs(dirP), dirP, 0)
+      .cluster.contains(("id", 8)))
+  }
+
   test("maintenance commits are header-flagged and the change feed skips them: COMPACT/OPTIMIZE emit zero feed rows (r19 — r18 ADVICE)") {
     val dir = tmp("lake_maintfeed")
     val t = catalogTable("tmaintfeed", dir)
