@@ -2401,6 +2401,184 @@ object Vectors {
       .orderBy(col("label"), col("predicted"))
   }
 
+  /** GRAPH-BASED ANN (round 19 — the r18 verdict's last missing item,
+    * #5): the recall/latency frontier above the quantization family
+    * (IVF/PQ/LSH/Hamming, v65–v86) is graph search. True HNSW is a
+    * pointer-chasing sequential structure — the wrong shape for a
+    * distributed engine — so this is the SPARK-NATIVE form of the same
+    * idea, re-derived relationally (the NSW/DiskANN decomposition):
+    *
+    *  1. BUILD: a k-NN GRAPH per IVF cell — within each coarse cell
+    *     (label-blocked here, the v66 cells), every vector keeps edges
+    *     to its G=4 nearest neighbors. Construction is an equi-self-
+    *     join WITHIN cells: O(Σ|cell|²) pairs, never corpus²; at
+    *     100 TB the cells come from the trained coarse quantizer
+    *     (v81's machinery) and the graph persists next to the PQ
+    *     index — train-once, append/compact via the same lifecycle.
+    *  2. SERVE: greedy BEAM search, width B=4, R=2 expansion rounds —
+    *     each round joins the frontier to the edge table (equi-join),
+    *     scores the new candidates against the probe (codegen dot),
+    *     and keeps the best B as the next frontier. Per round that is
+    *     one shuffle-bounded join + one per-probe window over ≤ B·G
+    *     rows — rank-bounded, never cell-sized; probes only ever touch
+    *     their chosen cell's graph.
+    *
+    * Every step is DETERMINISTIC (ties break on vec_id) and fully
+    * relational, so the DuckDB oracle replays the exact search —
+    * entry-point selection, both beam rounds, and the final top-k —
+    * and the hash must match bit-for-bit: this is a graph ANN whose
+    * SEARCH PATH is oracle-certified, not just sampled for recall. */
+  val qNswBeamAnn: Q = Q(
+    "v93_nsw_beam_ann",
+    s"""WITH v AS ($duckNormed),
+       |comp AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+       |                CAST(unnest(embedding) AS DOUBLE) AS x FROM v),
+       |cent AS (SELECT label AS clabel, list(round(cx, 8) ORDER BY dim) AS ce
+       |         FROM (SELECT label, dim, avg(x) AS cx FROM comp GROUP BY label, dim) t
+       |         GROUP BY label),
+       |centn AS (SELECT clabel, ce, ${VectorOps.duckNorm("ce")} AS cn FROM cent),
+       |edges AS (SELECT src, dst FROM (
+       |    SELECT a.vec_id AS src, b.vec_id AS dst,
+       |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |             ${VectorOps.duckDot("a.embedding", "b.embedding")} /
+       |               (a.nrm * b.nrm) DESC, b.vec_id) AS gr
+       |    FROM v a JOIN v b ON a.label = b.label
+       |         AND a.vec_id <> b.vec_id) t WHERE gr <= 4),
+       |entries AS (SELECT clabel, vec_id AS entry_id FROM (
+       |    SELECT c.clabel, w.vec_id,
+       |           row_number() OVER (PARTITION BY c.clabel ORDER BY
+       |             ${VectorOps.duckDot("w.embedding", "c.ce")} /
+       |               (w.nrm * c.cn) DESC, w.vec_id) AS er
+       |    FROM centn c JOIN v w ON w.label = c.clabel) t WHERE er = 1),
+       |probes AS (SELECT vec_id AS probe_id, embedding AS pe, nrm AS pn
+       |           FROM v WHERE vec_id < 12),
+       |chosen AS (SELECT probe_id, clabel FROM (
+       |    SELECT p.probe_id, c.clabel,
+       |           row_number() OVER (PARTITION BY p.probe_id ORDER BY
+       |             ${VectorOps.duckDot("p.pe", "c.ce")} / (p.pn * c.cn)
+       |               DESC, c.clabel) AS cr
+       |    FROM probes p CROSS JOIN centn c) t WHERE cr = 1),
+       |visited0 AS (
+       |  SELECT p.probe_id, e.entry_id AS cand_id,
+       |         ${VectorOps.duckDot("p.pe", "w.embedding")} /
+       |           (p.pn * w.nrm) AS sim
+       |  FROM probes p JOIN chosen ch ON p.probe_id = ch.probe_id
+       |       JOIN entries e ON e.clabel = ch.clabel
+       |       JOIN v w ON w.vec_id = e.entry_id),
+       |cand1 AS (
+       |  SELECT DISTINCT f.probe_id, g.dst AS cand_id
+       |  FROM visited0 f JOIN edges g ON g.src = f.cand_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM visited0 x
+       |    WHERE x.probe_id = f.probe_id AND x.cand_id = g.dst)),
+       |visited1 AS (
+       |  SELECT * FROM visited0
+       |  UNION ALL
+       |  SELECT c.probe_id, c.cand_id,
+       |         ${VectorOps.duckDot("p.pe", "w.embedding")} /
+       |           (p.pn * w.nrm) AS sim
+       |  FROM cand1 c JOIN probes p ON p.probe_id = c.probe_id
+       |       JOIN v w ON w.vec_id = c.cand_id),
+       |frontier1 AS (SELECT probe_id, cand_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY sim DESC, cand_id) AS fr FROM visited1) t
+       |  WHERE fr <= 4),
+       |cand2 AS (
+       |  SELECT DISTINCT f.probe_id, g.dst AS cand_id
+       |  FROM frontier1 f JOIN edges g ON g.src = f.cand_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM visited1 x
+       |    WHERE x.probe_id = f.probe_id AND x.cand_id = g.dst)),
+       |visited2 AS (
+       |  SELECT * FROM visited1
+       |  UNION ALL
+       |  SELECT c.probe_id, c.cand_id,
+       |         ${VectorOps.duckDot("p.pe", "w.embedding")} /
+       |           (p.pn * w.nrm) AS sim
+       |  FROM cand2 c JOIN probes p ON p.probe_id = c.probe_id
+       |       JOIN v w ON w.vec_id = c.cand_id)
+       |SELECT probe_id, cand_id, round(sim, 6) AS sim, rn
+       |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+       |        ORDER BY sim DESC, cand_id) AS BIGINT) AS rn
+       |      FROM visited2 WHERE cand_id <> probe_id) t
+       |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
+  ) { (s, d) =>
+    val v = withNorm(Tables.embeddings(s, d))
+    // coarse centroids (v66 idiom, rounded for cross-engine parity)
+    val comp = v.select(col("vec_id"), col("label"),
+      posexplode(col("embedding")).as(Seq("dim0", "x")))
+    val cent = comp.groupBy(col("label").as("clabel"), col("dim0"))
+      .agg(round(avg(col("x").cast("double")), 8).as("cx"))
+      .groupBy(col("clabel"))
+      .agg(array_sort(collect_list(struct(col("dim0"), col("cx")))).as("pairs"))
+      .select(col("clabel"), transform(col("pairs"), p => p("cx")).as("ce"))
+      .withColumn("cn", VectorOps.norm(col("ce")))
+    // per-cell k-NN graph: equi self-join WITHIN cells, top-G per src
+    val a = v.select(col("label"), col("vec_id").as("src"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = v.select(col("label"), col("vec_id").as("dst"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val wg = Window.partitionBy(col("src"))
+      .orderBy(desc("gsim"), col("dst"))
+    // the edge table feeds BOTH beam rounds — pin it (shared-frame
+    // persist discipline; Spark can't reuse exchanges across branches)
+    val edges = a.join(b, Seq("label"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("gsim", VectorOps.cosineFromNorms(
+        VectorOps.dot(col("ea"), col("eb")), col("na"), col("nb")))
+      .withColumn("gr", row_number().over(wg)).filter(col("gr") <= 4)
+      .select(col("src"), col("dst")).transform(Scale.pin(_))
+    // per-cell entry point: the vector nearest its cell's centroid
+    val we = Window.partitionBy(col("clabel"))
+      .orderBy(desc("esim"), col("vec_id"))
+    val entries = v.join(broadcast(cent), col("label") === col("clabel"))
+      .withColumn("esim", VectorOps.cosineFromNorms(
+        VectorOps.dot(col("embedding"), col("ce")), col("nrm"), col("cn")))
+      .withColumn("er", row_number().over(we)).filter(col("er") === 1)
+      .select(col("clabel"), col("vec_id").as("entry_id"))
+    val probes = v.filter(col("vec_id") < 12)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("nrm").as("pn"))
+    val cands = v.select(col("vec_id").as("cid"),
+      col("embedding").as("cemb"), col("nrm").as("cnrm"))
+    def scoreOf(ids: DataFrame): DataFrame =
+      ids.join(probes, Seq("probe_id"))
+        .join(cands, col("cand_id") === col("cid"))
+        .select(col("probe_id"), col("cand_id"),
+          VectorOps.cosineFromNorms(VectorOps.dot(col("pe"), col("cemb")),
+            col("pn"), col("cnrm")).as("sim"))
+    // entry → visited0
+    val wc = Window.partitionBy(col("probe_id"))
+      .orderBy(desc("csim"), col("clabel"))
+    val chosen = probes.crossJoin(broadcast(cent))
+      .withColumn("csim", VectorOps.cosineFromNorms(
+        VectorOps.dot(col("pe"), col("ce")), col("pn"), col("cn")))
+      .withColumn("cr", row_number().over(wc)).filter(col("cr") === 1)
+      .select(col("probe_id"), col("clabel"))
+    val visited0 = scoreOf(chosen.join(entries, Seq("clabel"))
+      .select(col("probe_id"), col("entry_id").as("cand_id")))
+    // two greedy beam rounds: frontier = best B of the visited set,
+    // expand via the edge table, score only the NEW candidates
+    def expand(visited: DataFrame, beam: Int): DataFrame = {
+      val wf = Window.partitionBy(col("probe_id"))
+        .orderBy(desc("sim"), col("cand_id"))
+      val frontier = visited.withColumn("fr", row_number().over(wf))
+        .filter(col("fr") <= beam).select(col("probe_id"), col("cand_id"))
+      val fresh = frontier.join(edges, col("cand_id") === col("src"))
+        .select(col("probe_id"), col("dst").as("cand_id")).distinct()
+        .join(visited.select(col("probe_id"), col("cand_id")),
+          Seq("probe_id", "cand_id"), "left_anti")
+      visited.unionByName(scoreOf(fresh))
+    }
+    val visited2 = expand(expand(visited0, beam = 4), beam = 4)
+    val wr = Window.partitionBy(col("probe_id"))
+      .orderBy(desc("sim"), col("cand_id"))
+    visited2.filter(col("cand_id") =!= col("probe_id"))
+      .withColumn("rn", row_number().over(wr).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("probe_id"), col("cand_id"),
+        round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
   val all: Seq[Q] = Seq(qCosineTopK, qKnnVote, qNormStats, qPairTopK,
     qLshAnn, qIvfAnn, qKmeansStep, qKmeansLloyd, qSemanticDedup,
     qMatmulProject, qGramMatrix, qKmeansUnrolled, qAxisReduce,
@@ -2408,5 +2586,5 @@ object Vectors {
     qPowerIteration, qHardNegatives, qNormOutliers, qIvfPq, qCentroidSim,
     qPqAppend, qEmbeddingPooling, qAnnRecallAudit, qIvfProbeSweep,
     qBinaryHammingTopK, qMmrRerank, qLabelMarginAudit, qDedupThresholdSweep,
-    qPqCompact, qContrastiveNegatives, qCentroidClassifier)
+    qPqCompact, qContrastiveNegatives, qCentroidClassifier, qNswBeamAnn)
 }
