@@ -1232,6 +1232,135 @@ object ScaleSmoke {
       }
       spark.sql("DROP TABLE IF EXISTS gsmoke.ns.lake19c")
     }
+    // ---- round-19b lake smokes: Z-ORDER, NMS MERGE, type widening,
+    // string stats, SHALLOW CLONE ----
+    locally {
+      import graft.sources.{LakeFormat, LakeSource}
+      spark.conf.set("spark.sql.catalog.gsmoke", "graft.sources.GraftCatalog")
+      val zdir = s"$base/lake19z"
+      def metaOf(d: String) = {
+        val f = LakeFormat.fs(d)
+        LakeFormat.readManifestMeta(f, d,
+          LakeFormat.latestVersion(f, d).get)
+      }
+      spark.read.format("graft.sources.DetRangeSource")
+        .option("rows", nEvents).option("slices", 64).load()
+        .select(col("id"), col("bucket"), col("kscore"), col("score"),
+          col("doc_id"))
+        .write.format("graft.sources.LakeSource")
+        .option("path", zdir).mode("overwrite").save()
+      def planned(): Int = LakeSource.lastPlannedFiles.get().size
+      def lakeRead(d: String) =
+        spark.read.format("graft.sources.LakeSource")
+          .option("path", d).load()
+      // Z-ORDER at 20M: the full-table Morton rewrite (codegen'd key,
+      // manifest-stats bounds) — then needles on BOTH columns prune,
+      // where the id-append layout planned all 64 files for either
+      require({
+        lakeRead(zdir).filter(col("bucket") === 3)
+          .agg(sum(col("id"))).head.getLong(0)
+        planned() == 64
+      }, "pre-zorder bucket needle should plan all 64 files")
+      time("lake ZORDER rewrite (2 cols)", nEvents) {
+        spark.sql(s"OPTIMIZE '$zdir' ZORDER BY (bucket, kscore) " +
+          "INTO 64 FILES").collect()
+        metaOf(zdir).entries.size.toLong
+      }
+      time("lake ZORDER 2-D prune", nEvents / 16) {
+        val c1 = lakeRead(zdir).filter(col("bucket") === 3).count()
+        val p1 = planned()
+        lakeRead(zdir).filter(col("kscore").between(100, 199))
+          .agg(sum(col("id"))).head.getLong(0)
+        val p2 = planned()
+        require(p1 <= 24 && p2 <= 24,
+          s"z-order needles planned $p1/$p2 of 64 files")
+        c1
+      }
+      // NMS MERGE at 20M: mirror-merge with by-source clauses — the
+      // whole three-clause matrix stays merge-on-read (vector growth +
+      // appends, zero data-file rewrites)
+      spark.range(0, nEvents + 10000)
+        .filter(col("id") % 99991 === 7 || col("id") >= nEvents)
+        .select(col("id"), (col("id") % 7 + 1).cast("int").as("delta"))
+        .createOrReplaceTempView("lake19_nms")
+      spark.sql("DROP TABLE IF EXISTS gsmoke.ns.lake19z")
+      spark.sql(s"""CREATE TABLE gsmoke.ns.lake19z (
+        |  id BIGINT, bucket INT, kscore INT, score DOUBLE, doc_id STRING
+        |) USING lake LOCATION '$zdir'""".stripMargin)
+      val tz = "gsmoke.ns.lake19z"
+      time("lake MERGE NOT MATCHED BY SRC", nEvents) {
+        LakeSource.lastReplacedFiles.set(Seq("sentinel"))
+        spark.sql(s"""MERGE INTO $tz t USING lake19_nms s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET kscore = t.kscore + s.delta
+          |WHEN NOT MATCHED THEN INSERT (id, bucket, kscore, score, doc_id)
+          |  VALUES (s.id, CAST(s.id % 16 AS INT), CAST(s.delta AS INT),
+          |          CAST(0.0 AS DOUBLE), 'ins')
+          |WHEN NOT MATCHED BY SOURCE AND t.id % 4099 = 1 THEN DELETE
+          |""".stripMargin)
+        require(LakeSource.lastReplacedFiles.get().isEmpty,
+          s"NMS MERGE rewrote: ${LakeSource.lastReplacedFiles.get()}")
+        spark.table(tz).count()
+      }
+      // TYPE WIDENING at 20M: one O(root) header write — then values
+      // beyond INT range insert, and the new file's stats still prune
+      time("lake ALTER COLUMN widen (O(root))", 1) {
+        val filesBefore = metaOf(zdir).entries.size
+        spark.sql(s"ALTER TABLE $tz ALTER COLUMN kscore TYPE BIGINT")
+        require(metaOf(zdir).entries.size == filesBefore,
+          "widening touched data files")
+        spark.sql(s"INSERT INTO $tz VALUES " +
+          s"(${nEvents + 50000}L, 0, 3000000000L, 0.0D, 'big')")
+        val c = spark.table(tz)
+          .filter(col("kscore") === 3000000000L).count()
+        require(c == 1 && planned() == 1,
+          s"widened needle: count=$c planned=${planned()}")
+        c
+      }
+      // STRING STATS at 20M: RANGE BY a string column, then a doc-id
+      // needle plans ~1 of 64 files (pre-r19: strings had no bounds —
+      // this layout+predicate combination planned EVERYTHING), and
+      // MIN/MAX(doc_id) answers from the manifest with no data task
+      time("lake RANGE BY doc_id (string)", nEvents) {
+        spark.sql(s"OPTIMIZE '$zdir' RANGE BY doc_id INTO 64 FILES")
+          .collect()
+        metaOf(zdir).entries.size.toLong
+      }
+      time("lake string needle + agg", nEvents / 1000) {
+        val c = lakeRead(zdir).filter(col("doc_id") === "doc_497").count()
+        require(planned() <= 2,
+          s"string needle planned ${planned()} of 64 files")
+        LakeSource.lastPlannedFiles.set(Nil)
+        val mm = lakeRead(zdir)
+          .agg(min(col("doc_id")), max(col("doc_id"))).head
+        require(mm.getString(1) == "doc_999" &&
+          LakeSource.lastPlannedFiles.get().isEmpty,
+          s"string MIN/MAX not manifest-only: $mm")
+        c
+      }
+      // SHALLOW CLONE at 20M: a zero-copy fork is one O(files)
+      // metadata commit; clone-local DML never touches the source
+      val cdir2 = s"$base/lake19clone"
+      time("lake SHALLOW CLONE (zero-copy)", 1) {
+        spark.sql(s"CLONE '$zdir' TO '$cdir2'").collect()
+        require(!new java.io.File(cdir2).list().exists(_.startsWith("part-")),
+          "clone copied data files")
+        lakeRead(cdir2).count()
+      }
+      time("lake clone-local DML isolation", nEvents) {
+        val srcCount = spark.table(tz).count()
+        spark.sql("DROP TABLE IF EXISTS gsmoke.ns.lake19cl")
+        spark.sql(s"""CREATE TABLE gsmoke.ns.lake19cl (
+          |  id BIGINT, bucket INT, kscore BIGINT, score DOUBLE,
+          |  doc_id STRING
+          |) USING lake LOCATION '$cdir2'""".stripMargin)
+        spark.sql("DELETE FROM gsmoke.ns.lake19cl WHERE id % 99991 = 7")
+        require(spark.table(tz).count() == srcCount,
+          "clone DML leaked into the source")
+        spark.table("gsmoke.ns.lake19cl").count()
+      }
+      spark.sql("DROP TABLE IF EXISTS gsmoke.ns.lake19z")
+      spark.sql("DROP TABLE IF EXISTS gsmoke.ns.lake19cl")
+    }
     spark.stop()
     rmTree(java.nio.file.Paths.get(base))
   }

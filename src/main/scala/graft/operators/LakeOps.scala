@@ -5,15 +5,16 @@ import org.apache.spark.sql.functions._
 
 import graft.Q
 
-/** Registered queries q225–q245 over the lakehouse table
-  * ([[graft.sources.LakeTable]], rounds 16–18) — the mutable-table
+/** Registered queries q225–q251 over the lakehouse table
+  * ([[graft.sources.LakeTable]], rounds 16–19) — the mutable-table
   * surface a shared 100 TB corpus needs on top of write-once files:
   * data-skipping scans, row-level DML (metadata-only, copy-on-write,
   * and merge-on-read), time travel by version and timestamp, streaming
   * read/write, change data feeds, storage-partitioned joins with
   * DDL-born clustering, RESTORE, small-file and target-size compaction,
-  * merge-on-read MERGE with exact change feeds, column mapping
-  * (rename/drop), and composite partition+bucket layouts.
+  * merge-on-read MERGE with exact change feeds (including `WHEN NOT
+  * MATCHED BY SOURCE`), column mapping (rename/drop), composite
+  * partition+bucket layouts, and multi-column Z-ORDER.
   * Reference analog:
   * the persisted-dataset round-trips of the deployed Dask runtime
   * (`to_parquet`/`read_parquet` on the reference image,
@@ -36,6 +37,17 @@ object LakeOps {
   /** Fresh-dir counter for q244 (rename/drop rewrites its table's
     * schema history, so each run needs its own manifest). */
   private[operators] val renameRuns =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Fresh-dir counter for q249 (a clone target must be a directory
+    * with no lake manifest, so each bench pass forks anew). */
+  private[operators] val cloneRuns =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Fresh-dir counter for q248 (widening rewrites the table's schema
+    * history — a re-CREATE with the narrow DDL over the widened
+    * manifest must keep failing loudly, so each run forks its dir). */
+  private[operators] val widenRuns =
     new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def lakeDir(s: SparkSession, tag: String): String = {
@@ -785,10 +797,228 @@ object LakeOps {
       |GROUP BY bucket ORDER BY bucket""".stripMargin)
   }
 
+  /** Z-order layout (round 19): a corpus queried by TWO independent
+    * needle columns — `OPTIMIZE … RANGE BY` serves one of them and
+    * scatters the other, `OPTIMIZE … ZORDER BY (bucket, kscore)`
+    * makes BOTH per-file ranges tight at once (Morton-key range
+    * rewrite; LakeSpec pins the planned-file drop on each axis). The
+    * oracle is the 2-D range query's result AFTER the rewrite: the
+    * maintenance pass must be content-identical, and pruning must
+    * narrow cost, never results. */
+  val qLakeZOrder: Q = Q(
+    "q246_lake_zorder",
+    """SELECT CAST(id % 16 AS INT) AS bucket, count(*) AS n,
+      |       CAST(sum((id * 31) % 997) AS BIGINT) AS sum_kscore
+      |FROM range(20000) t(id)
+      |WHERE (id % 16) BETWEEN 4 AND 7
+      |  AND ((id * 31) % 997) BETWEEN 100 AND 400
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+  ) { (s, _) =>
+    val dir = lakeDir(s, "q246_lake")
+    det(s, 20000, 8).write.format(Lake)
+      .option("path", dir).mode("overwrite").save()
+    s.sql(s"OPTIMIZE '$dir' ZORDER BY (bucket, kscore) INTO 16 FILES")
+    s.read.format(Lake).option("path", dir).load()
+      .filter(col("bucket").between(4, 7) &&
+        col("kscore").between(100, 400))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("kscore")).cast("long").as("sum_kscore"))
+      .orderBy(col("bucket"))
+  }
+
+  /** MERGE with `WHEN NOT MATCHED BY SOURCE` (round 19): the full
+    * three-way MERGE matrix — matched rows update, unmatched source
+    * rows insert, and TARGET rows the source never mentions are
+    * updated or deleted by their own clauses (the Delta/Spark-4 form
+    * that makes MERGE a complete mirror primitive: one statement
+    * reconciles the table against a snapshot feed). Rides the same
+    * merge-on-read [[graft.sources.LakeTable]] delta path as q228 —
+    * deletes/updates land as deletion-vector growth, inserts as
+    * appends (LakeSpec pins zero data-file rewrites). The oracle
+    * replays all three clause families relationally. */
+  val qLakeMergeNms: Q = Q(
+    "q247_lake_merge_nms",
+    """WITH t AS (SELECT id, CAST(id % 16 AS INT) AS bucket,
+      |                  CAST((id * 31) % 997 AS INT) AS kscore
+      |           FROM range(20000) r(id)),
+      |     s AS (SELECT id, CAST(id % 7 AS INT) AS delta
+      |           FROM range(15000, 25000) r(id)),
+      |     merged AS (
+      |       SELECT t.bucket,
+      |              CASE WHEN s.id IS NOT NULL THEN t.kscore + s.delta
+      |                   WHEN t.bucket = 6 THEN -1
+      |                   ELSE t.kscore END AS kscore
+      |       FROM t LEFT JOIN s ON t.id = s.id
+      |       WHERE NOT (s.id IS NULL AND t.bucket = 5)
+      |       UNION ALL
+      |       SELECT CAST(s.id % 16 AS INT) AS bucket, s.delta AS kscore
+      |       FROM s LEFT JOIN t ON t.id = s.id WHERE t.id IS NULL)
+      |SELECT bucket, count(*) AS n,
+      |       CAST(sum(kscore) AS BIGINT) AS sum_kscore
+      |FROM merged GROUP BY 1 ORDER BY bucket""".stripMargin
+  ) { (s, _) =>
+    val dir = lakeDir(s, "q247_lake")
+    freshTable(s, "glake.ns.t247", dir)
+    det(s, 20000, 8).createOrReplaceTempView("det247")
+    s.sql("INSERT OVERWRITE glake.ns.t247 SELECT * FROM det247")
+    s.range(15000, 25000)
+      .select(col("id"), (col("id") % 7).cast("int").as("delta"))
+      .createOrReplaceTempView("m247src")
+    s.sql("""MERGE INTO glake.ns.t247 t USING m247src s ON t.id = s.id
+      |WHEN MATCHED THEN UPDATE SET kscore = t.kscore + s.delta
+      |WHEN NOT MATCHED THEN INSERT (id, bucket, kscore, score, doc_id)
+      |  VALUES (s.id, CAST(s.id % 16 AS INT), CAST(s.delta AS INT),
+      |          CAST(0.0 AS DOUBLE), 'ins')
+      |WHEN NOT MATCHED BY SOURCE AND t.bucket = 5 THEN DELETE
+      |WHEN NOT MATCHED BY SOURCE AND t.bucket = 6 THEN
+      |  UPDATE SET kscore = -1""".stripMargin)
+    bucketAgg(s, "glake.ns.t247")
+  }
+
+  /** Type widening (round 19): `ALTER COLUMN kscore TYPE BIGINT` is a
+    * METADATA-ONLY commit — the text codec parses every committed INT
+    * token as BIGINT exactly, so old files serve the wider type with
+    * zero rewrite (the Delta type-widening table feature; the pre-r19
+    * path was a full CTAS). The query then inserts values far above
+    * INT range and aggregates across both eras; LakeSpec pins the
+    * files-untouched/O(root) protocol, the layout guards, and the
+    * refused lossy casts. */
+  val qLakeWiden: Q = Q(
+    "q248_lake_widen",
+    """WITH t AS (
+      |  SELECT id, CAST(id % 16 AS INT) AS bucket,
+      |         CAST((id * 31) % 997 AS BIGINT) AS kscore
+      |  FROM range(20000) r(id)
+      |  UNION ALL
+      |  SELECT id, CAST(id % 16 AS INT), id * 1000000
+      |  FROM range(20000, 20100) r(id))
+      |SELECT bucket, count(*) AS n,
+      |       CAST(sum(kscore) AS BIGINT) AS sum_kscore
+      |FROM t GROUP BY 1 ORDER BY bucket""".stripMargin
+  ) { (s, _) =>
+    val dir = lakeDir(s, s"q248_lake_${widenRuns.incrementAndGet()}")
+    freshTable(s, "glake.ns.t248", dir)
+    det(s, 20000, 8).createOrReplaceTempView("det248")
+    s.sql("INSERT OVERWRITE glake.ns.t248 SELECT * FROM det248")
+    s.sql("ALTER TABLE glake.ns.t248 ALTER COLUMN kscore TYPE BIGINT")
+    s.sql("""INSERT INTO glake.ns.t248
+      |SELECT id, CAST(id % 16 AS INT), id * 1000000,
+      |       CAST(0.0 AS DOUBLE), 'big'
+      |FROM range(20000, 20100)""".stripMargin)
+    bucketAgg(s, "glake.ns.t248")
+  }
+
+  /** Shallow clone (round 19): fork the source table zero-copy, then
+    * mutate the FORK — a scattered DELETE grows local deletion-vector
+    * sidecars against the shared files and an append lands local
+    * files, while the source stays byte-identical (LakeSpec pins
+    * zero-data-copy, source isolation, and the OPTIMIZE
+    * materialization). The oracle replays the fork's final state;
+    * correctness here means the clone serves shared bytes + local
+    * deltas exactly. */
+  val qLakeClone: Q = Q(
+    "q249_lake_clone",
+    """WITH src AS (SELECT id, CAST(id % 16 AS INT) AS bucket,
+      |                    CAST((id * 31) % 997 AS INT) AS kscore
+      |             FROM range(20000) r(id)),
+      |     forked AS (
+      |       SELECT bucket, kscore FROM src WHERE NOT bucket = 3
+      |       UNION ALL
+      |       SELECT CAST(id % 16 AS INT), CAST(id % 50 AS INT)
+      |       FROM range(50000, 50100) r(id))
+      |SELECT bucket, count(*) AS n,
+      |       CAST(sum(kscore) AS BIGINT) AS sum_kscore
+      |FROM forked GROUP BY 1 ORDER BY bucket""".stripMargin
+  ) { (s, _) =>
+    val dirA = lakeDir(s, "q249_src")
+    det(s, 20000, 8).write.format(Lake)
+      .option("path", dirA).mode("overwrite").save()
+    val dirB = lakeDir(s, s"q249_dst_${cloneRuns.incrementAndGet()}")
+    s.sql(s"CLONE '$dirA' TO '$dirB'")
+    useCatalog(s)
+    s.sql("DROP TABLE IF EXISTS glake.ns.t249")
+    s.sql(s"""CREATE TABLE glake.ns.t249 (
+      |  id BIGINT, bucket INT, kscore INT, score DOUBLE, doc_id STRING
+      |) USING lake LOCATION '$dirB'""".stripMargin)
+    s.sql("DELETE FROM glake.ns.t249 WHERE bucket = 3")
+    s.range(50000, 50100)
+      .select(col("id"), (col("id") % 16).cast("int").as("bucket"),
+        (col("id") % 50).cast("int").as("kscore"),
+        lit(0.0).as("score"), lit("c").as("doc_id"))
+      .write.format(Lake).option("path", dirB).mode("append").save()
+    bucketAgg(s, "glake.ns.t249")
+  }
+
+  /** String statistics (round 19): before r19 string columns carried
+    * NO file bounds, so even a RANGE BY re-layout couldn't make a
+    * doc-id needle prune — the manifest records exact `s`-prefixed
+    * UTF-8 bounds now (64-char cap, over-long values poison only
+    * their file), the pruning algebra compares them in UTF8String
+    * binary order (Spark's own string order), and manifest-only
+    * MIN/MAX answers string columns too. The query range-clusters by
+    * doc_id and runs a needle + band mix; LakeSpec pins the
+    * planned-file drops, the LakeAggScan answer, and the poison
+    * semantics. */
+  val qLakeStringStats: Q = Q(
+    "q250_lake_string_stats",
+    """SELECT doc_id, count(*) AS n,
+      |       CAST(sum((id * 31) % 997) AS BIGINT) AS sum_kscore
+      |FROM (SELECT id, 'doc_' || CAST(id % 1000 AS VARCHAR) AS doc_id
+      |      FROM range(20000) t(id))
+      |WHERE (doc_id BETWEEN 'doc_100' AND 'doc_199') OR doc_id = 'doc_497'
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+  ) { (s, _) =>
+    val dir = lakeDir(s, "q250_lake")
+    det(s, 20000, 8).write.format(Lake)
+      .option("path", dir).mode("overwrite").save()
+    s.sql(s"OPTIMIZE '$dir' RANGE BY doc_id INTO 16 FILES")
+    s.read.format(Lake).option("path", dir).load()
+      .filter(col("doc_id").between("doc_100", "doc_199") ||
+        col("doc_id") === "doc_497")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("kscore")).cast("long").as("sum_kscore"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** CHECK constraints (round 19): a table-level predicate fixed at
+    * CREATE (`TBLPROPERTIES ('check'='…')`, persisted as a table
+    * sidecar) and enforced on EVERY write path — batch appends,
+    * streaming epochs, and DML replacement rows — with SQL semantics
+    * (violation only on FALSE; NULL passes). The query runs a full
+    * ingest + row-level UPDATE under an active constraint: the
+    * enforcement cost is what the bench sees, the refusals are
+    * LakeSpec pins (a registered query must succeed). */
+  val qLakeCheck: Q = Q(
+    "q251_lake_check",
+    """SELECT CAST(id % 16 AS INT) AS bucket, count(*) AS n,
+      |       CAST(sum((id * 31) % 997 +
+      |                CASE WHEN id % 997 = 13 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS sum_kscore
+      |FROM range(20000) t(id)
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+  ) { (s, _) =>
+    val dir = lakeDir(s, "q251_lake")
+    useCatalog(s)
+    s.sql("DROP TABLE IF EXISTS glake.ns.t251")
+    s.sql(s"""CREATE TABLE glake.ns.t251 (
+      |  id BIGINT, bucket INT, kscore INT, score DOUBLE, doc_id STRING
+      |) USING lake LOCATION '$dir'
+      |TBLPROPERTIES ('check'='kscore >= 0 AND doc_id IS NOT NULL')"""
+      .stripMargin)
+    det(s, 20000, 8).createOrReplaceTempView("det251")
+    s.sql("INSERT OVERWRITE glake.ns.t251 SELECT * FROM det251")
+    s.sql("UPDATE glake.ns.t251 SET kscore = kscore + 1 " +
+      "WHERE id % 997 = 13")
+    bucketAgg(s, "glake.ns.t251")
+  }
+
   val all: Seq[Q] = Seq(qLakeScanPrune, qLakeDelete, qLakeUpdate,
     qLakeMerge, qLakeTimeTravel, qLakeStatsAgg, qLakeTimestampTravel,
     qLakeStreamRead, qLakeDvDelete, qLakeSpjJoin, qLakeChangeFeed,
     qLakeChangeStream, qLakeClusteredInsert, qLakeMorUpdate, qLakeRestore,
     qLakeCompact, qLakeMergeFeed, qLakeCompactTo, qLakeRenameDrop,
-    qLakeComposite)
+    qLakeComposite, qLakeZOrder, qLakeMergeNms, qLakeWiden, qLakeClone,
+    qLakeStringStats, qLakeCheck)
 }

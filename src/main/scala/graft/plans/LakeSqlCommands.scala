@@ -19,12 +19,14 @@ import graft.sources.{LakeFormat, LakeTable}
   *
   * {{{
   *   OPTIMIZE <table|'path'> RANGE BY <col> INTO <n> FILES
+  *   OPTIMIZE <table|'path'> ZORDER BY (<c1>, <c2>[, <c3>[, <c4>]]) [INTO <n> FILES]
   *   OPTIMIZE <table|'path'> CLUSTER BY [days(<c>)|trunc(<c>,<u>),] bucket(<col>, <n>)
   *   OPTIMIZE <table|'path'> COMPACT FILES UNDER <n> BYTES [INTO <k> FILES]
   *   OPTIMIZE <table|'path'> COMPACT TO <n> BYTES
   *   VACUUM   <table|'path'> RETAIN <n> VERSIONS [GRACE <ms> MS]
   *   RESTORE [TABLE] <table|'path'> TO VERSION AS OF <n>
   *   RESTORE [TABLE] <table|'path'> TO TIMESTAMP AS OF '<ts>'
+  *   CLONE [TABLE] <table|'path'> TO '<path>' [VERSION AS OF <n>]
   *   DESCRIBE HISTORY <table|'path'>
   * }}}
   *
@@ -46,6 +48,10 @@ object LakeSqlCommands {
   private val OptimizeRange =
     ("""(?is)^\s*OPTIMIZE\s+""" + Target +
       """\s+RANGE\s+BY\s+(\w+)\s+INTO\s+(\d+)\s+FILES\s*;?\s*$""").r
+  private val OptimizeZOrder =
+    ("""(?is)^\s*OPTIMIZE\s+""" + Target +
+      """\s+ZORDER\s+BY\s+\(\s*(\w+(?:\s*,\s*\w+)+)\s*\)""" +
+      """(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?\s*$""").r
   private val OptimizeCluster =
     ("""(?is)^\s*OPTIMIZE\s+""" + Target +
       """\s+CLUSTER\s+BY\s+""" +
@@ -67,11 +73,18 @@ object LakeSqlCommands {
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + Target +
       """\s+TO\s+(?:VERSION\s+AS\s+OF\s+(\d+)""" +
       """|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*;?\s*$""").r
+  private val Clone =
+    ("""(?is)^\s*CLONE\s+(?:TABLE\s+)?""" + Target +
+      """\s+TO\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case OptimizeRange(path, ident, col, n) =>
       Some(OptimizeLakeCommand(Option(path), Option(ident), col,
         n.toInt, cluster = false))
+    case OptimizeZOrder(path, ident, colsStr, into) =>
+      Some(ZOrderLakeCommand(Option(path), Option(ident),
+        colsStr.split(',').map(_.trim).toSeq,
+        Option(into).map(_.toInt)))
     case OptimizeCluster(path, ident, daysCol, truncCol, truncUnit,
         col, n) =>
       // composite layout (r19): `CLUSTER BY [days(c)|trunc(c,u),]
@@ -93,6 +106,9 @@ object LakeSqlCommands {
     case Restore(path, ident, version, ts) =>
       Some(RestoreLakeCommand(Option(path), Option(ident),
         Option(version).map(_.toInt), Option(ts)))
+    case Clone(path, ident, dst, version) =>
+      Some(CloneLakeCommand(Option(path), Option(ident), dst,
+        Option(version).map(_.toInt)))
     case History(path, ident) if path != null ||
         ident.replaceAll("`[^`]*`", "").contains('.') =>
       // single-part identifiers fall through: `DESCRIBE HISTORY` must
@@ -178,6 +194,41 @@ case class OptimizeLakeCommand(path: Option[String], ident: Option[String],
   }
 }
 
+/** `OPTIMIZE … ZORDER BY (c1, c2, …) [INTO n FILES]` (round 19) —
+  * rewrite the snapshot multi-dimensionally clustered on the Morton
+  * key of 2–4 numeric columns ([[LakeFormat.optimizeZOrder]]: manifest-
+  * stats grid bounds, codegen'd interleave, snapshot-pinned commit,
+  * maintenance-flagged). Where `RANGE BY` serves ONE query column,
+  * z-order makes needle predicates on EVERY listed column prune files
+  * at once — the Delta `OPTIMIZE ZORDER BY` seat. `INTO` defaults to
+  * the current file count (re-layout, not re-size). */
+case class ZOrderLakeCommand(path: Option[String], ident: Option[String],
+    cols: Seq[String], into: Option[Int]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("version_before", IntegerType, nullable = false)(),
+    AttributeReference("version_after", IntegerType, nullable = false)(),
+    AttributeReference("files_before", IntegerType, nullable = false)(),
+    AttributeReference("files_after", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = LakeSqlCommands.resolvePath(spark, path, ident)
+    val f = LakeFormat.fs(dir)
+    def snapshot(): (Int, Int) = {
+      val v = LakeFormat.latestVersion(f, dir).getOrElse(
+        throw new IllegalArgumentException(
+          s"OPTIMIZE: no lake manifest under $dir"))
+      val r = LakeFormat.readManifestRoot(f, dir, v)
+      (v, r.inline.size + r.segs.map(_.count).sum)
+    }
+    val (v0, files0) = snapshot()
+    LakeFormat.optimizeZOrder(spark, dir, cols,
+      into.getOrElse(math.max(files0, 1)))
+    val (v1, files1) = snapshot()
+    Seq(Row(dir, v0, v1, files0, files1))
+  }
+}
+
 /** `OPTIMIZE … COMPACT FILES UNDER n BYTES [INTO k FILES]` — bin-pack
   * the snapshot's small files into larger ones, leaving every other
   * file untouched ([[LakeFormat.compactSmall]]: pinned-file read, diff
@@ -243,6 +294,29 @@ case class CompactToSizeLakeCommand(path: Option[String],
     val (n, bins) = LakeFormat.compactToSize(spark, dir, targetBytes)
     val (v1, files1) = snapshot()
     Seq(Row(dir, v0, v1, n, bins, files1))
+  }
+}
+
+/** `CLONE [TABLE] src TO 'dst' [VERSION AS OF n]` (round 19) — fork a
+  * snapshot into a fresh lake table at `dst` that REFERENCES the
+  * source's data files (absolute-path manifest entries, zero bytes
+  * copied — [[LakeFormat.shallowClone]]). The clone reads, appends,
+  * and mutates independently (merge-on-read DML grows local sidecars
+  * against the shared files); OPTIMIZE materializes it fully. The
+  * Delta `SHALLOW CLONE` seat, including its shared-fate caveat:
+  * VACUUM on the source can reclaim files clones still reference. */
+case class CloneLakeCommand(path: Option[String], ident: Option[String],
+    dst: String, versionAsOf: Option[Int]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("source", StringType, nullable = false)(),
+    AttributeReference("target", StringType, nullable = false)(),
+    AttributeReference("source_version", IntegerType, nullable = false)(),
+    AttributeReference("files_referenced", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = LakeSqlCommands.resolvePath(spark, path, ident)
+    val (v, files) = LakeFormat.shallowClone(src, dst, versionAsOf)
+    Seq(Row(src, dst, v, files))
   }
 }
 

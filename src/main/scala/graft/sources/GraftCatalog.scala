@@ -289,6 +289,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               }
           }
         }
+        // CHECK constraint (r19): TBLPROPERTIES ('check'='<predicate>')
+        // — validated NOW (fail at CREATE, not at first INSERT) and
+        // persisted as the table's `_check.sql` sidecar so path-based
+        // writes enforce it too; fixed for the table's life
+        propCI("check").orElse(propCI("option.check")).foreach { sql =>
+          LakeFormat.resolveCheck(sch, sql) // analysis must succeed
+          LakeFormat.writeCheckSql(f, path, sql)
+        }
         new LakeTable(path, sch, None, None, catalogBacked = true)
       case "graft.sources.csvdirsink" | "csvdir" =>
         // DDL normalizes OPTIONS(path …) / LOCATION into PROP_LOCATION

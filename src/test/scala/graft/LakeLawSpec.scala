@@ -19,8 +19,9 @@ import graft.sources.LakeFormat
   * DELETE and the RESTORE that un-deletes it. Twenty seeded histories
   * interleave scattered/file-aligned DELETEs, MoR UPDATEs, three-clause
   * MERGEs, appends, RESTOREs to random earlier versions, small-file
-  * COMPACTion, and OPTIMIZE CLUSTER BY (both maintenance-flagged:
-  * the feed must stay silent for them yet keep netting afterwards).
+  * COMPACTion, OPTIMIZE CLUSTER BY, Z-ORDER re-layouts (all three
+  * maintenance-flagged: the feed must stay silent for them yet keep
+  * netting afterwards), and header-only type widening (r19).
   *
   * Seeds are FIXED (0..19): the histories are random in shape but the
   * test is deterministic — a failure names its seed and op list. */
@@ -54,7 +55,7 @@ class LakeLawSpec extends AnyFunSuite {
         s"(netted=${netted.count()}, live=${live.count()})")
   }
 
-  test("netting law: 20 random DML∘RESTORE∘COMPACT∘CLUSTER histories — cumulative feed ≡ live table (r19, r18 verdict #7)") {
+  test("netting law: 20 random DML∘RESTORE∘COMPACT∘CLUSTER∘ZORDER∘WIDEN histories — cumulative feed ≡ live table (r19, r18 verdict #7)") {
     spark.conf.set("spark.sql.catalog.glt", "graft.sources.GraftCatalog")
     (0 until 20).foreach { seed =>
       val rnd = new scala.util.Random(seed)
@@ -76,7 +77,7 @@ class LakeLawSpec extends AnyFunSuite {
       val f = LakeFormat.fs(dir)
       val ops = Seq.newBuilder[String]
       (0 until 6).foreach { step =>
-        rnd.nextInt(7) match {
+        rnd.nextInt(9) match {
           case 0 => // scattered delete
             val p = 37 + rnd.nextInt(60)
             ops += s"delete%$p"
@@ -125,6 +126,20 @@ class LakeLawSpec extends AnyFunSuite {
             ops += "cluster"
             LakeFormat.optimizeCluster(spark, dir, "id",
               2 + rnd.nextInt(3))
+          case 7 => // z-order re-layout (r19; maintenance: feed-silent)
+            ops += "zorder"
+            LakeFormat.optimizeZOrder(spark, dir,
+              Seq("bucket", "kscore"), 2 + rnd.nextInt(6))
+          case 8 => // type widen kscore (r19; header-only — the feed
+            // must emit nothing for it and keep netting across it);
+            // widening is once-per-history by nature, so re-rolls skip
+            val root = LakeFormat.readManifestMeta(f, dir,
+              LakeFormat.latestVersion(f, dir).get)
+            if (root.schema("kscore").dataType ==
+                org.apache.spark.sql.types.IntegerType) {
+              ops += "widen"
+              spark.sql(s"ALTER TABLE $t ALTER COLUMN kscore TYPE BIGINT")
+            } else ops += "widen-skip"
         }
       }
       assertNets(t, dir, s"seed=$seed ops=${ops.result().mkString("∘")}")

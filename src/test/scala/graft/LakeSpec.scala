@@ -457,6 +457,127 @@ class LakeSpec extends AnyFunSuite {
     // unconditional _file filterAttributes failed any join at analysis)
   }
 
+  test("CHECK constraints: enforced on batch/DML/path writes, NULL passes, violations abort pre-commit, fixed at CREATE, clone carries (r19)") {
+    def deepMsg(t: Throwable): String = {
+      var m = new StringBuilder
+      var c: Throwable = t
+      while (c != null) { m ++= String.valueOf(c.getMessage); c = c.getCause }
+      m.toString
+    }
+    val dir = tmp("lake_check")
+    spark.conf.set("spark.sql.catalog.glt", "graft.sources.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS glt.ns.tcheck")
+    spark.sql(s"""CREATE TABLE glt.ns.tcheck (
+      |  id BIGINT, bucket INT, kscore INT, score DOUBLE, doc_id STRING
+      |) USING lake LOCATION '$dir'
+      |TBLPROPERTIES ('check'='kscore >= 0')""".stripMargin)
+    val t = "glt.ns.tcheck"
+    det(20000, 8).createOrReplaceTempView("check_src")
+    spark.sql(s"INSERT OVERWRITE $t SELECT * FROM check_src")
+    assert(spark.table(t).count() == 20000L)
+    val f = LakeFormat.fs(dir)
+    val vBefore = LakeFormat.latestVersion(f, dir).get
+    // violating batch INSERT: loud, and NO manifest version lands
+    val e1 = intercept[Exception](spark.sql(
+      s"INSERT INTO $t VALUES (90000L, 0, -5, 0.0D, 'bad')"))
+    assert(deepMsg(e1).contains("CHECK constraint violated"), deepMsg(e1))
+    assert(LakeFormat.latestVersion(f, dir).get == vBefore)
+    assert(spark.table(t).count() == 20000L)
+    // violating UPDATE (delta replacement row): loud, state unchanged
+    val e2 = intercept[Exception](spark.sql(
+      s"UPDATE $t SET kscore = -1 WHERE id = 5"))
+    assert(deepMsg(e2).contains("CHECK constraint violated"), deepMsg(e2))
+    assert(spark.table(t).filter(col("kscore") < 0).count() == 0L)
+    // NULL passes (SQL semantics: violation only on FALSE)
+    spark.sql(s"INSERT INTO $t VALUES (90001L, 0, NULL, 0.0D, 'nullok')")
+    assert(spark.table(t).count() == 20001L)
+    // PATH-based writes enforce too — the sidecar is the truth
+    val e3 = intercept[Exception](
+      spark.range(1).selectExpr("id", "CAST(0 AS INT) AS bucket",
+        "CAST(-7 AS INT) AS kscore", "CAST(0.0 AS DOUBLE) AS score",
+        "'p' AS doc_id")
+        .write.format(Lake).option("path", dir).mode("append").save())
+    assert(deepMsg(e3).contains("CHECK constraint violated"), deepMsg(e3))
+    // constraints are fixed at CREATE: a different text is refused
+    spark.sql("DROP TABLE IF EXISTS glt.ns.tcheck2")
+    val e4 = intercept[Exception](spark.sql(
+      s"""CREATE TABLE glt.ns.tcheck2 (
+         |  id BIGINT, bucket INT, kscore INT, score DOUBLE, doc_id STRING
+         |) USING lake LOCATION '$dir'
+         |TBLPROPERTIES ('check'='kscore >= 1')""".stripMargin))
+    assert(deepMsg(e4).contains("already carries CHECK"), deepMsg(e4))
+    // non-boolean constraints die at CREATE, not at first INSERT
+    spark.sql("DROP TABLE IF EXISTS glt.ns.tcheck3")
+    val e5 = intercept[Exception](spark.sql(
+      s"""CREATE TABLE glt.ns.tcheck3 (
+         |  id BIGINT, v INT
+         |) USING lake LOCATION '${tmp("lake_check3")}'
+         |TBLPROPERTIES ('check'='v + 1')""".stripMargin))
+    assert(deepMsg(e5).toLowerCase.contains("boolean"), deepMsg(e5))
+    // the constraint travels with a SHALLOW CLONE
+    val cdir = tmp("lake_check_clone")
+    spark.sql(s"CLONE '$dir' TO '$cdir'")
+    val e6 = intercept[Exception](
+      spark.range(1).selectExpr("id", "CAST(0 AS INT) AS bucket",
+        "CAST(-7 AS INT) AS kscore", "CAST(0.0 AS DOUBLE) AS score",
+        "'c' AS doc_id")
+        .write.format(Lake).option("path", cdir).mode("append").save())
+    assert(deepMsg(e6).contains("CHECK constraint violated"), deepMsg(e6))
+  }
+
+  test("string stats: exact s-bounds prune needle and range predicates after RANGE BY, answer manifest-only MIN/MAX; over-long values poison only their file (r19)") {
+    val dir = tmp("lake_strstats")
+    det(20000, 8).write.format(Lake).option("path", dir)
+      .mode("overwrite").save()
+    // append layout: doc_id = 'doc_' || id % 1000 cycles through every
+    // id-contiguous file, so a needle plans ALL files pre-layout
+    assert(read(dir).filter(col("doc_id") === "doc_497").count() == 20L)
+    assert(LakeSource.lastPlannedFiles.get().size == 8)
+    // RANGE BY a STRING column now yields per-file string bounds —
+    // the layout + stats combination that was dead before r19
+    LakeFormat.optimize(spark, dir, "doc_id", files = 16)
+    assert(read(dir).filter(col("doc_id") === "doc_497").count() == 20L)
+    val needle = LakeSource.lastPlannedFiles.get().size
+    assert(needle <= 2, s"string needle planned $needle of 16 files")
+    // string RANGE predicates prune through the same bounds
+    val preCount = read(dir)
+      .filter(col("doc_id") >= "doc_900" && col("doc_id") < "doc_92")
+      .count()
+    val ranged = LakeSource.lastPlannedFiles.get().size
+    assert(preCount > 0 && ranged <= 4,
+      s"string band planned $ranged of 16 files")
+    // manifest-only MIN/MAX on a string column (was: forced real scan)
+    LakeSource.lastPlannedFiles.set(Nil)
+    val agg = read(dir).agg(min(col("doc_id")).as("mn"),
+      max(col("doc_id")).as("mx"))
+    assert(agg.queryExecution.executedPlan.toString.contains("LakeAggScan"),
+      agg.queryExecution.executedPlan.toString.take(300))
+    val r = agg.head
+    assert(r.getString(0) == "doc_0" && r.getString(1) == "doc_999", r)
+    assert(LakeSource.lastPlannedFiles.get().isEmpty)
+    // an over-long value (> 64 chars) poisons ITS file's bounds only:
+    // that file can never prune (correct, never wrongly prunable),
+    // the bounded file still does
+    val dir2 = tmp("lake_strstats_long")
+    spark.range(0, 10)
+      .selectExpr("id", "concat('short_', id) AS s").coalesce(1)
+      .write.format(Lake).option("path", dir2).mode("overwrite").save()
+    spark.range(10, 20)
+      .selectExpr("id", s"concat('zz_', repeat('x', 70), id) AS s")
+      .coalesce(1)
+      .write.format(Lake).option("path", dir2).mode("append").save()
+    val d2 = spark.read.format(Lake).option("path", dir2).load()
+    assert(d2.filter(col("s") === "zz_nothing").count() == 0L)
+    assert(LakeSource.lastPlannedFiles.get().size == 1,
+      "the bounded file should prune; the poisoned file must survive")
+    // and MIN/MAX falls back to a REAL scan when any file lacks bounds
+    LakeSource.lastPlannedFiles.set(Nil)
+    assert(d2.agg(max(col("s"))).head.getString(0).startsWith("zz_x") ||
+      d2.agg(max(col("s"))).head.getString(0).startsWith("zz_"))
+    assert(LakeSource.lastPlannedFiles.get().nonEmpty,
+      "string MIN/MAX must not be answered from a poisoned manifest")
+  }
+
   test("OPTIMIZE: range-clustering a scattered column makes stats pruning selective; content identical") {
     val dir = tmp("lake_opt")
     det(20000, 8).write.format(Lake).option("path", dir)
@@ -484,6 +605,65 @@ class LakeSpec extends AnyFunSuite {
     // old snapshot (pre-optimize layout) still serves via time travel
     assert(spark.read.format(Lake).option("path", dir)
       .option("versionAsOf", 0).load().count() == 20000L)
+  }
+
+  test("OPTIMIZE ZORDER BY: both z-ordered columns prune at once; content identical; non-numeric and single-column forms refused (r19)") {
+    val dir = tmp("lake_zorder")
+    det(20000, 8).write.format(Lake).option("path", dir)
+      .mode("overwrite").save()
+    val before = read(dir).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("kscore")).as("s"))
+      .collect().map(_.toString).sorted.toSeq
+    // append layout: id-contiguous files — BOTH bucket (id % 16) and
+    // kscore ((id * 31) % 997) interleave through every file, so
+    // neither predicate prunes anything
+    assert(read(dir).filter(col("bucket") === 3).agg(sum(col("id")))
+      .head.getLong(0) > 0L)
+    assert(LakeSource.lastPlannedFiles.get().size == 8)
+    assert(read(dir).filter(col("kscore").between(100, 199))
+      .agg(sum(col("id"))).head.getLong(0) > 0L)
+    assert(LakeSource.lastPlannedFiles.get().size == 8)
+    val row = spark.sql(
+      s"OPTIMIZE '$dir' ZORDER BY (bucket, kscore) INTO 16 FILES").head
+    assert(row.getInt(3) == 8 && row.getInt(4) == 16,
+      s"zorder metrics row: $row")
+    // content identical, and the old layout still serves via travel
+    val after = read(dir).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("kscore")).as("s"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before, "zorder changed table content")
+    assert(spark.read.format(Lake).option("path", dir)
+      .option("versionAsOf", 0).load().count() == 20000L)
+    // a 16-file 2-D z-order ≈ a 4×4 grid: a needle predicate on EITHER
+    // column intersects ~one grid column/row — strictly fewer files
+    // than the pre-rewrite full scan on both axes at once
+    assert(read(dir).filter(col("bucket") === 3).agg(sum(col("id")))
+      .head.getLong(0) > 0L)
+    val byBucket = LakeSource.lastPlannedFiles.get().size
+    assert(byBucket <= 8,
+      s"bucket needle planned $byBucket of 16 z-ordered files")
+    assert(read(dir).filter(col("kscore").between(100, 199))
+      .agg(sum(col("id"))).head.getLong(0) > 0L)
+    val byKscore = LakeSource.lastPlannedFiles.get().size
+    assert(byKscore <= 8,
+      s"kscore band planned $byKscore of 16 z-ordered files")
+    // conjunction of both axes: at most the smaller single-axis set
+    assert(read(dir).filter(col("bucket") === 3 &&
+      col("kscore").between(100, 199)).count() >= 0L)
+    val byBoth = LakeSource.lastPlannedFiles.get().size
+    assert(byBoth <= math.min(byBucket, byKscore),
+      s"2-D needle planned $byBoth (single axes: $byBucket/$byKscore)")
+    // guardrails: strings have no numeric stats; one column is RANGE
+    // BY's job; unknown columns fail loudly
+    val e1 = intercept[IllegalArgumentException](
+      LakeFormat.optimizeZOrder(spark, dir, Seq("doc_id", "bucket"), 8))
+    assert(e1.getMessage.contains("numeric"))
+    val e2 = intercept[IllegalArgumentException](
+      LakeFormat.optimizeZOrder(spark, dir, Seq("bucket"), 8))
+    assert(e2.getMessage.contains("RANGE BY"))
+    val e3 = intercept[IllegalArgumentException](
+      LakeFormat.optimizeZOrder(spark, dir, Seq("bucket", "nope"), 8))
+    assert(e3.getMessage.contains("not a column"))
   }
 
   test("schema evolution: ADD COLUMNS null-pads old files, new writes carry stats, rewrites upgrade; non-append changes refused") {
@@ -1543,6 +1723,196 @@ class LakeSpec extends AnyFunSuite {
     assert(meta2().cluster.contains(("id", 8)),
       "MoR MERGE dropped the cluster claim")
     assert(meta2().entries.forall(_.pk.isDefined))
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE: unmentioned target rows update/delete by their own clauses, still zero data-file rewrites (r19)") {
+    val dir = tmp("lake_nms")
+    val t = catalogTable("tnms", dir)
+    det(20000, 8).createOrReplaceTempView("nms_target")
+    spark.sql(s"INSERT OVERWRITE $t SELECT * FROM nms_target")
+    val src = spark.range(15000, 20100)
+      .select(col("id"), (col("id") % 7).cast("int").as("delta"))
+    src.createOrReplaceTempView("nms_src")
+    LakeSource.lastReplacedFiles.set(Seq("sentinel"))
+    LakeSource.lastDvWrites.set(Nil)
+    spark.sql(s"""MERGE INTO $t t USING nms_src s ON t.id = s.id
+      |WHEN MATCHED THEN UPDATE SET kscore = t.kscore + s.delta
+      |WHEN NOT MATCHED THEN INSERT (id, bucket, kscore, score, doc_id)
+      |  VALUES (s.id, CAST(s.id % 16 AS INT), CAST(s.delta AS INT),
+      |          CAST(0.0 AS DOUBLE), 'ins')
+      |WHEN NOT MATCHED BY SOURCE AND t.bucket = 5 THEN DELETE
+      |WHEN NOT MATCHED BY SOURCE AND t.bucket = 6 THEN
+      |  UPDATE SET kscore = -1""".stripMargin)
+    // the whole three-clause matrix is still merge-on-read: matched
+    // updates AND by-source deletes/updates land as vector growth,
+    // replacement + new rows as appends — zero files rewritten
+    assert(LakeSource.lastReplacedFiles.get().isEmpty,
+      s"NMS MERGE rewrote: ${LakeSource.lastReplacedFiles.get()}")
+    assert(LakeSource.lastDvWrites.get().nonEmpty,
+      "NMS MERGE wrote no deletion vectors")
+    // relational replay of all three clause families (the driver-gate
+    // oracle re-derives the same in DuckDB for q247)
+    val tgt = det(20000, 8).select(col("id"), col("bucket"), col("kscore"))
+    val joined = tgt.join(src.withColumnRenamed("id", "sid"),
+      col("id") === col("sid"), "left")
+    val kept = joined
+      .filter(!(col("sid").isNull && col("bucket") === 5))
+      .select(col("id"),
+        when(col("sid").isNotNull, col("kscore") + col("delta"))
+          .when(col("bucket") === 6, -1)
+          .otherwise(col("kscore")).as("kscore"))
+    val inserted = src.join(tgt.select(col("id").as("tid")),
+      col("id") === col("tid"), "left_anti")
+      .select(col("id"), col("delta").cast("int").as("kscore"))
+    val expected = kept.unionByName(inserted)
+      .orderBy("id", "kscore").collect().toSeq
+    val got = spark.table(t).select(col("id"), col("kscore"))
+      .orderBy("id", "kscore").collect().toSeq
+    assert(got == expected,
+      s"NMS merge state diverged: ${got.size} vs ${expected.size} rows")
+  }
+
+  test("SHALLOW CLONE: zero bytes copied, claims carry, clone mutates via LOCAL sidecars/appends, source untouched, chains, OPTIMIZE materializes (r19)") {
+    val src = tmp("lake_clone_src")
+    det(20000, 8).write.format(Lake).option("path", src)
+      .mode("overwrite").save()
+    // cluster the source so the layout claim's carry is observable
+    LakeFormat.optimizeCluster(spark, src, "bucket", 4)
+    val fsrc = LakeFormat.fs(src)
+    val vSrc = LakeFormat.latestVersion(fsrc, src).get
+    val srcFiles = lakeFiles(src).sorted
+    val dst = tmp("lake_clone_dst")
+    val row = spark.sql(s"CLONE '$src' TO '$dst'").head
+    assert(row.getInt(2) == vSrc && row.getInt(3) == 4, row.toString)
+    // ZERO data files under the clone — only its v0 manifest
+    assert(lakeFiles(dst).isEmpty, lakeFiles(dst).toString)
+    assert(read(dst).count() == 20000L)
+    val dmeta = LakeFormat.readManifestMeta(LakeFormat.fs(dst), dst, 0)
+    assert(dmeta.cluster.contains(("bucket", 4)),
+      "clone dropped the source's layout claim")
+    // the clone joins exchange-free from birth (claim + pk carried)
+    assert(dmeta.entries.forall(_.pk.isDefined))
+    // DML on the clone = LOCAL deletion vectors against shared files;
+    // the source's bytes and row count stay untouched
+    val t = catalogTable("tclone", dst)
+    spark.sql(s"DELETE FROM $t WHERE id % 997 = 13")
+    assert(spark.table(t).count() == 20000L - 21L)
+    assert(read(src).count() == 20000L, "clone DML leaked into source")
+    assert(lakeFiles(src).sorted == srcFiles)
+    assert(new java.io.File(dst).list().exists(_.startsWith("dv-")),
+      "clone's deletion vector did not land in the clone's directory")
+    // appends land locally; reads mix shared + local files
+    spark.range(50000, 50100)
+      .select(col("id"), (col("id") % 16).cast("int").as("bucket"),
+        (col("id") % 50).cast("int").as("kscore"),
+        lit(0.0).as("score"), lit("c").as("doc_id"))
+      .write.format(Lake).option("path", dst).mode("append").save()
+    assert(spark.table(t).count() == 20000L - 21L + 100L)
+    assert(lakeFiles(dst).nonEmpty)
+    // a clone of a clone chains the absolute references through
+    val dst2 = tmp("lake_clone_dst2")
+    spark.sql(s"CLONE '$dst' TO '$dst2'")
+    assert(read(dst2).count() == 20000L - 21L + 100L)
+    // clone targets must be fresh
+    val e = intercept[IllegalArgumentException](
+      LakeFormat.shallowClone(src, dst, None))
+    assert(e.getMessage.contains("fresh"))
+    // VERSION AS OF forks the historical snapshot
+    val dst3 = tmp("lake_clone_dst3")
+    spark.sql(s"CLONE '$src' TO '$dst3' VERSION AS OF 0")
+    assert(read(dst3).count() == 20000L)
+    assert(LakeFormat.readManifestMeta(LakeFormat.fs(dst3), dst3, 0)
+      .entries.size == 8, "VERSION AS OF 0 should reference the 8 " +
+      "pre-cluster files")
+    // OPTIMIZE materializes: every reference becomes a local file
+    LakeFormat.optimize(spark, dst, "id", 4)
+    val m2 = LakeFormat.readManifestMeta(LakeFormat.fs(dst), dst,
+      LakeFormat.latestVersion(LakeFormat.fs(dst), dst).get)
+    assert(m2.entries.forall(!_.name.contains('/')),
+      "OPTIMIZE left foreign references in the materialized clone")
+    assert(spark.table(t).count() == 20000L - 21L + 100L)
+  }
+
+  test("type widening: ALTER COLUMN TYPE INT→BIGINT/DOUBLE is metadata-only — files untouched, big values insert, stats prune, time travel keeps old type; lossy casts and layout hash changes refused (r19)") {
+    val dir = tmp("lake_widen")
+    val t = catalogTable("twiden", dir)
+    det(20000, 8).createOrReplaceTempView("widen_src")
+    spark.sql(s"INSERT OVERWRITE $t SELECT * FROM widen_src")
+    val filesBefore = lakeFiles(dir).sorted
+    val f = LakeFormat.fs(dir)
+    val vBefore = LakeFormat.latestVersion(f, dir).get
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN kscore TYPE BIGINT")
+    // METADATA-ONLY: one new version, zero data files touched
+    assert(LakeFormat.latestVersion(f, dir).get == vBefore + 1)
+    assert(lakeFiles(dir).sorted == filesBefore,
+      "type widening touched data files")
+    val meta = LakeFormat.readManifestMeta(f, dir, vBefore + 1)
+    assert(meta.schema("kscore").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // old INT tokens serve as BIGINT; values beyond INT range insert
+    spark.sql(s"""INSERT INTO $t VALUES
+      |(20000L, 0, 3000000000L, 0.0D, 'big')""".stripMargin)
+    val big = spark.table(t).filter(col("id") === 20000L)
+      .select("kscore").head.getLong(0)
+    assert(big == 3000000000L)
+    assert(spark.table(t).agg(sum(col("kscore"))).head.getLong(0) > 0L)
+    // stats pruning still narrows on the widened column: the pre-widen
+    // statistics parse through the same numeric algebra
+    assert(spark.table(t).filter(col("kscore") === 3000000000L).count() == 1L)
+    assert(LakeSource.lastPlannedFiles.get().size == 1,
+      s"widened-column needle planned ${LakeSource.lastPlannedFiles.get()}")
+    // time travel serves the version's OWN type
+    assert(spark.read.format(Lake).option("path", dir)
+      .option("versionAsOf", vBefore).load()
+      .schema("kscore").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // DML stays correct across the widen (merge-on-read UPDATE)
+    spark.sql(s"UPDATE $t SET kscore = kscore + 1 WHERE id = 20000")
+    assert(spark.table(t).filter(col("id") === 20000L)
+      .select("kscore").head.getLong(0) == 3000000001L)
+    // INT→DOUBLE widens too (non-layout column)
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN bucket TYPE DOUBLE")
+    assert(spark.table(t).schema("bucket").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(spark.table(t).filter(col("id") === 5L)
+      .select("bucket").head.getDouble(0) == 5.0d)
+    // lossy/reinterpreting casts are refused loudly
+    val e1 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN kscore TYPE DOUBLE"))
+    assert(e1.getMessage.contains("2^53"), e1.getMessage)
+    // STRING→BIGINT dies in Spark's own analyzer (canUpCast) before it
+    // reaches the catalog; the engine's "reinterpret" require stays as
+    // defense-in-depth for direct TableChange callers
+    val e2 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN doc_id TYPE BIGINT"))
+    assert(e2.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"),
+      e2.getMessage)
+    // a stale narrow-schema writer merges: its int tokens serve under
+    // the widened header (wider-wins per field, loud on real conflicts)
+    val merged = LakeFormat.mergeSchemas(dir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("kscore",
+          org.apache.spark.sql.types.IntegerType))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("kscore",
+          org.apache.spark.sql.types.LongType))))
+    assert(merged("kscore").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // widening the CLUSTER column to DOUBLE would change the bucket
+    // hash under the claim — refused; INT→BIGINT shares the hash path
+    val cdir = tmp("lake_widen_cl")
+    val ct = catalogTable("twidencl", cdir)
+    spark.sql(s"INSERT OVERWRITE $ct SELECT * FROM widen_src")
+    LakeFormat.optimizeCluster(spark, cdir, "bucket", 4)
+    val e3 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $ct ALTER COLUMN bucket TYPE DOUBLE"))
+    assert(e3.getMessage.contains("bucket hash"), e3.getMessage)
+    spark.sql(s"ALTER TABLE $ct ALTER COLUMN kscore TYPE BIGINT")
+    val cf = LakeFormat.fs(cdir)
+    val cmeta = LakeFormat.readManifestMeta(cf, cdir,
+      LakeFormat.latestVersion(cf, cdir).get)
+    assert(cmeta.cluster.contains(("bucket", 4)),
+      "INT→BIGINT widening dropped the cluster claim")
   }
 
   test("column mapping: RENAME/DROP COLUMN are metadata-only — files untouched, stats keep pruning, time travel serves the old names, DML stays correct, re-add never resurrects (r19 — r18 verdict #4)") {
