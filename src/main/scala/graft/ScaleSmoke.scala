@@ -1332,11 +1332,48 @@ object ScaleSmoke {
         LakeSource.lastPlannedFiles.set(Nil)
         val mm = lakeRead(zdir)
           .agg(min(col("doc_id")), max(col("doc_id"))).head
-        require(mm.getString(1) == "doc_999" &&
+        // 'big' (the widen insert) and 'ins' (the NMS merge inserts)
+        // straddle the doc_ corpus lexicographically
+        require(mm.getString(0) == "big" && mm.getString(1) == "ins" &&
           LakeSource.lastPlannedFiles.get().isEmpty,
-          s"string MIN/MAX not manifest-only: $mm")
+          s"string MIN/MAX not manifest-only: $mm " +
+            s"planned=${LakeSource.lastPlannedFiles.get()}")
         c
       }
+      // BLOOM SKIPPING at 20M: a unique hashed key — every file's
+      // [min,max] covers the key space, so only the per-file bloom
+      // sidecars can prune; the needle plans 1 of 64 files and an
+      // absent key plans ZERO (no task launches over 20M rows)
+      val bdir = s"$base/lake19bloom"
+      spark.sql("DROP TABLE IF EXISTS gsmoke.ns.lake19b")
+      spark.sql(s"""CREATE TABLE gsmoke.ns.lake19b (id BIGINT, doc_id STRING)
+        |USING lake LOCATION '$bdir'
+        |TBLPROPERTIES ('bloomFor'='doc_id')""".stripMargin)
+      spark.range(0, nEvents, 1, 64)
+        .selectExpr("id",
+          "concat('h', CAST(id * 2654435761 % 1073741824 AS STRING), " +
+            "'_', CAST(id AS STRING)) AS doc_id")
+        .createOrReplaceTempView("lake19_bloomsrc")
+      time("lake bloom-enrolled INSERT", nEvents) {
+        spark.sql("INSERT OVERWRITE gsmoke.ns.lake19b " +
+          "SELECT * FROM lake19_bloomsrc")
+        spark.table("gsmoke.ns.lake19b").count()
+      }
+      time("lake bloom needle (1/64)", 1) {
+        val needle = s"h${(12345678L * 2654435761L) % 1073741824L}_12345678"
+        val c = spark.table("gsmoke.ns.lake19b")
+          .filter(col("doc_id") === needle).count()
+        require(c == 1 && planned() == 1,
+          s"bloom needle: count=$c planned=${planned()}")
+        val c0 = spark.table("gsmoke.ns.lake19b")
+          .filter(col("doc_id") === "h0_nope").count()
+        // ≤2 not ==0: with 64 filters at ~0.3% FPR a stray false
+        // positive is possible — it costs one file read, never a row
+        require(c0 == 0 && planned() <= 2,
+          s"absent needle planned ${planned()} files")
+        c
+      }
+      spark.sql("DROP TABLE IF EXISTS gsmoke.ns.lake19b")
       // SHALLOW CLONE at 20M: a zero-copy fork is one O(files)
       // metadata commit; clone-local DML never touches the source
       val cdir2 = s"$base/lake19clone"

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Q
 
-/** Registered queries q225–q251 over the lakehouse table
+/** Registered queries q225–q252 over the lakehouse table
   * ([[graft.sources.LakeTable]], rounds 16–19) — the mutable-table
   * surface a shared 100 TB corpus needs on top of write-once files:
   * data-skipping scans, row-level DML (metadata-only, copy-on-write,
@@ -1014,11 +1014,53 @@ object LakeOps {
     bucketAgg(s, "glake.ns.t251")
   }
 
+  /** The scattered-needle id of row `id` — unique per row and hashed
+    * out of file order, so per-file [min,max] bounds cover the whole
+    * key space and only a bloom can prune (q252 + its LakeSpec pins
+    * share this shape). */
+  private def scatteredDoc(id: Long): String =
+    s"h${(id * 2654435761L) % 1048576L}_$id"
+
+  /** Bloom-filter skipping (round 19): a point lookup on an
+    * append-ordered corpus by a HIGH-CARDINALITY key — min/max bounds
+    * can't serve it (every file's range covers the key space) and a
+    * re-layout would serve exactly one column; per-file bloom
+    * sidecars (TBLPROPERTIES 'bloomFor') prune the scan to the one
+    * file that might hold the needle. LakeSpec pins the planned-file
+    * counts (needle=1, absent=0, unenrolled twin=all); the oracle
+    * certifies the lookup's rows. */
+  val qLakeBloom: Q = Q(
+    "q252_lake_bloom",
+    s"""SELECT doc_id, count(*) AS n
+       |FROM (SELECT id, 'h' || CAST((id * 2654435761) % 1048576 AS VARCHAR)
+       |             || '_' || CAST(id AS VARCHAR) AS doc_id
+       |      FROM range(20000) t(id))
+       |WHERE doc_id IN ('${scatteredDoc(17003)}', '${scatteredDoc(3)}')
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+  ) { (s, _) =>
+    val dir = lakeDir(s, "q252_lake")
+    useCatalog(s)
+    s.sql("DROP TABLE IF EXISTS glake.ns.t252")
+    s.sql(s"""CREATE TABLE glake.ns.t252 (id BIGINT, doc_id STRING)
+      |USING lake LOCATION '$dir'
+      |TBLPROPERTIES ('bloomFor'='doc_id')""".stripMargin)
+    s.range(0, 20000, 1, 8)
+      .selectExpr("id",
+        "concat('h', CAST(id * 2654435761 % 1048576 AS STRING), " +
+          "'_', CAST(id AS STRING)) AS doc_id")
+      .createOrReplaceTempView("det252")
+    s.sql("INSERT OVERWRITE glake.ns.t252 SELECT * FROM det252")
+    s.table("glake.ns.t252")
+      .filter(col("doc_id").isin(scatteredDoc(17003), scatteredDoc(3)))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(qLakeScanPrune, qLakeDelete, qLakeUpdate,
     qLakeMerge, qLakeTimeTravel, qLakeStatsAgg, qLakeTimestampTravel,
     qLakeStreamRead, qLakeDvDelete, qLakeSpjJoin, qLakeChangeFeed,
     qLakeChangeStream, qLakeClusteredInsert, qLakeMorUpdate, qLakeRestore,
     qLakeCompact, qLakeMergeFeed, qLakeCompactTo, qLakeRenameDrop,
     qLakeComposite, qLakeZOrder, qLakeMergeNms, qLakeWiden, qLakeClone,
-    qLakeStringStats, qLakeCheck)
+    qLakeStringStats, qLakeCheck, qLakeBloom)
 }

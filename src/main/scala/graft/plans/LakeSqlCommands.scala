@@ -28,6 +28,7 @@ import graft.sources.{LakeFormat, LakeTable}
   *   RESTORE [TABLE] <table|'path'> TO TIMESTAMP AS OF '<ts>'
   *   CLONE [TABLE] <table|'path'> TO '<path>' [VERSION AS OF <n>]
   *   DESCRIBE HISTORY <table|'path'>
+  *   DESCRIBE DETAIL <table|'path'>
   * }}}
   *
   * `<table>` resolves through the session's V2 catalogs to a
@@ -69,6 +70,8 @@ object LakeSqlCommands {
       """\s+RETAIN\s+(\d+)\s+VERSIONS(?:\s+GRACE\s+(\d+)\s+MS)?\s*;?\s*$""").r
   private val History =
     ("""(?is)^\s*DESCRIBE\s+HISTORY\s+""" + Target + """\s*;?\s*$""").r
+  private val Detail =
+    ("""(?is)^\s*DESCRIBE\s+DETAIL\s+""" + Target + """\s*;?\s*$""").r
   private val Restore =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + Target +
       """\s+TO\s+(?:VERSION\s+AS\s+OF\s+(\d+)""" +
@@ -109,6 +112,11 @@ object LakeSqlCommands {
     case Clone(path, ident, dst, version) =>
       Some(CloneLakeCommand(Option(path), Option(ident), dst,
         Option(version).map(_.toInt)))
+    case Detail(path, ident) if path != null ||
+        ident.replaceAll("`[^`]*`", "").contains('.') =>
+      // same single-part fall-through as DESCRIBE HISTORY: a user's
+      // table named `detail` must keep resolving through the delegate
+      Some(DescribeLakeDetailCommand(Option(path), Option(ident)))
     case History(path, ident) if path != null ||
         ident.replaceAll("`[^`]*`", "").contains('.') =>
       // single-part identifiers fall through: `DESCRIBE HISTORY` must
@@ -317,6 +325,45 @@ case class CloneLakeCommand(path: Option[String], ident: Option[String],
     val src = LakeSqlCommands.resolvePath(spark, path, ident)
     val (v, files) = LakeFormat.shallowClone(src, dst, versionAsOf)
     Seq(Row(src, dst, v, files))
+  }
+}
+
+/** `DESCRIBE DETAIL <t|'path'>` (round 19) — one row of CURRENT-state
+  * table metadata (where DESCRIBE HISTORY walks versions): file/row/
+  * byte totals from the manifest ROOT only (O(root), never O(files)),
+  * the layout spelling, the CHECK constraint, bloom enrollment, and
+  * whether a column mapping is active. The Delta `DESCRIBE DETAIL`
+  * seat — what an operator reads before deciding maintenance. */
+case class DescribeLakeDetailCommand(path: Option[String],
+    ident: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("files", IntegerType, nullable = false)(),
+    AttributeReference("rows_physical", LongType, nullable = false)(),
+    AttributeReference("bytes", LongType, nullable = false)(),
+    AttributeReference("layout", StringType, nullable = false)(),
+    AttributeReference("check_constraint", StringType, nullable = true)(),
+    AttributeReference("bloom_for", StringType, nullable = true)(),
+    AttributeReference("column_mapping", org.apache.spark.sql.types
+      .BooleanType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = LakeSqlCommands.resolvePath(spark, path, ident)
+    val f = LakeFormat.fs(dir)
+    val v = LakeFormat.latestVersion(f, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"DESCRIBE DETAIL: no lake manifest under $dir"))
+    val r = LakeFormat.readManifestRoot(f, dir, v)
+    val files = r.inline.size + r.segs.map(_.count).sum
+    val rows = r.inline.map(_.rows).sum + r.segs.map(_.agg.rows).sum
+    val bytes = r.inline.map(_.bytes).sum + r.segs.map(_.agg.bytes).sum
+    val bloomCols = LakeFormat.readBloomCols(f, dir)
+    Seq(Row(dir, v, files, rows, bytes,
+      LakeFormat.encodeLayout(r.part, r.cluster),
+      LakeFormat.readCheckSql(f, dir).orNull,
+      if (bloomCols.isEmpty) null else bloomCols.mkString(","),
+      r.colmap.isDefined))
   }
 }
 

@@ -297,6 +297,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           LakeFormat.resolveCheck(sch, sql) // analysis must succeed
           LakeFormat.writeCheckSql(f, path, sql)
         }
+        // bloom enrollment (r19): TBLPROPERTIES ('bloomFor'='col[,col]')
+        // — per-file bloom sidecars on these columns serve scattered
+        // needle predicates that min/max bounds structurally can't
+        propCI("bloomFor").orElse(propCI("option.bloomFor")).foreach { c =>
+          val cols = c.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          cols.foreach(col => require(sch.fieldNames.contains(col),
+            s"lake table $ident: bloomFor column $col is not a table " +
+              s"column (${sch.fieldNames.mkString(", ")})"))
+          LakeFormat.writeBloomCols(f, path, cols)
+        }
         new LakeTable(path, sch, None, None, catalogBacked = true)
       case "graft.sources.csvdirsink" | "csvdir" =>
         // DDL normalizes OPTIONS(path …) / LOCATION into PROP_LOCATION

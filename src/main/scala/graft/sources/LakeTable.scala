@@ -126,6 +126,34 @@ object LakeSource {
     * files copies every segment reference through UNREAD (r18). */
   val segmentReadCount = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Driver-side LRU over decoded bloom sidecars (r19): repeated
+    * needle queries pay one sidecar read per (table, file, column).
+    * Sidecars are immutable once referenced (same contract as DVs), so
+    * the cache never invalidates; bounded so a wide sweep over a huge
+    * table can't hold every filter in driver memory. */
+  private val bloomLru =
+    new java.util.LinkedHashMap[String, (Int, Int, Array[Long])](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          eldest: java.util.Map.Entry[String, (Int, Int, Array[Long])])
+          : Boolean = size() > 512
+    }
+  def bloomCached(f: FileSystem, dir: String,
+      name: String): (Int, Int, Array[Long]) = bloomLru.synchronized {
+    val key = s"$dir/$name"
+    val hit = bloomLru.get(key)
+    if (hit != null) hit
+    else {
+      val v = LakeFormat.readBloom(f, dir, name)
+      bloomReadCount.incrementAndGet()
+      bloomLru.put(key, v)
+      v
+    }
+  }
+  /** Monotone count of bloom sidecars READ (cache misses) — LakeSpec
+    * pins that probes read only surviving candidates' sidecars. */
+  val bloomReadCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** TEST HOOK (one-shot): runs at the start of the next
     * SNAPSHOT-PINNED commit (row-level rewrite or OPTIMIZE) — the
     * window between the rewrite's snapshot read and its publish.
@@ -442,7 +470,8 @@ object LakeFormat {
     * read DELETE, round 17); `rows`/stats stay PHYSICAL (pre-DV). */
   final case class FileEntry(name: String, rows: Long, bytes: Long,
       stats: Map[String, ColStats], pk: Option[Int] = None,
-      dv: Option[(String, Long)] = None, pv: Option[Long] = None) {
+      dv: Option[(String, Long)] = None, pv: Option[Long] = None,
+      blooms: Map[String, String] = Map.empty) {
     /** Rows a reader actually serves: physical minus deleted. */
     def liveRows: Long = rows - dv.map(_._2).getOrElse(0L)
   }
@@ -465,13 +494,21 @@ object LakeFormat {
     val pkStr = e.pk.map(_.toString).getOrElse("-")
     val dvStr = e.dv.map { case (n, c) => s"$n,$c" }.getOrElse("-")
     val base = s"${e.name}\t${e.rows}\t${e.bytes}\t$statsStr\t$pkStr\t$dvStr"
-    // partition value (composite layout, r19) appended only when
-    // present — plain entries stay byte-identical to r18
-    e.pv.map(v => s"$base\t$v").getOrElse(base)
+    // partition value (composite layout, r19) and bloom refs (r19)
+    // appended only when present — plain entries stay byte-identical
+    // to r18; a bloom field forces the pv field to hold its slot
+    val pvStr = e.pv.map(_.toString).getOrElse("-")
+    val bloomStr =
+      if (e.blooms.isEmpty) "-"
+      else e.blooms.toSeq.sorted.map { case (c, n) => s"$c:$n" }
+        .mkString(";")
+    if (bloomStr != "-") s"$base\t$pvStr\t$bloomStr"
+    else if (pvStr != "-") s"$base\t$pvStr"
+    else base
   }
 
   def decodeEntry(line: String): FileEntry = {
-    val parts = line.split('\t').padTo(7, "-")
+    val parts = line.split('\t').padTo(8, "-")
     val stats =
       if (parts(3) == "-") Map.empty[String, ColStats]
       else parts(3).split(';').iterator.map { kv =>
@@ -488,8 +525,14 @@ object LakeFormat {
         Some((n, c.toLong))
       }
     val pv = if (parts(6) == "-") None else Some(parts(6).toLong)
+    val blooms =
+      if (parts(7) == "-") Map.empty[String, String]
+      else parts(7).split(';').iterator.map { kv =>
+        val i = kv.indexOf(':')
+        kv.substring(0, i) -> kv.substring(i + 1)
+      }.toMap
     FileEntry(parts(0), parts(1).toLong, parts(2).toLong, stats, pk, dv,
-      pv)
+      pv, blooms)
   }
 
   private val ClusterRe = """bucket\((.+),(\d+)\)""".r
@@ -530,7 +573,7 @@ object LakeFormat {
     }
     (part, bucket)
   }
-  private def encodeLayout(part: Option[(String, Long)],
+  private[graft] def encodeLayout(part: Option[(String, Long)],
       bucket: Option[(String, Int)]): String = {
     val terms = part.map { case (c, u) => s"trunc($c,$u)" }.toSeq ++
       bucket.map { case (c, n) => s"bucket($c,$n)" }.toSeq
@@ -1206,7 +1249,8 @@ object LakeFormat {
         new HPath(dest, c.fileName)),
         s"lake commit: publish rename failed for ${c.fileName} — " +
           "aborting (no manifest was written; readers never see this job)")
-      FileEntry(c.fileName, c.rows, c.bytes, c.stats, c.pk, pv = c.pv)
+      FileEntry(c.fileName, c.rows, c.bytes, c.stats, c.pk, pv = c.pv,
+        blooms = c.blooms)
     }.toSeq
     def conflict(msg: String): Nothing = {
       newEntries.foreach(e => f.delete(new HPath(dest, e.name), false))
@@ -1410,7 +1454,8 @@ object LakeFormat {
         new HPath(dest, c.fileName)),
         s"lake commit: publish rename failed for ${c.fileName} — " +
           "aborting (no manifest was written; readers never see this job)")
-      FileEntry(c.fileName, c.rows, c.bytes, c.stats, c.pk, pv = c.pv)
+      FileEntry(c.fileName, c.rows, c.bytes, c.stats, c.pk, pv = c.pv,
+        blooms = c.blooms)
     }.toSeq
     val root = readManifestRoot(f, path, v)
     val outCluster = root.cluster.filter(s =>
@@ -1730,15 +1775,18 @@ object LakeFormat {
       else new HPath(srcDir, name).toString
     }
     val absEntries = meta.entries.map(e => e.copy(name = abs(e.name),
-      dv = e.dv.map { case (n, c) => (abs(n), c) }))
+      dv = e.dv.map { case (n, c) => (abs(n), c) },
+      blooms = e.blooms.map { case (c, n) => (c, abs(n)) }))
     val fd = fs(dstDir)
     fd.mkdirs(new HPath(dstDir))
     require(latestVersion(fd, dstDir).isEmpty,
       s"lake clone: $dstDir already holds a lake table — clone " +
         "targets must be fresh directories")
-    // the CHECK constraint travels with the fork — same rows, same
-    // write-time contract (r19)
+    // the CHECK constraint and bloom enrollment travel with the fork —
+    // same rows, same write-time contracts (r19)
     readCheckSql(f, srcDir).foreach(sql => writeCheckSql(fd, dstDir, sql))
+    val bc = readBloomCols(f, srcDir)
+    if (bc.nonEmpty) writeBloomCols(fd, dstDir, bc)
     require(writeManifestCAS(fd, dstDir, 0, meta.schema, absEntries,
       meta.cluster, maintenance = false, meta.colmap, meta.part),
       s"lake clone: lost the v0 commit race under $dstDir")
@@ -1855,7 +1903,8 @@ object LakeFormat {
       val r = readManifestRoot(f, dir, v)
       r.segs.map(_.name) ++
         (r.inline ++ r.segs.flatMap(s => readSegment(f, dir, s.name)))
-          .flatMap(e => e.name +: e.dv.map(_._1).toSeq)
+          .flatMap(e => (e.name +: e.dv.map(_._1).toSeq) ++
+            e.blooms.values)
     }.toSet
     val dropped = dropMans.map(_._1) ++
       all.filter(n =>
@@ -1881,6 +1930,172 @@ object LakeFormat {
     // own UUIDs, so basename + this fresh prefix stays collision-free.
     val base = dataFile.substring(dataFile.lastIndexOf('/') + 1)
     s"dv-${java.util.UUID.randomUUID().toString.take(8)}-$base"
+  }
+
+  // ---- bloom-filter sidecars (round 19) -------------------------------
+  // Per-file, per-enrolled-column bloom filters for SCATTERED
+  // high-cardinality needles — the case min/max bounds structurally
+  // can't serve: a point lookup on an append-ordered corpus where every
+  // file's [min,max] covers the whole key space. Enrollment is a
+  // `_bloom.cols` table sidecar fixed at CREATE (`TBLPROPERTIES
+  // ('bloomFor'='col[,col]')`); each data file then carries one bloom
+  // sidecar per enrolled column, referenced from its manifest entry and
+  // vacuumed/cloned exactly like deletion vectors (`.lake` suffix =
+  // reclaim domain). Scan pruning tests equality/IN probes against the
+  // sidecars of stats-surviving candidates only, behind a driver-side
+  // LRU — no false negatives, so pruning is sound by construction; a
+  // false positive only costs a read. The Delta/Iceberg/Parquet
+  // bloom-index seat, at manifest granularity.
+
+  /** Bloom saturation cap: a file with more distinct enrolled values
+    * than this records no bloom (the sidecar would be MBs and the
+    * selectivity story is gone at that density anyway). */
+  val BloomMaxDistinct: Int = 1 << 21
+
+  def bloomName(col: String, dataFile: String): String = {
+    val base = dataFile.substring(dataFile.lastIndexOf('/') + 1)
+    s"bloom-${java.util.UUID.randomUUID().toString.take(8)}-$col-$base"
+  }
+
+  /** splitmix64 finalizer — the same full-avalanche mix the bucket
+    * function uses; writer and probe MUST share this path. */
+  def bloomMix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def bytesHash64(b: Array[Byte]): Long = {
+    // FNV-1a 64 over the UTF-8 bytes, then mixed — stable across JVMs
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < b.length) {
+      h = (h ^ (b(i) & 0xffL)) * 0x100000001b3L
+      i += 1
+    }
+    bloomMix(h)
+  }
+
+  /** One hash per value, shared by writer and probe. None = a type the
+    * bloom never indexed (no decision, never a wrong prune). */
+  def bloomHashOf(v: Any): Option[Long] = v match {
+    case l: Long => Some(bloomMix(l))
+    case i: Int => Some(bloomMix(i.toLong))
+    case d: Double => Some(bloomMix(java.lang.Double.doubleToLongBits(
+      if (d == 0.0d) 0.0d else d)))
+    case s: String => Some(bytesHash64(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    case u: UTF8String => Some(bytesHash64(u.getBytes))
+    case _ => None
+  }
+
+  /** ~12 bits/distinct, k=8 double-hashed probes → FPR well under 1%.
+    * Sidecar format: one header line `m k`, one url-base64 line of the
+    * big-endian long words. */
+  def writeBloom(f: FileSystem, dir: String, name: String,
+      hashes: java.util.HashSet[java.lang.Long]): Unit = {
+    val n = math.max(1, hashes.size)
+    var m = 1024
+    while (m < 12L * n && m < (1 << 27)) m <<= 1
+    val k = 8
+    val words = new Array[Long](m / 64)
+    val it = hashes.iterator()
+    while (it.hasNext) {
+      val h = it.next().longValue()
+      val h2 = (h >>> 32) | 1L
+      var i = 0
+      while (i < k) {
+        val bit = java.lang.Math.floorMod(h + i * h2, m.toLong).toInt
+        words(bit >>> 6) |= 1L << (bit & 63)
+        i += 1
+      }
+    }
+    val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+    words.foreach(bb.putLong)
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      f.create(new HPath(dir, name), false), "UTF-8"))
+    try {
+      out.write(s"$m $k\n")
+      out.write(java.util.Base64.getUrlEncoder.withoutPadding
+        .encodeToString(bb.array()))
+      out.write("\n")
+    } finally out.close()
+  }
+
+  def readBloom(f: FileSystem, dir: String,
+      name: String): (Int, Int, Array[Long]) = {
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      f.open(new HPath(dir, name)), "UTF-8"))
+    try {
+      val Array(m, k) = in.readLine().split(' ').map(_.toInt)
+      val bytes = java.util.Base64.getUrlDecoder.decode(in.readLine())
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val words = new Array[Long](bytes.length / 8)
+      words.indices.foreach(i => words(i) = bb.getLong())
+      (m, k, words)
+    } finally in.close()
+  }
+
+  def bloomMightContain(m: Int, k: Int, words: Array[Long],
+      h: Long): Boolean = {
+    val h2 = (h >>> 32) | 1L
+    var i = 0
+    while (i < k) {
+      val bit = java.lang.Math.floorMod(h + i * h2, m.toLong).toInt
+      if ((words(bit >>> 6) & (1L << (bit & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Enrollment sidecar — which columns carry blooms. Fixed at CREATE
+    * (same lifecycle as the CHECK sidecar). */
+  def readBloomCols(f: FileSystem, dir: String): Seq[String] = {
+    val p = new HPath(dir, "_bloom.cols")
+    if (!f.exists(p)) return Nil
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(f.open(p), "UTF-8"))
+    try Option(in.readLine()).map(_.split(',').map(_.trim)
+      .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    finally in.close()
+  }
+
+  def writeBloomCols(f: FileSystem, dir: String,
+      cols: Seq[String]): Unit = {
+    val existing = readBloomCols(f, dir)
+    if (existing == cols) return // idempotent re-CREATE
+    require(existing.isEmpty,
+      s"lake table $dir already enrolls bloom columns " +
+        s"(${existing.mkString(",")}) — enrollment is fixed at CREATE")
+    f.mkdirs(new HPath(dir))
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      f.create(new HPath(dir, "_bloom.cols"), false), "UTF-8"))
+    try out.write(cols.mkString(",")) finally out.close()
+  }
+
+  /** Bloom pass of scan pruning, over STATS-SURVIVING candidates only.
+    * Same conjunct shape as [[noneMatch]]; sidecars load through a
+    * small driver-side LRU so repeated needle queries pay one read per
+    * (file, column). */
+  def bloomSurvives(f: FileSystem, dir: String, e: FileEntry,
+      pushed: Seq[FFilter]): Boolean = {
+    if (e.blooms.isEmpty || pushed.isEmpty) return true
+    def absent(col: String, v: Any): Boolean =
+      e.blooms.get(col).exists { bn =>
+        bloomHashOf(v).exists { h =>
+          val (m, k, words) = LakeSource.bloomCached(f, dir, bn)
+          !bloomMightContain(m, k, words, h)
+        }
+      }
+    def none(fl: FFilter): Boolean = fl match {
+      case FAnd(l, r) => none(l) || none(r)
+      case FOr(l, r) => none(l) && none(r)
+      case FEqualTo(c, v) => absent(c, v)
+      case FIn(c, vs) => vs.nonEmpty && vs.forall(v => absent(c, v))
+      case _ => false
+    }
+    !pushed.exists(none)
   }
 
   def readDv(f: FileSystem, dir: String, name: String): Seq[Long] = {
@@ -2990,7 +3205,11 @@ private[sources] class LakeScanBuilder(path: String,
       // renamed field fails loudly, never reads the wrong slot)
       root.map(_.schema).getOrElse(tableSchema), required, version,
       candidates.filter(e => pinnedFiles.forall(_.contains(e.name)) &&
-        LakeFormat.survives(e, pushedSeq)),
+        LakeFormat.survives(e, pushedSeq) &&
+        // bloom pass (r19): equality/IN probes against enrolled
+        // columns' sidecars — only stats-surviving candidates reach
+        // here, so sidecar IO is bounded by the stats prune first
+        LakeFormat.bloomSurvives(LakeFormat.fs(path), path, e, pushedSeq)),
       pushedSeq, timeTravel, readOptions,
       // key-grouped reporting stays OFF for row-level-operation scans:
       // their planned set IS the replace set and their runtime `_file`
@@ -3596,9 +3815,10 @@ private[sources] class LakeStreamingWrite(path: String,
     val spec = clusterSpec
     val cm = colmap
     val pt = partSpec
-    // CHECK constraint (r19): resolved here on the driver; every
-    // streamed epoch row passes through the same enforcement
+    // CHECK constraint + bloom enrollment (r19): resolved here on the
+    // driver; every streamed epoch row passes through the same paths
     val ck = LakeFormat.loadCheck(path, writeSchema)
+    val bc = LakeFormat.readBloomCols(LakeFormat.fs(path), path)
     new StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
           epochId: Long): DataWriter[InternalRow] =
@@ -3606,7 +3826,7 @@ private[sources] class LakeStreamingWrite(path: String,
           failAfterFirstRow = false,
           filePrefix = LakeFormat.epochPrefix(qid, epochId),
           writeUid = writeUid, conf = conf, clusterSpec = spec,
-          colmap = cm, partSpec = pt, check = ck)
+          colmap = cm, partSpec = pt, check = ck, bloomCols = bc)
     }
   }
 
@@ -3641,10 +3861,12 @@ private[sources] class LakeStreamingWrite(path: String,
 
 /** Task commit message: one staged file + its stats, mirrored into the
   * manifest verbatim at publish. `pk` is the file's cluster-partition
-  * ordinal when the write declared a cluster-by layout. */
+  * ordinal when the write declared a cluster-by layout; `blooms` the
+  * file's bloom-sidecar refs per enrolled column (r19). */
 private[sources] case class LakeFileCommit(fileName: String, rows: Long,
     bytes: Long, stats: Map[String, LakeFormat.ColStats],
-    pk: Option[Int] = None, pv: Option[Long] = None)
+    pk: Option[Int] = None, pv: Option[Long] = None,
+    blooms: Map[String, String] = Map.empty)
     extends WriterCommitMessage
 
 /** Commit message of a cluster-by task: one staged file PER BUCKET the
@@ -3724,15 +3946,17 @@ private[sources] class LakeWriterFactory(path: String,
   // driver's Hadoop conf, captured at factory construction (driver-side)
   // for the executor-side file opens (r16 advisory)
   private val conf = LakeFormat.driverConf()
-  // CHECK constraint (r19): sidecar read + analysis on the DRIVER
-  // (factories are built driver-side), bound expression shipped
+  // CHECK constraint + bloom enrollment (r19): sidecar reads +
+  // analysis on the DRIVER (factories are built driver-side)
   private val check = LakeFormat.loadCheck(path, writeSchema)
+  private val bloomCols = LakeFormat.readBloomCols(LakeFormat.fs(path), path)
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new LakeDataWriter(path, tableSchema, writeSchema, queryId,
       partitionId, taskId, failPartition.contains(partitionId),
       writeUid = writeUid, conf = conf, clusterSpec = clusterSpec,
-      colmap = colmap, partSpec = partSpec, check = check)
+      colmap = colmap, partSpec = partSpec, check = check,
+      bloomCols = bloomCols)
 }
 
 private[sources] class LakeDataWriter(path: String,
@@ -3744,7 +3968,8 @@ private[sources] class LakeDataWriter(path: String,
     colmap: Option[LakeFormat.ColMap] = None,
     partSpec: Option[(String, Long)] = None,
     check: Option[(String,
-      org.apache.spark.sql.catalyst.expressions.Expression)] = None)
+      org.apache.spark.sql.catalyst.expressions.Expression)] = None,
+    bloomCols: Seq[String] = Nil)
     extends DataWriter[InternalRow] {
   import LakeFormat._
 
@@ -3819,6 +4044,12 @@ private[sources] class LakeDataWriter(path: String,
   private def physName(i: Int): String =
     colmap.map(_.phys(i)).getOrElse(tableSchema.fields(i).name)
 
+  // bloom enrollment (r19): matched by PHYS name — enrollment is fixed
+  // at CREATE, when phys == creation name, so blooms stay attached to
+  // the same physical values across renames (exactly like stats keys)
+  private val bloomEnrolled: Array[Boolean] =
+    Array.tabulate(n)(i => bloomCols.contains(physName(i)))
+
   // cluster-by layout: the key's slot in the INCOMING row and its kind.
   // Each row is routed to the sink of bucketOf(key, buckets) so every
   // emitted file holds exactly one bucket — the co-location claim its
@@ -3865,6 +4096,20 @@ private[sources] class LakeDataWriter(path: String,
     private val strPoisoned = new Array[Boolean](n)
     private val nulls = new Array[Long](n)
     private val nanPoisoned = new Array[Boolean](n)
+    // bloom accumulation (r19): distinct value hashes per enrolled
+    // column; a column that exceeds the saturation cap drops its set
+    // (no bloom for this file — correct, just unprunable)
+    private val bloomSets: Array[java.util.HashSet[java.lang.Long]] =
+      Array.tabulate(n)(i =>
+        if (bloomEnrolled(i)) new java.util.HashSet[java.lang.Long]()
+        else null)
+    private def bloomAdd(i: Int, h: Long): Unit = {
+      val bs = bloomSets(i)
+      if (bs != null) {
+        bs.add(h)
+        if (bs.size > BloomMaxDistinct) bloomSets(i) = null
+      }
+    }
     private var rows = 0L
     // chars ≈ bytes (ASCII-dominant codec) — a PLANNING statistic for
     // broadcast decisions, never a correctness input
@@ -3907,11 +4152,13 @@ private[sources] class LakeDataWriter(path: String,
             val v = record.getLong(si)
             if (v < minL(i)) minL(i) = v
             if (v > maxL(i)) maxL(i) = v
+            bloomAdd(i, bloomMix(v))
             sb.append(v)
           case 1 =>
             val v = record.getInt(si)
             if (v < minL(i)) minL(i) = v
             if (v > maxL(i)) maxL(i) = v
+            bloomAdd(i, bloomMix(v.toLong))
             sb.append(v)
           case 2 =>
             val v = record.getDouble(si)
@@ -3924,6 +4171,8 @@ private[sources] class LakeDataWriter(path: String,
               if (v < minD(i)) minD(i) = v
               if (v > maxD(i)) maxD(i) = v
             }
+            bloomAdd(i, bloomMix(java.lang.Double.doubleToLongBits(
+              if (v == 0.0d) 0.0d else v)))
             sb.append(v)
           case _ =>
             val u = record.getUTF8String(si)
@@ -3936,6 +4185,8 @@ private[sources] class LakeDataWriter(path: String,
                   maxS(i) = u.clone()
               }
             }
+            if (bloomSets(i) != null)
+              bloomAdd(i, bloomHashOf(u).get)
             sb.append(u.toString)
         }
       }
@@ -3958,7 +4209,21 @@ private[sources] class LakeDataWriter(path: String,
           }
         c -> ColStats(mn, mx, nulls(i))
       }.toMap
-      LakeFileCommit(fileName, rows, bytesOut, stats, pk, pv)
+      // bloom sidecars (r19): written straight to the table dir — they
+      // are unreferenced until the manifest commit lands (an aborted
+      // job's orphans age out under vacuum's grace, the same contract
+      // staged files have)
+      val blooms: Map[String, String] =
+        tableSchema.fields.indices.flatMap { i =>
+          val bs = bloomSets(i)
+          if (bs == null || bs.isEmpty) None
+          else {
+            val bn = bloomName(physName(i), fileName)
+            writeBloom(openFs(), path, bn, bs)
+            Some(physName(i) -> bn)
+          }
+        }.toMap
+      LakeFileCommit(fileName, rows, bytesOut, stats, pk, pv, blooms)
     }
 
     def drop(f: FileSystem): Unit = {
@@ -4323,9 +4588,11 @@ private[sources] class LakeDeltaWriterFactory(path: String,
   // as LakeWriterFactory (r16 review/advisory)
   private val writeUid = java.util.UUID.randomUUID().toString.take(8)
   private val conf = LakeFormat.driverConf()
-  // CHECK constraint (r19): DML replacement + merge-insert rows are
-  // writes like any other — the same sidecar predicate gates them
+  // CHECK constraint + bloom enrollment (r19): DML replacement +
+  // merge-insert rows are writes like any other — the same sidecar
+  // predicate gates them and their new files carry fresh blooms
   private val check = LakeFormat.loadCheck(path, writeSchema)
+  private val bloomCols = LakeFormat.readBloomCols(LakeFormat.fs(path), path)
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
@@ -4352,7 +4619,8 @@ private[sources] class LakeDeltaWriterFactory(path: String,
           inserts = new LakeDataWriter(path, tableSchema, writeSchema,
             queryId, partitionId, taskId, failAfterFirstRow = false,
             writeUid = writeUid, conf = conf, clusterSpec = clusterSpec,
-            colmap = colmap, partSpec = partSpec, check = check)
+            colmap = colmap, partSpec = partSpec, check = check,
+            bloomCols = bloomCols)
         inserts.write(row)
       }
       override def commit(): WriterCommitMessage = {

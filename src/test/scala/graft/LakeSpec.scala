@@ -457,6 +457,98 @@ class LakeSpec extends AnyFunSuite {
     // unconditional _file filterAttributes failed any join at analysis)
   }
 
+  test("DESCRIBE DETAIL: one O(root) metadata row — files/rows/bytes, layout, check, bloom enrollment, column mapping (r19)") {
+    val dir = tmp("lake_detail")
+    spark.conf.set("spark.sql.catalog.glt", "graft.sources.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS glt.ns.tdetail")
+    spark.sql(s"""CREATE TABLE glt.ns.tdetail (
+      |  id BIGINT, bucket INT, kscore INT, score DOUBLE, doc_id STRING
+      |) USING lake LOCATION '$dir'
+      |TBLPROPERTIES ('clusterBy'='bucket(id,4)',
+      |  'check'='kscore >= 0', 'bloomFor'='doc_id')""".stripMargin)
+    det(20000, 8).createOrReplaceTempView("detail_src")
+    spark.sql("INSERT OVERWRITE glt.ns.tdetail SELECT * FROM detail_src")
+    val r = spark.sql("DESCRIBE DETAIL glt.ns.tdetail").head
+    assert(r.getInt(2) == 4 && r.getLong(3) == 20000L &&
+      r.getLong(4) > 0L, r.toString)
+    assert(r.getString(5) == "bucket(id,4)", r.toString)
+    assert(r.getString(6) == "kscore >= 0", r.toString)
+    assert(r.getString(7) == "doc_id", r.toString)
+    assert(!r.getBoolean(8), r.toString)
+    // a rename flips the column-mapping flag; the claim renames with it
+    spark.sql("ALTER TABLE glt.ns.tdetail RENAME COLUMN id TO rid")
+    val r2 = spark.sql(s"DESCRIBE DETAIL '$dir'").head
+    assert(r2.getBoolean(8), r2.toString)
+    assert(r2.getString(5) == "bucket(rid,4)", r2.toString)
+  }
+
+  test("bloom skipping: scattered needles plan 1 file, absent keys 0, unenrolled twin all; blooms survive DML/OPTIMIZE/vacuum and chain through clones (r19)") {
+    def doc(id: Long): String = s"h${(id * 2654435761L) % 1048576L}_$id"
+    def mkRows() = spark.range(0, 20000, 1, 8)
+      .selectExpr("id",
+        "concat('h', CAST(id * 2654435761 % 1048576 AS STRING), " +
+          "'_', CAST(id AS STRING)) AS doc_id")
+    val dir = tmp("lake_bloom")
+    spark.conf.set("spark.sql.catalog.glt", "graft.sources.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS glt.ns.tbloom")
+    spark.sql(s"""CREATE TABLE glt.ns.tbloom (id BIGINT, doc_id STRING)
+      |USING lake LOCATION '$dir'
+      |TBLPROPERTIES ('bloomFor'='doc_id')""".stripMargin)
+    val t = "glt.ns.tbloom"
+    mkRows().createOrReplaceTempView("bloom_src")
+    spark.sql(s"INSERT OVERWRITE $t SELECT * FROM bloom_src")
+    assert(new java.io.File(dir).list().count(_.startsWith("bloom-")) == 8,
+      "each of the 8 files should carry one doc_id bloom sidecar")
+    // the needle is unique and hashed out of file order: every file's
+    // [min,max] covers the key space, ONLY the bloom can prune
+    assert(spark.table(t).filter(col("doc_id") === doc(17003))
+      .count() == 1L)
+    assert(LakeSource.lastPlannedFiles.get().size == 1,
+      s"bloom needle planned ${LakeSource.lastPlannedFiles.get()}")
+    // an ABSENT key prunes everything — no task launches at all
+    assert(spark.table(t).filter(col("doc_id") === "h0_nope")
+      .count() == 0L)
+    assert(LakeSource.lastPlannedFiles.get().isEmpty,
+      s"absent needle planned ${LakeSource.lastPlannedFiles.get()}")
+    // IN-lists prune to the union of the member needles' files
+    assert(spark.table(t)
+      .filter(col("doc_id").isin(doc(3), doc(17003))).count() == 2L)
+    assert(LakeSource.lastPlannedFiles.get().size <= 2)
+    // control: an UNenrolled twin of the same data plans every file
+    val dir2 = tmp("lake_bloom_off")
+    mkRows().write.format(Lake).option("path", dir2)
+      .mode("overwrite").save()
+    assert(spark.read.format(Lake).option("path", dir2).load()
+      .filter(col("doc_id") === doc(17003)).count() == 1L)
+    assert(LakeSource.lastPlannedFiles.get().size == 8,
+      "without enrollment the scattered needle cannot prune")
+    // DML: a DV delete leaves the bloom honest (file still planned —
+    // the value is physically there — rows correctly filtered)
+    spark.sql(s"DELETE FROM $t WHERE id = 17003")
+    assert(spark.table(t).filter(col("doc_id") === doc(17003))
+      .count() == 0L)
+    assert(LakeSource.lastPlannedFiles.get().size == 1)
+    // OPTIMIZE rewrites carry fresh blooms on the new files; VACUUM
+    // keeps referenced sidecars and reclaims the superseded ones
+    LakeFormat.optimize(spark, dir, "id", 4)
+    LakeFormat.vacuum(dir, LakeFormat.latestVersion(
+      LakeFormat.fs(dir), dir).get, graceMs = 0L)
+    assert(spark.table(t).filter(col("doc_id") === doc(40))
+      .count() == 1L)
+    assert(LakeSource.lastPlannedFiles.get().size == 1,
+      s"post-OPTIMIZE+vacuum needle planned " +
+        s"${LakeSource.lastPlannedFiles.get()}")
+    val sidecars = new java.io.File(dir).list().count(_.startsWith("bloom-"))
+    assert(sidecars == 4,
+      s"vacuum should keep exactly the 4 live bloom sidecars; got $sidecars")
+    // clones chain the absolute bloom references
+    val cdir = tmp("lake_bloom_clone")
+    spark.sql(s"CLONE '$dir' TO '$cdir'")
+    assert(spark.read.format(Lake).option("path", cdir).load()
+      .filter(col("doc_id") === doc(40)).count() == 1L)
+    assert(LakeSource.lastPlannedFiles.get().size == 1)
+  }
+
   test("CHECK constraints: enforced on batch/DML/path writes, NULL passes, violations abort pre-commit, fixed at CREATE, clone carries (r19)") {
     def deepMsg(t: Throwable): String = {
       var m = new StringBuilder
