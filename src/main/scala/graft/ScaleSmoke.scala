@@ -1360,7 +1360,9 @@ object ScaleSmoke {
         spark.table("gsmoke.ns.lake19b").count()
       }
       time("lake bloom needle (1/64)", 1) {
-        val needle = s"h${(12345678L * 2654435761L) % 1073741824L}_12345678"
+        // derived from nEvents so sub-20M smoke runs keep a live needle
+        val nid = nEvents / 2
+        val needle = s"h${(nid * 2654435761L) % 1073741824L}_$nid"
         val c = spark.table("gsmoke.ns.lake19b")
           .filter(col("doc_id") === needle).count()
         require(c == 1 && planned() == 1,

@@ -129,26 +129,41 @@ object LakeSource {
   /** Driver-side LRU over decoded bloom sidecars (r19): repeated
     * needle queries pay one sidecar read per (table, file, column).
     * Sidecars are immutable once referenced (same contract as DVs), so
-    * the cache never invalidates; bounded so a wide sweep over a huge
-    * table can't hold every filter in driver memory. */
+    * the cache never invalidates. Bounded by BYTES, not entries — a
+    * saturated sidecar is MBs of filter words, so an entry cap alone
+    * could pin gigabytes on the driver (r19 review #4); sidecar IO
+    * runs OUTSIDE the lock so a slow read never serializes concurrent
+    * query planning (a racing double-read of one immutable file is the
+    * cheap outcome).  */
+  private val BloomCacheMaxBytes = 64L << 20
+  private var bloomCacheBytes = 0L
   private val bloomLru =
     new java.util.LinkedHashMap[String, (Int, Int, Array[Long])](
-      64, 0.75f, true) {
-      override def removeEldestEntry(
-          eldest: java.util.Map.Entry[String, (Int, Int, Array[Long])])
-          : Boolean = size() > 512
-    }
+      64, 0.75f, true)
   def bloomCached(f: FileSystem, dir: String,
-      name: String): (Int, Int, Array[Long]) = bloomLru.synchronized {
+      name: String): (Int, Int, Array[Long]) = {
     val key = s"$dir/$name"
-    val hit = bloomLru.get(key)
-    if (hit != null) hit
-    else {
-      val v = LakeFormat.readBloom(f, dir, name)
-      bloomReadCount.incrementAndGet()
-      bloomLru.put(key, v)
-      v
+    bloomLru.synchronized {
+      val hit = bloomLru.get(key)
+      if (hit != null) return hit
     }
+    val v = LakeFormat.readBloom(f, dir, name) // IO outside the lock
+    bloomReadCount.incrementAndGet()
+    bloomLru.synchronized {
+      if (!bloomLru.containsKey(key)) {
+        bloomLru.put(key, v)
+        bloomCacheBytes += 8L * v._3.length
+        val it = bloomLru.entrySet().iterator()
+        while (bloomCacheBytes > BloomCacheMaxBytes && it.hasNext) {
+          val e = it.next()
+          if (!e.getKey.equals(key)) {
+            bloomCacheBytes -= 8L * e.getValue._3.length
+            it.remove()
+          }
+        }
+      }
+    }
+    v
   }
   /** Monotone count of bloom sidecars READ (cache misses) — LakeSpec
     * pins that probes read only surviving candidates' sidecars. */
@@ -1191,21 +1206,37 @@ object LakeFormat {
     case _ => false
   }
 
-  def mergeSchemas(path: String, a: StructType, b: StructType): StructType = {
-    val (narrow, wide) = if (a.length <= b.length) (a, b) else (b, a)
-    // per-field wider-wins on the common prefix (type widening, r19): a
-    // writer created BEFORE an ALTER COLUMN TYPE landed still carries
-    // the narrow type — its int tokens serve under the wider header
-    // exactly, so the commit takes the wider type rather than failing.
-    // Genuinely incompatible types stay a loud conflict.
-    val prefix = narrow.fields.zip(wide.fields).map { case (x, y) =>
-      require(x.name == y.name && (x.dataType == y.dataType ||
-          widens(x.dataType, y.dataType) || widens(y.dataType, x.dataType)),
-        s"lake commit on $path: schema ${a.simpleString} and " +
-          s"${b.simpleString} disagree on their common prefix")
-      if (widens(x.dataType, y.dataType)) y else x
+  /** Reconcile the freshly-read BASE header with a writer handle's
+    * schema. Column count: wider wins in either direction (ADD COLUMN
+    * monotonicity, r16 verdict #2). Field TYPES are asymmetric (r19
+    * review #2): a writer NARROWER than the base is the legitimate
+    * stale-handle-during-ALTER-TYPE case — its int tokens serve under
+    * the wider header exactly, so the base type wins. A writer WIDER
+    * than the base is refused loudly: letting a plain write widen the
+    * header would bypass every ALTER-path guard (a DOUBLE write onto
+    * an INT cluster column would mint bucket ordinals under a
+    * different hash than the standing claim — silently wrong joins);
+    * header widening must go through ALTER COLUMN TYPE. */
+  def mergeSchemas(path: String, base: StructType,
+      writer: StructType): StructType = {
+    val n = math.min(base.length, writer.length)
+    val prefix = (0 until n).map { i =>
+      val (bf, wf) = (base.fields(i), writer.fields(i))
+      require(bf.name == wf.name && (bf.dataType == wf.dataType ||
+          widens(wf.dataType, bf.dataType)),
+        if (bf.name == wf.name && widens(bf.dataType, wf.dataType))
+          s"lake commit on $path: the write carries ${wf.name} as " +
+            s"${wf.dataType.simpleString} but the table header says " +
+            s"${bf.dataType.simpleString} — a write must not widen the " +
+            "header; run ALTER TABLE … ALTER COLUMN … TYPE first"
+        else
+          s"lake commit on $path: schema ${base.simpleString} and " +
+            s"${writer.simpleString} disagree on their common prefix")
+      bf
     }
-    StructType(prefix ++ wide.fields.drop(narrow.length))
+    StructType(prefix ++
+      (if (base.length >= writer.length) base.fields.drop(n)
+       else writer.fields.drop(n)))
   }
 
   /** Shared commit tail for every write path (batch append/truncate,
@@ -1561,7 +1592,15 @@ object LakeFormat {
       require(rs.nonEmpty && rs.forall(_.isDefined),
         s"lake z-order: $c lacks min/max stats in some file of $dir " +
           "(all-null or NaN-poisoned) — cannot grid it")
-      (rs.flatten.map(_._1.toDouble).min, rs.flatten.map(_._2.toDouble).max)
+      val (lo, hi) =
+        (rs.flatten.map(_._1.toDouble).min, rs.flatten.map(_._2.toDouble).max)
+      // non-finite values poison stats at the writer, so these bounds
+      // are finite by construction — this guard is defense-in-depth
+      // (a non-finite literal would also generate invalid Java in the
+      // codegen'd key)
+      require(java.lang.Double.isFinite(lo) && java.lang.Double.isFinite(hi),
+        s"lake z-order: non-finite bounds for $c ($lo, $hi)")
+      (lo, hi)
     }
     import org.apache.spark.sql.functions.{col => fcol}
     spark.read.format("graft.sources.LakeSource").option("path", dir)
@@ -2469,7 +2508,15 @@ class LakeTable(private[graft] val path: String, tableSchema: StructType,
             "(or insert) first"))
       val root = readManifestRoot(f, path, base)
       val cm = root.colmap.getOrElse(ColMap.identity(root.schema))
-      val (outSchema, outCm, outCluster, outPart) = change match {
+      // outCm: RENAME/DROP materialize a mapping (slot addressing and
+      // phys stats keys are the point); a TYPE WIDEN changes neither
+      // slots nor names, so it PRESERVES the existing mapping state —
+      // writing an identity mapping here would permanently disable the
+      // manifest-only aggregate fast path for a header-only change
+      // (found by the 20M smoke: MIN/MAX planned 64 files post-widen)
+      val (outSchema, outCm, outCluster, outPart)
+          : (StructType, Option[ColMap], Option[(String, Int)],
+             Option[(String, Long)]) = change match {
         case r: TableChange.RenameColumn =>
           require(r.fieldNames().length == 1,
             "lake evolution: nested columns are unsupported")
@@ -2492,7 +2539,7 @@ class LakeTable(private[graft] val path: String, tableSchema: StructType,
           val partR = root.part.map { case (c, u) =>
             (if (c == from) to else c, u)
           }
-          (sch, cm, cluster, partR) // slots/phys unchanged: THE payoff
+          (sch, Some(cm), cluster, partR) // slots/phys unchanged: THE payoff
         case d: TableChange.DeleteColumn =>
           require(d.fieldNames().length == 1,
             "lake evolution: nested columns are unsupported")
@@ -2517,7 +2564,7 @@ class LakeTable(private[graft] val path: String, tableSchema: StructType,
           val outCm = ColMap(
             cm.slots.patch(idx, Nil, 1), cm.phys.patch(idx, Nil, 1),
             cm.physCount, cm.retired :+ cm.phys(idx))
-          (sch, outCm, root.cluster, root.part)
+          (sch, Some(outCm), root.cluster, root.part)
         case u: TableChange.UpdateColumnType =>
           // TYPE WIDENING (round 19): the text codec parses every INT
           // token as BIGINT/DOUBLE exactly and stats prune through
@@ -2553,17 +2600,42 @@ class LakeTable(private[graft] val path: String, tableSchema: StructType,
           require(to != DoubleType || !root.part.exists(_._1 == cname),
             s"lake type change on $path: '$cname' is the partition-" +
               "transform column — re-layout before widening to DOUBLE")
+          // bloom sidecars hashed this column's INT values as LONGs;
+          // a DOUBLE probe hashes bit-cast doubles — present values
+          // would read as absent and files would WRONGLY prune (r19
+          // review #1). INT→BIGINT shares one hash path and is fine.
+          require(to != DoubleType ||
+              !LakeFormat.readBloomCols(f, path).contains(
+                cm.phys(idx)),
+            s"lake type change on $path: '$cname' is bloom-enrolled — " +
+              "its sidecars hash integer values; widening to DOUBLE " +
+              "would change the probe hash and wrongly prune")
           val sch = StructType(root.schema.fields.zipWithIndex.map {
             case (fd, i) => if (i == idx) fd.copy(dataType = to) else fd
           })
-          (sch, cm, root.cluster, root.part)
+          (sch, root.colmap, root.cluster, root.part)
         case other => throw new UnsupportedOperationException(
           s"unexpected mapped evolution: $other")
+      }
+      // the table's immutable CHECK constraint must still ANALYZE
+      // against the post-change header — renaming or dropping a
+      // checked column would otherwise brick every subsequent write
+      // (loadCheck fails at factory build, and the sidecar can never
+      // change) (r19 review #3)
+      readCheckSql(f, path).foreach { sql =>
+        try LakeFormat.resolveCheck(outSchema, sql)
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"lake evolution on $path: the CHECK constraint ($sql) " +
+              "would no longer resolve after this change — constraints " +
+              "are fixed at CREATE; CTAS into a fresh dir to drop one",
+            e)
+        }
       }
       // entries re-emitted VERBATIM — one O(root) metadata write
       if (writeManifestCASAppend(f, path, base + 1, outSchema,
           Some(root), Nil, outCluster,
-          colmapOverride = Some(Some(outCm)), part = outPart))
+          colmapOverride = Some(outCm), part = outPart))
         evolved = outSchema
       else {
         attempts += 1
@@ -3204,12 +3276,19 @@ private[sources] class LakeScanBuilder(path: String,
       // (slot/type resolution under column mapping; a stale handle's
       // renamed field fails loudly, never reads the wrong slot)
       root.map(_.schema).getOrElse(tableSchema), required, version,
-      candidates.filter(e => pinnedFiles.forall(_.contains(e.name)) &&
-        LakeFormat.survives(e, pushedSeq) &&
-        // bloom pass (r19): equality/IN probes against enrolled
-        // columns' sidecars — only stats-surviving candidates reach
-        // here, so sidecar IO is bounded by the stats prune first
-        LakeFormat.bloomSurvives(LakeFormat.fs(path), path, e, pushedSeq)),
+      {
+        // one fs handle for the whole bloom pass — NOT per candidate:
+        // fs() clones the session's Hadoop conf each call (r19 review
+        // #5, an O(candidates) planning cost on 10⁵-file scans)
+        lazy val bloomFs = LakeFormat.fs(path)
+        candidates.filter(e => pinnedFiles.forall(_.contains(e.name)) &&
+          LakeFormat.survives(e, pushedSeq) &&
+          // bloom pass (r19): equality/IN probes against enrolled
+          // columns' sidecars — only stats-surviving candidates reach
+          // here, so sidecar IO is bounded by the stats prune first
+          (e.blooms.isEmpty ||
+            LakeFormat.bloomSurvives(bloomFs, path, e, pushedSeq)))
+      },
       pushedSeq, timeTravel, readOptions,
       // key-grouped reporting stays OFF for row-level-operation scans:
       // their planned set IS the replace set and their runtime `_file`

@@ -606,6 +606,18 @@ class LakeSpec extends AnyFunSuite {
          |) USING lake LOCATION '${tmp("lake_check3")}'
          |TBLPROPERTIES ('check'='v + 1')""".stripMargin))
     assert(deepMsg(e5).toLowerCase.contains("boolean"), deepMsg(e5))
+    // renaming or dropping a CHECKED column is refused — it would
+    // brick every subsequent write (the constraint is immutable and
+    // loadCheck would fail analysis forever — r19 review #3); columns
+    // the constraint doesn't mention stay free to evolve
+    val e7 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $t RENAME COLUMN kscore TO k2"))
+    assert(deepMsg(e7).contains("CHECK constraint"), deepMsg(e7))
+    val e8 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $t DROP COLUMN kscore"))
+    assert(deepMsg(e8).contains("CHECK constraint"), deepMsg(e8))
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN score TO score_r")
+    assert(spark.table(t).columns.contains("score_r"))
     // the constraint travels with a SHALLOW CLONE
     val cdir = tmp("lake_check_clone")
     spark.sql(s"CLONE '$dir' TO '$cdir'")
@@ -1979,17 +1991,36 @@ class LakeSpec extends AnyFunSuite {
       spark.sql(s"ALTER TABLE $t ALTER COLUMN doc_id TYPE BIGINT"))
     assert(e2.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"),
       e2.getMessage)
-    // a stale narrow-schema writer merges: its int tokens serve under
-    // the widened header (wider-wins per field, loud on real conflicts)
-    val merged = LakeFormat.mergeSchemas(dir,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("kscore",
-          org.apache.spark.sql.types.IntegerType))),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("kscore",
-          org.apache.spark.sql.types.LongType))))
+    // a stale NARROW-schema writer merges: its int tokens serve under
+    // the widened base header exactly; a write carrying a WIDER type
+    // than the header is refused — header widening must go through
+    // ALTER, never ride a plain write past the layout/bloom guards
+    // (r19 review #2)
+    val intS = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("kscore",
+        org.apache.spark.sql.types.IntegerType)))
+    val longS = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("kscore",
+        org.apache.spark.sql.types.LongType)))
+    val merged = LakeFormat.mergeSchemas(dir, longS, intS)
     assert(merged("kscore").dataType ==
       org.apache.spark.sql.types.LongType)
+    val eWide = intercept[IllegalArgumentException](
+      LakeFormat.mergeSchemas(dir, intS, longS))
+    assert(eWide.getMessage.contains("must not widen"), eWide.getMessage)
+    // end-to-end: a path-based append whose dataframe carries the
+    // cluster column as DOUBLE must fail loudly, never silently widen
+    // the header under the standing claim
+    val gdir = tmp("lake_widen_guard")
+    det(2000, 2).write.format(Lake).option("path", gdir)
+      .mode("overwrite").save()
+    LakeFormat.optimizeCluster(spark, gdir, "bucket", 2)
+    val eClaim = intercept[Exception](
+      det(2000, 2)
+        .withColumn("bucket", col("bucket").cast("double"))
+        .write.format(Lake).option("path", gdir).mode("append").save())
+    assert((eClaim.getMessage + String.valueOf(eClaim.getCause))
+      .contains("must not widen"), eClaim.getMessage)
     // widening the CLUSTER column to DOUBLE would change the bucket
     // hash under the claim — refused; INT→BIGINT shares the hash path
     val cdir = tmp("lake_widen_cl")
@@ -2005,6 +2036,27 @@ class LakeSpec extends AnyFunSuite {
       LakeFormat.latestVersion(cf, cdir).get)
     assert(cmeta.cluster.contains(("bucket", 4)),
       "INT→BIGINT widening dropped the cluster claim")
+    // a widen is header-only: it must NOT materialize a column mapping
+    // (that would disable manifest-only aggregates forever — found by
+    // the 20M smoke) and INT→DOUBLE on a BLOOM-enrolled column is
+    // refused (sidecars hash integers; a double probe would wrongly
+    // prune — r19 review #1)
+    assert(cmeta.colmap.isEmpty,
+      "type widening materialized a column mapping")
+    val bdir = tmp("lake_widen_bloom")
+    spark.sql("DROP TABLE IF EXISTS glt.ns.twidenbl")
+    spark.sql(s"""CREATE TABLE glt.ns.twidenbl (id BIGINT, k INT)
+      |USING lake LOCATION '$bdir'
+      |TBLPROPERTIES ('bloomFor'='k')""".stripMargin)
+    spark.range(10).selectExpr("id", "CAST(id AS INT) AS k")
+      .createOrReplaceTempView("widenbl_src")
+    spark.sql("INSERT OVERWRITE glt.ns.twidenbl SELECT * FROM widenbl_src")
+    val e4 = intercept[Exception](spark.sql(
+      "ALTER TABLE glt.ns.twidenbl ALTER COLUMN k TYPE DOUBLE"))
+    assert(e4.getMessage.contains("bloom-enrolled"), e4.getMessage)
+    spark.sql("ALTER TABLE glt.ns.twidenbl ALTER COLUMN k TYPE BIGINT")
+    assert(spark.table("glt.ns.twidenbl").filter(col("k") === 5L)
+      .count() == 1L, "bloom probe broke across INT→BIGINT widen")
   }
 
   test("column mapping: RENAME/DROP COLUMN are metadata-only — files untouched, stats keep pruning, time travel serves the old names, DML stays correct, re-add never resurrects (r19 — r18 verdict #4)") {
