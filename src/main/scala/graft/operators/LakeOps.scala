@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Q
+import graft.sources.LakeFormat
 
-/** Registered queries q225–q252 over the lakehouse table
+/** Registered queries q225–q253 over the lakehouse table
   * ([[graft.sources.LakeTable]], rounds 16–19) — the mutable-table
   * surface a shared 100 TB corpus needs on top of write-once files:
   * data-skipping scans, row-level DML (metadata-only, copy-on-write,
@@ -1056,11 +1057,62 @@ object LakeOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Fresh-dir counter for q253: a failed prior run may leave a live
+    * branch behind, and CREATE BRANCH over a live name refuses. */
+  private[operators] val wapRuns =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Write-audit-publish (round 19): fork a branch off the table, land
+    * an append AND a row-level DELETE on the branch while main serves
+    * the untouched snapshot, audit the branch, then FAST FORWARD —
+    * one atomic O(files)-metadata commit adopts the branch's local
+    * files by rename (zero data bytes copied or rewritten). The oracle
+    * replays the published state relationally: base ∪ appended rows,
+    * minus the deleted ids. At 100 TB this is how a day's ingest ships:
+    * audit queries run against REAL snapshots of the candidate table,
+    * and main flips to the audited state or never sees it. */
+  val qLakeBranchWap: Q = Q(
+    "q253_lake_branch_wap",
+    """SELECT CAST(id % 16 AS INT) AS bucket, count(*) AS n,
+      |       CAST(sum((id * 31) % 997) AS BIGINT) AS sum_kscore
+      |FROM (SELECT id FROM range(20000) t(id)
+      |      UNION ALL SELECT id FROM range(50000, 50100) t2(id))
+      |WHERE NOT (id % 997 = 13)
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+  ) { (s, _) =>
+    val dir = lakeDir(s, s"q253_wap_${wapRuns.incrementAndGet()}")
+    det(s, 20000, 8).write.format(Lake)
+      .option("path", dir).mode("overwrite").save()
+    s.sql(s"CREATE BRANCH wap ON '$dir'")
+    // branch-side append: det-shaped rows for ids [50000, 50100)
+    s.range(50000, 50100)
+      .select(col("id"), (col("id") % 16).cast("int").as("bucket"),
+        ((col("id") * 31) % 997).cast("int").as("kscore"),
+        lit(0.0).as("score"), lit("b").as("doc_id"))
+      .write.format(Lake).option("path", dir).option("branch", "wap")
+      .mode("append").save()
+    // branch-side DELETE (merge-on-read, local sidecars)
+    freshTable(s, "glake.ns.t253b", LakeFormat.branchDir(dir, "wap"))
+    s.sql("DELETE FROM glake.ns.t253b WHERE id % 997 = 13")
+    // audit gate: the branch must hold exactly the expected rows
+    // before it may publish — the whole point of WAP
+    val audited = s.read.format(Lake).option("path", dir)
+      .option("branch", "wap").load().count()
+    require(audited == 20000L - 21L + 100L,
+      s"WAP audit failed: branch holds $audited rows")
+    s.sql(s"FAST FORWARD '$dir' TO BRANCH wap")
+    s.read.format(Lake).option("path", dir).load()
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("kscore")).cast("long").as("sum_kscore"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[Q] = Seq(qLakeScanPrune, qLakeDelete, qLakeUpdate,
     qLakeMerge, qLakeTimeTravel, qLakeStatsAgg, qLakeTimestampTravel,
     qLakeStreamRead, qLakeDvDelete, qLakeSpjJoin, qLakeChangeFeed,
     qLakeChangeStream, qLakeClusteredInsert, qLakeMorUpdate, qLakeRestore,
     qLakeCompact, qLakeMergeFeed, qLakeCompactTo, qLakeRenameDrop,
     qLakeComposite, qLakeZOrder, qLakeMergeNms, qLakeWiden, qLakeClone,
-    qLakeStringStats, qLakeCheck, qLakeBloom)
+    qLakeStringStats, qLakeCheck, qLakeBloom, qLakeBranchWap)
 }

@@ -27,6 +27,10 @@ import graft.sources.{LakeFormat, LakeTable}
   *   RESTORE [TABLE] <table|'path'> TO VERSION AS OF <n>
   *   RESTORE [TABLE] <table|'path'> TO TIMESTAMP AS OF '<ts>'
   *   CLONE [TABLE] <table|'path'> TO '<path>' [VERSION AS OF <n>]
+  *   CREATE BRANCH <b> ON <table|'path'> [VERSION AS OF <n>]
+  *   FAST FORWARD <table|'path'> TO BRANCH <b>
+  *   DROP BRANCH <b> ON <table|'path'>
+  *   SHOW BRANCHES ON <table|'path'>
   *   DESCRIBE HISTORY <table|'path'>
   *   DESCRIBE DETAIL <table|'path'>
   * }}}
@@ -79,6 +83,17 @@ object LakeSqlCommands {
   private val Clone =
     ("""(?is)^\s*CLONE\s+(?:TABLE\s+)?""" + Target +
       """\s+TO\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
+  private val CreateBranch =
+    ("""(?is)^\s*CREATE\s+BRANCH\s+(\w[\w-]*)\s+ON\s+""" + Target +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
+  private val FastForward =
+    ("""(?is)^\s*FAST\s+FORWARD\s+""" + Target +
+      """\s+TO\s+BRANCH\s+(\w[\w-]*)\s*;?\s*$""").r
+  private val DropBranch =
+    ("""(?is)^\s*DROP\s+BRANCH\s+(\w[\w-]*)\s+ON\s+""" + Target +
+      """\s*;?\s*$""").r
+  private val ShowBranches =
+    ("""(?is)^\s*SHOW\s+BRANCHES\s+ON\s+""" + Target + """\s*;?\s*$""").r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case OptimizeRange(path, ident, col, n) =>
@@ -109,6 +124,15 @@ object LakeSqlCommands {
     case Restore(path, ident, version, ts) =>
       Some(RestoreLakeCommand(Option(path), Option(ident),
         Option(version).map(_.toInt), Option(ts)))
+    case CreateBranch(name, path, ident, version) =>
+      Some(CreateBranchCommand(Option(path), Option(ident), name,
+        Option(version).map(_.toInt)))
+    case FastForward(path, ident, name) =>
+      Some(FastForwardCommand(Option(path), Option(ident), name))
+    case DropBranch(name, path, ident) =>
+      Some(DropBranchCommand(Option(path), Option(ident), name))
+    case ShowBranches(path, ident) =>
+      Some(ShowBranchesCommand(Option(path), Option(ident)))
     case Clone(path, ident, dst, version) =>
       Some(CloneLakeCommand(Option(path), Option(ident), dst,
         Option(version).map(_.toInt)))
@@ -325,6 +349,79 @@ case class CloneLakeCommand(path: Option[String], ident: Option[String],
     val src = LakeSqlCommands.resolvePath(spark, path, ident)
     val (v, files) = LakeFormat.shallowClone(src, dst, versionAsOf)
     Seq(Row(src, dst, v, files))
+  }
+}
+
+/** `CREATE BRANCH b ON t [VERSION AS OF n]` (round 19) — fork the
+  * snapshot into a zero-copy branch under the table dir
+  * ([[LakeFormat.createBranch]]): the write side of write-audit-publish.
+  * Writes/DML/audits target the branch via `option("branch", "b")`;
+  * main readers never see it until FAST FORWARD. */
+case class CreateBranchCommand(path: Option[String], ident: Option[String],
+    name: String, versionAsOf: Option[Int]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("branch", StringType, nullable = false)(),
+    AttributeReference("base_version", IntegerType, nullable = false)(),
+    AttributeReference("files_referenced", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = LakeSqlCommands.resolvePath(spark, path, ident)
+    val (base, files) = LakeFormat.createBranch(dir, name, versionAsOf)
+    Seq(Row(dir, name, base, files))
+  }
+}
+
+/** `FAST FORWARD t TO BRANCH b` (round 19) — publish the audited
+  * branch head as main's next version in ONE atomic CAS commit
+  * ([[LakeFormat.fastForward]]): branch-local files are renamed (not
+  * copied) into the table dir, main must still sit at the branch's
+  * base (fast-forward-only — divergence refuses loudly), and the
+  * branch is consumed. The publish step of write-audit-publish. */
+case class FastForwardCommand(path: Option[String], ident: Option[String],
+    name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("branch", StringType, nullable = false)(),
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("files", IntegerType, nullable = false)(),
+    AttributeReference("files_adopted", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = LakeSqlCommands.resolvePath(spark, path, ident)
+    val (v, files, adopted) = LakeFormat.fastForward(dir, name)
+    Seq(Row(dir, name, v, files, adopted))
+  }
+}
+
+/** `DROP BRANCH b ON t` (round 19) — abandon an unpublished branch:
+  * its local files die with it; shared files stay main's. */
+case class DropBranchCommand(path: Option[String], ident: Option[String],
+    name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("branch", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = LakeSqlCommands.resolvePath(spark, path, ident)
+    LakeFormat.dropBranch(dir, name)
+    Seq(Row(dir, name))
+  }
+}
+
+/** `SHOW BRANCHES ON t` (round 19) — one row per live branch: its
+  * fork base and current head version (root-only reads). */
+case class ShowBranchesCommand(path: Option[String],
+    ident: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("branch", StringType, nullable = false)(),
+    AttributeReference("base_version", IntegerType, nullable = false)(),
+    AttributeReference("head_version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = LakeSqlCommands.resolvePath(spark, path, ident)
+    val f = LakeFormat.fs(dir)
+    LakeFormat.listBranches(f, dir).map { b =>
+      val bDir = LakeFormat.branchDir(dir, b)
+      Row(b, LakeFormat.branchBase(f, bDir),
+        LakeFormat.latestVersion(f, bDir).getOrElse(-1))
+    }
   }
 }
 

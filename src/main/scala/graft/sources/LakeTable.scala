@@ -227,10 +227,20 @@ class LakeSource extends TableProvider {
       (a.toInt, to)
     }
 
+  /** `option("branch", b)` retargets the WHOLE read/write at the
+    * branch's directory (round 19 — [[LakeFormat.branchDir]]): every
+    * downstream surface (scans, commits, feeds, time travel within the
+    * branch) then operates on the branch chain with zero further
+    * plumbing. Path-form sugar; catalog writes target main. */
+  private def resolveBranch(path: String,
+      get: String => Option[String]): String =
+    get("branch").map(LakeFormat.branchDir(path, _)).getOrElse(path)
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val path = options.get("path")
-    require(path != null && path.nonEmpty,
+    val path0 = options.get("path")
+    require(path0 != null && path0.nonEmpty,
       "LakeSource requires option(\"path\", ...)")
+    val path = resolveBranch(path0, k => Option(options.get(k)))
     changesRange(path, k => Option(options.get(k))).foreach {
       case (_, to) =>
         // feed rows follow version `to`'s header + the change metadata
@@ -293,9 +303,10 @@ class LakeSource extends TableProvider {
     // here: the scan would null-pad the metadata columns and serve the
     // FULL snapshot instead of the delta, silently (r17 advisory)
     val opts = new CaseInsensitiveStringMap(properties)
-    val path = opts.get("path")
-    require(path != null && path.nonEmpty,
+    val path0 = opts.get("path")
+    require(path0 != null && path0.nonEmpty,
       "LakeSource requires option(\"path\", ...)")
+    val path = resolveBranch(path0, k => Option(opts.get(k)))
     // change feeds resolve (range, schema) HERE, as one atomic decision
     // — inferSchema's resolution can be one commit stale by the time
     // getTable runs (r17 review: a concurrent ADD COLUMN + append would
@@ -1830,6 +1841,167 @@ object LakeFormat {
       meta.cluster, maintenance = false, meta.colmap, meta.part),
       s"lake clone: lost the v0 commit race under $dstDir")
     (v, absEntries.size)
+  }
+
+  // ---- branches & write-audit-publish (round 19) ----------------------
+  // The Iceberg-refs idea re-derived for a directory-chained format: a
+  // branch is a SHALLOW CLONE living under `_branch-<name>/` inside the
+  // table dir (zero bytes copied — [[shallowClone]]), plus a
+  // `_branch_base` sidecar recording the MAIN version it forked from.
+  // Every existing surface works on the branch unchanged (reads, DML,
+  // streaming, OPTIMIZE, time travel WITHIN the branch) because it IS a
+  // lake table; main readers never see it because main's version
+  // resolution only parses `_manifest-v*` names and vacuum's reclaim
+  // filter never matches a directory. FAST FORWARD publishes the branch
+  // head as ONE atomic main commit — the write-audit-publish pattern: a
+  // 100 TB ingest lands on the branch, audit queries run against real
+  // snapshots, and main flips to the audited state in one O(files)
+  // metadata write with zero data-file rewrites (branch-local files are
+  // RENAMEd into the table dir — same-filesystem moves, not copies).
+  // Fast-forward-ONLY: main must still sit at the recorded base or the
+  // publish refuses loudly (divergent histories need an explicit
+  // re-branch — silently merging two file sets would duplicate rows).
+
+  private val BranchNameRe = """[A-Za-z0-9_][A-Za-z0-9_-]*""".r
+
+  def branchDir(dir: String, name: String): String = {
+    require(BranchNameRe.pattern.matcher(name).matches(),
+      s"lake branch name '$name' must match [A-Za-z0-9_][A-Za-z0-9_-]*")
+    new HPath(dir, s"_branch-$name").toString
+  }
+
+  /** Branch names currently present under `dir` (directory listing —
+    * O(entries in dir), metadata only). */
+  def listBranches(f: FileSystem, dir: String): Seq[String] = {
+    val d = new HPath(dir)
+    if (!f.exists(d)) return Nil
+    f.listStatus(d).iterator.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("_branch-"))
+      .map(_.stripPrefix("_branch-")).toSeq.sorted
+  }
+
+  /** Fork `srcDir`'s snapshot (latest, or `versionAsOf`) into branch
+    * `name`. Returns (base main version, files referenced). */
+  def createBranch(srcDir: String, name: String,
+      versionAsOf: Option[Int]): (Int, Int) = {
+    val bDir = branchDir(srcDir, name)
+    val f = fs(srcDir)
+    require(!f.exists(new HPath(bDir)),
+      s"lake branch '$name' already exists on $srcDir — DROP BRANCH " +
+        "first or pick another name")
+    val (v, files) = shallowClone(srcDir, bDir, versionAsOf)
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      f.create(new HPath(bDir, "_branch_base"), false), "UTF-8"))
+    try out.write(v.toString) finally out.close()
+    (v, files)
+  }
+
+  def branchBase(f: FileSystem, bDir: String): Int = {
+    val p = new HPath(bDir, "_branch_base")
+    require(f.exists(p), s"$bDir is not a lake branch (no _branch_base)")
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(f.open(p), "UTF-8"))
+    try in.readLine().trim.toInt finally in.close()
+  }
+
+  def dropBranch(srcDir: String, name: String): Unit = {
+    val f = fs(srcDir)
+    val bDir = new HPath(branchDir(srcDir, name))
+    require(f.exists(bDir),
+      s"lake branch '$name' does not exist on $srcDir")
+    // refuse to silently delete something that was never a branch (a
+    // user pointing DROP BRANCH at a data subdirectory by mistake)
+    branchBase(f, bDir.toString)
+    require(f.delete(bDir, true),
+      s"lake branch drop: could not delete $bDir")
+  }
+
+  /** Publish branch `name`'s head as main's next version — atomic,
+    * fast-forward-only, consuming the branch. Branch-local data files
+    * (and dv/bloom sidecars) are renamed into the table dir and
+    * referenced relatively; entries pointing back at the parent's own
+    * files flip back to relative names; foreign absolute references
+    * (a branch of a clone) carry through verbatim. Returns
+    * (published version, files in snapshot, branch-local files
+    * adopted). */
+  def fastForward(srcDir: String, name: String): (Int, Int, Int) = {
+    val f = fs(srcDir)
+    val bDir = branchDir(srcDir, name)
+    require(f.exists(new HPath(bDir)),
+      s"lake branch '$name' does not exist on $srcDir")
+    val base = branchBase(f, bDir)
+    def requireAtBase(): Unit = {
+      val cur = latestVersion(f, srcDir).getOrElse(-1)
+      require(cur == base,
+        s"lake fast forward on $srcDir: branch '$name' forked at " +
+          s"v$base but main is at v$cur — not a fast forward; " +
+          "re-create the branch from the current snapshot and " +
+          "re-apply its writes")
+    }
+    requireAtBase()
+    val headV = latestVersion(f, bDir).getOrElse(
+      throw new IllegalStateException(s"lake branch '$name': no head"))
+    val head = readManifestMeta(f, bDir, headV)
+    // translate every reference out of the branch's frame: the parent
+    // prefix comparison uses the SAME Path construction shallowClone
+    // absolutized with, so round-trips are exact
+    val srcPrefix = new HPath(srcDir).toString + "/"
+    val bPrefix = new HPath(bDir).toString + "/"
+    val adopted = Seq.newBuilder[(HPath, HPath)] // (from, to) for undo
+    def translate(n: String): String = {
+      val p = new HPath(n)
+      if (p.isAbsolute) {
+        if (n.startsWith(bPrefix)) {
+          // absolute INTO the branch dir (a clone-of-branch shape):
+          // adopt like a relative branch-local file
+          adoptLocal(n.stripPrefix(bPrefix))
+        } else if (n.startsWith(srcPrefix) &&
+            !n.stripPrefix(srcPrefix).contains("/")) {
+          n.stripPrefix(srcPrefix) // the parent's own file, back to relative
+        } else n // foreign (chained clone) — carries through
+      } else adoptLocal(n)
+    }
+    def adoptLocal(rel: String): String = {
+      val from = new HPath(bDir, rel)
+      // writer names carry fresh per-write uids so collisions cannot
+      // arise from our own writers; guard anyway (adoption rewrites
+      // the reference, so a prefixed name is always safe)
+      val relOut =
+        if (f.exists(new HPath(srcDir, rel)))
+          s"ff-${java.util.UUID.randomUUID().toString.take(8)}-$rel"
+        else rel
+      val to = new HPath(srcDir, relOut)
+      require(f.rename(from, to),
+        s"lake fast forward: rename $from -> $to failed")
+      adopted += ((from, to))
+      relOut
+    }
+    val outEntries = head.entries.map { e =>
+      e.copy(name = translate(e.name),
+        dv = e.dv.map { case (n, c) => (translate(n), c) },
+        blooms = e.blooms.map { case (c, n) => (c, translate(n)) })
+    }
+    // main has not moved past base (checked above), so the branch's
+    // header state (schema evolution, colmap, layout claims) IS the
+    // monotone successor of main's — publish it wholesale
+    val ok = writeManifestCAS(f, srcDir, base + 1, head.schema,
+      outEntries, head.cluster, maintenance = false, head.colmap,
+      head.part)
+    if (!ok) {
+      // a racing main commit took v(base+1) between the check and the
+      // CAS: undo the adoptions so the branch stays intact, then fail
+      // with the fast-forward error
+      adopted.result().foreach { case (from, to) => f.rename(to, from) }
+      requireAtBase()
+      throw new IllegalStateException(
+        s"lake fast forward on $srcDir: lost the v${base + 1} commit " +
+          "race — re-run")
+    }
+    // the branch is consumed: its local files now live in the parent,
+    // so the branch chain would serve a half-moved table — remove it
+    f.delete(new HPath(bDir), true)
+    (base + 1, outEntries.size, adopted.result().size)
   }
 
   // ---- CHECK constraints (round 19) -----------------------------------

@@ -1937,6 +1937,91 @@ class LakeSpec extends AnyFunSuite {
     assert(spark.table(t).count() == 20000L - 21L + 100L)
   }
 
+  test("branches/WAP: zero-copy fork, isolated writes+DML, audit reads, atomic fast-forward adopting local files, claim survives, feed shows net rows; divergence refused (r19)") {
+    val dir = tmp("lake_wap")
+    det(20000, 8).write.format(Lake).option("path", dir)
+      .mode("overwrite").save()
+    LakeFormat.optimizeCluster(spark, dir, "bucket", 4)
+    val f = LakeFormat.fs(dir)
+    val v0 = LakeFormat.latestVersion(f, dir).get
+    val mainFiles = lakeFiles(dir).sorted
+    // CREATE BRANCH = a zero-copy fork under the table dir
+    val row = spark.sql(s"CREATE BRANCH audit ON '$dir'").head
+    assert(row.getInt(2) == v0 && row.getInt(3) == 4, row.toString)
+    val bDir = LakeFormat.branchDir(dir, "audit")
+    assert(new java.io.File(bDir).list().toSeq
+      .count(_.startsWith("part-")) == 0, "branch creation copied data")
+    // writes land on the BRANCH via option("branch"); main never moves
+    spark.range(50000, 50100)
+      .select(col("id"), (col("id") % 16).cast("int").as("bucket"),
+        (col("id") % 50).cast("int").as("kscore"),
+        lit(0.0).as("score"), lit("b").as("doc_id"))
+      .write.format(Lake).option("path", dir).option("branch", "audit")
+      .mode("append").save()
+    // DML on the branch: local deletion vectors against shared files
+    val bt = catalogTable("twap_branch", bDir)
+    spark.sql(s"DELETE FROM $bt WHERE id % 997 = 13")
+    assert(LakeFormat.latestVersion(f, dir).get == v0,
+      "branch activity advanced MAIN's version")
+    assert(read(dir).count() == 20000L, "branch writes leaked into main")
+    assert(lakeFiles(dir).sorted == mainFiles)
+    // the audit step reads the branch as a real table — both forms
+    val expected = 20000L - 21L + 100L
+    assert(spark.read.format(Lake).option("path", dir)
+      .option("branch", "audit").load().count() == expected)
+    assert(spark.table(bt).count() == expected)
+    val shown = spark.sql(s"SHOW BRANCHES ON '$dir'").collect()
+    assert(shown.length == 1 && shown.head.getString(0) == "audit" &&
+      shown.head.getInt(1) == v0, shown.mkString)
+    // PUBLISH: one atomic commit; branch-local files adopted by rename
+    val ff = spark.sql(s"FAST FORWARD '$dir' TO BRANCH audit").head
+    assert(ff.getInt(2) == v0 + 1, ff.toString)
+    assert(ff.getInt(4) >= 1, "no branch-local files were adopted")
+    assert(read(dir).count() == expected)
+    assert(LakeFormat.latestVersion(f, dir).get == v0 + 1)
+    // the branch is consumed; the claim survived the publish
+    assert(!new java.io.File(bDir).exists(), "publish left the branch")
+    assert(spark.sql(s"SHOW BRANCHES ON '$dir'").count() == 0L)
+    val meta = LakeFormat.readManifestMeta(f, dir, v0 + 1)
+    assert(meta.cluster.contains(("bucket", 4)),
+      "fast forward dropped the layout claim")
+    assert(meta.entries.forall(e => !e.name.contains("_branch-")),
+      "published entries still reference the branch directory")
+    // the change feed shows the branch's NET rows as one commit
+    val feed = spark.read.format(Lake).option("path", dir)
+      .option("changesFrom", v0 + 1).load()
+      .groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(feed.getOrElse("insert", 0L) == 100L &&
+      feed.getOrElse("delete", 0L) == 21L, feed.toString)
+    // divergence: a branch whose base main has moved past refuses
+    spark.sql(s"CREATE BRANCH stale ON '$dir'")
+    spark.range(60000, 60010)
+      .select(col("id"), (col("id") % 16).cast("int").as("bucket"),
+        (col("id") % 50).cast("int").as("kscore"),
+        lit(0.0).as("score"), lit("m").as("doc_id"))
+      .write.format(Lake).option("path", dir).mode("append").save()
+    val e = intercept[IllegalArgumentException](
+      spark.sql(s"FAST FORWARD '$dir' TO BRANCH stale"))
+    assert(e.getMessage.contains("not a fast forward"), e.getMessage)
+    // the failed publish left main AND the branch intact; DROP works
+    assert(read(dir).count() == expected + 10L)
+    assert(spark.read.format(Lake).option("path", dir)
+      .option("branch", "stale").load().count() == expected)
+    spark.sql(s"DROP BRANCH stale ON '$dir'")
+    assert(spark.sql(s"SHOW BRANCHES ON '$dir'").count() == 0L)
+    assert(read(dir).count() == expected + 10L)
+    // a second CREATE under a live name refuses; bad names refuse
+    spark.sql(s"CREATE BRANCH b2 ON '$dir'")
+    val e2 = intercept[IllegalArgumentException](
+      spark.sql(s"CREATE BRANCH b2 ON '$dir'"))
+    assert(e2.getMessage.contains("already exists"), e2.getMessage)
+    spark.sql(s"DROP BRANCH b2 ON '$dir'")
+    val e3 = intercept[IllegalArgumentException](
+      LakeFormat.createBranch(dir, "bad/name", None))
+    assert(e3.getMessage.contains("must match"), e3.getMessage)
+  }
+
   test("type widening: ALTER COLUMN TYPE INT→BIGINT/DOUBLE is metadata-only — files untouched, big values insert, stats prune, time travel keeps old type; lossy casts and layout hash changes refused (r19)") {
     val dir = tmp("lake_widen")
     val t = catalogTable("twiden", dir)
