@@ -1108,11 +1108,53 @@ object LakeOps {
       .orderBy(col("bucket"))
   }
 
+  /** Fresh-dir counter for q254 (MV targets must be fresh dirs). */
+  private[operators] val mvRuns =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Incremental materialized-view maintenance (round 19): materialize
+    * `bucket → (count, sum(kscore))`, then append + DELETE + UPDATE the
+    * source and REFRESH — the MV folds the change feed's delta in
+    * (O(changed files + touched groups), never a source rescan; the
+    * feed's delete+insert update pairing nets sums exactly). The oracle
+    * recomputes the final aggregate from scratch relationally — the
+    * incremental path must land on the identical table. */
+  val qLakeMv: Q = Q(
+    "q254_lake_mv_refresh",
+    """SELECT CAST(id % 16 AS INT) AS bucket, count(*) AS mv_cnt,
+      |       CAST(sum((id * 31) % 997 +
+      |                CASE WHEN id < 100 THEN 5 ELSE 0 END) AS BIGINT)
+      |         AS sum_kscore
+      |FROM (SELECT id FROM range(20000) t(id)
+      |      UNION ALL SELECT id FROM range(50000, 50100) t2(id))
+      |WHERE NOT (id % 997 = 13)
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+  ) { (s, _) =>
+    val run = mvRuns.incrementAndGet()
+    val dir = lakeDir(s, s"q254_mv_src_$run")
+    val mv = lakeDir(s, s"q254_mv_$run")
+    det(s, 20000, 8).write.format(Lake)
+      .option("path", dir).mode("append").save()
+    s.sql(s"CREATE MATERIALIZED VIEW '$mv' ON '$dir' " +
+      "KEYS (bucket) SUMS (kscore)")
+    freshTable(s, "glake.ns.t254", dir)
+    s.range(50000, 50100)
+      .select(col("id"), (col("id") % 16).cast("int").as("bucket"),
+        ((col("id") * 31) % 997).cast("int").as("kscore"),
+        lit(0.0).as("score"), lit("x").as("doc_id"))
+      .write.format(Lake).option("path", dir).mode("append").save()
+    s.sql("DELETE FROM glake.ns.t254 WHERE id % 997 = 13")
+    s.sql("UPDATE glake.ns.t254 SET kscore = kscore + 5 WHERE id < 100")
+    s.sql(s"REFRESH MATERIALIZED VIEW '$mv'")
+    s.read.format(Lake).option("path", mv).load()
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[Q] = Seq(qLakeScanPrune, qLakeDelete, qLakeUpdate,
     qLakeMerge, qLakeTimeTravel, qLakeStatsAgg, qLakeTimestampTravel,
     qLakeStreamRead, qLakeDvDelete, qLakeSpjJoin, qLakeChangeFeed,
     qLakeChangeStream, qLakeClusteredInsert, qLakeMorUpdate, qLakeRestore,
     qLakeCompact, qLakeMergeFeed, qLakeCompactTo, qLakeRenameDrop,
     qLakeComposite, qLakeZOrder, qLakeMergeNms, qLakeWiden, qLakeClone,
-    qLakeStringStats, qLakeCheck, qLakeBloom, qLakeBranchWap)
+    qLakeStringStats, qLakeCheck, qLakeBloom, qLakeBranchWap, qLakeMv)
 }

@@ -31,6 +31,8 @@ import graft.sources.{LakeFormat, LakeTable}
   *   FAST FORWARD <table|'path'> TO BRANCH <b>
   *   DROP BRANCH <b> ON <table|'path'>
   *   SHOW BRANCHES ON <table|'path'>
+  *   CREATE MATERIALIZED VIEW '<mv>' ON <table|'path'> KEYS (<k>…) [SUMS (<c>…)]
+  *   REFRESH MATERIALIZED VIEW '<mv>'
   *   DESCRIBE HISTORY <table|'path'>
   *   DESCRIBE DETAIL <table|'path'>
   * }}}
@@ -94,6 +96,12 @@ object LakeSqlCommands {
       """\s*;?\s*$""").r
   private val ShowBranches =
     ("""(?is)^\s*SHOW\s+BRANCHES\s+ON\s+""" + Target + """\s*;?\s*$""").r
+  private val CreateMv =
+    ("""(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s+ON\s+""" +
+      Target + """\s+KEYS\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)""" +
+      """(?:\s+SUMS\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?\s*;?\s*$""").r
+  private val RefreshMv =
+    ("""(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*$""").r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case OptimizeRange(path, ident, col, n) =>
@@ -133,6 +141,13 @@ object LakeSqlCommands {
       Some(DropBranchCommand(Option(path), Option(ident), name))
     case ShowBranches(path, ident) =>
       Some(ShowBranchesCommand(Option(path), Option(ident)))
+    case CreateMv(mvPath, path, ident, keysStr, sumsStr) =>
+      Some(CreateMvCommand(mvPath, Option(path), Option(ident),
+        keysStr.split(',').map(_.trim).toSeq,
+        Option(sumsStr).map(_.split(',').map(_.trim).toSeq)
+          .getOrElse(Nil)))
+    case RefreshMv(mvPath) =>
+      Some(RefreshMvCommand(mvPath))
     case Clone(path, ident, dst, version) =>
       Some(CloneLakeCommand(Option(path), Option(ident), dst,
         Option(version).map(_.toInt)))
@@ -422,6 +437,40 @@ case class ShowBranchesCommand(path: Option[String],
       Row(b, LakeFormat.branchBase(f, bDir),
         LakeFormat.latestVersion(f, bDir).getOrElse(-1))
     }
+  }
+}
+
+/** `CREATE MATERIALIZED VIEW '<mv>' ON t KEYS (k…) [SUMS (c…)]`
+  * (round 19) — materialize count/sum aggregates into a lake table
+  * armed for incremental refresh off the change feed
+  * ([[graft.sources.LakeMV]]). */
+case class CreateMvCommand(mvPath: String, path: Option[String],
+    ident: Option[String], keys: Seq[String],
+    sums: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("mv", StringType, nullable = false)(),
+    AttributeReference("source", StringType, nullable = false)(),
+    AttributeReference("covers_version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = LakeSqlCommands.resolvePath(spark, path, ident)
+    val base = graft.sources.LakeMV.create(spark, src, mvPath, keys, sums)
+    Seq(Row(mvPath, src, base))
+  }
+}
+
+/** `REFRESH MATERIALIZED VIEW '<mv>'` (round 19) — fold the source's
+  * changes since the covered version into the MV: O(changed files +
+  * touched groups), never a source rescan ([[graft.sources.LakeMV]]'s
+  * intent-marker protocol makes it crash-safe and idempotent). */
+case class RefreshMvCommand(mvPath: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("mv", StringType, nullable = false)(),
+    AttributeReference("covered_from", IntegerType, nullable = false)(),
+    AttributeReference("covered_to", IntegerType, nullable = false)(),
+    AttributeReference("touched_groups", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (from, to, groups) = graft.sources.LakeMV.refresh(spark, mvPath)
+    Seq(Row(mvPath, from, to, groups))
   }
 }
 

@@ -2022,6 +2022,91 @@ class LakeSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("must match"), e3.getMessage)
   }
 
+  test("materialized view: incremental refresh equals recompute across append/DELETE/UPDATE, vanished groups drop, no-op and maintenance refreshes skip commits, intent marker never double-applies (r19)") {
+    import graft.sources.LakeMV
+    val dir = tmp("lake_mv_src")
+    val t = catalogTable("tmv_src", dir)
+    det(20000, 8).write.format(Lake).option("path", dir)
+      .mode("append").save()
+    val mv = tmp("lake_mv") + "/mv"
+    spark.sql(s"CREATE MATERIALIZED VIEW '$mv' ON '$dir' " +
+      "KEYS (bucket) SUMS (kscore)")
+    def recompute(): Seq[(Int, Long, Long)] =
+      read(dir).groupBy(col("bucket"))
+        .agg(count(lit(1)).as("c"), sum(col("kscore")).as("s"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+    def mvRows(): Seq[(Int, Long, Long)] =
+      read(mv).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+    assert(mvRows() == recompute(), "MV create != full aggregate")
+    val fmv = LakeFormat.fs(mv)
+    // append + row-level DELETE + UPDATE on the source, then refresh
+    spark.range(50000, 50100)
+      .select(col("id"), (col("id") % 16).cast("int").as("bucket"),
+        ((col("id") * 31) % 997).cast("int").as("kscore"),
+        lit(0.0).as("score"), lit("x").as("doc_id"))
+      .write.format(Lake).option("path", dir).mode("append").save()
+    spark.sql(s"DELETE FROM $t WHERE id % 997 = 13")
+    spark.sql(s"UPDATE $t SET kscore = kscore + 5 WHERE id < 100")
+    val r1 = spark.sql(s"REFRESH MATERIALIZED VIEW '$mv'").head
+    assert(r1.getLong(3) > 0L, r1.toString)
+    assert(mvRows() == recompute(), "incremental refresh != recompute")
+    // a group whose count reaches zero disappears from the MV
+    spark.sql(s"DELETE FROM $t WHERE bucket = 3")
+    spark.sql(s"REFRESH MATERIALIZED VIEW '$mv'")
+    assert(!mvRows().exists(_._1 == 3), "vanished group still in MV")
+    assert(mvRows() == recompute())
+    // idempotent: nothing new to cover → no MV commit, zero groups
+    val vQuiet = LakeFormat.latestVersion(fmv, mv).get
+    val r2 = spark.sql(s"REFRESH MATERIALIZED VIEW '$mv'").head
+    assert(r2.getLong(3) == 0L && r2.getInt(1) == r2.getInt(2))
+    assert(LakeFormat.latestVersion(fmv, mv).get == vQuiet,
+      "no-op refresh committed to the MV")
+    // maintenance commits are row-preserving: covered, but no MV churn
+    spark.sql(s"OPTIMIZE '$dir' RANGE BY id INTO 4 FILES")
+    val r3 = spark.sql(s"REFRESH MATERIALIZED VIEW '$mv'").head
+    assert(r3.getLong(3) == 0L && r3.getInt(2) > r3.getInt(1),
+      r3.toString)
+    assert(LakeFormat.latestVersion(fmv, mv).get == vQuiet,
+      "maintenance-only refresh committed to the MV")
+    // crash window: merge landed but the state write was lost — the
+    // recovery finalizes WITHOUT re-applying the delta
+    val stateBefore = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(mv, "_mv_state")), "UTF-8")
+    val Array(coveredS, mvVS) = stateBefore.trim.split('\t')
+    spark.range(70000, 70010)
+      .select(col("id"), (col("id") % 16).cast("int").as("bucket"),
+        ((col("id") * 31) % 997).cast("int").as("kscore"),
+        lit(0.0).as("score"), lit("y").as("doc_id"))
+      .write.format(Lake).option("path", dir).mode("append").save()
+    val r4 = spark.sql(s"REFRESH MATERIALIZED VIEW '$mv'").head
+    assert(r4.getLong(3) > 0L)
+    val good = mvRows()
+    assert(good == recompute())
+    // rewind the state and plant the intent of the refresh that just
+    // ran: exactly what a crash between merge-commit and state write
+    // leaves behind
+    java.nio.file.Files.write(java.nio.file.Paths.get(mv, "_mv_state"),
+      stateBefore.getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(mv, "_mv_state.next"),
+      s"${r4.getInt(2)}\t$mvVS".getBytes("UTF-8"))
+    val r5 = spark.sql(s"REFRESH MATERIALIZED VIEW '$mv'").head
+    assert(r5.getLong(3) == 0L,
+      s"recovery re-applied an already-landed delta: $r5")
+    assert(mvRows() == good, "recovery corrupted the MV")
+    // non-numeric sums and non-fresh targets refuse loudly
+    val e1 = intercept[IllegalArgumentException](
+      LakeMV.create(spark, dir, tmp("lake_mv_bad") + "/mv",
+        Seq("bucket"), Seq("doc_id")))
+    assert(e1.getMessage.contains("numeric"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      LakeMV.create(spark, dir, mv, Seq("bucket"), Nil))
+    assert(e2.getMessage.contains("fresh"), e2.getMessage)
+  }
+
   test("type widening: ALTER COLUMN TYPE INT→BIGINT/DOUBLE is metadata-only — files untouched, big values insert, stats prune, time travel keeps old type; lossy casts and layout hash changes refused (r19)") {
     val dir = tmp("lake_widen")
     val t = catalogTable("twiden", dir)
