@@ -1150,11 +1150,51 @@ object LakeOps {
       .orderBy(col("bucket"))
   }
 
+  /** Fresh-dir counter for q255 (ledger state is per-table-dir). */
+  private[operators] val copyRuns =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Idempotent COPY INTO (round 19): three landing files ingest across
+    * three COPY commands, one of which is a pure RETRY — the oracle
+    * aggregates each source row exactly once, so any double-ingest (or
+    * dropped batch) breaks the hash. The at-least-once→exactly-once
+    * ingest contract a 100 TB landing zone needs. */
+  val qLakeCopyInto: Q = Q(
+    "q255_lake_copy_into",
+    """SELECT CAST(id % 16 AS INT) AS bucket, count(*) AS n,
+      |       CAST(sum((id * 31) % 997) AS BIGINT) AS sum_kscore
+      |FROM (SELECT id FROM range(20000) t(id)
+      |      UNION ALL SELECT id FROM range(50000, 50300) t2(id))
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+  ) { (s, _) =>
+    val run = copyRuns.incrementAndGet()
+    val dir = lakeDir(s, s"q255_copy_tbl_$run")
+    val land = lakeDir(s, s"q255_copy_land_$run")
+    det(s, 20000, 8).write.format(Lake)
+      .option("path", dir).mode("append").save()
+    def stage(a: Long, b: Long): Unit =
+      s.range(a, b)
+        .select(col("id"), (col("id") % 16).cast("int").as("bucket"),
+          ((col("id") * 31) % 997).cast("int").as("kscore"),
+          lit(0.0).as("score"), lit("cp").as("doc_id"))
+        .coalesce(1).write.mode("append").parquet(land)
+    stage(50000, 50100); stage(50100, 50200)
+    s.sql(s"COPY INTO '$dir' FROM '$land'")
+    s.sql(s"COPY INTO '$dir' FROM '$land'") // retry: must not duplicate
+    stage(50200, 50300)
+    s.sql(s"COPY INTO '$dir' FROM '$land'") // only the new file lands
+    s.read.format(Lake).option("path", dir).load()
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("kscore")).cast("long").as("sum_kscore"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[Q] = Seq(qLakeScanPrune, qLakeDelete, qLakeUpdate,
     qLakeMerge, qLakeTimeTravel, qLakeStatsAgg, qLakeTimestampTravel,
     qLakeStreamRead, qLakeDvDelete, qLakeSpjJoin, qLakeChangeFeed,
     qLakeChangeStream, qLakeClusteredInsert, qLakeMorUpdate, qLakeRestore,
     qLakeCompact, qLakeMergeFeed, qLakeCompactTo, qLakeRenameDrop,
     qLakeComposite, qLakeZOrder, qLakeMergeNms, qLakeWiden, qLakeClone,
-    qLakeStringStats, qLakeCheck, qLakeBloom, qLakeBranchWap, qLakeMv)
+    qLakeStringStats, qLakeCheck, qLakeBloom, qLakeBranchWap, qLakeMv, qLakeCopyInto)
 }

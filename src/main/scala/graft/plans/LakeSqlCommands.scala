@@ -33,6 +33,7 @@ import graft.sources.{LakeFormat, LakeTable}
   *   SHOW BRANCHES ON <table|'path'>
   *   CREATE MATERIALIZED VIEW '<mv>' ON <table|'path'> KEYS (<k>…) [SUMS (<c>…)]
   *   REFRESH MATERIALIZED VIEW '<mv>'
+  *   COPY INTO <table|'path'> FROM '<landing-dir>'
   *   DESCRIBE HISTORY <table|'path'>
   *   DESCRIBE DETAIL <table|'path'>
   * }}}
@@ -102,6 +103,9 @@ object LakeSqlCommands {
       """(?:\s+SUMS\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?\s*;?\s*$""").r
   private val RefreshMv =
     ("""(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*$""").r
+  private val CopyInto =
+    ("""(?is)^\s*COPY\s+INTO\s+""" + Target +
+      """\s+FROM\s+'([^']+)'\s*;?\s*$""").r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case OptimizeRange(path, ident, col, n) =>
@@ -148,6 +152,8 @@ object LakeSqlCommands {
           .getOrElse(Nil)))
     case RefreshMv(mvPath) =>
       Some(RefreshMvCommand(mvPath))
+    case CopyInto(path, ident, src) =>
+      Some(CopyIntoCommand(Option(path), Option(ident), src))
     case Clone(path, ident, dst, version) =>
       Some(CloneLakeCommand(Option(path), Option(ident), dst,
         Option(version).map(_.toInt)))
@@ -471,6 +477,26 @@ case class RefreshMvCommand(mvPath: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val (from, to, groups) = graft.sources.LakeMV.refresh(spark, mvPath)
     Seq(Row(mvPath, from, to, groups))
+  }
+}
+
+/** `COPY INTO t FROM '<dir>'` (round 19) — idempotent parquet-file
+  * ingest: each landing-dir file's rows append EXACTLY ONCE no matter
+  * how often the command retries ([[graft.sources.LakeIngest]]'s
+  * ledger + intent protocol); at-least-once upstream delivery becomes
+  * exactly-once table contents. */
+case class CopyIntoCommand(path: Option[String], ident: Option[String],
+    src: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("files_copied", IntegerType, nullable = false)(),
+    AttributeReference("files_skipped", IntegerType, nullable = false)(),
+    AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = LakeSqlCommands.resolvePath(spark, path, ident)
+    val (copied, skipped, v) =
+      graft.sources.LakeIngest.copyInto(spark, dir, src)
+    Seq(Row(dir, copied, skipped, v))
   }
 }
 

@@ -2107,6 +2107,94 @@ class LakeSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("fresh"), e2.getMessage)
   }
 
+  test("COPY INTO: exactly-once file ingest — retries skip, new files land, crash windows recover on both sides of the commit, re-pushed different-size files re-ingest (r19)") {
+    import graft.sources.LakeIngest
+    val dir = tmp("lake_copy_tbl")
+    val land = tmp("lake_copy_land")
+    det(1000, 1).write.format(Lake).option("path", dir)
+      .mode("append").save()
+    // landing dir: three parquet files of det-shaped rows
+    def stage(a: Long, b: Long): Unit =
+      spark.range(a, b)
+        .select(col("id"), (col("id") % 16).cast("int").as("bucket"),
+          ((col("id") * 31) % 997).cast("int").as("kscore"),
+          lit(0.0).as("score"), lit("cp").as("doc_id"))
+        .coalesce(1).write.mode("append").parquet(land)
+    stage(10000, 10500); stage(10500, 11000); stage(11000, 11500)
+    val r1 = spark.sql(s"COPY INTO '$dir' FROM '$land'").head
+    assert(r1.getInt(1) == 3 && r1.getInt(2) == 0, r1.toString)
+    assert(read(dir).count() == 1000L + 1500L)
+    // the retry is a no-op: all three files are ledgered
+    val r2 = spark.sql(s"COPY INTO '$dir' FROM '$land'").head
+    assert(r2.getInt(1) == 0 && r2.getInt(2) == 3, r2.toString)
+    assert(read(dir).count() == 1000L + 1500L)
+    // a newly landed file ingests alone
+    stage(11500, 11600)
+    val r3 = spark.sql(s"COPY INTO '$dir' FROM '$land'").head
+    assert(r3.getInt(1) == 1 && r3.getInt(2) == 3, r3.toString)
+    assert(read(dir).count() == 1000L + 1600L)
+    // crash BEFORE the append commit: intent exists, version unmoved —
+    // recovery discards it and the batch re-stages (no rows lost)
+    stage(11600, 11700)
+    val f = LakeFormat.fs(dir)
+    val v = LakeFormat.latestVersion(f, dir).get
+    val newTok = new java.io.File(land).list()
+      .filter(_.endsWith(".parquet")).map { n =>
+        s"$n:${new java.io.File(land, n).length()}"
+      }.toSet -- scala.io.Source.fromFile(
+        new java.io.File(dir, "_ingest_ledger")).getLines().toSet
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_ingest_intent"),
+      (v.toString +: newTok.toSeq).mkString("\n").getBytes("UTF-8"))
+    // raw writes bypass LocalFileSystem's checksum sidecars — drop them
+    def dropCrc(): Unit = Seq("._ingest_ledger.crc", "._ingest_intent.crc")
+      .foreach(n => new java.io.File(dir, n).delete())
+    dropCrc()
+    val r4 = spark.sql(s"COPY INTO '$dir' FROM '$land'").head
+    assert(r4.getInt(1) == 1 && r4.getInt(2) == 4, r4.toString)
+    assert(read(dir).count() == 1000L + 1700L)
+    // crash AFTER the append commit but before the ledger write:
+    // recovery finalizes the ledger and the rows never duplicate
+    val ledgerNow = scala.io.Source.fromFile(
+      new java.io.File(dir, "_ingest_ledger")).getLines().toVector
+    val lastTok = newTok.toSeq
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_ingest_ledger"),
+      ledgerNow.filterNot(lastTok.contains).mkString("\n")
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_ingest_intent"),
+      ((v - 1).toString +: lastTok).mkString("\n").getBytes("UTF-8"))
+    dropCrc()
+    val r5 = spark.sql(s"COPY INTO '$dir' FROM '$land'").head
+    assert(r5.getInt(1) == 0 && r5.getInt(2) == 5,
+      s"post-commit crash recovery re-ingested: $r5")
+    assert(read(dir).count() == 1000L + 1700L)
+    // same name, different size = a different identity → re-ingests
+    val one = new java.io.File(land).list()
+      .filter(_.endsWith(".parquet")).sorted.head
+    val p = java.nio.file.Paths.get(land, one)
+    val repl = tmp("lake_copy_repl")
+    spark.range(90000, 90010)
+      .select(col("id"), (col("id") % 16).cast("int").as("bucket"),
+        ((col("id") * 31) % 997).cast("int").as("kscore"),
+        lit(0.0).as("score"),
+        lit("repushed-with-a-longer-payload").as("doc_id"))
+      .coalesce(1).write.mode("overwrite").parquet(repl)
+    val rf = new java.io.File(repl).list()
+      .filter(_.endsWith(".parquet")).head
+    java.nio.file.Files.copy(java.nio.file.Paths.get(repl, rf), p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    new java.io.File(land, s".$one.crc").delete()
+    val r6 = spark.sql(s"COPY INTO '$dir' FROM '$land'").head
+    assert(r6.getInt(1) == 1, s"re-pushed file did not re-ingest: $r6")
+    assert(read(dir).filter(col("id") >= 90000L).count() == 10L)
+    // COPY INTO a non-table refuses loudly
+    val e = intercept[IllegalArgumentException](
+      LakeIngest.copyInto(spark, tmp("lake_copy_empty"), land))
+    assert(e.getMessage.contains("no lake table"), e.getMessage)
+  }
+
   test("type widening: ALTER COLUMN TYPE INT→BIGINT/DOUBLE is metadata-only — files untouched, big values insert, stats prune, time travel keeps old type; lossy casts and layout hash changes refused (r19)") {
     val dir = tmp("lake_widen")
     val t = catalogTable("twiden", dir)
