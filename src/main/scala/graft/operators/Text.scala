@@ -1354,6 +1354,54 @@ object Text {
     finally s.catalog.dropTempView(view)
   }
 
+  /** RAG-style overlapping chunking (round 19): split each document
+    * into token windows of 64 with stride 48 (16-token overlap) — the
+    * retrieval-corpus preparation step between cleaning and embedding.
+    * Chunks are built ROW-LOCALLY off the token array (transform over
+    * the window starts, same shape as [[shingled]] — no token-stream
+    * shuffle, no per-chunk re-split), so at 100 TB the chunker is a
+    * pure map stage; the only exchange is the final per-doc rollup.
+    * The per-doc profile (chunk count, summed chunk tokens/chars, last
+    * window start) pins the window/stride arithmetic exactly: one
+    * off-by-one in the overlap math shifts every sum. */
+  val qRagChunking: Q = Q(
+    "t125_rag_chunking",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |st AS (
+      |  SELECT doc_id, tk,
+      |         unnest(generate_series(0, len(tk) - 1, 48)) AS start
+      |  FROM toks)
+      |SELECT doc_id,
+      |       count(*) AS n_chunks,
+      |       CAST(sum(len(list_slice(tk, start + 1, start + 64)))
+      |         AS BIGINT) AS sum_chunk_tokens,
+      |       CAST(sum(length(array_to_string(
+      |         list_slice(tk, start + 1, start + 64), ' ')))
+      |         AS BIGINT) AS sum_chunk_chars,
+      |       CAST(max(start) AS BIGINT) AS last_start
+      |FROM st GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val W = 64
+    val S = 48
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens.as("t"))
+      .select(col("doc_id"), explode(
+        transform(
+          sequence(lit(0), greatest(size(col("t")) - 1, lit(0)), lit(S)),
+          st => struct(st.as("start"),
+            slice(col("t"), st + 1, lit(W)).as("c")))).as("ch"))
+      .select(col("doc_id"), col("ch.start").as("start"),
+        size(col("ch.c")).as("ct"),
+        length(concat_ws(" ", col("ch.c"))).as("cc"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("ct")).cast("long").as("sum_chunk_tokens"),
+        sum(col("cc")).cast("long").as("sum_chunk_chars"),
+        max(col("start")).cast("long").as("last_start"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(qTokenCounts, qLangStats, qExactDedup, qDedupKeepFirst,
     qQuality, qNgramJaccard, qTfIdf, qLangId, qFingerprint, qRegexTokens,
     qPipelineClean, qHeavyHitters, qDecontaminate, qRepetition,
@@ -1361,5 +1409,6 @@ object Text {
     qCrossCorpusDedup, qDecontaminateExcise, qCurationFunnel, qContainment,
     qFertility, qDedupWeights, qShingleNovelty, qSourceOverlap,
     qQualityDupCalibration, qDatasetCard, qBpeMergeStep, qScriptProfile,
-    qDistinctiveTerms, qSkipgramCooc, qPaddingWaste, qCharNgramProfile)
+    qDistinctiveTerms, qSkipgramCooc, qPaddingWaste, qCharNgramProfile,
+    qRagChunking)
 }
