@@ -1400,6 +1400,84 @@ object ScaleSmoke {
       spark.sql("DROP TABLE IF EXISTS gsmoke.ns.lake19z")
       spark.sql("DROP TABLE IF EXISTS gsmoke.ns.lake19cl")
     }
+    // ---- round-19 continuation smokes: WAP branches, incremental MV,
+    // idempotent COPY INTO ----
+    locally {
+      def lakeRead(d: String): DataFrame =
+        spark.read.format("graft.sources.LakeSource")
+          .option("path", d).load()
+      val dir = s"$base/lake19wap"
+      spark.read.format("graft.sources.DetRangeSource")
+        .option("rows", nEvents).option("slices", 64).load()
+        .select(col("id"), col("bucket"), col("kscore"), col("score"),
+          col("doc_id"))
+        .write.format("graft.sources.LakeSource")
+        .option("path", dir).mode("overwrite").save()
+      // WAP: a 100k-row day lands on a branch of the 20M table; the
+      // audited PUBLISH is renames + ONE manifest CAS — wall time must
+      // be metadata-shaped, never corpus-shaped
+      spark.sql(s"CREATE BRANCH wap ON '$dir'")
+      spark.range(nEvents, nEvents + 100000)
+        .select(col("id"), (col("id") % 16).cast("int").as("bucket"),
+          ((col("id") * 31) % 997).cast("int").as("kscore"),
+          lit(0.0).as("score"), lit("wap").as("doc_id"))
+        .write.format("graft.sources.LakeSource")
+        .option("path", dir).option("branch", "wap")
+        .mode("append").save()
+      time("lake WAP publish (metadata)", 1) {
+        val r = spark.sql(s"FAST FORWARD '$dir' TO BRANCH wap").head
+        require(r.getInt(4) >= 1, s"nothing adopted: $r")
+        r.getInt(3).toLong
+      }
+      require(lakeRead(dir).count() == nEvents + 100000,
+        "WAP publish lost rows")
+      // MV: creation pays ONE full aggregate over 20M; a refresh after
+      // a 1000-row DML folds the feed's delta — the corpus is never
+      // rescanned, so the wall-time gap between the two lines IS the
+      // incremental-maintenance win
+      val mv = s"$base/lake19mv"
+      time("lake MV create (full agg)", nEvents) {
+        graft.sources.LakeMV.create(spark, dir, mv,
+          Seq("bucket"), Seq("kscore"))
+        lakeRead(mv).count()
+      }
+      spark.conf.set("spark.sql.catalog.gsmoke", "graft.sources.GraftCatalog")
+      spark.sql("DROP TABLE IF EXISTS gsmoke.ns.lake19wap")
+      spark.sql(s"""CREATE TABLE gsmoke.ns.lake19wap (
+        |  id BIGINT, bucket INT, kscore INT, score DOUBLE, doc_id STRING
+        |) USING lake LOCATION '$dir'""".stripMargin)
+      time("lake MV refresh (delta)", 1000) {
+        spark.sql("UPDATE gsmoke.ns.lake19wap SET kscore = kscore + 1 " +
+          "WHERE id >= 1000 AND id < 2000")
+        val (_, _, g) = graft.sources.LakeMV.refresh(spark, mv)
+        require(g > 0 && g <= 16, s"refresh touched $g groups")
+        lakeRead(mv).count()
+      }
+      // COPY INTO: 4 landing files ingest once; the retry's cost is a
+      // directory listing against the ledger, not row work
+      val land = s"$base/lake19land"
+      (0 until 4).foreach { i =>
+        spark.range(nEvents + 200000L + i * 250000L,
+            nEvents + 200000L + (i + 1) * 250000L)
+          .select(col("id"), (col("id") % 16).cast("int").as("bucket"),
+            ((col("id") * 31) % 997).cast("int").as("kscore"),
+            lit(0.0).as("score"), lit("cp").as("doc_id"))
+          .coalesce(1).write.mode("append").parquet(land)
+      }
+      time("lake COPY INTO (4 files)", 1000000) {
+        val r = spark.sql(s"COPY INTO '$dir' FROM '$land'").head
+        require(r.getInt(1) == 4, s"expected 4 copies: $r")
+        lakeRead(dir).count()
+      }
+      time("lake COPY INTO retry (no-op)", 1) {
+        val r = spark.sql(s"COPY INTO '$dir' FROM '$land'").head
+        require(r.getInt(1) == 0 && r.getInt(2) == 4, s"retry ingested: $r")
+        1L
+      }
+      require(lakeRead(dir).count() == nEvents + 100000 + 1000000,
+        "COPY INTO row totals drifted")
+      spark.sql("DROP TABLE IF EXISTS gsmoke.ns.lake19wap")
+    }
     spark.stop()
     rmTree(java.nio.file.Paths.get(base))
   }

@@ -23,7 +23,7 @@ import graft.sources.{LakeFormat, LakeTable}
   *   OPTIMIZE <table|'path'> CLUSTER BY [days(<c>)|trunc(<c>,<u>),] bucket(<col>, <n>)
   *   OPTIMIZE <table|'path'> COMPACT FILES UNDER <n> BYTES [INTO <k> FILES]
   *   OPTIMIZE <table|'path'> COMPACT TO <n> BYTES
-  *   VACUUM   <table|'path'> RETAIN <n> VERSIONS [GRACE <ms> MS]
+  *   VACUUM   <table|'path'> RETAIN <n> VERSIONS [GRACE <ms> MS] [DRY RUN]
   *   RESTORE [TABLE] <table|'path'> TO VERSION AS OF <n>
   *   RESTORE [TABLE] <table|'path'> TO TIMESTAMP AS OF '<ts>'
   *   CLONE [TABLE] <table|'path'> TO '<path>' [VERSION AS OF <n>]
@@ -74,7 +74,8 @@ object LakeSqlCommands {
       """\s+COMPACT\s+TO\s+(\d+)\s+BYTES\s*;?\s*$""").r
   private val Vacuum =
     ("""(?is)^\s*VACUUM\s+""" + Target +
-      """\s+RETAIN\s+(\d+)\s+VERSIONS(?:\s+GRACE\s+(\d+)\s+MS)?\s*;?\s*$""").r
+      """\s+RETAIN\s+(\d+)\s+VERSIONS(?:\s+GRACE\s+(\d+)\s+MS)?""" +
+      """(\s+DRY\s+RUN)?\s*;?\s*$""").r
   private val History =
     ("""(?is)^\s*DESCRIBE\s+HISTORY\s+""" + Target + """\s*;?\s*$""").r
   private val Detail =
@@ -130,9 +131,9 @@ object LakeSqlCommands {
     case OptimizeCompactTo(path, ident, target) =>
       Some(CompactToSizeLakeCommand(Option(path), Option(ident),
         target.toLong))
-    case Vacuum(path, ident, retain, grace) =>
+    case Vacuum(path, ident, retain, grace, dry) =>
       Some(VacuumLakeCommand(Option(path), Option(ident), retain.toInt,
-        Option(grace).map(_.toLong)))
+        Option(grace).map(_.toLong), dryRun = dry != null))
     case Restore(path, ident, version, ts) =>
       Some(RestoreLakeCommand(Option(path), Option(ident),
         Option(version).map(_.toInt), Option(ts)))
@@ -544,12 +545,14 @@ case class DescribeLakeDetailCommand(path: Option[String],
   * grace window ([[LakeFormat.vacuum]] semantics: time travel below
   * the floor then fails loudly, never partially). */
 case class VacuumLakeCommand(path: Option[String], ident: Option[String],
-    retainVersions: Int, graceMs: Option[Long])
+    retainVersions: Int, graceMs: Option[Long], dryRun: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", StringType, nullable = false)(),
     AttributeReference("keep_from_version", IntegerType, nullable = false)(),
-    AttributeReference("reclaimed", LongType, nullable = false)())
+    AttributeReference("reclaimed", LongType, nullable = false)(),
+    AttributeReference("dry_run", org.apache.spark.sql.types.BooleanType,
+      nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
     require(retainVersions >= 1, "VACUUM must retain at least 1 version")
@@ -560,8 +563,8 @@ case class VacuumLakeCommand(path: Option[String], ident: Option[String],
         s"VACUUM: no lake manifest under $dir"))
     val keepFrom = math.max(0, latest - retainVersions + 1)
     val dropped = LakeFormat.vacuum(dir, keepFrom,
-      graceMs.getOrElse(LakeFormat.DefaultVacuumGraceMs))
-    Seq(Row(dir, keepFrom, dropped.size.toLong))
+      graceMs.getOrElse(LakeFormat.DefaultVacuumGraceMs), dryRun)
+    Seq(Row(dir, keepFrom, dropped.size.toLong, dryRun))
   }
 }
 

@@ -2096,7 +2096,8 @@ object LakeFormat {
     * between its publish renames and its manifest CAS (see
     * [[DefaultVacuumGraceMs]]); pass 0 only on a quiesced table. */
   def vacuum(dir: String, keepFromVersion: Int,
-      graceMs: Long = DefaultVacuumGraceMs): Seq[String] = {
+      graceMs: Long = DefaultVacuumGraceMs,
+      dryRun: Boolean = false): Seq[String] = {
     val f = fs(dir)
     val d = new HPath(dir)
     val statuses = f.listStatus(d)
@@ -2122,7 +2123,10 @@ object LakeFormat {
         (n.endsWith(".lake") ||
           (n.startsWith("_seg-") && n.endsWith(".tsv"))) &&
           !referenced.contains(n) && aged.contains(n))
-    dropped.foreach(n => f.delete(new HPath(d, n), false))
+    // DRY RUN (round 19): report the reclaim set without touching it —
+    // what an operator checks before pointing real deletes at a shared
+    // 100 TB directory (the Delta VACUUM DRY RUN seat)
+    if (!dryRun) dropped.foreach(n => f.delete(new HPath(d, n), false))
     dropped.toSeq.sorted
   }
 
@@ -3606,15 +3610,78 @@ private[sources] class LakeScan(path: String, tableSchema: StructType,
   /** POST-PRUNING statistics from the manifest (exact rows, serialized
     * bytes): a lake dimension filtered under the broadcast threshold
     * auto-broadcasts — the optimizer decision that matters most at
-    * 100 TB join scale, fed by numbers the commit already paid for. */
+    * 100 TB join scale, fed by numbers the commit already paid for.
+    *
+    * COLUMN statistics too (round 19): per-column null counts and
+    * numeric min/max fold straight out of the surviving entries' file
+    * stats — the `ANALYZE TABLE` numbers every other engine pays a
+    * table scan for, served O(entries) from metadata the commits
+    * already wrote. Under CBO they feed filter-selectivity and join
+    * estimation. Estimation-grade by design: counts are physical
+    * (deletion-vector masking not subtracted), and min/max is reported
+    * only when every row-bearing file either carries bounds or is
+    * all-null for the column (a bounds-poisoned file — NaN, over-long
+    * strings — suppresses the pair rather than narrowing it wrongly).
+    * Strings report null counts only: CBO's range estimation is
+    * numeric, and a wrong-typed min would be worse than none. */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
     val es = entries
+    val physOf: String => String = colmap match {
+      case Some(cm) =>
+        val m = cm.physByLogical(tableSchema)
+        c => m.getOrElse(c, c)
+      case None => identity
+    }
     new org.apache.spark.sql.connector.read.Statistics {
       override val numRows: java.util.OptionalLong =
         java.util.OptionalLong.of(es.map(_.liveRows).sum)
       override val sizeInBytes: java.util.OptionalLong =
         java.util.OptionalLong.of(math.max(1L, es.map(_.bytes).sum))
+      override def columnStats(): java.util.Map[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val out = new java.util.HashMap[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        required.fields.filter(f => tableSchema.fieldNames.contains(f.name))
+          .foreach { fld =>
+            val p = physOf(fld.name)
+            // a file written before an ADD COLUMN null-pads it: absent
+            // stats = all rows null, which is exactly what it serves
+            val nulls = es.map(e =>
+              e.stats.get(p).map(_.nulls).getOrElse(e.rows)).sum
+            val numeric = fld.dataType match {
+              case LongType | IntegerType | DoubleType => true
+              case _ => false
+            }
+            val complete = numeric && es.forall(e =>
+              e.stats.get(p).exists(s =>
+                (s.min.isDefined && s.max.isDefined) || s.nulls == e.rows))
+            def edge(takeMin: Boolean): java.util.Optional[Object] =
+              if (!complete) java.util.Optional.empty()
+              else {
+                val vs = es.flatMap(e => e.stats.get(p).flatMap(s =>
+                  if (takeMin) s.min else s.max)).map(BigDecimal(_))
+                val v = if (takeMin) vs.minOption else vs.maxOption
+                java.util.Optional.ofNullable(v.map[Object](x =>
+                  fld.dataType match {
+                    case LongType => java.lang.Long.valueOf(x.toLongExact)
+                    case IntegerType => java.lang.Integer.valueOf(x.toIntExact)
+                    case _ => java.lang.Double.valueOf(x.toDouble)
+                  }).orNull)
+              }
+            out.put(V2Expressions.column(fld.name),
+              new org.apache.spark.sql.connector.read.colstats
+                .ColumnStatistics {
+                override def nullCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(nulls)
+                override def min(): java.util.Optional[Object] =
+                  edge(takeMin = true)
+                override def max(): java.util.Optional[Object] =
+                  edge(takeMin = false)
+              })
+          }
+        out
+      }
     }
   }
 

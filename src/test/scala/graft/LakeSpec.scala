@@ -2107,6 +2107,61 @@ class LakeSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("fresh"), e2.getMessage)
   }
 
+  test("CBO column statistics from the manifest: exact null counts and numeric min/max reach the optimizer, post-pruning; strings report nulls only (r19)") {
+    val dir = tmp("lake_colstats")
+    det(20000, 8).write.format(Lake).option("path", dir)
+      .mode("overwrite").save()
+    def statsOf(df: org.apache.spark.sql.DataFrame) = {
+      val plan = df.queryExecution.optimizedPlan
+      val rel = plan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r
+      }.get
+      (rel, rel.stats)
+    }
+    val (rel, st) = statsOf(read(dir))
+    assert(st.rowCount.contains(BigInt(20000)), st.toString)
+    val idAttr = rel.output.find(_.name == "id").get
+    val cs = st.attributeStats.get(idAttr)
+    assert(cs.isDefined, s"no column stats for id: ${st.attributeStats}")
+    assert(cs.get.nullCount.contains(BigInt(0)), cs.toString)
+    assert(cs.get.min.contains(0L) && cs.get.max.contains(19999L),
+      s"id bounds: ${cs.get.min} .. ${cs.get.max}")
+    // strings carry null counts but never a wrong-typed range
+    val dAttr = rel.output.find(_.name == "doc_id").get
+    val dcs = st.attributeStats.get(dAttr)
+    assert(dcs.isDefined && dcs.get.nullCount.contains(BigInt(0)) &&
+      dcs.get.min.isEmpty && dcs.get.max.isEmpty, dcs.toString)
+    // POST-PRUNING: a 1/8-file predicate narrows rowCount AND range
+    val (rel2, st2) = statsOf(read(dir).filter(col("id") < 2500))
+    assert(st2.rowCount.contains(BigInt(2500)), st2.toString)
+    val id2 = rel2.output.find(_.name == "id").get
+    assert(st2.attributeStats(id2).max.contains(2499L),
+      st2.attributeStats(id2).toString)
+  }
+
+  test("VACUUM DRY RUN: reports the reclaim set without deleting; the real run then reclaims exactly it (r19)") {
+    val dir = tmp("lake_vacdry")
+    det(1000, 2).write.format(Lake).option("path", dir)
+      .mode("overwrite").save()
+    det(1000, 2).write.format(Lake).option("path", dir)
+      .mode("overwrite").save() // v1 orphans v0's files
+    val before = new java.io.File(dir).list().toSet
+    val dry = spark.sql(
+      s"VACUUM '$dir' RETAIN 1 VERSIONS GRACE 0 MS DRY RUN").head
+    assert(dry.getBoolean(3) && dry.getLong(2) >= 3L, dry.toString)
+    assert(new java.io.File(dir).list().toSet == before,
+      "DRY RUN deleted files")
+    assert(spark.read.format(Lake).option("path", dir)
+      .option("versionAsOf", 0).load().count() == 1000L,
+      "DRY RUN broke time travel")
+    val real = spark.sql(
+      s"VACUUM '$dir' RETAIN 1 VERSIONS GRACE 0 MS").head
+    assert(!real.getBoolean(3) && real.getLong(2) == dry.getLong(2),
+      s"real vacuum reclaimed ${real.getLong(2)} vs dry ${dry.getLong(2)}")
+    assert(read(dir).count() == 1000L)
+  }
+
   test("COPY INTO: exactly-once file ingest — retries skip, new files land, crash windows recover on both sides of the commit, re-pushed different-size files re-ingest (r19)") {
     import graft.sources.LakeIngest
     val dir = tmp("lake_copy_tbl")
