@@ -1190,11 +1190,42 @@ object LakeOps {
       .orderBy(col("bucket"))
   }
 
+  /** NDV sketches (round 19 continuation): per-file HLL registers over
+    * the bloom hash stream give distinct-count estimates from METADATA
+    * (register-max merging is associative, so any file subset's merged
+    * sketch is exact for that subset's value set) — the ANALYZE number
+    * CBO join estimation wants, with zero data IO. The oracled contract
+    * (t58-style): the exact distinct count replays relationally and the
+    * estimate must land within 3% — deterministic hashes make the flag
+    * engine-stable, so a drifting estimator breaks the hash. */
+  val qLakeNdv: Q = Q(
+    "q256_lake_ndv",
+    """SELECT CAST(count(DISTINCT (id * 31) % 997) AS BIGINT) AS n_exact,
+      |       TRUE AS est_ok
+      |FROM range(20000) t(id)""".stripMargin
+  ) { (s, _) =>
+    import s.implicits._
+    val dir = lakeDir(s, "q256_ndv")
+    useCatalog(s)
+    s.sql("DROP TABLE IF EXISTS glake.ns.t256")
+    s.sql(s"""CREATE TABLE glake.ns.t256 (
+      |  id BIGINT, bucket INT, kscore INT, score DOUBLE, doc_id STRING
+      |) USING lake LOCATION '$dir'
+      |TBLPROPERTIES ('ndvFor'='kscore')""".stripMargin)
+    det(s, 20000, 8).createOrReplaceTempView("det256")
+    s.sql("INSERT OVERWRITE glake.ns.t256 SELECT * FROM det256")
+    val exact = s.table("glake.ns.t256")
+      .select(col("kscore")).distinct().count()
+    val est = LakeFormat.approxNdv(dir, "kscore")
+    Seq((exact, math.abs(est - exact) <= 0.03 * exact))
+      .toDF("n_exact", "est_ok")
+  }
+
   val all: Seq[Q] = Seq(qLakeScanPrune, qLakeDelete, qLakeUpdate,
     qLakeMerge, qLakeTimeTravel, qLakeStatsAgg, qLakeTimestampTravel,
     qLakeStreamRead, qLakeDvDelete, qLakeSpjJoin, qLakeChangeFeed,
     qLakeChangeStream, qLakeClusteredInsert, qLakeMorUpdate, qLakeRestore,
     qLakeCompact, qLakeMergeFeed, qLakeCompactTo, qLakeRenameDrop,
     qLakeComposite, qLakeZOrder, qLakeMergeNms, qLakeWiden, qLakeClone,
-    qLakeStringStats, qLakeCheck, qLakeBloom, qLakeBranchWap, qLakeMv, qLakeCopyInto)
+    qLakeStringStats, qLakeCheck, qLakeBloom, qLakeBranchWap, qLakeMv, qLakeCopyInto, qLakeNdv)
 }

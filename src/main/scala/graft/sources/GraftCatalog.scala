@@ -307,6 +307,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               s"column (${sch.fieldNames.mkString(", ")})"))
           LakeFormat.writeBloomCols(f, path, cols)
         }
+        // ndv enrollment (r19 continuation): TBLPROPERTIES
+        // ('ndvFor'='col[,col]') — per-file HLL sketches feed
+        // distinct-count estimates (CBO join cardinality) from metadata
+        propCI("ndvFor").orElse(propCI("option.ndvFor")).foreach { c =>
+          val cols = c.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          cols.foreach(col => require(sch.fieldNames.contains(col),
+            s"lake table $ident: ndvFor column $col is not a table " +
+              s"column (${sch.fieldNames.mkString(", ")})"))
+          LakeFormat.writeNdvCols(f, path, cols)
+        }
         new LakeTable(path, sch, None, None, catalogBacked = true)
       case "graft.sources.csvdirsink" | "csvdir" =>
         // DDL normalizes OPTIONS(path …) / LOCATION into PROP_LOCATION

@@ -169,6 +169,26 @@ object LakeSource {
     * pins that probes read only surviving candidates' sidecars. */
   val bloomReadCount = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Driver-side LRU over decoded NDV sketches (round 19 continuation)
+    * — same immutable-sidecar contract as blooms; 2 KB each, so an
+    * entry cap suffices. */
+  private val ndvLru =
+    new java.util.LinkedHashMap[String, Array[Byte]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Array[Byte]]): Boolean =
+        size() > 8192
+    }
+  def ndvCached(f: FileSystem, dir: String, name: String): Array[Byte] = {
+    val key = s"$dir/$name"
+    ndvLru.synchronized {
+      val hit = ndvLru.get(key)
+      if (hit != null) return hit
+    }
+    val v = LakeFormat.readNdv(f, dir, name) // IO outside the lock
+    ndvLru.synchronized { ndvLru.put(key, v) }
+    v
+  }
+
   /** TEST HOOK (one-shot): runs at the start of the next
     * SNAPSHOT-PINNED commit (row-level rewrite or OPTIMIZE) — the
     * window between the rewrite's snapshot read and its publish.
@@ -2313,6 +2333,143 @@ object LakeFormat {
     !pushed.exists(none)
   }
 
+  // ---- NDV sketches (round 19 continuation) ---------------------------
+  // Per-file HyperLogLog register arrays over the SAME value-hash
+  // stream the blooms consume (one hash path — bloomMix/bytesHash64),
+  // enrolled per column via TBLPROPERTIES ('ndvFor'='col[,col]') /
+  // `_ndv.cols`. Registers are max-mergeable, so the union of any file
+  // subset's sketches IS the subset's sketch — table-level (and
+  // post-pruning!) distinct-count estimates come out of metadata with
+  // zero data IO: the `ANALYZE TABLE ... COMPUTE STATISTICS` number
+  // every other engine pays a scan for, feeding CBO join-cardinality
+  // estimation through the DSv2 column stats. Sketch references ride
+  // the entries' bloom map under a `~`-prefixed key (column names are
+  // word-shaped, so the namespace can't collide) — vacuum tracking,
+  // clone absolutization, and fast-forward translation all carry them
+  // with ZERO codec changes. p=11 → 2048 registers, ~2.3% standard
+  // error (linear counting below ~5k distinct is far tighter).
+
+  val NdvP: Int = 11
+
+  def ndvName(col: String, dataFile: String): String = {
+    val base = dataFile.substring(dataFile.lastIndexOf('/') + 1)
+    s"ndv-${java.util.UUID.randomUUID().toString.take(8)}-$col-$base"
+  }
+
+  /** The entry-map key a column's sketch reference is filed under. */
+  def ndvKey(col: String): String = "~" + col
+
+  def ndvUpdate(regs: Array[Byte], h: Long): Unit = {
+    val idx = (h >>> (64 - NdvP)).toInt
+    val w = h << NdvP
+    val rank =
+      if (w == 0L) (64 - NdvP + 1)
+      else java.lang.Long.numberOfLeadingZeros(w) + 1
+    if (rank > regs(idx)) regs(idx) = rank.toByte
+  }
+
+  def ndvMergeInto(acc: Array[Byte], other: Array[Byte]): Unit = {
+    var i = 0
+    while (i < acc.length) {
+      if (other(i) > acc(i)) acc(i) = other(i)
+      i += 1
+    }
+  }
+
+  def ndvEstimate(regs: Array[Byte]): Long = {
+    val m = regs.length
+    var invSum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      invSum += java.lang.Math.pow(2.0, -regs(i).toDouble)
+      if (regs(i) == 0) zeros += 1
+      i += 1
+    }
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val e = alpha * m * m / invSum
+    // small-range (linear counting) correction — far tighter than raw
+    // HLL below ~2.5m; 64-bit hashes make the large-range branch moot
+    val est = if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+      else e
+    math.round(est)
+  }
+
+  /** Sidecar codec: header `hll <p>`, one url-base64 line of registers. */
+  def writeNdv(f: FileSystem, dir: String, name: String,
+      regs: Array[Byte]): Unit = {
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      f.create(new HPath(dir, name), false), "UTF-8"))
+    try {
+      out.write(s"hll $NdvP\n")
+      out.write(java.util.Base64.getUrlEncoder.withoutPadding
+        .encodeToString(regs))
+      out.write("\n")
+    } finally out.close()
+  }
+
+  def readNdv(f: FileSystem, dir: String, name: String): Array[Byte] = {
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      f.open(new HPath(dir, name)), "UTF-8"))
+    try {
+      val head = in.readLine().split(' ')
+      require(head(0) == "hll" && head(1).toInt == NdvP,
+        s"unsupported ndv sketch $name: ${head.mkString(" ")}")
+      java.util.Base64.getUrlDecoder.decode(in.readLine())
+    } finally in.close()
+  }
+
+  /** Enrollment sidecar — same fixed-at-CREATE lifecycle as blooms. */
+  def readNdvCols(f: FileSystem, dir: String): Seq[String] = {
+    val p = new HPath(dir, "_ndv.cols")
+    if (!f.exists(p)) return Nil
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(f.open(p), "UTF-8"))
+    try Option(in.readLine()).map(_.split(',').map(_.trim)
+      .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    finally in.close()
+  }
+
+  def writeNdvCols(f: FileSystem, dir: String, cols: Seq[String]): Unit = {
+    val existing = readNdvCols(f, dir)
+    if (existing == cols) return // idempotent re-CREATE
+    require(existing.isEmpty,
+      s"lake table $dir already enrolls ndv columns " +
+        s"(${existing.mkString(",")}) — enrollment is fixed at CREATE")
+    f.mkdirs(new HPath(dir))
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      f.create(new HPath(dir, "_ndv.cols"), false), "UTF-8"))
+    try out.write(cols.mkString(",")) finally out.close()
+  }
+
+  /** Merged distinct-count estimate for `col` over the snapshot —
+    * metadata only. Loud when any row-bearing file lacks a sketch (a
+    * silent partial merge would under-count); all-files-sketchless
+    * means the column was never enrolled. */
+  def approxNdv(dir: String, col: String,
+      versionAsOf: Option[Int] = None): Long = {
+    val f = fs(dir)
+    val v = versionAsOf.orElse(latestVersion(f, dir)).getOrElse(
+      throw new IllegalArgumentException(s"no lake manifest under $dir"))
+    val meta = readManifestMeta(f, dir, v)
+    val entries = meta.entries.filter(_.rows > 0)
+    // sketches key by PHYS name (like stats) — translate a renamed
+    // column's logical name through the mapping
+    val key = ndvKey(meta.colmap
+      .map(_.physByLogical(meta.schema).getOrElse(col, col))
+      .getOrElse(col))
+    val acc = new Array[Byte](1 << NdvP)
+    entries.foreach { e =>
+      val name = e.blooms.getOrElse(key,
+        throw new IllegalStateException(
+          s"lake ndv on $dir: file ${e.name} carries no sketch for " +
+            s"$col — enroll the column at CREATE ('ndvFor') and " +
+            "rewrite pre-enrollment files (OPTIMIZE)"))
+      ndvMergeInto(acc, LakeSource.ndvCached(f, dir, name))
+    }
+    ndvEstimate(acc)
+  }
+
   def readDv(f: FileSystem, dir: String, name: String): Seq[Long] = {
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(
       f.open(new HPath(dir, name)), "UTF-8"))
@@ -3669,11 +3826,31 @@ private[sources] class LakeScan(path: String, tableSchema: StructType,
                     case _ => java.lang.Double.valueOf(x.toDouble)
                   }).orNull)
               }
+            // distinctCount (r19 continuation): merged over the
+            // SURVIVING entries' HLL sketches — post-pruning NDV for
+            // CBO join-cardinality estimation, O(entries) cached
+            // sidecar reads, zero data IO. Reported only when every
+            // row-bearing survivor carries a sketch.
+            val ndvK = LakeFormat.ndvKey(p)
+            val rowBearing = es.filter(_.rows > 0)
+            val ndvEst: java.util.OptionalLong =
+              if (rowBearing.isEmpty ||
+                  !rowBearing.forall(_.blooms.contains(ndvK)))
+                java.util.OptionalLong.empty()
+              else {
+                val acc = new Array[Byte](1 << LakeFormat.NdvP)
+                rowBearing.foreach(e => LakeFormat.ndvMergeInto(acc,
+                  LakeSource.ndvCached(LakeFormat.fs(path), path,
+                    e.blooms(ndvK))))
+                java.util.OptionalLong.of(LakeFormat.ndvEstimate(acc))
+              }
             out.put(V2Expressions.column(fld.name),
               new org.apache.spark.sql.connector.read.colstats
                 .ColumnStatistics {
                 override def nullCount(): java.util.OptionalLong =
                   java.util.OptionalLong.of(nulls)
+                override def distinctCount(): java.util.OptionalLong =
+                  ndvEst
                 override def min(): java.util.Optional[Object] =
                   edge(takeMin = true)
                 override def max(): java.util.Optional[Object] =
@@ -4137,6 +4314,7 @@ private[sources] class LakeStreamingWrite(path: String,
     // driver; every streamed epoch row passes through the same paths
     val ck = LakeFormat.loadCheck(path, writeSchema)
     val bc = LakeFormat.readBloomCols(LakeFormat.fs(path), path)
+    val nc = LakeFormat.readNdvCols(LakeFormat.fs(path), path)
     new StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
           epochId: Long): DataWriter[InternalRow] =
@@ -4144,7 +4322,8 @@ private[sources] class LakeStreamingWrite(path: String,
           failAfterFirstRow = false,
           filePrefix = LakeFormat.epochPrefix(qid, epochId),
           writeUid = writeUid, conf = conf, clusterSpec = spec,
-          colmap = cm, partSpec = pt, check = ck, bloomCols = bc)
+          colmap = cm, partSpec = pt, check = ck, bloomCols = bc,
+          ndvCols = nc)
     }
   }
 
@@ -4268,13 +4447,14 @@ private[sources] class LakeWriterFactory(path: String,
   // analysis on the DRIVER (factories are built driver-side)
   private val check = LakeFormat.loadCheck(path, writeSchema)
   private val bloomCols = LakeFormat.readBloomCols(LakeFormat.fs(path), path)
+  private val ndvCols = LakeFormat.readNdvCols(LakeFormat.fs(path), path)
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new LakeDataWriter(path, tableSchema, writeSchema, queryId,
       partitionId, taskId, failPartition.contains(partitionId),
       writeUid = writeUid, conf = conf, clusterSpec = clusterSpec,
       colmap = colmap, partSpec = partSpec, check = check,
-      bloomCols = bloomCols)
+      bloomCols = bloomCols, ndvCols = ndvCols)
 }
 
 private[sources] class LakeDataWriter(path: String,
@@ -4287,7 +4467,8 @@ private[sources] class LakeDataWriter(path: String,
     partSpec: Option[(String, Long)] = None,
     check: Option[(String,
       org.apache.spark.sql.catalyst.expressions.Expression)] = None,
-    bloomCols: Seq[String] = Nil)
+    bloomCols: Seq[String] = Nil,
+    ndvCols: Seq[String] = Nil)
     extends DataWriter[InternalRow] {
   import LakeFormat._
 
@@ -4367,6 +4548,9 @@ private[sources] class LakeDataWriter(path: String,
   // the same physical values across renames (exactly like stats keys)
   private val bloomEnrolled: Array[Boolean] =
     Array.tabulate(n)(i => bloomCols.contains(physName(i)))
+  // ndv enrollment (round 19 continuation): same phys-name matching
+  private val ndvEnrolled: Array[Boolean] =
+    Array.tabulate(n)(i => ndvCols.contains(physName(i)))
 
   // cluster-by layout: the key's slot in the INCOMING row and its kind.
   // Each row is routed to the sink of bucketOf(key, buckets) so every
@@ -4421,12 +4605,20 @@ private[sources] class LakeDataWriter(path: String,
       Array.tabulate(n)(i =>
         if (bloomEnrolled(i)) new java.util.HashSet[java.lang.Long]()
         else null)
+    // HLL registers (round 19 continuation) — fed from the SAME hash
+    // stream as the blooms; registers never saturate, so unlike the
+    // bloom set there is no cap to trip
+    private val ndvRegs: Array[Array[Byte]] =
+      Array.tabulate(n)(i =>
+        if (ndvEnrolled(i)) new Array[Byte](1 << NdvP) else null)
     private def bloomAdd(i: Int, h: Long): Unit = {
       val bs = bloomSets(i)
       if (bs != null) {
         bs.add(h)
         if (bs.size > BloomMaxDistinct) bloomSets(i) = null
       }
+      val rg = ndvRegs(i)
+      if (rg != null) ndvUpdate(rg, h)
     }
     private var rows = 0L
     // chars ≈ bytes (ASCII-dominant codec) — a PLANNING statistic for
@@ -4503,7 +4695,7 @@ private[sources] class LakeDataWriter(path: String,
                   maxS(i) = u.clone()
               }
             }
-            if (bloomSets(i) != null)
+            if (bloomSets(i) != null || ndvRegs(i) != null)
               bloomAdd(i, bloomHashOf(u).get)
             sb.append(u.toString)
         }
@@ -4532,7 +4724,7 @@ private[sources] class LakeDataWriter(path: String,
       // job's orphans age out under vacuum's grace, the same contract
       // staged files have)
       val blooms: Map[String, String] =
-        tableSchema.fields.indices.flatMap { i =>
+        (tableSchema.fields.indices.flatMap { i =>
           val bs = bloomSets(i)
           if (bs == null || bs.isEmpty) None
           else {
@@ -4540,7 +4732,18 @@ private[sources] class LakeDataWriter(path: String,
             writeBloom(openFs(), path, bn, bs)
             Some(physName(i) -> bn)
           }
-        }.toMap
+        } ++ tableSchema.fields.indices.flatMap { i =>
+          // ndv sketches ride the same map under the `~` namespace —
+          // written even for an all-null/empty file so a merged
+          // estimate can require EVERY row-bearing file's sketch
+          val rg = ndvRegs(i)
+          if (rg == null) None
+          else {
+            val nn = ndvName(physName(i), fileName)
+            writeNdv(openFs(), path, nn, rg)
+            Some(ndvKey(physName(i)) -> nn)
+          }
+        }).toMap
       LakeFileCommit(fileName, rows, bytesOut, stats, pk, pv, blooms)
     }
 
@@ -4911,6 +5114,7 @@ private[sources] class LakeDeltaWriterFactory(path: String,
   // predicate gates them and their new files carry fresh blooms
   private val check = LakeFormat.loadCheck(path, writeSchema)
   private val bloomCols = LakeFormat.readBloomCols(LakeFormat.fs(path), path)
+  private val ndvCols = LakeFormat.readNdvCols(LakeFormat.fs(path), path)
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
@@ -4938,7 +5142,7 @@ private[sources] class LakeDeltaWriterFactory(path: String,
             queryId, partitionId, taskId, failAfterFirstRow = false,
             writeUid = writeUid, conf = conf, clusterSpec = clusterSpec,
             colmap = colmap, partSpec = partSpec, check = check,
-            bloomCols = bloomCols)
+            bloomCols = bloomCols, ndvCols = ndvCols)
         inserts.write(row)
       }
       override def commit(): WriterCommitMessage = {

@@ -2140,6 +2140,58 @@ class LakeSpec extends AnyFunSuite {
       st2.attributeStats(id2).toString)
   }
 
+  test("NDV sketches: metadata-only distinct estimates — merge-exact across files, survive DML and path appends, reach CBO plan stats; unsketched columns loud (r19)") {
+    val dir = tmp("lake_ndv")
+    spark.conf.set("spark.sql.catalog.glt", "graft.sources.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS glt.ns.tndv")
+    spark.sql(s"""CREATE TABLE glt.ns.tndv (
+      |  id BIGINT, bucket INT, kscore INT, score DOUBLE, doc_id STRING
+      |) USING lake LOCATION '$dir'
+      |TBLPROPERTIES ('ndvFor'='kscore')""".stripMargin)
+    det(20000, 8).createOrReplaceTempView("ndv_src")
+    spark.sql("INSERT OVERWRITE glt.ns.tndv SELECT * FROM ndv_src")
+    // kscore = (id*31) % 997 over 20k ids → exactly 997 distinct
+    val est = LakeFormat.approxNdv(dir, "kscore")
+    assert(math.abs(est - 997L) <= 30L, s"ndv estimate $est vs 997")
+    // register-max merging is ASSOCIATIVE: the 8-file merge must equal
+    // the single-file sketch of the identical value set, bit for bit
+    val dir1 = tmp("lake_ndv1")
+    spark.sql("DROP TABLE IF EXISTS glt.ns.tndv1")
+    spark.sql(s"""CREATE TABLE glt.ns.tndv1 (
+      |  id BIGINT, bucket INT, kscore INT, score DOUBLE, doc_id STRING
+      |) USING lake LOCATION '$dir1'
+      |TBLPROPERTIES ('ndvFor'='kscore')""".stripMargin)
+    det(20000, 1).createOrReplaceTempView("ndv_src1")
+    spark.sql("INSERT OVERWRITE glt.ns.tndv1 SELECT * FROM ndv_src1")
+    assert(LakeFormat.approxNdv(dir1, "kscore") == est,
+      "8-file merged estimate != single-sketch estimate")
+    // the estimate reaches the optimizer as distinctCount
+    val df = spark.table("glt.ns.tndv")
+    val rel = df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2
+        .DataSourceV2ScanRelation => r
+    }.get
+    val kAttr = rel.output.find(_.name == "kscore").get
+    assert(rel.stats.attributeStats(kAttr).distinctCount
+      .contains(BigInt(est)),
+      rel.stats.attributeStats(kAttr).toString)
+    // DML replacement files and plain path appends carry sketches too
+    spark.sql("UPDATE glt.ns.tndv SET kscore = -1 WHERE id < 10")
+    val estAfter = LakeFormat.approxNdv(dir, "kscore")
+    assert(math.abs(estAfter - 998L) <= 30L, s"post-DML ndv $estAfter")
+    spark.range(90000, 90100)
+      .select(col("id"), lit(0).as("bucket"),
+        (col("id") * 7919 % 100000).cast("int").as("kscore"),
+        lit(0.0).as("score"), lit("a").as("doc_id"))
+      .write.format(Lake).option("path", dir).mode("append").save()
+    val estApp = LakeFormat.approxNdv(dir, "kscore")
+    assert(estApp > est + 50, s"append did not grow the estimate: $estApp")
+    // a column that was never enrolled refuses loudly
+    val e = intercept[IllegalStateException](
+      LakeFormat.approxNdv(dir, "bucket"))
+    assert(e.getMessage.contains("no sketch"), e.getMessage)
+  }
+
   test("VACUUM DRY RUN: reports the reclaim set without deleting; the real run then reclaims exactly it (r19)") {
     val dir = tmp("lake_vacdry")
     det(1000, 2).write.format(Lake).option("path", dir)
