@@ -1370,7 +1370,11 @@ object Text {
       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
       |st AS (
       |  SELECT doc_id, tk,
-      |         unnest(generate_series(0, len(tk) - 1, 48)) AS start
+      |         -- greatest(…,1) mirrors the Spark side's greatest(n-1,0)
+      |         -- guard: a hypothetical zero-token doc yields ONE empty
+      |         -- chunk on both sides, not a row-count divergence
+      |         unnest(generate_series(0, greatest(len(tk), 1) - 1, 48))
+      |           AS start
       |  FROM toks)
       |SELECT doc_id,
       |       count(*) AS n_chunks,

@@ -14,8 +14,10 @@ import org.apache.spark.sql.SparkSession
   * exactly-once table contents with no reprocessing and no manual
   * bookkeeping.
   *
-  * Mechanics: a `_ingest_ledger` sidecar under the table dir holds one
-  * identity token (`name:size`) per ingested source file. A COPY lists
+  * Mechanics: an APPEND-ONLY ledger under the table dir — one
+  * immutable `_ingest_ledger-<uid>` segment per COPY, read as the
+  * union — holds one identity token (`name:size`) per ingested source
+  * file. A COPY lists
   * the landing dir, drops already-ledgered files, appends the rest
   * through the ordinary lake write path (so CHECK constraints, bloom
   * enrollment, clustered splitting, and schema-evolution merge all
@@ -38,10 +40,17 @@ import org.apache.spark.sql.SparkSession
   * file), so ingest memory survives table maintenance indefinitely. */
 object LakeIngest {
   private val Lake = "graft.sources.LakeSource"
-  private val LedgerFile = "_ingest_ledger"
+  private val LedgerPrefix = "_ingest_ledger"
   private val IntentFile = "_ingest_intent"
 
-  private def writeAtomic(f: FileSystem, dir: String, name: String,
+  /** Write `body` into a FRESH uniquely-named file via temp + rename.
+    * The rename target never pre-exists, so there is no
+    * delete-then-rename window anywhere in the ledger protocol — a
+    * crash can only ever lose the file being born, never one that
+    * previous COPYs committed (r19 review #1: the old single-file
+    * rewrite could drop the WHOLE ledger in its delete window, after
+    * which every previously-ingested file silently re-ingested). */
+  private def writeFresh(f: FileSystem, dir: String, name: String,
       body: String): Unit = {
     val tmp = new HPath(dir,
       s"_tmp-$name-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -49,7 +58,6 @@ object LakeIngest {
       new java.io.OutputStreamWriter(f.create(tmp, false), "UTF-8"))
     try out.write(body) finally out.close()
     val dst = new HPath(dir, name)
-    f.delete(dst, false)
     require(f.rename(tmp, dst), s"copy into: rename $tmp -> $dst failed")
   }
 
@@ -63,13 +71,25 @@ object LakeIngest {
       finally in.close()
     }
 
-  private def readLedger(f: FileSystem, dir: String): Set[String] =
-    readLines(f, new HPath(dir, LedgerFile)).toSet
+  /** The ledger is APPEND-ONLY: one immutable `_ingest_ledger-<uid>`
+    * segment per COPY, read as the union. Segments are tiny (one line
+    * per landing file) and bounded by COPY invocations, not corpus
+    * size. */
+  private def readLedger(f: FileSystem, dir: String): Set[String] = {
+    val d = new HPath(dir)
+    if (!f.exists(d)) return Set.empty
+    f.listStatus(d).iterator
+      .map(_.getPath)
+      .filter(_.getName.startsWith(s"$LedgerPrefix-"))
+      .flatMap(p => readLines(f, p))
+      .toSet
+  }
 
   private def appendLedger(f: FileSystem, dir: String,
       tokens: Seq[String]): Unit =
-    writeAtomic(f, dir, LedgerFile,
-      (readLedger(f, dir) ++ tokens).toSeq.sorted.mkString("\n"))
+    writeFresh(f, dir,
+      s"$LedgerPrefix-${java.util.UUID.randomUUID().toString.take(12)}",
+      tokens.sorted.mkString("\n"))
 
   /** Finish or discard a half-done COPY (see the scaladoc). */
   private def recover(f: FileSystem, dir: String): Unit = {
@@ -102,7 +122,7 @@ object LakeIngest {
     val after = LakeFormat.latestVersion(f, tableDir).get
     if (fresh.isEmpty) return (0, skip.size, after)
     val tokens = fresh.map(st => s"${st.getPath.getName}:${st.getLen}")
-    writeAtomic(f, tableDir, IntentFile,
+    writeFresh(f, tableDir, IntentFile,
       (after.toString +: tokens).mkString("\n"))
     spark.read.parquet(fresh.map(_.getPath.toString): _*)
       .write.format(Lake).option("path", tableDir).mode("append").save()

@@ -37,9 +37,10 @@ import org.apache.spark.sql.functions._
   * deletes. `avg` is served at read time as `sum/cnt`; min/max are NOT
   * maintainable under deletes without a rescan and are refused at
   * create. Sums treat NULL measures as absent (a group whose every
-  * value is NULL serves 0, not NULL — documented divergence). Group
-  * keys must be non-NULL (NULL never equi-matches in MERGE; a NULL-key
-  * group would re-insert per refresh).
+  * value is NULL serves 0, not NULL — documented divergence). NULL
+  * group keys are first-class: the delta merges with null-safe key
+  * equality, so a NULL-key group updates its one MV row like any
+  * other.
   *
   * Reference scope: `dask.dataframe` exposes no persistent MVs — this
   * extends the lake surface the way Delta Live Tables / Materialize
@@ -48,15 +49,20 @@ import org.apache.spark.sql.functions._
 object LakeMV {
   private val Lake = "graft.sources.LakeSource"
   private val DefFile = "_mv.def"
-  private val StateFile = "_mv_state"
   private val IntentFile = "_mv_state.next"
 
   final case class MvDef(srcDir: String, keys: Seq[String],
       sums: Seq[String])
 
-  // ---- sidecar IO (atomic via temp + rename, same fs) ---------------
+  // ---- sidecar IO -----------------------------------------------------
+  // Every write lands in a FRESH uniquely-named file via temp + rename
+  // — no delete-then-rename window anywhere, so committed sidecars can
+  // never be lost to a crash (r19 review #5). The mutable state value
+  // is a VERSIONED chain (`_mv_state-<seq>`): readers take the highest
+  // seq, writers create seq+1 and then best-effort-prune older ones —
+  // there is always at least one state file once the MV exists.
 
-  private def writeAtomic(f: FileSystem, dir: String, name: String,
+  private def writeFresh(f: FileSystem, dir: String, name: String,
       body: String): Unit = {
     val tmp = new HPath(dir,
       s"_tmp-$name-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -64,7 +70,6 @@ object LakeMV {
       new java.io.OutputStreamWriter(f.create(tmp, false), "UTF-8"))
     try out.write(body) finally out.close()
     val dst = new HPath(dir, name)
-    f.delete(dst, false)
     require(f.rename(tmp, dst), s"lake mv: rename $tmp -> $dst failed")
   }
 
@@ -83,15 +88,36 @@ object LakeMV {
       l(2).split(',').toSeq.filter(_.nonEmpty))
   }
 
+  private val StateRe = """_mv_state-(\d+)""".r
+
+  private def stateSeqs(f: FileSystem, mvDir: String): Seq[Int] = {
+    val d = new HPath(mvDir)
+    if (!f.exists(d)) return Nil
+    f.listStatus(d).iterator.flatMap(_.getPath.getName match {
+      case StateRe(n) => Some(n.toInt)
+      case _ => None
+    }).toSeq.sorted
+  }
+
   /** (source version covered, MV version that covers it). */
   private def readState(f: FileSystem, mvDir: String): (Int, Int) = {
-    val l = readLines(f, new HPath(mvDir, StateFile)).head.split('\t')
+    val seqs = stateSeqs(f, mvDir)
+    require(seqs.nonEmpty,
+      s"$mvDir holds an MV definition but no state — a CREATE died " +
+        "before arming it; re-run CREATE MATERIALIZED VIEW")
+    val l = readLines(f,
+      new HPath(mvDir, s"_mv_state-${seqs.last}")).head.split('\t')
     (l(0).toInt, l(1).toInt)
   }
 
   private def writeState(f: FileSystem, mvDir: String, covered: Int,
-      mvV: Int): Unit =
-    writeAtomic(f, mvDir, StateFile, s"$covered\t$mvV")
+      mvV: Int): Unit = {
+    val seqs = stateSeqs(f, mvDir)
+    val next = seqs.lastOption.getOrElse(-1) + 1
+    writeFresh(f, mvDir, s"_mv_state-$next", s"$covered\t$mvV")
+    // prune superseded states AFTER the new one exists (best effort)
+    seqs.foreach(s => f.delete(new HPath(mvDir, s"_mv_state-$s"), false))
+  }
 
   // ---- create -------------------------------------------------------
 
@@ -108,9 +134,21 @@ object LakeMV {
       throw new IllegalArgumentException(
         s"lake mv: no lake manifest under $srcDir"))
     val f = LakeFormat.fs(mvDir)
-    require(LakeFormat.latestVersion(f, mvDir).isEmpty,
+    // a definition without ANY state file is a CREATE that died
+    // mid-flight (the def is written first, the state last): nothing
+    // was ever covered or served, so the retry wipes and rebuilds
+    // rather than bricking the directory (r19 review #5)
+    if (f.exists(new HPath(mvDir, DefFile)) &&
+        stateSeqs(f, mvDir).isEmpty)
+      f.delete(new HPath(mvDir), true)
+    require(LakeFormat.latestVersion(f, mvDir).isEmpty &&
+      !f.exists(new HPath(mvDir, DefFile)),
       s"lake mv: $mvDir already holds a lake table — MV targets must " +
         "be fresh directories")
+    f.mkdirs(new HPath(mvDir))
+    // def FIRST: every later crash state is recognizably a half-create
+    writeFresh(f, mvDir, DefFile,
+      s"$srcDir\n${keys.mkString(",")}\n${sums.mkString(",")}")
     // pin the snapshot: a racing append between the read and the state
     // write would otherwise be silently skipped forever
     val src = spark.read.format(Lake).option("path", srcDir)
@@ -131,8 +169,6 @@ object LakeMV {
       // the real errorIfExists)
       .write.format(Lake).option("path", mvDir).mode("append").save()
     val mvV = LakeFormat.latestVersion(f, mvDir).get
-    writeAtomic(f, mvDir, DefFile,
-      s"$srcDir\n${keys.mkString(",")}\n${sums.mkString(",")}")
     writeState(f, mvDir, base, mvV)
     base
   }
@@ -156,7 +192,7 @@ object LakeMV {
         s"v$covered — a restore-like rollback needs a fresh MV")
     if (target == covered) return (covered, covered, 0L)
     val preMvV = LakeFormat.latestVersion(f, mvDir).get
-    writeAtomic(f, mvDir, IntentFile, s"$target\t$preMvV")
+    writeFresh(f, mvDir, IntentFile, s"$target\t$preMvV")
     val feed = spark.read.format(Lake).option("path", d.srcDir)
       .option("changesFrom", covered + 1).option("changesTo", target)
       .load()
@@ -189,7 +225,10 @@ object LakeMV {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       spark.sql(s"CREATE TABLE $tbl (${schema.toDDL}) USING lake " +
         s"LOCATION '$mvDir'")
-      val on = d.keys.map(k => s"t.`$k` = s.`$k`").mkString(" AND ")
+      // null-SAFE key equality (r19 review #2): a NULL-key group must
+      // keep matching its MV row across refreshes — plain `=` never
+      // matches NULL, so every refresh would re-insert the group
+      val on = d.keys.map(k => s"t.`$k` <=> s.`$k`").mkString(" AND ")
       val setSums = d.sums.map(c =>
         s"`sum_$c` = coalesce(t.`sum_$c`, 0) + coalesce(s.`d_$c`, 0)")
       val insCols = (d.keys ++ Seq("mv_cnt") ++ d.sums.map(c => s"sum_$c"))

@@ -1857,6 +1857,11 @@ object LakeFormat {
     readCheckSql(f, srcDir).foreach(sql => writeCheckSql(fd, dstDir, sql))
     val bc = readBloomCols(f, srcDir)
     if (bc.nonEmpty) writeBloomCols(fd, dstDir, bc)
+    // ndv enrollment travels too (r19 continuation review #4): clone/
+    // branch writes must keep sketching or the fork's merged estimate
+    // — and, after FAST FORWARD, the PARENT's — fails loudly
+    val ndc = readNdvCols(f, srcDir)
+    if (ndc.nonEmpty) writeNdvCols(fd, dstDir, ndc)
     require(writeManifestCAS(fd, dstDir, 0, meta.schema, absEntries,
       meta.cluster, maintenance = false, meta.colmap, meta.part),
       s"lake clone: lost the v0 commit race under $dstDir")
@@ -1910,10 +1915,18 @@ object LakeFormat {
     require(!f.exists(new HPath(bDir)),
       s"lake branch '$name' already exists on $srcDir — DROP BRANCH " +
         "first or pick another name")
-    val (v, files) = shallowClone(srcDir, bDir, versionAsOf)
+    // resolve and record the base BEFORE cloning (r19 continuation
+    // review #6): a create that dies mid-clone then leaves a dir WITH
+    // its base sidecar — recognizably a branch, so DROP BRANCH can
+    // clean it up (the old order left an un-droppable half-state)
+    val v = versionAsOf.orElse(latestVersion(f, srcDir)).getOrElse(
+      throw new IllegalArgumentException(
+        s"lake branch: no manifest under $srcDir — nothing to fork"))
+    f.mkdirs(new HPath(bDir))
     val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
       f.create(new HPath(bDir, "_branch_base"), false), "UTF-8"))
     try out.write(v.toString) finally out.close()
+    val (_, files) = shallowClone(srcDir, bDir, Some(v))
     (v, files)
   }
 
@@ -1931,8 +1944,13 @@ object LakeFormat {
     require(f.exists(bDir),
       s"lake branch '$name' does not exist on $srcDir")
     // refuse to silently delete something that was never a branch (a
-    // user pointing DROP BRANCH at a data subdirectory by mistake)
-    branchBase(f, bDir.toString)
+    // user pointing DROP BRANCH at a data subdirectory by mistake) —
+    // but a dir with NO data files is at worst a crashed create
+    // (zero-copy fork), so it may always be cleaned up (r19
+    // continuation review #6)
+    val hasData = f.listStatus(bDir).exists(st =>
+      st.isFile && st.getPath.getName.endsWith(".lake"))
+    if (hasData) branchBase(f, bDir.toString)
     require(f.delete(bDir, true),
       s"lake branch drop: could not delete $bDir")
   }
@@ -1997,11 +2015,23 @@ object LakeFormat {
       adopted += ((from, to))
       relOut
     }
-    val outEntries = head.entries.map { e =>
-      e.copy(name = translate(e.name),
-        dv = e.dv.map { case (n, c) => (translate(n), c) },
-        blooms = e.blooms.map { case (c, n) => (c, translate(n)) })
-    }
+    val outEntries =
+      try head.entries.map { e =>
+        e.copy(name = translate(e.name),
+          dv = e.dv.map { case (n, c) => (translate(n), c) },
+          blooms = e.blooms.map { case (c, n) => (c, translate(n)) })
+      } catch {
+        case t: Throwable =>
+          // a rename failed mid-adoption: un-move what was adopted so
+          // the branch stays whole (otherwise its manifest references
+          // files now sitting unreferenced in the parent — unreadable
+          // immediately, vacuumed permanently; r19 continuation
+          // review #7)
+          adopted.result().foreach { case (from, to) =>
+            f.rename(to, from)
+          }
+          throw t
+      }
     // main has not moved past base (checked above), so the branch's
     // header state (schema evolution, colmap, layout claims) IS the
     // monotone successor of main's — publish it wholesale
@@ -2129,7 +2159,7 @@ object LakeFormat {
     val (keepMans, dropMans) = all.collect {
       case n @ ManifestRe(v) => (n, v.toInt)
     }.partition(_._2 >= keepFromVersion)
-    val referenced = keepMans.map(_._2).flatMap { v =>
+    val mainRefs = keepMans.map(_._2).flatMap { v =>
       // segments are referenced by the root; their member files (and
       // dv sidecars) are referenced through them
       val r = readManifestRoot(f, dir, v)
@@ -2138,6 +2168,24 @@ object LakeFormat {
           .flatMap(e => (e.name +: e.dv.map(_._1).toSeq) ++
             e.blooms.values)
     }.toSet
+    // LIVE BRANCHES pin the parent files their snapshots reference
+    // (r19 continuation review #9): a branch forked at v5 must survive
+    // a main OPTIMIZE + VACUUM at v6 — without this, the fork's shared
+    // files were reclaim candidates the moment main's own history
+    // stopped naming them. O(branch metadata), and branches are few
+    // and short-lived by design (WAP consumes them at publish).
+    val prefix = d.toString + "/"
+    val branchRefs = listBranches(f, dir).flatMap { b =>
+      val bd = branchDir(dir, b)
+      versions(f, bd).flatMap { v =>
+        val r = readManifestRoot(f, bd, v)
+        (r.inline ++ r.segs.flatMap(s => readSegment(f, bd, s.name)))
+          .flatMap(e => (e.name +: e.dv.map(_._1).toSeq) ++
+            e.blooms.values)
+      }.filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
+        .filterNot(_.contains("/"))
+    }.toSet
+    val referenced = mainRefs ++ branchRefs
     val dropped = dropMans.map(_._1) ++
       all.filter(n =>
         (n.endsWith(".lake") ||
@@ -2943,6 +2991,15 @@ class LakeTable(private[graft] val path: String, tableSchema: StructType,
             s"lake type change on $path: '$cname' is bloom-enrolled — " +
               "its sidecars hash integer values; widening to DOUBLE " +
               "would change the probe hash and wrongly prune")
+          // NDV sketches ride the SAME hash stream: post-widen files
+          // would hash bit-cast doubles, so merging them with the old
+          // sketches double-counts every overlapping value — silently
+          // skewed CBO cardinality (r19 continuation review #3)
+          require(to != DoubleType ||
+              !LakeFormat.readNdvCols(f, path).contains(cm.phys(idx)),
+            s"lake type change on $path: '$cname' is ndv-enrolled — " +
+              "its sketches hash integer values; widening to DOUBLE " +
+              "would split the hash family and inflate the estimate")
           val sch = StructType(root.schema.fields.zipWithIndex.map {
             case (fd, i) => if (i == idx) fd.copy(dataType = to) else fd
           })
@@ -3799,6 +3856,10 @@ private[sources] class LakeScan(path: String, tableSchema: StructType,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
         val out = new java.util.HashMap[NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        // ONE fs handle for every sketch read — per-entry fs() clones
+        // the session Hadoop conf, an O(entries × columns) planning
+        // cost (same fix class as the bloom pass, r19 review #5)
+        lazy val fsh = LakeFormat.fs(path)
         required.fields.filter(f => tableSchema.fieldNames.contains(f.name))
           .foreach { fld =>
             val p = physOf(fld.name)
@@ -3840,8 +3901,7 @@ private[sources] class LakeScan(path: String, tableSchema: StructType,
               else {
                 val acc = new Array[Byte](1 << LakeFormat.NdvP)
                 rowBearing.foreach(e => LakeFormat.ndvMergeInto(acc,
-                  LakeSource.ndvCached(LakeFormat.fs(path), path,
-                    e.blooms(ndvK))))
+                  LakeSource.ndvCached(fsh, path, e.blooms(ndvK))))
                 java.util.OptionalLong.of(LakeFormat.ndvEstimate(acc))
               }
             out.put(V2Expressions.column(fld.name),

@@ -2072,9 +2072,13 @@ class LakeSpec extends AnyFunSuite {
     assert(LakeFormat.latestVersion(fmv, mv).get == vQuiet,
       "maintenance-only refresh committed to the MV")
     // crash window: merge landed but the state write was lost — the
-    // recovery finalizes WITHOUT re-applying the delta
+    // recovery finalizes WITHOUT re-applying the delta. State lives in
+    // a versioned chain (_mv_state-<seq>); "rewind" = publish the OLD
+    // value as a NEWER seq, exactly the view a lost write leaves.
+    def stateFiles(): Seq[String] = new java.io.File(mv).list()
+      .filter(_.matches("_mv_state-\\d+")).toSeq.sorted
     val stateBefore = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(mv, "_mv_state")), "UTF-8")
+      java.nio.file.Paths.get(mv, stateFiles().last)), "UTF-8")
     val Array(coveredS, mvVS) = stateBefore.trim.split('\t')
     spark.range(70000, 70010)
       .select(col("id"), (col("id") % 16).cast("int").as("bucket"),
@@ -2088,7 +2092,9 @@ class LakeSpec extends AnyFunSuite {
     // rewind the state and plant the intent of the refresh that just
     // ran: exactly what a crash between merge-commit and state write
     // leaves behind
-    java.nio.file.Files.write(java.nio.file.Paths.get(mv, "_mv_state"),
+    val lastSeq = stateFiles().last.stripPrefix("_mv_state-").toInt
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(mv, s"_mv_state-${lastSeq + 1}"),
       stateBefore.getBytes("UTF-8"))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(mv, "_mv_state.next"),
@@ -2097,6 +2103,28 @@ class LakeSpec extends AnyFunSuite {
     assert(r5.getLong(3) == 0L,
       s"recovery re-applied an already-landed delta: $r5")
     assert(mvRows() == good, "recovery corrupted the MV")
+    // NULL group keys are first-class: one MV row, merged null-safely
+    // across refreshes (never re-inserted), vanishing at count zero
+    val ndir = tmp("lake_mv_nullsrc")
+    val nt = catalogTable("tmv_nullsrc", ndir)
+    spark.sql(s"""INSERT INTO $nt VALUES
+      |(1L, 1, 10, 0.0D, 'a'), (2L, CAST(NULL AS INT), 20, 0.0D, 'b'),
+      |(3L, CAST(NULL AS INT), 30, 0.0D, 'c')""".stripMargin)
+    val nmv = tmp("lake_mv_null") + "/mv"
+    spark.sql(s"CREATE MATERIALIZED VIEW '$nmv' ON '$ndir' " +
+      "KEYS (bucket) SUMS (kscore)")
+    spark.sql(s"INSERT INTO $nt VALUES " +
+      "(4L, CAST(NULL AS INT), 40, 0.0D, 'd')")
+    spark.sql(s"DELETE FROM $nt WHERE id = 2")
+    spark.sql(s"REFRESH MATERIALIZED VIEW '$nmv'")
+    val nullRows = read(nmv).filter(col("bucket").isNull).collect()
+    assert(nullRows.length == 1 &&
+      nullRows.head.getLong(1) == 2L && nullRows.head.getLong(2) == 70L,
+      s"null-key MV group wrong: ${nullRows.mkString}")
+    spark.sql(s"DELETE FROM $nt WHERE bucket IS NULL")
+    spark.sql(s"REFRESH MATERIALIZED VIEW '$nmv'")
+    assert(read(nmv).filter(col("bucket").isNull).count() == 0L,
+      "vanished null-key group still in MV")
     // non-numeric sums and non-fresh targets refuse loudly
     val e1 = intercept[IllegalArgumentException](
       LakeMV.create(spark, dir, tmp("lake_mv_bad") + "/mv",
@@ -2192,6 +2220,24 @@ class LakeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no sketch"), e.getMessage)
   }
 
+  test("VACUUM spares files live branches reference; dropping the branch releases them (r19)") {
+    val dir = tmp("lake_vacbranch")
+    det(1000, 2).write.format(Lake).option("path", dir)
+      .mode("overwrite").save()
+    spark.sql(s"CREATE BRANCH hold ON '$dir'")
+    // main rewrites everything; its own history stops naming v0's files
+    spark.sql(s"OPTIMIZE '$dir' RANGE BY id INTO 1 FILES")
+    spark.sql(s"VACUUM '$dir' RETAIN 1 VERSIONS GRACE 0 MS")
+    assert(spark.read.format(Lake).option("path", dir)
+      .option("branch", "hold").load().count() == 1000L,
+      "vacuum reclaimed files the live branch references")
+    // once the branch is gone, a re-vacuum releases them
+    spark.sql(s"DROP BRANCH hold ON '$dir'")
+    val r = spark.sql(s"VACUUM '$dir' RETAIN 1 VERSIONS GRACE 0 MS").head
+    assert(r.getLong(2) >= 2L, s"post-drop vacuum reclaimed only $r")
+    assert(read(dir).count() == 1000L)
+  }
+
   test("VACUUM DRY RUN: reports the reclaim set without deleting; the real run then reclaims exactly it (r19)") {
     val dir = tmp("lake_vacdry")
     det(1000, 2).write.format(Lake).option("path", dir)
@@ -2245,30 +2291,37 @@ class LakeSpec extends AnyFunSuite {
     stage(11600, 11700)
     val f = LakeFormat.fs(dir)
     val v = LakeFormat.latestVersion(f, dir).get
+    def ledgerUnion(): Set[String] = new java.io.File(dir).list()
+      .filter(_.startsWith("_ingest_ledger-"))
+      .flatMap(n => scala.io.Source.fromFile(new java.io.File(dir, n))
+        .getLines()).toSet
     val newTok = new java.io.File(land).list()
       .filter(_.endsWith(".parquet")).map { n =>
         s"$n:${new java.io.File(land, n).length()}"
-      }.toSet -- scala.io.Source.fromFile(
-        new java.io.File(dir, "_ingest_ledger")).getLines().toSet
+      }.toSet -- ledgerUnion()
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "_ingest_intent"),
       (v.toString +: newTok.toSeq).mkString("\n").getBytes("UTF-8"))
-    // raw writes bypass LocalFileSystem's checksum sidecars — drop them
-    def dropCrc(): Unit = Seq("._ingest_ledger.crc", "._ingest_intent.crc")
-      .foreach(n => new java.io.File(dir, n).delete())
+    // raw writes bypass LocalFileSystem's checksum sidecars — drop it
+    def dropCrc(): Unit =
+      new java.io.File(dir, "._ingest_intent.crc").delete()
     dropCrc()
     val r4 = spark.sql(s"COPY INTO '$dir' FROM '$land'").head
     assert(r4.getInt(1) == 1 && r4.getInt(2) == 4, r4.toString)
     assert(read(dir).count() == 1000L + 1700L)
     // crash AFTER the append commit but before the ledger write:
-    // recovery finalizes the ledger and the rows never duplicate
-    val ledgerNow = scala.io.Source.fromFile(
-      new java.io.File(dir, "_ingest_ledger")).getLines().toVector
+    // delete the ledger SEGMENT that COPY wrote (the crash means it
+    // was never born), plant its intent — recovery finalizes the
+    // ledger and the rows never duplicate
     val lastTok = newTok.toSeq
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, "_ingest_ledger"),
-      ledgerNow.filterNot(lastTok.contains).mkString("\n")
-        .getBytes("UTF-8"))
+    new java.io.File(dir).list()
+      .filter(_.startsWith("_ingest_ledger-"))
+      .filter(n => scala.io.Source.fromFile(new java.io.File(dir, n))
+        .getLines().exists(lastTok.contains))
+      .foreach { n =>
+        new java.io.File(dir, n).delete()
+        new java.io.File(dir, s".$n.crc").delete()
+      }
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "_ingest_intent"),
       ((v - 1).toString +: lastTok).mkString("\n").getBytes("UTF-8"))
