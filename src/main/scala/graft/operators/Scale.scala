@@ -23,13 +23,23 @@ object Scale {
     * recomputed. The iterative operators (CC, k-means) call this on
     * each superseded round so a loop pins one round's state, not all
     * of them. */
+  /** Pre-cut DISK_ONLY caches of LAZY reliable cuts, keyed by the cut
+    * frame's root RDD id — unpersisted when the loop drops the
+    * superseded round ([[dropCheckpoint]]) or at the end-of-query
+    * [[releasePins]] backstop. See the lazy branch of [[cut]]. */
+  private val lazyCutCaches =
+    new java.util.concurrent.ConcurrentHashMap[Int, DataFrame]()
+
   private[operators] def dropCheckpoint(df: DataFrame): Unit =
     // ROOT match only: a derived (non-checkpointed) frame EMBEDS its
     // parents' LogicalRDD nodes, and a tree-wide drop would unpersist a
     // parent checkpoint other rounds still read. A checkpointed frame's
     // plan root IS the LogicalRDD; anything else is a no-op.
     df.queryExecution.analyzed match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(false)
+        val cached = lazyCutCaches.remove(l.rdd.id)
+        if (cached != null) cached.unpersist(false)
       case _ => ()
     }
 
@@ -129,6 +139,14 @@ object Scale {
     * CacheManager entry AND its blocks — see [[pin]]). Idempotent:
     * unpersisting an already-released frame is a no-op. */
   def releasePins(): Unit = {
+    // lazy-cut cache backstop first: a loop's FINAL round has no
+    // dropCheckpoint call, so its pre-cut cache drains here
+    val it = lazyCutCaches.values().iterator()
+    while (it.hasNext) {
+      try it.next().unpersist(blocking = true)
+      catch { case scala.util.control.NonFatal(_) => () }
+      it.remove()
+    }
     var d = pins.poll()
     while (d != null) {
       try d.unpersist(blocking = true)
@@ -169,16 +187,36 @@ object Scale {
         // Reliable checkpoint materializes the RDD in a SECOND job when
         // writing the files — without a persist the whole round lineage
         // recomputes (2× compute per iteration). Persist DISK_ONLY first
-        // so the checkpoint write reads the cached blocks, then drop the
-        // cache (the checkpoint files now back the frame). This forces
-        // EAGER even when the caller asked for lazy: a deferred reliable
-        // checkpoint would have to keep the pre-cut frame cached until
-        // some unknowable later action, leaking one DISK_ONLY copy per
-        // loop round — one up-front count is the cheaper contract.
+        // so the checkpoint write reads the cached blocks.
+        //
+        // eager=false is HONORED here (optimization r19): the loop
+        // callers' probe action is the very next statement, and a job on
+        // any RDD derived from the marked one triggers the ancestor's
+        // checkpoint write at job end (SparkContext.runJob →
+        // rdd.doCheckpoint, recursive) — so the lazy path runs 2 jobs
+        // per round (probe-computes-and-caches, write-reads-cache)
+        // where the old forced-eager path ran 3 (count, write, probe);
+        // the r19 before-bench charged t63/t71/t83 a third of their
+        // warm time to exactly that extra per-round job. The pre-cut
+        // DISK_ONLY cache can't be dropped synchronously in the lazy
+        // path (the write hasn't happened yet) — it is registered and
+        // released by the caller's per-round [[dropCheckpoint]] on the
+        // superseded frame, with [[releasePins]] as the end-of-query
+        // backstop, so at most the live round's cache is ever held.
         val cached = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-        val cut = cached.checkpoint(eager = true)
-        cached.unpersist(false)
-        cut
+        if (eager) {
+          val cut = cached.checkpoint(eager = true)
+          cached.unpersist(false)
+          cut
+        } else {
+          val cut = cached.checkpoint(eager = false)
+          cut.queryExecution.analyzed match {
+            case l: org.apache.spark.sql.execution.LogicalRDD =>
+              lazyCutCaches.put(l.rdd.id, cached)
+            case _ => cached.unpersist(false) // unexpected root: no leak
+          }
+          cut
+        }
       case None => df.localCheckpoint(eager)
     }
 

@@ -2553,8 +2553,15 @@ object Vectors {
         VectorOps.dot(col("pe"), col("ce")), col("pn"), col("cn")))
       .withColumn("cr", row_number().over(wc)).filter(col("cr") === 1)
       .select(col("probe_id"), col("clabel"))
-    val visited0 = scoreOf(chosen.join(entries, Seq("clabel"))
-      .select(col("probe_id"), col("entry_id").as("cand_id")))
+    // each visited generation is PINNED: an expand round references its
+    // input three times (frontier window, seen-set anti-join, union),
+    // so an unpinned generation is re-inlined into every branch — the
+    // before-plan carried 270 Exchanges / 146 scans (the visited0
+    // subtree appeared 9× under two rounds) and paid a 26 s codegen
+    // cold pass. Pinning each generation makes the plan linear in the
+    // number of rounds (optimization r19; same rows, same hash).
+    val visited0 = Scale.pin(scoreOf(chosen.join(entries, Seq("clabel"))
+      .select(col("probe_id"), col("entry_id").as("cand_id"))))
     // two greedy beam rounds: frontier = best B of the visited set,
     // expand via the edge table, score only the NEW candidates
     def expand(visited: DataFrame, beam: Int): DataFrame = {
@@ -2566,7 +2573,7 @@ object Vectors {
         .select(col("probe_id"), col("dst").as("cand_id")).distinct()
         .join(visited.select(col("probe_id"), col("cand_id")),
           Seq("probe_id", "cand_id"), "left_anti")
-      visited.unionByName(scoreOf(fresh))
+      Scale.pin(visited.unionByName(scoreOf(fresh)))
     }
     val visited2 = expand(expand(visited0, beam = 4), beam = 4)
     val wr = Window.partitionBy(col("probe_id"))
