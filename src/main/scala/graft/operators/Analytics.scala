@@ -512,12 +512,14 @@ object Analytics {
       |       round(sum(m), 2) AS monetary
       |FROM q GROUP BY r_q, f_q, m_q ORDER BY r_q, f_q, m_q""".stripMargin
   ) { (s, d) =>
-    val rfm = Scale.cut(
+    // pinned, not cut (optimization r19): static lineage, many readers
+    // (quantile pass + three rank branches + two joins) — the cache
+    // computes it once with zero extra jobs where the eager cut paid two
+    val rfm = Scale.pin(
       Tables.events(s, d).filter(col("event_type") === "purchase")
         .groupBy(col("user_id"))
         .agg(max(unix_micros(col("ts"))).as("r_us"), count(lit(1)).as("f"),
-          sum(col("value")).as("m")),
-      eager = true)
+          sum(col("value")).as("m")))
     val metrics = Seq(col("r_us"), col("f"), col("m"))
     val edges = Scale.quantileEdges(rfm, metrics, 64)
     val n1 = rfm.agg(count(lit(1)).as("_n"))

@@ -99,7 +99,8 @@ object Dedup {
       |       true AS exact_dups_found, true AS est_in_unit,
       |       true AS pairs_ordered""".stripMargin
   ) { (s, d) =>
-    val pairs = Scale.cut(minHashLshRaw(s, d), eager = true)
+    // pinned, not cut: static lineage, two consumers (optimization r19)
+    val pairs = Scale.pin(minHashLshRaw(s, d))
     val docs = Tables.documents(s, d)
     val exactPairs = docs.select(col("doc_id").as("da"), col("text"))
       .join(docs.select(col("doc_id").as("db"), col("text")), Seq("text"))
@@ -217,7 +218,8 @@ object Dedup {
       |       true AS exact_dups_at_h0, true AS hamming_in_range,
       |       true AS pairs_ordered""".stripMargin
   ) { (s, d) =>
-    val pairs = Scale.cut(simHashPairsRaw(s, d), eager = true)
+    // pinned, not cut: static lineage, two consumers (optimization r19)
+    val pairs = Scale.pin(simHashPairsRaw(s, d))
     val docs = Tables.documents(s, d)
     val exactPairs = docs.select(col("doc_id").as("da"), col("text"))
       .join(docs.select(col("doc_id").as("db"), col("text")), Seq("text"))
@@ -262,11 +264,14 @@ object Dedup {
     * Returns (node, lbl) where lbl = min node id of the component. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50,
       fallbackToStar: Boolean = true): DataFrame = {
-    // edges are re-read every round: materialize once. Scale.cut =
-    // localCheckpoint locally, reliable checkpoint when
-    // spark.graft.checkpoint.dir is set (cluster fault tolerance).
-    val und = Scale.cut(edges.select(col("da").as("src"), col("db").as("dst"))
-      .union(edges.select(col("db").as("src"), col("da").as("dst"))), eager = true)
+    // edges are re-read every round: materialize once. PINNED, not cut
+    // (optimization r19): the edge list is STATIC input — its lineage
+    // never grows with the loop, so a cache gives the same compute-once
+    // guarantee with zero extra jobs, and a lost block recovers by
+    // recomputing from the source instead of needing checkpoint files.
+    // Only the EVOLVING per-round label state keeps the reliable cut.
+    val und = Scale.pin(edges.select(col("da").as("src"), col("db").as("dst"))
+      .union(edges.select(col("db").as("src"), col("da").as("dst"))))
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
     var iter = 0
@@ -348,8 +353,10 @@ object Dedup {
           .union(mins.select(col("u").as("src"), col("m").as("dst")))
       Scale.cut(canon(linked), eager = false) // lazy: probe below materializes
     }
-    var cur = Scale.cut(
-      canon(edges.select(col("da").as("src"), col("db").as("dst"))), eager = true)
+    // the INITIAL edge set is static input — pinned (see und above);
+    // each ROUND's output keeps the reliable cut (optimization r19)
+    var cur = Scale.pin(
+      canon(edges.select(col("da").as("src"), col("db").as("dst"))))
     // probe = (#edges, Σ xxhash64(src,dst)): a content fingerprint of the
     // edge SET (order-independent), equal ⇔ the phase was a no-op — the
     // paper's fixpoint. One distributed action per round.

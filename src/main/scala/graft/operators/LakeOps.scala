@@ -700,15 +700,18 @@ object LakeOps {
     freshTable(s, "glake.ns.t243", dir)
     det(s, 20000, 1).createOrReplaceTempView("det243")
     s.sql("INSERT OVERWRITE glake.ns.t243 SELECT * FROM det243")
-    (0 until 16).foreach { i =>
-      s.range(20000L + i * 200, 20000L + (i + 1) * 200)
-        .selectExpr("id", "CAST(id % 16 AS INT) AS bucket",
-          "CAST((id * 31) % 997 AS INT) AS kscore",
-          "CAST(id AS DOUBLE) / 7 AS score",
-          "concat('doc_', id) AS doc_id")
-        .coalesce(1)
-        .write.format(Lake).option("path", dir).mode("append").save()
-    }
+    // 16 small files in ONE append commit (optimization r19): the
+    // scenario COMPACT TO bin-packs is "many under-threshold files",
+    // which 16 range partitions of one write produce identically to the
+    // former 16 one-file append loops — same rows, same file-size
+    // profile, 15 fewer sequential write jobs per pass.
+    s.range(20000L, 23200L)
+      .selectExpr("id", "CAST(id % 16 AS INT) AS bucket",
+        "CAST((id * 31) % 997 AS INT) AS kscore",
+        "CAST(id AS DOUBLE) / 7 AS score",
+        "concat('doc_', id) AS doc_id")
+      .repartitionByRange(16, col("id"))
+      .write.format(Lake).option("path", dir).mode("append").save()
     s.sql("OPTIMIZE glake.ns.t243 COMPACT TO 30000 BYTES")
     bucketAgg(s, "glake.ns.t243")
   }

@@ -476,11 +476,14 @@ object Retrieval {
       |SELECT tok, round(r, 6) AS pagerank FROM r2
       |ORDER BY pagerank DESC, tok""".stripMargin
   ) { (s, d) =>
-    val e = Scale.cut(bigrams(tokenized(s, d))
-      .groupBy(col("w1"), col("w2")).agg((count(lit(1)) * lit(1.0)).as("w")),
-      eager = true)
-    val nodes = Scale.cut(e.select(col("w1").as("tok"))
-      .union(e.select(col("w2"))).distinct(), eager = true)
+    // pinned, not cut (optimization r19): both frames are static-lineage
+    // shared anchors — a cache computes each once with zero extra jobs,
+    // where the two eager reliable cuts paid four (count + checkpoint
+    // write each) before the query's own action ran
+    val e = Scale.pin(bigrams(tokenized(s, d))
+      .groupBy(col("w1"), col("w2")).agg((count(lit(1)) * lit(1.0)).as("w")))
+    val nodes = Scale.pin(e.select(col("w1").as("tok"))
+      .union(e.select(col("w2"))).distinct())
     val nTot = nodes.agg((count(lit(1)) * lit(1.0)).as("nn"))
     val outw = e.groupBy(col("w1")).agg(sum(col("w")).as("ow"))
     val eo = e.join(outw, "w1")
@@ -536,23 +539,25 @@ object Retrieval {
       |       round(3.0 * nt / nw, 6) AS clustering
       |FROM tri CROSS JOIN w""".stripMargin
   ) { (s, d) =>
-    val e = Scale.cut(bigrams(tokenized(s, d))
+    // pinned, not cut (optimization r19): static-lineage shared anchors;
+    // three eager cuts paid six harness jobs here before the action
+    val e = Scale.pin(bigrams(tokenized(s, d))
       .filter(col("w1") =!= col("w2"))
       .select(least(col("w1"), col("w2")).as("a"),
         greatest(col("w1"), col("w2")).as("b"))
-      .distinct(), eager = true)
-    val deg = Scale.cut(
+      .distinct())
+    val deg = Scale.pin(
       e.select(col("a").as("tok")).union(e.select(col("b")))
-        .groupBy(col("tok")).agg(count(lit(1)).as("dg")), eager = true)
+        .groupBy(col("tok")).agg(count(lit(1)).as("dg")))
     // orient each edge from its (degree, name)-smaller endpoint
     val ed = e.join(deg.select(col("tok").as("a"), col("dg").as("da")), "a")
       .join(deg.select(col("tok").as("b"), col("dg").as("db")), "b")
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
-    val oe = Scale.cut(ed.select(
+    val oe = Scale.pin(ed.select(
       when(aFirst, col("a")).otherwise(col("b")).as("u"),
       when(aFirst, col("b")).otherwise(col("a")).as("v"),
-      when(aFirst, col("db")).otherwise(col("da")).as("dv")), eager = true)
+      when(aFirst, col("db")).otherwise(col("da")).as("dv")))
     // wedge (u→v1, u→v2) with (dv1, v1) < (dv2, v2), closed by v1→v2
     val e1 = oe.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
     val e2 = oe.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))

@@ -107,10 +107,13 @@ object Stats {
       |             - (count(*) + 1.0) / count(*), 6) AS gini
       |FROM ranked""".stripMargin
   ) { (s, d) =>
-    val rev = Scale.cut(
+    // pinned, not cut: static lineage, three consumers (quantile pass,
+    // window, count) — the cache gives the same one-computation
+    // guarantee without the eager cut's count + checkpoint-write jobs
+    // (optimization r19)
+    val rev = Scale.pin(
       Tables.events(s, d).filter(col("event_type") === "purchase")
-        .groupBy(col("user_id")).agg(sum(col("value")).as("x")),
-      eager = true)
+        .groupBy(col("user_id")).agg(sum(col("value")).as("x")))
     val ranked = Scale.globalRowNumber(rev,
       Scale.quantileBuckets(rev, col("x"), 64),
       Seq(col("x"), col("user_id")), "rk")

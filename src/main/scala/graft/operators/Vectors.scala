@@ -418,22 +418,33 @@ object Vectors {
     val cx = centroidScale
       .map(s0 => round(avg(col("x")), s0)).getOrElse(avg(col("x")))
     while (iter < maxIter && !converged) {
-      val centSq = cent.toDF("cid", "ce")
-        .withColumn("csq", VectorOps.dot(col("ce"), col("ce")))
-      val pc = v.crossJoin(broadcast(centSq))
-        .withColumn("d2",
-          col("sq") + col("csq") - lit(2.0) * VectorOps.dot(col("e"), col("ce")))
-      // E-step argmin as a hash aggregate (min_by over the (d2, cid)
-      // struct order — ties break on cid like the former row_number
-      // window) instead of a sort window: partial aggregation combines
-      // map-side, so only one candidate row per (partition, vec_id)
-      // reaches the shuffle — at 100 TB that is a k-fold shuffle cut.
+      // E-step argmin computed ROW-LOCALLY over a literal centroid
+      // array (optimization r19): the centroids are k×dim driver state
+      // already, so each row scores all k inside one codegen'd project
+      // and keeps the (d2, cid)-lexicographic minimum via array_sort —
+      // the same tie-break the former min_by(struct(d2, cid)) hash
+      // aggregate applied. The former form crossJoined a broadcast
+      // centroid table and re-aggregated by vec_id — a unique key, so
+      // map-side combine never combined anything and the FULL embedding
+      // payload crossed the exchange every round (8 × corpus shuffle;
+      // 32 MB/query on the fixture, the whole corpus at 100 TB). The
+      // map-only E-step shuffles nothing; the round's only exchange is
+      // the k×dim-bounded M-step. d2 keeps the exact expression
+      // (sq + csq − 2·graft_dot(e, ce)) so assignments, the convergence
+      // fingerprint, and v72's oracle-replayed distances are
+      // bit-identical; csq is the same sequential left fold the old
+      // in-plan graft_dot(ce, ce) ran, just folded on the driver.
+      val scored = array_sort(array(cent.map { case (cid, ce) =>
+        val csq = ce.foldLeft(0.0)((acc, x) => acc + x * x)
+        struct(
+          (col("sq") + lit(csq)
+            - lit(2.0) * VectorOps.dot(col("e"), typedLit(ce))).as("d2"),
+          lit(cid).as("cid"))
+      }: _*))
       val prevAsg = asg
-      asg = pc.groupBy(col("vec_id"))
-        .agg(min_by(struct(col("cid"), col("d2"), col("e")),
-          struct(col("d2"), col("cid"))).as("m"))
+      asg = v.select(col("vec_id"), element_at(scored, 1).as("m"), col("e"))
         .select(col("vec_id"), col("m.cid").as("cid"),
-          col("m.d2").as("d2"), col("m.e").as("e"))
+          col("m.d2").as("d2"), col("e"))
         .transform(Scale.pin(_)) // MEMORY_AND_DISK; the round's one action
       // materializes it; superseded rounds unpersist below, the final
       // round's frame is released by the harness sweep (Scale.pin)
@@ -1226,7 +1237,9 @@ object Vectors {
     } else {
       val g = geom.getOrElse(VecConf.geom(s))
       val cb = s.read.parquet(s"$dir/codebook")
-      val assigned = Scale.cut(pqAssign(pqSubvectors(newEmb, g), cb), eager = true)
+      // transient persist (not a cut: static lineage, two consumers —
+      // the drift aggregate and the code write; optimization r19)
+      val assigned = pqAssign(pqSubvectors(newEmb, g), cb).persist()
       val newErr = assigned.agg(avg(col("d2"))).head().getDouble(0)
       val trainErr = s.read.parquet(s"$dir/stats").head().getAs[Double]("mean_qerr")
       val drift =
@@ -1234,7 +1247,7 @@ object Vectors {
         else if (newErr <= 0) 1.0 else Double.PositiveInfinity
       assigned.select(col("vec_id"), col("sub"), col("cid"))
         .write.mode("overwrite").parquet(s"$dir/codes_append_$batchId")
-      Scale.dropCheckpoint(assigned)
+      assigned.unpersist(false)
       val out = fs.create(marker, true)
       try out.write(drift.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
@@ -1536,9 +1549,13 @@ object Vectors {
     val (codes, cent) = pqIndex(emb, key, rounds = 2)
     val coarse = persistedFrame(s, s"$key/coarse")(ivfCoarseCentroids(emb))
     // the top-k frame feeds both the contract flags and the membership
-    // join; cut it (100 rows) so the gated ADC scan runs once
-    val topk = Scale.cut(ivfPqTopKFrom(emb, codes, cent, coarse,
-      nProbes = 10, k = 10, nCells = 2), eager = true)
+    // join; pin it (100 rows) so the gated ADC scan runs once — a cache
+    // gives the same single-computation guarantee as the former eager
+    // reliable cut without the cut's two extra harness jobs (count +
+    // checkpoint write); lineage is static so eviction recovers by
+    // recompute, not failure (optimization r19)
+    val topk = Scale.pin(ivfPqTopKFrom(emb, codes, cent, coarse,
+      nProbes = 10, k = 10, nCells = 2))
     val cells = ivfProbeCells(emb, coarse, nProbes = 10, nCells = 2)
       .withColumnRenamed("clabel", "label").withColumn("in_cell", lit(true))
     annContract(topk)
@@ -1800,9 +1817,15 @@ object Vectors {
     // snapshot the pre-compaction view: cut = materialized, so the plan
     // survives the deletion of the files it was read from
     val before = Scale.cut(pqIndexCodes(s, dir, fs), eager = true)
-    val beforeTop = Scale.cut(
+    // beforeTop needs NO materialization of its own (optimization r19):
+    // its lineage reads `before` — checkpoint files compaction never
+    // touches — plus emb and the codebook (also untouched), so it stays
+    // valid after the absorbed segments are deleted, and it has exactly
+    // one consumer (the serving compare). The former eager cut paid two
+    // jobs for a frame used once.
+    val beforeTop =
       pqAdcTopKFrom(emb, before, cent, nProbes = 10, k = 10)
-        .select(col("probe_id"), col("rn"), col("cand_id")), eager = true)
+        .select(col("probe_id"), col("rn"), col("cand_id"))
     pqIndexCompact(s, key)
     val after = pqIndexCodes(s, dir, fs)
     val afterTop = pqAdcTopKFrom(emb, after, cent, nProbes = 10, k = 10)
@@ -1929,8 +1952,9 @@ object Vectors {
     * tighter mean ≥ 0.6; the registered v84 aggregates its contract. */
   private[graft] def annRecallAuditRaw(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val ann = Scale.cut(pqAnnRaw(s, d)
-      .select(col("probe_id"), col("cand_id")), eager = true)
+    // pinned, not cut: static lineage, two consumers (optimization r19)
+    val ann = Scale.pin(pqAnnRaw(s, d)
+      .select(col("probe_id"), col("cand_id")))
     val perProbe = ann.groupBy(col("probe_id")).agg(count(lit(1)).as("n_ann"))
     val hits = ann
       .join(exactL2TopK(emb, 10, 10), Seq("probe_id", "cand_id"), "left_semi")
@@ -1980,9 +2004,78 @@ object Vectors {
     val key = pqIndexKey(s, d, 2, emb)
     val (codes, cent) = pqIndex(emb, key, rounds = 2)
     val coarse = persistedFrame(s, s"$key/coarse")(ivfCoarseCentroids(emb))
-    val exact = Scale.cut(exactL2TopK(emb, 10, 10), eager = true)
+    // pinned, not cut: static lineage, one consumer per sweep point
+    // (optimization r19 — the eager reliable cut cost two extra jobs)
+    val exact = Scale.pin(exactL2TopK(emb, 10, 10))
+    // The sweep points are PREFIXES of one cell ranking (nCells = 1, 2, 3
+    // keep the top-1/2/3 coarse cells per probe), so the ADC pass runs
+    // ONCE at the sweep maximum with the cell rank carried through, and
+    // each sweep point derives by a rank filter BEFORE its shortlist
+    // window — identical candidate sets, LUT, and distance expressions
+    // to three independent ivfPqTopKFrom calls (optimization r19: the
+    // before-plan ran the gated ADC join + re-rank three times; the
+    // values per sweep point are unchanged, VecDimSpec's monotonicity
+    // pin still holds on the same numbers).
+    val g = VecConf.geom(s)
+    val subs = g.pqSubs
+    val subDim = g.pqSubDim
+    val maxNc = 3
+    val nProbes = 10
+    val k = 10
+    val e = transform(col("embedding"), x => x.cast("double"))
+    // rank-tagged probe cells at the sweep max (ivfProbeCells + rank)
+    val probesC = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), e.as("pe"))
+      .withColumn("psq", VectorOps.dot(col("pe"), col("pe")))
+    val wC = Window.partitionBy(col("probe_id")).orderBy(col("cd2"), col("clabel"))
+    val cells = probesC.crossJoin(broadcast(coarse))
+      .withColumn("cd2", col("psq") + col("csq")
+        - lit(2.0) * VectorOps.dot(col("pe"), col("ce")))
+      .withColumn("cr", row_number().over(wC)).filter(col("cr") <= maxNc)
+      .select(col("probe_id"), col("clabel"), col("cr"))
+    val cand = emb.select(col("vec_id"), col("label"))
+      .join(broadcast(cells), col("label") === col("clabel"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("cr"))
+    val centSq = cent.withColumn("cqsq", VectorOps.dot(col("cv"), col("cv")))
+    val psv = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), e.as("pe"))
+      .select(col("probe_id"), posexplode(transform(
+          sequence(lit(0), lit(subs - 1)),
+          i => slice(col("pe"), i * subDim + 1, lit(subDim))))
+        .as(Seq("sub", "psv")))
+      .withColumn("ppsq", VectorOps.dot(col("psv"), col("psv")))
+    val lut = psv.join(broadcast(centSq), Seq("sub"))
+      .select(col("probe_id"), col("sub"), col("cid"),
+        (col("ppsq") + col("cqsq")
+          - lit(2.0) * VectorOps.dot(col("psv"), col("cv"))).as("pd2"))
+    // one gated ADC pass at the max cell budget; cr is per-(probe, cand)
+    // constant (a candidate lives in exactly one cell), so min() just
+    // carries it through the sum aggregate
+    val scored = Scale.pin(codes.join(cand, Seq("vec_id"))
+      .join(broadcast(lut), Seq("probe_id", "sub", "cid"))
+      .groupBy(col("probe_id"), col("vec_id").as("cand_id"))
+      .agg(sum(col("pd2")).as("ad2"), min(col("cr")).as("cr")))
+    val fullSq = Scale.pin(emb.select(col("vec_id"), e.as("fe"))
+      .withColumn("fsq", VectorOps.dot(col("fe"), col("fe"))))
+    val pe = fullSq.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("fe").as("pfe"),
+        col("fsq").as("pfsq"))
     val runs = Seq(1, 2, 3).map { nc =>
-      ivfPqTopKFrom(emb, codes, cent, coarse, nProbes = 10, k = 10, nCells = nc)
+      val wA = Window.partitionBy(col("probe_id"))
+        .orderBy(col("ad2"), col("cand_id"))
+      val shortlist = scored.filter(col("cr") <= nc)
+        .withColumn("rn0", row_number().over(wA))
+        .filter(col("rn0") <= 5 * k).select(col("probe_id"), col("cand_id"))
+      val wE = Window.partitionBy(col("probe_id"))
+        .orderBy(col("d2"), col("cand_id"))
+      fullSq.select(col("vec_id").as("cand_id"), col("fe"), col("fsq"))
+        .join(broadcast(shortlist), Seq("cand_id"))
+        .join(broadcast(pe), Seq("probe_id"))
+        .withColumn("d2", col("pfsq") + col("fsq")
+          - lit(2.0) * VectorOps.dot(col("pfe"), col("fe")))
+        .withColumn("rn", row_number().over(wE).cast("long"))
+        .filter(col("rn") <= k)
         .select(col("probe_id"), col("cand_id"))
         .join(exact, Seq("probe_id", "cand_id"), "left_semi")
         .agg((count(lit(1)) / lit(100.0)).as("mean_recall_at_10"))
@@ -2114,10 +2207,13 @@ object Vectors {
           VectorOps.dot(col("pe"), col("ce")), col("pn"), col("cn")), 6)
           .as("rel"))
     val wP = Window.partitionBy(col("probe_id")).orderBy(desc("rel"), col("cand_id"))
-    // lineage-cut: the pool feeds pairs + all three selection steps —
-    // without the cut every step re-runs the corpus scan (the t97 lesson)
-    val pool = Scale.cut(
-      rel.withColumn("prn", row_number().over(wP)).filter(col("prn") <= 8), true)
+    // pinned: the pool feeds pairs + all three selection steps — without
+    // the pin every step re-runs the corpus scan (the t97 lesson). A
+    // cache replaces the former eager reliable cut: same one-computation
+    // guarantee, none of the cut's count + checkpoint-write jobs
+    // (optimization r19; lineage static, eviction recovers by recompute).
+    val pool = Scale.pin(
+      rel.withColumn("prn", row_number().over(wP)).filter(col("prn") <= 8))
     val pairs = pool
       .select(col("probe_id"), col("cand_id").as("ca"), col("ce").as("ea"),
         col("cn").as("na"))
