@@ -22,32 +22,34 @@ object Text {
   /** tokens array column for `documents.text` (single-space separated). */
   private def tokens: Column = split(col("text"), " ")
 
-  /** Distinct 3-gram word shingles per doc (no rows when < 3 tokens).
-    *
-    * Relational form (posexplode + window lead) rather than array HOFs:
-    * Catalyst's CollapseProject inlines `split(text)` into every
-    * element_at reference of the HOF form, re-splitting the document
-    * O(shingles) times — quadratic in document length. Here the split
-    * runs once per doc, then one shuffle on doc_id builds the trigrams. */
-  def shingled(docs: DataFrame): DataFrame =
-    // ROW-LOCAL trigram construction (round 14): shingles come straight
-    // off the token ARRAY (transform over indices), so building them is
-    // a narrow map — no shuffle, no sort. The previous form (posexplode
-    // + lead over a per-doc window) shuffled and sorted the ENTIRE
-    // token stream just to see each token's two successors — at 100 TB
-    // a full-corpus shuffle bought for nothing (the same re-plan cut
-    // the t115 skip-gram smoke 15.2 s → 5.0 s at 2M docs; every shingle
-    // consumer — t54, t58, t65, t75, t86, t104, t106 — drops the
-    // window exchange). The trailing per-doc dedup keeps the SET
-    // semantics the consumers contract on.
+  /** Per-doc DISTINCT 3-gram shingle SET as an array column `shset`
+    * (empty array when < 3 tokens). Fully row-local: trigrams come
+    * straight off the token array (transform over indices) and the
+    * per-doc set dedup is `array_distinct` — a hash set over one row's
+    * shingles, so SET semantics cost zero shuffles. (The pre-r19 form
+    * exploded first and ran `dropDuplicates(doc_id, s)`, paying a full
+    * shuffle of the corpus shingle stream for a dedup whose scope never
+    * leaves the row — at 100 TB that exchange was the largest single
+    * shuffle in every shingle consumer.) */
+  def shingleSets(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), tokens.as("t"))
-      .select(col("doc_id"), explode(when(size(col("t")) >= 3,
+      .select(col("doc_id"), array_distinct(when(size(col("t")) >= 3,
         transform(sequence(lit(0), size(col("t")) - 3),
           i => concat_ws(" ",
             col("t")(i), col("t")(i + 1), col("t")(i + 2))))
-        .otherwise(array().cast("array<string>"))).as("s"))
-      .dropDuplicates("doc_id", "s")
+        .otherwise(array().cast("array<string>"))).as("shset"))
+
+  /** Distinct 3-gram word shingles per doc (no rows when < 3 tokens).
+    *
+    * Relational form (array transform rather than per-shingle
+    * element_at over the split: Catalyst's CollapseProject would inline
+    * `split(text)` into every element_at reference, re-splitting the
+    * document O(shingles) times). The split runs once per doc, the
+    * trigram build and the per-doc set dedup are row-local
+    * ([[shingleSets]]) — a narrow map end to end, no shuffle, no sort. */
+  def shingled(docs: DataFrame): DataFrame =
+    shingleSets(docs).select(col("doc_id"), explode(col("shset")).as("s"))
 
   /** Token explode + count (dask `.str.split` + explode + value_counts):
     * top-25 tokens corpus-wide. BASELINE.md anchor shape. */
